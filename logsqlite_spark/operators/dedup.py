@@ -1,0 +1,215 @@
+"""Deduplication operators (SURVEY.md §2.8 X1-X2) over ``documents``.
+
+Scale design:
+- **Exact dedup** is a hash-groupBy: one shuffle on a 16-byte digest,
+  map-side partial aggregation, no text comparison. At 100 TB the
+  shuffle carries (hash, doc_id) pairs only — project before grouping.
+- **N-gram Jaccard** uses an inverted-index self-join (token -> docs)
+  instead of an all-pairs cross join: only documents sharing a token
+  ever meet. Hot tokens are the skew risk; at scale, drop tokens whose
+  document frequency exceeds a cap (they contribute no discrimination)
+  — AQE skew-join splitting covers the rest.
+- **MinHash LSH** (``pyspark.ml.feature.MinHashLSH``) is the sublinear
+  path: signature -> band-bucket join, candidates only. Deterministic
+  ``seed`` so reruns agree; no SQL oracle (checked rows-only + pytest
+  planted duplicates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+JACCARD_THRESHOLD = 0.5
+
+def exact_dedup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """X1: one row per distinct text — keeper id + duplicate count."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("h"), F.col(id_col))
+        .groupBy("h")
+        .agg(F.min(id_col).cast("long").alias("keep_id"),
+             F.count(F.lit(1)).cast("long").alias("dup_count"))
+    )
+
+def exact_dedup_kept(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """X1: the surviving rows (first arrival per distinct text)."""
+    w = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+def _doc_tokens(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Distinct (doc_id, token) pairs — the inverted-index input."""
+    return (
+        docs.select(F.col(id_col).alias("doc_id"),
+                    F.explode(F.split(F.col(text_col), " ")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+
+def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """X2 (exact flavor): token-set Jaccard over an inverted-index join.
+
+    shared(a,b) via groupBy on the token join; |a|,|b| from a tiny
+    per-doc size table that broadcasts. Integer counts keep the
+    similarity exact (no FP divergence vs the oracle).
+    """
+    toks = _doc_tokens(docs, text_col, id_col)
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    shared = (
+        a.join(b, on="tok")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    return (
+        shared.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("sa") + F.col("sb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+def minhash_lsh_pairs(
+    spark: SparkSession,
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hash_tables: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """X2 (sublinear flavor): MinHash LSH candidate pairs.
+
+    HashingTF(binary) -> MinHashLSH(seed=42) -> approxSimilarityJoin.
+    The join is a band-bucket equi-join under the hood — candidates
+    only, never all pairs; this is the 100 TB path.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
+
+    tok = Tokenizer(inputCol=text_col, outputCol="__toks")
+    tokenized = tok.transform(docs.select(id_col, text_col)).filter(
+        F.size(F.expr("filter(__toks, t -> t != '')")) > 0
+    )
+    tf = HashingTF(inputCol="__toks", outputCol="__features",
+                   numFeatures=1 << 18, binary=True)
+    featurized = tf.transform(tokenized)
+    mh = MinHashLSH(inputCol="__features", outputCol="__sig",
+                    numHashTables=num_hash_tables, seed=42)
+    model = mh.fit(featurized)
+    pairs = model.approxSimilarityJoin(featurized, featurized,
+                                       1.0 - threshold, distCol="__dist")
+    left_id, right_id = f"datasetA.{id_col}", f"datasetB.{id_col}"
+    return (
+        pairs.filter(F.col(left_id) < F.col(right_id))
+        .select(
+            F.col(left_id).cast("long").alias("a_id"),
+            F.col(right_id).cast("long").alias("b_id"),
+            F.round(1.0 - F.col("__dist"), 6).alias("est_jaccard"),
+        )
+    )
+
+def simhash64(text_col, n: int = 32):
+    """Column expression: n-bit SimHash of the whitespace token set.
+
+    Pure built-in expressions (no UDF): per token a deterministic
+    integer is derived from its md5 hex; bit b of the simhash is the
+    majority vote of token-hash bit b. Runs entirely in codegen.
+    """
+    # token -> 60-bit int from the first 15 md5 hex chars
+    tok_hash = (
+        "transform(filter(split({c}, ' '), t -> t != ''), "
+        "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
+    ).format(c=text_col)
+    bits = []
+    for b in range(n):
+        vote = (
+            f"aggregate({tok_hash}, 0L, "
+            f"(acc, h) -> acc + (case when (h div {1 << b}) % 2 = 1 then 1 else -1 end))"
+        )
+        bits.append(f"(case when ({vote}) > 0 then {1 << b} else 0 end)")
+    return F.expr(" + ".join(f"cast({x} as bigint)" for x in bits))
+
+def simhash_dedup(docs: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:
+    """X2 (simhash flavor): fingerprint + bucket by exact fingerprint.
+
+    Hamming-distance banding at scale: split the fingerprint into k
+    chunks, join on any equal chunk (pigeonhole: hamming<k implies one
+    equal chunk). Here we emit the fingerprint per doc.
+    """
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        simhash64(text_col, n_bits).alias("simhash"),
+    )
+
+# ---------------------------------------------------------------------------
+# registry wiring
+
+def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(table(spark, sf_dir, "documents"))
+
+def _q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    kept = exact_dedup_kept(table(spark, sf_dir, "documents"))
+    return kept.select(
+        F.col("doc_id").cast("long"), "lang", "source",
+        F.col("n_chars").cast("long"))
+
+def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(table(spark, sf_dir, "documents"))
+
+def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(spark, table(spark, sf_dir, "documents"))
+
+def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dedup(table(spark, sf_dir, "documents"))
+
+QUERIES = {
+    "dedup_exact_groups": _q_dedup_exact_groups,
+    "dedup_exact_kept": _q_dedup_exact_kept,
+    "dedup_jaccard_pairs": _q_dedup_jaccard,
+    "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
+    "dedup_simhash": _q_dedup_simhash,  # rows-only (spark conv/md5 path)
+}
+
+ORACLES = {
+    "dedup_exact_groups": (
+        "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count "
+        "FROM documents GROUP BY md5(text)"
+    ),
+    "dedup_exact_kept": (
+        "SELECT doc_id, lang, source, n_chars FROM documents "
+        "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
+    ),
+    "dedup_jaccard_pairs": (
+        "WITH toks AS (SELECT DISTINCT doc_id, t.tok FROM documents, "
+        "  unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared "
+        "  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT a_id, b_id, round(CAST(shared AS DOUBLE) / "
+        "  CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id "
+        "JOIN sizes sb ON sb.doc_id = b_id "
+        "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5"
+    ),
+    # dedup_minhash_lsh, dedup_simhash: rows-only (non-portable hash fns)
+}

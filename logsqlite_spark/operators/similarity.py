@@ -1,0 +1,187 @@
+"""Similarity search over embeddings (SURVEY.md §2.8 X3).
+
+Two paths, as a real 100 TB pipeline would ship them:
+
+- **Brute-force cosine top-k** — the exact baseline. The query set is
+  broadcast (it's small by construction); the corpus is scanned once,
+  embarrassingly parallel, with a per-partition partial top-k folded by
+  a ranking window. Linear in corpus size, zero corpus shuffle beyond
+  the final tiny top-k aggregation.
+- **LSH-bucketed ANN** (``BucketedRandomProjectionLSH``) — the
+  sublinear path: corpus hashed once into buckets; a query only meets
+  its bucket's members. Deterministic seed.
+
+Numeric determinism for the oracle: similarities are computed on
+*quantized* vectors (``floor(x * 10000)`` per element). Every dot
+product and norm is then an integer < 2^53, exactly representable even
+if an engine sums in doubles, so Spark and DuckDB agree bit-for-bit;
+the only FP ops (one multiply, one sqrt, one divide) are IEEE-identical
+on identical inputs. Ranks tie-break on neighbor id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+N_QUERIES = 10
+TOP_K = 5
+QUANT = 10_000
+
+_QUANTIZE = "transform({c}, x -> cast(floor(cast(x as double) * {q}) as bigint))"
+_SQNORM = "aggregate(transform({v}, x -> x * x), 0L, (acc, x) -> acc + x)"
+_DOT = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0L, (acc, x) -> acc + x)"
+
+def _quantized(df: DataFrame, vec_col: str, out: str) -> DataFrame:
+    return df.withColumn(out, F.expr(_QUANTIZE.format(c=vec_col, q=QUANT)))
+
+def cosine_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries_df is broadcast; corpus partitions never shuffle until the
+    final per-query top-k (window over qid — tiny after rank filter
+    pushes into the sort via WindowGroupLimit).
+    """
+    q = _quantized(
+        queries_df.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).alias("qv")), "qv", "qi"
+    ).withColumn("qn", F.expr(_SQNORM.format(v="qi"))).drop("qv")
+    c = _quantized(
+        corpus_df.select(F.col(id_col).alias("nid"),
+                         F.col(vec_col).alias("nv")), "nv", "ni"
+    ).withColumn("nn", F.expr(_SQNORM.format(v="ni"))).drop("nv")
+
+    joined = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .filter((F.col("qn") > 0) & (F.col("nn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="qi", b="ni")))
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("nn").cast("double")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("nid").cast("long"),
+            F.col("rank").cast("int"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+def ann_lsh_topk(
+    spark: SparkSession,
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate NN via random-projection LSH (the sublinear path).
+
+    Euclidean LSH over L2-normalized vectors ranks like cosine
+    (||a-b||^2 = 2 - 2cos on the unit sphere). Deterministic seed=42.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df: DataFrame, name: str) -> DataFrame:
+        vec = df.select(
+            F.col(id_col).alias(name),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+        )
+        return Normalizer(inputCol="__v", outputCol="__nv", p=2.0).transform(vec)
+
+    qs = prep(queries_df, "qid")
+    cs = prep(corpus_df, "nid")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="__nv", outputCol="__h", seed=42,
+        bucketLength=bucket_length, numHashTables=num_hash_tables)
+    model = lsh.fit(cs)
+    pairs = model.approxSimilarityJoin(qs, cs, float("inf"), distCol="__d")
+    pairs = pairs.filter(F.col("datasetA.qid") != F.col("datasetB.nid"))
+    w = Window.partitionBy("datasetA.qid").orderBy(F.col("__d"), F.col("datasetB.nid"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("datasetA.qid").cast("long").alias("qid"),
+            F.col("datasetB.nid").cast("long").alias("nid"),
+            F.col("rank").cast("int"),
+            F.round(1.0 - F.pow(F.col("__d"), 2) / 2.0, 6).alias("sim"),
+        )
+    )
+
+def embedding_norms_by_label(emb: DataFrame) -> DataFrame:
+    """Per-label mean quantized squared L2 norm — integer-exact agg."""
+    df = _quantized(emb, "embedding", "qi")
+    df = df.withColumn("sqnorm", F.expr(_SQNORM.format(v="qi")))
+    return (
+        df.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("sqnorm").cast("long").alias("sum_sqnorm"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# registry wiring
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_lsh_topk(spark, emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_norms_by_label(table(spark, sf_dir, "embeddings"))
+
+QUERIES = {
+    "ann_cosine_topk": _q_ann_cosine,
+    "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate by design)
+    "embedding_norms": _q_embedding_norms,
+}
+
+_ORACLE_QUANT = (
+    "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
+)
+
+ORACLES = {
+    "ann_cosine_topk": (
+        "WITH q AS (SELECT vec_id AS qid, {qv} AS v FROM embeddings WHERE vec_id < 10), "
+        "c AS (SELECT vec_id AS nid, {qv} AS v FROM embeddings), "
+        "qn AS (SELECT qid, v, list_aggregate(list_transform(v, x -> x * x), 'sum') AS qn FROM q), "
+        "cn AS (SELECT nid, v, list_aggregate(list_transform(v, x -> x * x), 'sum') AS nn FROM c), "
+        "sims AS ( "
+        "  SELECT qid, nid, "
+        "    list_dot_product(CAST(qn.v AS DOUBLE[]), CAST(cn.v AS DOUBLE[])) "
+        "      / sqrt(CAST(qn AS DOUBLE) * CAST(nn AS DOUBLE)) AS sim "
+        "  FROM qn, cn WHERE qid <> nid AND qn > 0 AND nn > 0), "
+        "ranked AS (SELECT qid, nid, sim, "
+        "  row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim "
+        "FROM ranked WHERE rank <= 5"
+    ).format(qv=_ORACLE_QUANT),
+    "embedding_norms": (
+        "SELECT label, count(*) AS n, "
+        "CAST(sum(list_aggregate(list_transform({qv}, x -> x * x), 'sum')) AS BIGINT) AS sum_sqnorm "
+        "FROM embeddings GROUP BY label"
+    ).format(qv=_ORACLE_QUANT),
+    # ann_lsh_topk: rows-only (approximate)
+}

@@ -1,0 +1,201 @@
+"""Text analysis operators (SURVEY.md §2.8 X4) over ``documents``.
+
+All pure built-in expressions — split/filter/transform lambdas run in
+whole-stage codegen; nothing leaves the JVM. Every metric is either
+integer-exact or a single division of integer-exact values, so the
+DuckDB oracle agrees bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+# language marker words for the n-gram/keyword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "and", "of"),
+    "de": ("der", "die", "und", "das"),
+    "es": ("el", "la", "los", "que"),
+    "fr": ("le", "la", "les", "et"),
+}
+
+def _sql_list(words) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+def _tok(c: str) -> str:
+    return f"filter(split({c}, ' '), t -> t != '')"
+
+def text_quality(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality metrics: token counts, length stats,
+    stopword ratio — the junk-filter features of a training pipeline."""
+    toks = _tok(text_col)
+    stop = _sql_list(STOPWORDS)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.length(text_col).cast("int").alias("text_len"),
+        F.expr(f"size({toks})").cast("int").alias("n_tokens"),
+        F.expr(f"size(filter({toks}, t -> t IN ({stop})))")
+        .cast("int").alias("n_stopwords"),
+        F.round(
+            F.expr(f"cast(length(replace({text_col}, ' ', '')) as double)")
+            / F.expr(f"cast(size({toks}) as double)"), 6
+        ).alias("avg_token_len"),
+        F.round(
+            F.expr(f"cast(size(filter({toks}, t -> t IN ({stop}))) as double)")
+            / F.expr(f"cast(size({toks}) as double)"), 6
+        ).alias("stopword_ratio"),
+    )
+
+def token_counts(docs: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace tokens + a BPE-ish regex token count per document."""
+    toks = _tok(text_col)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(f"size({toks})").cast("int").alias("ws_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit("[a-z0-9]+"), F.lit(0)))
+        .cast("int").alias("re_tokens"),
+    )
+
+def token_frequencies(docs: DataFrame, min_count: int = 10,
+                      text_col: str = "text") -> DataFrame:
+    """Corpus-wide token frequency (threshold, not LIMIT — tie-safe).
+
+    explode -> partial-agg groupBy: the shuffle carries (token, count)
+    partials, not token instances.
+    """
+    return (
+        docs.select(F.explode(F.expr(_tok(text_col))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+def fingerprint(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Normalized-text fingerprint: lower + whitespace-collapse + md5."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), "\\s+", " "))
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.md5(norm).alias("fp"),
+    )
+
+def lang_id(docs: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """Keyword-marker language ID (deterministic argmax, 'en'-biased
+    tie-break in fixed key order)."""
+    toks = _tok(text_col)
+    score_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        expr = f"size(filter({toks}, t -> t IN ({_sql_list(markers)})))"
+        score_cols.append((lang, expr))
+    df = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.expr(e).cast("int").alias(f"score_{lang}") for lang, e in score_cols],
+    )
+    # argmax with first-wins tie-break in LANG_MARKERS key order
+    langs = list(LANG_MARKERS)
+    pred = F.lit(langs[0])
+    best = F.col(f"score_{langs[0]}")
+    for lang in langs[1:]:
+        cond = F.col(f"score_{lang}") > best
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+        best = F.when(cond, F.col(f"score_{lang}")).otherwise(best)
+    return df.withColumn("pred_lang", pred)
+
+def doc_stats(docs: DataFrame) -> DataFrame:
+    """Corpus stats by (lang, source)."""
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+# ---------------------------------------------------------------------------
+# registry wiring
+
+def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text_quality(table(spark, sf_dir, "documents"))
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_counts(table(spark, sf_dir, "documents"))
+
+def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_frequencies(table(spark, sf_dir, "documents"))
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fingerprint(table(spark, sf_dir, "documents"))
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_id(table(spark, sf_dir, "documents"))
+
+def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_stats(table(spark, sf_dir, "documents"))
+
+QUERIES = {
+    "text_quality": _q_text_quality,
+    "token_counts": _q_token_counts,
+    "token_freq": _q_token_freq,
+    "text_fingerprint": _q_fingerprint,
+    "lang_id": _q_lang_id,
+    "doc_stats": _q_doc_stats,
+}
+
+_STOP = _sql_list(STOPWORDS)
+_TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+def _langid_oracle() -> str:
+    scores = ", ".join(
+        f"CAST(len(list_filter({_TOKS}, t -> t IN ({_sql_list(m)}))) AS INT) AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    # same first-wins argmax as the Spark side
+    pred = f"'{langs[0]}'"
+    best = f"score_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN score_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"greatest(score_{lang}, {best})"
+    return (
+        f"SELECT doc_id, score_en, score_de, score_es, score_fr, {pred} AS pred_lang "
+        f"FROM (SELECT doc_id, {scores} FROM documents)"
+    )
+
+ORACLES = {
+    "text_quality": (
+        f"SELECT doc_id, CAST(length(text) AS INT) AS text_len, "
+        f"CAST(len({_TOKS}) AS INT) AS n_tokens, "
+        f"CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP}))) AS INT) AS n_stopwords, "
+        f"round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE), 6) AS avg_token_len, "
+        f"round(CAST(len(list_filter({_TOKS}, t -> t IN ({_STOP}))) AS DOUBLE) / CAST(len({_TOKS}) AS DOUBLE), 6) AS stopword_ratio "
+        "FROM documents"
+    ),
+    "token_counts": (
+        f"SELECT doc_id, CAST(len({_TOKS}) AS INT) AS ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS INT) AS re_tokens "
+        "FROM documents"
+    ),
+    "token_freq": (
+        f"SELECT t.tok AS tok, count(*) AS n FROM documents, "
+        f"unnest({_TOKS}) AS t(tok) GROUP BY t.tok HAVING count(*) >= 10"
+    ),
+    "text_fingerprint": (
+        "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+        "FROM documents"
+    ),
+    "lang_id": _langid_oracle(),
+    "doc_stats": (
+        "SELECT lang, source, count(*) AS n_docs, "
+        "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
+        "round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars "
+        "FROM documents GROUP BY lang, source"
+    ),
+}

@@ -1,0 +1,55 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local tests run on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case and merely *parameterized* down for tests:
+
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  means the same plan survives a 100x scale-up without retuning.
+- ``spark.sql.shuffle.partitions`` from env (32 locally; thousands on a
+  real cluster) — AQE coalesces down, so oversizing is safe.
+- Arrow enabled for the few pandas-UDF paths (vectorized Python).
+- ``spark.sql.legacy.parquet.nanosAsLong`` — the engine's native time
+  column is epoch-*nanoseconds* stored as INT64 (the reference stores
+  ``time_nano`` from Docker's LogEntry, /root/reference/src/logger.rs:130),
+  and Spark timestamps are only µs; reading TIMESTAMP(NANOS) parquet as
+  LongType preserves full precision end to end.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_parts = os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", shuffle_parts)
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
+
+def ensure_engine_confs(spark: SparkSession) -> SparkSession:
+    """Set runtime-settable confs this engine relies on.
+
+    Called defensively at every public entry point because the driver
+    harness may hand us a session built elsewhere.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark

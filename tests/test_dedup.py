@@ -1,0 +1,56 @@
+"""Dedup operators (X1/X2) with planted duplicates."""
+
+import pytest
+
+from logsqlite_spark.operators.dedup import (
+    exact_dedup_groups,
+    exact_dedup_kept,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_dedup,
+)
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different words entirely unrelated text"),
+        (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+def test_exact_groups(docs):
+    got = {r["keep_id"]: r["dup_count"] for r in exact_dedup_groups(docs).collect()}
+    assert got == {0: 3, 2: 1, 3: 1}
+
+def test_exact_kept(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup_kept(docs).collect())
+    assert kept == [0, 2, 3]
+
+def test_jaccard_near_dups(docs):
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    # exact dups share everything
+    assert pairs[(0, 1)] == 1.0
+    assert pairs[(0, 4)] == 1.0
+    # near dup: 8 tokens, 7 shared ('the' dedups) => 7/9
+    assert (0, 2) in pairs
+    assert abs(pairs[(0, 2)] - 7 / 9) < 1e-6
+    # unrelated never pairs
+    assert not any(3 in p for p in pairs)
+
+def test_minhash_lsh_finds_planted_dups(spark, docs):
+    pairs = {(r["a_id"], r["b_id"])
+             for r in minhash_lsh_pairs(spark, docs, threshold=0.5).collect()}
+    assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+def test_simhash_identical_texts_same_hash(docs):
+    got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs).collect()}
+    assert got[0] == got[1] == got[4]
+    # near-dup hash is close in hamming distance, far doc differs
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(got[0], got[2]) <= ham(got[0], got[3])

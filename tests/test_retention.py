@@ -1,0 +1,96 @@
+"""Retention semantics + physical cleanup (reference cleaner.rs:40-131)."""
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.config import LogConfig
+from logsqlite_spark.operators.retention import (
+    apply_retention,
+    drop_container,
+    retention_survivors,
+)
+
+def seqs(df):
+    return sorted(r["seq"] for r in df.select("seq").collect())
+
+def test_keep_last_n_boundary_survives(logs_df):
+    # strict ROWID < boundary: the row AT the boundary (rank N from end)
+    # survives — keep exactly N
+    out = retention_survivors(logs_df, cleanup_max_lines=3)
+    per = {(r["container_id"], r["seq"]) for r in out.collect()}
+    assert per == {("c1", 3), ("c1", 4), ("c1", 5), ("c2", 1), ("c2", 2)}
+
+def test_keep_last_more_than_count_keeps_all(logs_df):
+    out = retention_survivors(logs_df, cleanup_max_lines=100)
+    assert out.count() == 7
+
+def test_age_cutoff_strict_less_than(logs_df):
+    # delete ts < cutoff; row with ts == cutoff survives
+    now = 3_000_000_000_000
+    age_s = 1000  # cutoff = 2_000_000_000_000
+    out = retention_survivors(logs_df, now_nanos=now, cleanup_age_s=age_s)
+    got = {(r["container_id"], r["seq"]) for r in out.collect()}
+    assert got == {("c1", 2), ("c1", 4), ("c1", 5), ("c2", 1), ("c2", 2)}
+
+def test_combined_or_delete(logs_df):
+    # delete (ts < cutoff) OR (beyond last N)  ==  survive AND
+    out = retention_survivors(
+        logs_df, now_nanos=3_000_000_000_000, cleanup_age_s=1000,
+        cleanup_max_lines=2)
+    got = {(r["container_id"], r["seq"]) for r in out.collect()}
+    assert got == {("c1", 4), ("c1", 5), ("c2", 1), ("c2", 2)}
+
+def _write_logs_table(spark, tmp_path):
+    rows = []
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e9)
+    day = 86400 * 1_000_000_000
+    for c in ("c1", "c2"):
+        for i in range(100):
+            ts = base + (i // 34) * day + i * 1_000_000
+            rows.append((i + 1, ts, "stdout", f"line{i}\n", c))
+    df = spark.createDataFrame(
+        rows, "seq long, ts_nanos long, source string, line string, container_id string"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_nanos div 1000"))) \
+     .withColumn("date", F.to_date("ts"))
+    out = str(tmp_path / "logs")
+    df.write.partitionBy("container_id", "date").parquet(out)
+    return out
+
+def test_apply_retention_age_drops_partitions(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e9)
+    # now = start of day 3; age = 1 day → cutoff = start of day 2:
+    # day-1 partition drops wholly; day-2 stays; no boundary rewrite needed
+    now = base + 2 * 86400 * 1_000_000_000
+    conf = LogConfig(cleanup_age_s=86400, cleanup_max_lines=None)
+    stats = apply_retention(spark, logs_dir, "c1", conf, now_nanos=now)
+    assert stats["dropped_partitions"] >= 1
+    left = spark.read.parquet(logs_dir)
+    c1 = left.filter("container_id = 'c1'")
+    assert c1.count() == 100 - 34  # first day (rows 0..33) gone
+    # untouched container:
+    assert left.filter("container_id = 'c2'").count() == 100
+
+def test_apply_retention_keep_last(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    conf = LogConfig(cleanup_age_s=None, cleanup_max_lines=10)
+    stats = apply_retention(spark, logs_dir, "c1", conf)
+    left = spark.read.parquet(logs_dir).filter("container_id = 'c1'")
+    assert sorted(r["seq"] for r in left.select("seq").collect()) == list(range(91, 101))
+    assert stats["deleted_rows"] == 90
+
+def test_apply_retention_noop_without_limits(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    conf = LogConfig(cleanup_age_s=None, cleanup_max_lines=None)
+    stats = apply_retention(spark, logs_dir, "c1", conf)
+    assert stats == {"dropped_partitions": 0, "rewritten_partitions": 0,
+                     "deleted_rows": 0}
+    assert spark.read.parquet(logs_dir).count() == 200
+
+def test_drop_container(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    assert drop_container(logs_dir, "c1") is True
+    assert drop_container(logs_dir, "c1") is False
+    left = spark.read.parquet(logs_dir)
+    assert left.select("container_id").distinct().collect()[0][0] == "c2"

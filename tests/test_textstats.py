@@ -1,0 +1,58 @@
+"""Text analysis operators (X4)."""
+
+import pytest
+
+from logsqlite_spark.operators.textstats import (
+    doc_stats,
+    fingerprint,
+    lang_id,
+    text_quality,
+    token_counts,
+    token_frequencies,
+)
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (0, "the cat sat on the mat", "en", "s0", 22),
+        (1, "der hund und die katze", "de", "s0", 22),
+        (2, "el perro y la gata que", "es", "s1", 22),
+        (3, "  spaced   out   text ", "en", "s1", 22),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+
+def test_text_quality(docs):
+    got = {r["doc_id"]: r for r in text_quality(docs).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["n_stopwords"] == 2  # 'the' twice
+    assert abs(got[0]["stopword_ratio"] - 2 / 6) < 1e-6
+    assert got[3]["n_tokens"] == 3  # empty tokens filtered
+
+def test_token_counts(docs):
+    got = {r["doc_id"]: r for r in token_counts(docs).collect()}
+    assert got[0]["ws_tokens"] == 6
+    assert got[0]["re_tokens"] == 6
+    assert got[3]["ws_tokens"] == 3
+
+def test_token_frequencies(docs):
+    got = {r["tok"]: r["n"] for r in token_frequencies(docs, min_count=2).collect()}
+    assert got["the"] == 2
+
+def test_fingerprint_normalizes_whitespace(spark, docs):
+    extra = spark.createDataFrame(
+        [(9, "THE  cat   sat on the MAT", "en", "s9", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    fp = {r["doc_id"]: r["fp"] for r in fingerprint(docs.union(extra)).collect()}
+    assert fp[0] == fp[9]
+
+def test_lang_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[0] == "en"
+    assert got[1] == "de"
+    assert got[2] == "es"
+
+def test_doc_stats(docs):
+    got = {(r["lang"], r["source"]): r["n_docs"] for r in doc_stats(docs).collect()}
+    assert got[("en", "s0")] == 1
+    assert got[("en", "s1")] == 1
