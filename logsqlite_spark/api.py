@@ -1,0 +1,161 @@
+"""The engine facade — the LogDriver protocol surface re-expressed.
+
+Maps the reference's four HTTP endpoints (/root/reference/src/main.rs:97-110,
+docker.rs) onto Python methods over Spark:
+
+- StartLogging  -> :meth:`Engine.start_logging`
+- StopLogging   -> :meth:`Engine.stop_logging`
+- ReadLogs      -> :meth:`Engine.read_logs` / :meth:`Engine.follow`
+- Capabilities  -> trivially {"ReadLogs": True}
+
+plus boot replay (statehandler.rs:193-219 -> :meth:`Engine.replay`)
+and the cleaner loop (cleaner.rs:134-158 -> :meth:`Engine.cleanup_all`).
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logsqlite_spark.config import EngineConfig, LogConfig
+from logsqlite_spark.operators import read as R
+from logsqlite_spark.operators import retention as RET
+from logsqlite_spark.session import ensure_engine_confs
+from logsqlite_spark.state import StateStore
+from logsqlite_spark.streaming import follow as FW
+from logsqlite_spark.streaming import ingest as ING
+
+class Engine:
+    """One instance ≈ one daemon process of the reference."""
+
+    def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
+        self.spark = ensure_engine_confs(spark)
+        self.config = config or EngineConfig()
+        self.state = StateStore(self.config.state_dir)
+        self._queries: dict[str, object] = {}  # container_id -> StreamingQuery
+
+    # -- data access ---------------------------------------------------------
+
+    def logs_df(self) -> DataFrame:
+        """The unified logs table (all containers)."""
+        return self.spark.read.option("basePath", self.config.logs_dir).parquet(
+            self.config.logs_dir
+        )
+
+    # -- StartLogging (docker.rs:59-84) ---------------------------------------
+
+    def start_logging(self, container_id: str, fifo: str | None = None,
+                      options: dict[str, str] | None = None,
+                      streaming: bool = False):
+        """Register a container and begin consuming its spool.
+
+        ``streaming=False`` registers only; ingestion then happens via
+        :meth:`ingest_once` pulls (deterministic, test-friendly).
+        ``streaming=True`` starts a dedicated StreamingQuery on this
+        container's spool subdir. (Production default is ONE
+        multiplexed stream via :meth:`start_multiplexed_ingest`.)
+        """
+        conf = LogConfig.from_options(options)
+        self.state.upsert(container_id, fifo, conf)
+        if streaming:
+            q = ING.start_ingest_stream(
+                self.spark,
+                f"{self.config.spool_dir}",
+                self.config.logs_dir,
+                self.config.state_dir,
+                f"{self.config.checkpoints_dir}/{container_id}",
+                conf,
+                query_name=f"ingest-{container_id}",
+            )
+            self._queries[container_id] = q
+            return q
+        return None
+
+    def start_multiplexed_ingest(self, conf: LogConfig | None = None):
+        """The scale path: one stream, all containers (SURVEY §7.5)."""
+        q = ING.start_ingest_stream(
+            self.spark, self.config.spool_dir, self.config.logs_dir,
+            self.config.state_dir, f"{self.config.checkpoints_dir}/__mux__",
+            conf or LogConfig(), query_name="ingest-mux",
+        )
+        self._queries["__mux__"] = q
+        return q
+
+    def ingest_once(self, container_id: str | None = None) -> dict:
+        """Pull-mode ingest: drain the spool in one batch commit."""
+        return ING.ingest_spool_once(
+            self.spark, self.config.spool_dir, self.config.logs_dir,
+            self.config.state_dir, container_id,
+        )
+
+    # -- StopLogging (docker.rs:93-109, statehandler.rs:126-135) --------------
+
+    def stop_logging(self, container_id: str) -> None:
+        """Stop ingest, drop state; delete data if configured
+        (statehandler.rs:173-182 delete_when_stopped)."""
+        doc = self.state.get(container_id)
+        q = self._queries.pop(container_id, None)
+        if q is not None:
+            q.stop()            # drains the in-flight micro-batch (T5)
+            q.awaitTermination(60)
+        self.state.remove(container_id)
+        if doc and doc["log_conf"].get("delete_when_stopped"):
+            RET.drop_container(self.config.logs_dir, container_id)
+
+    # -- ReadLogs (docker.rs:138-188) ------------------------------------------
+
+    def read_logs(self, container_id: str, since: str | None = None,
+                  until: str | None = None, tail: int | None = None) -> DataFrame:
+        return R.read_logs(self.logs_df(), container_id=container_id,
+                           since=since, until=until, tail=tail)
+
+    def follow(self, container_id: str, since: str | None = None,
+               tail: int | None = None, poll_interval_s: float = 1.0,
+               max_idle_polls: int = FW.FOLLOW_COUNTER_MAX,
+               stop=None):
+        """ReadLogs with Follow=true: history then live batches."""
+        return FW.follow_iter(
+            self.logs_df, container_id, since=since, tail=tail,
+            poll_interval_s=poll_interval_s, max_idle_polls=max_idle_polls,
+            stop=stop,
+        )
+
+    # -- boot replay (T3) ------------------------------------------------------
+
+    def replay(self, streaming: bool = False) -> list[str]:
+        """Restart ingestion for every registered container
+        (statehandler.rs:193-219). Streaming checkpoints resume offsets
+        exactly-once; batch mode resumes at the seq high-water."""
+        restarted = []
+        for doc in self.state.list_all():
+            cid = doc["container_id"]
+            if streaming:
+                self.start_logging(cid, doc.get("fifo"), streaming=True)
+            restarted.append(cid)
+        return restarted
+
+    # -- cleaner (cleaner.rs:134-158) ------------------------------------------
+
+    def cleanup_all(self, now_nanos: int | None = None) -> dict[str, dict]:
+        """One cleaner pass over every registered container."""
+        if now_nanos is None:
+            now_nanos = int(datetime.now(timezone.utc).timestamp() * 1e9)
+        results = {}
+        for doc in self.state.list_all():
+            conf = LogConfig.from_dict(doc["log_conf"])
+            if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
+                continue
+            results[doc["container_id"]] = RET.apply_retention(
+                self.spark, self.config.logs_dir, doc["container_id"],
+                conf, now_nanos=now_nanos,
+            )
+        return results
+
+    def stop_all(self) -> None:
+        for q in list(self._queries.values()):
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self._queries.clear()

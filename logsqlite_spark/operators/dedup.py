@@ -129,23 +129,26 @@ def minhash_lsh_pairs(
 def simhash64(text_col, n: int = 32):
     """Column expression: n-bit SimHash of the whitespace token set.
 
-    Pure built-in expressions (no UDF): per token a deterministic
-    integer is derived from its md5 hex; bit b of the simhash is the
-    majority vote of token-hash bit b. Runs entirely in codegen.
+    Pure built-in expressions (no UDF), single pass: token hashes are
+    derived once (first 15 md5 hex chars -> 60-bit int), then one
+    ``aggregate`` folds them into an n-wide bit-vote vector, and one
+    more assembles the fingerprint. Runs entirely in codegen.
     """
-    # token -> 60-bit int from the first 15 md5 hex chars
     tok_hash = (
         "transform(filter(split({c}, ' '), t -> t != ''), "
         "t -> cast(conv(substring(md5(t), 1, 15), 16, 10) as bigint))"
     ).format(c=text_col)
-    bits = []
-    for b in range(n):
-        vote = (
-            f"aggregate({tok_hash}, 0L, "
-            f"(acc, h) -> acc + (case when (h div {1 << b}) % 2 = 1 then 1 else -1 end))"
-        )
-        bits.append(f"(case when ({vote}) > 0 then {1 << b} else 0 end)")
-    return F.expr(" + ".join(f"cast({x} as bigint)" for x in bits))
+    votes = (
+        f"aggregate({tok_hash}, transform(sequence(0, {n - 1}), b -> 0L), "
+        f"(acc, h) -> zip_with(acc, sequence(0, {n - 1}), "
+        "(a, b) -> a + (case when (h div shiftleft(1L, b)) % 2 = 1 then 1L else -1L end)))"
+    )
+    assemble = (
+        f"aggregate(zip_with({votes}, sequence(0, {n - 1}), "
+        "(v, b) -> case when v > 0 then shiftleft(1L, b) else 0L end), "
+        "0L, (acc, x) -> acc + x)"
+    )
+    return F.expr(assemble)
 
 def simhash_dedup(docs: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", n_bits: int = 32) -> DataFrame:

@@ -1,0 +1,104 @@
+"""Engine-health queries over the star schema (TPC-H-style shapes).
+
+Not part of the reference surface — these exercise the general engine
+paths (wide aggregation, multi-way join, top-k) that the log and
+LLM-pipeline operators compose, and anchor the benchmark.
+
+Oracle determinism: money/quantity sums are computed in *cents*
+(``cast(round(x * 100) as bigint)``) so both engines sum exact
+integers in any order; top-k orderings tie-break on a key.
+
+Scale notes: q1 is a pure map-side-combinable aggregation (shuffle
+carries one partial row per group per partition). q3 joins two big
+tables on their natural keys — at 100 TB this is a shuffle join on
+(custkey, orderkey) which AQE re-plans; the ``customer`` side filter
+is pushed below the join, and at real scale the filtered customer dim
+broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+def _cents(col: str) -> F.Column:
+    return F.round(F.col(col) * 100).cast("bigint")
+
+def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
+    """Q1 shape: pricing summary report by returnflag/linestatus."""
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+            F.sum(_cents("l_quantity")).cast("long").alias("sum_qty_c"),
+            F.sum(_cents("l_extendedprice")).cast("long").alias("sum_base_price_c"),
+            F.sum(_cents("l_discount")).cast("long").alias("sum_discount_c"),
+        )
+    )
+
+def top_revenue_orders(customer: DataFrame, orders: DataFrame,
+                       lineitem: DataFrame, segment: str = "BUILDING",
+                       k: int = 10) -> DataFrame:
+    """Q3 shape: top unshipped-revenue orders for a market segment."""
+    cust = customer.filter(F.col("c_mktsegment") == segment).select("c_custkey")
+    ords = orders.filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = lineitem.filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    ).select("l_orderkey", _cents("l_extendedprice").alias("price_c"),
+             _cents("l_discount").alias("disc_c"))
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    joined = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.sum(rev).alias("revenue_u"))
+    )
+    return (
+        joined.orderBy(F.col("revenue_u").desc(), F.col("l_orderkey"))
+        .limit(k)
+        .select(F.col("l_orderkey").cast("long"),
+                F.col("revenue_u").cast("long"))
+    )
+
+def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pricing_summary(table(spark, sf_dir, "lineitem"))
+
+def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_revenue_orders(
+        table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"),
+    )
+
+QUERIES = {
+    "tpch_q1_pricing": _q_tpch_q1,
+    "tpch_q3_top_orders": _q_tpch_q3,
+}
+
+ORACLES = {
+    "tpch_q1_pricing": (
+        "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
+        "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
+        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c, "
+        "sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_discount_c "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    "tpch_q3_top_orders": (
+        "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "  * (10000 - CAST(round(l_discount * 100) AS BIGINT) * 100)) AS BIGINT) AS revenue_u "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY l_orderkey "
+        "ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
+    ),
+}

@@ -32,6 +32,7 @@ from logsqlite_spark.operators import retention as RET
 from logsqlite_spark.operators import dedup as DD
 from logsqlite_spark.operators import similarity as SIM
 from logsqlite_spark.operators import textstats as TS
+from logsqlite_spark.operators import tpch as TP
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -275,6 +276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(DD.QUERIES)
     out.update(SIM.QUERIES)
     out.update(TS.QUERIES)
+    out.update(TP.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -282,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(DD.ORACLES)
     out.update(SIM.ORACLES)
     out.update(TS.ORACLES)
+    out.update(TP.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,146 @@
+"""Spool-directory source (S1): the FIFO's distributed replacement.
+
+The reference tails one kernel FIFO per container (logger.rs:152). A
+distributed engine can't read a FIFO from executors, so ingestion goes
+through a *spool directory*: whatever tails the FIFOs (or any log
+shipper) drops burst files of length-prefixed LogEntry frames at
+
+    spool/<container_id>/<seq-name>.plog
+
+One file ≈ one burst (the reference's read-timeout transaction window).
+File names must sort in arrival order per container — the writer below
+zero-pads a counter. Reading is a ``binaryFile`` scan (batch or
+Structured Streaming — same decode either way), and frame decoding
+runs *inside executors* via ``mapInPandas`` in Arrow batches: the
+driver never sees a frame, so ingest parallelism = number of spool
+files, independent of cluster size.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterable, Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+
+from logsqlite_spark.schema import LOG_ENTRY_SCHEMA
+from logsqlite_spark.sources import frames as fr
+
+BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+# path is carried through for arrival ordering (file order within container)
+DECODED_SCHEMA = "path string, " + ", ".join(
+    f"{f.name} {f.dataType.simpleString()}" for f in LOG_ENTRY_SCHEMA.fields
+)
+
+class SpoolWriter:
+    """Test/edge-side helper: write bursts of entries as spool files.
+
+    Plays the role of the FIFO producer (dockerd). Files are named
+    ``<counter>.plog`` zero-padded so lexicographic order == arrival
+    order, which the seq assigner relies on.
+    """
+
+    def __init__(self, spool_dir: str, container_id: str):
+        self.dir = Path(spool_dir) / container_id
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._counter = 0
+
+    def write_burst(self, entries: Iterable[fr.LogEntry]) -> str:
+        import time
+
+        blob = b"".join(fr.encode_frame(e) for e in entries)
+        # Names must be monotonic for the container's whole lifetime —
+        # even across writer restarts and after consumed files were
+        # deleted (the ingest watermark is the last consumed *name*).
+        # wall-clock ns + per-writer counter gives that without any
+        # writer-side state file.
+        stem = f"{time.time_ns():020d}-{self._counter:06d}"
+        name = self.dir / f"{stem}.plog"
+        tmp = self.dir / f".{stem}.plog.tmp"
+        tmp.write_bytes(blob)
+        os.rename(tmp, name)  # atomic publish: readers never see partials
+        self._counter += 1
+        return str(name)
+
+def _container_from_path(path: str) -> str:
+    return Path(path).parent.name
+
+def _decode_partition(iterator: Iterator) -> Iterator:
+    """mapInPandas body: (path, content) batches -> decoded entry rows.
+
+    A corrupt frame aborts that file's decode; prior frames are kept
+    and the error surfaces as a sentinel row with source
+    '__decode_error__' so the control plane can apply the reference's
+    restart-on-DecodeError policy (statehandler.rs:146-166) without
+    failing the whole micro-batch.
+    """
+    import pandas as pd
+
+    cols = ["path", "container_id", "source", "time_nano", "line",
+            "partial", "partial_meta", "frame_no"]
+    for batch in iterator:
+        rows = []
+        for path, content in zip(batch["path"], batch["content"]):
+            cid = _container_from_path(path)
+            try:
+                for i, entry in enumerate(fr.decode_frames(bytes(content))):
+                    entry = fr.canonicalize(entry)
+                    meta = entry.partial_meta
+                    rows.append(
+                        (
+                            path, cid, entry.source, entry.time_nano,
+                            entry.line.decode("utf-8", "replace"),
+                            entry.partial,
+                            None if meta is None else
+                            {"last": meta.last, "id": meta.id,
+                             "ordinal": meta.ordinal},
+                            i,
+                        )
+                    )
+            except fr.FrameDecodeError as e:
+                rows.append((path, cid, "__decode_error__", 0,
+                             f"{path}: {e}\n", False, None, -1))
+        yield pd.DataFrame(rows, columns=cols)
+
+def read_spool_batch(spark: SparkSession, spool_dir: str,
+                     container_id: str | None = None) -> DataFrame:
+    """Batch decode of every spool file currently present."""
+    pattern = f"{spool_dir}/{container_id or '*'}/*.plog"
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.plog")
+        .load(pattern)
+        .select("path", "content")
+    )
+    return raw.mapInPandas(_decode_partition, DECODED_SCHEMA)
+
+def read_spool_stream(spark: SparkSession, spool_dir: str,
+                      max_bytes_per_trigger: int | None = None) -> DataFrame:
+    """Structured Streaming decode over the multiplexed spool root.
+
+    ONE stream for ALL containers (the path carries container_id) —
+    the design default per SURVEY §7.5: per-container StreamingQueries
+    mirror the reference but fall over past a few hundred containers.
+    ``maxBytesPerTrigger`` maps the reference's ``max_size_per_tx``
+    batching cap onto micro-batch sizing.
+    """
+    reader = (
+        spark.readStream.format("binaryFile")
+        .schema(BINARY_FILE_SCHEMA)
+        .option("pathGlobFilter", "*.plog")
+        .option("latestFirst", "false")
+        .option("maxFileAge", "3650d")
+        # FIFO semantics: a consumed burst disappears. Also keeps
+        # pull-mode ingest_once from double-reading files the stream
+        # already committed (one active ingester per warehouse is the
+        # invariant, matching the reference's one logger per FIFO).
+        .option("cleanSource", "delete")
+    )
+    if max_bytes_per_trigger is not None:
+        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
+    raw = reader.load(f"{spool_dir}/*/").select("path", "content")
+    return raw.mapInPandas(_decode_partition, DECODED_SCHEMA)

@@ -1,0 +1,233 @@
+"""Ingest pipeline (S4-S7): spool -> decode -> seq -> partitioned parquet.
+
+ROWID parity (the §7 watch-list hard part): the reference gets arrival
+order for free from SQLite's ROWID. Here ``seq`` is assigned as
+
+    seq = high_water[container] + row_number() over (
+              partition by container_id order by (path, frame_no))
+
+inside each micro-batch, with high-water marks persisted atomically
+alongside the data. Correctness rests on the same invariant the
+reference has — ONE writer per container (one FIFO, one logger task;
+logger.rs:242-272): spool files of one container are produced in
+order, so (path, frame_no) is the arrival order, and batches are
+processed in file order by the streaming source.
+
+Exactly-once: the high-water state records the last committed batch id.
+When foreachBatch replays a batch after a crash (same epoch id), the
+write is skipped — the standard idempotent-foreachBatch pattern that
+replaces the reference's BEGIN/END TRANSACTION.
+
+Scale: the shuffle per micro-batch is one hash partition by
+container_id (bounded by batch size, not table size); the parquet
+append is partitioned (container_id, date) so downstream queries prune.
+At 1000 executors the same code runs unchanged — micro-batch row_number
+windows are per-container and AQE splits skew.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from logsqlite_spark.config import LogConfig
+from logsqlite_spark.sources.spool import read_spool_batch, read_spool_stream
+
+DECODE_ERROR_SOURCE = "__decode_error__"
+
+class SeqState:
+    """Per-container seq high-water marks + committed batch ids.
+
+    Tiny driver-side JSON (one int per container) — the moral
+    equivalent of the reference's per-DB max ROWID. Written via
+    temp-file + rename so a crash leaves either the old or new state,
+    matching the idempotent-batch replay.
+    """
+
+    def __init__(self, state_dir: str):
+        self.path = Path(state_dir) / "seq_state.json"
+        self.path.parent.mkdir(parents=True, exist_ok=True)
+
+    def load(self) -> dict:
+        if self.path.exists():
+            st = json.loads(self.path.read_text())
+            st.setdefault("last_file", {})
+            return st
+        return {"high_water": {}, "last_batch_id": -1, "last_file": {}}
+
+    def save(self, state: dict) -> None:
+        tmp = self.path.with_suffix(".tmp")
+        tmp.write_text(json.dumps(state))
+        os.rename(tmp, self.path)
+
+def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
+    """Turn decoded entries into the logs-table shape with seq assigned.
+
+    Arrival order inside a batch = (path, frame_no); spool file names
+    are zero-padded counters so lexicographic path order is write
+    order. The window is per container — skew bounded by per-container
+    batch volume.
+    """
+    hw_items = list(high_water.items())
+    spark = decoded.sparkSession
+    if hw_items:
+        hw_df = spark.createDataFrame(hw_items, "container_id string, hw long")
+    else:
+        hw_df = spark.createDataFrame([], "container_id string, hw long")
+
+    w = Window.partitionBy("container_id").orderBy("path", "frame_no")
+    return (
+        decoded.filter(F.col("source") != DECODE_ERROR_SOURCE)
+        .withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(hw_df), "container_id", "left")
+        .withColumn("seq", F.coalesce(F.col("hw"), F.lit(0)) + F.col("__rn"))
+        .withColumn("ts_nanos", F.col("time_nano"))
+        .withColumn("ts", F.timestamp_micros(F.expr("time_nano div 1000")))
+        .withColumn("date", F.to_date("ts"))
+        .select("seq", "ts_nanos", "ts", "source", "line", "partial",
+                "partial_meta", "container_id", "date")
+    )
+
+def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
+                 batch_id: int | None, max_records_per_file: int) -> dict:
+    """Assign seq and append one (micro-)batch; returns progress info."""
+    st = state.load()
+    if batch_id is not None and batch_id <= st["last_batch_id"]:
+        return {"skipped_replay": True, "batch_id": batch_id}
+
+    # File-level idempotence: spool file names are monotonic per
+    # container (single writer), so anything at or below the
+    # last-consumed watermark is a replay — drop it. This is what makes
+    # batch pulls, streaming restarts, and lazy cleanSource deletion
+    # all safe to interleave without duplicate rows.
+    last_file = st.get("last_file", {})
+    if last_file:
+        spark = batch_df.sparkSession
+        lf_df = F.broadcast(spark.createDataFrame(
+            list(last_file.items()), "container_id string, __last_file string"))
+        batch_df = (
+            batch_df.join(lf_df, "container_id", "left")
+            .filter(F.col("__last_file").isNull()
+                    | (F.col("path") > F.col("__last_file")))
+            .drop("__last_file")
+        )
+
+    batch_df = batch_df.persist()
+    try:
+        errors = batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
+        n_errors = errors.count()
+        out = assign_seq(batch_df, st["high_water"])
+        out = out.persist()
+        # new high-water + file watermark per container (tiny collect:
+        # one row per container, not per record)
+        tops = (
+            out.join(
+                batch_df.groupBy("container_id")
+                .agg(F.max("path").alias("pf")), "container_id")
+            .groupBy("container_id")
+            .agg(F.max("seq").alias("m"), F.max("pf").alias("f"))
+            .collect()
+        )
+        if not tops and n_errors == 0:
+            return {"rows": 0, "batch_id": batch_id}
+        (
+            out.write.mode("append")
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy("container_id", "date")
+            .parquet(logs_dir)
+        )
+        for r in tops:
+            st["high_water"][r["container_id"]] = r["m"]
+            st["last_file"][r["container_id"]] = r["f"]
+        if batch_id is not None:
+            st["last_batch_id"] = batch_id
+        state.save(st)
+        return {
+            "rows": int(out.count()),
+            "decode_errors": int(n_errors),
+            "batch_id": batch_id,
+            "high_water": dict(st["high_water"]),
+        }
+    finally:
+        batch_df.unpersist()
+        try:
+            out.unpersist()
+        except Exception:
+            pass
+
+def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
+                      state_dir: str, container_id: str | None = None,
+                      max_records_per_file: int = 1_000_000,
+                      consume: bool = True) -> dict:
+    """Batch ingest: drain what's in the spool now (one 'transaction').
+
+    ``consume=True`` removes processed spool files afterwards — FIFO
+    semantics; batch mode's equivalent of the stream checkpoint.
+    """
+    state = SeqState(state_dir)
+    try:
+        decoded = read_spool_batch(spark, spool_dir, container_id)
+    except Exception as e:  # no files yet
+        if "PATH_NOT_FOUND" in str(e) or "unable to infer schema" in str(e).lower():
+            return {"rows": 0}
+        raise
+    decoded = decoded.persist()
+    try:
+        files = [r["path"] for r in decoded.select("path").distinct().collect()]
+        result = _write_batch(decoded, logs_dir, state, None,
+                              max_records_per_file)
+        if consume:
+            for p in files:
+                fp = p.removeprefix("file:")
+                if os.path.exists(fp):
+                    os.remove(fp)
+        return result
+    finally:
+        decoded.unpersist()
+
+def start_ingest_stream(
+    spark: SparkSession,
+    spool_dir: str,
+    logs_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    conf: LogConfig | None = None,
+    query_name: str = "logsqlite-ingest",
+):
+    """S4/S5: the continuous multiplexed ingest StreamingQuery.
+
+    LogConfig mapping (config.rs:175-177 -> Spark):
+    - message_read_timeout  -> trigger processingTime (burst window)
+    - max_size_per_tx       -> maxBytesPerTrigger (batch size cap)
+    - commit visibility     -> micro-batch commit (free)
+    """
+    conf = conf or LogConfig()
+    state = SeqState(state_dir)
+    decoded = read_spool_stream(spark, spool_dir,
+                                max_bytes_per_trigger=conf.max_size_per_tx)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        _write_batch(batch_df, logs_dir, state, batch_id,
+                     max_records_per_file=max(conf.max_lines_per_tx, 1))
+
+    trigger_ms = max(conf.message_read_timeout_ms, 100)
+    return (
+        decoded.writeStream.foreachBatch(on_batch)
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+
+def ingest_throughput(query) -> float | None:
+    """S7: lines/s of the last committed micro-batch (logger.rs:187-196
+    logged the same per transaction)."""
+    p = query.lastProgress
+    if not p:
+        return None
+    return p.get("processedRowsPerSecond") if isinstance(p, dict) else None

@@ -1,0 +1,155 @@
+"""Ingest pipeline (S1-S7): spool -> decode -> seq -> parquet, batch + stream."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsqlite_spark.config import EngineConfig, LogConfig
+from logsqlite_spark.sources.frames import LogEntry, encode_frame
+from logsqlite_spark.sources.spool import SpoolWriter, read_spool_batch
+from logsqlite_spark.streaming.ingest import (
+    ingest_spool_once,
+    start_ingest_stream,
+)
+
+def _entries(start_ts, n, source="stdout"):
+    return [
+        LogEntry(source=source, time_nano=start_ts + i * 1_000_000_000,
+                 line=f"line-{start_ts + i}".encode())
+        for i in range(n)
+    ]
+
+BASE_TS = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+
+@pytest.fixture()
+def warehouse(tmp_path):
+    return EngineConfig(warehouse_dir=str(tmp_path / "wh"))
+
+def test_spool_decode(spark, warehouse):
+    w = SpoolWriter(warehouse.spool_dir, "c1")
+    w.write_burst(_entries(BASE_TS, 3))
+    df = read_spool_batch(spark, warehouse.spool_dir)
+    rows = df.orderBy("frame_no").collect()
+    assert len(rows) == 3
+    assert rows[0]["container_id"] == "c1"
+    assert rows[0]["line"] == f"line-{BASE_TS}\n"  # canonicalized
+    assert rows[0]["time_nano"] == BASE_TS
+
+def test_batch_ingest_assigns_contiguous_seq(spark, warehouse):
+    w1 = SpoolWriter(warehouse.spool_dir, "c1")
+    w2 = SpoolWriter(warehouse.spool_dir, "c2")
+    w1.write_burst(_entries(BASE_TS, 4))
+    w1.write_burst(_entries(BASE_TS + 10**10, 3))
+    w2.write_burst(_entries(BASE_TS, 2))
+
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir)
+    assert res["rows"] == 9
+
+    logs = spark.read.parquet(warehouse.logs_dir)
+    c1 = logs.filter("container_id = 'c1'").orderBy("seq").collect()
+    assert [r["seq"] for r in c1] == [1, 2, 3, 4, 5, 6, 7]
+    # arrival order: first burst before second
+    assert c1[0]["line"] == f"line-{BASE_TS}\n"
+    c2 = logs.filter("container_id = 'c2'").orderBy("seq").collect()
+    assert [r["seq"] for r in c2] == [1, 2]
+
+def test_seq_continues_across_ingests(spark, warehouse):
+    w = SpoolWriter(warehouse.spool_dir, "c1")
+    w.write_burst(_entries(BASE_TS, 3))
+    ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                      warehouse.state_dir)
+    # spool consumed
+    w2 = SpoolWriter(warehouse.spool_dir, "c1")
+    w2.write_burst(_entries(BASE_TS + 10**10, 2))
+    ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                      warehouse.state_dir)
+
+    logs = spark.read.parquet(warehouse.logs_dir).filter("container_id='c1'")
+    assert sorted(r["seq"] for r in logs.select("seq").collect()) == [1, 2, 3, 4, 5]
+
+def test_ingest_partitions_by_container_and_date(spark, warehouse, tmp_path):
+    w = SpoolWriter(warehouse.spool_dir, "c9")
+    w.write_burst(_entries(BASE_TS, 2))
+    # second day
+    w.write_burst(_entries(BASE_TS + 86_400 * 10**9, 2))
+    ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                      warehouse.state_dir)
+    from pathlib import Path
+    days = sorted(p.name for p in
+                  (Path(warehouse.logs_dir) / "container_id=c9").glob("date=*"))
+    assert days == ["date=2024-01-01", "date=2024-01-02"]
+
+def test_decode_error_rows_quarantined(spark, warehouse):
+    from pathlib import Path
+    d = Path(warehouse.spool_dir) / "cbad"
+    d.mkdir(parents=True)
+    good = encode_frame(LogEntry(source="stdout", time_nano=BASE_TS, line=b"ok"))
+    (d / "000000000000.plog").write_bytes(good + b"\x00\x00\x00\xffgarbage")
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir)
+    # the good frame before the corruption is kept; error flagged
+    assert res["rows"] == 1
+    assert res["decode_errors"] == 1
+
+def test_streaming_ingest_end_to_end(spark, warehouse):
+    w = SpoolWriter(warehouse.spool_dir, "cs")
+    w.write_burst(_entries(BASE_TS, 5))
+    q = start_ingest_stream(
+        spark, warehouse.spool_dir, warehouse.logs_dir, warehouse.state_dir,
+        warehouse.checkpoints_dir + "/mux", LogConfig(message_read_timeout_ms=100),
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                n = spark.read.parquet(warehouse.logs_dir).count()
+                if n >= 5:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+        # mid-stream burst: visibility per micro-batch (S5/T2)
+        w.write_burst(_entries(BASE_TS + 10**11, 2))
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            n = spark.read.parquet(warehouse.logs_dir).count()
+            if n >= 7:
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    logs = spark.read.parquet(warehouse.logs_dir).filter("container_id='cs'")
+    assert sorted(r["seq"] for r in logs.select("seq").collect()) == list(range(1, 8))
+
+def test_streaming_restart_resumes_from_checkpoint(spark, warehouse):
+    w = SpoolWriter(warehouse.spool_dir, "cr")
+    w.write_burst(_entries(BASE_TS, 3))
+    ckpt = warehouse.checkpoints_dir + "/mux"
+
+    def run_until(n_expected):
+        q = start_ingest_stream(spark, warehouse.spool_dir, warehouse.logs_dir,
+                                warehouse.state_dir, ckpt)
+        try:
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                try:
+                    if spark.read.parquet(warehouse.logs_dir).count() >= n_expected:
+                        return
+                except Exception:
+                    pass
+                time.sleep(0.5)
+            raise AssertionError(f"timed out waiting for {n_expected} rows")
+        finally:
+            q.stop()
+            q.awaitTermination(30)
+
+    run_until(3)   # first run ingests burst 1, then "crash" (stop)
+    w.write_burst(_entries(BASE_TS + 10**11, 2))
+    run_until(5)   # restart: only the new burst is processed (T3)
+
+    logs = spark.read.parquet(warehouse.logs_dir).filter("container_id='cr'")
+    seqs = sorted(r["seq"] for r in logs.select("seq").collect())
+    assert seqs == [1, 2, 3, 4, 5]  # no dups, no gaps across restart

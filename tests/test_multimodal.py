@@ -1,0 +1,63 @@
+"""Multimodal plumbing (X5): schema, batch shape, stubbed codecs."""
+
+import pytest
+
+from logsqlite_spark.operators.multimodal import (
+    FEATURE_DIM,
+    MEDIA_SCHEMA,
+    decode_media,
+    media_stats,
+    resize_images,
+    sample_frames,
+)
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, 10, b"\x89PNG fake bytes", ("image", "png", 640, 480, None, None)),
+        (2, 11, b"RIFF fake wav", ("audio", "wav", None, None, 2_000, 44100)),
+        (3, 12, b"\x00\x00ftyp fake mp4", ("video", "mp4", 1920, 1080, 3_500, None)),
+        (4, 13, None, ("image", "png", 8, 8, None, None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+def test_decode_shapes_and_determinism(media):
+    out = decode_media(media).collect()
+    assert len(out) == 4
+    by_id = {r["media_id"]: r for r in out}
+    assert by_id[1]["n_bytes"] == 15
+    assert len(by_id[1]["feature"]) == FEATURE_DIM
+    assert by_id[4]["feature"] == [0.0] * FEATURE_DIM  # null payload
+    # deterministic across runs
+    again = {r["media_id"]: r["feature"] for r in decode_media(media).collect()}
+    assert again == {r["media_id"]: r["feature"] for r in out}
+
+def test_decode_real_path_is_marked_todo(media):
+    with pytest.raises(Exception) as ei:
+        decode_media(media, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+def test_resize_updates_meta_only(media):
+    out = resize_images(media, 224, 224).collect()
+    m = {r["media_id"]: r for r in out}
+    assert m[1]["meta"]["width"] == 224 and m[1]["meta"]["height"] == 224
+    assert m[1]["payload"] == b"\x89PNG fake bytes"  # payload untouched
+
+def test_sample_frames_cadence(media):
+    out = sample_frames(media, every_ms=1000).collect()
+    # only the video row explodes; 3500ms at 1000ms cadence -> 0,1000,2000,3000
+    assert [r["frame_ts_ms"] for r in sorted(out, key=lambda r: r["frame_ts_ms"])] \
+        == [0, 1000, 2000, 3000]
+    assert {r["media_id"] for r in out} == {3}
+
+def test_media_stats_prunes_payload(spark, media, tmp_path):
+    path = str(tmp_path / "media")
+    media.write.parquet(path)
+    df = media_stats(spark.read.parquet(path))
+    got = {r["media_type"]: (r["n"], r["total_duration_ms"]) for r in df.collect()}
+    assert got == {"image": (2, 0), "audio": (1, 2000), "video": (1, 3500)}
+    # column pruning: the parquet ReadSchema must exclude payload pages
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "payload" not in read_schema[0]

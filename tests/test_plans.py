@@ -1,0 +1,67 @@
+"""Physical-plan assertions: the 100 TB design rules, enforced.
+
+Each test pins a plan property that the engine's scale story depends
+on; if a refactor silently breaks pushdown/pruning/top-k/broadcast,
+these fail.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsqlite_spark import registry
+from logsqlite_spark.operators.read import read_logs, tail_global
+from logsqlite_spark.operators.tpch import top_revenue_orders
+from logsqlite_spark.plans import (
+    has_broadcast_join,
+    has_partition_filters,
+    has_pushed_filters,
+    has_take_ordered,
+    read_schema_columns,
+    wholestage_codegen_spans,
+)
+from logsqlite_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+def test_ts_range_filter_pushed_to_scan(spark):
+    df = registry.q_read_range(spark, SF)
+    # ts is the long nanos column; both bounds must reach the scan
+    assert has_pushed_filters(df, "GreaterThanOrEqual(ts,", "LessThanOrEqual(ts,")
+
+def test_projection_prunes_scan_columns(spark):
+    df = table(spark, SF, "events").select("event_id", "user_id")
+    assert set(read_schema_columns(df)) == {"event_id", "user_id"}
+
+def test_tail_is_distributed_topk_not_sort(spark):
+    df = tail_global(table(spark, SF, "events"), 100, seq_col="event_id")
+    assert has_take_ordered(df)
+
+def test_partitioned_logs_prune_container_and_date(spark, tmp_path):
+    rows = [(i, i * 10**9, "c%d" % (i % 3), "l\n") for i in range(1, 31)]
+    df = spark.createDataFrame(
+        rows, "seq long, ts_nanos long, container_id string, line string"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_nanos div 1000"))) \
+     .withColumn("date", F.to_date("ts"))
+    path = str(tmp_path / "logs")
+    df.write.partitionBy("container_id", "date").parquet(path)
+
+    q = spark.read.option("basePath", path).parquet(path) \
+        .filter("container_id = 'c1'")
+    assert has_partition_filters(q, "container_id")
+    # partition pruning: only c1 directories are listed
+    n_files = q.select(F.input_file_name()).distinct().count()
+    all_files = spark.read.parquet(path).select(F.input_file_name()).distinct().count()
+    assert n_files < all_files
+
+def test_small_dim_join_broadcasts(spark):
+    df = top_revenue_orders(
+        table(spark, SF, "customer"),
+        table(spark, SF, "orders"),
+        table(spark, SF, "lineitem"),
+    )
+    assert has_broadcast_join(df)
+
+def test_read_logs_keeps_codegen(spark):
+    df = read_logs(table(spark, SF, "events"), since="2024-01-10T00:00:00Z",
+                   ts_col="ts", seq_col="event_id", container_col="user_id")
+    assert wholestage_codegen_spans(df) >= 1

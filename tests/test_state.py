@@ -1,0 +1,106 @@
+"""Control plane: state store (S9) + Engine lifecycle (T3/T5)."""
+
+import pytest
+
+from logsqlite_spark.api import Engine
+from logsqlite_spark.config import EngineConfig, LogConfig
+from logsqlite_spark.sources.frames import LogEntry
+from logsqlite_spark.sources.spool import SpoolWriter
+from logsqlite_spark.state import StateStore
+
+BASE_TS = 1_704_067_200_000_000_000
+
+def _burst(spool, cid, n, ts=BASE_TS):
+    w = SpoolWriter(spool, cid)
+    w.write_burst([
+        LogEntry(source="stdout", time_nano=ts + i * 10**9,
+                 line=f"l{i}".encode())
+        for i in range(n)
+    ])
+
+def test_state_upsert_get_remove(tmp_path):
+    s = StateStore(str(tmp_path))
+    s.upsert("c1", "/run/fifo1", LogConfig())
+    s.upsert("c1", "/run/fifo2", LogConfig(max_lines_per_tx=5))  # replace
+    doc = s.get("c1")
+    assert doc["fifo"] == "/run/fifo2"
+    assert doc["log_conf"]["max_lines_per_tx"] == 5
+    assert s.remove("c1") is True
+    assert s.remove("c1") is False
+    assert s.get("c1") is None
+
+def test_state_list_and_dataframe(spark, tmp_path):
+    s = StateStore(str(tmp_path))
+    s.upsert("c1", "f1", LogConfig())
+    s.upsert("c2", "f2", LogConfig(cleanup_age_s=60))
+    assert [d["container_id"] for d in s.list_all()] == ["c1", "c2"]
+    df = s.to_dataframe(spark)
+    assert df.count() == 2
+    row = df.filter("container_id = 'c2'").collect()[0]
+    assert row["log_conf"]["cleanup_age_s"] == 60
+
+@pytest.fixture()
+def engine(spark, tmp_path):
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    yield eng
+    eng.stop_all()
+
+def test_engine_lifecycle_batch(engine):
+    engine.start_logging("c1", "/fifo/c1",
+                         {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "c1", 5)
+    res = engine.ingest_once()
+    assert res["rows"] == 5
+
+    out = engine.read_logs("c1", tail=2)
+    assert [r["seq"] for r in out.collect()] == [4, 5]
+
+    engine.stop_logging("c1")
+    assert engine.state.get("c1") is None
+    # delete_when_stopped=false keeps data
+    assert engine.logs_df().count() == 5
+
+def test_engine_delete_when_stopped(engine):
+    engine.start_logging("c1", "/fifo/c1")  # default: delete on stop
+    engine.start_logging("c2", "/fifo/c2")
+    _burst(engine.config.spool_dir, "c1", 3)
+    _burst(engine.config.spool_dir, "c2", 2)
+    engine.ingest_once()
+    engine.stop_logging("c1")
+    left = engine.logs_df()
+    assert left.select("container_id").distinct().collect()[0][0] == "c2"
+    assert left.count() == 2
+
+def test_engine_replay_restores_registrations(spark, engine):
+    engine.start_logging("c1", "/fifo/c1")
+    engine.start_logging("c2", "/fifo/c2")
+    # new engine instance over the same warehouse == daemon restart
+    eng2 = Engine(spark, engine.config)
+    assert eng2.replay() == ["c1", "c2"]
+
+def test_engine_cleanup_all(engine):
+    engine.start_logging("c1", None, {"cleanup_max_lines": "2",
+                                      "delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "c1", 6)
+    engine.ingest_once()
+    results = engine.cleanup_all()
+    assert results["c1"]["deleted_rows"] == 4
+    assert sorted(r["seq"] for r in
+                  engine.read_logs("c1").select("seq").collect()) == [5, 6]
+
+def test_engine_follow_sees_new_rows(engine):
+    engine.start_logging("cf", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cf", 3)
+    engine.ingest_once()
+
+    batches = []
+    it = engine.follow("cf", tail=2, poll_interval_s=0.1, max_idle_polls=3)
+    batches.append(next(it))  # history with tail cap
+    assert [r["seq"] for r in batches[0]] == [2, 3]
+
+    _burst(engine.config.spool_dir, "cf", 2, ts=BASE_TS + 10**11)
+    engine.ingest_once()
+    batches.append(next(it))  # live rows past the cursor, cap dropped
+    assert [r["seq"] for r in batches[1]] == [4, 5]
+    # idle timeout ends iteration (reference FOLLOW_COUNTER_MAX)
+    assert list(it) == []
