@@ -163,6 +163,102 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
         simhash64(text_col, n_bits).alias("simhash"),
     )
 
+# --- portable MinHash (oracle-checkable) ------------------------------------
+# K universal-hash permutations over 5-char shingles. All math is in
+# int64-safe integer space so Spark and DuckDB agree bit-for-bit:
+#   H(s)   = int64 of first 15 md5 hex chars        (< 2^60)
+#   H32    = H mod 2^32
+#   h_k(s) = (A_k * H32 + B_k) mod P32              (A_k < 2^29 -> no overflow)
+MINHASH_K = 8
+_P32 = 4294967291  # largest 32-bit prime
+_MINHASH_COEFFS = [
+    (268435399, 97), (268435367, 193), (268435361, 389), (268435353, 769),
+    (268435331, 1543), (268435313, 3079), (268435291, 6151), (268435273, 12289),
+]
+
+_SHINGLES = (
+    "array_distinct(transform(sequence(1, greatest(length({c}) - 4, 1)), "
+    "i -> substring({c}, i, 5)))"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(1, greatest(length({c}) - 4, 1)), "
+    "i -> substr({c}, i, 5)))"
+)
+
+def minhash_signature_cols(text_col: str = "text"):
+    """K Spark columns m0..m{K-1}: the minhash signature."""
+    sh = _SHINGLES.format(c=text_col)
+    cols = []
+    for k, (a, b) in enumerate(_MINHASH_COEFFS):
+        h = (
+            f"array_min(transform({sh}, s -> "
+            f"(({a}L * (cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 4294967296L) "
+            f"+ {b}L) % {_P32}L)))"
+        )
+        cols.append(F.expr(h).alias(f"m{k}"))
+    return cols
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """X2: deterministic minhash signatures, pure built-in expressions."""
+    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                       *minhash_signature_cols(text_col))
+
+def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
+                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """LSH banding over the signature: candidate pairs agreeing on at
+    least one band (bands of ``band_size`` hashes). The join is a
+    hash-shuffle on band values — candidates only, never all pairs."""
+    sig = minhash_signatures(docs, text_col, id_col)
+    n_bands = MINHASH_K // band_size
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(",", *[F.col(f"m{bi * band_size + j}")
+                                   for j in range(band_size)]).alias("key"),
+            )
+            for bi in range(n_bands)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("a_id"),
+                F.col("b.doc_id").alias("b_id"))
+        .distinct()
+    )
+
+def _minhash_sig_sql() -> str:
+    sh = _DUCK_SHINGLES.format(c="text")
+    cols = []
+    for k, (a, b) in enumerate(_MINHASH_COEFFS):
+        cols.append(
+            f"list_aggregate(list_transform({sh}, s -> "
+            f"(({a} * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4294967296) "
+            f"+ {b}) % {_P32})), 'min') AS m{k}"
+        )
+    return "SELECT doc_id, " + ", ".join(cols) + " FROM documents"
+
+def _minhash_pairs_sql(band_size: int = 4) -> str:
+    n_bands = MINHASH_K // band_size
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(',', {ks}) AS key FROM sig".format(
+            bi=bi,
+            ks=", ".join(f"m{bi * band_size + j}" for j in range(band_size)),
+        )
+        for bi in range(n_bands)
+    )
+    return (
+        f"WITH sig AS ({_minhash_sig_sql()}), bands AS ({band_rows}) "
+        "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id"
+    )
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -184,12 +280,20 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(table(spark, sf_dir, "documents"))
 
+def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(table(spark, sf_dir, "documents"))
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_band_pairs(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
     "dedup_jaccard_pairs": _q_dedup_jaccard,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,  # rows-only (spark conv/md5 path)
+    "dedup_minhash_sig": _q_minhash_sig,
+    "dedup_minhash_pairs": _q_minhash_pairs,
 }
 
 ORACLES = {
@@ -215,4 +319,6 @@ ORACLES = {
         "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5"
     ),
     # dedup_minhash_lsh, dedup_simhash: rows-only (non-portable hash fns)
+    "dedup_minhash_sig": _minhash_sig_sql(),
+    "dedup_minhash_pairs": _minhash_pairs_sql(),
 }

@@ -33,6 +33,7 @@ from logsqlite_spark.operators import dedup as DD
 from logsqlite_spark.operators import similarity as SIM
 from logsqlite_spark.operators import textstats as TS
 from logsqlite_spark.operators import tpch as TP
+from logsqlite_spark.operators import relational as RL
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -277,6 +278,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SIM.QUERIES)
     out.update(TS.QUERIES)
     out.update(TP.QUERIES)
+    out.update(RL.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -285,6 +287,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SIM.ORACLES)
     out.update(TS.ORACLES)
     out.update(TP.ORACLES)
+    out.update(RL.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -47,6 +47,24 @@ def test_minhash_lsh_finds_planted_dups(spark, docs):
     assert (0, 1) in pairs and (0, 4) in pairs and (1, 4) in pairs
     assert not any(3 in p for p in pairs)
 
+def test_minhash_signatures_identical_for_dups(docs):
+    from logsqlite_spark.operators.dedup import MINHASH_K, minhash_signatures
+
+    sig = {r["doc_id"]: tuple(r[f"m{k}"] for k in range(MINHASH_K))
+           for r in minhash_signatures(docs).collect()}
+    assert sig[0] == sig[1] == sig[4]
+    # near-dup shares most hash mins; unrelated doc shares few
+    near = sum(a == b for a, b in zip(sig[0], sig[2]))
+    far = sum(a == b for a, b in zip(sig[0], sig[3]))
+    assert near > far
+
+def test_minhash_band_pairs_find_planted(docs):
+    from logsqlite_spark.operators.dedup import minhash_band_pairs
+
+    pairs = {(r["a_id"], r["b_id"]) for r in minhash_band_pairs(docs).collect()}
+    assert {(0, 1), (0, 4), (1, 4)} <= pairs
+    assert not any(3 in p for p in pairs)
+
 def test_simhash_identical_texts_same_hash(docs):
     got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs).collect()}
     assert got[0] == got[1] == got[4]
