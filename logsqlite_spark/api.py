@@ -152,6 +152,37 @@ class Engine:
             )
         return results
 
+    def start_cleaner(self, interval_s: float | None = None):
+        """The cleaner loop (cleaner.rs:134-158): a background thread
+        running :meth:`cleanup_all` every interval until stopped.
+        Returns a ``threading.Event``; set it to stop the loop."""
+        import threading
+
+        interval = interval_s if interval_s is not None \
+            else self.config.cleanup_interval_s
+        stop_flag = threading.Event()
+
+        def loop() -> None:
+            while not stop_flag.wait(interval):
+                try:
+                    self.cleanup_all()
+                except Exception:  # cleaner must never kill the daemon
+                    pass
+
+        t = threading.Thread(target=loop, name="logsqlite-cleaner",
+                             daemon=True)
+        t.start()
+        return stop_flag
+
+    def decode_errors_df(self) -> DataFrame | None:
+        """Quarantined corrupt-frame records (T4), if any."""
+        from pathlib import Path
+
+        p = Path(self.config.state_dir) / "decode_errors"
+        if not p.exists():
+            return None
+        return self.spark.read.parquet(str(p))
+
     def stop_all(self) -> None:
         for q in list(self._queries.values()):
             try:

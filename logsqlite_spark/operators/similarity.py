@@ -126,6 +126,82 @@ def ann_lsh_topk(
         )
     )
 
+def ivf_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: KMeans-partition the corpus once, then each query
+    only scans its ``n_probe`` nearest inverted lists.
+
+    The 100 TB shape: centroids are tiny (driver/broadcast), the
+    corpus->cluster assignment is computed once and reusable
+    (in production it would be written alongside the embeddings), and a
+    query touches ~n_probe/n_clusters of the data. Exact cosine is
+    computed inside the candidate set with the same quantized-integer
+    math as the brute-force path. Deterministic via seed=42.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    corpus_vec = corpus_df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                predictionCol="__cluster")
+    model = km.fit(corpus_vec)
+    assigned = model.transform(corpus_vec).select("nid", "nv", "__cluster")
+
+    # centroid table: n_clusters rows -> broadcast to score per query
+    centers = model.clusterCenters()
+    spark = corpus_df.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "cid int, center array<double>",
+    )
+    q = queries_df.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).alias("qv"))
+    # squared L2 distance query<->centroid; keep n_probe nearest lists
+    qc = (
+        q.crossJoin(F.broadcast(centers_df))
+        .withColumn(
+            "d2",
+            F.expr("aggregate(zip_with(cast(qv as array<double>), center, "
+                   "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+        )
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
+    probes = (
+        qc.withColumn("pr", F.row_number().over(w_probe))
+        .filter(F.col("pr") <= n_probe)
+        .select("qid", "qv", F.col("cid").alias("__cluster"))
+    )
+
+    joined = (
+        assigned.join(F.broadcast(probes), "__cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("qi", F.expr(_QUANTIZE.format(c="qv", q=QUANT)))
+        .withColumn("ni", F.expr(_QUANTIZE.format(c="nv", q=QUANT)))
+        .withColumn("qn", F.expr(_SQNORM.format(v="qi")))
+        .withColumn("nn", F.expr(_SQNORM.format(v="ni")))
+        .filter((F.col("qn") > 0) & (F.col("nn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="qi", b="ni")))
+        .withColumn("sim", F.col("dot").cast("double")
+                    / F.sqrt(F.col("qn").cast("double") * F.col("nn").cast("double")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").cast("long"), F.col("nid").cast("long"),
+                F.col("rank").cast("int"), F.round("sim", 6).alias("sim"))
+    )
+
 def embedding_norms_by_label(emb: DataFrame) -> DataFrame:
     """Per-label mean quantized squared L2 norm — integer-exact agg."""
     df = _quantized(emb, "embedding", "qi")
@@ -152,9 +228,14 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_norms_by_label(table(spark, sf_dir, "embeddings"))
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
 QUERIES = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate by design)
+    "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "embedding_norms": _q_embedding_norms,
 }
 

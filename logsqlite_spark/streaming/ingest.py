@@ -121,6 +121,16 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
     try:
         errors = batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
         n_errors = errors.count()
+        if n_errors:
+            # T4 policy: corrupt frames never poison the stream — the
+            # good prefix of the file was kept (decode stops at the bad
+            # frame, like the reference restarting on DecodeError), and
+            # the error row is quarantined for ops visibility.
+            (
+                errors.select("path", "container_id", "line")
+                .write.mode("append")
+                .parquet(str(Path(state.path).parent / "decode_errors"))
+            )
         out = assign_seq(batch_df, st["high_water"])
         out = out.persist()
         # new high-water + file watermark per container (tiny collect:

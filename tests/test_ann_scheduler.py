@@ -1,0 +1,70 @@
+"""IVF ANN recall + cleaner scheduler loop + decode-error quarantine."""
+
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsqlite_spark.api import Engine
+from logsqlite_spark.config import EngineConfig
+from logsqlite_spark.operators.similarity import cosine_topk, ivf_topk
+from logsqlite_spark.sources.frames import LogEntry, encode_frame
+from logsqlite_spark.sources.spool import SpoolWriter
+from logsqlite_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {(r["qid"], r["nid"])
+             for r in cosine_topk(q, emb, k=5).collect()}
+    approx = {(r["qid"], r["nid"])
+              for r in ivf_topk(q, emb, k=5, n_clusters=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.6  # probing half the lists on 500 vecs
+
+def test_ivf_deterministic(spark):
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    a = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
+    b = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
+    assert a == b
+
+BASE_TS = 1_704_067_200_000_000_000
+
+def test_cleaner_loop_runs_periodically(spark, tmp_path):
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh"),
+                                     cleanup_interval_s=1))
+    eng.start_logging("c1", None, {"cleanup_max_lines": "2",
+                                   "delete_when_stopped": "false"})
+    w = SpoolWriter(eng.config.spool_dir, "c1")
+    w.write_burst([LogEntry(source="stdout", time_nano=BASE_TS + i * 10**9,
+                            line=f"l{i}".encode()) for i in range(6)])
+    eng.ingest_once()
+    assert eng.read_logs("c1").count() == 6
+    stop = eng.start_cleaner(interval_s=0.5)
+    try:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            if eng.read_logs("c1").count() == 2:
+                break
+            time.sleep(0.5)
+        assert eng.read_logs("c1").count() == 2
+    finally:
+        stop.set()
+
+def test_decode_error_quarantine_table(spark, tmp_path):
+    from pathlib import Path
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    d = Path(eng.config.spool_dir) / "cbad"
+    d.mkdir(parents=True)
+    good = encode_frame(LogEntry(source="stdout", time_nano=BASE_TS, line=b"ok"))
+    (d / "00000000000000000001-000000.plog").write_bytes(
+        good + b"\x00\x00\x00\xffgarbage")
+    res = eng.ingest_once()
+    assert res["rows"] == 1 and res["decode_errors"] == 1
+    errs = eng.decode_errors_df()
+    assert errs is not None and errs.count() == 1
+    assert errs.collect()[0]["container_id"] == "cbad"
