@@ -61,6 +61,37 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
 
+    # ingest throughput: spool -> decode -> seq -> partitioned parquet
+    # (the reference's headline capability; it logs lines/s per tx)
+    import tempfile
+
+    from logsqlite_spark.config import EngineConfig
+    from logsqlite_spark.sources.frames import LogEntry
+    from logsqlite_spark.sources.spool import SpoolWriter
+    from logsqlite_spark.streaming.ingest import ingest_spool_once
+
+    n_lines, n_containers, burst = 100_000, 8, 5_000
+    cfg = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix="bench-ingest-"))
+    base_ts = 1_704_067_200_000_000_000
+    writers = [SpoolWriter(cfg.spool_dir, f"c{i}") for i in range(n_containers)]
+    per = n_lines // n_containers
+    for ci, w in enumerate(writers):
+        for b0 in range(0, per, burst):
+            w.write_burst(
+                LogEntry(source="stdout",
+                         time_nano=base_ts + (b0 + j) * 1_000_000,
+                         line=b"level=info msg=request handled bytes=1234")
+                for j in range(min(burst, per - b0))
+            )
+    t0 = time.perf_counter()
+    res = ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir)
+    dt = time.perf_counter() - t0
+    assert res["rows"] == n_lines, res
+    timings["ingest_100k_lines"] = round(dt, 3)
+    total += dt
+    print(f"# ingest_100k_lines: {dt:.3f}s ({n_lines / dt:,.0f} lines/s)",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_wall_seconds",

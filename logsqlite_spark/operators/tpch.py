@@ -65,6 +65,27 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
                 F.col("revenue_u").cast("long"))
     )
 
+def revenue_forecast(lineitem: DataFrame) -> DataFrame:
+    """Q6 shape: pure filtered aggregation — the pushdown showcase.
+
+    All three predicates reach the parquet scan; the aggregate is one
+    partial+final sum of exact integers (cents x cents = 1e-4 dollar
+    units).
+    """
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_cents("l_extendedprice") * _cents("l_discount"))
+            .cast("long").alias("revenue_u"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -75,9 +96,13 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "lineitem"),
     )
 
+def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return revenue_forecast(table(spark, sf_dir, "lineitem"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
+    "tpch_q6_forecast": _q_tpch_q6,
 }
 
 ORACLES = {
@@ -100,5 +125,13 @@ ORACLES = {
         "AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00' "
         "GROUP BY l_orderkey "
         "ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
+    ),
+    "tpch_q6_forecast": (
+        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
+        "  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u, "
+        "count(*) AS n_items FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
     ),
 }

@@ -180,6 +180,36 @@ def q_logparse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long"),
         F.regexp_extract("props", '"k": (\\d+)', 1).cast("int").alias("k"))
 
+def q_wire_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S3/S8 wire-parity path over the events-as-logs mapping; rows-only
+    # (frame bytes aren't SQL-expressible) — pytest round-trips them.
+    from logsqlite_spark.operators.wire import to_wire_frames
+    from logsqlite_spark.tables import events_as_logs
+
+    logs = events_as_logs(spark, sf_dir)
+    return to_wire_frames(logs).select(
+        "container_id", F.col("seq").cast("long"),
+        F.length("frame").cast("int").alias("n_bytes"))
+
+def q_reassemble_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # partial-log reassembly over events-as-logs (no partials in the
+    # synthetic table, so this is the pass-through path; merge
+    # semantics are pytest-covered) — oracle: whole lines unchanged.
+    from logsqlite_spark.operators.partials import reassemble_partials
+    from logsqlite_spark.tables import events_as_logs
+
+    logs = (
+        events_as_logs(spark, sf_dir)
+        .withColumn("ts_nanos", F.col("ts_nanos").cast("long"))
+        .withColumn("partial", F.lit(False))
+        .withColumn("partial_meta", F.lit(None).cast(
+            "struct<last:boolean,id:string,ordinal:int>"))
+    )
+    out = reassemble_partials(logs)
+    return out.select(
+        F.col("container_id"), F.col("seq").cast("long"),
+        F.col("line"))
+
 def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # event-time daily rollup (extension beyond reference — SURVEY §2.8)
     df = _events(spark, sf_dir)
@@ -250,6 +280,11 @@ _ORACLES_PARITY = {
         "count(*) AS n, round(sum(value), 4) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
+    # wire_frames: rows-only (binary frames; round-tripped in pytest)
+    "reassemble_partials": (
+        "SELECT CAST(user_id AS VARCHAR) AS container_id, event_id AS seq, "
+        "concat(props, chr(10)) AS line FROM events"
+    ),
 }
 
 _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -270,6 +305,8 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logparse_json": q_logparse_json,
     "logparse_regex": q_logparse_regex,
     "events_window_agg": q_events_window_agg,
+    "wire_frames": q_wire_frames,  # rows-only (binary emit path)
+    "reassemble_partials": q_reassemble_partials,
 }
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -73,19 +73,32 @@ def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
     order. The window is per container — skew bounded by per-container
     batch volume.
     """
+    # High-water lookup as a literal map expression, not a join: the map
+    # is one entry per container (tiny), and a broadcast join here costs
+    # a full BroadcastExchange per micro-batch. Fall back to a join only
+    # past a size where literal expressions get unwieldy.
     hw_items = list(high_water.items())
-    spark = decoded.sparkSession
-    if hw_items:
-        hw_df = spark.createDataFrame(hw_items, "container_id string, hw long")
+    if not hw_items:
+        hw_col = F.lit(0)
+    elif len(hw_items) <= 10_000:
+        pairs = []
+        for cid, hw in hw_items:
+            pairs += [F.lit(cid), F.lit(int(hw))]
+        hw_col = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col("container_id")),
+            F.lit(0),
+        )
     else:
-        hw_df = spark.createDataFrame([], "container_id string, hw long")
+        spark = decoded.sparkSession
+        hw_df = spark.createDataFrame(hw_items, "container_id string, hw long")
+        decoded = decoded.join(F.broadcast(hw_df), "container_id", "left")
+        hw_col = F.coalesce(F.col("hw"), F.lit(0))
 
     w = Window.partitionBy("container_id").orderBy("path", "frame_no")
     return (
         decoded.filter(F.col("source") != DECODE_ERROR_SOURCE)
         .withColumn("__rn", F.row_number().over(w))
-        .join(F.broadcast(hw_df), "container_id", "left")
-        .withColumn("seq", F.coalesce(F.col("hw"), F.lit(0)) + F.col("__rn"))
+        .withColumn("seq", hw_col + F.col("__rn"))
         .withColumn("ts_nanos", F.col("time_nano"))
         .withColumn("ts", F.timestamp_micros(F.expr("time_nano div 1000")))
         .withColumn("date", F.to_date("ts"))
@@ -107,68 +120,69 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
     # all safe to interleave without duplicate rows.
     last_file = st.get("last_file", {})
     if last_file:
-        spark = batch_df.sparkSession
-        lf_df = F.broadcast(spark.createDataFrame(
-            list(last_file.items()), "container_id string, __last_file string"))
-        batch_df = (
-            batch_df.join(lf_df, "container_id", "left")
-            .filter(F.col("__last_file").isNull()
-                    | (F.col("path") > F.col("__last_file")))
-            .drop("__last_file")
-        )
+        pairs = []
+        for cid, name in last_file.items():
+            pairs += [F.lit(cid), F.lit(name)]
+        lf_col = F.element_at(F.create_map(*pairs), F.col("container_id"))
+        batch_df = batch_df.filter(lf_col.isNull() | (F.col("path") > lf_col))
 
     batch_df = batch_df.persist()
+    out = None
     try:
-        errors = batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
-        n_errors = errors.count()
+        # ONE stats job over the raw batch: per-container file watermark
+        # + decode-error counts (one row per container, not per record)
+        stats = (
+            batch_df.groupBy("container_id")
+            .agg(
+                F.max("path").alias("f"),
+                F.sum((F.col("source") == DECODE_ERROR_SOURCE).cast("long"))
+                .alias("e"),
+            )
+            .collect()
+        )
+        if not stats:
+            return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
+        top_files = {r["container_id"]: r["f"] for r in stats}
+        n_errors = sum(r["e"] for r in stats)
         if n_errors:
             # T4 policy: corrupt frames never poison the stream — the
             # good prefix of the file was kept (decode stops at the bad
             # frame, like the reference restarting on DecodeError), and
             # the error row is quarantined for ops visibility.
             (
-                errors.select("path", "container_id", "line")
+                batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
+                .select("path", "container_id", "line")
                 .write.mode("append")
                 .parquet(str(Path(state.path).parent / "decode_errors"))
             )
-        out = assign_seq(batch_df, st["high_water"])
-        out = out.persist()
-        # new high-water + file watermark per container (tiny collect:
-        # one row per container, not per record)
-        tops = (
-            out.join(
-                batch_df.groupBy("container_id")
-                .agg(F.max("path").alias("pf")), "container_id")
-            .groupBy("container_id")
-            .agg(F.max("seq").alias("m"), F.max("pf").alias("f"))
-            .collect()
-        )
-        if not tops and n_errors == 0:
-            return {"rows": 0, "batch_id": batch_id}
+        out = assign_seq(batch_df, st["high_water"]).persist()
         (
             out.write.mode("append")
             .option("maxRecordsPerFile", max_records_per_file)
             .partitionBy("container_id", "date")
             .parquet(logs_dir)
         )
+        tops = (
+            out.groupBy("container_id")
+            .agg(F.max("seq").alias("m"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
         for r in tops:
             st["high_water"][r["container_id"]] = r["m"]
-            st["last_file"][r["container_id"]] = r["f"]
+        st["last_file"].update(top_files)
         if batch_id is not None:
             st["last_batch_id"] = batch_id
         state.save(st)
         return {
-            "rows": int(out.count()),
+            "rows": int(sum(r["n"] for r in tops)),
             "decode_errors": int(n_errors),
             "batch_id": batch_id,
             "high_water": dict(st["high_water"]),
         }
     finally:
         batch_df.unpersist()
-        try:
+        if out is not None:
             out.unpersist()
-        except Exception:
-            pass
 
 def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
                       state_dir: str, container_id: str | None = None,

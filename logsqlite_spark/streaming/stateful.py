@@ -1,0 +1,106 @@
+"""Custom stateful streaming operator: incremental sessionization.
+
+The batch sessionizer (operators/relational.py) needs the whole history;
+a stream can't re-sort the past. ``applyInPandasWithState`` keeps one
+tiny state row per key — (session_start, last_ts, n_events) — and emits
+a session row when the event-time gap closes it (watermark-driven
+timeout). This is rung (b) of the custom-operator ladder: semantics
+Spark's built-ins can't express (session_window exists, but not with
+custom merge/emit logic), state bounded to one row per live key.
+
+At scale: state store traffic is O(live keys) per micro-batch, not
+O(events); the watermark bounds both state size and result lateness.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_SCHEMA = (
+    "container_id string, session_start long, session_end long, n_events long"
+)
+STATE_SCHEMA = "start long, last long, n long"
+
+def make_session_fn(gap_us: int):
+    """Build the per-key state-update function (ts values in µs)."""
+
+    def update(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (container_id,) = key
+        closed: list[tuple[str, int, int, int]] = []
+
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                closed.append((container_id, start, last, n))
+                state.remove()
+            yield pd.DataFrame(
+                closed, columns=["container_id", "session_start",
+                                 "session_end", "n_events"])
+            return
+
+        ts_all: list[int] = []
+        for pdf in pdfs:
+            ts_all.extend(int(t) for t in pdf["ts_us"])
+        ts_all.sort()
+
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_all[0], ts_all[0] - 1, 0
+
+        for t in ts_all:
+            if t >= last:
+                if t - last > gap_us and n > 0:
+                    closed.append((container_id, start, last, n))
+                    start, n = t, 0
+                last = t
+                n += 1
+            elif t >= start - gap_us:
+                # late arrival (within watermark) extending the open
+                # session backward
+                start = min(start, t)
+                n += 1
+            else:
+                # too early to merge: a one-off session already implied
+                # closed by the gap
+                closed.append((container_id, t, t, 1))
+        state.update((start, last, n))
+        # close the open session once the watermark passes start+gap
+        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        yield pd.DataFrame(
+            closed, columns=["container_id", "session_start",
+                             "session_end", "n_events"])
+
+    return update
+
+def streaming_sessionize(stream, gap_s: int, ts_col: str = "ts",
+                         key: str = "container_id",
+                         watermark: str = "10 minutes"):
+    """Watermarked incremental sessionization over a streaming logs
+    DataFrame; emits one row per *closed* session (append mode)."""
+    from pyspark.sql import functions as F
+
+    gap_us = gap_s * 1_000_000
+    prepared = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.col(key).alias("container_id"), F.col(ts_col),
+                F.unix_micros(F.col(ts_col)).alias("ts_us"))
+    )
+    return (
+        prepared.groupBy("container_id")
+        .applyInPandasWithState(
+            make_session_fn(gap_us),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

