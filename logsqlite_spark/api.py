@@ -152,6 +152,21 @@ class Engine:
             )
         return results
 
+    def register_views(self) -> None:
+        """Expose the engine tables to Spark SQL: ``logs`` (the unified
+        table) and ``active_streams`` (control plane). After this,
+        ``engine.sql("SELECT ... FROM logs WHERE ...")`` serves the
+        same surface the reference served through SQLite."""
+        self.logs_df().createOrReplaceTempView("logs")
+        self.state.to_dataframe(self.spark).createOrReplaceTempView(
+            "active_streams")
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL against the registered engine views (Catalyst plans
+        it with the same pushdown/pruning as the DataFrame paths)."""
+        self.register_views()
+        return self.spark.sql(query)
+
     def start_cleaner(self, interval_s: float | None = None):
         """The cleaner loop (cleaner.rs:134-158): a background thread
         running :meth:`cleanup_all` every interval until stopped.

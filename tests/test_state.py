@@ -88,6 +88,18 @@ def test_engine_cleanup_all(engine):
     assert sorted(r["seq"] for r in
                   engine.read_logs("c1").select("seq").collect()) == [5, 6]
 
+def test_engine_sql_surface(engine):
+    engine.start_logging("c1", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "c1", 4)
+    engine.ingest_once()
+    out = engine.sql(
+        "SELECT container_id, count(*) AS n, max(seq) AS top "
+        "FROM logs GROUP BY container_id")
+    assert out.collect()[0].asDict() == {"container_id": "c1", "n": 4, "top": 4}
+    st = engine.sql("SELECT container_id, log_conf.delete_when_stopped AS d "
+                    "FROM active_streams")
+    assert st.collect()[0]["d"] is False
+
 def test_engine_follow_sees_new_rows(engine):
     engine.start_logging("cf", None, {"delete_when_stopped": "false"})
     _burst(engine.config.spool_dir, "cf", 3)
