@@ -61,6 +61,45 @@ def test_small_dim_join_broadcasts(spark):
     )
     assert has_broadcast_join(df)
 
+def test_asof_join_is_single_shuffle_no_join_operator(spark):
+    # the union+window as-of compiles to ONE hash exchange and zero
+    # join operators — no per-row probes, no nested loops
+    from logsqlite_spark.operators.relational import _q_asof
+
+    df = _q_asof(spark, SF)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + agg-side
+
+def test_jaccard_never_nested_loop(spark):
+    from logsqlite_spark.operators.dedup import jaccard_pairs
+    from logsqlite_spark.tables import table
+
+    df = jaccard_pairs(table(spark, SF, "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+def test_ann_broadcasts_query_side(spark):
+    # non-equi self-exclusion join must broadcast the tiny query side,
+    # never a cartesian of the corpus
+    from logsqlite_spark.operators.similarity import _q_ann_cosine
+
+    df = _q_ann_cosine(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Broadcast" in plan
+
+def test_range_join_is_equi_join(spark):
+    from logsqlite_spark.operators.relational import _q_range_join
+
+    df = _q_range_join(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the bucket trick turns the inequality into a hash-joinable key
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
 def test_read_logs_keeps_codegen(spark):
     df = read_logs(table(spark, SF, "events"), since="2024-01-10T00:00:00Z",
                    ts_col="ts", seq_col="event_id", container_col="user_id")
