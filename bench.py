@@ -92,6 +92,28 @@ def main() -> None:
     print(f"# ingest_100k_lines: {dt:.3f}s ({n_lines / dt:,.0f} lines/s)",
           file=sys.stderr)
 
+    # same ingest via the JSONL (JVM-decoded) spool format
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+
+    cfg2 = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix="bench-jsonl-"))
+    for ci in range(n_containers):
+        w = JsonlSpoolWriter(cfg2.spool_dir, f"c{ci}")
+        for b0 in range(0, per, burst):
+            w.write_burst(
+                {"source": "stdout", "time_nano": base_ts + (b0 + j) * 1_000_000,
+                 "line": "level=info msg=request handled bytes=1234"}
+                for j in range(min(burst, per - b0))
+            )
+    t0 = time.perf_counter()
+    res = ingest_spool_once(spark, cfg2.spool_dir, cfg2.logs_dir,
+                            cfg2.state_dir, fmt="jsonl")
+    dt = time.perf_counter() - t0
+    assert res["rows"] == n_lines, res
+    timings["ingest_100k_jsonl"] = round(dt, 3)
+    total += dt
+    print(f"# ingest_100k_jsonl: {dt:.3f}s ({n_lines / dt:,.0f} lines/s)",
+          file=sys.stderr)
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "suite_wall_seconds",

@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 def json_field(col: str | Column, path: str) -> Column:
     """Extract one JSON field as string (codegen'd JsonPath)."""

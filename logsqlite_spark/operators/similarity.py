@@ -146,7 +146,7 @@ def ivf_topk(
     math as the brute-force path. Deterministic via seed=42.
     """
     from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.ml.functions import array_to_vector
 
     corpus_vec = corpus_df.select(
         F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),

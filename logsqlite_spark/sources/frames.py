@@ -21,7 +21,7 @@ sources/spool.py), so this module must stay import-light.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Iterator
 
 @dataclass

@@ -187,15 +187,22 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
 def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
                       state_dir: str, container_id: str | None = None,
                       max_records_per_file: int = 1_000_000,
-                      consume: bool = True) -> dict:
+                      consume: bool = True, fmt: str = "plog") -> dict:
     """Batch ingest: drain what's in the spool now (one 'transaction').
 
     ``consume=True`` removes processed spool files afterwards — FIFO
     semantics; batch mode's equivalent of the stream checkpoint.
+    ``fmt``: 'plog' (length-prefixed protobuf) or 'jsonl' (JVM-native
+    decode — the faster path when the shipper can emit JSON lines).
     """
     state = SeqState(state_dir)
     try:
-        decoded = read_spool_batch(spark, spool_dir, container_id)
+        if fmt == "jsonl":
+            from logsqlite_spark.sources.jsonl import read_jsonl_spool_batch
+
+            decoded = read_jsonl_spool_batch(spark, spool_dir, container_id)
+        else:
+            decoded = read_spool_batch(spark, spool_dir, container_id)
     except Exception as e:  # no files yet
         if "PATH_NOT_FOUND" in str(e) or "unable to infer schema" in str(e).lower():
             return {"rows": 0}
@@ -222,6 +229,7 @@ def start_ingest_stream(
     checkpoint_dir: str,
     conf: LogConfig | None = None,
     query_name: str = "logsqlite-ingest",
+    fmt: str = "plog",
 ):
     """S4/S5: the continuous multiplexed ingest StreamingQuery.
 
@@ -232,8 +240,14 @@ def start_ingest_stream(
     """
     conf = conf or LogConfig()
     state = SeqState(state_dir)
-    decoded = read_spool_stream(spark, spool_dir,
-                                max_bytes_per_trigger=conf.max_size_per_tx)
+    if fmt == "jsonl":
+        from logsqlite_spark.sources.jsonl import read_jsonl_spool_stream
+
+        decoded = read_jsonl_spool_stream(
+            spark, spool_dir, max_bytes_per_trigger=conf.max_size_per_tx)
+    else:
+        decoded = read_spool_stream(spark, spool_dir,
+                                    max_bytes_per_trigger=conf.max_size_per_tx)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         _write_batch(batch_df, logs_dir, state, batch_id,
