@@ -167,6 +167,16 @@ class Engine:
         self.register_views()
         return self.spark.sql(query)
 
+    def compact(self, container_id: str | None = None, **kw) -> dict:
+        """Small-file compaction (see operators/compact.py); run it on
+        the cleaner cadence for streaming-ingested warehouses."""
+        from logsqlite_spark.operators import compact as CP
+
+        if container_id is not None:
+            return CP.compact_container(self.spark, self.config.logs_dir,
+                                        container_id, **kw)
+        return CP.compact_all(self.spark, self.config.logs_dir, **kw)
+
     def start_cleaner(self, interval_s: float | None = None):
         """The cleaner loop (cleaner.rs:134-158): a background thread
         running :meth:`cleanup_all` every interval until stopped.
