@@ -81,6 +81,105 @@ def make_session_fn(gap_us: int):
 
     return update
 
+PARTIAL_OUT_SCHEMA = (
+    "container_id string, partial_id string, seq long, ts_nanos long, "
+    "source string, line string"
+)
+PARTIAL_STATE_SCHEMA = (
+    "seq long, ts_nanos long, source string, frags array<string>, "
+    "ords array<int>, got_last boolean"
+)
+
+def make_partial_fn(timeout_ms: int):
+    """State fn for cross-batch partial-log reassembly.
+
+    One state row per open (container, partial_id): accumulated
+    fragments + ordinals. Emits the merged line when the ``last``
+    fragment arrives, or flushes whatever arrived once the watermark
+    passes last-fragment-time + timeout (a fragment stream that died
+    mid-line still yields a row — matching the reference's best-effort
+    storage of partials). Event-time timeout, not processing-time: a
+    processing-time timeout forces the engine into a permanent
+    no-data-batch loop just to poll clocks.
+    """
+
+    def update(key, pdfs, state: GroupState):
+        container_id, partial_id = key
+
+        def emit(seq, ts, source, frags, ords):
+            ordered = [f for _, f in sorted(zip(ords, frags))]
+            line = "".join(f.rstrip("\n") for f in ordered) + "\n"
+            return pd.DataFrame(
+                [(container_id, partial_id, seq, ts, source, line)],
+                columns=["container_id", "partial_id", "seq", "ts_nanos",
+                         "source", "line"])
+
+        if state.hasTimedOut:
+            if state.exists:
+                seq, ts, source, frags, ords, _ = state.get
+                state.remove()
+                yield emit(seq, ts, source, list(frags), list(ords))
+            return
+
+        if state.exists:
+            seq, ts, source, frags, ords, got_last = state.get
+            frags, ords = list(frags), list(ords)
+        else:
+            seq = ts = None
+            source, frags, ords, got_last = "", [], [], False
+
+        for pdf in pdfs:
+            for r in pdf.itertuples():
+                seq = int(r.seq) if seq is None else min(seq, int(r.seq))
+                ts = int(r.ts_nanos) if ts is None else min(ts, int(r.ts_nanos))
+                source = r.source or source
+                frags.append(r.line)
+                ords.append(int(r.ordinal))
+                got_last = got_last or bool(r.last)
+
+        if got_last:
+            if state.exists:
+                state.remove()
+            yield emit(seq, ts, source, frags, ords)
+        else:
+            state.update((seq, ts, source, frags, ords, got_last))
+            # flush when the watermark passes last fragment time + grace
+            state.setTimeoutTimestamp(ts // 1_000_000 + timeout_ms)
+            yield pd.DataFrame(
+                columns=["container_id", "partial_id", "seq", "ts_nanos",
+                         "source", "line"])
+
+    return update
+
+def streaming_reassemble_partials(stream, flush_timeout_ms: int = 60_000,
+                                  watermark: str = "10 minutes"):
+    """Reassemble partial fragments across micro-batches.
+
+    Input: a streaming DataFrame of partial rows (``partial = true``)
+    with the logs-table columns (incl. the ``ts`` timestamp). Output:
+    one merged row per completed partial id (append mode). Whole lines
+    should bypass this operator (union the two streams downstream).
+    """
+    from pyspark.sql import functions as F
+
+    prepared = stream.withWatermark("ts", watermark).select(
+        "container_id",
+        F.col("partial_meta.id").alias("partial_id"),
+        "seq", "ts_nanos", "source", "line", "ts",
+        F.coalesce(F.col("partial_meta.ordinal"), F.lit(0)).alias("ordinal"),
+        F.coalesce(F.col("partial_meta.last"), F.lit(False)).alias("last"),
+    )
+    return (
+        prepared.groupBy("container_id", "partial_id")
+        .applyInPandasWithState(
+            make_partial_fn(flush_timeout_ms),
+            outputStructType=PARTIAL_OUT_SCHEMA,
+            stateStructType=PARTIAL_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
 def streaming_sessionize(stream, gap_s: int, ts_col: str = "ts",
                          key: str = "container_id",
                          watermark: str = "10 minutes"):

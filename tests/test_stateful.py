@@ -46,6 +46,87 @@ def test_streaming_sessions_close_on_gap(spark, tmp_path):
     assert (BASE * M, (BASE + 20) * M, 3) == got[0]
     assert got[1][0] == (BASE + 7200) * M and got[1][2] == 1
 
+def test_streaming_partial_reassembly_across_batches(spark, tmp_path):
+    from logsqlite_spark.streaming.stateful import streaming_reassemble_partials
+
+    src = str(tmp_path / "pin")
+    base_schema = ("seq long, ts_nanos long, source string, line string, "
+                   "partial boolean, "
+                   "partial_meta struct<last:boolean,id:string,ordinal:int>, "
+                   "container_id string")
+    T0 = BASE * 10**9
+    full_schema = None
+
+    def write(rows):
+        nonlocal full_schema
+        df = spark.createDataFrame(rows, base_schema).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_nanos div 1000")))
+        full_schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # batch 1: first two fragments of line p1
+    write([(1, T0 + 100, "stdout", "AAA\n", True, (False, "p1", 1), "c1"),
+           (2, T0 + 101, "stdout", "BBB\n", True, (False, "p1", 2), "c1")])
+
+    stream = spark.readStream.schema(full_schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_reassemble_partials(stream)
+    name = f"pr_{int(time.time()*1000)}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        assert spark.sql(f"SELECT * FROM {name}").count() == 0  # still open
+        # batch 2: the closing fragment arrives later
+        write([(3, T0 + 102, "stdout", "CCC\n", True, (True, "p1", 3), "c1")])
+        q.processAllAvailable()
+        rows = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        q.stop()
+    assert len(rows) == 1
+    assert rows[0]["line"] == "AAABBBCCC\n"
+    assert rows[0]["seq"] == 1          # merged row takes first fragment's seq
+    assert rows[0]["container_id"] == "c1"
+
+def test_streaming_partial_flush_on_watermark_timeout(spark, tmp_path):
+    from logsqlite_spark.streaming.stateful import streaming_reassemble_partials
+
+    src = str(tmp_path / "pin2")
+    base_schema = ("seq long, ts_nanos long, source string, line string, "
+                   "partial boolean, "
+                   "partial_meta struct<last:boolean,id:string,ordinal:int>, "
+                   "container_id string")
+    T0 = BASE * 10**9
+    full_schema = None
+
+    def write(rows):
+        nonlocal full_schema
+        df = spark.createDataFrame(rows, base_schema).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_nanos div 1000")))
+        full_schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    # an orphaned fragment whose 'last' never arrives
+    write([(1, T0, "stdout", "ORPHAN\n", True, (False, "q1", 1), "c1")])
+    stream = spark.readStream.schema(full_schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_reassemble_partials(stream, flush_timeout_ms=1_000,
+                                        watermark="1 second")
+    name = f"pf_{int(time.time()*1000)}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        # a far-future fragment on another key pushes the watermark
+        write([(9, T0 + 3600 * 10**9, "stdout", "X\n", True,
+                (False, "q2", 1), "c1")])
+        q.processAllAvailable()
+        q.processAllAvailable()
+        lines = [r["line"] for r in spark.sql(f"SELECT * FROM {name}").collect()]
+    finally:
+        q.stop()
+    assert lines == ["ORPHAN\n"]  # best-effort flush of the dead partial
+
 def test_streaming_sessions_merge_late_arrivals(spark, tmp_path):
     src = str(tmp_path / "in")
     M = 1_000_000
