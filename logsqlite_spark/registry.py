@@ -218,6 +218,21 @@ def q_events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("n"),
                  F.round(F.sum("value"), 4).alias("sum_value")))
 
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multi-dimensional rollup (CUBE) — beyond the reference's surface;
+    # grouping-id coalesced to 'ALL' labels for a portable result
+    df = _events(spark, sf_dir)
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day")
+    return (
+        df.cube(day, "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            "n",
+        )
+    )
+
 _ORACLES_PARITY = {
     "read_all": f"SELECT {_LOG_PROJ_SQL} FROM events",
     "read_since": f"SELECT {_LOG_PROJ_SQL} FROM events WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'",
@@ -285,6 +300,11 @@ _ORACLES_PARITY = {
         "SELECT CAST(user_id AS VARCHAR) AS container_id, event_id AS seq, "
         "concat(props, chr(10)) AS line FROM events"
     ),
+    "cube_counts": (
+        "SELECT coalesce(CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR), 'ALL') AS day, "
+        "coalesce(event_type, 'ALL') AS event_type, count(*) AS n "
+        "FROM events GROUP BY CUBE (CAST(date_trunc('day', ts) AS DATE), event_type)"
+    ),
 }
 
 _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -307,6 +327,7 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_window_agg": q_events_window_agg,
     "wire_frames": q_wire_frames,  # rows-only (binary emit path)
     "reassemble_partials": q_reassemble_partials,
+    "cube_counts": q_cube_counts,
 }
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
