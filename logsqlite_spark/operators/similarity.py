@@ -202,6 +202,37 @@ def ivf_topk(
                 F.col("rank").cast("int"), F.round("sim", 6).alias("sim"))
     )
 
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup flavor of X3).
+
+    Exact all-pairs here (quantized-integer math, oracle-exact); at
+    corpus scale the identical scoring runs inside LSH/IVF candidate
+    sets (``ann_lsh_topk`` / ``ivf_topk``) instead of all pairs — the
+    threshold and arithmetic are shared, only candidate generation
+    changes.
+    """
+    a = _quantized(
+        emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
+        "av", "ai").withColumn("an", F.expr(_SQNORM.format(v="ai"))).drop("av")
+    b = _quantized(
+        emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv")),
+        "bv", "bi").withColumn("bn", F.expr(_SQNORM.format(v="bi"))).drop("bv")
+    return (
+        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        .filter((F.col("an") > 0) & (F.col("bn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="ai", b="bi")))
+        .withColumn("sim", F.col("dot").cast("double")
+                    / F.sqrt(F.col("an").cast("double") * F.col("bn").cast("double")))
+        .filter(F.col("sim") >= threshold)
+        .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                F.round("sim", 6).alias("sim"))
+    )
+
 def embedding_norms_by_label(emb: DataFrame) -> DataFrame:
     """Per-label mean quantized squared L2 norm — integer-exact agg."""
     df = _quantized(emb, "embedding", "qi")
@@ -232,11 +263,18 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # synthetic embeddings are near-orthogonal (max pairwise cosine
+    # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95
+    return embedding_dedup_pairs(table(spark, sf_dir, "embeddings"),
+                                 threshold=0.4)
+
 QUERIES = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate by design)
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "embedding_norms": _q_embedding_norms,
+    "dedup_embedding_pairs": _q_embedding_dedup,
 }
 
 _ORACLE_QUANT = (
@@ -264,5 +302,17 @@ ORACLES = {
         "CAST(sum(list_aggregate(list_transform({qv}, x -> x * x), 'sum')) AS BIGINT) AS sum_sqnorm "
         "FROM embeddings GROUP BY label"
     ).format(qv=_ORACLE_QUANT),
-    # ann_lsh_topk: rows-only (approximate)
+    # ann_lsh_topk, ann_ivf_topk: rows-only (approximate)
+    "dedup_embedding_pairs": (
+        "WITH q AS (SELECT vec_id, {qv} AS v, "
+        "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS nrm "
+        "  FROM embeddings) "
+        "SELECT a.vec_id AS a_id, b.vec_id AS b_id, "
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        "  / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS sim "
+        "FROM q a JOIN q b ON a.vec_id < b.vec_id "
+        "WHERE a.nrm > 0 AND b.nrm > 0 "
+        "AND list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        "  / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= 0.4"
+    ).format(qv=_ORACLE_QUANT),
 }

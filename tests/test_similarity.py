@@ -32,6 +32,20 @@ def test_cosine_topk_excludes_self(emb):
     out = cosine_topk(emb.filter(F.col("vec_id") == 0), emb, k=10)
     assert 0 not in {r["nid"] for r in out.collect()}
 
+def test_embedding_dedup_pairs_finds_planted(spark):
+    from logsqlite_spark.operators.similarity import embedding_dedup_pairs
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.01, 0.0, 0.0]),  # near-dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),     # orthogonal
+        (3, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0 and 1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a_id"], r["b_id"]) for r in
+             embedding_dedup_pairs(emb, threshold=0.95).collect()}
+    assert pairs == {(0, 1), (0, 3), (1, 3)}
+
 def test_lsh_topk_high_recall_on_tiny_set(spark, emb):
     q = emb.filter(F.col("vec_id") == 0)
     out = ann_lsh_topk(spark, q, emb, k=2)
