@@ -4,9 +4,14 @@ Not part of the reference surface — these exercise the general engine
 paths (wide aggregation, multi-way join, top-k) that the log and
 LLM-pipeline operators compose, and anchor the benchmark.
 
-Oracle determinism: money/quantity sums are computed in *cents*
-(``cast(round(x * 100) as bigint)``) so both engines sum exact
-integers in any order; top-k orderings tie-break on a key.
+Oracle determinism: money/quantity sums are computed in *cents* via
+floor-quantization (``floor(cast(x as double) * 100 + 0.5)``) so both
+engines quantize identically — ``round()`` differs between Spark's
+BigDecimal HALF_UP and DuckDB's C-library rounding on doubles
+epsilon-close to a .5 boundary (the round-1 driver flake) — and sum
+exact integers in any order; top-k orderings tie-break on a key.
+All quantized columns here are non-negative, so floor(x*100+0.5) is
+exact half-up rounding.
 
 Scale notes: q1 is a pure map-side-combinable aggregation (shuffle
 carries one partial row per group per partition). q3 joins two big
@@ -24,7 +29,7 @@ from pyspark.sql import functions as F
 from logsqlite_spark.tables import table
 
 def _cents(col: str) -> F.Column:
-    return F.round(F.col(col) * 100).cast("bigint")
+    return F.floor(F.col(col).cast("double") * 100 + F.lit(0.5)).cast("bigint")
 
 def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFrame:
     """Q1 shape: pricing summary report by returnflag/linestatus."""
@@ -108,15 +113,15 @@ QUERIES = {
 ORACLES = {
     "tpch_q1_pricing": (
         "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
-        "sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c, "
-        "sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_c, "
-        "sum(CAST(round(l_discount * 100) AS BIGINT)) AS sum_discount_c "
+        "sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_qty_c, "
+        "sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_base_price_c, "
+        "sum(CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_discount_c "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
     "tpch_q3_top_orders": (
-        "SELECT l_orderkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
-        "  * (10000 - CAST(round(l_discount * 100) AS BIGINT) * 100)) AS BIGINT) AS revenue_u "
+        "SELECT l_orderkey, CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100)) AS BIGINT) AS revenue_u "
         "FROM lineitem "
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
@@ -127,8 +132,8 @@ ORACLES = {
         "ORDER BY revenue_u DESC, l_orderkey LIMIT 10"
     ),
     "tpch_q6_forecast": (
-        "SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) "
-        "  * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_u, "
+        "SELECT CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_u, "
         "count(*) AS n_items FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
