@@ -58,15 +58,18 @@ class JsonlSpoolWriter:
         return str(name)
 
 def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
-                           container_id: str | None = None) -> DataFrame:
+                           container_id: str | None = None,
+                           paths: list[str] | None = None) -> DataFrame:
     """Decode JSONL spool files to the same shape the protobuf decode
-    yields (path, container_id, ..., frame_no) — fully JVM-side."""
-    pattern = f"{spool_dir}/{container_id or '*'}/*.jsonl"
+    yields (path, container_id, ..., frame_no) — fully JVM-side.
+    ``paths``: exact file list from a driver-side listing (skips a
+    second Spark directory listing and pins the read set)."""
+    src = paths or f"{spool_dir}/{container_id or '*'}/*.jsonl"
     raw = (
         spark.read.schema(JSONL_SCHEMA)
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(pattern)
+        .json(src)
         .withColumn("path", F.input_file_name())
     )
     return _to_entry_shape(raw)

@@ -127,16 +127,19 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
         batch_df = batch_df.filter(lf_col.isNull() | (F.col("path") > lf_col))
 
     batch_df = batch_df.persist()
-    out = None
     try:
         # ONE stats job over the raw batch: per-container file watermark
-        # + decode-error counts (one row per container, not per record)
+        # + decode-error and good-row counts (one row per container, not
+        # per record). ``seq`` is a dense per-container row_number on
+        # top of the high-water mark, so max(seq) after the write is
+        # just high_water + n_good — no second aggregation job needed.
+        good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
         stats = (
             batch_df.groupBy("container_id")
             .agg(
                 F.max("path").alias("f"),
-                F.sum((F.col("source") == DECODE_ERROR_SOURCE).cast("long"))
-                .alias("e"),
+                F.sum(1 - good).alias("e"),
+                F.sum(good).alias("n"),
             )
             .collect()
         )
@@ -155,34 +158,31 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
                 .write.mode("append")
                 .parquet(str(Path(state.path).parent / "decode_errors"))
             )
-        out = assign_seq(batch_df, st["high_water"]).persist()
         (
-            out.write.mode("append")
+            assign_seq(batch_df, st["high_water"])
+            .write.mode("append")
             .option("maxRecordsPerFile", max_records_per_file)
             .partitionBy("container_id", "date")
             .parquet(logs_dir)
         )
-        tops = (
-            out.groupBy("container_id")
-            .agg(F.max("seq").alias("m"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
-        for r in tops:
-            st["high_water"][r["container_id"]] = r["m"]
+        n_rows = 0
+        for r in stats:
+            if r["n"]:
+                st["high_water"][r["container_id"]] = (
+                    st["high_water"].get(r["container_id"], 0) + r["n"])
+                n_rows += r["n"]
         st["last_file"].update(top_files)
         if batch_id is not None:
             st["last_batch_id"] = batch_id
         state.save(st)
         return {
-            "rows": int(sum(r["n"] for r in tops)),
+            "rows": int(n_rows),
             "decode_errors": int(n_errors),
             "batch_id": batch_id,
             "high_water": dict(st["high_water"]),
         }
     finally:
         batch_df.unpersist()
-        if out is not None:
-            out.unpersist()
 
 def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
                       state_dir: str, container_id: str | None = None,
@@ -196,30 +196,34 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     decode — the faster path when the shipper can emit JSON lines).
     """
     state = SeqState(state_dir)
-    try:
-        if fmt == "jsonl":
-            from logsqlite_spark.sources.jsonl import read_jsonl_spool_batch
+    # List the spool on the driver (the spool is posix-visible by
+    # nature — it's where the FIFO tailer writes) and hand the exact
+    # file list to Spark. One listing serves three jobs: the
+    # empty-spool fast path (no Py4J PATH_NOT_FOUND stack spew), the
+    # read itself, and the post-commit consume deletion — files landing
+    # mid-ingest are simply left for the next pull, never deleted
+    # unread.
+    import glob as _glob
 
-            decoded = read_jsonl_spool_batch(spark, spool_dir, container_id)
-        else:
-            decoded = read_spool_batch(spark, spool_dir, container_id)
-    except Exception as e:  # no files yet
-        if "PATH_NOT_FOUND" in str(e) or "unable to infer schema" in str(e).lower():
-            return {"rows": 0}
-        raise
-    decoded = decoded.persist()
-    try:
-        files = [r["path"] for r in decoded.select("path").distinct().collect()]
-        result = _write_batch(decoded, logs_dir, state, None,
-                              max_records_per_file)
-        if consume:
-            for p in files:
-                fp = p.removeprefix("file:")
-                if os.path.exists(fp):
-                    os.remove(fp)
-        return result
-    finally:
-        decoded.unpersist()
+    ext = "jsonl" if fmt == "jsonl" else "plog"
+    files = sorted(_glob.glob(f"{spool_dir}/{container_id or '*'}/*.{ext}"))
+    if not files:
+        return {"rows": 0}
+    if fmt == "jsonl":
+        from logsqlite_spark.sources.jsonl import read_jsonl_spool_batch
+
+        decoded = read_jsonl_spool_batch(spark, spool_dir, container_id,
+                                         paths=files)
+    else:
+        decoded = read_spool_batch(spark, spool_dir, container_id,
+                                   paths=files)
+    result = _write_batch(decoded, logs_dir, state, None,
+                          max_records_per_file)
+    if consume:
+        for fp in files:
+            if os.path.exists(fp):
+                os.remove(fp)
+    return result
 
 def start_ingest_stream(
     spark: SparkSession,
