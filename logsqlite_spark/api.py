@@ -25,6 +25,7 @@ from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.state import StateStore
 from logsqlite_spark.streaming import follow as FW
 from logsqlite_spark.streaming import ingest as ING
+from logsqlite_spark.table import ManifestTable
 
 class Engine:
     """One instance ≈ one daemon process of the reference."""
@@ -33,15 +34,19 @@ class Engine:
         self.spark = ensure_engine_confs(spark)
         self.config = config or EngineConfig()
         self.state = StateStore(self.config.state_dir)
+        self.table = ManifestTable(self.config.logs_dir)
         self._queries: dict[str, object] = {}  # container_id -> StreamingQuery
 
     # -- data access ---------------------------------------------------------
 
     def logs_df(self) -> DataFrame:
-        """The unified logs table (all containers)."""
-        return self.spark.read.option("basePath", self.config.logs_dir).parquet(
-            self.config.logs_dir
-        )
+        """The unified logs table (all containers) — a snapshot-
+        consistent view of the current manifest; maintenance rewrites
+        never break it (the reference's readers-never-blocked contract,
+        logger.rs:314-318)."""
+        # import_existing is a no-op once the manifest exists; it adopts
+        # warehouses written before the manifest protocol (migration).
+        return self.table.read_df(self.spark, self.table.import_existing())
 
     # -- StartLogging (docker.rs:59-84) ---------------------------------------
 
@@ -59,14 +64,19 @@ class Engine:
         conf = LogConfig.from_options(options)
         self.state.upsert(container_id, fifo, conf)
         if streaming:
+            if "__mux__" in self._queries:
+                raise RuntimeError(
+                    "multiplexed ingest already consumes every container's "
+                    "spool — a per-container stream would double-ingest")
             q = ING.start_ingest_stream(
                 self.spark,
-                f"{self.config.spool_dir}",
+                self.config.spool_dir,
                 self.config.logs_dir,
                 self.config.state_dir,
                 f"{self.config.checkpoints_dir}/{container_id}",
                 conf,
                 query_name=f"ingest-{container_id}",
+                container_id=container_id,  # scoped: only this spool subdir
             )
             self._queries[container_id] = q
             return q
@@ -74,6 +84,11 @@ class Engine:
 
     def start_multiplexed_ingest(self, conf: LogConfig | None = None):
         """The scale path: one stream, all containers (SURVEY §7.5)."""
+        if self._queries:
+            raise RuntimeError(
+                "per-container ingest streams are active; stop them before "
+                "starting the multiplexed stream (overlapping spool reads "
+                "would double-ingest)")
         q = ING.start_ingest_stream(
             self.spark, self.config.spool_dir, self.config.logs_dir,
             self.config.state_dir, f"{self.config.checkpoints_dir}/__mux__",
@@ -150,6 +165,10 @@ class Engine:
                 self.spark, self.config.logs_dir, doc["container_id"],
                 conf, now_nanos=now_nanos,
             )
+        # reclaim files no recent snapshot references; keeping the last
+        # 2 generations gives in-flight readers a full cleaner interval
+        # of grace before their snapshot's files can disappear
+        results["__gc__"] = self.table.gc(keep_generations=2)
         return results
 
     def register_views(self) -> None:

@@ -7,20 +7,29 @@ groups, no effective min/max stats). The reference has no analogue
 (SQLite appends to one B-tree), so this is engine-native maintenance,
 run alongside retention on the cleaner schedule.
 
-Strategy per partition directory:
-- skip partitions already compact (fewer than ``min_files`` files);
+Strategy per partition:
+- skip partitions already compact (fewer than ``min_files`` live files
+  in the manifest);
 - rewrite the rest sorted by ``seq`` (restores arrival clustering →
   tight parquet min/max on both seq and ts_nanos, so cursor and time
   filters skip row groups) into ``target_records``-sized files;
-- temp-write + atomic rename swap, same reader contract as retention.
+- publish via one manifest commit replacing exactly the files the
+  rewrite read. Files the ingest stream appends into the same
+  partition *while compaction runs* are untouched by the commit (it
+  re-applies against the freshest manifest under the table lock), so
+  the round-1 listing→rename race that could silently discard
+  concurrent appends is structurally impossible. Old files stay on
+  disk for in-flight readers until ``ManifestTable.gc``.
 """
 
 from __future__ import annotations
 
-import shutil
 from pathlib import Path
 
 from pyspark.sql import SparkSession
+
+from logsqlite_spark.table import ManifestTable
+
 
 def compact_container(
     spark: SparkSession,
@@ -30,32 +39,36 @@ def compact_container(
     target_records: int = 4_000_000,
 ) -> dict:
     """Compact every date partition of one container that needs it."""
-    root = Path(logs_dir) / f"container_id={container_id}"
-    if not root.exists():
-        return {"compacted_partitions": 0, "files_before": 0, "files_after": 0}
+    table = ManifestTable(logs_dir)
+    manifest = table.import_existing()
+    prefix = f"container_id={container_id}/"
+    by_date: dict[str, list[str]] = {}
+    for f in manifest["files"]:
+        if f.startswith(prefix):
+            by_date.setdefault(f.split("/")[1].split("=", 1)[1], []).append(f)
 
     compacted = files_before = files_after = 0
-    for part_dir in sorted(root.glob("date=*")):
-        files = [p for p in part_dir.glob("*.parquet")]
+    for d in sorted(by_date):
+        files = by_date[d]
         if len(files) < min_files:
             continue
         files_before += len(files)
-        df = spark.read.parquet(str(part_dir))
+        df = spark.read.option("basePath", logs_dir).parquet(
+            *[str(Path(logs_dir) / f) for f in files])
         n = df.count()
         n_out = max(1, -(-n // target_records))  # ceil
-        tmp = root / f".compact-{part_dir.name}"
+        staging = table.new_staging_dir()
         (
             df.repartitionByRange(n_out, "seq")
             .sortWithinPartitions("seq")
             .write.mode("overwrite")
             .option("maxRecordsPerFile", target_records)
-            .parquet(str(tmp))
+            .partitionBy("container_id", "date")
+            .parquet(str(staging))
         )
-        old = root / f".old-{part_dir.name}"
-        part_dir.rename(old)
-        tmp.rename(part_dir)
-        shutil.rmtree(old)
-        files_after += len(list(part_dir.glob("*.parquet")))
+        new_files = table.adopt_staged(staging)
+        table.commit_replace(files, new_files)
+        files_after += len(new_files)
         compacted += 1
     return {
         "compacted_partitions": compacted,
@@ -63,12 +76,11 @@ def compact_container(
         "files_after": files_after,
     }
 
+
 def compact_all(spark: SparkSession, logs_dir: str, **kw) -> dict:
-    root = Path(logs_dir)
-    if not root.exists():
-        return {}
-    return {
-        p.name.split("=", 1)[1]: compact_container(
-            spark, logs_dir, p.name.split("=", 1)[1], **kw)
-        for p in sorted(root.glob("container_id=*"))
-    }
+    table = ManifestTable(logs_dir)
+    manifest = table.import_existing()
+    containers = sorted({f.split("/", 1)[0].split("=", 1)[1]
+                         for f in manifest["files"]})
+    return {c: compact_container(spark, logs_dir, c, **kw)
+            for c in containers}

@@ -17,6 +17,14 @@ and (b) rewrite only the boundary partitions, filtered to survivors.
 The survivor predicate itself is expressed once, logically, and reused
 by both the logical API (``retention_survivors``) and the physical
 rewrite (``apply_retention``).
+
+Commit protocol: partition drops and boundary rewrites are published
+as ONE manifest commit (table.py) — concurrent readers hold a
+consistent snapshot and never observe a half-rewritten partition (the
+round-1 rename-swap could transiently 404 them), and files appended
+concurrently by the ingest stream are preserved because the commit
+re-applies against the freshest manifest. Retired files are physically
+deleted later by ``ManifestTable.gc`` on the cleaner cadence.
 """
 
 from __future__ import annotations
@@ -29,6 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.config import LogConfig
+from logsqlite_spark.table import ManifestTable
 
 def retention_survivors(
     logs: DataFrame,
@@ -69,28 +78,36 @@ def apply_retention(
     conf: LogConfig,
     now_nanos: int | None = None,
 ) -> dict:
-    """Physical cleanup of one container's partition tree.
+    """Physical cleanup of one container's live file set.
 
     Strategy (scale-first):
     1. Partition-prune to ``container_id=<id>`` — other containers are
        never touched (the reference's per-database isolation).
     2. Age limit: ``date`` partitions entirely older than the cutoff
-       date are deleted without reading a byte (directory drop ==
-       the reference's O(1) ``rm dbfile``); only the single boundary
-       date needs a filtered rewrite.
+       date are dropped from the manifest without reading a byte
+       (metadata-only == the reference's O(1) ``rm dbfile``); only the
+       boundary date needs a filtered rewrite.
     3. Max-lines limit: compute the boundary seq with a count + top-k
-      (the reference's count + OFFSET probe, cleaner.rs:46-74, as one
+       (the reference's count + OFFSET probe, cleaner.rs:46-74, as one
        distributed agg), then rewrite only partitions containing rows
-       below it.
-    Rewrites are write-temp-then-atomic-swap so concurrent readers see
-    either the old or the new file set.
+       below it — all affected partitions in ONE spark write.
+    The whole pass publishes as one manifest commit; retired files
+    remain on disk for in-flight readers until ``gc``.
     """
+    empty = {"dropped_partitions": 0, "rewritten_partitions": 0,
+             "deleted_rows": 0}
     if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
-        return {"dropped_partitions": 0, "rewritten_partitions": 0, "deleted_rows": 0}
+        return empty
 
-    root = Path(logs_dir) / f"container_id={container_id}"
-    if not root.exists():
-        return {"dropped_partitions": 0, "rewritten_partitions": 0, "deleted_rows": 0}
+    table = ManifestTable(logs_dir)
+    manifest = table.import_existing()
+    prefix = f"container_id={container_id}/"
+    by_date: dict[str, list[str]] = {}
+    for f in manifest["files"]:
+        if f.startswith(prefix):
+            by_date.setdefault(f.split("/")[1].split("=", 1)[1], []).append(f)
+    if not by_date:
+        return empty
 
     if now_nanos is None:
         now_nanos = int(datetime.now(timezone.utc).timestamp() * 1e9)
@@ -99,40 +116,35 @@ def apply_retention(
     if conf.cleanup_age_s is not None:
         cutoff_nanos = int(now_nanos) - conf.cleanup_age_s * 1_000_000_000
 
-    date_dirs = sorted(p for p in root.iterdir() if p.name.startswith("date="))
-    dropped = 0
-
     # --- step 2: metadata-only partition drops for the age limit ---
+    dropped = 0
+    removed: list[str] = []
     if cutoff_nanos is not None:
         cutoff_date = datetime.fromtimestamp(
             cutoff_nanos / 1e9, tz=timezone.utc
         ).date()
-        keep_dirs = []
-        for p in date_dirs:
-            part_date = datetime.strptime(p.name.split("=", 1)[1], "%Y-%m-%d").date()
-            if part_date < cutoff_date:
-                shutil.rmtree(p)
+        for d in sorted(by_date):
+            if datetime.strptime(d, "%Y-%m-%d").date() < cutoff_date:
+                removed += by_date.pop(d)
                 dropped += 1
-            else:
-                keep_dirs.append(p)
-        date_dirs = keep_dirs
 
-    if not date_dirs:
-        return {"dropped_partitions": dropped, "rewritten_partitions": 0, "deleted_rows": 0}
+    if not by_date:
+        if removed:
+            table.commit_replace(removed, [])
+        return {**empty, "dropped_partitions": dropped}
 
-    def read_container() -> DataFrame:
-        # basePath keeps the partition columns in scope while scanning
-        # only this container's tree (partition pruning by path).
-        return (
-            spark.read.option("basePath", logs_dir)
-            .parquet(str(root))
-        )
+    remaining = [str(Path(logs_dir) / f) for fs in by_date.values() for f in fs]
+
+    def read_remaining() -> DataFrame:
+        # Explicit file list + basePath: partition pruning by
+        # construction, partition columns stay in scope.
+        return spark.read.option("basePath", logs_dir).parquet(*remaining)
 
     # --- boundary seq for max-lines (count + top-k, one pass) ---
     boundary_seq = None
     if conf.cleanup_max_lines is not None:
         n = int(conf.cleanup_max_lines)
-        df = read_container()
+        df = read_remaining()
         total = df.count()
         if total > n:
             # seq of the first kept row == the (count-N)-th row 0-indexed
@@ -143,59 +155,66 @@ def apply_retention(
             )
             boundary_seq = kept_min
 
-    # --- which date partitions need a rewrite? ---
-    # Use parquet stats via a cheap per-partition min aggregation.
-    df = read_container()
     cond_del = F.lit(False)
     if cutoff_nanos is not None:
         cond_del = cond_del | (F.col("ts_nanos") < F.lit(cutoff_nanos))
     if boundary_seq is not None:
         cond_del = cond_del | (F.col("seq") < F.lit(int(boundary_seq)))
 
-    affected = (
-        df.filter(cond_del).select(F.col("date").cast("string").alias("d"))
-        .distinct().collect()
+    df = read_remaining()
+    dcol = F.col("date").cast("string")
+    # per-date delete/keep counts in ONE aggregation (parquet stats make
+    # the scan cheap; only boundary partitions have mixed counts)
+    per_date = (
+        df.groupBy(dcol.alias("d"))
+        .agg(F.sum(cond_del.cast("long")).alias("del_n"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
     )
-    affected_dates = sorted(r["d"] for r in affected)
+    affected = {r["d"]: (r["del_n"], r["n"]) for r in per_date if r["del_n"]}
+    if not affected:
+        if removed:
+            table.commit_replace(removed, [])
+        return {**empty, "dropped_partitions": dropped}
 
-    rewritten = 0
-    deleted_rows = 0
-    for d in affected_dates:
-        part_dir = root / f"date={d}"
-        part_df = (
-            spark.read.option("basePath", logs_dir).parquet(str(part_dir))
+    deleted_rows = int(sum(d for d, _ in affected.values()))
+    rewrite_dates = sorted(d for d, (dn, n) in affected.items() if dn < n)
+    dropped += sum(1 for dn, n in affected.values() if dn == n)
+
+    new_files: list[str] = []
+    if rewrite_dates:
+        # ONE write for every affected partition's survivors
+        staging = table.new_staging_dir()
+        (
+            df.filter(dcol.isin(rewrite_dates)).filter(~cond_del)
+            .write.mode("overwrite")
+            .partitionBy("container_id", "date")
+            .parquet(str(staging))
         )
-        survivors = part_df.filter(~cond_del).drop("container_id", "date")
-        n_before = part_df.count()
-        n_after = survivors.count()
-        deleted_rows += n_before - n_after
-        tmp_dir = root / f".tmp-date={d}"
-        if n_after > 0:
-            survivors.write.mode("overwrite").parquet(str(tmp_dir))
-            # atomic-ish swap: move old out, tmp in, then delete old
-            old_dir = root / f".old-date={d}"
-            part_dir.rename(old_dir)
-            tmp_dir.rename(part_dir)
-            shutil.rmtree(old_dir)
-            # drop spark's _SUCCESS marker noise is harmless; leave it
-        else:
-            shutil.rmtree(part_dir)
-            dropped += 1
-            continue
-        rewritten += 1
+        new_files = table.adopt_staged(staging)
+    for d in affected:
+        removed += by_date[d]
+    table.commit_replace(removed, new_files)
 
     return {
         "dropped_partitions": dropped,
-        "rewritten_partitions": rewritten,
+        "rewritten_partitions": len(rewrite_dates),
         "deleted_rows": deleted_rows,
     }
 
 def drop_container(logs_dir: str, container_id: str) -> bool:
     """``delete_when_stopped`` — the reference deletes the SQLite file
-    (statehandler.rs:176-181); here we drop the container's partition
-    subtree. O(1) metadata, no data read."""
+    (statehandler.rs:176-181); here we drop every manifest reference to
+    the container (O(1) metadata) and reclaim the bytes immediately —
+    readers of a *dropped* container losing their snapshot matches the
+    reference removing the DB file out from under a reader."""
+    table = ManifestTable(logs_dir)
+    dropped = 0
+    if table.exists() or Path(logs_dir).exists():
+        table.import_existing()
+        dropped = table.drop_container(container_id)
     root = Path(logs_dir) / f"container_id={container_id}"
     if root.exists():
         shutil.rmtree(root)
         return True
-    return False
+    return dropped > 0

@@ -75,7 +75,8 @@ def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
     return _to_entry_shape(raw)
 
 def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
-                            max_bytes_per_trigger: int | None = None) -> DataFrame:
+                            max_bytes_per_trigger: int | None = None,
+                            container_id: str | None = None) -> DataFrame:
     reader = (
         spark.readStream.schema(JSONL_SCHEMA)
         .option("pathGlobFilter", "*.jsonl")
@@ -86,7 +87,7 @@ def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
     )
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
-    raw = reader.json(f"{spool_dir}/*/").withColumn(
+    raw = reader.json(f"{spool_dir}/{container_id or '*'}/").withColumn(
         "path", F.input_file_name())
     return _to_entry_shape(raw)
 

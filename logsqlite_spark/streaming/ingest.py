@@ -13,10 +13,13 @@ logger.rs:242-272): spool files of one container are produced in
 order, so (path, frame_no) is the arrival order, and batches are
 processed in file order by the streaming source.
 
-Exactly-once: the high-water state records the last committed batch id.
-When foreachBatch replays a batch after a crash (same epoch id), the
-write is skipped — the standard idempotent-foreachBatch pattern that
-replaces the reference's BEGIN/END TRANSACTION.
+Exactly-once: data files, seq high-water marks, the per-container
+spool-file watermark, and the per-stream batch id are committed in ONE
+atomic manifest commit (table.py) — the transactionality the reference
+gets from BEGIN/END TRANSACTION (logger.rs:155-219). A crash between
+any two steps leaves only unreferenced staging files; replaying the
+micro-batch (same epoch id) is detected inside the commit and skipped,
+so plain parquet never degrades to at-least-once.
 
 Scale: the shuffle per micro-batch is one hash partition by
 container_id (bounded by batch size, not table size); the parquet
@@ -37,33 +40,9 @@ from pyspark.sql.window import Window
 
 from logsqlite_spark.config import LogConfig
 from logsqlite_spark.sources.spool import read_spool_batch, read_spool_stream
+from logsqlite_spark.table import ManifestTable
 
 DECODE_ERROR_SOURCE = "__decode_error__"
-
-class SeqState:
-    """Per-container seq high-water marks + committed batch ids.
-
-    Tiny driver-side JSON (one int per container) — the moral
-    equivalent of the reference's per-DB max ROWID. Written via
-    temp-file + rename so a crash leaves either the old or new state,
-    matching the idempotent-batch replay.
-    """
-
-    def __init__(self, state_dir: str):
-        self.path = Path(state_dir) / "seq_state.json"
-        self.path.parent.mkdir(parents=True, exist_ok=True)
-
-    def load(self) -> dict:
-        if self.path.exists():
-            st = json.loads(self.path.read_text())
-            st.setdefault("last_file", {})
-            return st
-        return {"high_water": {}, "last_batch_id": -1, "last_file": {}}
-
-    def save(self, state: dict) -> None:
-        tmp = self.path.with_suffix(".tmp")
-        tmp.write_text(json.dumps(state))
-        os.rename(tmp, self.path)
 
 def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
     """Turn decoded entries into the logs-table shape with seq assigned.
@@ -106,11 +85,20 @@ def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
                 "partial_meta", "container_id", "date")
     )
 
-def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
-                 batch_id: int | None, max_records_per_file: int) -> dict:
-    """Assign seq and append one (micro-)batch; returns progress info."""
-    st = state.load()
-    if batch_id is not None and batch_id <= st["last_batch_id"]:
+def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
+                 scope: str, batch_id: int | None,
+                 max_records_per_file: int) -> dict:
+    """Assign seq and append one (micro-)batch; returns progress info.
+
+    The append is exactly-once: rows land in the table's staging dir,
+    get adopted (moved, still unreferenced), and become visible in ONE
+    manifest commit together with the seq high-water, spool watermark,
+    and batch id. Replays abort inside the commit's critical section,
+    so a crash at any point here never duplicates rows.
+    """
+    table = ManifestTable(logs_dir)
+    st = table.import_existing()  # no-op once the manifest exists
+    if batch_id is not None and batch_id <= st["batch_ids"].get(scope, -1):
         return {"skipped_replay": True, "batch_id": batch_id}
 
     # File-level idempotence: spool file names are monotonic per
@@ -156,30 +144,30 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state: SeqState,
                 batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
                 .select("path", "container_id", "line")
                 .write.mode("append")
-                .parquet(str(Path(state.path).parent / "decode_errors"))
+                .parquet(str(Path(state_dir) / "decode_errors"))
             )
-        (
-            assign_seq(batch_df, st["high_water"])
-            .write.mode("append")
-            .option("maxRecordsPerFile", max_records_per_file)
-            .partitionBy("container_id", "date")
-            .parquet(logs_dir)
-        )
-        n_rows = 0
-        for r in stats:
-            if r["n"]:
-                st["high_water"][r["container_id"]] = (
-                    st["high_water"].get(r["container_id"], 0) + r["n"])
-                n_rows += r["n"]
-        st["last_file"].update(top_files)
-        if batch_id is not None:
-            st["last_batch_id"] = batch_id
-        state.save(st)
+        increments = {r["container_id"]: int(r["n"]) for r in stats if r["n"]}
+        n_rows = sum(increments.values())
+        new_files: list[str] = []
+        if n_rows:
+            staging = table.new_staging_dir()
+            (
+                assign_seq(batch_df, st["high_water"])
+                .write.mode("overwrite")
+                .option("maxRecordsPerFile", max_records_per_file)
+                .partitionBy("container_id", "date")
+                .parquet(str(staging))
+            )
+            new_files = table.adopt_staged(staging)
+        committed = table.commit_append(new_files, scope, batch_id,
+                                        increments, top_files)
+        if committed is None:  # concurrent replay won the commit
+            return {"skipped_replay": True, "batch_id": batch_id}
         return {
             "rows": int(n_rows),
             "decode_errors": int(n_errors),
             "batch_id": batch_id,
-            "high_water": dict(st["high_water"]),
+            "high_water": dict(committed["high_water"]),
         }
     finally:
         batch_df.unpersist()
@@ -195,7 +183,6 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     ``fmt``: 'plog' (length-prefixed protobuf) or 'jsonl' (JVM-native
     decode — the faster path when the shipper can emit JSON lines).
     """
-    state = SeqState(state_dir)
     # List the spool on the driver (the spool is posix-visible by
     # nature — it's where the FIFO tailer writes) and hand the exact
     # file list to Spark. One listing serves three jobs: the
@@ -217,7 +204,7 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     else:
         decoded = read_spool_batch(spark, spool_dir, container_id,
                                    paths=files)
-    result = _write_batch(decoded, logs_dir, state, None,
+    result = _write_batch(decoded, logs_dir, state_dir, "__pull__", None,
                           max_records_per_file)
     if consume:
         for fp in files:
@@ -234,8 +221,17 @@ def start_ingest_stream(
     conf: LogConfig | None = None,
     query_name: str = "logsqlite-ingest",
     fmt: str = "plog",
+    container_id: str | None = None,
 ):
-    """S4/S5: the continuous multiplexed ingest StreamingQuery.
+    """S4/S5: the continuous ingest StreamingQuery.
+
+    Default is ONE multiplexed stream for all containers (SURVEY §7.5);
+    ``container_id`` scopes the stream to that container's spool subdir
+    for per-container queries (one writer per container, like the
+    reference's one logger per FIFO — concurrent scoped streams commit
+    disjoint containers through the manifest lock, so they can't lose
+    each other's updates). The stream's ``query_name`` is its batch-id
+    scope in the manifest; give concurrent streams distinct names.
 
     LogConfig mapping (config.rs:175-177 -> Spark):
     - message_read_timeout  -> trigger processingTime (burst window)
@@ -243,18 +239,19 @@ def start_ingest_stream(
     - commit visibility     -> micro-batch commit (free)
     """
     conf = conf or LogConfig()
-    state = SeqState(state_dir)
     if fmt == "jsonl":
         from logsqlite_spark.sources.jsonl import read_jsonl_spool_stream
 
         decoded = read_jsonl_spool_stream(
-            spark, spool_dir, max_bytes_per_trigger=conf.max_size_per_tx)
+            spark, spool_dir, max_bytes_per_trigger=conf.max_size_per_tx,
+            container_id=container_id)
     else:
         decoded = read_spool_stream(spark, spool_dir,
-                                    max_bytes_per_trigger=conf.max_size_per_tx)
+                                    max_bytes_per_trigger=conf.max_size_per_tx,
+                                    container_id=container_id)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _write_batch(batch_df, logs_dir, state, batch_id,
+        _write_batch(batch_df, logs_dir, state_dir, query_name, batch_id,
                      max_records_per_file=max(conf.max_lines_per_tx, 1))
 
     trigger_ms = max(conf.message_read_timeout_ms, 100)

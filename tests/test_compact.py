@@ -5,6 +5,7 @@ from pathlib import Path
 from pyspark.sql import functions as F
 
 from logsqlite_spark.operators.compact import compact_container
+from logsqlite_spark.table import ManifestTable
 
 def _fragmented_logs(spark, tmp_path, n_appends=8, rows_per=25):
     out = str(tmp_path / "logs")
@@ -26,14 +27,19 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     before = len(list(part.glob("*.parquet")))
     assert before >= 8  # genuinely fragmented
 
+    table = ManifestTable(logs_dir)
     pre = spark.read.parquet(logs_dir).orderBy("seq").collect()
     stats = compact_container(spark, logs_dir, "c1")
-    after = len(list(part.glob("*.parquet")))
     assert stats["compacted_partitions"] == 1
-    assert after < before
-    post = spark.read.parquet(logs_dir).orderBy("seq").collect()
+    assert stats["files_after"] < stats["files_before"]
+    post = table.read_df(spark).orderBy("seq").collect()
     assert [r["seq"] for r in post] == [r["seq"] for r in pre]
     assert [r["line"] for r in post] == [r["line"] for r in pre]
+    # physical small files disappear once gc retires the old snapshot
+    table.gc(keep_generations=1)
+    after = len(list(part.glob("*.parquet")))
+    assert after < before
+    assert spark.read.parquet(logs_dir).count() == len(pre)
 
 def test_compact_skips_already_compact(spark, tmp_path):
     logs_dir = _fragmented_logs(spark, tmp_path, n_appends=1)

@@ -10,6 +10,7 @@ from logsqlite_spark.operators.retention import (
     drop_container,
     retention_survivors,
 )
+from logsqlite_spark.table import ManifestTable
 
 def seqs(df):
     return sorted(r["seq"] for r in df.select("seq").collect())
@@ -66,7 +67,7 @@ def test_apply_retention_age_drops_partitions(spark, tmp_path):
     conf = LogConfig(cleanup_age_s=86400, cleanup_max_lines=None)
     stats = apply_retention(spark, logs_dir, "c1", conf, now_nanos=now)
     assert stats["dropped_partitions"] >= 1
-    left = spark.read.parquet(logs_dir)
+    left = ManifestTable(logs_dir).read_df(spark)
     c1 = left.filter("container_id = 'c1'")
     assert c1.count() == 100 - 34  # first day (rows 0..33) gone
     # untouched container:
@@ -76,9 +77,15 @@ def test_apply_retention_keep_last(spark, tmp_path):
     logs_dir = _write_logs_table(spark, tmp_path)
     conf = LogConfig(cleanup_age_s=None, cleanup_max_lines=10)
     stats = apply_retention(spark, logs_dir, "c1", conf)
-    left = spark.read.parquet(logs_dir).filter("container_id = 'c1'")
+    table = ManifestTable(logs_dir)
+    left = table.read_df(spark).filter("container_id = 'c1'")
     assert sorted(r["seq"] for r in left.select("seq").collect()) == list(range(91, 101))
     assert stats["deleted_rows"] == 90
+    # retired files linger for in-flight readers, then gc reclaims them:
+    # after gc with keep=1 the physical tree equals the live snapshot
+    table.gc(keep_generations=1)
+    assert spark.read.parquet(logs_dir).filter("container_id = 'c1'") \
+        .count() == 10
 
 def test_apply_retention_noop_without_limits(spark, tmp_path):
     logs_dir = _write_logs_table(spark, tmp_path)
@@ -92,5 +99,29 @@ def test_drop_container(spark, tmp_path):
     logs_dir = _write_logs_table(spark, tmp_path)
     assert drop_container(logs_dir, "c1") is True
     assert drop_container(logs_dir, "c1") is False
-    left = spark.read.parquet(logs_dir)
+    left = ManifestTable(logs_dir).read_df(spark)
     assert left.select("container_id").distinct().collect()[0][0] == "c2"
+
+def test_reader_snapshot_survives_retention_and_gc(spark, tmp_path):
+    """The round-1 gap: a reader mid-query while retention rewrites.
+
+    A DataFrame planned on the pre-retention snapshot must keep
+    collecting correctly after retention commits (its files are
+    retired, not deleted); gc with keep_generations=2 must also spare
+    them. Only gc(keep=1) may invalidate that snapshot.
+    """
+    logs_dir = _write_logs_table(spark, tmp_path)
+    table = ManifestTable(logs_dir)
+    table.import_existing()
+    before = table.read_df(spark).filter("container_id = 'c1'")
+    assert before.count() == 100  # plan + execute once
+
+    conf = LogConfig(cleanup_age_s=None, cleanup_max_lines=10)
+    apply_retention(spark, logs_dir, "c1", conf)
+    # old snapshot still fully readable after the commit...
+    assert before.count() == 100
+    # ...and after a gc that keeps 2 generations
+    table.gc(keep_generations=2)
+    assert before.count() == 100
+    # new snapshot sees the retained view
+    assert table.read_df(spark).filter("container_id = 'c1'").count() == 10
