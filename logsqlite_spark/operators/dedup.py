@@ -55,14 +55,40 @@ def _doc_tokens(docs: DataFrame, text_col: str = "text",
     )
 
 def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
-                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                  text_col: str = "text", id_col: str = "doc_id",
+                  max_doc_freq: int | None = None,
+                  max_df_frac: float | None = None) -> DataFrame:
     """X2 (exact flavor): token-set Jaccard over an inverted-index join.
 
     shared(a,b) via groupBy on the token join; |a|,|b| from a tiny
     per-doc size table that broadcasts. Integer counts keep the
     similarity exact (no FP divergence vs the oracle).
+
+    Hot-token cap (the scale guard): a stop-word-like token with
+    document frequency ~n joins every doc with every other — O(n²) on
+    one join key. ``max_doc_freq`` (absolute) or ``max_df_frac``
+    (fraction of corpus size, SF-portable: cap = floor(frac * n_docs))
+    drops such tokens from the token SETS themselves — index and
+    per-doc sizes both — so the result is exactly "Jaccard over the
+    capped vocabulary" and stays oracle-mirrorable. The hot list is by
+    construction tiny (only tokens with df above the cap), so it
+    broadcasts and the prune is a map-side anti-join, no extra shuffle
+    of the big side.
     """
     toks = _doc_tokens(docs, text_col, id_col)
+    cap = None
+    if max_df_frac is not None:
+        total = docs.select(F.count(F.lit(1)).alias("__total"))
+        cap = F.floor(F.lit(float(max_df_frac)) * F.col("__total"))
+    elif max_doc_freq is not None:
+        total = None
+        cap = F.lit(int(max_doc_freq))
+    if cap is not None:
+        dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+        if max_df_frac is not None:
+            dfreq = dfreq.crossJoin(F.broadcast(total))
+        hot = dfreq.filter(F.col("__df") > cap).select("tok")
+        toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -262,6 +288,27 @@ def _minhash_pairs_sql(band_size: int = 4) -> str:
 # ---------------------------------------------------------------------------
 # registry wiring
 
+def _jaccard_sql(max_df_frac: float) -> str:
+    """DuckDB twin of :func:`jaccard_pairs` with the fractional df cap."""
+    return (
+        "WITH total AS (SELECT count(*) AS n FROM documents), "
+        "toks0 AS (SELECT DISTINCT doc_id, t.tok FROM documents, "
+        "  unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+        "dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok), "
+        "toks AS (SELECT toks0.doc_id, toks0.tok FROM toks0 "
+        "  JOIN dfreq USING (tok), total "
+        f"  WHERE df <= floor({max_df_frac!r} * total.n)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared "
+        "  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
+        "  GROUP BY a.doc_id, b.doc_id) "
+        "SELECT a_id, b_id, round(CAST(shared AS DOUBLE) / "
+        "  CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard "
+        "FROM shared JOIN sizes sa ON sa.doc_id = a_id "
+        "JOIN sizes sb ON sb.doc_id = b_id "
+        "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5"
+    )
+
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(table(spark, sf_dir, "documents"))
 
@@ -272,7 +319,16 @@ def _q_dedup_exact_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_chars").cast("long"))
 
 def _q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return jaccard_pairs(table(spark, sf_dir, "documents"))
+    # frac=1.0 wires the cap machinery with a no-op bound (df can never
+    # exceed n_docs), so this row stays byte-identical to the uncapped
+    # oracle at every SF while exercising the capped plan shape.
+    return jaccard_pairs(table(spark, sf_dir, "documents"), max_df_frac=1.0)
+
+def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # frac=0.8 actually drops hot tokens at every SF (the synthetic
+    # vocabulary has stop-word-like tokens at df ~0.8n); oracle mirrors
+    # the same floor(0.8 * n_docs) bound, so the row hash-matches.
+    return jaccard_pairs(table(spark, sf_dir, "documents"), max_df_frac=0.8)
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 tables: halves the candidate join vs the default 8 while the
@@ -294,6 +350,7 @@ QUERIES = {
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
     "dedup_jaccard_pairs": _q_dedup_jaccard,
+    "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,  # rows-only (spark conv/md5 path)
     "dedup_minhash_sig": _q_minhash_sig,
@@ -309,19 +366,8 @@ ORACLES = {
         "SELECT doc_id, lang, source, n_chars FROM documents "
         "WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))"
     ),
-    "dedup_jaccard_pairs": (
-        "WITH toks AS (SELECT DISTINCT doc_id, t.tok FROM documents, "
-        "  unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
-        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
-        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared "
-        "  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id "
-        "  GROUP BY a.doc_id, b.doc_id) "
-        "SELECT a_id, b_id, round(CAST(shared AS DOUBLE) / "
-        "  CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard "
-        "FROM shared JOIN sizes sa ON sa.doc_id = a_id "
-        "JOIN sizes sb ON sb.doc_id = b_id "
-        "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5"
-    ),
+    "dedup_jaccard_pairs": _jaccard_sql(max_df_frac=1.0),
+    "dedup_jaccard_capped": _jaccard_sql(max_df_frac=0.8),
     # dedup_minhash_lsh, dedup_simhash: rows-only (non-portable hash fns)
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),

@@ -41,6 +41,32 @@ def test_jaccard_near_dups(docs):
     # unrelated never pairs
     assert not any(3 in p for p in pairs)
 
+def test_jaccard_hot_token_cap(spark):
+    # 'stop' is a planted stop-word present in EVERY doc (df=4); the
+    # only other overlap between doc 0 and doc 1 is 'shared'.
+    rows = [
+        (0, "stop shared alpha beta"),
+        (1, "stop shared gamma delta"),
+        (2, "stop epsilon zeta eta"),
+        (3, "stop theta iota kappa"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # Uncapped: every pair shares 'stop' (1/7 = .143 for non-(0,1)
+    # pairs, 2/6 = .333 for (0,1)), so threshold .14 admits all 6.
+    uncapped = {(r["a_id"], r["b_id"]) for r in
+                jaccard_pairs(docs, threshold=0.14).collect()}
+    assert len(uncapped) == 6  # all C(4,2) pairs meet via 'stop'
+    # Capped at df<=3: 'stop' is dropped from the token sets; only the
+    # genuine 'shared' overlap remains => exactly (0,1) at 1/5.
+    capped = {(r["a_id"], r["b_id"]): r["jaccard"] for r in
+              jaccard_pairs(docs, threshold=0.14, max_doc_freq=3).collect()}
+    assert set(capped) == {(0, 1)}
+    assert abs(capped[(0, 1)] - 1 / 5) < 1e-6
+    # Fractional form: cap = floor(0.75 * 4) = 3, same result.
+    frac = {(r["a_id"], r["b_id"]) for r in
+            jaccard_pairs(docs, threshold=0.14, max_df_frac=0.75).collect()}
+    assert frac == {(0, 1)}
+
 def test_minhash_lsh_finds_planted_dups(spark, docs):
     pairs = {(r["a_id"], r["b_id"])
              for r in minhash_lsh_pairs(spark, docs, threshold=0.5).collect()}
