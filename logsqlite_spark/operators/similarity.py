@@ -202,28 +202,14 @@ def ivf_topk(
                 F.col("rank").cast("int"), F.round("sim", 6).alias("sim"))
     )
 
-def embedding_dedup_pairs(
-    emb: DataFrame,
-    threshold: float = 0.95,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (the dedup flavor of X3).
-
-    Exact all-pairs here (quantized-integer math, oracle-exact); at
-    corpus scale the identical scoring runs inside LSH/IVF candidate
-    sets (``ann_lsh_topk`` / ``ivf_topk``) instead of all pairs — the
-    threshold and arithmetic are shared, only candidate generation
-    changes.
-    """
-    a = _quantized(
-        emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
-        "av", "ai").withColumn("an", F.expr(_SQNORM.format(v="ai"))).drop("av")
-    b = _quantized(
-        emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv")),
-        "bv", "bi").withColumn("bn", F.expr(_SQNORM.format(v="bi"))).drop("bv")
+def _score_candidate_pairs(cand: DataFrame, threshold: float) -> DataFrame:
+    """Exact quantized-integer cosine over candidate (a_id,av,b_id,bv)
+    pairs — shared by every candidate-generation method so exact/lsh/ivf
+    differ ONLY in which pairs they consider, never in scoring."""
     return (
-        a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+        _quantized(_quantized(cand, "av", "ai"), "bv", "bi")
+        .withColumn("an", F.expr(_SQNORM.format(v="ai")))
+        .withColumn("bn", F.expr(_SQNORM.format(v="bi")))
         .filter((F.col("an") > 0) & (F.col("bn") > 0))
         .withColumn("dot", F.expr(_DOT.format(a="ai", b="bi")))
         .withColumn("sim", F.col("dot").cast("double")
@@ -232,6 +218,117 @@ def embedding_dedup_pairs(
         .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
                 F.round("sim", 6).alias("sim"))
     )
+
+def embedding_dedup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    num_hash_tables: int = 4,
+    bucket_length: float = 0.5,
+    n_clusters: int = 16,
+    n_assign: int = 2,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the dedup flavor of X3).
+
+    ``method`` picks candidate generation; scoring is always the same
+    exact quantized-integer cosine (:func:`_score_candidate_pairs`):
+
+    - ``"lsh"`` (default, the 100 TB path): random-projection LSH
+      self-join on L2-normalized vectors — only bucket-mates meet.
+      The join radius is ``sqrt(2 - 2*(threshold - 0.02))`` (cosine t
+      on the unit sphere = distance sqrt(2-2t); the 0.02 slack absorbs
+      normalization/quantization drift at the boundary). Approximate:
+      recall < 1 is possible, misses are cross-bucket near-dups.
+    - ``"ivf"``: KMeans inverted lists; each vector joins its
+      ``n_assign`` nearest lists, pairs sharing a list meet.
+    - ``"exact"``: all-pairs ``a_id < b_id`` — O(n²), validation and
+      oracle use only; this is deliberately NOT the default.
+    """
+    if method == "exact":
+        a = _quantized(
+            emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
+            "av", "ai").withColumn("an", F.expr(_SQNORM.format(v="ai"))).drop("av")
+        b = _quantized(
+            emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("bv")),
+            "bv", "bi").withColumn("bn", F.expr(_SQNORM.format(v="bi"))).drop("bv")
+        return (
+            a.join(F.broadcast(b), F.col("a_id") < F.col("b_id"))
+            .filter((F.col("an") > 0) & (F.col("bn") > 0))
+            .withColumn("dot", F.expr(_DOT.format(a="ai", b="bi")))
+            .withColumn("sim", F.col("dot").cast("double")
+                        / F.sqrt(F.col("an").cast("double") * F.col("bn").cast("double")))
+            .filter(F.col("sim") >= threshold)
+            .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                    F.round("sim", 6).alias("sim"))
+        )
+
+    from pyspark.ml.functions import array_to_vector
+
+    base = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+
+    if method == "lsh":
+        import math
+
+        from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+
+        normed = Normalizer(inputCol="__v", outputCol="__nv", p=2.0).transform(base)
+        lsh = BucketedRandomProjectionLSH(
+            inputCol="__nv", outputCol="__h", seed=42,
+            bucketLength=bucket_length, numHashTables=num_hash_tables)
+        model = lsh.fit(normed)
+        radius = math.sqrt(max(0.0, 2.0 - 2.0 * (threshold - 0.02)))
+        pairs = model.approxSimilarityJoin(normed, normed, radius, distCol="__d")
+        cand = (
+            pairs.filter(F.col("datasetA.id") < F.col("datasetB.id"))
+            .select(F.col("datasetA.id").alias("a_id"),
+                    F.col("datasetA.v").alias("av"),
+                    F.col("datasetB.id").alias("b_id"),
+                    F.col("datasetB.v").alias("bv"))
+        )
+    elif method == "ivf":
+        from pyspark.ml.clustering import KMeans
+
+        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                    predictionCol="__cluster")
+        model = km.fit(base)
+        centers = model.clusterCenters()
+        spark = emb.sparkSession
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "cid int, center array<double>",
+        )
+        # each vector joins its n_assign nearest lists (multi-assign
+        # covers boundary-straddling near-dup pairs a single-assign
+        # IVF would split across lists)
+        assigned = (
+            base.crossJoin(F.broadcast(centers_df))
+            .withColumn(
+                "d2",
+                F.expr("aggregate(zip_with(cast(v as array<double>), center, "
+                       "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+            )
+            .withColumn("pr", F.row_number().over(
+                Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))))
+            .filter(F.col("pr") <= n_assign)
+            .select("id", "v", "cid")
+        )
+        x, y = assigned.alias("x"), assigned.alias("y")
+        cand = (
+            x.join(y, on="cid")
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a_id"), F.col("x.v").alias("av"),
+                    F.col("y.id").alias("b_id"), F.col("y.v").alias("bv"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+
+    return _score_candidate_pairs(cand, threshold)
 
 def embedding_norms_by_label(emb: DataFrame) -> DataFrame:
     """Per-label mean quantized squared L2 norm — integer-exact agg."""
@@ -265,7 +362,16 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
-    # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95
+    # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95.
+    # method="exact" on purpose: this row validates the scoring math
+    # against the all-pairs DuckDB oracle; the public default is "lsh".
+    return embedding_dedup_pairs(table(spark, sf_dir, "embeddings"),
+                                 threshold=0.4, method="exact")
+
+def _q_embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path (default method): LSH candidates + exact rescore.
+    # rows-only in the driver gate (approximate by design); pytest pins
+    # that its pairs cover the planted near-dups found by exact mode.
     return embedding_dedup_pairs(table(spark, sf_dir, "embeddings"),
                                  threshold=0.4)
 
@@ -275,6 +381,7 @@ QUERIES = {
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
+    "dedup_embedding_ann": _q_embedding_dedup_ann,  # rows-only (ANN)
 }
 
 _ORACLE_QUANT = (

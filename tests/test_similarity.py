@@ -42,9 +42,14 @@ def test_embedding_dedup_pairs_finds_planted(spark):
         (3, [1.0, 0.001, 0.0, 0.0]),   # near-dup of 0 and 1
     ]
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
-    pairs = {(r["a_id"], r["b_id"]) for r in
-             embedding_dedup_pairs(emb, threshold=0.95).collect()}
-    assert pairs == {(0, 1), (0, 3), (1, 3)}
+    expected = {(0, 1), (0, 3), (1, 3)}
+    # every candidate-generation method must surface the planted dups;
+    # exact is the oracle path, lsh is the default, ivf the other ANN
+    for method in ("exact", "lsh", "ivf"):
+        pairs = {(r["a_id"], r["b_id"]) for r in
+                 embedding_dedup_pairs(emb, threshold=0.95,
+                                       method=method, n_clusters=2).collect()}
+        assert pairs == expected, method
 
 def test_lsh_topk_high_recall_on_tiny_set(spark, emb):
     q = emb.filter(F.col("vec_id") == 0)
