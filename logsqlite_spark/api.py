@@ -227,6 +227,19 @@ class Engine:
             return None
         return self.spark.read.parquet(str(p))
 
+    def out_of_order_df(self) -> DataFrame | None:
+        """Quarantined spool rows whose file name violated the
+        per-container monotonic-name invariant (sorted at or below the
+        consumed watermark without being a sanctioned replay). Nothing
+        here ever entered the logs table; re-ingest by rewriting the
+        rows to the spool under a fresh (monotonic) name."""
+        from pathlib import Path
+
+        p = Path(self.config.state_dir) / "out_of_order"
+        if not p.exists():
+            return None
+        return self.spark.read.parquet(str(p))
+
     def stop_all(self) -> None:
         for q in list(self._queries.values()):
             try:

@@ -87,7 +87,8 @@ def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
 
 def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
                  scope: str, batch_id: int | None,
-                 max_records_per_file: int) -> dict:
+                 max_records_per_file: int,
+                 on_stale: str = "quarantine") -> dict:
     """Assign seq and append one (micro-)batch; returns progress info.
 
     The append is exactly-once: rows land in the table's staging dir,
@@ -103,45 +104,67 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
 
     # File-level idempotence: spool file names are monotonic per
     # container (single writer), so anything at or below the
-    # last-consumed watermark is a replay — drop it. This is what makes
-    # batch pulls, streaming restarts, and lazy cleanSource deletion
-    # all safe to interleave without duplicate rows.
+    # last-consumed watermark is either a replay (batch re-pull,
+    # checkpoint rebuild) or — the dangerous case — an externally
+    # written file that VIOLATES name monotonicity and would otherwise
+    # be silently confused with a replay and lost. Neither enters the
+    # table, but ``on_stale="quarantine"`` (the default) parks the
+    # rows in ``state_dir/out_of_order`` and surfaces counters, so a
+    # misnamed file is an inspectable incident, not silent data loss.
+    # ``on_stale="drop"`` is for callers that replay by design
+    # (``consume=False`` batch re-pulls).
     last_file = st.get("last_file", {})
+    stale_cond = F.lit(False)
     if last_file:
         pairs = []
         for cid, name in last_file.items():
             pairs += [F.lit(cid), F.lit(name)]
         lf_col = F.element_at(F.create_map(*pairs), F.col("container_id"))
-        batch_df = batch_df.filter(lf_col.isNull() | (F.col("path") > lf_col))
+        stale_cond = lf_col.isNotNull() & (F.col("path") <= lf_col)
+    batch_df = batch_df.withColumn("__stale", stale_cond)
 
     batch_df = batch_df.persist()
     try:
         # ONE stats job over the raw batch: per-container file watermark
-        # + decode-error and good-row counts (one row per container, not
-        # per record). ``seq`` is a dense per-container row_number on
-        # top of the high-water mark, so max(seq) after the write is
-        # just high_water + n_good — no second aggregation job needed.
-        good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+        # + decode-error / good-row / stale-row counts (one row per
+        # container, not per record). ``seq`` is a dense per-container
+        # row_number on top of the high-water mark, so max(seq) after
+        # the write is just high_water + n_good — no second aggregation
+        # job needed. Watermark and counts consider live rows only.
+        live = (~F.col("__stale")).cast("long")
+        good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long") * live
         stats = (
             batch_df.groupBy("container_id")
             .agg(
-                F.max("path").alias("f"),
-                F.sum(1 - good).alias("e"),
+                F.max(F.when(~F.col("__stale"), F.col("path"))).alias("f"),
+                F.sum(live - good).alias("e"),
                 F.sum(good).alias("n"),
+                F.sum(1 - live).alias("st"),
             )
             .collect()
         )
         if not stats:
             return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
-        top_files = {r["container_id"]: r["f"] for r in stats}
+        top_files = {r["container_id"]: r["f"] for r in stats
+                     if r["f"] is not None}
         n_errors = sum(r["e"] for r in stats)
+        n_stale = sum(r["st"] for r in stats)
+        if n_stale and on_stale == "quarantine":
+            (
+                batch_df.filter(F.col("__stale"))
+                .select("path", "container_id", "frame_no", "source",
+                        "time_nano", "line")
+                .write.mode("append")
+                .parquet(str(Path(state_dir) / "out_of_order"))
+            )
         if n_errors:
             # T4 policy: corrupt frames never poison the stream — the
             # good prefix of the file was kept (decode stops at the bad
             # frame, like the reference restarting on DecodeError), and
             # the error row is quarantined for ops visibility.
             (
-                batch_df.filter(F.col("source") == DECODE_ERROR_SOURCE)
+                batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
+                                & ~F.col("__stale"))
                 .select("path", "container_id", "line")
                 .write.mode("append")
                 .parquet(str(Path(state_dir) / "decode_errors"))
@@ -152,7 +175,8 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
         if n_rows:
             staging = table.new_staging_dir()
             (
-                assign_seq(batch_df, st["high_water"])
+                assign_seq(batch_df.filter(~F.col("__stale")),
+                           st["high_water"])
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", max_records_per_file)
                 .partitionBy("container_id", "date")
@@ -166,6 +190,7 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
         return {
             "rows": int(n_rows),
             "decode_errors": int(n_errors),
+            "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
             "batch_id": batch_id,
             "high_water": dict(committed["high_water"]),
         }
@@ -204,8 +229,12 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     else:
         decoded = read_spool_batch(spark, spool_dir, container_id,
                                    paths=files)
+    # consume=True deletes what it reads, so a stale-named file later is
+    # a real monotonicity violation -> quarantine it. consume=False
+    # re-reads consumed files by design -> silently drop the replays.
     result = _write_batch(decoded, logs_dir, state_dir, "__pull__", None,
-                          max_records_per_file)
+                          max_records_per_file,
+                          on_stale="quarantine" if consume else "drop")
     if consume:
         for fp in files:
             if os.path.exists(fp):

@@ -93,6 +93,50 @@ def test_decode_error_rows_quarantined(spark, warehouse):
     assert res["rows"] == 1
     assert res["decode_errors"] == 1
 
+def test_out_of_order_spool_file_quarantined(spark, warehouse):
+    w = SpoolWriter(warehouse.spool_dir, "c1")
+    w.write_burst(_entries(BASE_TS, 3))
+    res1 = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                             warehouse.state_dir)
+    assert res1["rows"] == 3 and res1["out_of_order_rows"] == 0
+
+    # plant a file whose name sorts BELOW the consumed watermark — an
+    # external writer breaking the monotonic-name invariant
+    from pathlib import Path
+
+    from logsqlite_spark.sources.frames import encode_frame as enc
+
+    bad = Path(warehouse.spool_dir) / "c1" / "00000000000000000000_0.plog"
+    bad.write_bytes(b"".join(
+        enc(LogEntry(source="stdout", time_nano=BASE_TS + i,
+                     line=f"misnamed-{i}".encode())) for i in range(2)))
+    w.write_burst(_entries(BASE_TS + 10**10, 4))  # a legit file alongside
+
+    res2 = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                             warehouse.state_dir)
+    # the legit file ingested; the misnamed rows quarantined, not lost
+    assert res2["rows"] == 4
+    assert res2["out_of_order_rows"] == 2
+    logs = spark.read.parquet(warehouse.logs_dir)
+    assert logs.filter("container_id = 'c1'").count() == 7
+    assert not any("misnamed" in r["line"]
+                   for r in logs.select("line").collect())
+    ooo = spark.read.parquet(f"{warehouse.state_dir}/out_of_order")
+    assert sorted(r["line"] for r in ooo.collect()) == \
+        ["misnamed-0\n", "misnamed-1\n"]
+
+    # consume=False replays are sanctioned: nothing new lands in
+    # quarantine when re-reading an unconsumed spool
+    w2 = SpoolWriter(warehouse.spool_dir, "c2")
+    w2.write_burst(_entries(BASE_TS, 2))
+    r3 = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                           warehouse.state_dir, consume=False)
+    assert r3["rows"] == 2
+    r4 = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                           warehouse.state_dir, consume=False)
+    assert r4.get("rows", 0) == 0 and r4.get("out_of_order_rows", 0) == 0
+    assert spark.read.parquet(f"{warehouse.state_dir}/out_of_order").count() == 2
+
 def test_streaming_ingest_end_to_end(spark, warehouse):
     w = SpoolWriter(warehouse.spool_dir, "cs")
     w.write_burst(_entries(BASE_TS, 5))
