@@ -73,8 +73,14 @@ def make_session_fn(gap_us: int):
                 # closed by the gap
                 closed.append((container_id, t, t, 1))
         state.update((start, last, n))
-        # close the open session once the watermark passes start+gap
-        state.setTimeoutTimestamp(last // 1000 + gap_us // 1000)
+        # close the open session once the watermark passes last+gap;
+        # clamp above the current watermark (a late event could compute
+        # a timeout the state store rejects)
+        close_at = last // 1000 + gap_us // 1000
+        wm = state.getCurrentWatermarkMs()
+        if wm >= 0 and close_at <= wm:
+            close_at = wm + 1
+        state.setTimeoutTimestamp(close_at)
         yield pd.DataFrame(
             closed, columns=["container_id", "session_start",
                              "session_end", "n_events"])
@@ -86,8 +92,8 @@ PARTIAL_OUT_SCHEMA = (
     "source string, line string"
 )
 PARTIAL_STATE_SCHEMA = (
-    "seq long, ts_nanos long, source string, frags array<string>, "
-    "ords array<int>, got_last boolean"
+    "seq long, ts_nanos long, max_ts long, source string, "
+    "frags array<string>, ords array<int>, got_last boolean"
 )
 
 def make_partial_fn(timeout_ms: int):
@@ -96,11 +102,15 @@ def make_partial_fn(timeout_ms: int):
     One state row per open (container, partial_id): accumulated
     fragments + ordinals. Emits the merged line when the ``last``
     fragment arrives, or flushes whatever arrived once the watermark
-    passes last-fragment-time + timeout (a fragment stream that died
-    mid-line still yields a row — matching the reference's best-effort
-    storage of partials). Event-time timeout, not processing-time: a
-    processing-time timeout forces the engine into a permanent
-    no-data-batch loop just to poll clocks.
+    passes the NEWEST fragment's event time + timeout (a fragment
+    stream that died mid-line still yields a row — matching the
+    reference's best-effort storage of partials). The emitted row's
+    ``ts_nanos`` is the OLDEST fragment's time (the line "began"
+    then); the two are tracked separately so a partial whose fragments
+    trickle in for longer than the timeout keeps getting extended
+    instead of being flushed early as two split rows. Event-time
+    timeout, not processing-time: a processing-time timeout forces the
+    engine into a permanent no-data-batch loop just to poll clocks.
     """
 
     def update(key, pdfs, state: GroupState):
@@ -116,22 +126,24 @@ def make_partial_fn(timeout_ms: int):
 
         if state.hasTimedOut:
             if state.exists:
-                seq, ts, source, frags, ords, _ = state.get
+                seq, ts, _max_ts, source, frags, ords, _ = state.get
                 state.remove()
                 yield emit(seq, ts, source, list(frags), list(ords))
             return
 
         if state.exists:
-            seq, ts, source, frags, ords, got_last = state.get
+            seq, ts, max_ts, source, frags, ords, got_last = state.get
             frags, ords = list(frags), list(ords)
         else:
-            seq = ts = None
+            seq = ts = max_ts = None
             source, frags, ords, got_last = "", [], [], False
 
         for pdf in pdfs:
             for r in pdf.itertuples():
+                t = int(r.ts_nanos)
                 seq = int(r.seq) if seq is None else min(seq, int(r.seq))
-                ts = int(r.ts_nanos) if ts is None else min(ts, int(r.ts_nanos))
+                ts = t if ts is None else min(ts, t)
+                max_ts = t if max_ts is None else max(max_ts, t)
                 source = r.source or source
                 frags.append(r.line)
                 ords.append(int(r.ordinal))
@@ -142,9 +154,16 @@ def make_partial_fn(timeout_ms: int):
                 state.remove()
             yield emit(seq, ts, source, frags, ords)
         else:
-            state.update((seq, ts, source, frags, ords, got_last))
-            # flush when the watermark passes last fragment time + grace
-            state.setTimeoutTimestamp(ts // 1_000_000 + timeout_ms)
+            state.update((seq, ts, max_ts, source, frags, ords, got_last))
+            # flush when the watermark passes newest-fragment time +
+            # grace; clamp above the current watermark — a timestamp at
+            # or below it is rejected by the state store (a very late
+            # fragment could otherwise kill the query)
+            flush_at = max_ts // 1_000_000 + timeout_ms
+            wm = state.getCurrentWatermarkMs()
+            if wm >= 0 and flush_at <= wm:
+                flush_at = wm + 1
+            state.setTimeoutTimestamp(flush_at)
             yield pd.DataFrame(
                 columns=["container_id", "partial_id", "seq", "ts_nanos",
                          "source", "line"])

@@ -127,6 +127,61 @@ def test_streaming_partial_flush_on_watermark_timeout(spark, tmp_path):
         q.stop()
     assert lines == ["ORPHAN\n"]  # best-effort flush of the dead partial
 
+def test_streaming_partial_trickle_extends_flush_deadline(spark, tmp_path):
+    # fragments arriving farther apart than the flush timeout must keep
+    # ONE state row (deadline from the NEWEST fragment), not be split
+    # into two emitted rows by an early min-ts-based flush
+    from logsqlite_spark.streaming.stateful import streaming_reassemble_partials
+
+    src = str(tmp_path / "pin3")
+    base_schema = ("seq long, ts_nanos long, source string, line string, "
+                   "partial boolean, "
+                   "partial_meta struct<last:boolean,id:string,ordinal:int>, "
+                   "container_id string")
+    T0 = BASE * 10**9
+    S = 10**9
+    full_schema = None
+
+    def write(rows):
+        nonlocal full_schema
+        df = spark.createDataFrame(rows, base_schema).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts_nanos div 1000")))
+        full_schema = df.schema
+        df.coalesce(1).write.mode("append").parquet(src)
+
+    write([(1, T0, "stdout", "AAA\n", True, (False, "p1", 1), "c1")])
+    stream = spark.readStream.schema(full_schema) \
+        .option("maxFilesPerTrigger", "1").parquet(src)
+    out = streaming_reassemble_partials(stream, flush_timeout_ms=1_000,
+                                        watermark="1 second")
+    name = f"pt_{int(time.time()*1000)}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        # 5s later (>> 1s timeout) the second fragment trickles in;
+        # watermark advances to T0+4s, past the OLD min-based deadline
+        write([(2, T0 + 5 * S, "stdout", "BBB\n", True,
+                (False, "p1", 2), "c1")])
+        q.processAllAvailable()
+        # unrelated key triggers a batch that evaluates timeouts at
+        # wm=T0+4s; p1's deadline is now T0+6s so it must survive
+        write([(9, T0 + 5 * S, "stdout", "X\n", True,
+                (False, "q2", 1), "c1")])
+        q.processAllAvailable()
+        assert [r["line"] for r in spark.sql(
+            f"SELECT * FROM {name} WHERE partial_id = 'p1'").collect()] == []
+        # the closing fragment completes the line — one merged row
+        write([(3, T0 + 10 * S, "stdout", "CCC\n", True,
+                (True, "p1", 3), "c1")])
+        q.processAllAvailable()
+        rows = spark.sql(
+            f"SELECT * FROM {name} WHERE partial_id = 'p1'").collect()
+    finally:
+        q.stop()
+    assert [r["line"] for r in rows] == ["AAABBBCCC\n"]
+    assert rows[0]["ts_nanos"] == T0  # emitted ts stays the OLDEST fragment
+
 def test_streaming_sessions_merge_late_arrivals(spark, tmp_path):
     src = str(tmp_path / "in")
     M = 1_000_000
