@@ -34,6 +34,7 @@ from logsqlite_spark.operators import similarity as SIM
 from logsqlite_spark.operators import textstats as TS
 from logsqlite_spark.operators import tpch as TP
 from logsqlite_spark.operators import relational as RL
+from logsqlite_spark.operators import multimodal as MM
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -337,6 +338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TS.QUERIES)
     out.update(TP.QUERIES)
     out.update(RL.QUERIES)
+    out.update(MM.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -346,6 +348,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TS.ORACLES)
     out.update(TP.ORACLES)
     out.update(RL.ORACLES)
+    out.update(MM.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -51,6 +51,37 @@ def test_sample_frames_cadence(media):
         == [0, 1000, 2000, 3000]
     assert {r["media_id"] for r in out} == {3}
 
+def test_bytestat_features_pinned():
+    # the supported codec-free featurizer is exact: pin its values so
+    # any change to the byte fold is a deliberate, visible break
+    from logsqlite_spark.operators.multimodal import (
+        FEATURE_DIM,
+        _bytestat_features,
+    )
+
+    assert _bytestat_features(b"") == [0.0] * FEATURE_DIM
+    f = _bytestat_features(b"abc")
+    assert f[0] == 97 / 100_000 and f[1] == 98 / 100_000
+    assert f[3] == 0.0
+    # stripe wrap: byte 16 folds into stripe 0 as (97*31 + 113) % 1e5
+    g = _bytestat_features(b"a" * 16 + b"q")
+    assert g[0] == ((97 * 31 + 113) % 100_000) / 100_000
+
+def test_media_from_documents_deterministic(spark):
+    from logsqlite_spark.operators.multimodal import media_from_documents
+
+    docs = spark.createDataFrame(
+        [(0, "alpha", 5), (1, "beta", 4), (2, "gamma", 5)],
+        "doc_id long, text string, n_chars long")
+    rows = {r["media_id"]: r for r in media_from_documents(docs).collect()}
+    assert bytes(rows[0]["payload"]) == b"alpha"
+    assert rows[0]["meta"]["media_type"] == "image"
+    assert rows[1]["meta"]["media_type"] == "audio"
+    assert rows[1]["meta"]["sample_rate"] == 16000
+    assert rows[1]["meta"]["duration_ms"] == 40
+    assert rows[2]["meta"]["media_type"] == "video"
+    assert rows[2]["meta"]["width"] == 66 and rows[2]["meta"]["height"] == 66
+
 def test_media_stats_prunes_payload(spark, media, tmp_path):
     path = str(tmp_path / "media")
     media.write.parquet(path)
