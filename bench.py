@@ -64,6 +64,31 @@ def main() -> None:
 
     spark.range(64, numPartitions=32).mapInArrow(_noop_arrow, "id long").count()
 
+    # Warm the ingest pipeline itself (window codegen, parquet writer,
+    # shuffle) with a tiny throwaway run per format — whichever format
+    # is timed first otherwise absorbs the one-time JVM setup and the
+    # plog/jsonl comparison is skewed by ordering, not by decode cost.
+    import tempfile
+
+    from logsqlite_spark.config import EngineConfig
+    from logsqlite_spark.sources.frames import LogEntry
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+    from logsqlite_spark.sources.spool import SpoolWriter
+    from logsqlite_spark.streaming.ingest import ingest_spool_once
+
+    base_ts = 1_704_067_200_000_000_000
+    wcfg = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix="bench-warm-"))
+    SpoolWriter(wcfg.spool_dir, "w0").write_burst(
+        LogEntry(source="stdout", time_nano=base_ts + j, line=b"warm")
+        for j in range(500))
+    ingest_spool_once(spark, wcfg.spool_dir, wcfg.logs_dir, wcfg.state_dir)
+    wcfg2 = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix="bench-warmj-"))
+    JsonlSpoolWriter(wcfg2.spool_dir, "w0").write_burst(
+        {"source": "stdout", "time_nano": base_ts + j, "line": "warm"}
+        for j in range(500))
+    ingest_spool_once(spark, wcfg2.spool_dir, wcfg2.logs_dir, wcfg2.state_dir,
+                      fmt="jsonl")
+
     def run_suite(run_tag: str) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in BENCH_QUERIES:
@@ -78,14 +103,6 @@ def main() -> None:
         # ingest throughput: spool -> decode -> seq -> partitioned
         # parquet (the reference's headline capability; it logs lines/s
         # per tx). Fresh warehouse per run.
-        import tempfile
-
-        from logsqlite_spark.config import EngineConfig
-        from logsqlite_spark.sources.frames import LogEntry
-        from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
-        from logsqlite_spark.sources.spool import SpoolWriter
-        from logsqlite_spark.streaming.ingest import ingest_spool_once
-
         n_lines, n_containers, burst = 100_000, 8, 5_000
         base_ts = 1_704_067_200_000_000_000
         per = n_lines // n_containers
