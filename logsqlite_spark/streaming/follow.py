@@ -31,6 +31,7 @@ from logsqlite_spark.schema import LOGS_SCHEMA
 
 FOLLOW_WAKETIME_S = 1.0
 FOLLOW_COUNTER_MAX = 3600
+FOLLOW_EMIT_BATCH = 10_000  # rows per yielded chunk during catch-up
 
 def follow_iter(
     get_logs: Callable[[], DataFrame],
@@ -62,10 +63,24 @@ def follow_iter(
             tail=tail if first else None,
             cursor=cursor,
         )
-        rows = df.collect()
+        # toLocalIterator: one partition in driver memory at a time —
+        # a poll that catches up over a large backlog (first poll after
+        # a long-down client) never materializes it all at once. The
+        # wire path (operators/wire.py) has the same discipline.
+        emitted = False
+        rows: list[Row] = []
+        for row in df.toLocalIterator():
+            rows.append(row)
+            if len(rows) >= FOLLOW_EMIT_BATCH:
+                yield rows
+                cursor = rows[-1]["seq"] + 1
+                emitted = True
+                rows = []
         if rows:
             yield rows
             cursor = rows[-1]["seq"] + 1
+            emitted = True
+        if emitted:
             idle = 0
         else:
             idle += 1
