@@ -227,6 +227,14 @@ class Engine:
             return None
         return self.spark.read.parquet(str(p))
 
+    def serve_logdriver(self, socket_path: str):
+        """Serve the Docker LogDriver HTTP protocol on a unix socket
+        (the reference's plugin surface, main.rs:97-110). Returns the
+        started :class:`logsqlite_spark.server.LogDriverServer`."""
+        from logsqlite_spark.server import LogDriverServer
+
+        return LogDriverServer(self, socket_path).start()
+
     def out_of_order_df(self) -> DataFrame | None:
         """Quarantined spool rows whose file name violated the
         per-container monotonic-name invariant (sorted at or below the
