@@ -37,6 +37,8 @@ BENCH_QUERIES = [
     # engine health
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
+    "tpch_q5_local_volume",
+    "tpch_q18_large_orders",
     # LLM-pipeline operators
     "dedup_exact_groups",
     "dedup_simhash",

@@ -91,6 +91,96 @@ def revenue_forecast(lineitem: DataFrame) -> DataFrame:
         )
     )
 
+def local_supplier_volume(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, supplier: DataFrame,
+                          nation: DataFrame, region: DataFrame,
+                          region_name: str = "AMERICA") -> DataFrame:
+    """Q5 shape: revenue by nation where customer and supplier share a
+    nation, one region, one year.
+
+    Scale shape: the only big-big join is lineitem⋈orders on orderkey
+    (shuffle, AQE-replanned); supplier/nation/region and the filtered
+    customer projection broadcast. The c_nationkey = s_nationkey
+    equi-condition rides the customer join, not a separate shuffle.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    nat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    sup = supplier.join(F.broadcast(nat),
+                        F.col("s_nationkey") == F.col("n_nationkey")) \
+                  .select("s_suppkey", "s_nationkey", "n_name")
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    li = lineitem.select("l_orderkey", "l_suppkey",
+                         _cents("l_extendedprice").alias("price_c"),
+                         _cents("l_discount").alias("disc_c"))
+    return (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+              (F.col("o_custkey") == F.col("c_custkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("long").alias("revenue_u"))
+        .select("n_name", "revenue_u")
+    )
+
+def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
+                        ym: str = "1996-03") -> DataFrame:
+    """Q14 shape: promo revenue fraction for one month — conditional
+    aggregation over a fact⋈dim join (part broadcasts).
+
+    The ratio is ONE double division of two exact integer sums, so it
+    is bit-identical across engines; rounded to 6 places regardless.
+    """
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(f"{ym}-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.add_months(F.lit(f"{ym}-01").cast("timestamp"), 1))
+    ).select("l_partkey", _cents("l_extendedprice").alias("price_c"),
+             _cents("l_discount").alias("disc_c"))
+    joined = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                     li.l_partkey == F.col("p_partkey"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
+    return joined.agg(
+        F.sum(promo).cast("long").alias("promo_revenue_u"),
+        F.sum(rev).cast("long").alias("total_revenue_u"),
+        F.round(F.sum(promo).cast("double") * 100.0
+                / F.sum(rev).cast("double"), 6).alias("promo_pct"),
+    )
+
+def large_quantity_orders(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, min_qty: int = 200,
+                          k: int = 20) -> DataFrame:
+    """Q18 shape: largest-volume orders — self-aggregation of the fact
+    table, HAVING filter, then joins + top-k.
+
+    Scale shape: the groupBy(l_orderkey) is map-side combinable; the
+    HAVING filter shrinks the fact side to a sliver BEFORE the orders
+    join; top-k is TakeOrderedAndProject, never a full sort.
+    """
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(_cents("l_quantity")).alias("sum_qty_c"))
+        .filter(F.col("sum_qty_c") > min_qty * 100)
+    )
+    joined = (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    return (
+        joined.orderBy(F.col("sum_qty_c").desc(), F.col("l_orderkey"))
+        .limit(k)
+        .select(F.col("c_name"), F.col("l_orderkey").cast("long"),
+                _cents("o_totalprice").alias("o_totalprice_c"),
+                F.col("sum_qty_c").cast("long"))
+    )
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -104,10 +194,28 @@ def _q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     return revenue_forecast(table(spark, sf_dir, "lineitem"))
 
+def _q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return local_supplier_volume(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"), table(spark, sf_dir, "region"))
+
+def _q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return promo_revenue_share(table(spark, sf_dir, "lineitem"),
+                               table(spark, sf_dir, "part"))
+
+def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return large_quantity_orders(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
     "tpch_q6_forecast": _q_tpch_q6,
+    "tpch_q5_local_volume": _q_tpch_q5,
+    "tpch_q14_promo": _q_tpch_q14,
+    "tpch_q18_large_orders": _q_tpch_q18,
 }
 
 ORACLES = {
@@ -138,5 +246,46 @@ ORACLES = {
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+    ),
+    "tpch_q5_local_volume": (
+        "SELECT n_name, CAST(sum("
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100)"
+        ") AS BIGINT) AS revenue_u "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'AMERICA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY n_name"
+    ),
+    "tpch_q14_promo": (
+        "WITH li AS (SELECT "
+        "CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100) AS rev, "
+        "p_type FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00') "
+        "SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS BIGINT) "
+        "  AS promo_revenue_u, "
+        "CAST(sum(rev) AS BIGINT) AS total_revenue_u, "
+        "round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE 0 END) AS DOUBLE) "
+        "  * 100.0 / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct "
+        "FROM li"
+    ),
+    "tpch_q18_large_orders": (
+        "WITH big AS (SELECT l_orderkey, "
+        "sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_qty_c "
+        "FROM lineitem GROUP BY l_orderkey HAVING sum_qty_c > 20000) "
+        "SELECT c_name, l_orderkey, "
+        "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS o_totalprice_c, "
+        "sum_qty_c FROM big "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "ORDER BY sum_qty_c DESC, l_orderkey LIMIT 20"
     ),
 }

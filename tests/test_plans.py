@@ -61,6 +61,21 @@ def test_small_dim_join_broadcasts(spark):
     )
     assert has_broadcast_join(df)
 
+def test_q5_q18_join_shapes(spark):
+    # q5: six-way join — every dim side broadcasts, never a cartesian;
+    # q18: HAVING-filtered self-agg then top-k via TakeOrderedAndProject
+    from logsqlite_spark.operators.tpch import _q_tpch_q5, _q_tpch_q18
+
+    q5 = _q_tpch_q5(spark, SF)
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan5
+    assert has_broadcast_join(q5)
+
+    q18 = _q_tpch_q18(spark, SF)
+    assert has_take_ordered(q18)
+    plan18 = q18._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan18
+
 def test_asof_join_is_single_shuffle_no_join_operator(spark):
     # the union+window as-of compiles to ONE hash exchange and zero
     # join operators — no per-row probes, no nested loops
