@@ -1,0 +1,118 @@
+"""Window-function analytics surface over ``events`` (engine health).
+
+Running aggregates, lag deltas, and per-group ranking — the window
+shapes a log-analytics user reaches for right after filters and
+group-bys. Not reference parity (logsqlite has no window functions);
+they pin Spark's WindowExec paths with exact oracles.
+
+Oracle determinism: every windowed value is computed on exact integers
+(floor-quantized cents, epoch-micros) with a total order inside each
+partition (tiebreak on ``event_id``), so running sums and ranks are
+bit-identical across engines regardless of physical row order — the
+FP-summation order trap (ADR in tpch.py) never arises.
+
+Scale notes: all three queries are a single hash-partition shuffle on
+``user_id`` (or none when the source is already bucketed by user);
+WindowExec sorts within partitions — skew is bounded by events-per-
+user, and a hot user salts the same way a hot container does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+_CENTS = "cast(floor(cast(value as double) * 100 + 0.5) as bigint)"
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", "user_id", "event_type",
+        F.expr("ts div 1000").alias("ts_us"),
+        F.expr(_CENTS).alias("value_c"),
+    )
+
+
+def running_value(events: DataFrame) -> DataFrame:
+    """Cumulative spend per user in arrival order — integer-exact."""
+    w = (Window.partitionBy("user_id")
+         .orderBy("ts_us", "event_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        "ts_us",
+        F.sum("value_c").over(w).cast("long").alias("cum_value_c"),
+    )
+
+
+def lag_delta(events: DataFrame) -> DataFrame:
+    """Inter-event gap per user (µs); first event has no predecessor."""
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    return events.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        (F.col("ts_us") - F.lag("ts_us").over(w)).cast("long")
+        .alias("delta_us"),
+    )
+
+
+def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k events by value within each user — WindowGroupLimit shape:
+    the rank filter is pushed into the window sort, so each partition
+    keeps k rows instead of ranking everything."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value_c").desc(), F.col("event_id"))
+    return (
+        events.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("user_id").cast("long"), F.col("event_id").cast("long"),
+                F.col("value_c").cast("long"), F.col("rnk").cast("int"))
+    )
+
+
+def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return running_value(_events(spark, sf_dir))
+
+
+def _q_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lag_delta(_events(spark, sf_dir))
+
+
+def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_events_per_user(_events(spark, sf_dir))
+
+
+QUERIES = {
+    "events_running_value": _q_running,
+    "events_lag_delta": _q_lag,
+    "events_topk_per_user": _q_topk,
+}
+
+_EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
+       "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS value_c "
+       "FROM events")
+
+ORACLES = {
+    "events_running_value": (
+        f"WITH ev AS ({_EV}) "
+        "SELECT event_id, user_id, ts_us, "
+        "CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts_us, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS cum_value_c FROM ev"
+    ),
+    "events_lag_delta": (
+        f"WITH ev AS ({_EV}) "
+        "SELECT event_id, user_id, "
+        "CAST(ts_us - lag(ts_us) OVER (PARTITION BY user_id "
+        "ORDER BY ts_us, event_id) AS BIGINT) AS delta_us FROM ev"
+    ),
+    "events_topk_per_user": (
+        f"WITH ev AS ({_EV}), r AS (SELECT user_id, event_id, value_c, "
+        "row_number() OVER (PARTITION BY user_id ORDER BY value_c DESC, "
+        "event_id) AS rnk FROM ev) "
+        "SELECT user_id, event_id, value_c, CAST(rnk AS INT) AS rnk "
+        "FROM r WHERE rnk <= 3"
+    ),
+}

@@ -35,6 +35,7 @@ from logsqlite_spark.operators import textstats as TS
 from logsqlite_spark.operators import tpch as TP
 from logsqlite_spark.operators import relational as RL
 from logsqlite_spark.operators import multimodal as MM
+from logsqlite_spark.operators import analytics as AN
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -339,6 +340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(TP.QUERIES)
     out.update(RL.QUERIES)
     out.update(MM.QUERIES)
+    out.update(AN.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -349,6 +351,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(TP.ORACLES)
     out.update(RL.ORACLES)
     out.update(MM.ORACLES)
+    out.update(AN.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

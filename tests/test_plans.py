@@ -61,6 +61,15 @@ def test_small_dim_join_broadcasts(spark):
     )
     assert has_broadcast_join(df)
 
+def test_window_topk_uses_group_limit(spark):
+    # rank<=k must push into the window sort (WindowGroupLimit), so a
+    # partition keeps k rows instead of fully ranking every user
+    from logsqlite_spark.operators.analytics import _q_topk
+
+    df = _q_topk(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
 def test_q5_q18_join_shapes(spark):
     # q5: six-way join — every dim side broadcasts, never a cartesian;
     # q18: HAVING-filtered self-agg then top-k via TakeOrderedAndProject
