@@ -189,6 +189,47 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
         simhash64(text_col, n_bits).alias("simhash"),
     )
 
+def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3,
+                       n_bits: int = 32, n_bands: int = 4,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """X2 (simhash flavor, the scale path): Hamming-banded near-dup
+    pairs.
+
+    Pigeonhole: two fingerprints within Hamming distance < n_bands
+    must agree on at least one band, so an equi-join on (band, chunk)
+    finds every such pair without an all-pairs comparison; the exact
+    ``bit_count(xor)`` filter then removes band-collision false
+    positives. Candidate volume is governed by band width (n_bits /
+    n_bands): wider bands = fewer, more precise candidates. A
+    degenerate hot chunk (e.g. many empty docs hashing to 0) is the
+    same skew class as a hot token — AQE skew-join splits it.
+    """
+    width = n_bits // n_bands
+    sim = simhash_dedup(docs, text_col, id_col, n_bits)
+    bands = (
+        sim.select(
+            "doc_id", "simhash",
+            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
+        .withColumn(
+            "chunk",
+            F.expr(f"(simhash div shiftleft(1L, band * {width})) "
+                   f"% shiftleft(1L, {width})"))
+    )
+    a = bands.select(F.col("doc_id").alias("a_id"),
+                     F.col("simhash").alias("sa"), "band", "chunk")
+    b = bands.select(F.col("doc_id").alias("b_id"),
+                     F.col("simhash").alias("sb"), "band", "chunk")
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "sa", "sb")
+        .dropDuplicates(["a_id", "b_id"])
+        .withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a_id", "b_id", "hamming")
+    )
+
 # --- portable MinHash (oracle-checkable) ------------------------------------
 # K universal-hash permutations over 5-char shingles. All math is in
 # int64-safe integer space so Spark and DuckDB agree bit-for-bit:
@@ -340,6 +381,47 @@ def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(table(spark, sf_dir, "documents"))
 
+def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_band_pairs(table(spark, sf_dir, "documents"))
+
+def _simhash_sql(n_bits: int = 32) -> str:
+    """DuckDB twin of :func:`simhash64` over documents: same md5-hex
+    token hash as the minhash oracle, bit votes via unnest x range."""
+    return (
+        "SELECT d.doc_id, CAST(coalesce(s.simhash, 0) AS BIGINT) AS simhash "
+        "FROM documents d LEFT JOIN ( "
+        "  WITH toks AS (SELECT doc_id, "
+        "    CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h "
+        "    FROM documents, unnest(string_split(text, ' ')) AS t(tok) "
+        "    WHERE t.tok <> ''), "
+        "  votes AS (SELECT doc_id, bb.b AS bit, "
+        "    sum(CASE WHEN (h // (CAST(1 AS BIGINT) << bb.b)) % 2 = 1 "
+        "        THEN 1 ELSE -1 END) AS v "
+        f"    FROM toks, (SELECT unnest(range({n_bits})) AS b) bb "
+        "    GROUP BY doc_id, bb.b) "
+        "  SELECT doc_id, sum(CASE WHEN v > 0 "
+        "    THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS simhash "
+        "  FROM votes GROUP BY doc_id "
+        ") s ON d.doc_id = s.doc_id"
+    )
+
+def _simhash_pairs_sql(max_hamming: int = 3, n_bits: int = 32,
+                       n_bands: int = 4) -> str:
+    width = n_bits // n_bands
+    return (
+        f"WITH sim AS ({_simhash_sql(n_bits)}), "
+        "bands AS (SELECT doc_id, simhash, bb.b AS band, "
+        f"  (simhash // (CAST(1 AS BIGINT) << (bb.b * {width}))) "
+        f"  % (CAST(1 AS BIGINT) << {width}) AS chunk "
+        f"  FROM sim, (SELECT unnest(range({n_bands})) AS b) bb), "
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "  a.simhash AS sa, b.simhash AS sb "
+        "  FROM bands a JOIN bands b "
+        "  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
+        "SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
+        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+    )
+
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(table(spark, sf_dir, "documents"))
 
@@ -352,7 +434,8 @@ QUERIES = {
     "dedup_jaccard_pairs": _q_dedup_jaccard,
     "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
-    "dedup_simhash": _q_dedup_simhash,  # rows-only (spark conv/md5 path)
+    "dedup_simhash": _q_dedup_simhash,
+    "dedup_simhash_pairs": _q_dedup_simhash_pairs,
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
 }
@@ -368,7 +451,9 @@ ORACLES = {
     ),
     "dedup_jaccard_pairs": _jaccard_sql(max_df_frac=1.0),
     "dedup_jaccard_capped": _jaccard_sql(max_df_frac=0.8),
-    # dedup_minhash_lsh, dedup_simhash: rows-only (non-portable hash fns)
+    # dedup_minhash_lsh: rows-only (ml-internal hash fns)
+    "dedup_simhash": _simhash_sql(),
+    "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),
 }

@@ -91,6 +91,20 @@ def test_minhash_band_pairs_find_planted(docs):
     assert {(0, 1), (0, 4), (1, 4)} <= pairs
     assert not any(3 in p for p in pairs)
 
+def test_simhash_band_pairs_find_planted(docs):
+    from logsqlite_spark.operators.dedup import simhash_band_pairs
+
+    # 8 bands of 4 bits: pigeonhole guarantees recall for hamming < 8
+    # (the planted near-dup sits at distance 6)
+    pairs = {(r["a_id"], r["b_id"]): r["hamming"]
+             for r in simhash_band_pairs(docs, max_hamming=7,
+                                         n_bands=8).collect()}
+    # exact dups are Hamming-0 and must always band-collide
+    assert pairs[(0, 1)] == 0 and pairs[(0, 4)] == 0 and pairs[(1, 4)] == 0
+    # the near-dup is within the radius; the unrelated doc is not
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0
+    assert not any(3 in p for p in pairs)
+
 def test_simhash_identical_texts_same_hash(docs):
     got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs).collect()}
     assert got[0] == got[1] == got[4]
