@@ -36,6 +36,7 @@ from logsqlite_spark.operators import tpch as TP
 from logsqlite_spark.operators import relational as RL
 from logsqlite_spark.operators import multimodal as MM
 from logsqlite_spark.operators import analytics as AN
+from logsqlite_spark.operators import skew as SK
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -341,6 +342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(RL.QUERIES)
     out.update(MM.QUERIES)
     out.update(AN.QUERIES)
+    out.update(SK.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -352,6 +354,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(RL.ORACLES)
     out.update(MM.ORACLES)
     out.update(AN.ORACLES)
+    out.update(SK.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

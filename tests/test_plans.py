@@ -61,6 +61,25 @@ def test_small_dim_join_broadcasts(spark):
     )
     assert has_broadcast_join(df)
 
+def test_salted_agg_two_stage_and_exact(spark):
+    # the salted plan shuffles twice ((key,salt) then key) and the
+    # result is bit-identical to the plain aggregate on a skewed input
+    from logsqlite_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [("hot", i) for i in range(5000)] + [("cold", i) for i in range(7)],
+        "k string, v long")
+    out = salted_agg(df, ["k"], {"n": "count", "s": "sum:v", "mx": "max:v"},
+                     salt_col="v", n_salt=8)
+    got = {r["k"]: (r["n"], r["s"], r["mx"]) for r in out.collect()}
+    assert got == {"hot": (5000, sum(range(5000)), 4999),
+                   "cold": (7, 21, 6)}
+    # two logical shuffle stages: (k, __salt) then (k). AQE's plan
+    # string can render an exchange more than once, so assert the two
+    # distinct partitionings rather than an occurrence count.
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(k" in plan and "__salt" in plan
+
 def test_window_topk_uses_group_limit(spark):
     # rank<=k must push into the window sort (WindowGroupLimit), so a
     # partition keeps k rows instead of fully ranking every user
