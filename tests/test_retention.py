@@ -102,6 +102,48 @@ def test_drop_container(spark, tmp_path):
     left = ManifestTable(logs_dir).read_df(spark)
     assert left.select("container_id").distinct().collect()[0][0] == "c2"
 
+def test_reader_loop_during_maintenance_never_fails(spark, tmp_path):
+    """Readers in a tight loop while retention + compaction + gc churn
+    the table: zero read failures, and every observed count is a state
+    the table legally passed through (the manifest commit contract)."""
+    import threading
+
+    from logsqlite_spark.operators.compact import compact_container
+
+    logs_dir = _write_logs_table(spark, tmp_path)
+    table = ManifestTable(logs_dir)
+    table.import_existing()
+
+    errors: list[Exception] = []
+    counts: set[int] = set()
+    stop = threading.Event()
+
+    def reader():
+        while not stop.is_set():
+            try:
+                counts.add(
+                    table.read_df(spark).filter("container_id = 'c1'").count())
+            except Exception as e:  # noqa: BLE001 - the test IS the catch
+                errors.append(e)
+                return
+
+    threads = [threading.Thread(target=reader) for _ in range(2)]
+    for t in threads:
+        t.start()
+    try:
+        for keep in (60, 30, 10):
+            apply_retention(spark, logs_dir, "c1",
+                            LogConfig(cleanup_age_s=None,
+                                      cleanup_max_lines=keep))
+            compact_container(spark, logs_dir, "c1", min_files=1)
+            table.gc(keep_generations=2)
+    finally:
+        stop.set()
+        for t in threads:
+            t.join(timeout=60)
+    assert not errors, errors[:1]
+    assert counts <= {100, 60, 30, 10}, counts
+
 def test_reader_snapshot_survives_retention_and_gc(spark, tmp_path):
     """The round-1 gap: a reader mid-query while retention rewrites.
 
