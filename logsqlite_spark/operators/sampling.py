@@ -1,0 +1,155 @@
+"""Deterministic sampling & dataset splits over ``documents``.
+
+A training-data pipeline's first job after dedup is carving the corpus
+into reproducible train/val/test splits and drawing stratified samples
+for eval sets. Both must be (a) deterministic across reruns and
+engines, (b) shuffle-free or one-shuffle at 100 TB, and (c) stable
+under re-partitioning — which rules out ``df.sample()`` (seeded per
+partition split, so the sample changes whenever the file layout does).
+
+The portable primitive is a salted md5 bucket:
+
+    bucket(id) = int(md5(salt || id)[:15 hex]) % N_BUCKETS
+
+md5 is bit-identical everywhere, 15 hex digits fit in an int64, and
+the salt gives independent resampling universes. Spark spells it
+``conv(substr(md5(x),1,15),16,10)``; DuckDB
+``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` — same integer.
+
+Scale shapes:
+- **split_assign** is a pure projection — zero shuffles, whole-stage
+  codegen, linear scan. The split column can be written back as a
+  partition column so downstream reads prune to one split.
+- **stratified_sample** is one hash-partition shuffle on the stratum
+  key + WindowGroupLimit (each partition keeps k rows, no full sort).
+  Skewed strata cost what a hot group-by key costs; per-stratum k is
+  constant so the output is tiny regardless of input size.
+
+Reference parity: none (logsqlite has no sampling); this is part of
+the LLM-pipeline superset surface alongside dedup (X1/X2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+N_BUCKETS = 100
+TRAIN_PCT = 80
+VAL_PCT = 10  # test gets the remainder
+SALT = "split-v1"
+STRATUM_K = 20
+
+_BUCKET = (
+    "cast(conv(substr(md5(concat('{salt}:', cast({id} as string))), 1, 15), "
+    "16, 10) as bigint) % {n}"
+)
+
+
+def _bucket_col(id_col: str, salt: str = SALT, n: int = N_BUCKETS):
+    return F.expr(_BUCKET.format(salt=salt, id=id_col, n=n))
+
+
+def split_assign(docs: DataFrame, id_col: str = "doc_id",
+                 salt: str = SALT, train_pct: int = TRAIN_PCT,
+                 val_pct: int = VAL_PCT) -> DataFrame:
+    """Assign every document a deterministic train/val/test split.
+
+    Pure narrow projection — the 100 TB plan is a single codegen'd
+    scan; no shuffle, no sample() nondeterminism, stable across
+    repartitioning and engine versions.
+    """
+    b = _bucket_col(id_col, salt)
+    return docs.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        b.cast("int").alias("bucket"),
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+def split_counts(docs: DataFrame, id_col: str = "doc_id",
+                 salt: str = SALT) -> DataFrame:
+    """Split sizes — the sanity check every pipeline runs after
+    assignment. One map-side-combined aggregation on a 3-value key."""
+    return (
+        split_assign(docs, id_col, salt)
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+
+
+def stratified_sample(docs: DataFrame, stratum_col: str = "lang",
+                      k: int = STRATUM_K, id_col: str = "doc_id",
+                      salt: str = SALT) -> DataFrame:
+    """Exactly-k-per-stratum deterministic sample.
+
+    Rows are ranked inside each stratum by (md5 bucket, id) — a
+    uniform pseudo-random order that both engines reproduce — and the
+    first k kept. WindowGroupLimit pushes the ``rn <= k`` bound into
+    the per-partition sort, so each executor retains k rows per
+    stratum instead of sorting its whole partition.
+    """
+    h = _bucket_col(id_col, salt, 1_000_000_007)
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_assign(table(spark, sf_dir, "documents"))
+
+
+def _q_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_counts(table(spark, sf_dir, "documents"))
+
+
+def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return stratified_sample(table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "split_assign": _q_split_assign,
+    "split_counts": _q_split_counts,
+    "stratified_sample": _q_stratified,
+}
+
+_SQL_BUCKET = (
+    "CAST(concat('0x', substr(md5(concat('{salt}:', CAST({id} AS VARCHAR))), "
+    "1, 15)) AS BIGINT) % {n}"
+)
+
+_B100 = _SQL_BUCKET.format(salt=SALT, id="doc_id", n=N_BUCKETS)
+_BBIG = _SQL_BUCKET.format(salt=SALT, id="doc_id", n=1_000_000_007)
+
+_SPLIT_SQL = (
+    f"SELECT doc_id, CAST({_B100} AS INT) AS bucket, "
+    f"CASE WHEN {_B100} < {TRAIN_PCT} THEN 'train' "
+    f"WHEN {_B100} < {TRAIN_PCT + VAL_PCT} THEN 'val' "
+    "ELSE 'test' END AS split FROM documents"
+)
+
+ORACLES = {
+    "split_assign": _SPLIT_SQL,
+    "split_counts": (
+        f"SELECT split, count(*) AS n_docs FROM ({_SPLIT_SQL}) GROUP BY split"
+    ),
+    "stratified_sample": (
+        f"WITH r AS (SELECT doc_id, lang AS stratum, row_number() OVER ("
+        f"PARTITION BY lang ORDER BY {_BBIG} ASC, doc_id ASC) AS rn "
+        "FROM documents) "
+        f"SELECT doc_id, stratum, CAST(rn AS INT) AS rn FROM r "
+        f"WHERE rn <= {STRATUM_K}"
+    ),
+}

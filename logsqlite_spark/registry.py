@@ -37,6 +37,7 @@ from logsqlite_spark.operators import relational as RL
 from logsqlite_spark.operators import multimodal as MM
 from logsqlite_spark.operators import analytics as AN
 from logsqlite_spark.operators import skew as SK
+from logsqlite_spark.operators import sampling as SP
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -343,6 +344,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(MM.QUERIES)
     out.update(AN.QUERIES)
     out.update(SK.QUERIES)
+    out.update(SP.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -355,6 +357,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(MM.ORACLES)
     out.update(AN.ORACLES)
     out.update(SK.ORACLES)
+    out.update(SP.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,64 @@
+from __future__ import annotations
+
+from logsqlite_spark.operators import sampling as SP
+from logsqlite_spark.tables import table
+
+
+def _docs(spark, sf_dir):
+    return table(spark, sf_dir, "documents")
+
+
+def test_split_is_deterministic_and_total(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.split for r in SP.split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in SP.split_assign(docs).collect()}
+    assert a == b
+    assert len(a) == docs.count()
+    assert set(a.values()) <= {"train", "val", "test"}
+
+
+def test_split_proportions_roughly_hold(spark, sf_dir):
+    counts = {r.split: r.n_docs
+              for r in SP.split_counts(_docs(spark, sf_dir)).collect()}
+    total = sum(counts.values())
+    # md5 buckets are uniform; allow wide slack on a small corpus
+    assert counts.get("train", 0) / total > 0.6
+    assert counts.get("val", 0) / total < 0.25
+    assert counts.get("test", 0) / total < 0.25
+
+
+def test_split_stable_under_repartition(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.split for r in SP.split_assign(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in SP.split_assign(docs.repartition(7)).collect()}
+    assert a == b  # df.sample() fails this; hash split must not
+
+
+def test_salt_changes_the_universe(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.split for r in SP.split_assign(docs).collect()}
+    b = {r.doc_id: r.split
+         for r in SP.split_assign(docs, salt="other").collect()}
+    assert a != b
+
+
+def test_stratified_exact_k_per_stratum(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = SP.stratified_sample(docs, k=5).collect()
+    by_stratum: dict[str, list] = {}
+    for r in out:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    langs = {r.lang for r in docs.select("lang").distinct().collect()}
+    assert set(by_stratum) == langs
+    for rows in by_stratum.values():
+        assert len(rows) == 5
+        assert sorted(r.rn for r in rows) == [1, 2, 3, 4, 5]
+
+
+def test_stratified_deterministic(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = sorted((r.doc_id, r.rn) for r in SP.stratified_sample(docs).collect())
+    b = sorted((r.doc_id, r.rn)
+               for r in SP.stratified_sample(docs.repartition(5)).collect())
+    assert a == b
