@@ -76,6 +76,39 @@ def jaccard_pairs(docs: DataFrame, threshold: float = JACCARD_THRESHOLD,
     of the big side.
     """
     toks = _doc_tokens(docs, text_col, id_col)
+    return _jaccard_over_sets(docs, toks, threshold,
+                              max_doc_freq, max_df_frac)
+
+def shingle_jaccard_pairs(docs: DataFrame, n: int = 5,
+                          threshold: float = JACCARD_THRESHOLD,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_doc_freq: int | None = None,
+                          max_df_frac: float | None = None) -> DataFrame:
+    """X2 (exact flavor, character n-grams): Jaccard over the set of
+    n-char shingles instead of whitespace tokens — robust to word-level
+    edits (insertions, reordering) that token Jaccard misses.
+
+    Same inverted-index join as :func:`jaccard_pairs`, same df-cap
+    scale guard — shingles have far heavier hot keys than tokens (a
+    common 5-gram spans word boundaries in most documents), so at
+    scale the cap is mandatory here, not optional: the default caps
+    df at 50% of the corpus. Costs one explode (~n_chars rows per doc)
+    before the distinct; the index still carries (shingle, doc_id)
+    pairs only.
+    """
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
+        "i -> substring({c}, i, {n}))".format(c=text_col, m=n - 1, n=n)
+    )).alias("tok")
+    toks = (docs.select(F.col(id_col).alias("doc_id"), sh)
+            .filter(F.col("tok") != "").distinct())
+    return _jaccard_over_sets(docs, toks, threshold,
+                              max_doc_freq, max_df_frac)
+
+def _jaccard_over_sets(docs: DataFrame, toks: DataFrame, threshold: float,
+                       max_doc_freq: int | None,
+                       max_df_frac: float | None) -> DataFrame:
+    """Shared inverted-index Jaccard core over distinct (doc_id, tok)."""
     cap = None
     if max_df_frac is not None:
         total = docs.select(F.count(F.lit(1)).alias("__total"))
@@ -329,12 +362,15 @@ def _minhash_pairs_sql(band_size: int = 4) -> str:
 # ---------------------------------------------------------------------------
 # registry wiring
 
-def _jaccard_sql(max_df_frac: float) -> str:
-    """DuckDB twin of :func:`jaccard_pairs` with the fractional df cap."""
+def _jaccard_sql(max_df_frac: float,
+                 tok_expr: str = "string_split(text, ' ')",
+                 threshold: float = 0.5) -> str:
+    """DuckDB twin of :func:`jaccard_pairs` /
+    :func:`shingle_jaccard_pairs` with the fractional df cap."""
     return (
         "WITH total AS (SELECT count(*) AS n FROM documents), "
         "toks0 AS (SELECT DISTINCT doc_id, t.tok FROM documents, "
-        "  unnest(string_split(text, ' ')) AS t(tok) WHERE t.tok <> ''), "
+        f"  unnest({tok_expr}) AS t(tok) WHERE t.tok <> ''), "
         "dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok), "
         "toks AS (SELECT toks0.doc_id, toks0.tok FROM toks0 "
         "  JOIN dfreq USING (tok), total "
@@ -347,7 +383,8 @@ def _jaccard_sql(max_df_frac: float) -> str:
         "  CAST(sa.sz + sb.sz - shared AS DOUBLE), 6) AS jaccard "
         "FROM shared JOIN sizes sa ON sa.doc_id = a_id "
         "JOIN sizes sb ON sb.doc_id = b_id "
-        "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.5"
+        "WHERE CAST(shared AS DOUBLE) / CAST(sa.sz + sb.sz - shared AS DOUBLE) "
+        f">= {threshold!r}"
     )
 
 def _q_dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -370,6 +407,13 @@ def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary has stop-word-like tokens at df ~0.8n); oracle mirrors
     # the same floor(0.8 * n_docs) bound, so the row hash-matches.
     return jaccard_pairs(table(spark, sf_dir, "documents"), max_df_frac=0.8)
+
+def _q_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # df cap at 50% of the corpus: common 5-grams (spanning frequent
+    # word pairs) are the hot-key risk for shingle indexes — far worse
+    # than tokens — so the capped path IS the demo path here.
+    return shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                 threshold=0.6, max_df_frac=0.5)
 
 def _q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 4 tables: halves the candidate join vs the default 8 while the
@@ -433,6 +477,7 @@ QUERIES = {
     "dedup_exact_kept": _q_dedup_exact_kept,
     "dedup_jaccard_pairs": _q_dedup_jaccard,
     "dedup_jaccard_capped": _q_dedup_jaccard_capped,
+    "dedup_shingle_pairs": _q_dedup_shingle,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -451,6 +496,9 @@ ORACLES = {
     ),
     "dedup_jaccard_pairs": _jaccard_sql(max_df_frac=1.0),
     "dedup_jaccard_capped": _jaccard_sql(max_df_frac=0.8),
+    "dedup_shingle_pairs": _jaccard_sql(
+        max_df_frac=0.5, threshold=0.6,
+        tok_expr=_DUCK_SHINGLES.format(c="text")),
     # dedup_minhash_lsh: rows-only (ml-internal hash fns)
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -112,3 +112,41 @@ def test_simhash_identical_texts_same_hash(docs):
     def ham(a, b):
         return bin(a ^ b).count("1")
     assert ham(got[0], got[2]) <= ham(got[0], got[3])
+
+
+def test_shingle_jaccard_catches_word_reorder(spark):
+    from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
+
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta!"),   # char-level edit
+        (2, "zeta epsilon delta gamma beta alpha"),    # full reorder
+        (3, "completely unrelated words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["a_id"], r["b_id"]): r["jaccard"]
+             for r in shingle_jaccard_pairs(docs, threshold=0.5).collect()}
+    # one appended char keeps almost all 5-gram shingles
+    assert pairs[(0, 1)] > 0.8
+    # token jaccard calls 0~2 identical (same token set); shingles don't
+    tok = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in jaccard_pairs(docs, threshold=0.5).collect()}
+    assert tok[(0, 2)] == 1.0
+    assert (0, 2) not in pairs or pairs[(0, 2)] < 0.5
+    assert not any(3 in p for p in pairs)
+
+
+def test_shingle_jaccard_df_cap_drops_hot_shingles(spark):
+    from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
+
+    # every doc shares the hot prefix "aaaaa"; cap removes it
+    rows = [
+        (0, "aaaaa bbbbb"),
+        (1, "aaaaa ccccc"),
+        (2, "aaaaa ddddd"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = shingle_jaccard_pairs(docs, threshold=0.1).collect()
+    capped = shingle_jaccard_pairs(docs, threshold=0.1,
+                                   max_doc_freq=2).collect()
+    assert len(uncapped) > len(capped)
