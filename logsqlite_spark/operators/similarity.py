@@ -126,6 +126,116 @@ def ann_lsh_topk(
         )
     )
 
+# --- portable sign-random-projection LSH (oracle-checkable) ----------------
+# The ml BucketedRandomProjectionLSH path above is rows-only in the
+# driver gate (its hash functions are ml-internal). This variant makes
+# the ANN *procedure itself* oracle-checkable: the hyperplane matrix is
+# a compile-time integer constant (md5-derived, engine-independent), the
+# sign bits are computed in exact integer arithmetic, and DuckDB runs
+# the identical banded bucketing — so candidates, scores, and ranks all
+# hash-match. Scale shape is unchanged: corpus hashed once, join on
+# (band, chunk) meets only bucket-mates, exact rerank inside candidates.
+LSH_PLANES = 16
+LSH_BANDS = 4
+_LSH_SEED = "ann-lsh-v1"
+
+
+def _lsh_plane_matrix(n_planes: int = LSH_PLANES, dim: int = 64,
+                      seed: str = _LSH_SEED) -> list[list[int]]:
+    """Deterministic integer hyperplanes in [-1000, 1000]: coefficient
+    (p, d) is derived from md5 — reproducible anywhere, no RNG state."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[:15], 16)
+            % 2001 - 1000
+            for d in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def _lsh_band_chunks(vec_col: str, planes: list[list[int]],
+                     n_bands: int = LSH_BANDS) -> list:
+    """Spark columns chunk0..chunk{B-1}: per-band LSH bucket keys.
+
+    Each plane's sign bit is an int64 dot of the quantized vector with
+    an integer constant array — exact, codegen'd, no UDF."""
+    width = len(planes) // n_bands
+    bits = [
+        F.expr(
+            "case when aggregate(zip_with({v}, array({c}), (x, y) -> x * y), "
+            "0L, (a, x) -> a + x) >= 0 then 1 else 0 end".format(
+                v=vec_col, c=", ".join(f"{c}L" for c in row))
+        )
+        for row in planes
+    ]
+    return [
+        sum((bits[b * width + j] * (1 << j) for j in range(width)),
+            F.lit(0)).alias(f"chunk{b}")
+        for b in range(n_bands)
+    ]
+
+
+def ann_lsh_portable_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    n_bands: int = LSH_BANDS,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k via banded sign-LSH, exact rerank inside candidates.
+
+    A query meets a corpus vector iff they agree on all sign bits of at
+    least one band (pigeonhole over ``LSH_PLANES / n_bands``-bit
+    chunks). The (band, chunk) equi-join is the only corpus shuffle;
+    candidate volume is tuned by band width exactly as in the simhash
+    Hamming banding (dedup.py). Deterministic — no seed state, the
+    plane matrix is a constant."""
+    planes = _lsh_plane_matrix(dim=dim)
+    width = len(planes) // n_bands
+
+    def hashed(df: DataFrame, name: str) -> DataFrame:
+        q = _quantized(df.select(F.col(id_col).alias(name),
+                                 F.col(vec_col).alias("__v")), "__v", "__qi")
+        q = q.select(name, "__qi",
+                     F.expr(_SQNORM.format(v="__qi")).alias("__n"),
+                     *_lsh_band_chunks("__qi", planes, n_bands))
+        return q.select(
+            name, "__qi", "__n",
+            F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"chunk{b}").alias("chunk"))
+                for b in range(n_bands)
+            ])).alias("bc"),
+        ).select(name, "__qi", "__n", "bc.band", "bc.chunk")
+
+    qs = hashed(queries_df, "qid").withColumnsRenamed(
+        {"__qi": "qi", "__n": "qn"})
+    cs = hashed(corpus_df, "nid").withColumnsRenamed(
+        {"__qi": "ni", "__n": "nn"})
+    cand = (
+        cs.join(F.broadcast(qs), on=["band", "chunk"])
+        .filter(F.col("qid") != F.col("nid"))
+        .dropDuplicates(["qid", "nid"])
+        .filter((F.col("qn") > 0) & (F.col("nn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="qi", b="ni")))
+        .withColumn("sim", F.col("dot").cast("double")
+                    / F.sqrt(F.col("qn").cast("double")
+                             * F.col("nn").cast("double")))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").cast("long"), F.col("nid").cast("long"),
+                F.col("rank").cast("int"), F.round("sim", 6).alias("sim"))
+    )
+
+
 def ivf_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -360,6 +470,50 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
+def _q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return ann_lsh_portable_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+def _lsh_portable_sql(k: int = TOP_K, n_bands: int = LSH_BANDS) -> str:
+    """DuckDB twin of :func:`ann_lsh_portable_topk`: the same integer
+    plane matrix inlined as list literals; dots are integer-valued (so
+    exact in DOUBLE), bucketing and rerank mirror the Spark plan."""
+    planes = _lsh_plane_matrix()
+    width = len(planes) // n_bands
+
+    def chunk(b: int) -> str:
+        terms = []
+        for j in range(width):
+            lst = "[" + ", ".join(str(c) for c in planes[b * width + j]) + "]"
+            terms.append(
+                "(CASE WHEN list_dot_product(CAST(v AS DOUBLE[]), "
+                f"CAST({lst} AS DOUBLE[])) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, {chunk(b)} AS chunk FROM base"
+        for b in range(n_bands)
+    )
+    return (
+        "WITH base AS (SELECT vec_id AS id, {qv} AS v, "
+        "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS nrm "
+        "  FROM embeddings), "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT q.id AS qid, c.id AS nid "
+        f"  FROM bands q JOIN bands c ON q.band = c.band "
+        f"  AND q.chunk = c.chunk AND q.id < {N_QUERIES} AND q.id <> c.id), "
+        "sims AS (SELECT qid, nid, "
+        "  list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        "    / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) AS sim "
+        "  FROM cand JOIN base a ON a.id = qid JOIN base b ON b.id = nid "
+        "  WHERE a.nrm > 0 AND b.nrm > 0), "
+        "ranked AS (SELECT qid, nid, sim, row_number() OVER ("
+        "  PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim "
+        f"FROM ranked WHERE rank <= {k}"
+    ).format(qv=_ORACLE_QUANT)
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95.
@@ -377,7 +531,8 @@ def _q_embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "ann_cosine_topk": _q_ann_cosine,
-    "ann_lsh_topk": _q_ann_lsh,  # rows-only (approximate by design)
+    "ann_lsh_topk": _q_ann_lsh,  # rows-only (ml-internal hash fns)
+    "ann_lsh_portable": _q_ann_lsh_portable,
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
@@ -409,7 +564,8 @@ ORACLES = {
         "CAST(sum(list_aggregate(list_transform({qv}, x -> x * x), 'sum')) AS BIGINT) AS sum_sqnorm "
         "FROM embeddings GROUP BY label"
     ).format(qv=_ORACLE_QUANT),
-    # ann_lsh_topk, ann_ivf_topk: rows-only (approximate)
+    # ann_lsh_topk, ann_ivf_topk: rows-only (ml-internal hashes / KMeans)
+    "ann_lsh_portable": _lsh_portable_sql(),
     "dedup_embedding_pairs": (
         "WITH q AS (SELECT vec_id, {qv} AS v, "
         "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS nrm "

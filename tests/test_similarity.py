@@ -57,3 +57,30 @@ def test_lsh_topk_high_recall_on_tiny_set(spark, emb):
     got = [r["nid"] for r in sorted(out.collect(), key=lambda r: r["rank"])]
     # with 4 hash tables on 5 vectors the nearest neighbor must surface
     assert got[0] == 1
+
+
+def test_ann_lsh_portable_near_dup_recall_and_determinism(emb):
+    from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
+
+    q = emb.filter(F.col("vec_id") == 0)
+    got = ann_lsh_portable_topk(q, emb, k=2, dim=4).collect()
+    # vec 1 is nearly parallel to vec 0: identical sign bits on almost
+    # every plane, so it must surface, and rerank is exact -> rank 1
+    ranked = [r.nid for r in sorted(got, key=lambda r: r.rank)]
+    assert ranked and ranked[0] == 1
+    # deterministic: no RNG state anywhere
+    again = {(r.qid, r.nid, r.rank)
+             for r in ann_lsh_portable_topk(q, emb, k=2, dim=4).collect()}
+    assert again == {(r.qid, r.nid, r.rank) for r in got}
+
+
+def test_ann_lsh_portable_identical_vectors_always_meet(spark):
+    from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
+
+    base = [float(i % 7) - 3.0 for i in range(64)]
+    rows = [(0, base), (1, base), (2, [-x for x in base])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ann_lsh_portable_topk(df.filter("vec_id = 0"), df, k=2).collect()
+    pairs = {(r.qid, r.nid): r.sim for r in out}
+    # identical vector -> same chunks in every band -> guaranteed hit
+    assert pairs[(0, 1)] == 1.0
