@@ -119,6 +119,69 @@ def doc_stats(docs: DataFrame) -> DataFrame:
         )
     )
 
+QUANTILE_PS = (0.5, 0.9, 0.99)
+
+def length_quantiles(docs: DataFrame, group_col: str = "lang",
+                     val_col: str = "n_chars") -> DataFrame:
+    """Exact per-group discrete percentiles (p50/p90/p99) of document
+    length — the length-filter calibration step of a data pipeline.
+
+    Discrete (type-1) percentile computed from first principles: value
+    at row ceil(p*n) of the sorted group. Integer-exact in any engine
+    — avoids percentile_cont, whose interpolation arithmetic is
+    engine-specific. One shuffle on the group key; WindowExec sorts
+    within groups, then a conditional agg collapses to one row/group.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(val_col)
+    ranked = docs.select(
+        group_col, F.col(val_col).alias("v"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy(group_col)).alias("n"),
+    )
+    aggs = [
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)), F.col("v")))
+        .cast("long").alias(f"p{int(p * 100)}")
+        for p in QUANTILE_PS
+    ]
+    return ranked.groupBy(group_col).agg(
+        F.max("n").cast("long").alias("n_docs"), *aggs)
+
+REDACT_PATTERNS = (
+    # (name, regex, replacement) — PII scrub pass of a training pipeline
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+def clean_text(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Normalization + PII redaction + stopword strip, one codegen pass.
+
+    Output keeps the token count removed so downstream quality filters
+    can budget on it. Pure narrow projection — zero shuffles; at
+    100 TB this runs at scan speed and pipelines into the parquet
+    sink. Spark ``regexp_replace`` is replace-all by default (the
+    DuckDB twin needs the explicit 'g' flag).
+    """
+    cleaned = F.lower(F.col(text_col))
+    for _, pat, repl in REDACT_PATTERNS:
+        cleaned = F.regexp_replace(cleaned, F.lit(pat), F.lit(repl))
+    cleaned = F.trim(F.regexp_replace(cleaned, F.lit(r"\s+"), F.lit(" ")))
+    toks = "filter(split(__c, ' '), t -> t != '')"
+    kept = f"filter({toks}, t -> t not in ({_sql_list(STOPWORDS)}))"
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    cleaned.alias("__c"))
+        .select(
+            "doc_id",
+            F.expr(f"array_join({kept}, ' ')").alias("clean"),
+            (F.expr(f"size({toks})") - F.expr(f"size({kept})"))
+            .cast("int").alias("n_removed"),
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -140,6 +203,12 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(table(spark, sf_dir, "documents"))
 
+def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return length_quantiles(table(spark, sf_dir, "documents"))
+
+def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return clean_text(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -147,6 +216,8 @@ QUERIES = {
     "text_fingerprint": _q_fingerprint,
     "lang_id": _q_lang_id,
     "doc_stats": _q_doc_stats,
+    "length_quantiles": _q_length_quantiles,
+    "clean_text": _q_clean_text,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -192,6 +263,35 @@ ORACLES = {
         "FROM documents"
     ),
     "lang_id": _langid_oracle(),
+    # ceil(p*n) is evaluated in IEEE doubles on both sides (identical
+    # literal, identical product, identical ceil) — consistent even at
+    # the 0.99*n representation boundary.
+    "length_quantiles": (
+        "WITH r AS (SELECT lang, n_chars AS v, "
+        "  row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn, "
+        "  count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        "SELECT lang, CAST(max(n) AS BIGINT) AS n_docs, "
+        + ", ".join(
+            f"CAST(max(CASE WHEN rn = ceil(n * {p!r}) THEN v END) AS BIGINT) "
+            f"AS p{int(p * 100)}"
+            for p in QUANTILE_PS
+        )
+        + " FROM r GROUP BY lang"
+    ),
+    "clean_text": (
+        "WITH c AS (SELECT doc_id, trim(regexp_replace("
+        "  regexp_replace(regexp_replace(regexp_replace(lower(text), "
+        "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "  'https?://[^\\s]+', '<URL>', 'g'), "
+        "  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'), "
+        "  '\\s+', ' ', 'g')) AS t FROM documents), "
+        f"toks AS (SELECT doc_id, list_filter(string_split(t, ' '), "
+        "  x -> x <> '') AS tk FROM c), "
+        f"kept AS (SELECT doc_id, tk, list_filter(tk, "
+        f"  x -> x NOT IN ({_STOP})) AS kp FROM toks) "
+        "SELECT doc_id, array_to_string(kp, ' ') AS clean, "
+        "CAST(len(tk) - len(kp) AS INT) AS n_removed FROM kept"
+    ),
     "doc_stats": (
         "SELECT lang, source, count(*) AS n_docs, "
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "

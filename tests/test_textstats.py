@@ -56,3 +56,35 @@ def test_doc_stats(docs):
     got = {(r["lang"], r["source"]): r["n_docs"] for r in doc_stats(docs).collect()}
     assert got[("en", "s0")] == 1
     assert got[("en", "s1")] == 1
+
+
+def test_length_quantiles_exact_discrete(spark):
+    from logsqlite_spark.operators.textstats import length_quantiles
+
+    rows = [(i, "x", "en", "s", v) for i, v in
+            enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long")
+    got = length_quantiles(docs).collect()[0]
+    # discrete percentile: value at row ceil(p*10)
+    assert got.n_docs == 10
+    assert got.p50 == 50
+    assert got.p90 == 90
+    assert got.p99 == 100
+
+
+def test_clean_text_redacts_and_strips(spark):
+    from logsqlite_spark.operators.textstats import clean_text
+
+    rows = [
+        (0, "Contact me at bob@example.com   or https://x.io/a?b=1 now"),
+        (1, "the server at 10.0.0.1 is THE one"),
+        (2, "no pii here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in clean_text(docs).collect()}
+    assert got[0].clean == "contact me at <EMAIL> or <URL> now"
+    assert got[1].clean == "server at <IP> one"  # 'the','is','the' stripped
+    assert got[1].n_removed == 3
+    assert got[2].clean == "no pii here"
+    assert got[2].n_removed == 0
