@@ -181,6 +181,131 @@ def large_quantity_orders(customer: DataFrame, orders: DataFrame,
                 F.col("sum_qty_c").cast("long"))
     )
 
+def nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
+                        orders: DataFrame, customer: DataFrame,
+                        nation: DataFrame,
+                        nation_a: str = "NATION_1",
+                        nation_b: str = "NATION_2") -> DataFrame:
+    """Q7 shape: bilateral shipping volume between two nations by year.
+
+    Scale shape: lineitem⋈orders is the one big-big shuffle; supplier
+    and customer are pre-filtered to the two nations (a sliver) and
+    broadcast, so the nation-pair predicate never rides the shuffle.
+    """
+    nat = nation.filter(F.col("n_name").isin(nation_a, nation_b)) \
+                .select("n_nationkey", "n_name")
+    sup = supplier.join(F.broadcast(nat),
+                        F.col("s_nationkey") == F.col("n_nationkey")) \
+                  .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = customer.join(F.broadcast(nat),
+                         F.col("c_nationkey") == F.col("n_nationkey")) \
+                   .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_suppkey",
+             F.year("l_shipdate").cast("int").alias("l_year"),
+             _cents("l_extendedprice").alias("price_c"),
+             _cents("l_discount").alias("disc_c"))
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum(rev).cast("long").alias("revenue_u"))
+    )
+
+def market_share(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
+                 orders: DataFrame, customer: DataFrame, nation: DataFrame,
+                 region: DataFrame, target_nation: str = "NATION_1",
+                 region_name: str = "ASIA",
+                 p_type: str = "ECONOMY") -> DataFrame:
+    """Q8 shape: a nation's share of regional revenue for one part
+    type, by year — the double-role nation join (customer's nation
+    scopes the region; supplier's nation is the share numerator).
+
+    The share is ONE double division of two exact integer sums per
+    year, so it is bit-identical across engines; rounded to 6 anyway.
+    """
+    pts = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    rnat = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == region_name)),
+        F.col("n_regionkey") == F.col("r_regionkey")).select("n_nationkey")
+    cust = customer.join(F.broadcast(rnat),
+                         F.col("c_nationkey") == F.col("n_nationkey")) \
+                   .select("c_custkey")
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey",
+                                  F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("n_nationkey")).select(
+            "s_suppkey", "supp_nation")
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey",
+             F.year("o_orderdate").cast("int").alias("o_year"))
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                         _cents("l_extendedprice").alias("price_c"),
+                         _cents("l_discount").alias("disc_c"))
+    nation_rev = F.when(F.col("supp_nation") == target_nation, rev) \
+                  .otherwise(F.lit(0))
+    return (
+        li.join(F.broadcast(pts), li.l_partkey == pts.p_partkey)
+        .join(ords, li.l_orderkey == ords.o_orderkey)
+        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .groupBy("o_year")
+        .agg(F.sum(nation_rev).cast("long").alias("nation_revenue_u"),
+             F.sum(rev).cast("long").alias("total_revenue_u"))
+        .select(
+            "o_year", "nation_revenue_u", "total_revenue_u",
+            F.round(F.col("nation_revenue_u").cast("double")
+                    / F.col("total_revenue_u").cast("double"), 6)
+            .alias("mkt_share"),
+        )
+    )
+
+def returned_item_losses(customer: DataFrame, orders: DataFrame,
+                         lineitem: DataFrame, nation: DataFrame,
+                         quarter_start: str = "1996-01-01",
+                         k: int = 20) -> DataFrame:
+    """Q10 shape: customers who returned the most revenue in a
+    quarter — fact⋈fact shuffle join, then dim joins, then top-k.
+
+    The HAVING-free groupBy(custkey) is map-side combinable; top-k is
+    TakeOrderedAndProject (never a full sort); nation broadcasts.
+    """
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit(quarter_start).cast("timestamp"))
+        & (F.col("o_orderdate") < F.add_months(
+            F.lit(quarter_start).cast("timestamp"), 3))
+    ).select("o_orderkey", "o_custkey")
+    li = lineitem.filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", _cents("l_extendedprice").alias("price_c"),
+        _cents("l_discount").alias("disc_c"))
+    per_cust = (
+        li.join(ords, li.l_orderkey == ords.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum(rev).alias("revenue_u"))
+    )
+    return (
+        per_cust.join(customer.select("c_custkey", "c_name", "c_acctbal",
+                                      "c_nationkey"),
+                      F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .orderBy(F.col("revenue_u").desc(), F.col("c_custkey"))
+        .limit(k)
+        .select(F.col("c_custkey").cast("long"), "c_name",
+                F.col("revenue_u").cast("long"),
+                _cents("c_acctbal").alias("acctbal_c"), "n_name")
+    )
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -209,6 +334,24 @@ def _q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
         table(spark, sf_dir, "lineitem"))
 
+def _q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nation_trade_volume(
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "lineitem"),
+        table(spark, sf_dir, "orders"), table(spark, sf_dir, "customer"),
+        table(spark, sf_dir, "nation"))
+
+def _q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return market_share(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"))
+
+def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returned_item_losses(
+        table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "nation"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
@@ -216,7 +359,16 @@ QUERIES = {
     "tpch_q5_local_volume": _q_tpch_q5,
     "tpch_q14_promo": _q_tpch_q14,
     "tpch_q18_large_orders": _q_tpch_q18,
+    "tpch_q7_nation_trade": _q_tpch_q7,
+    "tpch_q8_market_share": _q_tpch_q8,
+    "tpch_q10_returned_items": _q_tpch_q10,
 }
+
+_CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+_REV_SQL = (
+    f"{_CENTS_SQL.format(c='l_extendedprice')} "
+    f"* (10000 - {_CENTS_SQL.format(c='l_discount')} * 100)"
+)
 
 ORACLES = {
     "tpch_q1_pricing": (
@@ -287,5 +439,59 @@ ORACLES = {
         "JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "ORDER BY sum_qty_c DESC, l_orderkey LIMIT 20"
+    ),
+    "tpch_q7_nation_trade": (
+        "SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_u "
+        "FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "WHERE sn.n_name IN ('NATION_1', 'NATION_2') "
+        "AND cn.n_name IN ('NATION_1', 'NATION_2') "
+        "AND sn.n_name <> cn.n_name "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "GROUP BY sn.n_name, cn.n_name, year(l_shipdate)"
+    ),
+    "tpch_q8_market_share": (
+        "WITH li AS (SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        f"{_REV_SQL} AS rev, sn.n_name AS supp_nation "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation sn ON s_nationkey = sn.n_nationkey "
+        "JOIN nation cn ON c_nationkey = cn.n_nationkey "
+        "JOIN region ON cn.n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' AND p_type = 'ECONOMY' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "SELECT o_year, "
+        "CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) "
+        "  AS BIGINT) AS nation_revenue_u, "
+        "CAST(sum(rev) AS BIGINT) AS total_revenue_u, "
+        "round(CAST(sum(CASE WHEN supp_nation = 'NATION_1' THEN rev ELSE 0 END) "
+        "  AS DOUBLE) / CAST(sum(rev) AS DOUBLE), 6) AS mkt_share "
+        "FROM li GROUP BY o_year"
+    ),
+    "tpch_q10_returned_items": (
+        "WITH per_cust AS (SELECT o_custkey, "
+        f"CAST(sum({_REV_SQL}) AS BIGINT) AS revenue_u "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "GROUP BY o_custkey) "
+        "SELECT c_custkey, c_name, revenue_u, "
+        f"{_CENTS_SQL.format(c='c_acctbal')} AS acctbal_c, n_name "
+        "FROM per_cust "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "ORDER BY revenue_u DESC, c_custkey LIMIT 20"
     ),
 }

@@ -12,6 +12,7 @@ from logsqlite_spark import registry
 from logsqlite_spark.operators.read import read_logs, tail_global
 from logsqlite_spark.operators.tpch import top_revenue_orders
 from logsqlite_spark.plans import (
+    explain_str,
     has_broadcast_join,
     has_partition_filters,
     has_pushed_filters,
@@ -147,3 +148,44 @@ def test_read_logs_keeps_codegen(spark):
     df = read_logs(table(spark, SF, "events"), since="2024-01-10T00:00:00Z",
                    ts_col="ts", seq_col="event_id", container_col="user_id")
     assert wholestage_codegen_spans(df) >= 1
+
+def test_split_assign_is_pure_projection(spark):
+    from logsqlite_spark.operators.sampling import split_assign
+
+    df = split_assign(table(spark, SF, "documents"))
+    plan = explain_str(df)
+    assert "Exchange" not in plan  # zero shuffles: runs at scan speed
+
+def test_stratified_sample_prelimits_before_shuffle(spark):
+    from logsqlite_spark.operators.sampling import stratified_sample
+
+    df = stratified_sample(table(spark, SF, "documents"))
+    plan = explain_str(df)
+    # partial WindowGroupLimit BEFORE the exchange: each map task keeps
+    # k rows per stratum, so the shuffle carries O(k * strata), not n
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
+
+def test_new_tpch_shapes(spark):
+    from logsqlite_spark.operators import tpch as TP
+
+    q7 = TP.nation_trade_volume(
+        table(spark, SF, "supplier"), table(spark, SF, "lineitem"),
+        table(spark, SF, "orders"), table(spark, SF, "customer"),
+        table(spark, SF, "nation"))
+    assert has_broadcast_join(q7)
+    assert "CartesianProduct" not in explain_str(q7)
+
+    q10 = TP.returned_item_losses(
+        table(spark, SF, "customer"), table(spark, SF, "orders"),
+        table(spark, SF, "lineitem"), table(spark, SF, "nation"))
+    assert has_take_ordered(q10)  # top-k, never a full sort
+    assert has_pushed_filters(q10, "EqualTo(l_returnflag,R)")
+
+def test_ann_lsh_portable_broadcasts_queries_and_group_limits(spark):
+    from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
+
+    emb = table(spark, SF, "embeddings")
+    df = ann_lsh_portable_topk(emb.filter(F.col("vec_id") < 5), emb)
+    plan = explain_str(df)
+    assert has_broadcast_join(df)      # query side broadcasts
+    assert "WindowGroupLimit" in plan  # top-k pushed into the sort
