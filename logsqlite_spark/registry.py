@@ -38,6 +38,7 @@ from logsqlite_spark.operators import multimodal as MM
 from logsqlite_spark.operators import analytics as AN
 from logsqlite_spark.operators import skew as SK
 from logsqlite_spark.operators import sampling as SP
+from logsqlite_spark.operators import packing as PK
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -345,6 +346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(AN.QUERIES)
     out.update(SK.QUERIES)
     out.update(SP.QUERIES)
+    out.update(PK.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -358,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(AN.ORACLES)
     out.update(SK.ORACLES)
     out.update(SP.ORACLES)
+    out.update(PK.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:
