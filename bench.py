@@ -38,13 +38,18 @@ BENCH_QUERIES = [
     "tpch_q1_pricing",
     "tpch_q3_top_orders",
     "tpch_q5_local_volume",
+    "tpch_q8_market_share",
     "tpch_q18_large_orders",
     # LLM-pipeline operators
     "dedup_exact_groups",
     "dedup_simhash",
     "text_quality",
     "token_freq",
+    "clean_text",
+    "split_assign",
+    "pack_sequences",
     "ann_cosine_topk",
+    "ann_lsh_portable",
 ]
 
 def main() -> None:

@@ -263,6 +263,53 @@ def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3,
         .select("a_id", "b_id", "hamming")
     )
 
+def two_stage_dedup(docs: DataFrame, emb: DataFrame,
+                    cos_threshold: float = 0.4,
+                    jac_threshold: float = 0.5,
+                    method: str = "lsh",
+                    id_col: str = "doc_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """The composite near-dup pipeline a production corpus actually
+    runs: cheap embedding-cosine candidate pairs (stage 1), confirmed
+    by exact token-set Jaccard computed ONLY on the candidates
+    (stage 2).
+
+    Why two stages at 100 TB: text Jaccard is precise but its inverted
+    index is the expensive shuffle; embedding LSH prunes the pair space
+    by orders of magnitude first, so the precise comparison runs on a
+    sliver. Stage 2's per-pair cost is one ``array_intersect`` of two
+    token arrays carried through a broadcast-sized candidate join —
+    no corpus-wide token shuffle at all.
+
+    ``method`` is stage 1's candidate generation (see
+    :func:`~logsqlite_spark.operators.similarity.embedding_dedup_pairs`);
+    ``"exact"`` makes the whole pipeline oracle-checkable.
+    """
+    from logsqlite_spark.operators.similarity import embedding_dedup_pairs
+
+    cand = embedding_dedup_pairs(emb, threshold=cos_threshold,
+                                 vec_col=vec_col, method=method)
+    tk = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_distinct(F.expr("filter(split(text, ' '), t -> t != '')"))
+        .alias("tk"),
+    )
+    a = tk.select(F.col("doc_id").alias("a_id"), F.col("tk").alias("atk"))
+    b = tk.select(F.col("doc_id").alias("b_id"), F.col("tk").alias("btk"))
+    shared = F.size(F.array_intersect("atk", "btk"))
+    return (
+        cand.join(a, "a_id").join(b, "b_id")
+        .withColumn("shared", shared)
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.size("atk") + F.size("btk") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= jac_threshold)
+        .select(F.col("a_id").cast("long"), F.col("b_id").cast("long"),
+                "sim", F.round("jaccard", 6).alias("jaccard"))
+    )
+
 # --- portable MinHash (oracle-checkable) ------------------------------------
 # K universal-hash permutations over 5-char shingles. All math is in
 # int64-safe integer space so Spark and DuckDB agree bit-for-bit:
@@ -469,6 +516,34 @@ def _simhash_pairs_sql(max_hamming: int = 3, n_bits: int = 32,
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(table(spark, sf_dir, "documents"))
 
+def _q_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # method="exact" makes stage 1 oracle-identical (validation row);
+    # the production entry point keeps the default method="lsh"
+    return two_stage_dedup(table(spark, sf_dir, "documents"),
+                           table(spark, sf_dir, "embeddings"),
+                           method="exact")
+
+def _two_stage_sql() -> str:
+    """DuckDB twin: stage-1 candidates are the dedup_embedding_pairs
+    oracle verbatim; stage 2 confirms with list_intersect Jaccard."""
+    from logsqlite_spark.operators.similarity import ORACLES as SIM_ORACLES
+
+    cand = SIM_ORACLES["dedup_embedding_pairs"]
+    return (
+        f"WITH cand AS ({cand}), "
+        "tk AS (SELECT doc_id, list_distinct(list_filter("
+        "  string_split(text, ' '), t -> t <> '')) AS tk FROM documents), "
+        "j AS (SELECT a_id, b_id, sim, "
+        "  len(list_intersect(ta.tk, tb.tk)) AS shared, "
+        "  len(ta.tk) AS sa, len(tb.tk) AS sb "
+        "  FROM cand JOIN tk ta ON ta.doc_id = a_id "
+        "  JOIN tk tb ON tb.doc_id = b_id) "
+        "SELECT a_id, b_id, sim, round(CAST(shared AS DOUBLE) "
+        "  / CAST(sa + sb - shared AS DOUBLE), 6) AS jaccard FROM j "
+        "WHERE CAST(shared AS DOUBLE) / CAST(sa + sb - shared AS DOUBLE) "
+        ">= 0.5"
+    )
+
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(table(spark, sf_dir, "documents"))
 
@@ -483,6 +558,7 @@ QUERIES = {
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
+    "dedup_two_stage": _q_two_stage,
 }
 
 ORACLES = {
@@ -504,4 +580,5 @@ ORACLES = {
     "dedup_simhash_pairs": _simhash_pairs_sql(),
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),
+    "dedup_two_stage": _two_stage_sql(),
 }

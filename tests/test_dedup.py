@@ -150,3 +150,23 @@ def test_shingle_jaccard_df_cap_drops_hot_shingles(spark):
     capped = shingle_jaccard_pairs(docs, threshold=0.1,
                                    max_doc_freq=2).collect()
     assert len(uncapped) > len(capped)
+
+
+def test_two_stage_dedup_confirms_with_text(spark):
+    from logsqlite_spark.operators.dedup import two_stage_dedup
+
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta"),
+        (1, "alpha beta gamma epsilon"),   # text near-dup of 0
+        (2, "totally different words here"),  # same embedding as 0, other text
+    ], "doc_id long, text string")
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.98, 0.02, 0.0, 0.0]),  # embedding says dup; text disagrees
+    ], "vec_id long, embedding array<float>")
+    got = {(r.a_id, r.b_id) for r in
+           two_stage_dedup(docs, emb, cos_threshold=0.9,
+                           jac_threshold=0.5, method="exact").collect()}
+    # stage 1 emits (0,1),(0,2),(1,2); stage 2 keeps only the true pair
+    assert got == {(0, 1)}
