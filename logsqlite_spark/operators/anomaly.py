@@ -1,0 +1,119 @@
+"""Anomaly surface over ``events`` — outlier flagging and histograms.
+
+The ops-page queries a log-analytics engine serves right after counts:
+"which events are abnormal for this container" and "what does the
+value distribution look like". Both are built on exact integer sums so
+the DuckDB oracle agrees bit-for-bit:
+
+z-score without FP drift: with value in cents ``v``, per-key count
+``n``, sum ``S`` and sum-of-squares ``SS`` (all exact int64 —
+cents² × rows stays far below 2^63 at any per-key cardinality that
+fits an executor),
+
+    z = (v - S/n) / sqrt((n·SS - S²)/n²) = (v·n - S) / sqrt(n·SS - S²)
+
+— the right side is one double division of exact integers and one
+sqrt of an exact integer: IEEE-identical in any engine. No streaming
+mean/variance accumulation order to diverge.
+
+Scale shape: one hash shuffle on the group key for the window sums;
+the histogram is a map-side-combinable groupBy on (type, bin). Skewed
+keys behave like any hot group-by key (salt via operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+Z_CUTOFF = 2.5
+BIN_WIDTH_C = 1000  # cents per histogram bin
+
+_CENTS = "cast(floor(cast(value as double) * 100 + 0.5) as bigint)"
+
+
+def value_outliers(events: DataFrame, cutoff: float = Z_CUTOFF,
+                   key_col: str = "user_id") -> DataFrame:
+    """Events whose value is ≥ ``cutoff`` population-σ from their
+    container's mean. Output is the (small) outlier set."""
+    ev = events.select(
+        "event_id", F.col(key_col).alias("key"),
+        F.expr(_CENTS).alias("v"),
+    )
+    w = Window.partitionBy("key")
+    stats = ev.select(
+        "event_id", "key", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("ss"),
+    )
+    disc = (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+    z = ((F.col("v") * F.col("n") - F.col("s")).cast("double")
+         / F.sqrt(disc.cast("double")))
+    return (
+        stats.filter(disc > 0)
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= cutoff)
+        .select(F.col("event_id").cast("long"),
+                F.col("key").cast("long").alias("user_id"),
+                F.col("v").cast("long").alias("value_c"),
+                F.round("z", 6).alias("z"))
+    )
+
+
+def value_histogram(events: DataFrame,
+                    bin_width_c: int = BIN_WIDTH_C) -> DataFrame:
+    """Value histogram per event type: fixed-width integer bins.
+
+    Map-side-combinable groupBy — the shuffle carries one row per
+    (type, bin) per partition regardless of input size."""
+    ev = events.select(
+        "event_type",
+        F.floor(F.expr(_CENTS) / F.lit(bin_width_c)).cast("long").alias("bin"),
+    )
+    return (
+        ev.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select("event_type", "bin",
+                (F.col("bin") * bin_width_c).cast("long").alias("bin_lo_c"),
+                "n")
+    )
+
+
+def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_outliers(table(spark, sf_dir, "events"))
+
+
+def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_histogram(table(spark, sf_dir, "events"))
+
+
+QUERIES = {
+    "value_outliers": _q_outliers,
+    "value_histogram": _q_histogram,
+}
+
+_CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
+
+ORACLES = {
+    "value_outliers": (
+        f"WITH ev AS (SELECT event_id, user_id, {_CENTS_SQL} AS v FROM events), "
+        "st AS (SELECT event_id, user_id, v, "
+        "  count(*) OVER (PARTITION BY user_id) AS n, "
+        "  sum(v) OVER (PARTITION BY user_id) AS s, "
+        "  sum(v * v) OVER (PARTITION BY user_id) AS ss FROM ev) "
+        "SELECT event_id, user_id, v AS value_c, "
+        "round(CAST(v * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS z "
+        "FROM st WHERE n * ss - s * s > 0 "
+        "AND abs(CAST(v * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))) "
+        f">= {Z_CUTOFF!r}"
+    ),
+    "value_histogram": (
+        f"WITH ev AS (SELECT event_type, "
+        f"CAST(floor({_CENTS_SQL} / {BIN_WIDTH_C}) AS BIGINT) AS bin FROM events) "
+        f"SELECT event_type, bin, CAST(bin * {BIN_WIDTH_C} AS BIGINT) AS bin_lo_c, "
+        "count(*) AS n FROM ev GROUP BY event_type, bin"
+    ),
+}

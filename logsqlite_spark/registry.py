@@ -39,6 +39,7 @@ from logsqlite_spark.operators import analytics as AN
 from logsqlite_spark.operators import skew as SK
 from logsqlite_spark.operators import sampling as SP
 from logsqlite_spark.operators import packing as PK
+from logsqlite_spark.operators import anomaly as AM
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -347,6 +348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SK.QUERIES)
     out.update(SP.QUERIES)
     out.update(PK.QUERIES)
+    out.update(AM.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -361,6 +363,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SK.ORACLES)
     out.update(SP.ORACLES)
     out.update(PK.ORACLES)
+    out.update(AM.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:
