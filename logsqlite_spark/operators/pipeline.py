@@ -1,0 +1,150 @@
+"""End-to-end training-corpus preparation — the operators composed.
+
+A user of this engine doesn't run one operator; they run the chain.
+This module wires the individual pieces (each independently
+oracle-checked) into the canonical LLM data-prep pipeline:
+
+    clean (PII scrub + normalize)          textstats.clean_text
+      → quality gate (min token count)
+      → exact dedup (first arrival wins)   dedup.exact_dedup_*
+      → near-dup removal (embedding
+        candidates, text confirm)          dedup.two_stage_dedup
+      → deterministic split assignment     sampling.split_assign
+      → sequence packing per split         packing.pack_sequences
+
+Everything stays lazy: the chain is ONE logical plan per output, so
+Catalyst prunes columns/filters across stage boundaries — e.g. the
+final stats query never materializes the cleaned text of a dropped
+duplicate. At 100 TB each stage's scale shape is unchanged from its
+standalone form (documented in its own module); composition adds no
+new shuffle beyond the stages' own.
+
+``corpus_stats`` (the driver-checked query) reports docs/tokens per
+split after the full chain — the number a pipeline owner quotes when
+asked "what's in the training set". Its DuckDB oracle recomposes the
+same chain from the stage oracles, so the END-TO-END result is
+hash-checked, not just the pieces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.dedup import two_stage_dedup
+from logsqlite_spark.operators.packing import pack_sequences
+from logsqlite_spark.operators.sampling import split_assign
+from logsqlite_spark.operators.textstats import clean_text
+from logsqlite_spark.tables import table
+
+MIN_TOKENS = 5
+
+
+def prepare_corpus(docs: DataFrame, emb: DataFrame,
+                   min_tokens: int = MIN_TOKENS,
+                   method: str = "lsh") -> DataFrame:
+    """The surviving corpus: cleaned text + split label per document.
+
+    ``method`` is the near-dup candidate generator ("lsh" at scale,
+    "exact" for oracle validation — see two_stage_dedup).
+    """
+    cleaned = clean_text(docs).withColumn(
+        "n_tokens",
+        F.size(F.expr("filter(split(clean, ' '), t -> t != '')")).cast("int"),
+    ).filter(F.col("n_tokens") >= min_tokens)
+
+    # exact dedup on the CLEANED text: first arrival per digest wins
+    w = Window.partitionBy(F.md5("clean")).orderBy("doc_id")
+    kept = (cleaned.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+    # near-dup removal: drop the later member (b_id) of each confirmed
+    # pair — pairs are (a < b), so the earliest survivor is stable
+    near = two_stage_dedup(docs, emb, method=method).select(
+        F.col("b_id").alias("doc_id")).distinct()
+    survivors = kept.join(near, "doc_id", "left_anti")
+
+    split = split_assign(survivors.select("doc_id"))
+    return survivors.join(split.select("doc_id", "split"), "doc_id").select(
+        "doc_id", "split", "clean", "n_tokens")
+
+
+def corpus_stats(docs: DataFrame, emb: DataFrame,
+                 min_tokens: int = MIN_TOKENS,
+                 method: str = "lsh") -> DataFrame:
+    """Docs and tokens per split after the full preparation chain."""
+    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    return (
+        corpus.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("sum_tokens"))
+    )
+
+
+def packed_corpus(docs: DataFrame, emb: DataFrame, budget: int = 2048,
+                  min_tokens: int = MIN_TOKENS,
+                  method: str = "lsh") -> DataFrame:
+    """Pack the prepared corpus into token-budgeted examples, packed
+    independently per split — an eval doc must never share a training
+    pack, so each split gets its own packing run and a disjoint
+    pack_id space (split index in the top bits; bucket<<40|p < 2^46).
+
+    In production the prepared corpus would be written out partitioned
+    by split first and each partition packed from disk; here the three
+    branches share the one lazy plan.
+    """
+    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    parts = []
+    for i, sp in enumerate(("train", "val", "test")):
+        sub = corpus.filter(F.col("split") == sp).select(
+            "doc_id", F.col("clean").alias("text"))
+        packed = pack_sequences(sub, budget=budget).withColumn(
+            "pack_id",
+            F.shiftleft(F.lit(i).cast("long"), 56).bitwiseOR(F.col("pack_id")),
+        ).withColumn("split", F.lit(sp))
+        parts.append(packed)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # method="exact" so the whole chain is oracle-identical; the
+    # production entry point defaults to the LSH candidate path
+    return corpus_stats(table(spark, sf_dir, "documents"),
+                        table(spark, sf_dir, "embeddings"),
+                        method="exact")
+
+
+def _corpus_stats_sql() -> str:
+    """DuckDB twin: the same chain recomposed from the stage oracles."""
+    from logsqlite_spark.operators.dedup import _two_stage_sql
+    from logsqlite_spark.operators.sampling import _SPLIT_SQL
+    from logsqlite_spark.operators.textstats import ORACLES as TS_ORACLES
+
+    return (
+        f"WITH cleaned0 AS ({TS_ORACLES['clean_text']}), "
+        "cleaned AS (SELECT doc_id, clean, "
+        "  CAST(len(list_filter(string_split(clean, ' '), t -> t <> '')) AS INT) "
+        "  AS n_tokens FROM cleaned0), "
+        f"gated AS (SELECT * FROM cleaned WHERE n_tokens >= {MIN_TOKENS}), "
+        "kept AS (SELECT * FROM gated WHERE doc_id IN ("
+        "  SELECT min(doc_id) FROM gated GROUP BY md5(clean))), "
+        f"near AS (SELECT DISTINCT b_id AS doc_id FROM ({_two_stage_sql()})), "
+        "surv AS (SELECT kept.* FROM kept LEFT JOIN near USING (doc_id) "
+        "  WHERE near.doc_id IS NULL), "
+        f"sp AS ({_SPLIT_SQL}) "
+        "SELECT sp.split, count(*) AS n_docs, "
+        "CAST(sum(surv.n_tokens) AS BIGINT) AS sum_tokens "
+        "FROM surv JOIN sp USING (doc_id) GROUP BY sp.split"
+    )
+
+
+QUERIES = {
+    "corpus_prepare_stats": _q_corpus_stats,
+}
+
+ORACLES = {
+    "corpus_prepare_stats": _corpus_stats_sql(),
+}

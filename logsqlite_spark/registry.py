@@ -40,6 +40,7 @@ from logsqlite_spark.operators import skew as SK
 from logsqlite_spark.operators import sampling as SP
 from logsqlite_spark.operators import packing as PK
 from logsqlite_spark.operators import anomaly as AM
+from logsqlite_spark.operators import pipeline as PL
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -349,6 +350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SP.QUERIES)
     out.update(PK.QUERIES)
     out.update(AM.QUERIES)
+    out.update(PL.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -364,6 +366,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SP.ORACLES)
     out.update(PK.ORACLES)
     out.update(AM.ORACLES)
+    out.update(PL.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,50 @@
+"""End-to-end corpus preparation chain."""
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.pipeline import (
+    corpus_stats,
+    packed_corpus,
+    prepare_corpus,
+)
+
+
+def _fixture(spark):
+    docs = spark.createDataFrame([
+        (0, "alpha beta gamma delta epsilon zeta"),
+        (1, "alpha beta gamma delta epsilon zeta"),   # exact dup of 0
+        (2, "alpha beta gamma delta epsilon theta"),  # near-dup of 0
+        (3, "one two three four five six seven"),     # clean survivor
+        (4, "too short"),                             # fails quality gate
+    ], "doc_id long, text string")
+    emb = spark.createDataFrame([
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0, 0.0]),   # embedding near-dup of 0
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+    ], "vec_id long, embedding array<float>")
+    return docs, emb
+
+
+def test_chain_drops_dups_shorts_and_neardups(spark):
+    docs, emb = _fixture(spark)
+    got = {r.doc_id for r in
+           prepare_corpus(docs, emb, method="exact").collect()}
+    # 1 exact-dup'd away, 2 near-dup'd away, 4 too short
+    assert got == {0, 3}
+
+
+def test_stats_totals_match_corpus(spark):
+    docs, emb = _fixture(spark)
+    stats = corpus_stats(docs, emb, method="exact").collect()
+    assert sum(r.n_docs for r in stats) == 2
+    assert sum(r.sum_tokens for r in stats) == 13  # 6 + 7 tokens
+
+
+def test_packed_corpus_never_mixes_splits(spark):
+    docs, emb = _fixture(spark)
+    packed = packed_corpus(docs, emb, budget=8, method="exact")
+    per_pack = (packed.groupBy("pack_id")
+                .agg(F.countDistinct("split").alias("k")).collect())
+    assert per_pack and all(r.k == 1 for r in per_pack)
