@@ -225,21 +225,44 @@ def _q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("frame_ts_ms").cast("long"))
 
 def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the bytestat featurizer is exact but a sequential byte fold — not
-    # SQL-expressible, so this row is rows-only; pytest pins the values
+    # full oracle THROUGH the mapInPandas byte fold: the payload is the
+    # UTF-8 of ASCII text, so DuckDB replays the identical stripe fold
+    # with list_reduce over ord(substr(...)). The feature floats are
+    # v/100000 stored float32; floor(f*100000 + 0.5) recovers the exact
+    # integer accumulator on the Spark side (float32 abs error < 6e-3
+    # after scaling), so the comparison is integer-exact, immune to the
+    # round()-boundary flake class.
     from logsqlite_spark.tables import table
 
     media = media_from_documents(table(spark, sf_dir, "documents"))
-    return decode_media(media).select(
+    out = decode_media(media)
+
+    def acc(i: int):
+        return F.floor(
+            F.element_at("feature", i + 1).cast("double") * 100_000
+            + F.lit(0.5)).cast("bigint").alias(f"f{i}_c")
+
+    return out.select(
         F.col("media_id").cast("long"), F.col("doc_id").cast("long"),
         "media_type", F.col("n_bytes").cast("long"),
-        F.round(F.element_at("feature", 1), 6).alias("f0"))
+        acc(0), acc(7), acc(15))
 
 QUERIES = {
     "media_stats": _q_media_stats,
     "media_frames": _q_media_frames,
-    "media_decode_features": _q_media_decode,  # rows-only (byte fold)
+    "media_decode_features": _q_media_decode,
 }
+
+def _stripe_sql(k: int) -> str:
+    """Integer accumulator of byte stripe ``k``: the same
+    ``acc = (acc*31 + byte) % 100000`` fold decode_media runs, replayed
+    over the ASCII code points of the payload text."""
+    return (
+        "CAST(list_reduce(list_prepend(0, list_transform("
+        f"  list_filter(generate_series(1, length(text)), p -> (p - 1) % {FEATURE_DIM} = {k}), "
+        "  p -> ord(substr(text, p, 1)))), "
+        "(a, b) -> (a * 31 + b) % 100000) AS BIGINT)"
+    )
 
 _MEDIA_SQL = (
     "SELECT doc_id AS media_id, doc_id, "
@@ -262,5 +285,12 @@ ORACLES = {
         "FROM media, unnest(range(0, CAST(duration_ms AS BIGINT), 1000)) AS t(f) "
         "WHERE media_type = 'video'"
     ),
-    # media_decode_features: rows-only (sequential byte fold)
+    "media_decode_features": (
+        f"WITH media AS ({_MEDIA_SQL}) "
+        "SELECT media_id, media.doc_id, media_type, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        f"{_stripe_sql(0)} AS f0_c, {_stripe_sql(7)} AS f7_c, "
+        f"{_stripe_sql(15)} AS f15_c "
+        "FROM media JOIN documents ON media.doc_id = documents.doc_id"
+    ),
 }
