@@ -116,8 +116,12 @@ def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
     )
 
 # ---------------------------------------------------------------------------
-# registry wiring (rows-only: greedy reset logic isn't ANSI-SQL
-# expressible; invariants + determinism are pytest-pinned instead)
+# registry wiring. The greedy fill is sequential per bucket, but a
+# bucket is SHORT (n_docs / n_buckets), so DuckDB can replay it with a
+# recursive CTE walking each bucket row-by-row — every bucket advances
+# in the same recursion step, so depth = max docs per bucket, not
+# corpus size. That makes even the stateful packer fully
+# oracle-checkable.
 
 def _q_pack(spark, sf_dir: str) -> DataFrame:
     from logsqlite_spark.tables import table
@@ -132,8 +136,62 @@ def _q_pack_stats(spark, sf_dir: str) -> DataFrame:
         budget=256)
 
 QUERIES = {
-    "pack_sequences": _q_pack,   # rows-only (sequential greedy state)
-    "pack_stats": _q_pack_stats,  # rows-only (derived from packing)
+    "pack_sequences": _q_pack,
+    "pack_stats": _q_pack_stats,
 }
 
-ORACLES: dict[str, str] = {}
+def _pack_walk_sql(budget: int = 256,
+                   n_buckets: int = N_PACK_BUCKETS) -> str:
+    """Recursive-CTE twin of the greedy fill in :func:`pack_sequences`.
+
+    State after each row is (pack, fill); the emitted columns mirror
+    the Python loop's three cases (oversized / overflow / fit)."""
+    b = budget
+    return (
+        "WITH RECURSIVE prepped AS (SELECT doc_id, "
+        "  CAST(CAST(concat('0x', substr(md5(concat('" + PACK_SALT + ":', "
+        f"  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % {n_buckets} AS INT) AS bucket, "
+        "  CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS INT) AS tc "
+        "  FROM documents), "
+        "docs AS (SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) AS rn "
+        "  FROM prepped), "
+        "walk AS ( "
+        "  SELECT bucket, rn, doc_id, tc, "
+        f"    0 AS pack, 0 AS off, tc > {b} AS trunc, "
+        f"    CASE WHEN tc > {b} THEN 1 ELSE 0 END AS st_pack, "
+        f"    CASE WHEN tc > {b} THEN 0 ELSE tc END AS st_fill "
+        "  FROM docs WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT d.bucket, d.rn, d.doc_id, d.tc, "
+        f"    CASE WHEN d.tc > {b} THEN w.st_pack + CASE WHEN w.st_fill > 0 THEN 1 ELSE 0 END "
+        f"         WHEN w.st_fill + d.tc > {b} THEN w.st_pack + 1 "
+        "         ELSE w.st_pack END AS pack, "
+        f"    CASE WHEN d.tc > {b} OR w.st_fill + d.tc > {b} THEN 0 "
+        "         ELSE w.st_fill END AS off, "
+        f"    d.tc > {b} AS trunc, "
+        f"    CASE WHEN d.tc > {b} THEN w.st_pack + CASE WHEN w.st_fill > 0 THEN 1 ELSE 0 END + 1 "
+        f"         WHEN w.st_fill + d.tc > {b} THEN w.st_pack + 1 "
+        "         ELSE w.st_pack END AS st_pack, "
+        f"    CASE WHEN d.tc > {b} THEN 0 "
+        f"         WHEN w.st_fill + d.tc > {b} THEN d.tc "
+        "         ELSE w.st_fill + d.tc END AS st_fill "
+        "  FROM walk w JOIN docs d ON d.bucket = w.bucket AND d.rn = w.rn + 1), "
+        "packed AS (SELECT doc_id, bucket, "
+        "  CAST(bucket AS BIGINT) * (CAST(1 AS BIGINT) << 40) + pack AS pack_id, "
+        "  CAST(off AS INT) AS \"offset\", tc AS token_count, trunc AS truncated "
+        "  FROM walk)"
+    )
+
+ORACLES: dict[str, str] = {
+    "pack_sequences": (
+        _pack_walk_sql() + " SELECT doc_id, bucket, pack_id, \"offset\", "
+        "token_count, truncated FROM packed"
+    ),
+    "pack_stats": (
+        _pack_walk_sql() + ", per_pack AS (SELECT bucket, pack_id, "
+        "  sum(token_count) AS fill FROM packed GROUP BY bucket, pack_id) "
+        "SELECT bucket, count(*) AS n_packs, CAST(sum(fill) AS BIGINT) AS sum_tokens, "
+        "round(avg(CAST(fill AS DOUBLE) / 256), 6) AS avg_fill_rate "
+        "FROM per_pack GROUP BY bucket"
+    ),
+}
