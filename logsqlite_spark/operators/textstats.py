@@ -182,6 +182,50 @@ def clean_text(docs: DataFrame, text_col: str = "text",
         )
     )
 
+def repetition_signals(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals: duplicate 2-gram mass and the
+    share of the most frequent 2-gram, per document.
+
+    High values flag boilerplate/spam for a training-corpus filter.
+    Implemented as explode + two map-side-combinable aggregations
+    (doc×gram, then doc) — linear and fully distributed, unlike the
+    tempting higher-order-function formulation which is O(tokens²)
+    per document and melts on long documents. Ratios are single
+    divisions of exact integers, so the oracle agrees bit-for-bit.
+    Documents with fewer than two tokens have no 2-grams and drop out
+    (inner-unnest semantics on both sides).
+    """
+    toks = _tok(text_col)
+    grams = (
+        f"CASE WHEN size({toks}) < 2 THEN array() "
+        f"ELSE transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+    )
+    per_gram = (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.explode(F.expr(grams)).alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        per_gram.groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("int").alias("n_grams"),
+            F.count(F.lit(1)).cast("int").alias("n_distinct"),
+            F.max("cnt").alias("_top"),
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("_dup"),
+        )
+        .select(
+            "doc_id", "n_grams", "n_distinct",
+            F.round(F.col("_top").cast("double")
+                    / F.col("n_grams").cast("double"), 6).alias("top_gram_share"),
+            F.round(F.col("_dup").cast("double")
+                    / F.col("n_grams").cast("double"), 6).alias("dup_gram_frac"),
+        )
+    )
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -209,6 +253,9 @@ def _q_length_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clean_text(table(spark, sf_dir, "documents"))
 
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repetition_signals(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -218,6 +265,7 @@ QUERIES = {
     "doc_stats": _q_doc_stats,
     "length_quantiles": _q_length_quantiles,
     "clean_text": _q_clean_text,
+    "repetition_signals": _q_repetition,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -297,5 +345,19 @@ ORACLES = {
         "CAST(sum(n_chars) AS BIGINT) AS sum_chars, "
         "round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars "
         "FROM documents GROUP BY lang, source"
+    ),
+    "repetition_signals": (
+        f"WITH tk AS (SELECT doc_id, {_TOKS} AS l FROM documents), "
+        "gs AS (SELECT doc_id, list_transform(generate_series(1, len(l) - 1), "
+        "  i -> l[i] || ' ' || l[i + 1]) AS grams FROM tk), "
+        "g AS (SELECT doc_id, u.gram AS gram FROM gs, unnest(grams) AS u(gram)), "
+        "pg AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY doc_id, gram) "
+        "SELECT doc_id, CAST(sum(cnt) AS INT) AS n_grams, "
+        "CAST(count(*) AS INT) AS n_distinct, "
+        "round(CAST(max(cnt) AS DOUBLE) / CAST(sum(cnt) AS DOUBLE), 6) "
+        "  AS top_gram_share, "
+        "round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) "
+        "  / CAST(sum(cnt) AS DOUBLE), 6) AS dup_gram_frac "
+        "FROM pg GROUP BY doc_id"
     ),
 }

@@ -306,6 +306,222 @@ def returned_item_losses(customer: DataFrame, orders: DataFrame,
                 _cents("c_acctbal").alias("acctbal_c"), "n_name")
     )
 
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q4 shape: per-priority count of orders with a late-shipped item.
+
+    The EXISTS subquery becomes a LEFT SEMI join keyed on the order key
+    with the lateness predicate evaluated inside the join, so each
+    order matches at most once (no fan-out) and the probe side is the
+    one-quarter orders slice. At 100 TB the semi join shuffles both
+    sides on the order key once; AQE broadcasts the quarter slice when
+    it fits. Date arithmetic is whole-day on UTC timestamps — exact in
+    both engines.
+    """
+    ords = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    late = lineitem.select("l_orderkey", "l_shipdate")
+    sj = ords.join(
+        late,
+        (ords["o_orderkey"] == late["l_orderkey"])
+        & (late["l_shipdate"] > F.expr("o_orderdate + INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return sj.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("order_count"))
+
+
+def returnflag_priority_split(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Q12 shape: big-big join feeding a conditional (CASE WHEN) agg.
+
+    lineitem is pre-filtered to one ship year before the join (filter
+    below the shuffle), and the priority flag folds to 0/1 integers so
+    the two counts are exact in any accumulation order. q12 proper
+    groups by ship mode; the synthetic schema lacks it, so returnflag
+    stands in — the aggregation shape is identical.
+    """
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_returnflag")
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        li.join(orders.select("o_orderkey", "o_orderpriority"),
+                li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(F.lit(1) - high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+def customer_order_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q13 shape: LEFT OUTER join + two-level aggregation (distribution).
+
+    Customers with zero qualifying orders must appear (c_count = 0), so
+    the outer join is load-bearing — count(o_orderkey) skips NULLs.
+    Both aggregations are map-side combinable; the second groupBy keys
+    on c_count whose cardinality is tiny, and AQE coalesces its
+    shuffle. All outputs are exact integers.
+    """
+    ords = orders.filter(
+        F.col("o_orderpriority") != "4-NOT SPECIFIED"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        customer.select("c_custkey")
+        .join(ords, F.col("c_custkey") == F.col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).cast("long").alias("custdist"))
+
+
+def part_supplier_variety(part: DataFrame, lineitem: DataFrame,
+                          supplier: DataFrame) -> DataFrame:
+    """Q16 shape: anti-join blacklist + count-distinct per part group.
+
+    Suppliers on the blacklist (negative balance standing in for q16's
+    complaints predicate) are removed with a LEFT ANTI broadcast join
+    before the fact-dimension join; the part dimension also broadcasts.
+    countDistinct is exact — Spark expands it to a two-phase
+    distinct-then-count aggregation that partial-aggregates map-side.
+    """
+    pp = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size") <= 25)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = (
+        lineitem.select("l_partkey", "l_suppkey")
+        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+              "left_anti")
+    )
+    return (
+        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
+        .select("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"),
+                "supplier_cnt")
+    )
+
+
+def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
+                           brand: str = "Brand#3") -> DataFrame:
+    """Q17 shape: correlated per-part average re-joined as a threshold.
+
+    The correlated subquery ``l_quantity < 0.2 * avg(l_quantity)``
+    becomes a per-part aggregate joined back to the fact rows. The
+    threshold is evaluated in exact integer space — ``qty < sum/(5n)``
+    cross-multiplied to ``5*n*qty_c < sum_qty_c`` over quantized cents
+    — so no float division can flip a boundary row between engines.
+    The brand slice of part broadcasts; the fact side is scanned once
+    per use (two passes) with the partkey filter pushed down both
+    times, which at 100 TB beats shuffling the unfiltered fact table.
+    """
+    pp = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    li = (
+        lineitem.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", _cents("l_quantity").alias("qty_c"),
+                _cents("l_extendedprice").alias("price_c"))
+    )
+    stats = li.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"),
+        F.count(F.lit(1)).alias("n_li"),
+    )
+    return (
+        li.join(stats, "l_partkey")
+        .filter(F.lit(5) * F.col("n_li") * F.col("qty_c") < F.col("sum_qty_c"))
+        .agg(
+            F.sum("price_c").cast("long").alias("revenue_c"),
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+        )
+    )
+
+
+def sole_blame_suppliers(supplier: DataFrame, lineitem: DataFrame,
+                         orders: DataFrame, k: int = 20) -> DataFrame:
+    """Q21 shape: semi-join (EXISTS) + anti-join (NOT EXISTS) stacked.
+
+    Suppliers whose returned item is the *only* return in a
+    multi-supplier finalized order: EXISTS another supplier's line in
+    the order (LEFT SEMI with a non-equi guard), NOT EXISTS another
+    supplier's *returned* line (LEFT ANTI, same key). The synthetic
+    schema lacks commit/receipt dates, so l_returnflag = 'R' stands in
+    for q21's late-delivery predicate — the double-correlated join
+    shape is preserved exactly. All three lineitem scans prune to two
+    columns; the final supplier join broadcasts.
+    """
+    ords = orders.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    l1 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .join(ords, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = lineitem.select(F.col("l_orderkey").alias("o2"),
+                         F.col("l_suppkey").alias("s2"))
+    l3 = (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    cand = l1.join(
+        l2, (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+        "left_semi")
+    sole = cand.join(
+        l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+        "left_anti")
+    return (
+        sole.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+                  F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_suppkey"))
+        .limit(k)
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+                "numwait")
+    )
+
+
+def dormant_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """Q22 shape: scalar-subquery threshold + NOT EXISTS anti-join.
+
+    Customers in a nation slice whose balance exceeds the slice's
+    positive-balance average and who have placed no order since 2000
+    (every synthetic customer has *some* order, so q22's "no orders"
+    becomes dormancy — same anti-join shape). The global
+    average is a one-row aggregate cross-joined (broadcast) onto the
+    slice; the comparison cross-multiplies to exact integers
+    (``bal_c * n_pos > sum_pos_c``) so the scalar-subquery boundary is
+    deterministic. The anti-join against orders shuffles on custkey —
+    unavoidable and linear. q22 slices by phone prefix; the synthetic
+    schema lacks phones, so nationkey stands in.
+    """
+    seg = customer.filter(F.col("c_nationkey") <= 6).select(
+        "c_custkey", "c_nationkey", _cents("c_acctbal").alias("bal_c"))
+    pos = seg.filter(F.col("bal_c") > 0).agg(
+        F.sum("bal_c").alias("sum_pos_c"),
+        F.count(F.lit(1)).alias("n_pos"),
+    )
+    rich = seg.crossJoin(F.broadcast(pos)).filter(
+        F.col("bal_c") * F.col("n_pos") > F.col("sum_pos_c"))
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    ).select("o_custkey")
+    dormant = rich.join(recent,
+                        F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return dormant.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("numcust"),
+        F.sum("bal_c").cast("long").alias("totacctbal_c"),
+    ).select(F.col("c_nationkey").cast("int").alias("c_nationkey"),
+             "numcust", "totacctbal_c")
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -352,6 +568,36 @@ def _q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         table(spark, sf_dir, "customer"), table(spark, sf_dir, "orders"),
         table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "nation"))
 
+def _q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return order_priority_check(table(spark, sf_dir, "orders"),
+                                table(spark, sf_dir, "lineitem"))
+
+def _q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return returnflag_priority_split(table(spark, sf_dir, "orders"),
+                                     table(spark, sf_dir, "lineitem"))
+
+def _q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return customer_order_distribution(table(spark, sf_dir, "customer"),
+                                       table(spark, sf_dir, "orders"))
+
+def _q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return part_supplier_variety(table(spark, sf_dir, "part"),
+                                 table(spark, sf_dir, "lineitem"),
+                                 table(spark, sf_dir, "supplier"))
+
+def _q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return small_quantity_revenue(table(spark, sf_dir, "lineitem"),
+                                  table(spark, sf_dir, "part"))
+
+def _q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sole_blame_suppliers(table(spark, sf_dir, "supplier"),
+                                table(spark, sf_dir, "lineitem"),
+                                table(spark, sf_dir, "orders"))
+
+def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dormant_rich_customers(table(spark, sf_dir, "customer"),
+                                  table(spark, sf_dir, "orders"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
@@ -362,6 +608,13 @@ QUERIES = {
     "tpch_q7_nation_trade": _q_tpch_q7,
     "tpch_q8_market_share": _q_tpch_q8,
     "tpch_q10_returned_items": _q_tpch_q10,
+    "tpch_q4_priority_check": _q_tpch_q4,
+    "tpch_q12_priority_split": _q_tpch_q12,
+    "tpch_q13_order_distribution": _q_tpch_q13,
+    "tpch_q16_part_variety": _q_tpch_q16,
+    "tpch_q17_small_qty": _q_tpch_q17,
+    "tpch_q21_sole_blame": _q_tpch_q21,
+    "tpch_q22_dormant_rich": _q_tpch_q22,
 }
 
 _CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -493,5 +746,81 @@ ORACLES = {
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN nation ON c_nationkey = n_nationkey "
         "ORDER BY revenue_u DESC, c_custkey LIMIT 20"
+    ),
+    "tpch_q4_priority_check": (
+        "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey "
+        "            AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+        "GROUP BY o_orderpriority"
+    ),
+    "tpch_q12_priority_split": (
+        "SELECT l_returnflag, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "    THEN 1 ELSE 0 END) AS high_line_count, "
+        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "    THEN 0 ELSE 1 END) AS low_line_count "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY l_returnflag"
+    ),
+    "tpch_q13_order_distribution": (
+        "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders "
+        "ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED' "
+        "GROUP BY c_custkey) "
+        "SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count"
+    ),
+    "tpch_q16_part_variety": (
+        "SELECT p_brand, p_type, p_size, "
+        "count(DISTINCT l_suppkey) AS supplier_cnt "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO' AND p_size <= 25 "
+        "AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0) "
+        "GROUP BY p_brand, p_type, p_size"
+    ),
+    "tpch_q17_small_qty": (
+        "WITH li AS (SELECT l_partkey, "
+        f"{_CENTS_SQL.format(c='l_quantity')} AS qty_c, "
+        f"{_CENTS_SQL.format(c='l_extendedprice')} AS price_c "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE p_brand = 'Brand#3'), "
+        "st AS (SELECT l_partkey, sum(qty_c) AS sum_qty_c, count(*) AS n_li "
+        "FROM li GROUP BY l_partkey) "
+        "SELECT CAST(sum(price_c) AS BIGINT) AS revenue_c, "
+        "count(*) AS n_items "
+        "FROM li JOIN st USING (l_partkey) "
+        "WHERE 5 * n_li * qty_c < sum_qty_c"
+    ),
+    "tpch_q21_sole_blame": (
+        "WITH l1 AS (SELECT l_orderkey, l_suppkey FROM lineitem "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "WHERE l_returnflag = 'R' AND o_orderstatus = 'F') "
+        "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, "
+        "count(*) AS numwait "
+        "FROM l1 JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE EXISTS (SELECT 1 FROM lineitem l2 "
+        "  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+        "  AND l3.l_returnflag = 'R') "
+        "GROUP BY s_suppkey, s_name "
+        "ORDER BY numwait DESC, s_suppkey LIMIT 20"
+    ),
+    "tpch_q22_dormant_rich": (
+        "WITH seg AS (SELECT c_custkey, c_nationkey, "
+        f"{_CENTS_SQL.format(c='c_acctbal')} AS bal_c "
+        "FROM customer WHERE c_nationkey <= 6), "
+        "pos AS (SELECT sum(bal_c) AS sum_pos_c, count(*) AS n_pos "
+        "FROM seg WHERE bal_c > 0) "
+        "SELECT c_nationkey, count(*) AS numcust, "
+        "CAST(sum(bal_c) AS BIGINT) AS totacctbal_c "
+        "FROM seg, pos "
+        "WHERE bal_c * n_pos > sum_pos_c "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
+        "GROUP BY c_nationkey"
     ),
 }
