@@ -181,6 +181,50 @@ def test_new_tpch_shapes(spark):
     assert has_take_ordered(q10)  # top-k, never a full sort
     assert has_pushed_filters(q10, "EqualTo(l_returnflag,R)")
 
+def test_semi_anti_join_tpch_shapes(spark):
+    from logsqlite_spark.operators import tpch as TP
+
+    # q4: EXISTS compiles to a semi join keyed on the order key —
+    # one match short-circuits, no fan-out, never a cartesian
+    q4 = TP.order_priority_check(table(spark, SF, "orders"),
+                                 table(spark, SF, "lineitem"))
+    p4 = explain_str(q4)
+    assert "LeftSemi" in p4 and "CartesianProduct" not in p4
+
+    # q13: the zero-order customers survive via a left outer join
+    q13 = TP.customer_order_distribution(table(spark, SF, "customer"),
+                                         table(spark, SF, "orders"))
+    assert "LeftOuter" in explain_str(q13)
+
+    # q16: the supplier blacklist is removed with a broadcast anti join
+    q16 = TP.part_supplier_variety(table(spark, SF, "part"),
+                                   table(spark, SF, "lineitem"),
+                                   table(spark, SF, "supplier"))
+    p16 = explain_str(q16)
+    assert "LeftAnti" in p16 and has_broadcast_join(q16)
+
+    # q21: both correlation branches stay equi-keyed on l_orderkey
+    # (the supp != guard rides the join), so no nested-loop blowup
+    q21 = TP.sole_blame_suppliers(table(spark, SF, "supplier"),
+                                  table(spark, SF, "lineitem"),
+                                  table(spark, SF, "orders"))
+    p21 = explain_str(q21)
+    assert "LeftSemi" in p21 and "LeftAnti" in p21
+    assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21
+    assert has_take_ordered(q21)
+
+def test_repetition_signals_is_two_level_agg(spark):
+    from logsqlite_spark.operators.textstats import repetition_signals
+
+    df = repetition_signals(table(spark, SF, "documents"))
+    plan = explain_str(df)
+    # linear explode + hash aggregations — no window, no join, and the
+    # doc-level reaggregation reuses the doc_id-prefixed partitioning
+    assert "HashAggregate" in plan
+    assert "Join" not in plan and "Window" not in plan
+    # formatted explain shows each node in tree + detail; count tree nodes
+    assert plan.count("Exchange (") <= 2
+
 def test_ann_lsh_portable_broadcasts_queries_and_group_limits(spark):
     from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
 
