@@ -57,6 +57,65 @@ def streaming_dedup(stream: DataFrame, keys: list[str],
         .dropDuplicatesWithinWatermark(keys)
     )
 
+def rank_topk(counts: DataFrame, k: int = 3,
+              key: str = "event_type") -> DataFrame:
+    """Rank finalized (window, key, n) rows to the top-k per window.
+
+    Deterministic tie-break on the key. WindowGroupLimit keeps this a
+    partial top-k per partition before the (tiny, one-row-per-window-
+    key) shuffle.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("window_start", "window_end").orderBy(
+        F.col("n").desc(), F.col(key))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+def start_windowed_topk(stream: DataFrame, out_path: str,
+                        checkpoint: str, k: int = 3,
+                        window: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        ts_col: str = "ts",
+                        key: str = "event_type"):
+    """Streaming per-window top-k keys by count.
+
+    Structured Streaming cannot rank inside a streaming aggregation,
+    so this composes the two legal pieces: a watermarked windowed
+    count in *append* mode — rows for a window are emitted exactly
+    once, together, when the watermark passes window end — and a
+    per-micro-batch ``rank_topk`` inside ``foreachBatch``. Because a
+    window's counts finalize atomically in one batch, the per-batch
+    ranking is globally correct; no cross-batch state is needed beyond
+    what the windowed aggregation already keeps (one row per live
+    window × key, watermark-bounded).
+
+    At 100 TB/day the shuffle per batch carries only the finalized
+    windows' count rows; the top-k rank partitions by window — a few
+    thousand rows, never the stream.
+    """
+    counts = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"), key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), key, "n")
+    )
+
+    def _emit(batch: DataFrame, _bid: int) -> None:
+        topk = rank_topk(batch, k, key)
+        if not topk.isEmpty():
+            topk.write.mode("append").parquet(out_path)
+
+    return (
+        counts.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(_emit)
+        .start()
+    )
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:
