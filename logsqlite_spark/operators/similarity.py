@@ -274,6 +274,71 @@ def ivf_topk(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "cid int, center array<double>",
     )
+    return _ivf_probe(assigned, centers_df, queries_df, k, n_probe,
+                      id_col, vec_col)
+
+
+def build_ivf_index(corpus_df: DataFrame, path: str,
+                    n_clusters: int = 16,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> None:
+    """Fit KMeans ONCE and persist the IVF index: centroids (tiny) and
+    the corpus inverted lists, parquet-partitioned by cluster id.
+
+    This splits the expensive build from the cheap probe — the
+    build-once/query-many shape a production ANN service needs. The
+    cluster id is a *partition column*, so an indexed query's
+    broadcast join against its probed clusters prunes whole list
+    directories at the scan (see ``ivf_topk_indexed``); at 100 TB a
+    query set touching n_probe/n_clusters of the data reads only that
+    fraction of the files.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    corpus_vec = corpus_df.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                predictionCol="__cluster")
+    model = km.fit(corpus_vec)
+    assigned = model.transform(corpus_vec).select("nid", "nv", "__cluster")
+    spark = corpus_df.sparkSession
+    centers_df = spark.createDataFrame(
+        [(i, [float(x) for x in c])
+         for i, c in enumerate(model.clusterCenters())],
+        "cid int, center array<double>",
+    )
+    centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    assigned.write.mode("overwrite").partitionBy("__cluster") \
+        .parquet(f"{path}/lists")
+
+
+def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
+                     k: int = TOP_K, n_probe: int = 4,
+                     id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k against a persisted IVF index — no refit.
+
+    Loads the broadcast-sized centroid table, picks each query's
+    ``n_probe`` nearest lists, and joins the probed cluster ids
+    against the partition column of the persisted lists, so the scan
+    only lists/reads the probed clusters' directories. Results are
+    identical to ``ivf_topk`` with the same parameters (same seed,
+    same quantized scoring).
+    """
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    assigned = spark.read.option("basePath", f"{path}/lists") \
+        .parquet(f"{path}/lists")
+    return _ivf_probe(assigned, centers_df, queries_df, k, n_probe,
+                      id_col, vec_col)
+
+
+def _ivf_probe(assigned: DataFrame, centers_df: DataFrame,
+               queries_df: DataFrame, k: int, n_probe: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """Probe side shared by the fit-inline and persisted-index paths."""
     q = queries_df.select(F.col(id_col).alias("qid"),
                           F.col(vec_col).alias("qv"))
     # squared L2 distance query<->centroid; keep n_probe nearest lists

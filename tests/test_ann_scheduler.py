@@ -31,6 +31,26 @@ def test_ivf_deterministic(spark):
     b = sorted(map(tuple, ivf_topk(q, emb, k=3).collect()))
     assert a == b
 
+def test_ivf_persisted_index_matches_inline_fit(spark, tmp_path):
+    from logsqlite_spark.operators.similarity import (
+        build_ivf_index, ivf_topk_indexed)
+
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf")
+    build_ivf_index(emb, idx, n_clusters=8)
+
+    # inverted lists are parquet-partitioned by cluster id
+    import os
+    parts = [d for d in os.listdir(f"{idx}/lists") if d.startswith("__cluster=")]
+    assert len(parts) == 8
+
+    inline = sorted(map(tuple,
+                        ivf_topk(q, emb, k=5, n_clusters=8, n_probe=4).collect()))
+    indexed = sorted(map(tuple,
+                         ivf_topk_indexed(spark, q, idx, k=5, n_probe=4).collect()))
+    assert indexed == inline and len(indexed) > 0
+
 BASE_TS = 1_704_067_200_000_000_000
 
 def test_cleaner_loop_runs_periodically(spark, tmp_path):
