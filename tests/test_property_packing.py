@@ -1,0 +1,86 @@
+"""Property tests: packing invariants + shingle Jaccard vs Python model.
+
+Hypothesis hunts the boundary cases a fixture won't: zero-token docs,
+exactly-budget docs, oversized docs, empty/short texts, identical
+texts. The packer is checked against its *invariants* (every doc
+placed once, fills never exceed budget, offsets are prefix sums,
+oversized docs isolated and flagged) rather than a replayed model —
+the SQL oracle already replays the greedy walk step by step.
+"""
+
+import itertools
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
+from logsqlite_spark.operators.packing import pack_sequences
+
+BUDGET = 16
+
+TOKEN_COUNTS = st.lists(st.integers(min_value=0, max_value=40),
+                        min_size=1, max_size=25)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(counts=TOKEN_COUNTS)
+def test_packing_invariants(spark, counts):
+    rows = [(i, " ".join(["t"] * c)) for i, c in enumerate(counts)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pack_sequences(docs, budget=BUDGET, n_buckets=4).collect()
+
+    # every doc packed exactly once
+    assert sorted(r["doc_id"] for r in out) == list(range(len(counts)))
+
+    by_pack = {}
+    for r in out:
+        by_pack.setdefault(r["pack_id"], []).append(r)
+    for rows_ in by_pack.values():
+        # a pack never spans buckets (pack_id embeds the bucket)
+        assert len({r["bucket"] for r in rows_}) == 1
+        rows_ = sorted(rows_, key=lambda r: r["doc_id"])
+        if any(r["truncated"] for r in rows_):
+            # oversized doc: alone in its pack, flagged, offset 0
+            assert len(rows_) == 1
+            assert rows_[0]["token_count"] > BUDGET
+            assert rows_[0]["offset"] == 0
+        else:
+            fill = 0
+            for r in rows_:
+                assert r["offset"] == fill
+                fill += r["token_count"]
+            assert fill <= BUDGET
+
+
+def _py_shingles(t: str, n: int = 5) -> set[str]:
+    # mirror of the SQL expression: positions 1..max(len-n+1, 1),
+    # empty shingles dropped
+    return {s for s in (t[i:i + n] for i in range(max(len(t) - n + 1, 1)))
+            if s != ""}
+
+
+TEXTS = st.lists(st.text(alphabet="ab ", min_size=0, max_size=24),
+                 min_size=2, max_size=6)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(texts=TEXTS)
+def test_shingle_jaccard_matches_python_model(spark, texts):
+    docs = spark.createDataFrame(list(enumerate(texts)),
+                                 "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["jaccard"]
+           for r in shingle_jaccard_pairs(docs, threshold=0.0).collect()}
+
+    sh = [_py_shingles(t) for t in texts]
+    expected = {}
+    for a, b in itertools.combinations(range(len(texts)), 2):
+        inter = len(sh[a] & sh[b])
+        union = len(sh[a] | sh[b])
+        if inter:  # inverted-index join only emits pairs sharing a shingle
+            expected[(a, b)] = inter / union
+
+    assert set(got) == set(expected)
+    for pair, exp in expected.items():
+        assert abs(got[pair] - exp) < 1e-6
