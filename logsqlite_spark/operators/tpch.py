@@ -522,6 +522,35 @@ def dormant_rich_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
              "numcust", "totacctbal_c")
 
 
+def top_supplier_by_revenue(supplier: DataFrame,
+                            lineitem: DataFrame) -> DataFrame:
+    """Q15 shape: revenue view + scalar MAX subquery + equality join.
+
+    Per-supplier quarterly revenue (map-side-combinable agg), then the
+    suppliers whose revenue equals the global max. The max is a
+    one-row aggregate broadcast back — revenue is an exact integer so
+    the equality is deterministic (the real q15's double equality is a
+    correctness trap this formulation avoids).
+    """
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", _cents("l_extendedprice").alias("price_c"),
+             _cents("l_discount").alias("disc_c"))
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.sum(rev).alias("total_revenue_u"))
+    best = per_supp.agg(F.max("total_revenue_u").alias("max_rev"))
+    return (
+        per_supp.crossJoin(F.broadcast(best))
+        .filter(F.col("total_revenue_u") == F.col("max_rev"))
+        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
+                F.col("total_revenue_u").cast("long").alias("total_revenue_u"))
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -598,6 +627,10 @@ def _q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dormant_rich_customers(table(spark, sf_dir, "customer"),
                                   table(spark, sf_dir, "orders"))
 
+def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_supplier_by_revenue(table(spark, sf_dir, "supplier"),
+                                   table(spark, sf_dir, "lineitem"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
@@ -615,6 +648,7 @@ QUERIES = {
     "tpch_q17_small_qty": _q_tpch_q17,
     "tpch_q21_sole_blame": _q_tpch_q21,
     "tpch_q22_dormant_rich": _q_tpch_q22,
+    "tpch_q15_top_supplier": _q_tpch_q15,
 }
 
 _CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -822,5 +856,18 @@ ORACLES = {
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00') "
         "GROUP BY c_nationkey"
+    ),
+    "tpch_q15_top_supplier": (
+        "WITH rev AS (SELECT l_suppkey, "
+        "CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100)) AS BIGINT) "
+        "  AS total_revenue_u "
+        "FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' "
+        "GROUP BY l_suppkey) "
+        "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_u "
+        "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+        "WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)"
     ),
 }

@@ -41,6 +41,7 @@ from logsqlite_spark.operators import sampling as SP
 from logsqlite_spark.operators import packing as PK
 from logsqlite_spark.operators import anomaly as AM
 from logsqlite_spark.operators import pipeline as PL
+from logsqlite_spark.operators import contamination as CT
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -351,6 +352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PK.QUERIES)
     out.update(AM.QUERIES)
     out.update(PL.QUERIES)
+    out.update(CT.QUERIES)
     return out
 
 def oracle_sql() -> dict[str, str]:
@@ -367,6 +369,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PK.ORACLES)
     out.update(AM.ORACLES)
     out.update(PL.ORACLES)
+    out.update(CT.ORACLES)
     return out
 
 def flagship(spark: SparkSession) -> DataFrame:
