@@ -40,11 +40,15 @@ BENCH_QUERIES = [
     "tpch_q5_local_volume",
     "tpch_q8_market_share",
     "tpch_q18_large_orders",
+    "tpch_q13_order_distribution",
+    "tpch_q21_sole_blame",
     # LLM-pipeline operators
     "dedup_exact_groups",
     "dedup_simhash",
     "text_quality",
     "token_freq",
+    "repetition_signals",
+    "contamination_check",
     "clean_text",
     "split_assign",
     "pack_sequences",

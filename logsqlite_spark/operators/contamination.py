@@ -36,21 +36,20 @@ NGRAM_N = 4
 SHARE_THRESHOLD = 0.5
 
 
-def _word_ngrams(text_col: str, n: int) -> str:
-    """SQL expression: distinct word n-grams of a text column."""
-    toks = f"filter(split({text_col}, ' '), t -> t != '')"
-    return (
-        f"CASE WHEN size({toks}) < {n} THEN array() "
-        f"ELSE array_distinct(transform(sequence(1, size({toks}) - {n - 1}), "
-        f"i -> concat_ws(' ', slice({toks}, i, {n})))) END"
-    )
-
-
 def _shingled(df: DataFrame, id_out: str, text_col: str, id_col: str,
               n: int) -> DataFrame:
-    return df.select(
-        F.col(id_col).cast("long").alias(id_out),
-        F.explode(F.expr(_word_ngrams(text_col, n))).alias("ngram"),
+    # tokens materialized once per row — inlining the filter(split())
+    # into every transform step re-splits the text per n-gram
+    grams = (
+        f"CASE WHEN size(__t) < {n} THEN array() "
+        f"ELSE array_distinct(transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> concat_ws(' ', slice(__t, i, {n})))) END"
+    )
+    toks = f"filter(split({text_col}, ' '), t -> t != '')"
+    return (
+        df.select(F.col(id_col).cast("long").alias(id_out),
+                  F.expr(toks).alias("__t"))
+        .select(id_out, F.explode(F.expr(grams)).alias("ngram"))
     )
 
 

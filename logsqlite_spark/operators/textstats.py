@@ -196,15 +196,18 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     Documents with fewer than two tokens have no 2-grams and drop out
     (inner-unnest semantics on both sides).
     """
-    toks = _tok(text_col)
+    # materialize the token array ONCE, then one zip_with pass — an
+    # element_at-per-index formulation re-evaluates filter(split(...))
+    # for every element and goes O(tokens²) per document
     grams = (
-        f"CASE WHEN size({toks}) < 2 THEN array() "
-        f"ELSE transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) END"
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE zip_with(slice(__t, 1, size(__t) - 1), "
+        "slice(__t, 2, size(__t) - 1), (x, y) -> concat(x, ' ', y)) END"
     )
     per_gram = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.explode(F.expr(grams)).alias("gram"))
+                    F.expr(_tok(text_col)).alias("__t"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
         .groupBy("doc_id", "gram")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
