@@ -409,6 +409,70 @@ def _minhash_pairs_sql(band_size: int = 4) -> str:
 # ---------------------------------------------------------------------------
 # registry wiring
 
+def connected_components(pairs: DataFrame, a_col: str = "a_id",
+                         b_col: str = "b_id",
+                         max_iter: int = 30) -> DataFrame:
+    """Cluster near-dup pairs into components; the cluster id is the
+    min doc id reachable — the step a real pipeline runs after pair
+    generation, so "keep one doc per near-dup group" is a filter on
+    ``doc_id = cluster_id``.
+
+    Iterative min-label propagation: each round joins the current
+    labels across the symmetrized edge list and keeps the per-node
+    min (``labels ∪ neighbor-labels → groupBy min``) — two shuffles a
+    round, converging in O(component diameter) rounds. Near-dup
+    graphs are shallow (a dup cluster is nearly a clique), so this
+    terminates in 2-4 rounds; for adversarially long path graphs the
+    alternating large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce", SOCC'14) drops it to
+    O(log n) rounds with the same join shape. ``localCheckpoint``
+    truncates the lineage each round so plan size stays constant.
+
+    Deterministic (min over a fixed node set), hence fully
+    oracle-checkable via a reachability recursive CTE.
+    """
+    sym = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"),
+                            F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (sym.select(F.col("src").alias("node")).distinct()
+              .withColumn("label", F.col("node")))
+    for _ in range(max_iter):
+        nbr = (sym.join(labels, sym["dst"] == labels["node"])
+               .select(F.col("src").alias("node"), "label"))
+        new_labels = (
+            labels.union(nbr).groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"components did not converge in {max_iter} rounds")
+    sym.unpersist()
+    return labels.select(F.col("node").cast("long").alias("doc_id"),
+                         F.col("label").cast("long").alias("cluster_id"))
+
+
+def cluster_stats(components: DataFrame) -> DataFrame:
+    """Per-cluster membership stats over the components table."""
+    return (
+        components.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"),
+             F.max("doc_id").cast("long").alias("max_doc_id"))
+    )
+
+
 def _jaccard_sql(max_df_frac: float,
                  tok_expr: str = "string_split(text, ' ')",
                  threshold: float = 0.5) -> str:
@@ -454,6 +518,16 @@ def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary has stop-word-like tokens at df ~0.8n); oracle mirrors
     # the same floor(0.8 * n_docs) bound, so the row hash-matches.
     return jaccard_pairs(table(spark, sf_dir, "documents"), max_df_frac=0.8)
+
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                  threshold=0.6, max_df_frac=0.5)
+    return connected_components(pairs)
+
+def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                  threshold=0.6, max_df_frac=0.5)
+    return cluster_stats(connected_components(pairs))
 
 def _q_dedup_shingle(spark: SparkSession, sf_dir: str) -> DataFrame:
     # df cap at 50% of the corpus: common 5-grams (spanning frequent
@@ -553,6 +627,8 @@ QUERIES = {
     "dedup_jaccard_pairs": _q_dedup_jaccard,
     "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "dedup_shingle_pairs": _q_dedup_shingle,
+    "dedup_components": _q_dedup_components,
+    "dedup_cluster_stats": _q_dedup_cluster_stats,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -575,6 +651,35 @@ ORACLES = {
     "dedup_shingle_pairs": _jaccard_sql(
         max_df_frac=0.5, threshold=0.6,
         tok_expr=_DUCK_SHINGLES.format(c="text")),
+    "dedup_components": (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_sql(max_df_frac=0.5, threshold=0.6,
+                       tok_expr=_DUCK_SHINGLES.format(c="text"))
+        + "), "
+        "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
+        "  UNION SELECT b_id, a_id FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+        "reach AS (SELECT n, n AS m FROM nodes "
+        "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m) "
+        "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY n"
+    ),
+    "dedup_cluster_stats": (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_sql(max_df_frac=0.5, threshold=0.6,
+                       tok_expr=_DUCK_SHINGLES.format(c="text"))
+        + "), "
+        "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
+        "  UNION SELECT b_id, a_id FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+        "reach AS (SELECT n, n AS m FROM nodes "
+        "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m), "
+        "comp AS (SELECT n AS doc_id, min(m) AS cluster_id "
+        "FROM reach GROUP BY n) "
+        "SELECT CAST(cluster_id AS BIGINT) AS cluster_id, "
+        "count(*) AS n_members, CAST(max(doc_id) AS BIGINT) AS max_doc_id "
+        "FROM comp GROUP BY cluster_id"
+    ),
     # dedup_minhash_lsh: rows-only (ml-internal hash fns)
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),

@@ -170,3 +170,30 @@ def test_two_stage_dedup_confirms_with_text(spark):
                            jac_threshold=0.5, method="exact").collect()}
     # stage 1 emits (0,1),(0,2),(1,2); stage 2 keeps only the true pair
     assert got == {(0, 1)}
+
+
+def test_connected_components_planted_chain(spark):
+    from logsqlite_spark.operators.dedup import (
+        cluster_stats, connected_components)
+
+    # chain 1-2, 2-3 plus disjoint 7-9: two components, min-id labels
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "a_id long, b_id long")
+    comp = {r["doc_id"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+    stats = {r["cluster_id"]: (r["n_members"], r["max_doc_id"])
+             for r in cluster_stats(connected_components(pairs)).collect()}
+    assert stats == {1: (3, 3), 7: (2, 9)}
+
+
+def test_connected_components_long_path_converges(spark):
+    from logsqlite_spark.operators.dedup import connected_components
+
+    # a 12-node path is the worst case for min propagation (diameter 11)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "a_id long, b_id long")
+    comp = connected_components(pairs, max_iter=30).collect()
+    assert {r["cluster_id"] for r in comp} == {0}
+    assert len(comp) == 13
