@@ -72,6 +72,55 @@ def top_events_per_user(events: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def trailing_hour_value(events: DataFrame) -> DataFrame:
+    """Trailing-1h spend per event — a RANGE (time-based) window frame,
+    not ROWS: the frame is defined by the ts value, so ties at the
+    same microsecond are all peers and the result is independent of
+    physical row order. Sums are exact integers (cents).
+
+    Scale: one shuffle on user_id; WindowExec's sliding range frame
+    advances two pointers over the sorted partition — O(n) per user,
+    no re-scan per row.
+    """
+    hour_us = 3_600_000_000
+    w = (Window.partitionBy("user_id").orderBy("ts_us")
+         .rangeBetween(-(hour_us - 1), 0))
+    return events.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        "ts_us",
+        F.sum("value_c").over(w).cast("long").alias("hour_value_c"),
+        F.count(F.lit(1)).over(w).cast("long").alias("hour_events"),
+    )
+
+
+def activity_gaps(events: DataFrame, start: str = "2024-01-01",
+                  end: str = "2024-01-30") -> DataFrame:
+    """Days with NO events per user over a calendar spine — the
+    data-freshness / silent-source monitor a log pipeline runs daily.
+
+    The spine is generated (``sequence`` of dates exploded per user),
+    so absence is representable — you cannot group your way to a row
+    that isn't there. The anti-join against the observed (user, day)
+    set is one shuffle on a tiny distinct table; the spine is
+    users × days, linear in users.
+    """
+    spine = (
+        events.select(F.col("user_id").cast("long")).distinct()
+        .select("user_id", F.explode(F.expr(
+            f"sequence(to_date('{start}'), to_date('{end}'))")).alias("day"))
+    )
+    active = (
+        events.select(
+            F.col("user_id").cast("long"),
+            F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"))
+        .distinct()
+    )
+    return (
+        spine.join(active, ["user_id", "day"], "left_anti")
+        .select("user_id", F.col("day").cast("string").alias("day"))
+    )
+
+
 def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_value(_events(spark, sf_dir))
 
@@ -84,10 +133,20 @@ def _q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_events_per_user(_events(spark, sf_dir))
 
 
+def _q_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return trailing_hour_value(_events(spark, sf_dir))
+
+
+def _q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_gaps(_events(spark, sf_dir))
+
+
 QUERIES = {
     "events_running_value": _q_running,
     "events_lag_delta": _q_lag,
     "events_topk_per_user": _q_topk,
+    "events_trailing_hour": _q_trailing,
+    "events_activity_gaps": _q_gaps,
 }
 
 _EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
@@ -114,5 +173,26 @@ ORACLES = {
         "event_id) AS rnk FROM ev) "
         "SELECT user_id, event_id, value_c, CAST(rnk AS INT) AS rnk "
         "FROM r WHERE rnk <= 3"
+    ),
+    "events_trailing_hour": (
+        f"WITH ev AS ({_EV}) "
+        "SELECT event_id, user_id, ts_us, "
+        "CAST(sum(value_c) OVER (PARTITION BY user_id ORDER BY ts_us "
+        "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS hour_value_c, "
+        "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us "
+        "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS hour_events FROM ev"
+    ),
+    "events_activity_gaps": (
+        "WITH users AS (SELECT DISTINCT user_id FROM events), "
+        "spine AS (SELECT user_id, CAST(d.day AS DATE) AS day FROM users, "
+        "  unnest(generate_series(DATE '2024-01-01', DATE '2024-01-30', "
+        "  INTERVAL 1 DAY)) AS d(day)), "
+        "active AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day "
+        "  FROM events) "
+        "SELECT user_id, CAST(day AS VARCHAR) AS day FROM spine "
+        "WHERE NOT EXISTS (SELECT 1 FROM active a "
+        "  WHERE a.user_id = spine.user_id AND a.day = spine.day)"
     ),
 }
