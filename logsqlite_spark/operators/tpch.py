@@ -551,6 +551,38 @@ def top_supplier_by_revenue(supplier: DataFrame,
     )
 
 
+def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Q19 shape: OR-of-ANDs predicate spanning both join sides.
+
+    Catalyst splits the disjunction: the part-only conjuncts stay on
+    the broadcast dim scan, the lineitem-only bounds (the overall
+    quantity envelope 1..30) are derived and pushed to the fact scan,
+    and the cross-side residual evaluates inside the join — so the
+    scan never reads rows no branch could accept. The revenue sum is
+    exact integer units.
+    """
+    li = lineitem.select("l_partkey", "l_quantity",
+                         _cents("l_extendedprice").alias("price_c"),
+                         _cents("l_discount").alias("disc_c"))
+    pp = part.select("p_partkey", "p_brand", "p_size")
+    q = F.col("l_quantity")
+    branch = (
+        ((F.col("p_brand") == "Brand#2") & (F.col("p_size") <= 10)
+         & (q >= 1) & (q <= 11))
+        | ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 20)
+           & (q >= 10) & (q <= 20))
+        | ((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 30)
+           & (q >= 20) & (q <= 30))
+    )
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    return (
+        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(branch)
+        .agg(F.sum(rev).cast("long").alias("revenue_u"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -631,6 +663,10 @@ def _q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_supplier_by_revenue(table(spark, sf_dir, "supplier"),
                                    table(spark, sf_dir, "lineitem"))
 
+def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return disjunctive_revenue(table(spark, sf_dir, "lineitem"),
+                               table(spark, sf_dir, "part"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
@@ -649,6 +685,7 @@ QUERIES = {
     "tpch_q21_sole_blame": _q_tpch_q21,
     "tpch_q22_dormant_rich": _q_tpch_q22,
     "tpch_q15_top_supplier": _q_tpch_q15,
+    "tpch_q19_disjunctive": _q_tpch_q19,
 }
 
 _CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -869,5 +906,17 @@ ORACLES = {
         "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, total_revenue_u "
         "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
         "WHERE total_revenue_u = (SELECT max(total_revenue_u) FROM rev)"
+    ),
+    "tpch_q19_disjunctive": (
+        "SELECT CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100)) AS BIGINT) "
+        "  AS revenue_u, count(*) AS n_items "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE (p_brand = 'Brand#2' AND p_size <= 10 "
+        "       AND l_quantity >= 1 AND l_quantity <= 11) "
+        "   OR (p_brand = 'Brand#3' AND p_size <= 20 "
+        "       AND l_quantity >= 10 AND l_quantity <= 20) "
+        "   OR (p_brand = 'Brand#4' AND p_size <= 30 "
+        "       AND l_quantity >= 20 AND l_quantity <= 30)"
     ),
 }

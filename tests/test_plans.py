@@ -213,6 +213,33 @@ def test_semi_anti_join_tpch_shapes(spark):
     assert "CartesianProduct" not in p21 and "BroadcastNestedLoopJoin" not in p21
     assert has_take_ordered(q21)
 
+def test_q19_disjunction_splits_to_both_scans(spark):
+    from logsqlite_spark.operators import tpch as TP
+
+    df = TP.disjunctive_revenue(table(spark, SF, "lineitem"),
+                                table(spark, SF, "part"))
+    plan = explain_str(df)
+    assert has_broadcast_join(df)
+    assert "CartesianProduct" not in plan
+    # the part-only disjunction reaches the part scan as a pushed Or
+    assert "PushedFilters" in plan and "Or(" in plan and "p_brand" in plan
+    # the derived lineitem quantity envelope (1..30) reaches the fact scan
+    assert "GreaterThanOrEqual(l_quantity" in plan \
+        and "LessThanOrEqual(l_quantity" in plan
+
+
+def test_trailing_hour_is_range_frame_single_shuffle(spark):
+    from logsqlite_spark.operators.analytics import (
+        _events, trailing_hour_value)
+
+    df = trailing_hour_value(_events(spark, SF))
+    plan = explain_str(df)
+    assert "Window" in plan
+    # RANGE frame, one exchange (user_id), no join
+    assert "RangeFrame" in plan
+    assert plan.count("Exchange (") == 1
+
+
 def test_repetition_signals_is_two_level_agg(spark):
     from logsqlite_spark.operators.textstats import repetition_signals
 

@@ -84,3 +84,38 @@ def test_shingle_jaccard_matches_python_model(spark, texts):
     assert set(got) == set(expected)
     for pair, exp in expected.items():
         assert abs(got[pair] - exp) < 1e-6
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15),
+              st.integers(min_value=0, max_value=15)).filter(lambda e: e[0] != e[1]),
+    min_size=1, max_size=20)
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(edges=EDGES)
+def test_connected_components_matches_union_find(spark, edges):
+    from logsqlite_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(edges, "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs).collect()}
+    assert got == _py_components(edges)
