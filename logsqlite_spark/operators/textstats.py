@@ -188,13 +188,17 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
     share of the most frequent 2-gram, per document.
 
     High values flag boilerplate/spam for a training-corpus filter.
-    Implemented as explode + two map-side-combinable aggregations
-    (doc×gram, then doc) — linear and fully distributed, unlike the
-    tempting higher-order-function formulation which is O(tokens²)
-    per document and melts on long documents. Ratios are single
-    divisions of exact integers, so the oracle agrees bit-for-bit.
-    Documents with fewer than two tokens have no 2-grams and drop out
-    (inner-unnest semantics on both sides).
+    ZERO-shuffle formulation: per document, sort the gram array and
+    fold it once with a run-length accumulator (``aggregate`` with a
+    struct state) — distinct count, max run, and duplicate mass all
+    fall out of one O(g log g) in-row pass, so the whole operator is
+    a pure projection that runs at scan speed and pipelines into any
+    sink. (The explode + two-level groupBy alternative is also linear
+    but pays two shuffles of every gram; the per-distinct-gram
+    ``filter`` count is O(g²) — both strictly worse.) Ratios are
+    single divisions of exact integers, so the oracle agrees
+    bit-for-bit. Documents with fewer than two tokens have no 2-grams
+    and drop out (matching the oracle's inner-unnest semantics).
     """
     # materialize the token array ONCE, then one zip_with pass — an
     # element_at-per-index formulation re-evaluates filter(split(...))
@@ -204,28 +208,36 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         "ELSE zip_with(slice(__t, 1, size(__t) - 1), "
         "slice(__t, 2, size(__t) - 1), (x, y) -> concat(x, ' ', y)) END"
     )
-    per_gram = (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.expr(_tok(text_col)).alias("__t"))
-        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # run-length fold over the sorted grams: (prev, run, maxr, dupm, nd)
+    fold = (
+        "aggregate(array_sort(__g), "
+        "named_struct('prev', cast(null as string), 'run', 0, "
+        "  'maxr', 0, 'dupm', 0, 'nd', 0), "
+        "(a, x) -> IF(a.prev IS NOT NULL AND x = a.prev, "
+        "  named_struct('prev', x, 'run', a.run + 1, 'maxr', a.maxr, "
+        "    'dupm', a.dupm, 'nd', a.nd), "
+        "  named_struct('prev', x, 'run', 1, "
+        "    'maxr', greatest(a.maxr, a.run), "
+        "    'dupm', a.dupm + IF(a.run > 1, a.run, 0), 'nd', a.nd + 1)), "
+        "a -> named_struct('maxr', greatest(a.maxr, a.run), "
+        "  'dupm', a.dupm + IF(a.run > 1, a.run, 0), 'nd', a.nd))"
     )
     return (
-        per_gram.groupBy("doc_id")
-        .agg(
-            F.sum("cnt").cast("int").alias("n_grams"),
-            F.count(F.lit(1)).cast("int").alias("n_distinct"),
-            F.max("cnt").alias("_top"),
-            F.sum(F.when(F.col("cnt") > 1, F.col("cnt"))
-                  .otherwise(F.lit(0))).alias("_dup"),
-        )
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.expr(_tok(text_col)).alias("__t"))
+        .select("doc_id", F.expr(grams).alias("__g"))
+        .filter(F.size("__g") >= 1)
+        .select("doc_id", F.size("__g").cast("int").alias("n_grams"),
+                F.expr(fold).alias("__r"))
         .select(
-            "doc_id", "n_grams", "n_distinct",
-            F.round(F.col("_top").cast("double")
-                    / F.col("n_grams").cast("double"), 6).alias("top_gram_share"),
-            F.round(F.col("_dup").cast("double")
-                    / F.col("n_grams").cast("double"), 6).alias("dup_gram_frac"),
+            "doc_id", "n_grams",
+            F.col("__r.nd").cast("int").alias("n_distinct"),
+            F.round(F.col("__r.maxr").cast("double")
+                    / F.col("n_grams").cast("double"), 6)
+            .alias("top_gram_share"),
+            F.round(F.col("__r.dupm").cast("double")
+                    / F.col("n_grams").cast("double"), 6)
+            .alias("dup_gram_frac"),
         )
     )
 

@@ -240,17 +240,15 @@ def test_trailing_hour_is_range_frame_single_shuffle(spark):
     assert plan.count("Exchange (") == 1
 
 
-def test_repetition_signals_is_two_level_agg(spark):
+def test_repetition_signals_is_zero_shuffle_projection(spark):
     from logsqlite_spark.operators.textstats import repetition_signals
 
     df = repetition_signals(table(spark, SF, "documents"))
     plan = explain_str(df)
-    # linear explode + hash aggregations — no window, no join, and the
-    # doc-level reaggregation reuses the doc_id-prefixed partitioning
-    assert "HashAggregate" in plan
+    # sort + run-length fold inside the row: a pure projection that
+    # runs at scan speed — no shuffle, no join, no window
+    assert "Exchange (" not in plan
     assert "Join" not in plan and "Window" not in plan
-    # formatted explain shows each node in tree + detail; count tree nodes
-    assert plan.count("Exchange (") <= 2
 
 def test_ann_lsh_portable_broadcasts_queries_and_group_limits(spark):
     from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
