@@ -58,6 +58,38 @@ def salted_agg(df: DataFrame, keys: list[str], aggs: dict[str, str],
     )
 
 
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                salt_col: str | Column, n_salt: int = 16) -> DataFrame:
+    """Skew-proof equi-join: salt the big side PER ROW, replicate the
+    small side across all salts, join on (key, salt).
+
+    The classic manual skew-join: a hot key's rows scatter over
+    ``n_salt`` shuffle buckets instead of funnelling into one task;
+    the small side pays ``n_salt×`` duplication, which is cheap
+    precisely because it is small. The salt MUST be a per-row
+    function (``salt_col`` — a seq/id with spread), NOT a function of
+    the join key: hashing the key would give every row of the hot key
+    the same salt and spread nothing. Each big row lands in exactly
+    one bucket and meets each matching small row exactly once there,
+    so the result is provably identical to the plain join.
+
+    AQE's skew-join split (OptimizeSkewedJoin) handles most of this
+    automatically for *sort-merge* joins; the manual salt remains the
+    tool when AQE is off (streaming foreachBatch plans) or the split
+    must be deterministic across stage retries. Like ``salted_agg``,
+    the salt is ``pmod(hash(...), n)`` of a real column — never
+    ``rand()``, which re-buckets rows between task attempts.
+    """
+    salt = F.pmod(F.hash(F.col(salt_col) if isinstance(salt_col, str)
+                         else salt_col), F.lit(n_salt))
+    big_s = big.withColumn("__salt", salt)
+    small_s = (
+        small.withColumn(
+            "__salt", F.explode(F.expr(f"sequence(0, {n_salt - 1})")))
+    )
+    return (big_s.join(small_s, [key, "__salt"]).drop("__salt"))
+
+
 def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-container line counts + byte volume via the salted path —
     oracle-identical to the plain GROUP BY (that IS the point)."""
@@ -76,8 +108,21 @@ def _q_salted_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_bytes").cast("long"), F.col("max_seq").cast("long"))
 
 
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event age vs the user's first event, via the salted join —
+    oracle-identical to the plain join (that IS the point)."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.expr("ts div 1000").alias("ts_us"))
+    dim = ev.groupBy("user_id").agg(F.min("ts_us").alias("first_ts_us"))
+    out = salted_join(ev, dim, "user_id", salt_col="event_id")
+    return out.select(
+        F.col("event_id").cast("long"), F.col("user_id").cast("long"),
+        (F.col("ts_us") - F.col("first_ts_us")).cast("long").alias("age_us"))
+
+
 QUERIES = {
     "count_per_container_salted": _q_salted_counts,
+    "events_salted_join": _q_salted_join,
 }
 
 ORACLES = {
@@ -88,5 +133,15 @@ ORACLES = {
         "CAST(sum(length(props) + 1) AS BIGINT) AS total_bytes, "
         "max(event_id) AS max_seq FROM events "
         "GROUP BY CAST(user_id AS VARCHAR)"
+    ),
+    # the UNSALTED join: salting must not change any value
+    "events_salted_join": (
+        "WITH ev AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "dim AS (SELECT user_id, min(ts_us) AS first_ts_us FROM ev "
+        "GROUP BY user_id) "
+        "SELECT ev.event_id, ev.user_id, "
+        "CAST(ev.ts_us - dim.first_ts_us AS BIGINT) AS age_us "
+        "FROM ev JOIN dim USING (user_id)"
     ),
 }

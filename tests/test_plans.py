@@ -81,6 +81,29 @@ def test_salted_agg_two_stage_and_exact(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "hashpartitioning(k" in plan and "__salt" in plan
 
+def test_salted_join_spreads_hot_key_and_stays_exact(spark):
+    from logsqlite_spark.operators.skew import salted_join
+
+    big = spark.createDataFrame(
+        [("hot", i) for i in range(4000)] + [("cold", i) for i in range(5)],
+        "k string, rid long")
+    small = spark.createDataFrame(
+        [("hot", 100), ("cold", 200), ("unmatched", 300)],
+        "k string, dimv long")
+    out = salted_join(big, small, "k", salt_col="rid", n_salt=8)
+    got = out.groupBy("k").count().collect()
+    assert {r["k"]: r["count"] for r in got} == {"hot": 4000, "cold": 5}
+
+    # the hot key's rows really scatter: per-row salt hits many buckets
+    from pyspark.sql import functions as F
+    n_salts = (
+        big.filter(F.col("k") == "hot")
+        .select(F.pmod(F.hash("rid"), F.lit(8)).alias("s"))
+        .distinct().count()
+    )
+    assert n_salts == 8
+
+
 def test_window_topk_uses_group_limit(spark):
     # rank<=k must push into the window sort (WindowGroupLimit), so a
     # partition keeps k rows instead of fully ranking every user
