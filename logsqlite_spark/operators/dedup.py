@@ -464,6 +464,86 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          F.col("label").cast("long").alias("cluster_id"))
 
 
+def incremental_dedup(new_docs: DataFrame, history: DataFrame,
+                      threshold: float = 0.6, n: int = 5,
+                      max_df_frac: float = 0.5,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup an incoming batch against the at-rest corpus — the shape
+    you actually run at 100 TB (the full corpus is never re-deduped;
+    only the daily increment is checked against it).
+
+    Two stages, both one-sided so history is scanned but never paired
+    with itself:
+
+    1. exact: a new doc whose md5 digest already exists in history
+       (or in an earlier-id new doc) is dropped — LEFT ANTI join on
+       the digest.
+    2. near: shingle Jaccard where pair partners are restricted to
+       (history doc) OR (earlier-id new doc) — the inverted-index
+       join carries the ``is_new`` flag, so history×history pairs are
+       never generated. The df cap is computed over the combined
+       corpus, exactly as a full-corpus run would see it.
+
+    Returns the surviving new docs. Deterministic: earlier doc_id
+    wins, matching ``exact_dedup_kept``'s first-arrival rule.
+    """
+    nd = new_docs.select(F.col(id_col).alias("doc_id"),
+                         F.col(text_col).alias("text"))
+    hd = history.select(F.col(id_col).alias("doc_id"),
+                        F.col(text_col).alias("text"))
+
+    # stage 1: exact digests — history's plus earlier new arrivals
+    hist_digests = hd.select(F.md5("text").alias("__h")).distinct()
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    first_new = (nd.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    after_exact = first_new.join(
+        hist_digests, F.md5(first_new["text"]) == hist_digests["__h"],
+        "left_anti")
+
+    # stage 2: shingle inverted index over history ∪ surviving new
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length(text) - {m}, 1)), "
+        "i -> substring(text, i, {n}))".format(m=n - 1, n=n)
+    )).alias("tok")
+    all_docs = (after_exact.withColumn("__new", F.lit(True))
+                .unionByName(hd.withColumn("__new", F.lit(False))))
+    toks = (all_docs.select("doc_id", "__new", sh)
+            .filter(F.col("tok") != "").distinct())
+    total = all_docs.select(F.count(F.lit(1)).alias("__total"))
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    hot = (dfreq.crossJoin(F.broadcast(total))
+           .filter(F.col("__df") > F.floor(F.lit(float(max_df_frac))
+                                           * F.col("__total")))
+           .select("tok"))
+    toks = toks.join(F.broadcast(hot), "tok", "left_anti")
+    sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+
+    a = toks.filter(F.col("__new")).select(
+        F.col("doc_id").alias("a_id"), "tok")
+    b = toks.select(F.col("doc_id").alias("b_id"),
+                    F.col("__new").alias("b_new"), "tok")
+    shared = (
+        a.join(b, "tok")
+        .filter((~F.col("b_new")) | (F.col("b_id") < F.col("a_id")))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
+    sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
+    flagged = (
+        shared.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        .filter(F.col("shared").cast("double")
+                / (F.col("sa") + F.col("sb") - F.col("shared")).cast("double")
+                >= threshold)
+        .select(F.col("a_id").alias("__bad")).distinct()
+    )
+    return after_exact.join(
+        flagged, after_exact["doc_id"] == flagged["__bad"], "left_anti"
+    ).select("doc_id", "text")
+
+
 def cluster_stats(components: DataFrame) -> DataFrame:
     """Per-cluster membership stats over the components table."""
     return (
@@ -518,6 +598,16 @@ def _q_dedup_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     # vocabulary has stop-word-like tokens at df ~0.8n); oracle mirrors
     # the same floor(0.8 * n_docs) bound, so the row hash-matches.
     return jaccard_pairs(table(spark, sf_dir, "documents"), max_df_frac=0.8)
+
+def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the daily increment stands in as every 5th doc; the rest is the
+    # at-rest corpus
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = incremental_dedup(new, hist)
+    return kept.select("doc_id",
+                       F.length("text").cast("int").alias("n_chars"))
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
@@ -627,6 +717,7 @@ QUERIES = {
     "dedup_jaccard_pairs": _q_dedup_jaccard,
     "dedup_jaccard_capped": _q_dedup_jaccard_capped,
     "dedup_shingle_pairs": _q_dedup_shingle,
+    "dedup_incremental": _q_incremental,
     "dedup_components": _q_dedup_components,
     "dedup_cluster_stats": _q_dedup_cluster_stats,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
@@ -651,6 +742,37 @@ ORACLES = {
     "dedup_shingle_pairs": _jaccard_sql(
         max_df_frac=0.5, threshold=0.6,
         tok_expr=_DUCK_SHINGLES.format(c="text")),
+    "dedup_incremental": (
+        "WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+        "hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), "
+        "firstnew AS (SELECT doc_id, text FROM ("
+        "  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) "
+        "  ORDER BY doc_id) AS rn FROM nd) WHERE rn = 1), "
+        "ae AS (SELECT doc_id, text FROM firstnew "
+        "  WHERE md5(text) NOT IN (SELECT md5(text) FROM hd)), "
+        "alld AS (SELECT doc_id, text, TRUE AS isnew FROM ae "
+        "  UNION ALL SELECT doc_id, text, FALSE FROM hd), "
+        "toks0 AS (SELECT DISTINCT doc_id, isnew, t.tok FROM alld, "
+        "  unnest(list_distinct(list_transform(generate_series(1, "
+        "  greatest(length(text) - 4, 1)), i -> substr(text, i, 5)))) "
+        "  AS t(tok) WHERE t.tok <> ''), "
+        "total AS (SELECT count(*) AS n FROM alld), "
+        "dfreq AS (SELECT tok, count(*) AS df FROM toks0 GROUP BY tok), "
+        "toks AS (SELECT toks0.* FROM toks0 JOIN dfreq USING (tok), total "
+        "  WHERE df <= floor(0.5 * total.n)), "
+        "sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id), "
+        "shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "  count(*) AS shared FROM toks a JOIN toks b ON a.tok = b.tok "
+        "  AND a.isnew AND (NOT b.isnew OR b.doc_id < a.doc_id) "
+        "  GROUP BY a.doc_id, b.doc_id), "
+        "flagged AS (SELECT DISTINCT a_id FROM shared "
+        "  JOIN sizes sa ON sa.doc_id = a_id "
+        "  JOIN sizes sb ON sb.doc_id = b_id "
+        "  WHERE CAST(shared AS DOUBLE) / "
+        "  CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.6) "
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM ae "
+        "WHERE doc_id NOT IN (SELECT a_id FROM flagged)"
+    ),
     "dedup_components": (
         "WITH RECURSIVE pairs AS ("
         + _jaccard_sql(max_df_frac=0.5, threshold=0.6,

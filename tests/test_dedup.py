@@ -197,3 +197,36 @@ def test_connected_components_long_path_converges(spark):
     comp = connected_components(pairs, max_iter=30).collect()
     assert {r["cluster_id"] for r in comp} == {0}
     assert len(comp) == 13
+
+
+def test_incremental_dedup_drops_exact_and_near_vs_history(spark):
+    from logsqlite_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame([
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "totally unrelated historical words"),
+    ], "doc_id long, text string")
+    new = spark.createDataFrame([
+        (10, "alpha beta gamma delta epsilon"),       # exact dup of hist 1
+        (11, "alpha beta gamma delta zeta"),          # near-dup of hist 1
+        (12, "alpha beta gamma delta zeta"),          # exact dup of new 11
+        (13, "completely fresh content here indeed"),  # clean
+    ], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(new, hist, threshold=0.5).collect())
+    # 10 dropped (exact vs history), 12 dropped (exact vs earlier new),
+    # 11 dropped (near-dup of history), 13 survives
+    assert kept == [13]
+
+
+def test_incremental_dedup_keeps_all_when_disjoint(spark):
+    from logsqlite_spark.operators.dedup import incremental_dedup
+
+    hist = spark.createDataFrame(
+        [(1, "aaaa bbbb cccc dddd")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(10, "wwww xxxx yyyy zzzz"), (11, "qqqq rrrr ssss tttt")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(new, hist, threshold=0.5).collect())
+    assert kept == [10, 11]
