@@ -241,6 +241,62 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         )
     )
 
+def token_freq_per_lang(docs: DataFrame, k: int = 5,
+                        min_count: int = 5) -> DataFrame:
+    """Top-k tokens per language — grouped top-k over the exploded
+    corpus (explode → two-key agg → WindowGroupLimit). The rank
+    tie-breaks on the token so the cut is deterministic."""
+    from pyspark.sql.window import Window as W
+
+    counts = (
+        docs.select("lang", F.explode(F.expr(_tok("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    w = W.partitionBy("lang").orderBy(F.col("n").desc(), F.col("tok"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def token_freq_histogram(docs: DataFrame, min_count: int = 2) -> DataFrame:
+    """Frequency-of-frequencies (the Zipf sanity check): how many
+    distinct tokens occur exactly f times. Two map-side-combinable
+    aggregations; the second groups a tiny domain."""
+    freq = (
+        docs.select(F.explode(F.expr(_tok("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.col("f") >= min_count)
+    )
+    return (
+        freq.groupBy("f")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+        .select(F.col("f").cast("long").alias("f"), "n_tokens")
+    )
+
+
+def quality_percentile(docs: DataFrame) -> DataFrame:
+    """Per-document corpus percentile of the document length —
+    ``percent_rank`` over a global order (tie-break doc_id makes the
+    rank, and hence the double (rank-1)/(n-1), exactly reproducible).
+
+    Scale note: a global window means one ordering partition; for a
+    real 100 TB corpus, percentile against a sampled/bucketized CDF
+    (or per-shard percentiles) replaces the exact global sort — this
+    query pins the exact semantics the approximation must match.
+    """
+    from pyspark.sql.window import Window as W
+
+    w = W.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return docs.select(
+        F.col("doc_id").cast("long"), F.col("n_chars").cast("long"),
+        F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -271,6 +327,15 @@ def _q_clean_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(table(spark, sf_dir, "documents"))
 
+def _q_token_freq_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_freq_per_lang(table(spark, sf_dir, "documents"))
+
+def _q_token_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_freq_histogram(table(spark, sf_dir, "documents"))
+
+def _q_quality_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_percentile(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -281,6 +346,9 @@ QUERIES = {
     "length_quantiles": _q_length_quantiles,
     "clean_text": _q_clean_text,
     "repetition_signals": _q_repetition,
+    "token_freq_per_lang": _q_token_freq_per_lang,
+    "token_freq_histogram": _q_token_freq_hist,
+    "quality_percentile": _q_quality_pctile,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -374,5 +442,25 @@ ORACLES = {
         "round(CAST(sum(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE) "
         "  / CAST(sum(cnt) AS DOUBLE), 6) AS dup_gram_frac "
         "FROM pg GROUP BY doc_id"
+    ),
+    "token_freq_per_lang": (
+        f"WITH c AS (SELECT lang, t.tok AS tok, count(*) AS n "
+        f"FROM documents, unnest({_TOKS}) AS t(tok) "
+        "GROUP BY lang, t.tok HAVING count(*) >= 5), "
+        "r AS (SELECT lang, tok, n, row_number() OVER (PARTITION BY lang "
+        "ORDER BY n DESC, tok) AS rnk FROM c) "
+        "SELECT lang, tok, n, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 5"
+    ),
+    "token_freq_histogram": (
+        f"WITH fr AS (SELECT t.tok AS tok, count(*) AS f "
+        f"FROM documents, unnest({_TOKS}) AS t(tok) "
+        "GROUP BY t.tok HAVING count(*) >= 2) "
+        "SELECT CAST(f AS BIGINT) AS f, count(*) AS n_tokens "
+        "FROM fr GROUP BY f"
+    ),
+    "quality_percentile": (
+        "SELECT doc_id, n_chars, "
+        "round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) "
+        "  AS len_pctile FROM documents"
     ),
 }
