@@ -82,15 +82,89 @@ def value_histogram(events: DataFrame,
     )
 
 
+def ewma_smooth(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Per-key exponentially weighted moving average of the event value
+    (α = 1/2) — the classic online smoother behind spike detection.
+
+    The recurrence ``s_t = (s_{t-1} + x_t) / 2`` is inherently
+    sequential, so it runs as a per-key ``applyInPandas`` walk (state
+    is one double per key; keys process in parallel, exactly like the
+    sequence packer). α = 1/2 is deliberate: the halving step is an
+    exact binary-exponent decrement, and the remaining add rounds
+    identically (IEEE round-half-even) in any engine that executes the
+    same operand sequence — which the DuckDB recursive-CTE oracle
+    does, step for step. Emitted deviation = x_t − s_{t−1} feeds a
+    spike threshold downstream.
+    """
+    import pandas as pd
+
+    schema = ("user_id long, event_id long, ts_us long, value_c long, "
+              "ewma_c double, dev_c double")
+
+    def walk(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_us", "event_id"]).reset_index(drop=True)
+        s = None
+        ew, dev = [], []
+        for x in pdf["value_c"]:
+            x = float(x)
+            if s is None:
+                dev.append(0.0)
+                s = x
+            else:
+                dev.append(x - s)
+                s = (s + x) / 2
+            ew.append(s)
+        pdf["ewma_c"] = ew
+        pdf["dev_c"] = dev
+        return pdf[["user_id", "event_id", "ts_us", "value_c",
+                    "ewma_c", "dev_c"]]
+
+    prepped = events.select(
+        F.col(key_col).cast("long").alias("user_id"),
+        F.col("event_id").cast("long"),
+        F.expr("ts div 1000").cast("long").alias("ts_us"),
+        F.expr(_CENTS).alias("value_c"),
+    )
+    return prepped.groupBy("user_id").applyInPandas(walk, schema)
+
+
+def _ewma_sql() -> str:
+    """Recursive-CTE twin: replay the halving recurrence per key."""
+    return (
+        "WITH RECURSIVE ev AS (SELECT user_id, event_id, "
+        "  epoch_us(ts) AS ts_us, "
+        "  CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT) AS value_c, "
+        "  row_number() OVER (PARTITION BY user_id "
+        "    ORDER BY epoch_us(ts), event_id) AS rn "
+        "  FROM events), "
+        "walk AS ( "
+        "  SELECT user_id, event_id, ts_us, value_c, rn, "
+        "    CAST(value_c AS DOUBLE) AS s, CAST(0 AS DOUBLE) AS dev "
+        "  FROM ev WHERE rn = 1 "
+        "  UNION ALL "
+        "  SELECT e.user_id, e.event_id, e.ts_us, e.value_c, e.rn, "
+        "    (w.s + CAST(e.value_c AS DOUBLE)) / 2 AS s, "
+        "    CAST(e.value_c AS DOUBLE) - w.s AS dev "
+        "  FROM walk w JOIN ev e ON e.user_id = w.user_id "
+        "  AND e.rn = w.rn + 1) "
+        "SELECT user_id, event_id, ts_us, value_c, "
+        "s AS ewma_c, dev AS dev_c FROM walk"
+    )
+
+
 def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers(table(spark, sf_dir, "events"))
 
+
+def _q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ewma_smooth(table(spark, sf_dir, "events"))
 
 def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(table(spark, sf_dir, "events"))
 
 
 QUERIES = {
+    "events_ewma": _q_ewma,
     "value_outliers": _q_outliers,
     "value_histogram": _q_histogram,
 }
@@ -98,6 +172,7 @@ QUERIES = {
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
 
 ORACLES = {
+    "events_ewma": _ewma_sql(),
     "value_outliers": (
         f"WITH ev AS (SELECT event_id, user_id, {_CENTS_SQL} AS v FROM events), "
         "st AS (SELECT event_id, user_id, v, "
