@@ -278,6 +278,32 @@ def token_freq_histogram(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def token_commonness(docs: DataFrame) -> DataFrame:
+    """Mean corpus document-frequency of each document's tokens — the
+    unigram-LM-score stand-in that stays engine-exact (a true log-prob
+    would hit platform-libm ``ln`` divergence; integer df sums cannot).
+    Low scores flag gibberish/OCR noise; high scores flag boilerplate.
+
+    Shape: token instances join the (vocab-sized) df table on the
+    token, then one per-doc agg — at 100 TB the df table is the small
+    side of the join and the whole thing is two shuffles.
+    """
+    inst = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.explode(F.expr(_tok("text"))).alias("tok"))
+    df_tbl = (inst.distinct().groupBy("tok")
+              .agg(F.count(F.lit(1)).alias("df")))
+    return (
+        inst.join(df_tbl, "tok")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_toks"),
+             F.sum("df").cast("long").alias("sum_df"))
+        .select("doc_id", "n_toks", "sum_df",
+                F.round(F.col("sum_df").cast("double")
+                        / F.col("n_toks").cast("double"), 6)
+                .alias("mean_df"))
+    )
+
+
 def quality_percentile(docs: DataFrame) -> DataFrame:
     """Per-document corpus percentile of the document length —
     ``percent_rank`` over a global order (tie-break doc_id makes the
@@ -336,6 +362,9 @@ def _q_token_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_percentile(table(spark, sf_dir, "documents"))
 
+def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_commonness(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -349,6 +378,7 @@ QUERIES = {
     "token_freq_per_lang": _q_token_freq_per_lang,
     "token_freq_histogram": _q_token_freq_hist,
     "quality_percentile": _q_quality_pctile,
+    "token_commonness": _q_token_commonness,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -462,5 +492,16 @@ ORACLES = {
         "SELECT doc_id, n_chars, "
         "round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) "
         "  AS len_pctile FROM documents"
+    ),
+    "token_commonness": (
+        f"WITH inst AS (SELECT doc_id, t.tok AS tok FROM documents, "
+        f"unnest({_TOKS}) AS t(tok)), "
+        "dfr AS (SELECT tok, count(*) AS df FROM "
+        "(SELECT DISTINCT doc_id, tok FROM inst) GROUP BY tok) "
+        "SELECT doc_id, CAST(count(*) AS INT) AS n_toks, "
+        "CAST(sum(df) AS BIGINT) AS sum_df, "
+        "round(CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+        "  AS mean_df "
+        "FROM inst JOIN dfr USING (tok) GROUP BY doc_id"
     ),
 }
