@@ -583,6 +583,40 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
 
 
+def nation_year_profit(lineitem: DataFrame, part: DataFrame,
+                       supplier: DataFrame, orders: DataFrame,
+                       nation: DataFrame,
+                       p_type: str = "STANDARD") -> DataFrame:
+    """Q9 shape: profit-proxy by (supplier nation, order year) — a
+    full-history 5-way join with NO date filter: the fact table's
+    entire range flows through, which is the shape that stresses the
+    shuffle planner rather than pushdown. The only big-big join is
+    lineitem⋈orders on the order key; part (filtered), supplier, and
+    nation broadcast. (The real q9 weighs in partsupp's supplycost —
+    absent from the synthetic schema — so revenue stands in for
+    amount; the join/agg skeleton is q9's.)
+    """
+    rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
+    pp = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    li = lineitem.select("l_orderkey", "l_partkey", "l_suppkey",
+                         _cents("l_extendedprice").alias("price_c"),
+                         _cents("l_discount").alias("disc_c"))
+    sup = supplier.join(
+        F.broadcast(nation.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "n_name")
+    return (
+        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        .join(orders.select("o_orderkey", "o_orderdate"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("n_name",
+                 F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(rev).cast("long").alias("profit_u"),
+             F.count(F.lit(1)).cast("long").alias("n_items"))
+    )
+
+
 def _q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pricing_summary(table(spark, sf_dir, "lineitem"))
 
@@ -667,6 +701,12 @@ def _q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
     return disjunctive_revenue(table(spark, sf_dir, "lineitem"),
                                table(spark, sf_dir, "part"))
 
+def _q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nation_year_profit(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "part"),
+        table(spark, sf_dir, "supplier"), table(spark, sf_dir, "orders"),
+        table(spark, sf_dir, "nation"))
+
 QUERIES = {
     "tpch_q1_pricing": _q_tpch_q1,
     "tpch_q3_top_orders": _q_tpch_q3,
@@ -686,6 +726,7 @@ QUERIES = {
     "tpch_q22_dormant_rich": _q_tpch_q22,
     "tpch_q15_top_supplier": _q_tpch_q15,
     "tpch_q19_disjunctive": _q_tpch_q19,
+    "tpch_q9_nation_profit": _q_tpch_q9,
 }
 
 _CENTS_SQL = "CAST(floor(CAST({c} AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -918,5 +959,18 @@ ORACLES = {
         "       AND l_quantity >= 10 AND l_quantity <= 20) "
         "   OR (p_brand = 'Brand#4' AND p_size <= 30 "
         "       AND l_quantity >= 20 AND l_quantity <= 30)"
+    ),
+    "tpch_q9_nation_profit": (
+        "SELECT n_name, CAST(year(o_orderdate) AS INT) AS o_year, "
+        "CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT) "
+        "  * (10000 - CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT) * 100)) AS BIGINT) "
+        "  AS profit_u, count(*) AS n_items "
+        "FROM lineitem "
+        "JOIN part ON l_partkey = p_partkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE p_type = 'STANDARD' "
+        "GROUP BY n_name, year(o_orderdate)"
     ),
 }

@@ -56,6 +56,23 @@ def correlate_streams(requests: DataFrame, responses: DataFrame,
     )
 
 
+def enrich_stream(stream: DataFrame, dim: DataFrame,
+                  key: str = "container_id",
+                  how: str = "left_outer") -> DataFrame:
+    """Stream-static enrichment: join a live stream against an at-rest
+    dimension (config table, container metadata, user profile).
+
+    Unlike stream-stream, the static side needs no watermark and no
+    state — each micro-batch plans a fresh join against the CURRENT
+    dimension snapshot, so a dimension update (manifest flip) is
+    picked up at the next batch without restarting the query. Spark
+    broadcasts the dim when it fits; left_outer keeps stream rows
+    whose key has no dimension row yet (arrival order is unpredictable
+    in log pipelines).
+    """
+    return stream.join(dim, key, how)
+
+
 def unmatched_requests(requests: DataFrame, responses: DataFrame,
                        key: str = "req_id",
                        ts_col: str = "ts",

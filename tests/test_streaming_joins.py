@@ -68,3 +68,31 @@ def test_unanswered_requests_emitted_after_watermark(spark, tmp_path):
         q.stop()
     # c timed out; a was answered; zz may still be in-window (not final)
     assert "c" in got and "a" not in got
+
+
+def test_stream_static_enrichment_sees_dim_updates(spark, tmp_path):
+    from logsqlite_spark.streaming.joins import enrich_stream
+
+    src = str(tmp_path / "ev")
+    dim_p = str(tmp_path / "dim")
+    _write(spark, src, [("c1", BASE * M)])
+    spark.createDataFrame([("c1", "team-a"), ("c2", "team-b")],
+                          "req_id string, owner string") \
+        .write.mode("overwrite").parquet(dim_p)
+
+    stream = _stream(spark, src)
+    dim = spark.read.parquet(dim_p)
+    out = enrich_stream(stream, dim, key="req_id")
+    name = f"se_{int(time.time() * 1000)}"
+    q = (out.writeStream.outputMode("append").format("memory")
+         .queryName(name).start())
+    try:
+        q.processAllAvailable()
+        # c3 has no dim row yet: left_outer keeps it with a null owner
+        _write(spark, src, [("c3", (BASE + 1) * M)])
+        q.processAllAvailable()
+        got = {(r["req_id"], r["owner"]) for r in
+               spark.sql(f"SELECT req_id, owner FROM {name}").collect()}
+    finally:
+        q.stop()
+    assert got == {("c1", "team-a"), ("c3", None)}
