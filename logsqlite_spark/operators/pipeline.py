@@ -141,10 +141,64 @@ def _corpus_stats_sql() -> str:
     )
 
 
+def _q_corpus_full_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The modern pipeline in full: decontaminate against the eval
+    benchmark FIRST (every 25th doc stands in for the eval suite),
+    then clean → gate → dedup → split over what remains. A separate
+    query from ``corpus_prepare_stats`` so each chain stays
+    independently hash-checked."""
+    from logsqlite_spark.operators.contamination import decontaminate
+
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    corpus = docs.filter(F.col("doc_id") % 25 != 0)
+    decon = decontaminate(corpus, bench)
+    prepared = prepare_corpus(decon, emb, method="exact")
+    return (
+        prepared.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("sum_tokens"))
+    )
+
+
+def _corpus_full_sql() -> str:
+    """DuckDB twin: the decontamination CTEs compute the bad-doc set on
+    the real ``documents`` view; the stage-chain SQL (textually the
+    ``corpus_prepare_stats`` oracle) is then grafted on with its
+    ``documents`` references rebound to the decontaminated ``__base``
+    CTE — one hash-checked query for the whole five-stage pipeline.
+    (A CTE literally named ``documents`` would be the cleaner shadow,
+    but DuckDB binds WITH names eagerly and reports it as a circular
+    reference.)"""
+    import re
+
+    from logsqlite_spark.operators.contamination import _shingle_cte
+
+    stats = re.sub(r"\bdocuments\b", "__base", _corpus_stats_sql())
+    assert stats.startswith("WITH ")
+    return (
+        "WITH __d AS (" + _shingle_cte("doc_id % 25 <> 0") + "), "
+        "__b AS (" + _shingle_cte("doc_id % 25 = 0") + "), "
+        "__bs AS (SELECT doc_id AS bench_id, count(*) AS bench_ngrams "
+        "  FROM __b GROUP BY doc_id), "
+        "__sh AS (SELECT __d.doc_id AS doc_id, __b.doc_id AS bench_id, "
+        "  count(*) AS shared FROM __d JOIN __b ON __d.ngram = __b.ngram "
+        "  GROUP BY __d.doc_id, __b.doc_id), "
+        "__bad AS (SELECT DISTINCT doc_id FROM __sh "
+        "  JOIN __bs USING (bench_id) WHERE shared * 2 >= bench_ngrams), "
+        "__base AS (SELECT * FROM documents WHERE doc_id % 25 <> 0 "
+        "  AND doc_id NOT IN (SELECT doc_id FROM __bad)), "
+        + stats[len("WITH "):]
+    )
+
+
 QUERIES = {
     "corpus_prepare_stats": _q_corpus_stats,
+    "corpus_prepare_full_stats": _q_corpus_full_stats,
 }
 
 ORACLES = {
     "corpus_prepare_stats": _corpus_stats_sql(),
+    "corpus_prepare_full_stats": _corpus_full_sql(),
 }
