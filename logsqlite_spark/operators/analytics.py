@@ -121,6 +121,64 @@ def activity_gaps(events: DataFrame, start: str = "2024-01-01",
     )
 
 
+def activity_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity day,
+    distinct actives counted per (cohort day, days-since) cell — the
+    standard product-retention rollup.
+
+    Two aggregations + one join: first-activity is a groupBy(user)
+    min, broadcast back onto the distinct (user, day) activity set.
+    countDistinct is exact (two-phase distinct aggregation). All
+    outputs are integers/dates — no FP anywhere.
+    """
+    ev = events.select(
+        F.col("user_id").cast("long"),
+        F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"))
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = ev.distinct()
+    return (
+        active.join(F.broadcast(first), "user_id")
+        .groupBy("cohort_day",
+                 F.datediff(F.col("day"), F.col("cohort_day"))
+                 .cast("int").alias("day_offset"))
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+        .select(F.col("cohort_day").cast("string").alias("cohort_day"),
+                "day_offset", "n_users")
+    )
+
+
+FUNNEL_STEPS = ("view", "click", "purchase")
+
+
+def funnel(events: DataFrame,
+              steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Single-plan funnel (no driver-side counts — one job): per-user
+    frontiers via conditional aggregation in ONE pass over the events:
+    t1 = min ts of step1; t2 = min ts of step2 with ts > t1; t3 = min
+    ts of step3 with ts > t2. The second/third minima need the earlier
+    frontier, so this composes three groupBys on the SAME key — AQE
+    coalesces, and the user-keyed shuffles after the first are tiny.
+    """
+    ev = events.select(F.col("user_id").cast("long"),
+                       "event_type", "ts_us")
+    cur = (ev.filter(F.col("event_type") == steps[0])
+           .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+    joined = cur
+    prev_t = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            ev.filter(F.col("event_type") == step)
+            .join(F.broadcast(joined.select("user_id", prev_t)), "user_id")
+            .filter(F.col("ts_us") > F.col(prev_t))
+            .groupBy("user_id").agg(F.min("ts_us").alias(f"t{i}"))
+        )
+        joined = joined.join(nxt, "user_id", "left_outer")
+        prev_t = f"t{i}"
+    aggs = [F.count(f"t{i + 1}").cast("long").alias(f"n_{s}")
+            for i, s in enumerate(steps)]
+    return joined.agg(*aggs)
+
+
 def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_value(_events(spark, sf_dir))
 
@@ -141,12 +199,22 @@ def _q_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity_gaps(_events(spark, sf_dir))
 
 
+def _q_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return activity_cohorts(_events(spark, sf_dir))
+
+
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return funnel(_events(spark, sf_dir))
+
+
 QUERIES = {
     "events_running_value": _q_running,
     "events_lag_delta": _q_lag,
     "events_topk_per_user": _q_topk,
     "events_trailing_hour": _q_trailing,
     "events_activity_gaps": _q_gaps,
+    "events_cohorts": _q_cohorts,
+    "events_funnel": _q_funnel,
 }
 
 _EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
@@ -183,6 +251,32 @@ ORACLES = {
         "CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us "
         "RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW) AS BIGINT) "
         "AS hour_events FROM ev"
+    ),
+    "events_cohorts": (
+        "WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events), "
+        "fst AS (SELECT user_id, min(day) AS cohort_day FROM ev "
+        "GROUP BY user_id), "
+        "act AS (SELECT DISTINCT user_id, day FROM ev) "
+        "SELECT CAST(cohort_day AS VARCHAR) AS cohort_day, "
+        "CAST(datediff('day', cohort_day, day) AS INT) AS day_offset, "
+        "count(DISTINCT act.user_id) AS n_users "
+        "FROM act JOIN fst ON act.user_id = fst.user_id "
+        "GROUP BY cohort_day, datediff('day', cohort_day, day)"
+    ),
+    "events_funnel": (
+        "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT ev.user_id, min(ts_us) AS t2 FROM ev "
+        "  JOIN s1 ON ev.user_id = s1.user_id "
+        "  WHERE event_type = 'click' AND ts_us > t1 GROUP BY ev.user_id), "
+        "s3 AS (SELECT ev.user_id, min(ts_us) AS t3 FROM ev "
+        "  JOIN s2 ON ev.user_id = s2.user_id "
+        "  WHERE event_type = 'purchase' AND ts_us > t2 GROUP BY ev.user_id) "
+        "SELECT (SELECT count(*) FROM s1) AS n_view, "
+        "(SELECT count(*) FROM s2) AS n_click, "
+        "(SELECT count(*) FROM s3) AS n_purchase"
     ),
     "events_activity_gaps": (
         "WITH users AS (SELECT DISTINCT user_id FROM events), "
