@@ -323,6 +323,66 @@ def quality_percentile(docs: DataFrame) -> DataFrame:
     )
 
 
+GATE_MIN_TOKENS = 25
+RULE_SHORT, RULE_REPEAT, RULE_STOPWORDY = 1, 2, 4
+
+
+def quality_gate(docs: DataFrame) -> DataFrame:
+    """Composite corpus filter with a failure-reason bitmask — the
+    production shape: one pass emits WHY each document fails (bit 0 =
+    too short, bit 1 = repetitive, bit 2 = stopword-heavy) so the
+    pipeline can report per-rule drop rates, not just a survivor
+    count.
+
+    Every rule is an integer cross-multiplication of counts the
+    single projection already computed (``16·max_run ≥ n_grams``
+    instead of ``share ≥ 1/16``), so the mask is exact in any engine
+    and the whole gate is ZERO-shuffle — same scan-speed contract as
+    ``repetition_signals``, whose run-length fold it reuses.
+    """
+    grams = (
+        "CASE WHEN size(__t) < 2 THEN array() "
+        "ELSE zip_with(slice(__t, 1, size(__t) - 1), "
+        "slice(__t, 2, size(__t) - 1), (x, y) -> concat(x, ' ', y)) END"
+    )
+    fold = (
+        "aggregate(array_sort(__g), "
+        "named_struct('prev', cast(null as string), 'run', 0, 'maxr', 0), "
+        "(a, x) -> IF(a.prev IS NOT NULL AND x = a.prev, "
+        "  named_struct('prev', x, 'run', a.run + 1, 'maxr', a.maxr), "
+        "  named_struct('prev', x, 'run', 1, "
+        "    'maxr', greatest(a.maxr, a.run))), "
+        "a -> greatest(a.maxr, a.run))"
+    )
+    stop = _sql_list(STOPWORDS)
+    base = (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.expr(_tok("text")).alias("__t"))
+        .select("doc_id",
+                F.size("__t").cast("int").alias("n_tokens"),
+                F.expr(f"size(filter(__t, t -> t IN ({stop})))")
+                .cast("int").alias("n_stop"),
+                F.expr(grams).alias("__g"))
+        .select("doc_id", "n_tokens", "n_stop",
+                F.size("__g").cast("int").alias("n_grams"),
+                F.expr(fold).cast("int").alias("max_run"))
+    )
+    mask = (
+        F.when(F.col("n_tokens") < GATE_MIN_TOKENS,
+               F.lit(RULE_SHORT)).otherwise(F.lit(0))
+        + F.when((F.col("n_grams") > 0)
+                 & (F.col("max_run") * 16 >= F.col("n_grams")),
+                 F.lit(RULE_REPEAT)).otherwise(F.lit(0))
+        + F.when(F.col("n_stop") * 8 >= F.col("n_tokens"),
+                 F.lit(RULE_STOPWORDY)).otherwise(F.lit(0))
+    )
+    return base.select(
+        "doc_id", "n_tokens", "n_grams", "max_run", "n_stop",
+        mask.cast("int").alias("fail_mask"),
+        (mask == 0).alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -365,6 +425,9 @@ def _q_quality_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(table(spark, sf_dir, "documents"))
 
+def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_gate(table(spark, sf_dir, "documents"))
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -379,6 +442,7 @@ QUERIES = {
     "token_freq_histogram": _q_token_freq_hist,
     "quality_percentile": _q_quality_pctile,
     "token_commonness": _q_token_commonness,
+    "quality_gate": _q_quality_gate,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -493,6 +557,7 @@ ORACLES = {
         "round(percent_rank() OVER (ORDER BY n_chars, doc_id), 6) "
         "  AS len_pctile FROM documents"
     ),
+    "quality_gate": ("WITH tk AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS l FROM documents), gs AS (SELECT doc_id, len(l) AS n_tokens,   len(list_filter(l, t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it'))) AS n_stop,   CASE WHEN len(l) < 2 THEN []   ELSE list_transform(generate_series(1, len(l) - 1), i -> l[i] || ' ' || l[i + 1]) END AS g   FROM tk), e AS (SELECT doc_id, u.x AS x FROM gs, unnest(g) AS u(x)), pg AS (SELECT doc_id, x, count(*) AS c FROM e GROUP BY doc_id, x), rg AS (SELECT doc_id, CAST(max(c) AS INT) AS max_run,   CAST(sum(c) AS INT) AS n_grams FROM pg GROUP BY doc_id), j AS (SELECT gs.doc_id, CAST(n_tokens AS INT) AS n_tokens,   CAST(n_stop AS INT) AS n_stop,   coalesce(n_grams, 0) AS n_grams, coalesce(max_run, 0) AS max_run   FROM gs LEFT JOIN rg ON gs.doc_id = rg.doc_id) SELECT doc_id, n_tokens, n_grams, max_run, n_stop, CAST((CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END)  + (CASE WHEN n_grams > 0 AND max_run * 16 >= n_grams THEN 2 ELSE 0 END)  + (CASE WHEN n_stop * 8 >= n_tokens THEN 4 ELSE 0 END) AS INT) AS fail_mask, ((CASE WHEN n_tokens < 25 THEN 1 ELSE 0 END)  + (CASE WHEN n_grams > 0 AND max_run * 16 >= n_grams THEN 2 ELSE 0 END)  + (CASE WHEN n_stop * 8 >= n_tokens THEN 4 ELSE 0 END)) = 0 AS kept FROM j"),
     "token_commonness": (
         f"WITH inst AS (SELECT doc_id, t.tok AS tok FROM documents, "
         f"unnest({_TOKS}) AS t(tok)), "

@@ -273,6 +273,15 @@ def test_repetition_signals_is_zero_shuffle_projection(spark):
     assert "Exchange (" not in plan
     assert "Join" not in plan and "Window" not in plan
 
+def test_quality_gate_is_zero_shuffle_projection(spark):
+    from logsqlite_spark.operators.textstats import quality_gate
+
+    df = quality_gate(table(spark, SF, "documents"))
+    plan = explain_str(df)
+    assert "Exchange (" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
 def test_ann_lsh_portable_broadcasts_queries_and_group_limits(spark):
     from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
 
