@@ -179,6 +179,43 @@ def funnel(events: DataFrame,
     return joined.agg(*aggs)
 
 
+def conversion_times(events: DataFrame,
+                     steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Time-to-convert distribution for funnel completers: exact
+    discrete p50/p90/p99 of (last-step ts − first-step ts), in
+    microseconds. Composes the funnel frontier chain with the same
+    type-1 percentile construction as ``length_quantiles`` — integer
+    end to end.
+    """
+    ev = events.select(F.col("user_id").cast("long"),
+                       "event_type", "ts_us")
+    frontier = (ev.filter(F.col("event_type") == steps[0])
+                .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
+    prev = frontier
+    prev_t = "t1"
+    for i, step in enumerate(steps[1:], start=2):
+        prev = (
+            ev.filter(F.col("event_type") == step)
+            .join(F.broadcast(prev), "user_id")
+            .filter(F.col("ts_us") > F.col(prev_t))
+            .groupBy("user_id", "t1")
+            .agg(F.min("ts_us").alias(f"t{i}"))
+        )
+        prev_t = f"t{i}"
+    done = prev.select(
+        "user_id", (F.col(prev_t) - F.col("t1")).alias("dt_us"))
+    w = Window.orderBy("dt_us", "user_id")
+    ranked = done.select(
+        "dt_us", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    aggs = [
+        F.max(F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
+                     F.col("dt_us"))).cast("long").alias(f"p{int(p * 100)}_us")
+        for p in (0.5, 0.9, 0.99)
+    ]
+    return ranked.agg(F.max("n").cast("long").alias("n_converted"), *aggs)
+
+
 def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_value(_events(spark, sf_dir))
 
@@ -207,6 +244,10 @@ def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return funnel(_events(spark, sf_dir))
 
 
+def _q_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return conversion_times(_events(spark, sf_dir))
+
+
 QUERIES = {
     "events_running_value": _q_running,
     "events_lag_delta": _q_lag,
@@ -215,6 +256,7 @@ QUERIES = {
     "events_activity_gaps": _q_gaps,
     "events_cohorts": _q_cohorts,
     "events_funnel": _q_funnel,
+    "events_conversion_time": _q_conversion,
 }
 
 _EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
@@ -277,6 +319,28 @@ ORACLES = {
         "SELECT (SELECT count(*) FROM s1) AS n_view, "
         "(SELECT count(*) FROM s2) AS n_click, "
         "(SELECT count(*) FROM s3) AS n_purchase"
+    ),
+    "events_conversion_time": (
+        "WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us "
+        "FROM events), "
+        "s1 AS (SELECT user_id, min(ts_us) AS t1 FROM ev "
+        "  WHERE event_type = 'view' GROUP BY user_id), "
+        "s2 AS (SELECT ev.user_id, t1, min(ts_us) AS t2 FROM ev "
+        "  JOIN s1 ON ev.user_id = s1.user_id "
+        "  WHERE event_type = 'click' AND ts_us > t1 "
+        "  GROUP BY ev.user_id, t1), "
+        "s3 AS (SELECT ev.user_id, t1, min(ts_us) AS t3 FROM ev "
+        "  JOIN s2 ON ev.user_id = s2.user_id "
+        "  WHERE event_type = 'purchase' AND ts_us > t2 "
+        "  GROUP BY ev.user_id, t1), "
+        "done AS (SELECT user_id, t3 - t1 AS dt_us FROM s3), "
+        "r AS (SELECT dt_us, row_number() OVER (ORDER BY dt_us, user_id) "
+        "  AS rn, count(*) OVER () AS n FROM done) "
+        "SELECT CAST(max(n) AS BIGINT) AS n_converted, "
+        "CAST(max(CASE WHEN rn = ceil(n * 0.5) THEN dt_us END) AS BIGINT) AS p50_us, "
+        "CAST(max(CASE WHEN rn = ceil(n * 0.9) THEN dt_us END) AS BIGINT) AS p90_us, "
+        "CAST(max(CASE WHEN rn = ceil(n * 0.99) THEN dt_us END) AS BIGINT) AS p99_us "
+        "FROM r"
     ),
     "events_activity_gaps": (
         "WITH users AS (SELECT DISTINCT user_id FROM events), "
