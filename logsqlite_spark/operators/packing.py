@@ -49,6 +49,13 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     counts by passing a pre-computed column — see ``token_counts`` in
     textstats.py). ``pack_id`` is globally unique:
     ``bucket * 2^40 + local pack index``.
+
+    Oversized docs (> budget) get their own pack and a ``truncated``
+    flag; the own-pack rule is fill-based, so zero-token docs — which
+    consume no budget — may share an oversized doc's pack (a real
+    pipeline drops empty docs at the quality gate before packing; see
+    pipeline.py MIN_TOKENS). The SQL oracle replays exactly this
+    fill-based walk.
     """
     import pandas as pd
 
