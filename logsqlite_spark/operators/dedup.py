@@ -544,6 +544,24 @@ def incremental_dedup(new_docs: DataFrame, history: DataFrame,
     ).select("doc_id", "text")
 
 
+def pair_degree_histogram(pairs: DataFrame, a_col: str = "a_id",
+                          b_col: str = "b_id") -> DataFrame:
+    """Degree distribution of the near-dup pair graph — the triage
+    view before cluster formation: a fat tail means templated
+    boilerplate (one doc similar to thousands) and predicts both the
+    component sizes and the join skew the pair generator will face at
+    the next scale-up. Two map-side-combinable aggregations.
+    """
+    sym = (pairs.select(F.col(a_col).alias("node"))
+           .unionAll(pairs.select(F.col(b_col).alias("node"))))
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .select(F.col("degree").cast("long").alias("degree"), "n_nodes")
+    )
+
+
 def cluster_stats(components: DataFrame) -> DataFrame:
     """Per-cluster membership stats over the components table."""
     return (
@@ -608,6 +626,11 @@ def _q_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = incremental_dedup(new, hist)
     return kept.select("doc_id",
                        F.length("text").cast("int").alias("n_chars"))
+
+def _q_pair_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
+                                  threshold=0.6, max_df_frac=0.5)
+    return pair_degree_histogram(pairs)
 
 def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
@@ -719,6 +742,7 @@ QUERIES = {
     "dedup_shingle_pairs": _q_dedup_shingle,
     "dedup_incremental": _q_incremental,
     "dedup_components": _q_dedup_components,
+    "dedup_pair_degrees": _q_pair_degrees,
     "dedup_cluster_stats": _q_dedup_cluster_stats,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
@@ -772,6 +796,17 @@ ORACLES = {
         "  CAST(sa.sz + sb.sz - shared AS DOUBLE) >= 0.6) "
         "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM ae "
         "WHERE doc_id NOT IN (SELECT a_id FROM flagged)"
+    ),
+    "dedup_pair_degrees": (
+        "WITH pairs AS ("
+        + _jaccard_sql(max_df_frac=0.5, threshold=0.6,
+                       tok_expr=_DUCK_SHINGLES.format(c="text"))
+        + "), "
+        "sym AS (SELECT a_id AS node FROM pairs "
+        "UNION ALL SELECT b_id FROM pairs), "
+        "deg AS (SELECT node, count(*) AS degree FROM sym GROUP BY node) "
+        "SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_nodes "
+        "FROM deg GROUP BY degree"
     ),
     "dedup_components": (
         "WITH RECURSIVE pairs AS ("

@@ -182,6 +182,17 @@ def q_logparse_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long"),
         F.get_json_object("props", "$.k").cast("int").alias("k"))
 
+def q_logparse_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X6: schema-projected JSON parse — from_json with an explicit
+    # schema stays in codegen and, unlike per-path JsonPath probes,
+    # parses the document ONCE however many fields are pulled; the
+    # 100 TB default for structured props columns.
+    df = _events(spark, sf_dir)
+    parsed = F.from_json("props", "k INT")
+    return df.select(
+        F.col("event_id").cast("long"),
+        parsed.getField("k").cast("int").alias("k"))
+
 def q_logparse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _events(spark, sf_dir)
     return df.select(
@@ -295,6 +306,9 @@ _ORACLES_PARITY = {
     "logparse_json": (
         "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
     ),
+    "logparse_typed": (
+        "SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k FROM events"
+    ),
     "logparse_regex": (
         "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k FROM events"
     ),
@@ -331,6 +345,7 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retention_keep_last": q_retention_keep_last,
     "retention_combined": q_retention_combined,
     "logparse_json": q_logparse_json,
+    "logparse_typed": q_logparse_typed,
     "logparse_regex": q_logparse_regex,
     "events_window_agg": q_events_window_agg,
     "wire_frames": q_wire_frames,  # rows-only (binary emit path)
