@@ -170,6 +170,67 @@ def make_partial_fn(timeout_ms: int):
 
     return update
 
+EWMA_SCHEMA = "user_id long, event_id long, ts_us long, ewma_c double"
+EWMA_STATE_SCHEMA = "s double, last_ts long, last_id long"
+
+
+def make_ewma_fn():
+    """Per-key streaming EWMA (α = 1/2) — the batch recurrence
+    (operators/anomaly.py::ewma_smooth) carried ACROSS micro-batches
+    in one tiny state row per key: (running s, last event position).
+
+    Within a batch, rows are folded in (ts, event_id) order; between
+    batches the state resumes exactly where the last batch ended, so
+    for in-order arrival the streaming output is row-for-row identical
+    to the batch operator on the concatenated input — pinned in
+    test_streaming_ewma.py. (Out-of-order arrivals across batch
+    boundaries fold in arrival order, the standard online-EWMA
+    trade-off; the batch twin is the replayable ground truth.)
+    """
+
+    def update(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            s, last_ts, last_id = state.get
+        else:
+            s, last_ts, last_id = None, -1, -1
+        out_rows = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            for r in pdf.itertuples(index=False):
+                x = float(r.value_c)
+                s = x if s is None else (s + x) / 2
+                out_rows.append((user_id, int(r.event_id),
+                                 int(r.ts_us), s))
+                last_ts, last_id = int(r.ts_us), int(r.event_id)
+        if s is not None:
+            state.update((float(s), last_ts, last_id))
+        if out_rows:
+            yield pd.DataFrame(out_rows, columns=[
+                "user_id", "event_id", "ts_us", "ewma_c"])
+
+    return update
+
+
+def streaming_ewma(stream):
+    """Streaming twin of ``ewma_smooth``: input needs columns
+    (user_id, event_id, ts_us, value_c) plus an event-time ``ts``
+    column for the watermark (state is per-key and permanent by
+    design — an EWMA never expires — so no timeout is set; key
+    cardinality, not history, bounds the store)."""
+    return (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_ewma_fn(),
+            outputStructType=EWMA_SCHEMA,
+            stateStructType=EWMA_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_reassemble_partials(stream, flush_timeout_ms: int = 60_000,
                                   watermark: str = "10 minutes"):
     """Reassemble partial fragments across micro-batches.
