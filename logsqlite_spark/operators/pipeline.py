@@ -109,6 +109,39 @@ def packed_corpus(docs: DataFrame, emb: DataFrame, budget: int = 2048,
     return out
 
 
+def write_prepared_corpus(docs: DataFrame, emb: DataFrame, out_dir: str,
+                          min_tokens: int = MIN_TOKENS,
+                          method: str = "lsh") -> dict:
+    """Materialize the prepared corpus through the engine's
+    manifest-commit table layer: stage the split-partitioned parquet,
+    adopt the files, publish atomically. Readers resolving the
+    manifest never observe a half-written corpus — the same
+    reader-safety contract the log table gets (table.py), now
+    protecting the training-set handoff.
+
+    Returns {rows, files, split_counts}. Partitioning by ``split``
+    means a trainer's ``split = 'train'`` filter prunes whole
+    directories at the scan.
+    """
+    from logsqlite_spark.table import ManifestTable
+
+    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    table = ManifestTable(out_dir)
+    staging = table.new_staging_dir()
+    (corpus.write.mode("overwrite").partitionBy("split")
+     .parquet(str(staging)))
+    new_files = table.adopt_staged(staging)
+    table.commit_append(new_files, scope="corpus", batch_id=None,
+                        seq_increments={}, last_files={})
+    spark = docs.sparkSession
+    out = table.read_df(spark)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count(F.lit(1)).alias("n"))
+              .collect()}
+    return {"rows": sum(counts.values()), "files": len(new_files),
+            "split_counts": counts}
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # method="exact" so the whole chain is oracle-identical; the
     # production entry point defaults to the LSH candidate path

@@ -48,3 +48,25 @@ def test_packed_corpus_never_mixes_splits(spark):
     per_pack = (packed.groupBy("pack_id")
                 .agg(F.countDistinct("split").alias("k")).collect())
     assert per_pack and all(r.k == 1 for r in per_pack)
+
+
+def test_write_prepared_corpus_via_manifest(spark, tmp_path):
+    from logsqlite_spark.operators.pipeline import write_prepared_corpus
+    from logsqlite_spark.table import ManifestTable
+    from logsqlite_spark.tables import table as t
+
+    SF = "/root/testdata/sf0.001"
+    out = str(tmp_path / "corpus")
+    res = write_prepared_corpus(t(spark, SF, "documents"),
+                                t(spark, SF, "embeddings"), out,
+                                method="exact")
+    assert res["rows"] > 0 and res["files"] > 0
+    assert set(res["split_counts"]) <= {"train", "val", "test"}
+
+    # the manifest-resolved reader sees exactly the committed rows,
+    # and split partition dirs exist for scan pruning
+    mt = ManifestTable(out)
+    df = mt.read_df(spark)
+    assert df.count() == res["rows"]
+    import os
+    assert any(d.startswith("split=") for d in os.listdir(out))
