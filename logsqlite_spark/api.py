@@ -175,10 +175,16 @@ class Engine:
         """Expose the engine tables to Spark SQL: ``logs`` (the unified
         table) and ``active_streams`` (control plane). After this,
         ``engine.sql("SELECT ... FROM logs WHERE ...")`` serves the
-        same surface the reference served through SQLite."""
+        same surface the reference served through SQLite. The engine's
+        scalar literal parsers (duration/size/RFC3339, F1-F3) are
+        installed as SQL functions too — pure-SQL bodies, so they
+        inline into codegen."""
+        from logsqlite_spark.functions.sqlfns import register_sql_functions
+
         self.logs_df().createOrReplaceTempView("logs")
         self.state.to_dataframe(self.spark).createOrReplaceTempView(
             "active_streams")
+        register_sql_functions(self.spark)
 
     def sql(self, query: str) -> DataFrame:
         """Run SQL against the registered engine views (Catalyst plans
