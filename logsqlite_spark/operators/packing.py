@@ -122,6 +122,37 @@ def pack_stats(packed: DataFrame, budget: int = 2048) -> DataFrame:
         )
     )
 
+def emit_packed(docs: DataFrame, budget: int = 2048,
+                text_col: str = "text") -> DataFrame:
+    """The end product: one row per pack with the concatenated example
+    text. Docs concatenate in (offset, doc_id) order — collect_list
+    has no deterministic order, so the structs are ``array_sort``-ed
+    before joining, making the output independent of partitioning.
+
+    Emits md5 + length of the packed text rather than the text itself
+    (the driver hashes row values; a multi-KB text column would also
+    dominate the shuffle — in production this projection writes the
+    full text to the corpus sink instead).
+    """
+    packed = pack_sequences(docs, budget=budget, text_col=text_col)
+    joined = packed.join(
+        docs.select(F.col("doc_id"), F.col(text_col).alias("__text")),
+        "doc_id")
+    assembled = F.expr(
+        "array_join(transform(array_sort(collect_list("
+        "named_struct('o', offset, 'd', doc_id, 't', __text))), "
+        "x -> x.t), ' ')")
+    return (
+        joined.groupBy("pack_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_docs"),
+            F.sum("token_count").cast("long").alias("fill"),
+            F.md5(assembled).alias("text_md5"),
+            F.length(assembled).cast("long").alias("text_len"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry wiring. The greedy fill is sequential per bucket, but a
 # bucket is SHORT (n_docs / n_buckets), so DuckDB can replay it with a
@@ -142,9 +173,15 @@ def _q_pack_stats(spark, sf_dir: str) -> DataFrame:
         pack_sequences(table(spark, sf_dir, "documents"), budget=256),
         budget=256)
 
+def _q_pack_emit(spark, sf_dir: str) -> DataFrame:
+    from logsqlite_spark.tables import table
+
+    return emit_packed(table(spark, sf_dir, "documents"), budget=256)
+
 QUERIES = {
     "pack_sequences": _q_pack,
     "pack_stats": _q_pack_stats,
+    "pack_emit": _q_pack_emit,
 }
 
 def _pack_walk_sql(budget: int = 256,
@@ -200,5 +237,16 @@ ORACLES: dict[str, str] = {
         "SELECT bucket, count(*) AS n_packs, CAST(sum(fill) AS BIGINT) AS sum_tokens, "
         "round(avg(CAST(fill AS DOUBLE) / 256), 6) AS avg_fill_rate "
         "FROM per_pack GROUP BY bucket"
+    ),
+    "pack_emit": (
+        _pack_walk_sql()
+        + " SELECT pack_id, CAST(count(*) AS INT) AS n_docs, "
+        "CAST(sum(token_count) AS BIGINT) AS fill, "
+        "md5(string_agg(text, ' ' ORDER BY \"offset\", packed.doc_id)) "
+        "  AS text_md5, "
+        "CAST(length(string_agg(text, ' ' ORDER BY \"offset\", packed.doc_id)) "
+        "  AS BIGINT) AS text_len "
+        "FROM packed JOIN documents ON packed.doc_id = documents.doc_id "
+        "GROUP BY pack_id"
     ),
 }
