@@ -49,6 +49,8 @@ BENCH_QUERIES = [
     "token_freq",
     "repetition_signals",
     "contamination_check",
+    "quality_gate",
+    "events_funnel",
     "clean_text",
     "split_assign",
     "pack_sequences",
