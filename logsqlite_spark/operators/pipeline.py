@@ -142,6 +142,71 @@ def write_prepared_corpus(docs: DataFrame, emb: DataFrame, out_dir: str,
             "split_counts": counts}
 
 
+def split_leakage(docs: DataFrame, emb: DataFrame,
+                  threshold: float = 0.5,
+                  min_tokens: int = MIN_TOKENS,
+                  method: str = "lsh") -> DataFrame:
+    """Train/test leakage audit: near-dup pairs that SPAN splits in
+    the prepared corpus. Split assignment is per-document, so two
+    surviving near-dups can land in train and test — exactly the
+    contamination an eval must not have. This query counts residual
+    near-dup pairs (shingle Jaccard over the CLEANED text, a different
+    lens than the embedding+token dedup that already ran) by split
+    pair; a nonzero (train, test) cell is the red flag. Output is
+    symmetric-canonical (split_a <= split_b alphabetically).
+    """
+    from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
+
+    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    pairs = shingle_jaccard_pairs(
+        corpus.select("doc_id", F.col("clean").alias("text")),
+        threshold=threshold, max_df_frac=0.5)
+    sa = corpus.select(F.col("doc_id").alias("a_id"),
+                       F.col("split").alias("sa"))
+    sb = corpus.select(F.col("doc_id").alias("b_id"),
+                       F.col("split").alias("sb"))
+    return (
+        pairs.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        .select(F.least("sa", "sb").alias("split_a"),
+                F.greatest("sa", "sb").alias("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _split_leakage_sql(threshold: float = 0.5) -> str:
+    import re
+
+    from logsqlite_spark.operators.dedup import (
+        _DUCK_SHINGLES, _jaccard_sql)
+
+    # the pair oracle over the cleaned survivors: rebind its
+    # ``documents`` references to a CTE projecting (doc_id, clean);
+    # the rebound query nests whole (WITH-in-CTE) and sees the outer
+    # CTEs lexically
+    pair_sql = re.sub(
+        r"\bdocuments\b", "survdocs",
+        _jaccard_sql(max_df_frac=0.5, threshold=threshold,
+                     tok_expr=_DUCK_SHINGLES.format(c="text")))
+    return (
+        "WITH " + _chain_ctes() + ", "
+        "survdocs AS (SELECT doc_id, clean AS text FROM surv), "
+        "pairs AS (" + pair_sql + "), "
+        "lab AS (SELECT least(a.split, b.split) AS split_a, "
+        "  greatest(a.split, b.split) AS split_b FROM pairs "
+        "  JOIN sp a ON pairs.a_id = a.doc_id "
+        "  JOIN sp b ON pairs.b_id = b.doc_id) "
+        "SELECT split_a, split_b, count(*) AS n_pairs "
+        "FROM lab GROUP BY split_a, split_b"
+    )
+
+
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_leakage(table(spark, sf_dir, "documents"),
+                         table(spark, sf_dir, "embeddings"),
+                         method="exact")
+
+
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # method="exact" so the whole chain is oracle-identical; the
     # production entry point defaults to the LSH candidate path
@@ -150,14 +215,17 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         method="exact")
 
 
-def _corpus_stats_sql() -> str:
-    """DuckDB twin: the same chain recomposed from the stage oracles."""
+def _chain_ctes() -> str:
+    """The preparation chain's CTE list (clean → gate → exact dedup →
+    near-dup removal → split), reusable as the prefix of any
+    chain-derived oracle. Ends with ``surv`` (survivors incl. clean
+    text + n_tokens) and ``sp`` (split assignment)."""
     from logsqlite_spark.operators.dedup import _two_stage_sql
     from logsqlite_spark.operators.sampling import _SPLIT_SQL
     from logsqlite_spark.operators.textstats import ORACLES as TS_ORACLES
 
     return (
-        f"WITH cleaned0 AS ({TS_ORACLES['clean_text']}), "
+        f"cleaned0 AS ({TS_ORACLES['clean_text']}), "
         "cleaned AS (SELECT doc_id, clean, "
         "  CAST(len(list_filter(string_split(clean, ' '), t -> t <> '')) AS INT) "
         "  AS n_tokens FROM cleaned0), "
@@ -167,7 +235,14 @@ def _corpus_stats_sql() -> str:
         f"near AS (SELECT DISTINCT b_id AS doc_id FROM ({_two_stage_sql()})), "
         "surv AS (SELECT kept.* FROM kept LEFT JOIN near USING (doc_id) "
         "  WHERE near.doc_id IS NULL), "
-        f"sp AS ({_SPLIT_SQL}) "
+        f"sp AS ({_SPLIT_SQL})"
+    )
+
+
+def _corpus_stats_sql() -> str:
+    """DuckDB twin: the same chain recomposed from the stage oracles."""
+    return (
+        "WITH " + _chain_ctes() + " "
         "SELECT sp.split, count(*) AS n_docs, "
         "CAST(sum(surv.n_tokens) AS BIGINT) AS sum_tokens "
         "FROM surv JOIN sp USING (doc_id) GROUP BY sp.split"
@@ -229,9 +304,11 @@ def _corpus_full_sql() -> str:
 QUERIES = {
     "corpus_prepare_stats": _q_corpus_stats,
     "corpus_prepare_full_stats": _q_corpus_full_stats,
+    "split_leakage": _q_split_leakage,
 }
 
 ORACLES = {
     "corpus_prepare_stats": _corpus_stats_sql(),
     "corpus_prepare_full_stats": _corpus_full_sql(),
+    "split_leakage": _split_leakage_sql(),
 }
