@@ -125,3 +125,31 @@ def test_connected_components_matches_union_find(spark, edges):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs).collect()}
     assert got == _py_components(edges)
+
+
+VALUES = st.lists(st.integers(min_value=0, max_value=100_000),
+                  min_size=1, max_size=20)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(vals=VALUES)
+def test_ewma_matches_python_model_any_partitioning(spark, vals):
+    from logsqlite_spark.operators.anomaly import ewma_smooth
+
+    rows = [(1, i, (1_704_067_200 + i) * 1_000_000_000, v / 100)
+            for i, v in enumerate(vals)]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts long, value double")
+    # many input partitions: the per-key walk must still see rows in
+    # (ts, event_id) order regardless of physical layout
+    got = {r["event_id"]: r["ewma_c"]
+           for r in ewma_smooth(events.repartition(7)).collect()}
+
+    s = None
+    expected = {}
+    for i, v in enumerate(vals):
+        x = float(v)  # cents, exactly what _CENTS quantizes to
+        s = x if s is None else (s + x) / 2
+        expected[i] = s
+    assert got == expected
