@@ -428,6 +428,20 @@ def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(table(spark, sf_dir, "documents"))
 
+def _q_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-rule drop rates: one map-side-combinable agg over the
+    # zero-shuffle gate projection — the report a pipeline owner reads
+    g = quality_gate(table(spark, sf_dir, "documents"))
+    bit = lambda m: F.sum(((F.col("fail_mask").bitwiseAND(m)) / m)
+                          .cast("long")).cast("long")
+    return g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        bit(1).alias("n_short"),
+        bit(2).alias("n_repetitive"),
+        bit(4).alias("n_stopwordy"),
+    )
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
@@ -443,6 +457,7 @@ QUERIES = {
     "quality_percentile": _q_quality_pctile,
     "token_commonness": _q_token_commonness,
     "quality_gate": _q_quality_gate,
+    "quality_gate_stats": _q_quality_gate_stats,
 }
 
 _STOP = _sql_list(STOPWORDS)
@@ -570,3 +585,13 @@ ORACLES = {
         "FROM inst JOIN dfr USING (tok) GROUP BY doc_id"
     ),
 }
+
+# the stats rollup reuses the gate oracle verbatim as a CTE
+ORACLES["quality_gate_stats"] = (
+    "WITH g AS (" + ORACLES["quality_gate"] + ") "
+    "SELECT count(*) AS n_docs, "
+    "sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, "
+    "sum(fail_mask & 1) AS n_short, "
+    "sum((fail_mask & 2) // 2) AS n_repetitive, "
+    "sum((fail_mask & 4) // 4) AS n_stopwordy FROM g"
+)
