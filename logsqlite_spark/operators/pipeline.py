@@ -90,10 +90,11 @@ def packed_corpus(docs: DataFrame, emb: DataFrame, budget: int = 2048,
     pack_id space (split index in the top bits; bucket<<40|p < 2^46).
 
     In production the prepared corpus would be written out partitioned
-    by split first and each partition packed from disk; here the three
-    branches share the one lazy plan.
+    by split first and each partition packed from disk; here the
+    persisted chain output feeds the three split branches (without the
+    persist each branch would recompute the whole preparation).
     """
-    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    corpus = prepare_corpus(docs, emb, min_tokens, method).persist()
     parts = []
     for i, sp in enumerate(("train", "val", "test")):
         sub = corpus.filter(F.col("split") == sp).select(
@@ -157,7 +158,10 @@ def split_leakage(docs: DataFrame, emb: DataFrame,
     """
     from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
 
-    corpus = prepare_corpus(docs, emb, min_tokens, method)
+    # the chain feeds three consumers (pair generation + both split
+    # label branches) — persist it or the whole preparation including
+    # the near-dup join recomputes per consumer (3x wall at sf0.1)
+    corpus = prepare_corpus(docs, emb, min_tokens, method).persist()
     pairs = shingle_jaccard_pairs(
         corpus.select("doc_id", F.col("clean").alias("text")),
         threshold=threshold, max_df_frac=0.5)
