@@ -498,9 +498,11 @@ def incremental_dedup(new_docs: DataFrame, history: DataFrame,
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first_new = (nd.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1).drop("__rn"))
+    # two consumers below (shingle index + final anti-join): persist
+    # so the exact stage's window doesn't recompute per consumer
     after_exact = first_new.join(
         hist_digests, F.md5(first_new["text"]) == hist_digests["__h"],
-        "left_anti")
+        "left_anti").persist()
 
     # stage 2: shingle inverted index over history ∪ surviving new
     sh = F.explode(F.expr(
