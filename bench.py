@@ -165,12 +165,16 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Per-run detail goes on its own (earlier) line: the driver tails
+    # stdout and json-parses the FINAL line, which must stay short —
+    # round-2's inlined two-run detail overflowed the tail capture and
+    # the headline was never recorded (VERDICT r2, bench defect).
+    print("# runs " + json.dumps({"run1": run1, "run2": run2}))
     print(json.dumps({
         "metric": "suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "runs": {"run1": run1, "run2": run2},
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
 

@@ -136,8 +136,10 @@ def activity_cohorts(events: DataFrame) -> DataFrame:
         F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"))
     first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
     active = ev.distinct()
+    # first is one row PER USER — unbounded, so no forced broadcast;
+    # both sides are user-keyed and AQE broadcasts when small.
     return (
-        active.join(F.broadcast(first), "user_id")
+        active.join(first, "user_id")
         .groupBy("cohort_day",
                  F.datediff(F.col("day"), F.col("cohort_day"))
                  .cast("int").alias("day_offset"))
@@ -168,7 +170,9 @@ def funnel(events: DataFrame,
     for i, step in enumerate(steps[1:], start=2):
         nxt = (
             ev.filter(F.col("event_type") == step)
-            .join(F.broadcast(joined.select("user_id", prev_t)), "user_id")
+            # the frontier is one row PER USER — unbounded, so this is
+            # a plain user-keyed equi-join (AQE broadcasts when small)
+            .join(joined.select("user_id", prev_t), "user_id")
             .filter(F.col("ts_us") > F.col(prev_t))
             .groupBy("user_id").agg(F.min("ts_us").alias(f"t{i}"))
         )
@@ -196,7 +200,9 @@ def conversion_times(events: DataFrame,
     for i, step in enumerate(steps[1:], start=2):
         prev = (
             ev.filter(F.col("event_type") == step)
-            .join(F.broadcast(prev), "user_id")
+            # frontier is one row PER USER — unbounded, so this must be
+            # a plain user-keyed equi-join (AQE broadcasts when small)
+            .join(prev, "user_id")
             .filter(F.col("ts_us") > F.col(prev_t))
             .groupBy("user_id", "t1")
             .agg(F.min("ts_us").alias(f"t{i}"))
@@ -204,10 +210,28 @@ def conversion_times(events: DataFrame,
         prev_t = f"t{i}"
     done = prev.select(
         "user_id", (F.col(prev_t) - F.col("t1")).alias("dt_us"))
-    w = Window.orderBy("dt_us", "user_id")
-    ranked = done.select(
-        "dt_us", F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"))
+    # Exact global rank WITHOUT a single-partition sort: converter count
+    # is ~user-cardinality, so Window.orderBy() over all of them would
+    # funnel 1e9 rows through one task at scale. Two-pass distributed
+    # rank instead: range-partition on the sort key (total order across
+    # partitions, ties broken by user_id so the key is unique), rank
+    # locally per partition, then add per-partition row-count offsets.
+    # The only driver-size state is one row PER PARTITION (bounded by
+    # the shuffle-partition setting), which is safe to broadcast.
+    parts = (done.repartitionByRange("dt_us", "user_id")
+             .withColumn("_pid", F.spark_partition_id()))
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    offsets = counts.select(
+        "_pid",
+        (F.sum("_c").over(Window.orderBy("_pid")) - F.col("_c"))
+        .alias("_off"),
+        F.sum("_c").over(Window.partitionBy()).alias("n"))
+    local = parts.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy("dt_us", "user_id")))
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "dt_us", (F.col("_lrn") + F.col("_off")).alias("rn"), "n")
     aggs = [
         F.max(F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
                      F.col("dt_us"))).cast("long").alias(f"p{int(p * 100)}_us")

@@ -131,10 +131,14 @@ def _jaccard_over_sets(docs: DataFrame, toks: DataFrame, threshold: float,
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # sizes is one row PER DOCUMENT — unbounded in corpus size, so it
+    # must NOT be force-broadcast (a 1e9-doc corpus would OOM the
+    # executors). Plain equi-joins: the pairs side is already shuffled,
+    # and AQE still picks a broadcast at runtime when sizes is small.
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
     return (
-        shared.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        shared.join(sa, "a_id").join(sb, "b_id")
         .withColumn(
             "jaccard",
             F.col("shared").cast("double")
@@ -532,10 +536,12 @@ def incremental_dedup(new_docs: DataFrame, history: DataFrame,
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
+    # per-doc sizes: unbounded — no forced broadcast (see
+    # _jaccard_over_sets); AQE broadcasts when genuinely small.
     sa = sizes.select(F.col("doc_id").alias("a_id"), F.col("sz").alias("sa"))
     sb = sizes.select(F.col("doc_id").alias("b_id"), F.col("sz").alias("sb"))
     flagged = (
-        shared.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        shared.join(sa, "a_id").join(sb, "b_id")
         .filter(F.col("shared").cast("double")
                 / (F.col("sa") + F.col("sb") - F.col("shared")).cast("double")
                 >= threshold)

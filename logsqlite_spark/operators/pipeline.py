@@ -143,10 +143,44 @@ def write_prepared_corpus(docs: DataFrame, emb: DataFrame, out_dir: str,
             "split_counts": counts}
 
 
+# Process-local registry of already-materialized prepared corpora:
+# (cache_key, method, min_tokens) -> manifest table dir. Lets every
+# consumer in the same process (leakage audit, stats, packing) scan
+# the committed parquet instead of recomputing the preparation chain.
+_MATERIALIZED: dict[tuple[str, str, int], str] = {}
+
+
+def materialized_corpus(docs: DataFrame, emb: DataFrame,
+                        cache_key: str,
+                        min_tokens: int = MIN_TOKENS,
+                        method: str = "lsh") -> DataFrame:
+    """Prepared corpus as a parquet SCAN, not a recomputation.
+
+    First call per (cache_key, method) runs the chain once and
+    commits it through the manifest table layer
+    (write_prepared_corpus); subsequent calls — and every downstream
+    branch of the caller's plan — read the committed files. This is
+    the production shape: at 100 TB the prepared corpus is written
+    once, and audits/packing/stats are scans with split-partition
+    pruning, never lineage replays of the dedup join.
+    """
+    import tempfile
+
+    from logsqlite_spark.table import ManifestTable
+
+    k = (cache_key, method, min_tokens)
+    if k not in _MATERIALIZED:
+        out_dir = tempfile.mkdtemp(prefix="prepared-corpus-")
+        write_prepared_corpus(docs, emb, out_dir, min_tokens, method)
+        _MATERIALIZED[k] = out_dir
+    return ManifestTable(_MATERIALIZED[k]).read_df(docs.sparkSession)
+
+
 def split_leakage(docs: DataFrame, emb: DataFrame,
                   threshold: float = 0.5,
                   min_tokens: int = MIN_TOKENS,
-                  method: str = "lsh") -> DataFrame:
+                  method: str = "lsh",
+                  corpus: DataFrame | None = None) -> DataFrame:
     """Train/test leakage audit: near-dup pairs that SPAN splits in
     the prepared corpus. Split assignment is per-document, so two
     surviving near-dups can land in train and test — exactly the
@@ -158,19 +192,24 @@ def split_leakage(docs: DataFrame, emb: DataFrame,
     """
     from logsqlite_spark.operators.dedup import shingle_jaccard_pairs
 
-    # the chain feeds three consumers (pair generation + both split
-    # label branches) — persist it or the whole preparation including
-    # the near-dup join recomputes per consumer (3x wall at sf0.1)
-    corpus = prepare_corpus(docs, emb, min_tokens, method).persist()
+    if corpus is None:
+        # the chain feeds three consumers (pair generation + both
+        # split label branches) — persist it or the whole preparation
+        # including the near-dup join recomputes per consumer (3x
+        # wall at sf0.1). Callers should prefer passing a
+        # materialized_corpus() scan instead.
+        corpus = prepare_corpus(docs, emb, min_tokens, method).persist()
     pairs = shingle_jaccard_pairs(
         corpus.select("doc_id", F.col("clean").alias("text")),
         threshold=threshold, max_df_frac=0.5)
+    # split labels are one row PER DOCUMENT — unbounded, so plain
+    # equi-joins (AQE broadcasts when genuinely small)
     sa = corpus.select(F.col("doc_id").alias("a_id"),
                        F.col("split").alias("sa"))
     sb = corpus.select(F.col("doc_id").alias("b_id"),
                        F.col("split").alias("sb"))
     return (
-        pairs.join(F.broadcast(sa), "a_id").join(F.broadcast(sb), "b_id")
+        pairs.join(sa, "a_id").join(sb, "b_id")
         .select(F.least("sa", "sb").alias("split_a"),
                 F.greatest("sa", "sb").alias("split_b"))
         .groupBy("split_a", "split_b")
@@ -206,9 +245,11 @@ def _split_leakage_sql(threshold: float = 0.5) -> str:
 
 
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return split_leakage(table(spark, sf_dir, "documents"),
-                         table(spark, sf_dir, "embeddings"),
-                         method="exact")
+    docs = table(spark, sf_dir, "documents")
+    emb = table(spark, sf_dir, "embeddings")
+    corpus = materialized_corpus(docs, emb, cache_key=sf_dir,
+                                 method="exact")
+    return split_leakage(docs, emb, method="exact", corpus=corpus)
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

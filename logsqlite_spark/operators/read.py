@@ -40,16 +40,40 @@ def apply_read_filters(
     seq_col: str = "seq",
     container_col: str = "container_id",
 ) -> DataFrame:
-    """P3-P5 predicates; all pushdown-friendly range filters."""
+    """P3-P5 predicates; all pushdown-friendly range filters.
+
+    When the source carries a ``__ts_raw`` pushdown twin (the events
+    loader keeps the raw parquet timestamp column next to the computed
+    epoch-nanos ``ts`` — see ``tables._normalize_ts_nanos``), widened
+    native-type bounds go on the raw column too. Those are plain
+    column-vs-literal comparisons, so they reach the parquet scan as
+    PushedFilters and prune row groups; the exact nanos predicates
+    stay authoritative for semantics (inclusive bounds at full nanos,
+    logger.rs:320-343). floor/ceil µs alignment keeps the twin bounds
+    implied-by (never tighter than) the nanos bounds.
+    """
+    from logsqlite_spark.tables import TS_RAW_COL
+
     df = logs
+    has_raw = TS_RAW_COL in df.columns
     if container_id is not None:
         df = df.filter(F.col(container_col) == container_id)
     if cursor is not None:
         df = df.filter(F.col(seq_col) >= F.lit(int(cursor)))
     if since_nanos is not None:
         df = df.filter(F.col(ts_col) >= F.lit(int(since_nanos)))
+        if has_raw:
+            lo_us = int(since_nanos) // 1000  # floor → widened
+            df = df.filter(F.col(TS_RAW_COL)
+                           >= F.timestamp_micros(F.lit(lo_us))
+                           .cast(df.schema[TS_RAW_COL].dataType))
     if until_nanos is not None:
         df = df.filter(F.col(ts_col) <= F.lit(int(until_nanos)))
+        if has_raw:
+            hi_us = -((-int(until_nanos)) // 1000)  # ceil → widened
+            df = df.filter(F.col(TS_RAW_COL)
+                           <= F.timestamp_micros(F.lit(hi_us))
+                           .cast(df.schema[TS_RAW_COL].dataType))
     return df
 
 def tail_global(df: DataFrame, n: int, seq_col: str = "seq") -> DataFrame:

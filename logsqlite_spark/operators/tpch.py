@@ -59,7 +59,7 @@ def top_revenue_orders(customer: DataFrame, orders: DataFrame,
     rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
     joined = (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey")
         .agg(F.sum(rev).alias("revenue_u"))
     )
@@ -120,8 +120,8 @@ def local_supplier_volume(customer: DataFrame, orders: DataFrame,
                          _cents("l_discount").alias("disc_c"))
     return (
         li.join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_nationkey")),
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(customer.select("c_custkey", "c_nationkey"),
               (F.col("o_custkey") == F.col("c_custkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
@@ -143,7 +143,7 @@ def promo_revenue_share(lineitem: DataFrame, part: DataFrame,
         & (F.col("l_shipdate") < F.add_months(F.lit(f"{ym}-01").cast("timestamp"), 1))
     ).select("l_partkey", _cents("l_extendedprice").alias("price_c"),
              _cents("l_discount").alias("disc_c"))
-    joined = li.join(F.broadcast(part.select("p_partkey", "p_type")),
+    joined = li.join(part.select("p_partkey", "p_type"),
                      li.l_partkey == F.col("p_partkey"))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))
     return joined.agg(
@@ -170,7 +170,7 @@ def large_quantity_orders(customer: DataFrame, orders: DataFrame,
     )
     joined = (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(customer.select("c_custkey", "c_name")),
+        .join(customer.select("c_custkey", "c_name"),
               F.col("o_custkey") == F.col("c_custkey"))
     )
     return (
@@ -189,8 +189,9 @@ def nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
     """Q7 shape: bilateral shipping volume between two nations by year.
 
     Scale shape: lineitem⋈orders is the one big-big shuffle; supplier
-    and customer are pre-filtered to the two nations (a sliver) and
-    broadcast, so the nation-pair predicate never rides the shuffle.
+    and customer are pre-filtered to the two nations (a sliver); the
+    join strategy is AQE-decided — a forced broadcast would be wrong
+    at SF100+ where even the sliver is tens of millions of rows.
     """
     nat = nation.filter(F.col("n_name").isin(nation_a, nation_b)) \
                 .select("n_nationkey", "n_name")
@@ -211,8 +212,8 @@ def nation_trade_volume(supplier: DataFrame, lineitem: DataFrame,
     return (
         li.join(orders.select("o_orderkey", "o_custkey"),
                 li.l_orderkey == F.col("o_orderkey"))
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum(rev).cast("long").alias("revenue_u"))
@@ -254,10 +255,10 @@ def market_share(part: DataFrame, supplier: DataFrame, lineitem: DataFrame,
     nation_rev = F.when(F.col("supp_nation") == target_nation, rev) \
                   .otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(pts), li.l_partkey == pts.p_partkey)
+        li.join(pts, li.l_partkey == pts.p_partkey)
         .join(ords, li.l_orderkey == ords.o_orderkey)
-        .join(F.broadcast(cust), ords.o_custkey == cust.c_custkey)
-        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(cust, ords.o_custkey == cust.c_custkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
         .groupBy("o_year")
         .agg(F.sum(nation_rev).cast("long").alias("nation_revenue_u"),
              F.sum(rev).cast("long").alias("total_revenue_u"))
@@ -399,11 +400,11 @@ def part_supplier_variety(part: DataFrame, lineitem: DataFrame,
     bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
     li = (
         lineitem.select("l_partkey", "l_suppkey")
-        .join(F.broadcast(bad), F.col("l_suppkey") == F.col("s_suppkey"),
+        .join(bad, F.col("l_suppkey") == F.col("s_suppkey"),
               "left_anti")
     )
     return (
-        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pp, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").cast("long").alias("supplier_cnt"))
         .select("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"),
@@ -420,13 +421,14 @@ def small_quantity_revenue(lineitem: DataFrame, part: DataFrame,
     threshold is evaluated in exact integer space — ``qty < sum/(5n)``
     cross-multiplied to ``5*n*qty_c < sum_qty_c`` over quantized cents
     — so no float division can flip a boundary row between engines.
-    The brand slice of part broadcasts; the fact side is scanned once
+    The brand slice of part joins AQE-decided (broadcast when small);
+    the fact side is scanned once
     per use (two passes) with the partkey filter pushed down both
     times, which at 100 TB beats shuffling the unfiltered fact table.
     """
     pp = part.filter(F.col("p_brand") == brand).select("p_partkey")
     li = (
-        lineitem.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        lineitem.join(pp, F.col("l_partkey") == F.col("p_partkey"))
         .select("l_partkey", _cents("l_quantity").alias("qty_c"),
                 _cents("l_extendedprice").alias("price_c"))
     )
@@ -477,7 +479,7 @@ def sole_blame_suppliers(supplier: DataFrame, lineitem: DataFrame,
         l3, (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
         "left_anti")
     return (
-        sole.join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        sole.join(supplier.select("s_suppkey", "s_name"),
                   F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_suppkey", "s_name")
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
@@ -544,7 +546,7 @@ def top_supplier_by_revenue(supplier: DataFrame,
     return (
         per_supp.crossJoin(F.broadcast(best))
         .filter(F.col("total_revenue_u") == F.col("max_rev"))
-        .join(F.broadcast(supplier.select("s_suppkey", "s_name")),
+        .join(supplier.select("s_suppkey", "s_name"),
               F.col("l_suppkey") == F.col("s_suppkey"))
         .select(F.col("s_suppkey").cast("long").alias("s_suppkey"), "s_name",
                 F.col("total_revenue_u").cast("long").alias("total_revenue_u"))
@@ -555,7 +557,7 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     """Q19 shape: OR-of-ANDs predicate spanning both join sides.
 
     Catalyst splits the disjunction: the part-only conjuncts stay on
-    the broadcast dim scan, the lineitem-only bounds (the overall
+    the dim scan (join strategy AQE-decided), the lineitem-only bounds (the overall
     quantity envelope 1..30) are derived and pushed to the fact scan,
     and the cross-side residual evaluates inside the join — so the
     scan never reads rows no branch could accept. The revenue sum is
@@ -576,7 +578,7 @@ def disjunctive_revenue(lineitem: DataFrame, part: DataFrame) -> DataFrame:
     )
     rev = (F.col("price_c") * (F.lit(10000) - F.col("disc_c") * 100)).cast("bigint")
     return (
-        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pp, F.col("l_partkey") == F.col("p_partkey"))
         .filter(branch)
         .agg(F.sum(rev).cast("long").alias("revenue_u"),
              F.count(F.lit(1)).cast("long").alias("n_items"))
@@ -591,8 +593,8 @@ def nation_year_profit(lineitem: DataFrame, part: DataFrame,
     full-history 5-way join with NO date filter: the fact table's
     entire range flows through, which is the shape that stresses the
     shuffle planner rather than pushdown. The only big-big join is
-    lineitem⋈orders on the order key; part (filtered), supplier, and
-    nation broadcast. (The real q9 weighs in partsupp's supplycost —
+    lineitem⋈orders on the order key; nation broadcasts, and the
+    filtered part / supplier sides are AQE-decided. (The real q9 weighs in partsupp's supplycost —
     absent from the synthetic schema — so revenue stands in for
     amount; the join/agg skeleton is q9's.)
     """
@@ -606,10 +608,10 @@ def nation_year_profit(lineitem: DataFrame, part: DataFrame,
         F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "n_name")
     return (
-        li.join(F.broadcast(pp), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(pp, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders.select("o_orderkey", "o_orderdate"),
               F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("n_name",
                  F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(rev).cast("long").alias("profit_u"),

@@ -16,6 +16,10 @@ from pyspark.sql import functions as F
 
 from logsqlite_spark.session import ensure_engine_confs
 
+# Pushdown twin of a normalized timestamp column — see
+# _normalize_ts_nanos. apply_read_filters looks for this name.
+TS_RAW_COL = "__ts_raw"
+
 TABLE_NAMES = (
     "region",
     "nation",
@@ -32,16 +36,56 @@ TABLE_NAMES = (
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_engine_confs(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        df = _normalize_ts_nanos(df)
+    return df
+
+
+def _normalize_ts_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Normalize ``ts`` to the engine's native epoch-nanos LongType.
+
+    The driver's testdata has shipped the events timestamp in two
+    physical encodings across rounds: parquet TIMESTAMP(NANOS), which
+    Spark reads as a LongType of epoch-nanos under ``nanosAsLong``,
+    and plain µs TIMESTAMP / TIMESTAMP_NTZ. Accept both so every
+    downstream operator keeps the reference's ``time_nano`` model
+    (/root/reference/src/logger.rs:130). The NTZ→TZ cast is identity
+    under the engine's pinned UTC session timezone.
+
+    A filter on the *computed* nanos column cannot be translated into
+    a parquet scan filter (PushedFilters only takes plain column
+    comparisons), which would cost row-group pruning on every
+    time-range read at scale. So the raw physical column is kept
+    alongside as ``__ts_raw``: ``apply_read_filters`` puts widened
+    native-type twin predicates on it (those DO reach the scan) while
+    the exact nanos predicates keep the semantics. Projections that
+    select explicit columns drop ``__ts_raw`` automatically, and it is
+    the same physical column ``ts`` derives from, so carrying it reads
+    no extra bytes.
+    """
+    from pyspark.sql.types import TimestampNTZType, TimestampType
+
+    if ts_col not in df.columns:
+        return df
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (TimestampType, TimestampNTZType)):
+        df = df.withColumn(TS_RAW_COL, F.col(ts_col))
+        nanos = (F.unix_micros(F.col(ts_col).cast("timestamp")) * F.lit(1000)).cast("long")
+        df = df.withColumn(ts_col, nanos)
+    return df
 
 def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table viewed through the engine's logs schema."""
     e = table(spark, sf_dir, "events")
-    return e.select(
+    cols = [
         F.col("event_id").alias("seq"),
         F.col("ts").alias("ts_nanos"),
         F.col("user_id").cast("string").alias("container_id"),
         F.col("event_type").alias("source"),
         F.concat(F.col("props"), F.lit("\n")).alias("line"),
         F.col("value"),
-    )
+    ]
+    if TS_RAW_COL in e.columns:
+        cols.append(F.col(TS_RAW_COL))
+    return e.select(*cols)
