@@ -164,6 +164,58 @@ def main() -> None:
     timings = {k: min(run1[k], run2[k]) for k in run1}
     total = round(sum(timings.values()), 3)
 
+    # Scale evidence (VERDICT r2 next-round #7): candidate-pair counts
+    # for the near-dup candidate generators at two scales, measured at
+    # the SCALE-PATH configurations. The growth exponent
+    # log(pairs_ratio)/log(docs_ratio) must stay well under 2.0 —
+    # all-pairs is exactly 2.0. The oracle-pinned registry queries use
+    # looser validation configs (fraction df caps, narrow bands) whose
+    # candidate volume IS ~quadratic on this vocabulary-dense synthetic
+    # corpus — that's the correctness lens, not the deployment one:
+    #   - jaccard: shingle blocking with an absolute df cap. pairs <=
+    #     cap * total_shingles, a LINEAR bound by construction
+    #     (record-linkage blocking). Shingles, not whitespace tokens:
+    #     the synthetic corpus draws from a small vocabulary, so every
+    #     TOKEN exceeds any absolute cap while 5-char shingles keep
+    #     enough sub-cap blocking keys — same reason the pipeline's
+    #     near-dup lens is shingle-based.
+    #   - minhash: one full-width band (collision prob s^8 for
+    #     background similarity s).
+    #   - simhash: 60-bit fingerprint, 15-bit chunks (32k buckets per
+    #     band vs 256 at the 32-bit validation width).
+    import math
+
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs)
+    from logsqlite_spark.tables import table as _table
+
+    def _cand_counts(d: str) -> dict:
+        docs = _table(spark, d, "documents")
+        out = {"n_docs": docs.count()}
+        for key, df in (
+            # threshold=0 keeps every candidate the generator emits
+            ("jaccard_cand", shingle_jaccard_pairs(docs, threshold=0.0,
+                                                   max_doc_freq=64)),
+            ("minhash_cand", minhash_band_pairs(docs, band_size=8)),
+            ("simhash_cand", simhash_band_pairs(docs, n_bits=60,
+                                                n_bands=4)),
+        ):
+            t0 = time.perf_counter()
+            out[key] = df.count()
+            out[key + "_s"] = round(time.perf_counter() - t0, 3)
+        return out
+
+    lo = _cand_counts("/root/testdata/sf0.01")
+    hi = _cand_counts(sf_dir)
+    d_ratio = hi["n_docs"] / max(lo["n_docs"], 1)
+    scale = {"lo": lo, "hi": hi}
+    if d_ratio > 1:
+        for key in ("jaccard_cand", "minhash_cand", "simhash_cand"):
+            p_ratio = hi[key] / max(lo[key], 1)
+            scale[key + "_growth_exp"] = round(
+                math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
+    print("# scale_evidence " + json.dumps(scale))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes on its own (earlier) line: the driver tails
     # stdout and json-parses the FINAL line, which must stay short —
@@ -176,6 +228,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "scale": {k: v for k, v in scale.items()
+                  if k.endswith("_growth_exp")},
     }))
 
 if __name__ == "__main__":

@@ -141,9 +141,13 @@ class _Handler(BaseHTTPRequestHandler):
 
         if follow:
             stop = getattr(self.server, "stopping", None)
+            from logsqlite_spark.schema import LOGS_SCHEMA
+
             for rows in eng.follow(cid, since=since, tail=tail,
                                    stop=(lambda: stop.is_set()) if stop else None):
-                df = eng.spark.createDataFrame(rows)
+                # explicit schema: inference would fail on an all-None
+                # partial_meta batch (every non-partial poll)
+                df = eng.spark.createDataFrame(rows, LOGS_SCHEMA)
                 for r in to_wire_frames(df).orderBy("seq").toLocalIterator():
                     send(bytes(r["frame"]))
                 self.wfile.flush()

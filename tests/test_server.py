@@ -90,3 +90,76 @@ def test_read_unknown_container_empty_stream(server):
 def test_unknown_route_404(server):
     resp = _post(server, "/LogDriver.Bogus", {})
     assert resp.status == 404
+
+
+def test_tail_then_follow_combined(spark, engine, server):
+    """The reference's tail-then-follow seam (logger.rs:386): one
+    ReadLogs call with Tail=2 AND Follow=true serves the capped
+    history first, then drops the cap and streams rows ingested after
+    the call started — over the real unix-socket chunked wire."""
+    import struct
+    import threading
+    import time as _time
+
+    from logsqlite_spark.sources.frames import decode_log_entry
+
+    resp = _post(server, "/LogDriver.StartLogging",
+                 {"File": "/run/f2.fifo",
+                  "Info": {"ContainerID": "c2", "Config": {}}})
+    assert json.loads(resp.read())["Err"] == ""
+
+    w = SpoolWriter(engine.config.spool_dir, "c2")
+    w.write_burst([
+        LogEntry(source="stdout", time_nano=BASE_TS + i * 10**9,
+                 line=f"hello-{i}".encode())
+        for i in range(5)
+    ])
+    engine.ingest_once("c2")
+
+    conn = connect_client(server.socket_path)
+    body = json.dumps({"Info": {"ContainerID": "c2"},
+                       "Config": {"Tail": 2, "Follow": True}}).encode()
+    conn.request("POST", "/LogDriver.ReadLogs", body=body,
+                 headers={"Content-Length": str(len(body))})
+    resp = conn.getresponse()
+    assert resp.status == 200
+
+    got: list[bytes] = []
+
+    def _read_exact(n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = resp.read(n - len(buf))
+            if not chunk:
+                raise AssertionError(f"stream ended after {got}")
+            buf += chunk
+        return buf
+
+    def _reader():
+        # exactly 5 frames total (tail 2 of history + 3 live); the
+        # reader must exit after the last one — a blocked read() holds
+        # the response lock and deadlocks conn.close() in the main
+        # thread
+        while len(got) < 5:
+            (ln,) = struct.unpack(">I", _read_exact(4))
+            got.append(decode_log_entry(_read_exact(ln)).line)
+
+    t = threading.Thread(target=_reader, daemon=True)
+    t.start()
+
+    # the capped history must arrive while the live rows don't exist
+    deadline = _time.monotonic() + 30
+    while len(got) < 2 and _time.monotonic() < deadline:
+        _time.sleep(0.1)
+    assert got[:2] == [b"hello-3\n", b"hello-4\n"], got
+
+    # live rows ingested AFTER the call started stream out uncapped
+    w.write_burst([
+        LogEntry(source="stdout", time_nano=BASE_TS + (5 + i) * 10**9,
+                 line=f"hello-{5 + i}".encode())
+        for i in range(3)
+    ])
+    engine.ingest_once("c2")
+    t.join(timeout=30)
+    assert got == [f"hello-{i}\n".encode() for i in range(3, 8)], got
+    conn.close()
