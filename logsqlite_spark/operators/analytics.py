@@ -152,35 +152,51 @@ def activity_cohorts(events: DataFrame) -> DataFrame:
 FUNNEL_STEPS = ("view", "click", "purchase")
 
 
-def funnel(events: DataFrame,
-              steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
-    """Single-plan funnel (no driver-side counts — one job): per-user
-    frontiers via conditional aggregation in ONE pass over the events:
-    t1 = min ts of step1; t2 = min ts of step2 with ts > t1; t3 = min
-    ts of step3 with ts > t2. The second/third minima need the earlier
-    frontier, so this composes three groupBys on the SAME key — AQE
-    coalesces, and the user-keyed shuffles after the first are tiny.
+def _funnel_frontiers(events: DataFrame,
+                      steps: tuple[str, ...]) -> DataFrame:
+    """One row per user with the funnel frontier times t1..tK:
+    t1 = min ts of step1; t{i} = min ts of step{i} with ts > t{i-1}.
+
+    JOIN-FREE: the step-{i} minimum needs the step-{i-1} frontier of
+    the same user, which is a window aggregate, not a join — so the
+    chain is K conditional ``min() over (partition by user_id)``
+    windows with the SAME partition spec. Catalyst plans that as ONE
+    hash exchange + one sort, with every window and the per-user
+    collapse pipelined after it; the old join-chain formulation
+    shuffled the filtered events AND the frontier once per step. A
+    user never reaching step i gets a null t{i} (null > comparison),
+    exactly the reference CTE-chain semantics.
     """
     ev = events.select(F.col("user_id").cast("long"),
                        "event_type", "ts_us")
-    cur = (ev.filter(F.col("event_type") == steps[0])
-           .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
-    joined = cur
+    w = Window.partitionBy("user_id")
+    df = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == steps[0],
+                           F.col("ts_us"))).over(w))
     prev_t = "t1"
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            ev.filter(F.col("event_type") == step)
-            # the frontier is one row PER USER — unbounded, so this is
-            # a plain user-keyed equi-join (AQE broadcasts when small)
-            .join(joined.select("user_id", prev_t), "user_id")
-            .filter(F.col("ts_us") > F.col(prev_t))
-            .groupBy("user_id").agg(F.min("ts_us").alias(f"t{i}"))
-        )
-        joined = joined.join(nxt, "user_id", "left_outer")
+        df = df.withColumn(
+            f"t{i}",
+            F.min(F.when((F.col("event_type") == step)
+                         & (F.col("ts_us") > F.col(prev_t)),
+                         F.col("ts_us"))).over(w))
         prev_t = f"t{i}"
+    # same key as the window partitioning — no second data shuffle
+    return df.groupBy("user_id").agg(
+        *[F.max(f"t{i}").alias(f"t{i}")
+          for i in range(1, len(steps) + 1)])
+
+
+def funnel(events: DataFrame,
+              steps: tuple[str, ...] = FUNNEL_STEPS) -> DataFrame:
+    """Single-plan funnel (no driver-side counts — one job): per-user
+    frontier times from the join-free window chain, then one global
+    count per step. Two exchanges total: the user-keyed data shuffle
+    and the one-row final aggregate."""
+    per_user = _funnel_frontiers(events, steps)
     aggs = [F.count(f"t{i + 1}").cast("long").alias(f"n_{s}")
             for i, s in enumerate(steps)]
-    return joined.agg(*aggs)
+    return per_user.agg(*aggs)
 
 
 def conversion_times(events: DataFrame,
@@ -191,25 +207,11 @@ def conversion_times(events: DataFrame,
     type-1 percentile construction as ``length_quantiles`` — integer
     end to end.
     """
-    ev = events.select(F.col("user_id").cast("long"),
-                       "event_type", "ts_us")
-    frontier = (ev.filter(F.col("event_type") == steps[0])
-                .groupBy("user_id").agg(F.min("ts_us").alias("t1")))
-    prev = frontier
-    prev_t = "t1"
-    for i, step in enumerate(steps[1:], start=2):
-        prev = (
-            ev.filter(F.col("event_type") == step)
-            # frontier is one row PER USER — unbounded, so this must be
-            # a plain user-keyed equi-join (AQE broadcasts when small)
-            .join(prev, "user_id")
-            .filter(F.col("ts_us") > F.col(prev_t))
-            .groupBy("user_id", "t1")
-            .agg(F.min("ts_us").alias(f"t{i}"))
-        )
-        prev_t = f"t{i}"
-    done = prev.select(
-        "user_id", (F.col(prev_t) - F.col("t1")).alias("dt_us"))
+    last_t = f"t{len(steps)}"
+    done = (_funnel_frontiers(events, steps)
+            .filter(F.col(last_t).isNotNull())
+            .select("user_id",
+                    (F.col(last_t) - F.col("t1")).alias("dt_us")))
     # Exact global rank WITHOUT a single-partition sort: converter count
     # is ~user-cardinality, so Window.orderBy() over all of them would
     # funnel 1e9 rows through one task at scale. Two-pass distributed

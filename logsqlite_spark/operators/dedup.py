@@ -351,9 +351,28 @@ def minhash_signature_cols(text_col: str = "text"):
 
 def minhash_signatures(docs: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """X2: deterministic minhash signatures, pure built-in expressions."""
-    return docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                       *minhash_signature_cols(text_col))
+    """X2: deterministic minhash signatures, pure built-in expressions.
+
+    Two chained projections, not one: the md5 base hash per shingle is
+    by far the expensive term, and inlining it into each of the K
+    permutation columns (as ``minhash_signature_cols`` does) computes
+    it K times — Catalyst's subexpression elimination cannot dedupe
+    across different lambda bodies. Materializing the base-hash array
+    once and deriving the K ``array_min`` columns from it is ~K× less
+    hashing with bit-identical output.
+    """
+    base = (
+        "transform({sh}, s -> "
+        "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 4294967296L)"
+    ).format(sh=_SHINGLES.format(c=text_col))
+    hashed = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                         F.expr(base).alias("__h"))
+    cols = [
+        F.expr(f"array_min(transform(__h, h -> ({a}L * h + {b}L) % {_P32}L))")
+        .alias(f"m{k}")
+        for k, (a, b) in enumerate(_MINHASH_COEFFS)
+    ]
+    return hashed.select("doc_id", *cols)
 
 def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

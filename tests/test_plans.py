@@ -328,15 +328,17 @@ def test_incremental_dedup_never_broadcasts_per_doc_sizes(no_auto_broadcast):
     assert re.search(r"SortMergeJoin \[b_id#\d+", plan)
 
 
-def test_funnel_never_broadcasts_per_user_frontier(no_auto_broadcast):
-    # VERDICT r2 "What's wrong" #2: the per-user frontier is unbounded;
-    # every funnel-step join must be a plain user-keyed equi-join.
+def test_funnel_is_join_free_single_data_shuffle(no_auto_broadcast):
+    # VERDICT r2 "What's wrong" #2: the per-user frontier is unbounded
+    # and must never broadcast. The window-chain formulation goes
+    # further: no join at all — one user-keyed exchange feeds every
+    # step's conditional window min and the per-user collapse.
     spark = no_auto_broadcast
     from logsqlite_spark import registry
     df = registry.queries()["events_funnel"](spark, SF)
     plan = _plan_initial(df)
-    assert "BroadcastHashJoin" not in plan and "BroadcastExchange" not in plan
-    assert "SortMergeJoin" in plan
+    assert "Join" not in plan
+    assert "BroadcastExchange" not in plan
 
 
 def test_conversion_times_distributed_rank(no_auto_broadcast):
@@ -348,9 +350,9 @@ def test_conversion_times_distributed_rank(no_auto_broadcast):
     from logsqlite_spark import registry
     df = registry.queries()["events_conversion_time"](spark, SF)
     plan = _plan_initial(df)
-    # frontier joins: shuffle, not broadcast
-    assert re.search(r"SortMergeJoin \[user_id#\d+", plan)
-    # exactly one broadcast: the hinted per-partition offsets join
+    # the frontier chain is join-free windows; the ONLY join (and only
+    # broadcast) is the hinted per-partition offsets lookup
+    assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") == 1, plan.count("BroadcastExchange")
     # converter ranking runs per range-partition, not in one task:
     # every window over dt_us must be partitioned by _pid
