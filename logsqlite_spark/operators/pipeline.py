@@ -254,10 +254,17 @@ def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # method="exact" so the whole chain is oracle-identical; the
-    # production entry point defaults to the LSH candidate path
-    return corpus_stats(table(spark, sf_dir, "documents"),
-                        table(spark, sf_dir, "embeddings"),
-                        method="exact")
+    # production entry point defaults to the LSH candidate path.
+    # Stats come off the SAME materialized corpus the leakage audit
+    # scans — one chain run per process, not one per consumer.
+    corpus = materialized_corpus(table(spark, sf_dir, "documents"),
+                                 table(spark, sf_dir, "embeddings"),
+                                 cache_key=sf_dir, method="exact")
+    return (
+        corpus.groupBy("split")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+             F.sum("n_tokens").cast("long").alias("sum_tokens"))
+    )
 
 
 def _chain_ctes() -> str:

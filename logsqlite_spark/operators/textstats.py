@@ -85,6 +85,68 @@ def fingerprint(docs: DataFrame, text_col: str = "text",
         F.md5(norm).alias("fp"),
     )
 
+WINNOW_K = 8   # k-gram width (chars)
+WINNOW_W = 4   # winnowing window (consecutive k-gram hashes)
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting via winnowing (rolling k-gram hashes,
+    window minima — the MOSS algorithm): each window of ``w``
+    consecutive k-gram hashes contributes its minimum, so two
+    documents sharing any run of ``k + w - 1`` characters share a
+    fingerprint, while per-doc fingerprint count is ~len/w instead of
+    ~len. Pure built-in expressions (two chained projections, zero
+    shuffle until the caller aggregates); the k-gram hash reuses the
+    md5→int idiom of the minhash signatures so the DuckDB oracle
+    mirrors it exactly.
+    """
+    grams = (
+        "transform(sequence(1, greatest(length({c}) - {km1}, 1)), "
+        "i -> cast(conv(substring(md5(substring({c}, i, {k})), 1, 15), 16, 10) "
+        "as bigint) % 4294967296L)"
+    ).format(c=text_col, km1=k - 1, k=k)
+    fps = (
+        "array_distinct(transform("
+        "sequence(1, greatest(size(__grams) - {wm1}, 1)), "
+        "j -> array_min(slice(__grams, j, {w}))))"
+    ).format(wm1=w - 1, w=w)
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.expr(grams).alias("__grams"))
+        .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
+    )
+
+
+def winnow_matches(docs: DataFrame, min_shared: int = 8,
+                   max_doc_freq: int = 64, k: int = WINNOW_K,
+                   w: int = WINNOW_W, text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Near-dup / plagiarism candidates: doc pairs sharing at least
+    ``min_shared`` winnowing fingerprints, via the same inverted-index
+    join + hot-key cap as the Jaccard path. The absolute df cap bounds
+    emitted pairs by cap * total_fingerprints — linear in corpus size
+    (dedup.py's blocking-bound argument), so the operator keeps its
+    shape at 100 TB.
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # hot-fp list is usually tiny (boilerplate runs), but it is
+    # data-dependent, not bounded — join strategy stays AQE-decided
+    hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
+           .filter(F.col("__df") > max_doc_freq).select("fp"))
+    cold = fp.join(hot, "fp", "left_anti")
+    a, b = cold.alias("a"), cold.alias("b")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("a_id"),
+                 F.col("b.doc_id").alias("b_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Keyword-marker language ID (deterministic argmax, 'en'-biased
@@ -442,11 +504,21 @@ def _q_quality_gate_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         bit(4).alias("n_stopwordy"),
     )
 
+def _q_winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_fingerprints(table(spark, sf_dir, "documents"))
+
+
+def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return winnow_matches(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
     "token_freq": _q_token_freq,
     "text_fingerprint": _q_fingerprint,
+    "text_winnow_fps": _q_winnow_fps,
+    "text_winnow_matches": _q_winnow_matches,
     "lang_id": _q_lang_id,
     "doc_stats": _q_doc_stats,
     "length_quantiles": _q_length_quantiles,
@@ -480,6 +552,18 @@ def _langid_oracle() -> str:
         f"FROM (SELECT doc_id, {scores} FROM documents)"
     )
 
+# winnowing oracle prefix: k-gram rolling hashes then window minima,
+# same md5->int idiom as the minhash signature oracle (dedup.py)
+_WINNOW_FP_SQL = (
+    "WITH g AS (SELECT doc_id, "
+    f"list_transform(generate_series(1, greatest(length(text) - {WINNOW_K - 1}, 1)), "
+    f"i -> CAST(concat('0x', substr(md5(substr(text, i, {WINNOW_K})), 1, 15)) AS BIGINT) "
+    "% 4294967296) AS grams FROM documents), "
+    "f AS (SELECT doc_id, list_distinct(list_transform("
+    f"generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)), "
+    f"j -> list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))) AS fps FROM g)"
+)
+
 ORACLES = {
     "text_quality": (
         f"SELECT doc_id, CAST(length(text) AS INT) AS text_len, "
@@ -501,6 +585,16 @@ ORACLES = {
     "text_fingerprint": (
         "SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
         "FROM documents"
+    ),
+    "text_winnow_fps": _WINNOW_FP_SQL + " SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM f",
+    "text_winnow_matches": (
+        _WINNOW_FP_SQL +
+        ", e AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM f), "
+        "hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) > 64), "
+        "cold AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared "
+        "FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
     ),
     "lang_id": _langid_oracle(),
     # ceil(p*n) is evaluated in IEEE doubles on both sides (identical

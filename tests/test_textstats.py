@@ -88,3 +88,40 @@ def test_clean_text_redacts_and_strips(spark):
     assert got[1].n_removed == 3
     assert got[2].clean == "no pii here"
     assert got[2].n_removed == 0
+
+
+def test_winnow_fingerprints_shared_run_detected(spark):
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches)
+
+    shared = "this exact boilerplate sentence is long enough to winnow"
+    rows = [
+        (0, "prefix one " + shared + " suffix alpha"),
+        (1, "other intro " + shared + " closing words"),
+        (2, "completely unrelated content with different characters xyz"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    fps = {(r["doc_id"], r["fp"])
+           for r in winnow_fingerprints(docs).collect()}
+    by_doc = {d: {f for dd, f in fps if dd == d} for d in (0, 1, 2)}
+    # winnowing guarantee: any shared run of k+w-1 chars shares a
+    # fingerprint — docs 0/1 share a long run, doc 2 shares none
+    assert by_doc[0] & by_doc[1]
+    assert not (by_doc[0] & by_doc[2])
+    assert not (by_doc[1] & by_doc[2])
+
+    got = {(r["a_id"], r["b_id"]) for r in
+           winnow_matches(docs, min_shared=2, max_doc_freq=64).collect()}
+    assert got == {(0, 1)}
+
+
+def test_winnow_fingerprint_count_sublinear_in_length(spark):
+    # ~len/w fingerprints per doc, not ~len: the density guarantee
+    from logsqlite_spark.operators.textstats import (
+        WINNOW_W, winnow_fingerprints)
+
+    text = " ".join(f"w{i}" for i in range(200))
+    docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
+    n = winnow_fingerprints(docs).count()
+    assert n <= 2 * len(text) / WINNOW_W
