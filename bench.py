@@ -51,11 +51,14 @@ BENCH_QUERIES = [
     "contamination_check",
     "quality_gate",
     "events_funnel",
+    "events_conversion_time",
     "clean_text",
     "split_assign",
     "pack_sequences",
     "ann_cosine_topk",
     "ann_lsh_portable",
+    "dedup_minhash_pairs",
+    "text_winnow_matches",
 ]
 
 def main() -> None:

@@ -131,17 +131,26 @@ def winnow_matches(docs: DataFrame, min_shared: int = 8,
     shape at 100 TB.
     """
     fp = winnow_fingerprints(docs, k, w, text_col, id_col)
-    # hot-fp list is usually tiny (boilerplate runs), but it is
-    # data-dependent, not bounded — join strategy stays AQE-decided
-    hot = (fp.groupBy("fp").agg(F.count(F.lit(1)).alias("__df"))
-           .filter(F.col("__df") > max_doc_freq).select("fp"))
-    cold = fp.join(hot, "fp", "left_anti")
-    a, b = cold.alias("a"), cold.alias("b")
+    # Groups-to-pairs, not a self-join: ONE pass computes the (fp ->
+    # sorted doc list) groups, the df cap is simply a group-size
+    # filter (<= cap replaces the separate hot-list anti-join), and
+    # pairs are generated from each bounded array in codegen. A
+    # self-join formulation re-evaluates the k-gram hashing for every
+    # exchange input (~3x the scan cost) and shuffles the fingerprint
+    # table twice. Per-group state is <= max_doc_freq ids, so
+    # collect_list stays bounded at any corpus size.
+    groups = (
+        fp.groupBy("fp")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+    )
+    pairs = groups.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x AS a_id, y AS b_id))))"
+    )).alias("p")).select("p.a_id", "p.b_id")
     return (
-        a.join(b, on="fp")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("a_id"),
-                 F.col("b.doc_id").alias("b_id"))
+        pairs.groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
     )

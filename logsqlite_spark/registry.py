@@ -394,6 +394,7 @@ _CERT_FIRST: tuple[str, ...] = (
     "clean_text", "repetition_signals", "token_freq_per_lang",
     "token_freq_histogram", "quality_percentile", "token_commonness",
     "quality_gate", "quality_gate_stats",
+    "text_winnow_fps", "text_winnow_matches",
 )
 
 
