@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logsqlite_spark.tables import table
+from logsqlite_spark.tables import rebalance_for_compute, table
 
 JACCARD_THRESHOLD = 0.5
 
@@ -221,7 +221,7 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
     chunks, join on any equal chunk (pigeonhole: hamming<k implies one
     equal chunk). Here we emit the fingerprint per doc.
     """
-    return docs.select(
+    return rebalance_for_compute(docs).select(
         F.col(id_col).cast("long").alias("doc_id"),
         simhash64(text_col, n_bits).alias("simhash"),
     )
@@ -365,8 +365,9 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
         "transform({sh}, s -> "
         "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint) % 4294967296L)"
     ).format(sh=_SHINGLES.format(c=text_col))
-    hashed = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                         F.expr(base).alias("__h"))
+    hashed = rebalance_for_compute(docs).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(base).alias("__h"))
     cols = [
         F.expr(f"array_min(transform(__h, h -> ({a}L * h + {b}L) % {_P32}L))")
         .alias(f"m{k}")

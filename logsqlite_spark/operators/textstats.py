@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from logsqlite_spark.tables import table
+from logsqlite_spark.tables import rebalance_for_compute, table
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
@@ -113,8 +113,9 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
         "j -> array_min(slice(__grams, j, {w}))))"
     ).format(wm1=w - 1, w=w)
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.expr(grams).alias("__grams"))
+        rebalance_for_compute(docs)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.expr(grams).alias("__grams"))
         .select("doc_id", F.explode(F.expr(fps)).alias("fp"))
     )
 

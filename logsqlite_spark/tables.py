@@ -75,6 +75,26 @@ def _normalize_ts_nanos(df: DataFrame, ts_col: str = "ts") -> DataFrame:
         df = df.withColumn(ts_col, nanos)
     return df
 
+def rebalance_for_compute(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound projection across every core.
+
+    A small corpus arrives as one parquet file -> one input split, so
+    an expression-heavy operator (per-shingle md5 in minhash/winnow,
+    per-token folds in simhash) runs single-task no matter how many
+    cores the session has. Repartition to the session's default
+    parallelism ONLY when the scan has fewer partitions than that —
+    at scale a 100 TB input already has thousands of splits and this
+    is a no-op, so no shuffle of raw text is ever added where it
+    would hurt. Row order changes; callers are order-insensitive
+    (hashing projections feeding aggregations/joins).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table viewed through the engine's logs schema."""
     e = table(spark, sf_dir, "events")
