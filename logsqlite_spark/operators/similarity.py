@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logsqlite_spark.tables import table
+from logsqlite_spark.tables import rebalance_for_compute, table
 
 N_QUERIES = 10
 TOP_K = 5
@@ -54,9 +54,13 @@ def cosine_topk(
         queries_df.select(F.col(id_col).alias("qid"),
                           F.col(vec_col).alias("qv")), "qv", "qi"
     ).withColumn("qn", F.expr(_SQNORM.format(v="qi"))).drop("qv")
+    # the corpus never shuffles (query side broadcasts), so every dot
+    # product runs where the scan ran — rebalance when the scan is a
+    # single small file so all cores participate (no-op at scale)
     c = _quantized(
-        corpus_df.select(F.col(id_col).alias("nid"),
-                         F.col(vec_col).alias("nv")), "nv", "ni"
+        rebalance_for_compute(corpus_df)
+        .select(F.col(id_col).alias("nid"),
+                F.col(vec_col).alias("nv")), "nv", "ni"
     ).withColumn("nn", F.expr(_SQNORM.format(v="ni"))).drop("nv")
 
     joined = (
@@ -215,7 +219,10 @@ def ann_lsh_portable_topk(
 
     qs = hashed(queries_df, "qid").withColumnsRenamed(
         {"__qi": "qi", "__n": "qn"})
-    cs = hashed(corpus_df, "nid").withColumnsRenamed(
+    # corpus-side banding + the exact rerank run on the scan's
+    # partitions (query side broadcasts) — rebalance a single-file
+    # scan so they use every core; no-op at scale
+    cs = hashed(rebalance_for_compute(corpus_df), "nid").withColumnsRenamed(
         {"__qi": "ni", "__n": "nn"})
     cand = (
         cs.join(F.broadcast(qs), on=["band", "chunk"])
