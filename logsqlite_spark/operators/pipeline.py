@@ -35,7 +35,7 @@ from logsqlite_spark.operators.dedup import two_stage_dedup
 from logsqlite_spark.operators.packing import pack_sequences
 from logsqlite_spark.operators.sampling import split_assign
 from logsqlite_spark.operators.textstats import clean_text
-from logsqlite_spark.tables import table
+from logsqlite_spark.tables import rebalance_for_compute, table
 
 MIN_TOKENS = 5
 
@@ -48,6 +48,9 @@ def prepare_corpus(docs: DataFrame, emb: DataFrame,
     ``method`` is the near-dup candidate generator ("lsh" at scale,
     "exact" for oracle validation — see two_stage_dedup).
     """
+    # chain entry: the regex/shingle/token work downstream is CPU-bound
+    # and a one-file local corpus scan would pin it to one task
+    docs = rebalance_for_compute(docs)
     cleaned = clean_text(docs).withColumn(
         "n_tokens",
         F.size(F.expr("filter(split(clean, ' '), t -> t != '')")).cast("int"),

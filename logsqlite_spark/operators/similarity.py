@@ -429,6 +429,9 @@ def embedding_dedup_pairs(
       oracle use only; this is deliberately NOT the default.
     """
     if method == "exact":
+        # validation-only all-pairs; still spread the dot products over
+        # every core when the corpus is a single-file scan
+        emb = rebalance_for_compute(emb)
         a = _quantized(
             emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("av")),
             "av", "ai").withColumn("an", F.expr(_SQNORM.format(v="ai"))).drop("av")
