@@ -168,7 +168,8 @@ def minhash_lsh_pairs(
     from pyspark.ml.feature import HashingTF, MinHashLSH, Tokenizer
 
     tok = Tokenizer(inputCol=text_col, outputCol="__toks")
-    tokenized = tok.transform(docs.select(id_col, text_col)).filter(
+    tokenized = tok.transform(
+        rebalance_for_compute(docs).select(id_col, text_col)).filter(
         F.size(F.expr("filter(__toks, t -> t != '')")) > 0
     )
     tf = HashingTF(inputCol="__toks", outputCol="__features",

@@ -451,7 +451,7 @@ def embedding_dedup_pairs(
 
     from pyspark.ml.functions import array_to_vector
 
-    base = emb.select(
+    base = rebalance_for_compute(emb).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
     )
