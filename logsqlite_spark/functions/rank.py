@@ -1,0 +1,50 @@
+"""Distributed exact global ranking.
+
+A ``row_number() OVER (ORDER BY ...)`` with no partition spec funnels
+every row through ONE task — the single-partition sort that kills a
+100 TB job. When the order key is unique (callers append a tiebreaker
+id), the same exact rank distributes as two passes:
+
+1. range-partition on the order key (total order across partitions),
+2. rank locally per partition, then add per-partition row-count
+   offsets.
+
+The only driver-size state is one row PER SHUFFLE PARTITION (the
+offsets table), which is bounded by configuration, not data — safe to
+broadcast and to cumulative-sum in a single-partition window.
+
+Used by ``analytics.conversion_times`` (funnel percentile ranks) and
+``textstats.quality_percentile`` (corpus percent_rank).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def with_global_rank(df: DataFrame, order_cols: list[str],
+                     rank_col: str = "rn", n_col: str = "n") -> DataFrame:
+    """Add ``rank_col`` (1-based exact global row_number over
+    ``order_cols``) and ``n_col`` (total row count) to ``df``.
+
+    ``order_cols`` must form a unique key (append an id column as the
+    final tiebreaker) — uniqueness is what makes the rank independent
+    of where the range partitioner draws its boundaries.
+    """
+    parts = (df.repartitionByRange(*order_cols)
+             .withColumn("_pid", F.spark_partition_id()))
+    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
+    # bounded: one row per shuffle partition
+    offsets = counts.select(
+        "_pid",
+        (F.sum("_c").over(Window.orderBy("_pid")) - F.col("_c"))
+        .alias("_off"),
+        F.sum("_c").over(Window.partitionBy()).alias(n_col))
+    local = parts.withColumn(
+        "_lrn",
+        F.row_number().over(
+            Window.partitionBy("_pid").orderBy(*order_cols)))
+    return (local.join(F.broadcast(offsets), "_pid")
+            .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+            .drop("_pid", "_lrn", "_off"))

@@ -215,25 +215,12 @@ def conversion_times(events: DataFrame,
     # Exact global rank WITHOUT a single-partition sort: converter count
     # is ~user-cardinality, so Window.orderBy() over all of them would
     # funnel 1e9 rows through one task at scale. Two-pass distributed
-    # rank instead: range-partition on the sort key (total order across
-    # partitions, ties broken by user_id so the key is unique), rank
-    # locally per partition, then add per-partition row-count offsets.
-    # The only driver-size state is one row PER PARTITION (bounded by
-    # the shuffle-partition setting), which is safe to broadcast.
-    parts = (done.repartitionByRange("dt_us", "user_id")
-             .withColumn("_pid", F.spark_partition_id()))
-    counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
-    offsets = counts.select(
-        "_pid",
-        (F.sum("_c").over(Window.orderBy("_pid")) - F.col("_c"))
-        .alias("_off"),
-        F.sum("_c").over(Window.partitionBy()).alias("n"))
-    local = parts.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy("dt_us", "user_id")))
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "dt_us", (F.col("_lrn") + F.col("_off")).alias("rn"), "n")
+    # rank (functions/rank.py); ties broken by user_id so the order
+    # key is unique.
+    from logsqlite_spark.functions.rank import with_global_rank
+
+    ranked = with_global_rank(done, ["dt_us", "user_id"]).select(
+        "dt_us", "rn", "n")
     aggs = [
         F.max(F.when(F.col("rn") == F.ceil(F.col("n") * F.lit(p)),
                      F.col("dt_us"))).cast("long").alias(f"p{int(p * 100)}_us")

@@ -378,21 +378,28 @@ def token_commonness(docs: DataFrame) -> DataFrame:
 
 def quality_percentile(docs: DataFrame) -> DataFrame:
     """Per-document corpus percentile of the document length —
-    ``percent_rank`` over a global order (tie-break doc_id makes the
-    rank, and hence the double (rank-1)/(n-1), exactly reproducible).
+    percent_rank semantics, (rank-1)/(n-1) over the (n_chars, doc_id)
+    total order (the doc_id tie-break makes the rank, and hence the
+    double, exactly reproducible).
 
-    Scale note: a global window means one ordering partition; for a
-    real 100 TB corpus, percentile against a sampled/bucketized CDF
-    (or per-shard percentiles) replaces the exact global sort — this
-    query pins the exact semantics the approximation must match.
+    The rank comes from the distributed two-pass construction
+    (functions/rank.py), NOT a global ``Window.orderBy`` — at corpus
+    scale the single ordering partition would serialize every row
+    through one task. Every n_chars value is unique within its
+    (n_chars, doc_id) key, so the distributed rank is bit-identical
+    to percent_rank's.
     """
-    from pyspark.sql.window import Window as W
+    from logsqlite_spark.functions.rank import with_global_rank
 
-    w = W.orderBy(F.col("n_chars"), F.col("doc_id"))
-    return docs.select(
-        F.col("doc_id").cast("long"), F.col("n_chars").cast("long"),
-        F.round(F.percent_rank().over(w), 6).alias("len_pctile"),
-    )
+    ranked = with_global_rank(
+        docs.select(F.col("doc_id").cast("long"),
+                    F.col("n_chars").cast("long")),
+        ["n_chars", "doc_id"])
+    pct = F.when(F.col("n") > 1,
+                 (F.col("rn") - 1).cast("double")
+                 / (F.col("n") - 1).cast("double")).otherwise(F.lit(0.0))
+    return ranked.select("doc_id", "n_chars",
+                         F.round(pct, 6).alias("len_pctile"))
 
 
 GATE_MIN_TOKENS = 25

@@ -366,3 +366,16 @@ def _plan_initial(df):
     here, and AQE cannot re-introduce a broadcast when the threshold
     is off."""
     return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quality_percentile_distributed_rank(no_auto_broadcast):
+    # percent_rank without the single ordering partition: every
+    # row_number window must be per-range-partition (_pid), the only
+    # broadcast is the bounded offsets table
+    spark = no_auto_broadcast
+    from logsqlite_spark import registry
+    df = registry.queries()["quality_percentile"](spark, SF)
+    plan = _plan_initial(df)
+    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
+        assert "_pid" in m.group(0), m.group(0)
+    assert plan.count("BroadcastExchange") == 1
