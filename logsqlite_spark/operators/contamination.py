@@ -70,7 +70,12 @@ def contamination_check(docs: DataFrame, bench: DataFrame,
 
     frac = Fraction(threshold).limit_denominator(1_000_000)
 
-    d = _shingled(docs, "doc_id", text_col, id_col, n)
+    # docs-side shingling is the CPU-heavy term and never shuffles
+    # (the bench side broadcasts) — spread a one-file scan over every
+    # core; no-op at scale
+    from logsqlite_spark.tables import rebalance_for_compute
+
+    d = _shingled(rebalance_for_compute(docs), "doc_id", text_col, id_col, n)
     b = _shingled(bench, "bench_id", text_col, id_col, n)
     bsizes = b.groupBy("bench_id").agg(
         F.count(F.lit(1)).alias("bench_ngrams"))
