@@ -44,3 +44,21 @@ def test_sql_functions_usable_in_engine_queries(spark):
     got = _one(spark, "eng_ts_nanos('2024-01-10T00:00:00Z') "
                       "- eng_duration_s('1d') * 1000000000")
     assert got == rfc3339_to_nanos("2024-01-09T00:00:00Z")
+
+
+def test_with_global_rank_exact_and_edge_cases(spark):
+    from logsqlite_spark.functions.rank import with_global_rank
+
+    df = spark.createDataFrame(
+        [(3, 30), (1, 10), (2, 20), (4, 10)], "id long, v long")
+    got = {r["id"]: (r["rn"], r["n"])
+           for r in with_global_rank(df, ["v", "id"]).collect()}
+    # total order (v, id): (10,1) (10,4) (20,2) (30,3)
+    assert got == {1: (1, 4), 4: (2, 4), 2: (3, 4), 3: (4, 4)}
+
+    one = spark.createDataFrame([(7, 5)], "id long, v long")
+    r = with_global_rank(one, ["v", "id"]).collect()[0]
+    assert (r["rn"], r["n"]) == (1, 1)
+
+    empty = spark.createDataFrame([], "id long, v long")
+    assert with_global_rank(empty, ["v", "id"]).count() == 0
