@@ -88,6 +88,8 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     would hurt. Row order changes; callers are order-insensitive
     (hashing projections feeding aggregations/joins).
     """
+    if df.isStreaming:  # .rdd is undefined for streaming frames
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:
