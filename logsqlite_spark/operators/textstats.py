@@ -701,8 +701,8 @@ ORACLES = {
 ORACLES["quality_gate_stats"] = (
     "WITH g AS (" + ORACLES["quality_gate"] + ") "
     "SELECT count(*) AS n_docs, "
-    "sum(CASE WHEN kept THEN 1 ELSE 0 END) AS n_kept, "
-    "sum(fail_mask & 1) AS n_short, "
-    "sum((fail_mask & 2) // 2) AS n_repetitive, "
-    "sum((fail_mask & 4) // 4) AS n_stopwordy FROM g"
+    "CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept, "
+    "CAST(sum(fail_mask & 1) AS BIGINT) AS n_short, "
+    "CAST(sum((fail_mask & 2) // 2) AS BIGINT) AS n_repetitive, "
+    "CAST(sum((fail_mask & 4) // 4) AS BIGINT) AS n_stopwordy FROM g"
 )

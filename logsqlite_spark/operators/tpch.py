@@ -740,9 +740,9 @@ _REV_SQL = (
 ORACLES = {
     "tpch_q1_pricing": (
         "SELECT l_returnflag, l_linestatus, count(*) AS count_order, "
-        "sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_qty_c, "
-        "sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_base_price_c, "
-        "sum(CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_discount_c "
+        "CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c, "
+        "CAST(sum(CAST(floor(CAST(l_extendedprice AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_base_price_c, "
+        "CAST(sum(CAST(floor(CAST(l_discount AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_discount_c "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
     ),
@@ -798,7 +798,7 @@ ORACLES = {
     ),
     "tpch_q18_large_orders": (
         "WITH big AS (SELECT l_orderkey, "
-        "sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS sum_qty_c "
+        "CAST(sum(CAST(floor(CAST(l_quantity AS DOUBLE) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty_c "
         "FROM lineitem GROUP BY l_orderkey HAVING sum_qty_c > 20000) "
         "SELECT c_name, l_orderkey, "
         "CAST(floor(CAST(o_totalprice AS DOUBLE) * 100 + 0.5) AS BIGINT) AS o_totalprice_c, "
@@ -871,10 +871,10 @@ ORACLES = {
     ),
     "tpch_q12_priority_split": (
         "SELECT l_returnflag, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "    THEN 1 ELSE 0 END) AS high_line_count, "
-        "sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
-        "    THEN 0 ELSE 1 END) AS low_line_count "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "

@@ -356,26 +356,49 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Driver-certification ordering. The round driver samples the FIRST
 # 50 entries of queries() for its oracle gate, so ordering is how we
 # steer which operators get a hard CORRECTNESS_r{N}.json stamp.
-# Round-4 allocation: (a) six queries that errored in round 3's gate
-# (testdata ts re-encode, fixed in tables._normalize_ts_nanos) so the
-# driver certifies the regression fix, then (b) the families that have
-# never had a driver row (all tpch_*, corpus chain, packing, media,
-# funnel, relational extensions — VERDICT r2 "What's missing" #1).
-# Everything else keeps its old order after the prefix; rotate next
-# round so the remainder gets stamped too.
+# Round-5 allocation (VERDICT r4 "Next round" #1/#3/#6):
+# (a) the three tpch oracles whose HUGEINT typing bug was fixed this
+#     round — they were the only red driver rows since round 1;
+# (b) the 17 queries that have never had a driver stamp;
+# (c) the 10 round-3 gate casualties fixed in r4 but only partially
+#     re-certified (6 representatives got r4 rows; these are the rest);
+# (d) the dedup + ANN families, whose last driver stamps are round 2
+#     — includes dedup_simhash* whose scale config changed this round.
+# Everything already stamped green in r4 rotates below position 50.
 _CERT_FIRST: tuple[str, ...] = (
-    # (a) round-3 regression proof: read / retention / agg paths
+    # (a) HUGEINT oracle fix — must flip red->green in the driver
+    "tpch_q1_pricing", "tpch_q12_priority_split", "tpch_q18_large_orders",
+    # (b) never-stamped — windowing/analytics
+    "events_running_value", "events_lag_delta", "events_topk_per_user",
+    "events_trailing_hour", "events_activity_gaps",
+    "split_counts", "value_histogram",
+    # (b) never-stamped — text family
+    "clean_text", "repetition_signals", "token_freq_per_lang",
+    "token_freq_histogram", "quality_percentile", "token_commonness",
+    "quality_gate", "quality_gate_stats",
+    "text_winnow_fps", "text_winnow_matches",
+    # (c) round-3 casualties still lacking a post-fix driver row
+    "read_since", "read_until", "read_cursor", "read_tail",
+    "read_tail_range", "retention_age", "retention_keep_last",
+    "wire_frames", "reassemble_partials", "cube_counts",
+    # (d) dedup family (last stamped r2; simhash config changed r5)
+    "dedup_exact_groups", "dedup_exact_kept", "dedup_jaccard_pairs",
+    "dedup_jaccard_capped", "dedup_shingle_pairs", "dedup_incremental",
+    "dedup_components", "dedup_pair_degrees", "dedup_cluster_stats",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_two_stage",
+    # (d) ANN family (last stamped r2; ivf query path changed r5)
+    "ann_cosine_topk", "ann_lsh_portable", "embedding_norms",
+    "ann_lsh_topk", "ann_ivf_topk",
+    # positions 51+: r4-stamped queries, then everything else
     "read_all", "read_range", "read_tail_per_container",
     "count_filtered", "retention_combined", "events_window_agg",
-    # (b) never-stamped families
-    "tpch_q1_pricing", "tpch_q3_top_orders", "tpch_q4_priority_check",
+    "tpch_q3_top_orders", "tpch_q4_priority_check",
     "tpch_q5_local_volume", "tpch_q6_forecast", "tpch_q7_nation_trade",
     "tpch_q8_market_share", "tpch_q9_nation_profit",
-    "tpch_q10_returned_items", "tpch_q12_priority_split",
-    "tpch_q13_order_distribution", "tpch_q14_promo",
-    "tpch_q15_top_supplier", "tpch_q16_part_variety",
-    "tpch_q17_small_qty", "tpch_q18_large_orders",
-    "tpch_q19_disjunctive", "tpch_q21_sole_blame",
+    "tpch_q10_returned_items", "tpch_q13_order_distribution",
+    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_part_variety",
+    "tpch_q17_small_qty", "tpch_q19_disjunctive", "tpch_q21_sole_blame",
     "tpch_q22_dormant_rich",
     "corpus_prepare_stats", "corpus_prepare_full_stats",
     "split_leakage", "contamination_check", "decontaminate_stats",
@@ -387,14 +410,6 @@ _CERT_FIRST: tuple[str, ...] = (
     "count_per_container_salted", "events_salted_join",
     "events_cohorts", "events_ewma",
     "split_assign", "stratified_sample", "value_outliers",
-    # positions 51+: remaining never-stamped, for round-5 rotation
-    "events_running_value", "events_lag_delta", "events_topk_per_user",
-    "events_trailing_hour", "events_activity_gaps",
-    "split_counts", "value_histogram",
-    "clean_text", "repetition_signals", "token_freq_per_lang",
-    "token_freq_histogram", "quality_percentile", "token_commonness",
-    "quality_gate", "quality_gate_stats",
-    "text_winnow_fps", "text_winnow_matches",
 )
 
 

@@ -40,6 +40,29 @@ def _multiset(rows, colnames):
     out = sorted(tuple(_norm_cell(r[i]) for i in order) for r in rows)
     return out
 
+# DuckDB result types whose Arrow serialization matches what Spark emits for
+# the same Python value. Anything outside this set (HUGEINT from an uncast
+# sum(), DECIMAL, unsigned ints) hashes differently in the driver's typed
+# (Arrow) comparison even when Python-level values are equal — the round-1..4
+# q1/q12/q18 bug. Checked via DESCRIBE so it fails locally before the driver.
+_ALLOWED_DUCK_TYPES = (
+    "BOOLEAN", "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "FLOAT", "DOUBLE", "VARCHAR", "DATE", "TIMESTAMP", "BLOB",
+)
+
+def _bad_duck_types(con, sql):
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # noqa: BLE001 — the main execute reports the error
+        return []
+    bad = []
+    for row in desc:
+        col, ty = row[0], row[1].upper()
+        base = ty.split("(")[0].strip()
+        if base not in _ALLOWED_DUCK_TYPES and not base.endswith("[]"):
+            bad.append(f"{col}:{ty}")
+    return bad
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -81,6 +104,9 @@ def main() -> int:
             failures.append(name)
             continue
         problems = []
+        bad_types = _bad_duck_types(con, oracles[name])
+        if bad_types:
+            problems.append(f"oracle result types not driver-safe: {bad_types}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
         if sorted(scols) != sorted(dcols):
