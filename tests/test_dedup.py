@@ -105,6 +105,27 @@ def test_simhash_band_pairs_find_planted(docs):
     assert (0, 2) in pairs and pairs[(0, 2)] > 0
     assert not any(3 in p for p in pairs)
 
+def test_simhash_combo_banding_equals_brute_force(docs):
+    # deployment config: 6 blocks, r=3 -> C(6,3)=20 combinatorial
+    # bands. Output must equal the brute-force hamming<=3 pair set
+    # (combinatorial banding is exact: no false negatives by the
+    # pigeonhole-on-blocks argument, collisions removed by the filter)
+    from logsqlite_spark.operators.dedup import (simhash_band_pairs,
+                                                 simhash_dedup)
+
+    fps = {r["doc_id"]: r["simhash"]
+           for r in simhash_dedup(docs, n_bits=60).collect()}
+    ids = sorted(fps)
+    want = {(a, b): bin(fps[a] ^ fps[b]).count("1")
+            for i, a in enumerate(ids) for b in ids[i + 1:]
+            if bin(fps[a] ^ fps[b]).count("1") <= 3}
+    got = {(r["a_id"], r["b_id"]): r["hamming"]
+           for r in simhash_band_pairs(docs, max_hamming=3,
+                                       n_bits=60, n_bands=6).collect()}
+    assert got == want
+    assert (0, 1) in got and got[(0, 1)] == 0  # exact dups always found
+
+
 def test_simhash_identical_texts_same_hash(docs):
     got = {r["doc_id"]: r["simhash"] for r in simhash_dedup(docs).collect()}
     assert got[0] == got[1] == got[4]
