@@ -51,6 +51,29 @@ def test_ivf_persisted_index_matches_inline_fit(spark, tmp_path):
                          ivf_topk_indexed(spark, q, idx, k=5, n_probe=4).collect()))
     assert indexed == inline and len(indexed) > 0
 
+def test_ivf_auto_persist_builds_once_and_reuses(spark, tmp_path, monkeypatch):
+    # file-backed corpus: first call builds the index under
+    # $SPARK_GRAFT_IVF_DIR, second call serves from it without refit
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_IVF_DIR", str(tmp_path / "auto"))
+    emb = table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(q, emb, k=5, n_clusters=8,
+                                   n_probe=4).collect()))
+    root = str(tmp_path / "auto")
+    idxs = os.listdir(root)
+    assert len(idxs) == 1
+    marker = os.path.join(root, idxs[0], "_INDEX_OK")
+    m0 = os.path.getmtime(marker)
+    b = sorted(map(tuple, ivf_topk(q, emb, k=5, n_clusters=8,
+                                   n_probe=4).collect()))
+    assert a == b and len(a) > 0
+    # same key, no rebuild: marker untouched, still exactly one index
+    assert os.path.getmtime(marker) == m0
+    assert os.listdir(root) == idxs
+
+
 BASE_TS = 1_704_067_200_000_000_000
 
 def test_cleaner_loop_runs_periodically(spark, tmp_path):
