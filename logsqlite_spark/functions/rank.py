@@ -31,9 +31,24 @@ def with_global_rank(df: DataFrame, order_cols: list[str],
     ``order_cols`` must form a unique key (append an id column as the
     final tiebreaker) — uniqueness is what makes the rank independent
     of where the range partitioner draws its boundaries.
+
+    The range exchange is consumed by TWO branches (the offsets table
+    and the local ranking), and its boundaries come from nondeterministic
+    sampling, so both branches MUST observe one materialization: the
+    partition count is pinned explicitly (REPARTITION_BY_NUM is exempt
+    from AQE partition coalescing, which could otherwise merge the two
+    reads differently) and the exchange output is persisted so a failed
+    exchange-reuse can never resample boundaries and diverge
+    ``spark_partition_id()`` between the branches (ADVICE r4 #1). The
+    persisted footprint is one pass of the caller's (narrow) frame.
     """
-    parts = (df.repartitionByRange(*order_cols)
-             .withColumn("_pid", F.spark_partition_id()))
+    from pyspark.storagelevel import StorageLevel
+
+    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
+                                           "200"))
+    parts = (df.repartitionByRange(n_parts, *order_cols)
+             .withColumn("_pid", F.spark_partition_id())
+             .persist(StorageLevel.MEMORY_AND_DISK))
     counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # bounded: one row per shuffle partition
     offsets = counts.select(

@@ -28,6 +28,8 @@ hash-checked, not just the pieces.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -147,10 +149,36 @@ def write_prepared_corpus(docs: DataFrame, emb: DataFrame, out_dir: str,
 
 
 # Process-local registry of already-materialized prepared corpora:
-# (cache_key, method, min_tokens) -> manifest table dir. Lets every
-# consumer in the same process (leakage audit, stats, packing) scan
-# the committed parquet instead of recomputing the preparation chain.
-_MATERIALIZED: dict[tuple[str, str, int], str] = {}
+# (input fingerprint, cache_key, method, min_tokens) -> manifest table
+# dir. Lets every consumer in the same process (leakage audit, stats,
+# packing) scan the committed parquet instead of recomputing the
+# preparation chain.
+_MATERIALIZED: dict[tuple[str, str, str, int], str] = {}
+_MATERIALIZED_LOCK = threading.Lock()
+
+
+def _frames_fingerprint(*dfs: DataFrame) -> str:
+    """Identity of the input frames: each backing file's path, size,
+    and mtime. In-memory frames contribute no files — for those the
+    caller's cache_key is the only discriminator (documented on
+    materialized_corpus)."""
+    import hashlib
+    import os
+
+    parts = []
+    for df in dfs:
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:  # noqa: BLE001 — e.g. streaming frames
+            files = []
+        for f in files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                st = os.stat(local)
+                parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
 
 
 def materialized_corpus(docs: DataFrame, emb: DataFrame,
@@ -159,23 +187,34 @@ def materialized_corpus(docs: DataFrame, emb: DataFrame,
                         method: str = "lsh") -> DataFrame:
     """Prepared corpus as a parquet SCAN, not a recomputation.
 
-    First call per (cache_key, method) runs the chain once and
+    First call per (inputs, cache_key, method) runs the chain once and
     commits it through the manifest table layer
     (write_prepared_corpus); subsequent calls — and every downstream
     branch of the caller's plan — read the committed files. This is
     the production shape: at 100 TB the prepared corpus is written
     once, and audits/packing/stats are scans with split-partition
     pruning, never lineage replays of the dedup join.
+
+    The cache key folds in a fingerprint of the inputs' backing files
+    (path+size+mtime), so different file-backed inputs under the same
+    ``cache_key`` never alias (ADVICE r4 #4); for purely in-memory
+    frames the fingerprint is empty and ``cache_key`` must uniquely
+    identify the inputs. Population is serialized under a lock, and
+    the temp table dirs are removed at interpreter exit.
     """
+    import atexit
+    import shutil
     import tempfile
 
     from logsqlite_spark.table import ManifestTable
 
-    k = (cache_key, method, min_tokens)
-    if k not in _MATERIALIZED:
-        out_dir = tempfile.mkdtemp(prefix="prepared-corpus-")
-        write_prepared_corpus(docs, emb, out_dir, min_tokens, method)
-        _MATERIALIZED[k] = out_dir
+    k = (_frames_fingerprint(docs, emb), cache_key, method, min_tokens)
+    with _MATERIALIZED_LOCK:
+        if k not in _MATERIALIZED:
+            out_dir = tempfile.mkdtemp(prefix="prepared-corpus-")
+            atexit.register(shutil.rmtree, out_dir, ignore_errors=True)
+            write_prepared_corpus(docs, emb, out_dir, min_tokens, method)
+            _MATERIALIZED[k] = out_dir
     return ManifestTable(_MATERIALIZED[k]).read_df(docs.sparkSession)
 
 

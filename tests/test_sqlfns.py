@@ -62,3 +62,23 @@ def test_with_global_rank_exact_and_edge_cases(spark):
 
     empty = spark.createDataFrame([], "id long, v long")
     assert with_global_rank(empty, ["v", "id"]).count() == 0
+
+
+def test_with_global_rank_single_materialization(spark):
+    # ADVICE r4 #1: the offsets branch and the local-rank branch must
+    # read ONE materialization of the range exchange — the plan should
+    # show both consumers scanning the persisted relation, never two
+    # independently-sampled range exchanges
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.functions.rank import with_global_rank
+
+    df = spark.range(1000).select(
+        (F.col("id") % 37).alias("v"), F.col("id"))
+    out = with_global_rank(df, ["v", "id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") >= 2
+    # ranks are a permutation of 1..n regardless of partitioning
+    rows = out.collect()
+    assert sorted(r["rn"] for r in rows) == list(range(1, 1001))
+    assert all(r["n"] == 1000 for r in rows)
