@@ -1,0 +1,206 @@
+"""sf1-scale growth evidence for the dedup / winnow / ANN family.
+
+VERDICT r4 stretch item: the per-round bench measures candidate-growth
+exponents across sf0.01 -> sf0.1 (500 -> 5,000 docs). This tool checks
+that those exponents hold ANOTHER decade up, at sf1-equivalent sizes
+(5,000 -> 50,000 docs; 2,000 -> 20,000 vectors), using a locally
+generated corpus because the driver ships no sf1 testdata (and
+/root/testdata is read-only).
+
+The generator mirrors the driver corpus's observable structure (same
+31-word vocabulary, ~50-token docs, 5 langs / 20 sources, rare exact-
+dup injection, 64-dim 10-cluster embeddings) so the measured exponents
+are comparable to the bench's. Both scales come from the SAME
+generator, which is all a growth exponent requires.
+
+Usage:  python tools/scale_evidence.py [--lo 5000] [--hi 50000]
+Prints one JSON line with per-path counts, timings, and exponents;
+exits non-zero if any DEPLOYMENT path (jaccard capped, minhash banded,
+simhash groups, winnow matches, ANN-LSH candidates) measures a growth
+exponent above 1.15. The audit-only simhash_pairs lens is reported but
+not gated (its pair output is intrinsically super-linear; see
+operators/dedup.py:256 and SURVEY §6).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+VOCAB = [
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+]
+LANGS = ["en", "de", "fr", "es", "zh"]
+
+
+def gen_documents(n: int, out_dir: Path, seed: int = 42,
+                  p_exact: float = 0.002, p_near: float = 0.004) -> None:
+    """Random-token docs with rare exact/near dup injection (copy a
+    uniformly chosen earlier doc; near-dups perturb ~3 tokens). The
+    uniform-target choice makes dup-cluster sizes grow with n, which
+    is what made the driver corpus's simhash PAIR output super-linear
+    — kept on purpose so the audit lens reproduces that signal.
+
+    Beyond the driver corpus's 31-word vocabulary, each doc mixes in
+    a handful of RARE tokens (hex ids drawn from a pool that grows
+    with n — Heaps' law, the property every real log/text corpus
+    has). A first cut without them measured degenerate: at 50k docs a
+    31-word vocab puts every 5-char shingle and winnow fingerprint in
+    thousands of docs, the absolute df cap filters them all, and the
+    jaccard/winnow paths emit 0 rows — a correct linear bound but
+    void as evidence. Rare tokens keep sub-cap blocking keys alive at
+    any n (copies share their source's rare shingles, so true dups
+    still collide)."""
+    rng = np.random.default_rng(seed)
+    pool = [f"x{v:08x}" for v in rng.integers(0, 1 << 32, max(n, 64))]
+    texts: list[str] = []
+    for i in range(n):
+        r = rng.random()
+        if i > 10 and r < p_exact:
+            texts.append(texts[rng.integers(0, i)])
+            continue
+        if i > 10 and r < p_exact + p_near:
+            toks = texts[rng.integers(0, i)].split(" ")
+            for _ in range(3):
+                toks[rng.integers(0, len(toks))] = VOCAB[
+                    rng.integers(0, len(VOCAB))]
+            texts.append(" ".join(toks))
+            continue
+        ln = max(8, int(rng.normal(50, 12)))
+        toks = [VOCAB[j] for j in rng.integers(0, len(VOCAB), ln)]
+        for _ in range(6):
+            toks[rng.integers(0, len(toks))] = pool[
+                rng.integers(0, len(pool))]
+        texts.append(" ".join(toks))
+    tbl = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array([LANGS[j] for j in rng.integers(0, 5, n)]),
+        "source": pa.array([f"src{j}" for j in rng.integers(0, 20, n)]),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tbl, out_dir / "documents.parquet")
+
+
+def gen_embeddings(n: int, out_dir: Path, seed: int = 7,
+                   dim: int = 64, n_labels: int = 10) -> None:
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(0, 1, (n_labels, dim))
+    labels = rng.integers(0, n_labels, n)
+    vecs = (centers[labels] + rng.normal(0, 0.35, (n, dim))).astype(
+        np.float32)
+    tbl = pa.table({
+        "vec_id": pa.array(range(n), pa.int64()),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+        "label": pa.array(labels.astype(np.int32), pa.int32()),
+    })
+    pq.write_table(tbl, out_dir / "embeddings.parquet")
+
+
+def measure(spark, d: Path) -> dict:
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs,
+        simhash_dup_groups)
+    from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
+    from logsqlite_spark.operators.textstats import winnow_matches
+
+    docs = spark.read.parquet(str(d / "documents.parquet"))
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    # fixed 32-query panel: the scale axis is the CORPUS, queries are
+    # the bounded broadcast side at any sf
+    qs = emb.filter("vec_id < 32")
+    out = {"n_docs": docs.count(), "n_vecs": emb.count()}
+    for key, df in (
+        ("jaccard_cand", shingle_jaccard_pairs(docs, threshold=0.0,
+                                               max_doc_freq=64)),
+        ("minhash_cand", minhash_band_pairs(docs, band_size=8)),
+        ("simhash_groups", simhash_dup_groups(docs)),
+        ("simhash_pairs", simhash_band_pairs(docs, n_bits=60, n_bands=6)),
+        ("winnow_matches", winnow_matches(docs, min_shared=8)),
+        # k larger than any candidate set => row count == candidate
+        # pairs surviving the (band, chunk) join
+        ("ann_lsh_cand", ann_lsh_portable_topk(qs, emb, k=1 << 30)),
+    ):
+        t0 = time.perf_counter()
+        out[key] = df.count()
+        out[key + "_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
+                    "winnow_matches", "ann_lsh_cand")
+AUDIT_PATHS = ("simhash_pairs",)
+GATE = 1.15
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--lo", type=int, default=5000)
+    ap.add_argument("--hi", type=int, default=50000)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the generated corpora on disk")
+    args = ap.parse_args()
+
+    from logsqlite_spark.session import get_spark
+    spark = get_spark()
+
+    root = Path(tempfile.mkdtemp(prefix="scale_evidence_"))
+    res: dict = {"lo_docs": args.lo, "hi_docs": args.hi}
+    try:
+        for tag, n in (("lo", args.lo), ("hi", args.hi)):
+            d = root / tag
+            d.mkdir()
+            gen_documents(n, d)
+            gen_embeddings(max(2000, (n * 2) // 5), d)
+            t0 = time.perf_counter()
+            res[tag] = measure(spark, d)
+            print(f"# {tag} ({n} docs) measured in "
+                  f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
+                  file=sys.stderr)
+    finally:
+        if not args.keep:
+            shutil.rmtree(root, ignore_errors=True)
+
+    bad = []
+    for key in DEPLOYMENT_PATHS + AUDIT_PATHS:
+        axis = "n_vecs" if key == "ann_lsh_cand" else "n_docs"
+        d_ratio = res["hi"][axis] / res["lo"][axis]
+        if res["hi"][key] == 0 or res["lo"][key] == 0:
+            # 0-output is a (vacuously linear) bound, not evidence —
+            # flag it so a degenerate corpus can't silently "pass"
+            res[key + "_growth_exp"] = None
+            if key in DEPLOYMENT_PATHS:
+                bad.append((key, "degenerate: zero output"))
+            continue
+        p_ratio = res["hi"][key] / res["lo"][key]
+        exp = round(math.log(p_ratio) / math.log(d_ratio), 3)
+        res[key + "_growth_exp"] = exp
+        if key in DEPLOYMENT_PATHS and exp > GATE:
+            bad.append((key, exp))
+    res["gate"] = GATE
+    res["deployment_ok"] = not bad
+    print(json.dumps(res))
+    if bad:
+        print(f"# FAIL: deployment paths above gate {GATE}: {bad}",
+              file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
