@@ -168,6 +168,16 @@ class _UnixHTTPServer(socketserver.ThreadingUnixStreamServer):
         # BaseHTTPRequestHandler wants a (host, port) client address
         return sock, ("unix", 0)
 
+    def handle_error(self, request, client_address):
+        # docker tears the ReadLogs connection down mid-stream on ^C;
+        # that's a normal disconnect, not a server error worth a
+        # traceback on stderr
+        import sys
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError)):
+            return
+        super().handle_error(request, client_address)
+
 
 class LogDriverServer:
     """Lifecycle wrapper: bind the unix socket, serve on a daemon
