@@ -251,22 +251,49 @@ def distinct_users_hll_rollup(events: DataFrame,
     driver check is rows-only by design; the pytest asserts <2%
     relative error against exact counts and sketch-merge
     self-consistency instead.
+
+    Both grains come from ONE ``rollup`` aggregation — a single scan
+    with an Expand feeding partial sketch aggregation (a first cut
+    unioned two branches and scanned events twice). The ALL row's
+    sketch over raw ids is bit-identical to unioning the daily
+    sketches (register-max), which :func:`merge_daily_sketches` does
+    against an already-materialized daily table.
     """
-    daily = (
+    return (
+        events.select(
+            F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"),
+            "user_id")
+        .rollup("day")
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
+        .select(
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL"))
+            .alias("day"),
+            F.hll_sketch_estimate("sketch").cast("long")
+            .alias("est_users"))
+    )
+
+
+def daily_user_sketches(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """The materialized daily rollup: one fixed-size HLL sketch per
+    day. This is the table a pipeline persists; any coarser grain is
+    served by merging these sketches, never by re-scanning events."""
+    return (
         events.select(
             F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"),
             "user_id")
         .groupBy("day")
         .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
     )
-    per_day = daily.select(
-        F.col("day").cast("string").alias("day"),
-        F.hll_sketch_estimate("sketch").cast("long").alias("est_users"))
-    overall = daily.agg(
-        F.hll_union_agg("sketch").alias("u")).select(
-        F.lit("ALL").alias("day"),
-        F.hll_sketch_estimate("u").cast("long").alias("est_users"))
-    return per_day.unionAll(overall)
+
+
+def merge_daily_sketches(daily: DataFrame) -> DataFrame:
+    """Overall distinct estimate from the daily sketch table — merges
+    a few KB per day (``hll_union_agg``), no raw-data re-scan."""
+    return (
+        daily.agg(F.hll_union_agg("sketch").alias("u"))
+        .select(F.hll_sketch_estimate("u").cast("long")
+                .alias("est_users"))
+    )
 
 
 def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -10,7 +10,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from logsqlite_spark.operators.analytics import (
-    _events, distinct_users_hll_rollup)
+    _events, daily_user_sketches, distinct_users_hll_rollup,
+    merge_daily_sketches)
 
 
 def _exact(events):
@@ -37,16 +38,25 @@ def test_hll_rollup_accuracy_and_consistency(spark, sf_dir):
     for day, n in exact.items():
         assert abs(est[day] - n) <= max(1, 0.02 * n), (day, est[day], n)
 
-    # the ALL row merges the DAILY sketches; a sketch built over the
-    # raw rows in one pass must estimate identically (register-max
-    # merging is exact, not approximate)
-    one_pass = (
-        ev.agg(F.hll_sketch_agg("user_id", F.lit(12)).alias("s"))
-        .select(F.hll_sketch_estimate("s").cast("long").alias("e"))
-        .collect()[0]["e"])
-    assert est["ALL"] == one_pass
+    # merging the materialized DAILY sketches (hll_union_agg, no
+    # raw re-scan) must estimate identically to the rollup's ALL row
+    # (register-max merging is exact, not approximate)
+    merged = merge_daily_sketches(
+        daily_user_sketches(ev)).collect()[0]["est_users"]
+    assert est["ALL"] == merged
 
     # deterministic across evaluations (no RNG, order-independent)
     again = {r["day"]: r["est_users"]
              for r in distinct_users_hll_rollup(ev).collect()}
     assert again == est
+
+
+def test_hll_rollup_single_scan_with_partial_agg(spark, sf_dir):
+    """Both grains must come from ONE scan (rollup/Expand), with the
+    sketch aggregation partially applied map-side."""
+    plan = distinct_users_hll_rollup(
+        _events(spark, sf_dir))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "partial_hll_sketch_agg" in plan, plan
+    assert "Expand" in plan, plan
