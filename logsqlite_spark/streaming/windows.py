@@ -116,6 +116,39 @@ def start_windowed_topk(stream: DataFrame, out_path: str,
         .start()
     )
 
+def windowed_distinct_sketch(stream: DataFrame,
+                             id_col: str = "user_id",
+                             window: str = "5 minutes",
+                             watermark: str = "10 minutes",
+                             ts_col: str = "ts",
+                             lg_k: int = 12) -> DataFrame:
+    """Distinct-``id_col`` estimate per event-time window via HLL
+    sketches — the streaming twin of
+    ``analytics.distinct_users_hll_rollup``.
+
+    An exact streaming countDistinct would keep every id seen per
+    live window in the state store (state grows with cardinality —
+    exactly what kills unbounded streams); the sketch aggregation
+    keeps a fixed 2^lg_k-register buffer per window instead, and
+    Datasketches merging is order-independent, so estimates are
+    IDENTICAL to the batch rollup over the same rows regardless of
+    micro-batch boundaries (pinned in ``test_streaming_hll.py``).
+    Emitted sketches stay mergeable downstream: coarser grains come
+    from ``hll_union_agg`` over this output, never from re-reading
+    the stream.
+    """
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("sketch"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "sketch",
+                F.hll_sketch_estimate("sketch").cast("long")
+                .alias("est_distinct"))
+    )
+
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:
