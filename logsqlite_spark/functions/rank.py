@@ -22,6 +22,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+# Persisted range exchanges, oldest first. Persisting is belt-and-
+# suspenders on top of the pinned partition count (the REPARTITION_BY_
+# NUM exchange is AQE-exempt and plan-reused), but an unbounded cache
+# would leak one copy of the caller's frame per call for the session's
+# lifetime — so older entries are unpersisted once a few newer calls
+# exist. A long-retained result frame re-evaluated after eviction
+# recomputes through the SAME pinned exchange (reused within the
+# action), so correctness does not depend on the cache.
+_PERSISTED: list[DataFrame] = []
+_PERSIST_KEEP = 4
+
+
+def _bound_persisted(df: DataFrame) -> None:
+    _PERSISTED.append(df)
+    while len(_PERSISTED) > _PERSIST_KEEP:
+        _PERSISTED.pop(0).unpersist(blocking=False)
+
 
 def with_global_rank(df: DataFrame, order_cols: list[str],
                      rank_col: str = "rn", n_col: str = "n") -> DataFrame:
@@ -49,6 +66,7 @@ def with_global_rank(df: DataFrame, order_cols: list[str],
     parts = (df.repartitionByRange(n_parts, *order_cols)
              .withColumn("_pid", F.spark_partition_id())
              .persist(StorageLevel.MEMORY_AND_DISK))
+    _bound_persisted(parts)
     counts = parts.groupBy("_pid").agg(F.count(F.lit(1)).alias("_c"))
     # bounded: one row per shuffle partition
     offsets = counts.select(

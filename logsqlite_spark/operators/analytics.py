@@ -264,10 +264,13 @@ def distinct_users_hll_rollup(events: DataFrame,
             F.to_date(F.timestamp_micros(F.col("ts_us"))).alias("day"),
             "user_id")
         .rollup("day")
-        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
+        # grouping(), not coalesce(day, 'ALL'): a genuine NULL-ts day
+        # group must not collide with the grand-total row
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"),
+             F.grouping("day").alias("_g"))
         .select(
-            F.coalesce(F.col("day").cast("string"), F.lit("ALL"))
-            .alias("day"),
+            F.when(F.col("_g") == 1, F.lit("ALL"))
+            .otherwise(F.col("day").cast("string")).alias("day"),
             F.hll_sketch_estimate("sketch").cast("long")
             .alias("est_users"))
     )

@@ -158,27 +158,13 @@ _MATERIALIZED_LOCK = threading.Lock()
 
 
 def _frames_fingerprint(*dfs: DataFrame) -> str:
-    """Identity of the input frames: each backing file's path, size,
-    and mtime. In-memory frames contribute no files — for those the
-    caller's cache_key is the only discriminator (documented on
-    materialized_corpus)."""
-    import hashlib
-    import os
+    """Shared with the IVF index cache: file path+size+mtime PLUS the
+    normalized logical plan (see tables.frames_fingerprint) — for
+    purely in-memory frames the caller's cache_key is still the main
+    discriminator (documented on materialized_corpus)."""
+    from logsqlite_spark.tables import frames_fingerprint
 
-    parts = []
-    for df in dfs:
-        try:
-            files = sorted(df.inputFiles())
-        except Exception:  # noqa: BLE001 — e.g. streaming frames
-            files = []
-        for f in files:
-            local = f[len("file:"):] if f.startswith("file:") else f
-            try:
-                st = os.stat(local)
-                parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
-            except OSError:
-                parts.append(f)
-    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+    return frames_fingerprint(*dfs)
 
 
 def materialized_corpus(docs: DataFrame, emb: DataFrame,

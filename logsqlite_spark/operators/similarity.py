@@ -21,6 +21,8 @@ on identical inputs. Ranks tie-break on neighbor id.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -251,33 +253,92 @@ def _ivf_index_root() -> str:
             or os.path.join(tempfile.gettempdir(), "spark_graft_ivf"))
 
 
+# Auto-builds serialize on one module lock (a lazily-created per-
+# function lock had a create-race: two threads could each make their
+# own lock and overwrite the same index dir concurrently).
+_IVF_BUILD_LOCK = threading.Lock()
+_IVF_KEEP_NEWEST = 8
+
+
 def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,
                    n_clusters: int) -> str | None:
     """Deterministic index location for a file-backed corpus, or None.
 
-    The key folds in each input file's path, size, and mtime, so a
-    rewritten corpus at the same path gets a fresh index instead of a
-    stale one.
+    The key is the shared frames_fingerprint — backing-file
+    path+size+mtime AND the normalized logical plan — so a rewritten
+    corpus at the same path gets a fresh index, and a filtered/
+    projected view of the corpus never aliases the full corpus's
+    index (the review reproduced half-corpus results being served to
+    full-corpus queries under a files-only key).
     """
     import hashlib
     import os
 
+    from logsqlite_spark.tables import frames_fingerprint
+
     try:
-        files = sorted(corpus_df.inputFiles())
+        files = corpus_df.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         return None
     if not files:
         return None
-    parts = [id_col, vec_col, str(n_clusters)]
-    for f in files:
-        local = f[len("file:"):] if f.startswith("file:") else f
-        try:
-            st = os.stat(local)
-            parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
-        except OSError:
-            parts.append(f)
-    key = hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+    key = hashlib.sha256("|".join(
+        (frames_fingerprint(corpus_df), id_col, vec_col,
+         str(n_clusters))).encode()).hexdigest()[:16]
     return os.path.join(_ivf_index_root(), key)
+
+
+def _gc_auto_index_root() -> None:
+    """Bound the auto-index cache: keep the newest _IVF_KEEP_NEWEST
+    entries (by marker mtime), delete the rest. Every corpus rewrite
+    keys a fresh dir, so without GC an iterating dev box strands one
+    full corpus copy per rewrite until the disk fills."""
+    import os
+    import shutil
+
+    import time
+
+    root = _ivf_index_root()
+    try:
+        entries = []
+        for name in os.listdir(root):
+            d = os.path.join(root, name)
+            if not os.path.isdir(d):
+                continue
+            try:
+                ts = os.path.getmtime(os.path.join(d, "_INDEX_OK"))
+            except OSError:
+                # no marker: either a crashed build (stale) or another
+                # process mid-build — only GC it once it's clearly old
+                ts = os.path.getmtime(d)
+                if time.time() - ts < 3600:
+                    continue
+            entries.append((ts, d))
+        entries.sort(reverse=True)
+        for _, d in entries[_IVF_KEEP_NEWEST:]:
+            shutil.rmtree(d, ignore_errors=True)
+    except OSError:
+        pass
+
+
+def _index_marker_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    return jvm.org.apache.hadoop.fs.Path(path + "/_INDEX_OK")
+
+
+def _index_marker_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-aware probe (file:, bare local, hdfs:, s3a:, ...) — an
+    os.path.exists on a scheme-prefixed path is never true, which
+    would re-fit and rewrite the index on every query."""
+    p = _index_marker_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs.exists(p)
+
+
+def _write_index_marker(spark: SparkSession, path: str) -> None:
+    p = _index_marker_path(spark, path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.create(p, True).close()
 
 
 def ivf_topk(
@@ -306,20 +367,16 @@ def ivf_topk(
     quantized-integer math as the brute-force path; results are
     identical across all three paths (seed=42).
     """
-    import os
-    import threading
-
     spark = corpus_df.sparkSession
     path = index_path or _ivf_auto_path(corpus_df, id_col, vec_col,
                                         n_clusters)
     if path is not None:
-        lock = getattr(ivf_topk, "_build_lock", None)
-        if lock is None:
-            lock = ivf_topk._build_lock = threading.Lock()
-        with lock:
-            if not os.path.exists(os.path.join(path, "_INDEX_OK")):
+        with _IVF_BUILD_LOCK:
+            if not _index_marker_exists(spark, path):
                 build_ivf_index(corpus_df, path, n_clusters=n_clusters,
                                 id_col=id_col, vec_col=vec_col)
+                if index_path is None:
+                    _gc_auto_index_root()
         return ivf_topk_indexed(spark, queries_df, path, k=k,
                                 n_probe=n_probe, id_col=id_col,
                                 vec_col=vec_col)
@@ -383,12 +440,10 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
         .parquet(f"{path}/lists")
     # completion marker (partitioned writes don't emit a top-level
     # _SUCCESS under dynamic partition-overwrite): written LAST so a
-    # crashed build is retried, probed by ivf_topk's auto-persist
-    import os
-
-    local = path[len("file:"):] if path.startswith("file:") else path
-    with open(os.path.join(local, "_INDEX_OK"), "w") as fh:
-        fh.write("ok\n")
+    # crashed build is retried, probed by ivf_topk's auto-persist.
+    # Hadoop-FS, not open(): the path may carry a scheme (file:,
+    # hdfs:, s3a:) that local I/O can't touch
+    _write_index_marker(spark, path)
 
 
 def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,

@@ -381,16 +381,23 @@ _CERT_FIRST: tuple[str, ...] = (
     "read_since", "read_until", "read_cursor", "read_tail",
     "read_tail_range", "retention_age", "retention_keep_last",
     "wire_frames", "reassemble_partials", "cube_counts",
-    # (d) dedup family (last stamped r2; simhash config changed r5)
+    # (d) dedup family (last stamped r2; simhash config changed r5 —
+    # dedup_simhash_groups is the NEW r5 deployment path and needs its
+    # first stamp most of all)
     "dedup_exact_groups", "dedup_exact_kept", "dedup_jaccard_pairs",
     "dedup_jaccard_capped", "dedup_shingle_pairs", "dedup_incremental",
     "dedup_components", "dedup_pair_degrees", "dedup_cluster_stats",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_groups",
+    "dedup_simhash_pairs",
     "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_two_stage",
-    # (d) ANN family (last stamped r2; ivf query path changed r5)
+    # (d) ANN family (last stamped r2; ivf query path changed r5).
+    # ann_lsh_topk (rows-only, ml-backed, unchanged since r2) rotates
+    # to position 51 to make room — the weakest check in the window.
     "ann_cosine_topk", "ann_lsh_portable", "embedding_norms",
-    "ann_lsh_topk", "ann_ivf_topk",
-    # positions 51+: r4-stamped queries, then everything else
+    "ann_ivf_topk",
+    # positions 51+:
+    "ann_lsh_topk",
+    # r4-stamped queries, then everything else
     "read_all", "read_range", "read_tail_per_container",
     "count_filtered", "retention_combined", "events_window_agg",
     "tpch_q3_top_orders", "tpch_q4_priority_check",

@@ -138,6 +138,46 @@ def rebalance_for_compute(df: DataFrame) -> DataFrame:
     return df
 
 
+def frames_fingerprint(*dfs: DataFrame) -> str:
+    """Identity of DataFrames for process-lifetime caches (the
+    materialized corpus, the auto-persisted IVF index).
+
+    Folds in (a) each backing file's path, size, and mtime — a
+    rewritten file at the same path never aliases — and (b) the
+    normalized analyzed logical plan (expression ids stripped), so two
+    LOGICALLY different frames over the same files (a filtered corpus
+    vs the full one, different projections) never alias either; the
+    round-5 review reproduced a filtered-corpus IVF index being served
+    for full-corpus queries when the key was files-only. In-memory
+    frames contribute no files and a literal plan; streaming frames
+    contribute neither — callers must add their own discriminator
+    (documented on materialized_corpus).
+    """
+    import hashlib
+    import os
+    import re
+
+    parts = []
+    for df in dfs:
+        try:
+            files = sorted(df.inputFiles())
+        except Exception:  # noqa: BLE001 — e.g. streaming frames
+            files = []
+        for f in files:
+            local = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                st = os.stat(local)
+                parts.append(f"{f}|{st.st_size}|{st.st_mtime_ns}")
+            except OSError:
+                parts.append(f)
+        try:
+            plan = df._jdf.queryExecution().analyzed().toString()
+            parts.append(re.sub(r"#\d+", "", plan))
+        except Exception:  # noqa: BLE001 — streaming/foreign frames
+            pass
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()[:16]
+
+
 def events_as_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events table viewed through the engine's logs schema."""
     e = table(spark, sf_dir, "events")
