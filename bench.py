@@ -59,6 +59,11 @@ BENCH_QUERIES = [
     "ann_lsh_portable",
     "dedup_minhash_pairs",
     "text_winnow_matches",
+    # mergeable-sketch tier (HLL distinct rollup, KLL quantile rollup,
+    # Theta set-op retention) — the 100 TB aggregation shapes
+    "events_distinct_hll",
+    "events_value_quantiles",
+    "events_retention_overlap",
 ]
 
 def main() -> None:

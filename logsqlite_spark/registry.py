@@ -42,6 +42,7 @@ from logsqlite_spark.operators import packing as PK
 from logsqlite_spark.operators import anomaly as AM
 from logsqlite_spark.operators import pipeline as PL
 from logsqlite_spark.operators import contamination as CT
+from logsqlite_spark.operators import sketches as SKT
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -441,6 +442,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(AM.QUERIES)
     out.update(PL.QUERIES)
     out.update(CT.QUERIES)
+    out.update(SKT.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -458,6 +460,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(AM.ORACLES)
     out.update(PL.ORACLES)
     out.update(CT.ORACLES)
+    out.update(SKT.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:

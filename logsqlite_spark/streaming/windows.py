@@ -149,6 +149,39 @@ def windowed_distinct_sketch(stream: DataFrame,
     )
 
 
+def windowed_value_quantile_sketch(stream: DataFrame,
+                                   value_col: str = "value_c",
+                                   window: str = "5 minutes",
+                                   watermark: str = "10 minutes",
+                                   ts_col: str = "ts",
+                                   k: int = 200) -> DataFrame:
+    """Value percentiles per event-time window via KLL sketches — the
+    streaming twin of ``operators.sketches.value_quantile_rollup``.
+
+    Exact streaming percentiles would buffer every value per live
+    window in the state store; the KLL aggregation keeps an
+    O(k·log n)-item sketch instead. Unlike HLL's register-max merge,
+    KLL compaction is randomized, so the streaming estimate is not
+    bit-identical to a batch pass over the same rows — but it carries
+    the same normalized rank-error guarantee, which is what
+    ``test_streaming_kll.py`` pins (vs exact per-window quantiles).
+    Emitted sketches stay mergeable downstream: coarser grains come
+    from ``kll_merge_agg_bigint`` over this output, never from
+    re-reading the stream.
+    """
+    from logsqlite_spark.operators.sketches import _kll_quantiles
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.kll_sketch_agg_bigint(value_col, F.lit(k)).alias("sketch"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "sketch",
+                F.kll_sketch_get_n_bigint("sketch").cast("long").alias("n"),
+                *_kll_quantiles(F.col("sketch")))
+    )
+
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:

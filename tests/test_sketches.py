@@ -1,0 +1,148 @@
+"""KLL quantile + Theta set-operation sketch tier (operators/sketches.py).
+
+Policy mirrors test_hll.py: the KLL quantile path has no DuckDB twin
+(randomized compaction), so these tests ARE its correctness evidence —
+normalized rank error against exact quantiles, and merge
+self-consistency. The Theta paths carry full driver oracles in exact
+mode; here we additionally pin the approximate regime (cardinality
+above 2^lg_k) against known ground truth, which the driver can't see.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.sketches import (
+    _events, daily_value_sketches, merge_daily_value_sketches,
+    retention_overlap, segment_overlap, value_quantile_rollup)
+
+# KLL k=200 gives ~1.65% one-sided normalized rank error at 99%
+# confidence; 4% is a comfortable margin on every per-day group.
+_RANK_EPS = 0.04
+
+
+def _rank_of(values: list[int], x: int) -> float:
+    return sum(1 for v in values if v <= x) / len(values)
+
+
+def test_kll_rollup_rank_error_and_single_scan(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    exact = {}
+    for r in ev.where(F.col("day").isNotNull()).select(
+            F.col("day").cast("string").alias("day"), "value_c").collect():
+        exact.setdefault(r["day"], []).append(r["value_c"])
+    exact["ALL"] = [v for vs in exact.values() for v in vs]
+
+    rows = value_quantile_rollup(ev).collect()
+    assert {r["day"] for r in rows} == set(exact)
+    for r in rows:
+        vals = sorted(exact[r["day"]])
+        assert r["n"] == len(vals)
+        for q in (0.5, 0.9, 0.99):
+            est = r[f"p{int(q * 100)}_c"]
+            # the estimate must be an item actually in the stream, at
+            # a normalized rank within epsilon of the target
+            assert est in exact[r["day"]], (r["day"], q, est)
+            assert abs(_rank_of(vals, est) - q) <= _RANK_EPS, \
+                (r["day"], q, est)
+
+    # one scan for both grains: rollup/Expand with map-side partial
+    # sketch aggregation (the HLL-rollup plan contract)
+    plan = value_quantile_rollup(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "partial_kll_sketch_agg_bigint" in plan, plan
+    assert "Expand" in plan, plan
+
+
+def test_kll_daily_merge_consistency(spark, sf_dir):
+    """Merging the materialized daily sketches must agree with the
+    direct overall sketch within the same rank-error budget — this is
+    what lets a pipeline serve any coarser grain without re-scanning."""
+    ev = _events(spark, sf_dir).where(F.col("day").isNotNull())
+    merged = merge_daily_value_sketches(daily_value_sketches(ev)).collect()[0]
+    vals = sorted(r["value_c"] for r in ev.select("value_c").collect())
+    assert merged["n"] == len(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = merged[f"p{int(q * 100)}_c"]
+        assert abs(_rank_of(vals, est) - q) <= _RANK_EPS, (q, est)
+
+
+def test_theta_retention_exact_mode(spark, sf_dir):
+    """Below 2^lg_k distinct users/day the theta estimates are the
+    TRUE cardinalities (this is what makes the driver oracle valid)."""
+    ev = _events(spark, sf_dir)
+    got = {r["day"]: r for r in retention_overlap(ev).collect()}
+
+    act = (ev.where(F.col("day").isNotNull())
+           .select("day", "user_id").distinct().collect())
+    by_day: dict = {}
+    for r in act:
+        by_day.setdefault(r["day"], set()).add(r["user_id"])
+    days = sorted(by_day)
+    expected = {}
+    for prev_d, d in zip(days, days[1:]):
+        if (d - prev_d).days != 1:
+            continue
+        today, prev = by_day[d], by_day[prev_d]
+        expected[str(d)] = (len(today), len(today & prev),
+                            len(today - prev), len(prev - today))
+    assert set(got) == set(expected)
+    for day, (active, ret, new, churn) in expected.items():
+        r = got[day]
+        assert (r["active"], r["returning"], r["new_users"],
+                r["churned"]) == (active, ret, new, churn), day
+
+    # scale-shape pin: ONE scan, no self-join — the Expand emits each
+    # row under its own day and day+1, one grouped sketch aggregation
+    plan = retention_overlap(ev)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "partial_theta_sketch_agg" in plan, plan
+    assert "Generate" in plan or "Expand" in plan, plan
+
+
+def test_theta_segment_overlap_exact_and_reused(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    df = segment_overlap(ev)
+    got = {(r["type_a"], r["type_b"]): r["est_both"] for r in df.collect()}
+
+    seg = ev.select("event_type", "user_id").distinct().collect()
+    users: dict = {}
+    for r in seg:
+        users.setdefault(r["event_type"], set()).add(r["user_id"])
+    types = sorted(users)
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            assert got[(a, b)] == len(users[a] & users[b]), (a, b)
+
+    # the per-segment sketch aggregate feeds both join sides; AQE must
+    # reuse the exchange stage at runtime so events are scanned once
+    final = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_theta_approximate_regime_error_bounded(spark):
+    """Above 2^lg_k the sketches degrade to estimates; pin the error
+    on a synthetic 2-day corpus with known overlap (the regime the
+    exact-mode driver oracle can never exercise)."""
+    n, overlap = 20_000, 8_000
+    df = spark.range(n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        F.lit("2024-01-01").cast("date").alias("day"),
+    ).unionAll(spark.range(n - overlap, 2 * n - overlap).select(
+        F.concat(F.lit("u"), F.col("id")).alias("user_id"),
+        F.lit("2024-01-02").cast("date").alias("day"),
+    )).withColumn("value_c", F.lit(0).cast("long")) \
+     .withColumn("event_type", F.lit("x"))
+
+    rows = retention_overlap(df, lg_k=12).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["day"] == "2024-01-02"
+    # intersection/difference compound two sketches' error; 10% is
+    # ~3x the nominal relative error at lg_k=12
+    for col, truth in (("active", n), ("returning", overlap),
+                       ("new_users", n - overlap),
+                       ("churned", n - overlap)):
+        assert abs(r[col] - truth) <= 0.10 * truth, (col, r[col], truth)
