@@ -64,6 +64,9 @@ BENCH_QUERIES = [
     "events_distinct_hll",
     "events_value_quantiles",
     "events_retention_overlap",
+    # semantic clustering / SemDeDup tier
+    "cluster_assign",
+    "semantic_dedup_pairs",
 ]
 
 def main() -> None:

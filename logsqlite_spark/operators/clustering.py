@@ -1,0 +1,383 @@
+"""Semantic clustering + cluster-curated sampling + SemDeDup (§2.8 ext).
+
+The cluster-based curation tier of an LLM training-data pipeline
+(SemDeDup, Abbas et al. 2023; DataComp-style cluster-balanced
+selection): partition the embedding space around seed centroids,
+then (a) audit cluster geometry, (b) sample the corpus evenly across
+clusters instead of letting one dense mode dominate, (c) remove
+*semantic* duplicates — pairs whose embeddings nearly coincide even
+when their text differs — by confining the pairwise search to within
+a cluster, which is what makes it tractable at scale.
+
+Scale shapes:
+
+- **assign_clusters is ZERO-shuffle.** The centroid table is folded
+  into a single array row and broadcast; each embedding computes its
+  argmin centroid with ``array_min(transform(...))`` inside
+  whole-stage codegen. No per-row join, no aggregation — a 100 TB
+  corpus assigns in one linear scan. (A first cut used a
+  groupBy-argmin over an exploded corpus×centroids join: k× the scan
+  rows through a shuffle for no reason.)
+- **semantic_dedup confines pairs to clusters.** Pair candidates are
+  an equi-join on ``cluster_id``; with k chosen ~ n/target_size the
+  per-cluster population is bounded and candidate growth stays
+  linear (the SemDeDup argument, and the same blocking bound the
+  Jaccard/minhash paths use). All-pairs never happens.
+- Lloyd refinement (``refine_centroids``) is one explode +
+  (cluster, dim) partial aggregation per iteration — the classic
+  distributed k-means step; dims multiply map-side rows but the
+  shuffle carries only k×dim partial sums.
+
+Numeric determinism for the oracle (similarity.py's contract):
+embeddings are quantized to integers (``floor(x*10000)``); every
+distance/dot/norm is then an exact int64; centroid refinement uses
+``floor(sum/count)`` which keeps components integral; seeds are drawn
+in salted-md5 order (sampling.py's portable-bucket idiom). The only
+FP ops (cosine's multiply/sqrt/divide) run on identical integers in
+both engines, so all five registry queries carry FULL DuckDB oracles
+— including the refined-centroid stats, whose oracle replays a Lloyd
+iteration in SQL.
+
+No reference parity (logsqlite has no vector ops) — this extends X2/X3.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.similarity import QUANT, _quantized
+from logsqlite_spark.tables import rebalance_for_compute, table
+
+K_CLUSTERS = 8
+SAMPLE_PER_CLUSTER = 5
+# synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51);
+# real corpora use ~0.95+ for semantic dedup
+SEM_TAU = 0.4
+SEED_SALT = "ctr-v1"
+
+_HASH = ("cast(conv(substr(md5(concat('{salt}:', cast({id} as string))), "
+         "1, 15), 16, 10) as bigint)")
+
+# exact int64 squared L2 distance between quantized vectors
+_L2SQ = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+         "0L, (acc, d) -> acc + d)")
+
+
+def seed_centroids(emb: DataFrame, k: int = K_CLUSTERS,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding") -> DataFrame:
+    """k deterministic medoid seeds: the first k vectors in salted-md5
+    order — a uniform, engine-portable pseudo-random draw (k-means's
+    'random init', minus the RNG). Returns (cluster_id, cv) with cv
+    quantized. The draw is a distributed top-k (TakeOrdered), never a
+    global sort."""
+    hashed = _quantized(emb, vec_col, "cv").select(
+        F.col(id_col).alias("_sid"), "cv",
+        F.expr(_HASH.format(salt=SEED_SALT, id=id_col)).alias("_h"))
+    w = Window.orderBy("_h", "_sid")
+    return (hashed.orderBy("_h", "_sid").limit(k)
+            .select((F.row_number().over(w) - 1).cast("int")
+                    .alias("cluster_id"), "cv"))
+
+
+def assign_clusters(emb: DataFrame, centroids: DataFrame,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment, zero-shuffle (module docstring).
+
+    Output: (vec_id, cluster_id, dist_q, qv) — dist_q is the exact
+    integer squared L2 distance in quantized space; ties break to the
+    smaller cluster_id via lexicographic struct ordering in
+    ``array_min``. qv (the quantized vector) rides along so chained
+    operators (semantic_dedup) don't re-scan."""
+    ctr_row = centroids.agg(
+        F.collect_list(F.struct("cluster_id", "cv")).alias("ctrs"))
+    best = (
+        "array_min(transform(ctrs, c -> struct("
+        + _L2SQ.format(a="qv", b="c.cv")
+        + " as dist_q, c.cluster_id as cluster_id)))"
+    )
+    return (
+        _quantized(emb, vec_col, "qv")
+        .select(F.col(id_col).cast("long").alias("vec_id"), "qv")
+        .crossJoin(F.broadcast(ctr_row))
+        .select("vec_id", "qv", F.expr(best).alias("b"))
+        .select("vec_id", "qv", F.col("b.cluster_id").alias("cluster_id"),
+                F.col("b.dist_q").alias("dist_q"))
+    )
+
+
+def cluster_stats(assigned: DataFrame) -> DataFrame:
+    """Cluster geometry audit: population and total/mean squared
+    distance (integer-exact sum; mean rounded)."""
+    return (
+        assigned.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.sum("dist_q").cast("long").alias("sum_dist_q"))
+        .select("cluster_id", "n", "sum_dist_q",
+                F.round(F.col("sum_dist_q").cast("double")
+                        / F.col("n").cast("double"), 4).alias("mean_dist_q"))
+    )
+
+
+def cluster_balanced_sample(assigned: DataFrame,
+                            per_cluster: int = SAMPLE_PER_CLUSTER,
+                            salt: str = "csample-v1") -> DataFrame:
+    """Exactly-N-per-cluster selection in salted-md5 order — the
+    cluster-balanced (diversity) sampling of DataComp-style curation:
+    a dense mode contributes the same quota as a sparse one. Same
+    WindowGroupLimit shape as stratified_sample: the rank prunes
+    per-cluster before any row moves, so the shuffle carries
+    O(k·per_cluster) rows."""
+    w = Window.partitionBy("cluster_id").orderBy("_h", "vec_id")
+    return (
+        assigned
+        .withColumn("_h", F.expr(_HASH.format(salt=salt, id="vec_id")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= per_cluster)
+        .select("cluster_id", "vec_id", F.col("rn").cast("int").alias("rn"))
+    )
+
+
+def refine_centroids(assigned: DataFrame, centroids: DataFrame,
+                     dim: int = 64) -> DataFrame:
+    """One Lloyd iteration: new centroid = element-wise
+    ``floor(mean)`` of each cluster's quantized vectors (stays
+    integral — further assignment rounds remain exact and
+    oracle-replayable). Empty clusters keep their old centroid.
+
+    Shape: posexplode to (cluster, dim, component) → partial-agg'd
+    sum/count → re-assemble with ``array_agg`` sorted by position.
+    The shuffle carries k×dim aggregated rows, not corpus rows."""
+    sums = (
+        assigned.select("cluster_id",
+                        F.posexplode("qv").alias("pos", "x"))
+        .groupBy("cluster_id", "pos")
+        .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("c"))
+        .withColumn("m", F.expr("cast(floor(s / c) as bigint)"))
+        .groupBy("cluster_id")
+        .agg(F.expr("transform(array_sort(collect_list(struct(pos, m))), "
+                    "p -> p.m)").alias("new_cv"))
+    )
+    return (
+        centroids.join(sums, "cluster_id", "left")
+        .select("cluster_id",
+                F.coalesce("new_cv", "cv").alias("cv"))
+    )
+
+
+def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
+                         tau: float = SEM_TAU,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """SemDeDup: embedding pairs with cosine ≥ tau, searched ONLY
+    within a cluster. Candidates are an equi-join on cluster_id (both
+    sides the same zero-shuffle assignment — AQE reuses the exchange,
+    pinned in test_clustering.py); scoring is the exact quantized-
+    integer cosine of the X3 paths, so exact/LSH/IVF/semantic dedup
+    differ only in candidate generation, never in scoring."""
+    assigned = assign_clusters(emb, centroids, id_col, vec_col)
+    sq = "aggregate(transform({v}, x -> x * x), 0L, (acc, x) -> acc + x)"
+    scored = (
+        assigned.select("cluster_id", F.col("vec_id").alias("a_id"),
+                        F.col("qv").alias("ai"))
+        .join(assigned.select("cluster_id", F.col("vec_id").alias("b_id"),
+                              F.col("qv").alias("bi")),
+              "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn("an", F.expr(sq.format(v="ai")))
+        .withColumn("bn", F.expr(sq.format(v="bi")))
+        .filter((F.col("an") > 0) & (F.col("bn") > 0))
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(ai, bi, (x, y) -> x * y), 0L, "
+            "(acc, x) -> acc + x)"))
+        .withColumn("sim", F.col("dot").cast("double")
+                    / F.sqrt(F.col("an").cast("double")
+                             * F.col("bn").cast("double")))
+        .filter(F.col("sim") >= tau)
+    )
+    return scored.select("cluster_id", "a_id", "b_id",
+                         F.round("sim", 6).alias("sim"))
+
+
+def semantic_dedup_stats(emb: DataFrame, centroids: DataFrame,
+                         tau: float = SEM_TAU) -> DataFrame:
+    """One-row summary: corpus size, semantic-dup pairs found, and
+    survivors under the keep-smallest-id policy (a vector is dropped
+    iff it appears as the larger id of some pair — SemDeDup's 'keep
+    one representative per group' with the same deterministic
+    tie-break the exact-dedup path uses)."""
+    pairs = semantic_dedup_pairs(emb, centroids, tau)
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    total = emb.count()
+    n_pairs = pairs.count()
+    n_dropped = dropped.count()
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(total, n_pairs, total - n_dropped)],
+        "n_vectors long, n_sem_pairs long, n_kept long")
+
+
+# ---------------------------------------------------------------------------
+# registry surface
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return rebalance_for_compute(table(spark, sf_dir, "embeddings"))
+
+
+def _q_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return assign_clusters(emb, seed_centroids(emb)).drop("qv")
+
+
+def _q_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cluster_stats(assign_clusters(emb, seed_centroids(emb)))
+
+
+def _q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return cluster_balanced_sample(
+        assign_clusters(emb, seed_centroids(emb)))
+
+
+def _q_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats after ONE Lloyd iteration — pins the refinement math
+    (the oracle replays the same iteration in SQL)."""
+    emb = _emb(spark, sf_dir)
+    c0 = seed_centroids(emb)
+    c1 = refine_centroids(assign_clusters(emb, c0), c0)
+    return cluster_stats(assign_clusters(emb, c1))
+
+
+def _q_sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup_pairs(emb, seed_centroids(emb))
+
+
+def _q_sem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return semantic_dedup_stats(emb, seed_centroids(emb))
+
+
+QUERIES = {
+    "cluster_assign": _q_assign,
+    "cluster_stats": _q_stats,
+    "cluster_sample": _q_sample,
+    "cluster_refined_stats": _q_refined,
+    "semantic_dedup_pairs": _q_sem_pairs,
+    "semantic_dedup_stats": _q_sem_stats,
+}
+
+_ORACLE_QV = ("list_transform(embedding, "
+              "x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))")
+
+_O_HASH = ("CAST('0x' || substr(md5('{salt}:' || CAST({id} AS VARCHAR)), "
+           "1, 15) AS BIGINT)")
+
+# exact integer L2^2 via the norm/dot decomposition (list_dot_product
+# on values ≤ ~2.6e10 is integer-exact in doubles)
+_O_SEEDS = (
+    "seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 "
+    "    AS INT) AS cluster_id, cv, "
+    "  list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn "
+    "  FROM (SELECT vec_id, {qv} AS cv, "
+    + _O_HASH.format(salt=SEED_SALT, id="vec_id")
+    + " AS h FROM embeddings ORDER BY h, vec_id LIMIT 8)), "
+    "base AS (SELECT vec_id, {qv} AS v, "
+    "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS vn "
+    "  FROM embeddings), "
+    "assign AS (SELECT vec_id, v, vn, cluster_id, dist_q FROM ("
+    "  SELECT b.vec_id, b.v, b.vn, s.cluster_id, "
+    "    CAST(b.vn + s.cn - 2 * list_dot_product(CAST(b.v AS DOUBLE[]), "
+    "      CAST(s.cv AS DOUBLE[])) AS BIGINT) AS dist_q, "
+    "    row_number() OVER (PARTITION BY b.vec_id "
+    "      ORDER BY b.vn + s.cn - 2 * list_dot_product("
+    "        CAST(b.v AS DOUBLE[]), CAST(s.cv AS DOUBLE[])), s.cluster_id) "
+    "      AS rk "
+    "  FROM base b CROSS JOIN seeds s) WHERE rk = 1)"
+)
+
+ORACLES = {
+    "cluster_assign": (
+        "WITH " + _O_SEEDS +
+        " SELECT vec_id, cluster_id, dist_q FROM assign"
+    ).format(qv=_ORACLE_QV),
+    "cluster_stats": (
+        "WITH " + _O_SEEDS +
+        " SELECT cluster_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(dist_q) AS BIGINT) AS sum_dist_q, "
+        "round(CAST(sum(dist_q) AS DOUBLE) / count(*), 4) AS mean_dist_q "
+        "FROM assign GROUP BY cluster_id"
+    ).format(qv=_ORACLE_QV),
+    "cluster_sample": (
+        "WITH " + _O_SEEDS + ", "
+        "ranked AS (SELECT cluster_id, vec_id, "
+        "  row_number() OVER (PARTITION BY cluster_id ORDER BY "
+        + _O_HASH.format(salt="csample-v1", id="vec_id")
+        + ", vec_id) AS rn FROM assign) "
+        "SELECT cluster_id, vec_id, CAST(rn AS INT) AS rn "
+        f"FROM ranked WHERE rn <= {SAMPLE_PER_CLUSTER}"
+    ).format(qv=_ORACLE_QV),
+    "cluster_refined_stats": (
+        "WITH " + _O_SEEDS + ", "
+        # one Lloyd iteration: floor(mean) per component, empty
+        # clusters keep their seed
+        "comp AS (SELECT cluster_id, pos, "
+        "    CAST(floor(CAST(sum(x) AS DOUBLE) / count(*)) AS BIGINT) AS m "
+        "  FROM (SELECT cluster_id, unnest(v) AS x, "
+        "    generate_subscripts(v, 1) AS pos FROM assign) "
+        "  GROUP BY cluster_id, pos), "
+        "refined AS (SELECT s.cluster_id, "
+        "  COALESCE(n.cv, s.cv) AS cv, "
+        "  list_aggregate(list_transform(COALESCE(n.cv, s.cv), "
+        "    x -> x * x), 'sum') AS cn "
+        "  FROM seeds s LEFT JOIN (SELECT cluster_id, "
+        "    list(m ORDER BY pos) AS cv FROM comp GROUP BY cluster_id) n "
+        "  ON n.cluster_id = s.cluster_id), "
+        "assign2 AS (SELECT vec_id, cluster_id, dist_q FROM ("
+        "  SELECT b.vec_id, r.cluster_id, "
+        "    CAST(b.vn + r.cn - 2 * list_dot_product(CAST(b.v AS DOUBLE[]), "
+        "      CAST(r.cv AS DOUBLE[])) AS BIGINT) AS dist_q, "
+        "    row_number() OVER (PARTITION BY b.vec_id "
+        "      ORDER BY b.vn + r.cn - 2 * list_dot_product("
+        "        CAST(b.v AS DOUBLE[]), CAST(r.cv AS DOUBLE[])), "
+        "        r.cluster_id) AS rk "
+        "  FROM base b CROSS JOIN refined r) WHERE rk = 1) "
+        "SELECT cluster_id, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(dist_q) AS BIGINT) AS sum_dist_q, "
+        "round(CAST(sum(dist_q) AS DOUBLE) / count(*), 4) AS mean_dist_q "
+        "FROM assign2 GROUP BY cluster_id"
+    ).format(qv=_ORACLE_QV),
+    "semantic_dedup_pairs": (
+        "WITH " + _O_SEEDS +
+        " SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id, "
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), "
+        "    CAST(b.v AS DOUBLE[])) "
+        "  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)), 6) AS sim "
+        "FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id "
+        "AND a.vec_id < b.vec_id "
+        "WHERE a.vn > 0 AND b.vn > 0 "
+        "AND list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        f"  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= {SEM_TAU}"
+    ).format(qv=_ORACLE_QV),
+    "semantic_dedup_stats": (
+        "WITH " + _O_SEEDS + ", "
+        "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id "
+        "  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id "
+        "  AND a.vec_id < b.vec_id "
+        "  WHERE a.vn > 0 AND b.vn > 0 "
+        "  AND list_dot_product(CAST(a.v AS DOUBLE[]), "
+        "      CAST(b.v AS DOUBLE[])) "
+        f"    / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) "
+        f"    >= {SEM_TAU}) "
+        "SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) "
+        "  AS n_vectors, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_sem_pairs, "
+        "(SELECT CAST(count(*) AS BIGINT) FROM embeddings) - "
+        "(SELECT CAST(count(DISTINCT b_id) AS BIGINT) FROM pairs) "
+        "  AS n_kept"
+    ).format(qv=_ORACLE_QV),
+}

@@ -43,6 +43,7 @@ from logsqlite_spark.operators import anomaly as AM
 from logsqlite_spark.operators import pipeline as PL
 from logsqlite_spark.operators import contamination as CT
 from logsqlite_spark.operators import sketches as SKT
+from logsqlite_spark.operators import clustering as CL
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -443,6 +444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PL.QUERIES)
     out.update(CT.QUERIES)
     out.update(SKT.QUERIES)
+    out.update(CL.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -461,6 +463,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(PL.ORACLES)
     out.update(CT.ORACLES)
     out.update(SKT.ORACLES)
+    out.update(CL.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,108 @@
+"""Semantic clustering / SemDeDup tier (operators/clustering.py).
+
+The six registry queries carry full DuckDB oracles (integer-exact
+quantized math), so value correctness is driver-checked; these tests
+pin the semantics the oracle can't see — argmin definition, Lloyd
+monotonicity, determinism — and the scale-critical plan shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.clustering import (
+    _emb, assign_clusters, cluster_balanced_sample, cluster_stats,
+    refine_centroids, seed_centroids, semantic_dedup_pairs,
+    semantic_dedup_stats)
+
+
+def test_assignment_is_argmin_with_tiebreak(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    seeds = seed_centroids(emb, k=4)
+    got = {r["vec_id"]: (r["cluster_id"], r["dist_q"])
+           for r in assign_clusters(emb, seeds).collect()}
+
+    import math
+
+    ctrs = {r["cluster_id"]: r["cv"] for r in seeds.collect()}
+    # recompute argmin in Python on the same quantized ints
+    for r in emb.select("vec_id", "embedding").collect():
+        qv = [math.floor(float(x) * 10_000) for x in r["embedding"]]
+        best = min((sum((a - b) ** 2 for a, b in zip(qv, cv)), cid)
+                   for cid, cv in ctrs.items())
+        assert got[r["vec_id"]] == (best[1], best[0]), r["vec_id"]
+
+
+def test_assignment_zero_shuffle_plan(spark, sf_dir):
+    """The corpus side must never shuffle: centroids are folded to one
+    broadcast row and the argmin runs in codegen. No hashpartitioning
+    exchange anywhere in the assignment plan."""
+    emb = _emb(spark, sf_dir)
+    plan = assign_clusters(emb, seed_centroids(emb)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning" not in plan, plan
+    assert "BroadcastExchange" in plan, plan
+
+
+def test_lloyd_iteration_never_increases_inertia(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    c0 = seed_centroids(emb)
+
+    def inertia(centroids):
+        return (cluster_stats(assign_clusters(emb, centroids))
+                .agg(F.sum("sum_dist_q")).collect()[0][0])
+
+    i0 = inertia(c0)
+    c1 = refine_centroids(assign_clusters(emb, c0), c0)
+    i1 = inertia(c1)
+    c2 = refine_centroids(assign_clusters(emb, c1), c1)
+    i2 = inertia(c2)
+    # floor()-quantized means can cost at most 1 per dim per point vs
+    # the true mean; monotone within that slack (and strictly
+    # decreasing from random seeds in practice)
+    assert i1 <= i0 and i2 <= i1 * 1.001, (i0, i1, i2)
+    assert i1 < i0, "refinement did nothing"
+
+
+def test_balanced_sample_quota_and_determinism(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    assigned = assign_clusters(emb, seed_centroids(emb))
+    sizes = {r["cluster_id"]: r["n"]
+             for r in cluster_stats(assigned).collect()}
+    s1 = cluster_balanced_sample(assigned, per_cluster=3).collect()
+    per = {}
+    for r in s1:
+        per[r["cluster_id"]] = per.get(r["cluster_id"], 0) + 1
+    for cid, n in per.items():
+        assert n == min(3, sizes[cid]), (cid, n)
+    s2 = cluster_balanced_sample(assigned, per_cluster=3).collect()
+    assert sorted(map(tuple, s1)) == sorted(map(tuple, s2))
+
+
+def test_semantic_dedup_pairs_within_cluster_and_reused(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    seeds = seed_centroids(emb)
+    pairs = semantic_dedup_pairs(emb, seeds, tau=0.3)
+    rows = pairs.collect()
+    assigned = {r["vec_id"]: r["cluster_id"]
+                for r in assign_clusters(emb, seeds).collect()}
+    for r in rows:
+        assert r["a_id"] < r["b_id"]
+        assert assigned[r["a_id"]] == assigned[r["b_id"]] == r["cluster_id"]
+        assert r["sim"] >= 0.3
+
+    # the two join sides share the assignment lineage; AQE must reuse
+    # the exchange so the corpus is not re-scanned per side
+    final = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in final or "ReusedQueryStage" in final, final
+
+
+def test_semantic_dedup_stats_consistent(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    seeds = seed_centroids(emb)
+    row = semantic_dedup_stats(emb, seeds, tau=0.3).collect()[0]
+    pairs = semantic_dedup_pairs(emb, seeds, tau=0.3).collect()
+    dropped = {r["b_id"] for r in pairs}
+    assert row["n_vectors"] == emb.count()
+    assert row["n_sem_pairs"] == len(pairs)
+    assert row["n_kept"] == row["n_vectors"] - len(dropped)
