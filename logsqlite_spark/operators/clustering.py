@@ -50,6 +50,10 @@ from logsqlite_spark.operators.similarity import QUANT, _quantized
 from logsqlite_spark.tables import rebalance_for_compute, table
 
 K_CLUSTERS = 8
+# SemDeDup's k scales with corpus size: k ~ n / target population
+# keeps per-cluster pair counts (and thus total candidate pairs)
+# LINEAR in n. A fixed k makes the within-cluster join quadratic.
+TARGET_CLUSTER_SIZE = 64
 SAMPLE_PER_CLUSTER = 5
 # synthetic embeddings are near-orthogonal (max pairwise cosine ~0.51);
 # real corpora use ~0.95+ for semantic dedup
@@ -177,18 +181,24 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
     pinned in test_clustering.py); scoring is the exact quantized-
     integer cosine of the X3 paths, so exact/LSH/IVF/semantic dedup
     differ only in candidate generation, never in scoring."""
-    assigned = assign_clusters(emb, centroids, id_col, vec_col)
-    sq = "aggregate(transform({v}, x -> x * x), 0L, (acc, x) -> acc + x)"
+    # squared norms are per-VECTOR, so compute them once on the
+    # assignment side, not per pair — a first cut recomputed both
+    # norms inside the pair row (192 lambda ops/pair vs 64 for the
+    # dot alone) and was ~3x slower at sf0.1
+    sq = "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+    assigned = (
+        assign_clusters(emb, centroids, id_col, vec_col)
+        .withColumn("nq", F.expr(sq))
+        .filter(F.col("nq") > 0)
+    )
     scored = (
         assigned.select("cluster_id", F.col("vec_id").alias("a_id"),
-                        F.col("qv").alias("ai"))
+                        F.col("qv").alias("ai"), F.col("nq").alias("an"))
         .join(assigned.select("cluster_id", F.col("vec_id").alias("b_id"),
-                              F.col("qv").alias("bi")),
+                              F.col("qv").alias("bi"),
+                              F.col("nq").alias("bn")),
               "cluster_id")
         .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("an", F.expr(sq.format(v="ai")))
-        .withColumn("bn", F.expr(sq.format(v="bi")))
-        .filter((F.col("an") > 0) & (F.col("bn") > 0))
         .withColumn("dot", F.expr(
             "aggregate(zip_with(ai, bi, (x, y) -> x * y), 0L, "
             "(acc, x) -> acc + x)"))
@@ -252,14 +262,20 @@ def _q_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats(assign_clusters(emb, c1))
 
 
+def auto_k(emb: DataFrame) -> int:
+    """k for SemDeDup at this corpus size (module constant note).
+    The count is a metadata-only parquet count-star."""
+    return max(K_CLUSTERS, emb.count() // TARGET_CLUSTER_SIZE)
+
+
 def _q_sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return semantic_dedup_pairs(emb, seed_centroids(emb))
+    return semantic_dedup_pairs(emb, seed_centroids(emb, auto_k(emb)))
 
 
 def _q_sem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
-    return semantic_dedup_stats(emb, seed_centroids(emb))
+    return semantic_dedup_stats(emb, seed_centroids(emb, auto_k(emb)))
 
 
 QUERIES = {
@@ -279,13 +295,18 @@ _O_HASH = ("CAST('0x' || substr(md5('{salt}:' || CAST({id} AS VARCHAR)), "
 
 # exact integer L2^2 via the norm/dot decomposition (list_dot_product
 # on values ≤ ~2.6e10 is integer-exact in doubles)
+# oracle-side auto_k: same rule as the Spark helper, evaluated by
+# DuckDB so the two sides stay in lockstep at every scale factor
+_O_AUTO_K = (f"(SELECT greatest({K_CLUSTERS}, "
+             f"count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)")
+
 _O_SEEDS = (
     "seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 "
     "    AS INT) AS cluster_id, cv, "
     "  list_aggregate(list_transform(cv, x -> x * x), 'sum') AS cn "
     "  FROM (SELECT vec_id, {qv} AS cv, "
     + _O_HASH.format(salt=SEED_SALT, id="vec_id")
-    + " AS h FROM embeddings ORDER BY h, vec_id LIMIT 8)), "
+    + " AS h FROM embeddings ORDER BY h, vec_id LIMIT {klim})), "
     "base AS (SELECT vec_id, {qv} AS v, "
     "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS vn "
     "  FROM embeddings), "
@@ -304,14 +325,14 @@ ORACLES = {
     "cluster_assign": (
         "WITH " + _O_SEEDS +
         " SELECT vec_id, cluster_id, dist_q FROM assign"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim='8'),
     "cluster_stats": (
         "WITH " + _O_SEEDS +
         " SELECT cluster_id, CAST(count(*) AS BIGINT) AS n, "
         "CAST(sum(dist_q) AS BIGINT) AS sum_dist_q, "
         "round(CAST(sum(dist_q) AS DOUBLE) / count(*), 4) AS mean_dist_q "
         "FROM assign GROUP BY cluster_id"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim='8'),
     "cluster_sample": (
         "WITH " + _O_SEEDS + ", "
         "ranked AS (SELECT cluster_id, vec_id, "
@@ -320,7 +341,7 @@ ORACLES = {
         + ", vec_id) AS rn FROM assign) "
         "SELECT cluster_id, vec_id, CAST(rn AS INT) AS rn "
         f"FROM ranked WHERE rn <= {SAMPLE_PER_CLUSTER}"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim='8'),
     "cluster_refined_stats": (
         "WITH " + _O_SEEDS + ", "
         # one Lloyd iteration: floor(mean) per component, empty
@@ -350,7 +371,7 @@ ORACLES = {
         "CAST(sum(dist_q) AS BIGINT) AS sum_dist_q, "
         "round(CAST(sum(dist_q) AS DOUBLE) / count(*), 4) AS mean_dist_q "
         "FROM assign2 GROUP BY cluster_id"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim='8'),
     "semantic_dedup_pairs": (
         "WITH " + _O_SEEDS +
         " SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id, "
@@ -362,7 +383,7 @@ ORACLES = {
         "WHERE a.vn > 0 AND b.vn > 0 "
         "AND list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
         f"  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= {SEM_TAU}"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K),
     "semantic_dedup_stats": (
         "WITH " + _O_SEEDS + ", "
         "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id "
@@ -379,5 +400,5 @@ ORACLES = {
         "(SELECT CAST(count(*) AS BIGINT) FROM embeddings) - "
         "(SELECT CAST(count(DISTINCT b_id) AS BIGINT) FROM pairs) "
         "  AS n_kept"
-    ).format(qv=_ORACLE_QV),
+    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K),
 }
