@@ -379,3 +379,40 @@ def test_quality_percentile_distributed_rank(no_auto_broadcast):
     for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
         assert "_pid" in m.group(0), m.group(0)
     assert plan.count("BroadcastExchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_selective_dim_join(spark):
+    """Runtime row-level filtering (Spark's InjectRuntimeFilter): a
+    shuffle join against a selectively-filtered dim side must get a
+    bloom filter pushed into the fact side's scan stage, so the
+    shuffle carries only rows that can possibly match. At 100 TB this
+    is the difference between shuffling the whole fact table and
+    shuffling the ~matching slice; locally the size thresholds are
+    lowered to let the injection trigger (the conf is ON by default
+    in the engine session — also pinned here)."""
+    assert spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    overrides = {
+        # the default 10GB fact-side floor can't be met by testdata
+        "spark.sql.optimizer.runtime.bloomFilter"
+        ".applicationSideScanSizeThreshold": "1KB",
+        # force a shuffle join: broadcast joins don't need the filter
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        ev = table(spark, SF, "events")
+        dim = (table(spark, SF, "events").select("user_id").distinct()
+               .filter("user_id % 100 = 0"))
+        plan = _plan_initial(ev.join(dim, "user_id"))
+        assert "might_contain" in plan, plan
+        assert "partial_bloom_filter_agg" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
