@@ -202,8 +202,14 @@ def main() -> None:
     #     pairs alone measure ~n^1.5 on this corpus). That's why
     #     deployment emits clusters, not pairs; the pair exponent is
     #     reported for transparency, not as a scale claim.
+    #   - semdedup_cand: within-cluster pair candidates at the
+    #     deployment config (auto_k = n/64 keeps cluster population
+    #     constant, so candidates ~ n * 64/2 — linear by construction;
+    #     tau=-1 keeps every candidate the cluster blocking emits).
     import math
 
+    from logsqlite_spark.operators.clustering import (
+        auto_k, seed_centroids, semantic_dedup_pairs)
     from logsqlite_spark.operators.dedup import (
         minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs,
         simhash_dup_groups)
@@ -211,6 +217,7 @@ def main() -> None:
 
     def _cand_counts(d: str) -> dict:
         docs = _table(spark, d, "documents")
+        emb = _table(spark, d, "embeddings")
         out = {"n_docs": docs.count()}
         for key, df in (
             # threshold=0 keeps every candidate the generator emits
@@ -220,6 +227,8 @@ def main() -> None:
             ("simhash_groups", simhash_dup_groups(docs)),
             ("simhash_pairs", simhash_band_pairs(docs, n_bits=60,
                                                  n_bands=6)),
+            ("semdedup_cand", semantic_dedup_pairs(
+                emb, seed_centroids(emb, auto_k(emb)), tau=-1.0)),
         ):
             t0 = time.perf_counter()
             out[key] = df.count()
@@ -241,7 +250,8 @@ def main() -> None:
         scale = {"lo": lo, "hi": hi}
         if d_ratio > 1:
             for key in ("jaccard_cand", "minhash_cand",
-                        "simhash_groups", "simhash_pairs"):
+                        "simhash_groups", "simhash_pairs",
+                        "semdedup_cand"):
                 p_ratio = hi[key] / max(lo[key], 1)
                 scale[key + "_growth_exp"] = round(
                     math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
