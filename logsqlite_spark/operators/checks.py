@@ -1,0 +1,184 @@
+"""Declarative data-quality constraint verification (§2.8 extension).
+
+Deequ-style (Schelter et al., "Automating Large-Scale Data Quality
+Verification", VLDB 2018 — public): a pipeline guards its tables with
+a declared constraint suite — completeness, uniqueness, value bounds,
+accepted-value sets, pattern conformity — and the engine verifies the
+WHOLE suite in one pass. This is the admission gate a 100 TB ingest
+runs before publishing a snapshot; per-constraint scans would make it
+O(checks) scans.
+
+Execution shape: every constraint compiles to a conditional aggregate
+over the SAME scan — one aggregation job produces a single metrics
+row (distinct-count constraints ride the same scan via Expand), and a
+``stack`` projection unpivots it into one row per constraint with the
+metric, its bound, and the verdict. Adding a constraint adds a column
+to the agg, never a pass over the data.
+
+Determinism: metrics are exact counts/ratios (rounded at emission) —
+fully DuckDB-replayable, so both suite queries carry complete oracles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+
+class Check:
+    """One constraint: a metric expression over the scan plus the
+    predicate its value must satisfy.
+
+    ``metric_sql`` is a Spark-SQL aggregate expression producing a
+    DOUBLE; ``op`` is one of ``>= <= ==``; ``bound`` the threshold.
+    """
+
+    def __init__(self, name: str, metric_sql: str, op: str, bound: float):
+        if op not in (">=", "<=", "=="):
+            raise ValueError(f"unsupported op {op!r}")
+        self.name, self.metric_sql, self.op, self.bound = \
+            name, metric_sql, op, bound
+
+    def passed_expr(self, metric):
+        if self.op == ">=":
+            return metric >= F.lit(self.bound)
+        if self.op == "<=":
+            return metric <= F.lit(self.bound)
+        return metric == F.lit(self.bound)
+
+
+def completeness(name: str, col: str, bound: float = 1.0) -> Check:
+    """Fraction of rows with a non-null ``col``."""
+    return Check(name,
+                 f"cast(count({col}) as double) / count(*)", ">=", bound)
+
+
+def uniqueness(name: str, col: str) -> Check:
+    """Fraction of rows whose ``col`` value occurs exactly once
+    (Deequ's uniqueness; 1.0 == primary-key property)."""
+    return Check(name,
+                 f"cast(count(distinct {col}) as double) / count({col})",
+                 "==", 1.0)
+
+
+def in_set(name: str, col: str, values: Sequence[str],
+           bound: float = 1.0) -> Check:
+    quoted = ", ".join(f"'{v}'" for v in values)
+    return Check(
+        name,
+        f"cast(count_if({col} in ({quoted})) as double) / count({col})",
+        ">=", bound)
+
+
+def bound_metric(name: str, metric_sql: str, op: str,
+                 bound: float) -> Check:
+    """Raw-aggregate constraint (min/max/avg bounds, row counts)."""
+    return Check(name, f"cast({metric_sql} as double)", op, bound)
+
+
+def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Verify the suite in ONE aggregation over ``df`` (module
+    docstring). Output: (check_name, metric, bound, passed) per
+    constraint, in suite order."""
+    metrics = df.agg(*[
+        F.round(F.expr(c.metric_sql), 6).alias(f"_m{i}")
+        for i, c in enumerate(checks)
+    ])
+    stack_args = ", ".join(
+        f"'{c.name}', _m{i}" for i, c in enumerate(checks))
+    rows = metrics.select(F.expr(
+        f"stack({len(checks)}, {stack_args}) as (check_name, metric)"))
+    bound_map = F.create_map(*[
+        x for c in checks for x in (F.lit(c.name), F.lit(float(c.bound)))])
+    # per-row verdicts: ops differ per check, so rebuild via CASE
+    verdict = None
+    for c in checks:
+        cond = (F.col("check_name") == c.name) & \
+            c.passed_expr(F.col("metric"))
+        verdict = cond if verdict is None else (verdict | cond)
+    return rows.select(
+        "check_name",
+        F.col("metric").cast("double").alias("metric"),
+        bound_map[F.col("check_name")].alias("bound"),
+        verdict.alias("passed"))
+
+
+EVENTS_CHECKS: tuple[Check, ...] = (
+    completeness("user_id_complete", "user_id"),
+    completeness("ts_complete", "ts"),
+    completeness("value_complete", "value"),
+    uniqueness("event_id_unique", "event_id"),
+    in_set("event_type_known", "event_type",
+           ("view", "click", "purchase", "signup", "error")),
+    bound_metric("value_non_negative", "min(value)", ">=", 0.0),
+    bound_metric("value_below_cap", "max(value)", "<=", 10_000.0),
+    bound_metric("row_count_min", "count(*)", ">=", 1.0),
+)
+
+DOCUMENTS_CHECKS: tuple[Check, ...] = (
+    completeness("doc_id_complete", "doc_id"),
+    completeness("text_complete", "text"),
+    uniqueness("doc_id_unique", "doc_id"),
+    bound_metric("text_min_length", "min(length(text))", ">=", 1.0),
+    completeness("lang_mostly_present", "lang", 0.9),
+    bound_metric("n_chars_consistent",
+                 "cast(count_if(n_chars = length(text)) as double) "
+                 "/ count(*)", ">=", 0.0),
+)
+
+
+def _q_events_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").withColumn(
+        "value", F.col("value").cast("double"))
+    return run_checks(ev, EVENTS_CHECKS)
+
+
+def _q_docs_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_checks(table(spark, sf_dir, "documents"), DOCUMENTS_CHECKS)
+
+
+QUERIES = {
+    "quality_checks_events": _q_events_checks,
+    "quality_checks_documents": _q_docs_checks,
+}
+
+
+def _oracle(table_name: str, checks: Sequence[Check],
+            rewrites: dict[str, str] | None = None) -> str:
+    """Replay the suite in DuckDB: same one-agg + unpivot shape."""
+    rewrites = rewrites or {}
+    cols = ", ".join(
+        f"round(CAST({rewrites.get(c.name, c.metric_sql)} AS DOUBLE), 6) "
+        f"AS m{i}"
+        for i, c in enumerate(checks))
+    rows = " UNION ALL ".join(
+        f"SELECT '{c.name}' AS check_name, m{i} AS metric, "
+        f"CAST({float(c.bound)} AS DOUBLE) AS bound, "
+        f"(m{i} {'=' if c.op == '==' else c.op} {float(c.bound)}) AS passed "
+        f"FROM agg"
+        for i, c in enumerate(checks))
+    return f"WITH agg AS (SELECT {cols} FROM {table_name}) {rows}"
+
+
+# DuckDB has no count_if; spell the conditional counts portably
+_O_REWRITES_EVENTS = {
+    "event_type_known": (
+        "cast(count(*) FILTER (event_type IN ('view', 'click', "
+        "'purchase', 'signup', 'error')) AS DOUBLE) / count(event_type)"),
+}
+_O_REWRITES_DOCS = {
+    "n_chars_consistent": (
+        "cast(count(*) FILTER (n_chars = length(text)) AS DOUBLE) "
+        "/ count(*)"),
+}
+
+ORACLES = {
+    "quality_checks_events": _oracle("events", EVENTS_CHECKS,
+                                     _O_REWRITES_EVENTS),
+    "quality_checks_documents": _oracle("documents", DOCUMENTS_CHECKS,
+                                        _O_REWRITES_DOCS),
+}

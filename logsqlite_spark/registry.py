@@ -44,6 +44,7 @@ from logsqlite_spark.operators import pipeline as PL
 from logsqlite_spark.operators import contamination as CT
 from logsqlite_spark.operators import sketches as SKT
 from logsqlite_spark.operators import clustering as CL
+from logsqlite_spark.operators import checks as CK
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -445,6 +446,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CT.QUERIES)
     out.update(SKT.QUERIES)
     out.update(CL.QUERIES)
+    out.update(CK.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -464,6 +466,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CT.ORACLES)
     out.update(SKT.ORACLES)
     out.update(CL.ORACLES)
+    out.update(CK.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -1,0 +1,44 @@
+"""Data-quality constraint verification (operators/checks.py).
+
+The registry suites are value-checked by the DuckDB oracle; here we
+pin the one-scan execution shape and that violations are actually
+detected (the oracle only ever sees passing suites)."""
+
+from __future__ import annotations
+
+from logsqlite_spark.operators.checks import (
+    EVENTS_CHECKS, bound_metric, completeness, in_set, run_checks,
+    uniqueness, _q_events_checks)
+
+
+def test_suite_runs_in_one_scan(spark, sf_dir):
+    df = _q_events_checks(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # one pass over events even with the distinct-count constraint
+    # (it rides the same scan via Expand)
+    assert plan.count("FileScan") == 1, plan
+    rows = {r["check_name"]: r for r in df.collect()}
+    assert set(rows) == {c.name for c in EVENTS_CHECKS}
+    assert all(r["passed"] for r in rows.values()), rows
+
+
+def test_violations_detected(spark):
+    df = spark.createDataFrame(
+        [(1, "a", None), (1, "b", 5.0), (2, "zzz", -3.0)],
+        "id long, kind string, v double")
+    suite = (
+        uniqueness("id_unique", "id"),                      # dup id
+        completeness("v_complete", "v"),                    # null v
+        in_set("kind_known", "kind", ("a", "b")),           # 'zzz'
+        bound_metric("v_non_negative", "min(v)", ">=", 0.0),  # -3
+        bound_metric("rows_min", "count(*)", ">=", 1.0),    # passes
+    )
+    got = {r["check_name"]: r for r in run_checks(df, suite).collect()}
+    assert not got["id_unique"]["passed"]
+    assert got["id_unique"]["metric"] == round(2 / 3, 6)
+    assert not got["v_complete"]["passed"]
+    assert got["v_complete"]["metric"] == round(2 / 3, 6)
+    assert not got["kind_known"]["passed"]
+    assert not got["v_non_negative"]["passed"]
+    assert got["v_non_negative"]["metric"] == -3.0
+    assert got["rows_min"]["passed"]
