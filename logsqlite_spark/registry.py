@@ -45,6 +45,7 @@ from logsqlite_spark.operators import contamination as CT
 from logsqlite_spark.operators import sketches as SKT
 from logsqlite_spark.operators import clustering as CL
 from logsqlite_spark.operators import checks as CK
+from logsqlite_spark.operators import profile as PF
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -447,6 +448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SKT.QUERIES)
     out.update(CL.QUERIES)
     out.update(CK.QUERIES)
+    out.update(PF.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -467,6 +469,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SKT.ORACLES)
     out.update(CL.ORACLES)
     out.update(CK.ORACLES)
+    out.update(PF.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:

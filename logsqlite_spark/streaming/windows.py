@@ -182,6 +182,43 @@ def windowed_value_quantile_sketch(stream: DataFrame,
     )
 
 
+def windowed_quality_metrics(stream: DataFrame,
+                             id_col: str = "user_id",
+                             check_cols: tuple[str, ...] = ("value",),
+                             window: str = "5 minutes",
+                             watermark: str = "10 minutes",
+                             ts_col: str = "ts",
+                             lg_k: int = 12) -> DataFrame:
+    """Streaming data-quality monitoring: the per-window counterpart
+    of ``operators.checks.run_checks`` — row counts, per-column null
+    counts, and an approximate uniqueness ratio for ``id_col``.
+
+    Exact uniqueness needs count-distinct, which in streaming state
+    is cardinality-sized; the HLL sketch keeps it fixed-size and
+    order-independent (estimates identical to a batch pass over the
+    same rows, same argument as ``windowed_distinct_sketch``). Null
+    ratios are plain conditional aggregates — exact. This is the
+    shape a pipeline alerts on: a window whose null ratio jumps or
+    whose id uniqueness collapses is quarantined before publication.
+    """
+    aggs = [F.count(F.lit(1)).cast("long").alias("n"),
+            F.hll_sketch_agg(id_col, F.lit(lg_k)).alias("_sk")]
+    for c in check_cols:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1))
+                    .cast("long").alias(f"n_null_{c}"))
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(*aggs)
+        .withColumn("est_distinct_ids",
+                    F.hll_sketch_estimate("_sk").cast("long"))
+        .drop("_sk")
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"), "*")
+        .drop("w")
+    )
+
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:
