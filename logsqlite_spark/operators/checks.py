@@ -141,9 +141,61 @@ def _q_docs_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_checks(table(spark, sf_dir, "documents"), DOCUMENTS_CHECKS)
 
 
+DRIFT_THRESHOLD = 0.5
+
+
+def metric_drift(events: DataFrame,
+                 threshold: float = DRIFT_THRESHOLD) -> DataFrame:
+    """Day-over-day metric drift — the temporal face of the quality
+    gate: per-day row count, distinct users, and value mass, each
+    compared against the previous day; a relative change beyond
+    ``threshold`` flags the day for quarantine. A broken upstream
+    rarely fails a static constraint (the rows it ships are
+    well-formed); what it breaks is VOLUME and MIX, which only a
+    drift check sees.
+
+    Shape: one scan into per-day aggregates (value mass summed in
+    exact integer cents — FP sums would be partition-order-dependent
+    and unhashable), then a lag window over O(days) rows. The window
+    is trivially small; the scan is the only data-sized cost.
+    """
+    day = F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+    per_day = (
+        events.select(day.alias("day"), "user_id",
+                      F.expr("cast(floor(cast(value as double) * 100 "
+                             "+ 0.5) as bigint)").alias("value_c"))
+        .where(F.col("day").isNotNull())
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.countDistinct("user_id").cast("long").alias("n_users"),
+             F.sum("value_c").cast("long").alias("sum_value_c"))
+    )
+    from pyspark.sql import Window
+    w = Window.orderBy("day")
+    rel = lambda c: F.round(  # noqa: E731
+        F.abs(F.col(c) - F.lag(c).over(w)).cast("double")
+        / F.lag(c).over(w).cast("double"), 6)
+    out = per_day.select(
+        F.col("day").cast("string").alias("day"),
+        "n", "n_users", "sum_value_c",
+        rel("n").alias("rel_n"),
+        rel("n_users").alias("rel_users"),
+        rel("sum_value_c").alias("rel_value"))
+    return out.withColumn(
+        "drift",
+        F.coalesce((F.col("rel_n") > threshold)
+                   | (F.col("rel_users") > threshold)
+                   | (F.col("rel_value") > threshold), F.lit(False)))
+
+
+def _q_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return metric_drift(table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "quality_checks_events": _q_events_checks,
     "quality_checks_documents": _q_docs_checks,
+    "metric_drift_events": _q_metric_drift,
 }
 
 
@@ -181,4 +233,27 @@ ORACLES = {
                                      _O_REWRITES_EVENTS),
     "quality_checks_documents": _oracle("documents", DOCUMENTS_CHECKS,
                                         _O_REWRITES_DOCS),
+    "metric_drift_events": (
+        "WITH pd AS (SELECT CAST(ts AS DATE) AS day, "
+        "  CAST(count(*) AS BIGINT) AS n, "
+        "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "  CAST(sum(CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) "
+        "    AS BIGINT)) AS BIGINT) AS sum_value_c "
+        "  FROM events WHERE ts IS NOT NULL GROUP BY day), "
+        "rel AS (SELECT day, n, n_users, sum_value_c, "
+        "  round(CAST(abs(n - lag(n) OVER (ORDER BY day)) AS DOUBLE) "
+        "    / lag(n) OVER (ORDER BY day), 6) AS rel_n, "
+        "  round(CAST(abs(n_users - lag(n_users) OVER (ORDER BY day)) "
+        "    AS DOUBLE) / lag(n_users) OVER (ORDER BY day), 6) "
+        "    AS rel_users, "
+        "  round(CAST(abs(sum_value_c - lag(sum_value_c) "
+        "    OVER (ORDER BY day)) AS DOUBLE) "
+        "    / lag(sum_value_c) OVER (ORDER BY day), 6) AS rel_value "
+        "  FROM pd) "
+        "SELECT CAST(day AS VARCHAR) AS day, n, n_users, sum_value_c, "
+        "rel_n, rel_users, rel_value, "
+        f"COALESCE(rel_n > {DRIFT_THRESHOLD} "
+        f"OR rel_users > {DRIFT_THRESHOLD} "
+        f"OR rel_value > {DRIFT_THRESHOLD}, FALSE) AS drift FROM rel"
+    ),
 }

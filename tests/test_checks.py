@@ -42,3 +42,23 @@ def test_violations_detected(spark):
     assert not got["v_non_negative"]["passed"]
     assert got["v_non_negative"]["metric"] == -3.0
     assert got["rows_min"]["passed"]
+
+
+def test_metric_drift_flags_volume_collapse(spark):
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.checks import metric_drift
+
+    # day1: 100 rows / 10 users; day2: 10 rows (90% collapse)
+    base = 1_704_067_200 * 1_000_000_000
+    day = 86_400 * 1_000_000_000
+    rows = [(base + i, i % 10, 1.0) for i in range(100)] + \
+        [(base + day + i, i % 10, 1.0) for i in range(10)]
+    ev = spark.createDataFrame(rows, "ts long, user_id long, value double")
+    got = {r["day"]: r for r in metric_drift(ev).collect()}
+    assert len(got) == 2
+    first = got["2024-01-01"]
+    assert not first["drift"] and first["rel_n"] is None
+    second = got["2024-01-02"]
+    assert second["drift"] and second["rel_n"] == 0.9
+    assert second["n"] == 10 and second["n_users"] == 10

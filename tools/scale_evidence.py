@@ -116,6 +116,8 @@ def measure(spark, d: Path) -> dict:
     from logsqlite_spark.operators.dedup import (
         minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs,
         simhash_dup_groups)
+    from logsqlite_spark.operators.clustering import (
+        auto_k, seed_centroids, semantic_dedup_pairs)
     from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
     from logsqlite_spark.operators.textstats import winnow_matches
 
@@ -135,6 +137,10 @@ def measure(spark, d: Path) -> dict:
         # k larger than any candidate set => row count == candidate
         # pairs surviving the (band, chunk) join
         ("ann_lsh_cand", ann_lsh_portable_topk(qs, emb, k=1 << 30)),
+        # tau=-1 keeps every within-cluster candidate; auto_k keeps
+        # cluster population constant so the bound is linear
+        ("semdedup_cand", semantic_dedup_pairs(
+            emb, seed_centroids(emb, auto_k(emb)), tau=-1.0)),
     ):
         t0 = time.perf_counter()
         out[key] = df.count()
@@ -143,7 +149,7 @@ def measure(spark, d: Path) -> dict:
 
 
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
-                    "winnow_matches", "ann_lsh_cand")
+                    "winnow_matches", "ann_lsh_cand", "semdedup_cand")
 AUDIT_PATHS = ("simhash_pairs",)
 GATE = 1.15
 
@@ -178,7 +184,8 @@ def main() -> int:
 
     bad = []
     for key in DEPLOYMENT_PATHS + AUDIT_PATHS:
-        axis = "n_vecs" if key == "ann_lsh_cand" else "n_docs"
+        axis = ("n_vecs" if key in ("ann_lsh_cand", "semdedup_cand")
+                else "n_docs")
         d_ratio = res["hi"][axis] / res["lo"][axis]
         if res["hi"][key] == 0 or res["lo"][key] == 0:
             # 0-output is a (vacuously linear) bound, not evidence —
