@@ -18,11 +18,14 @@ Scale shapes:
   corpus assigns in one linear scan. (A first cut used a
   groupBy-argmin over an exploded corpus×centroids join: k× the scan
   rows through a shuffle for no reason.)
-- **semantic_dedup confines pairs to clusters.** Pair candidates are
-  an equi-join on ``cluster_id``; with k chosen ~ n/target_size the
-  per-cluster population is bounded and candidate growth stays
-  linear (the SemDeDup argument, and the same blocking bound the
-  Jaccard/minhash paths use). All-pairs never happens.
+- **semantic_dedup confines pairs to clusters, with a hard cap.**
+  Pair candidates are an equi-join on (cluster_id, sub_bucket):
+  auto_k keeps the AVERAGE population constant, and oversized
+  clusters (mode-concentrated corpora defeat seed balancing — the
+  sf1-decade audit measured n^1.34 uncapped) are hash-split into
+  ceil(size/cap) sub-buckets, bounding pairs at ~n·cap/2 at ANY
+  skew — the same blocking bound the Jaccard df-cap uses.
+  All-pairs never happens.
 - Lloyd refinement (``refine_centroids``) is one explode +
   (cluster, dim) partial aggregation per iteration — the classic
   distributed k-means step; dims multiply map-side rows but the
@@ -85,16 +88,41 @@ def seed_centroids(emb: DataFrame, k: int = K_CLUSTERS,
                     .alias("cluster_id"), "cv"))
 
 
+# above this many centroids the interpreted higher-order-function
+# argmin (O(k*dim) lambda ops per row) loses to one Arrow-batched
+# int64 matmul; both paths compute the SAME exact integers
+_ARROW_K_THRESHOLD = 32
+
+
 def assign_clusters(emb: DataFrame, centroids: DataFrame,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    impl: str = "auto") -> DataFrame:
     """Nearest-centroid assignment, zero-shuffle (module docstring).
 
     Output: (vec_id, cluster_id, dist_q, qv) — dist_q is the exact
     integer squared L2 distance in quantized space; ties break to the
     smaller cluster_id via lexicographic struct ordering in
     ``array_min``. qv (the quantized vector) rides along so chained
-    operators (semantic_dedup) don't re-scan."""
+    operators (semantic_dedup) don't re-scan.
+
+    ``impl``: ``"sql"`` = pure built-in expressions (broadcast
+    centroid array + codegen argmin — best for small k, fully
+    JVM-side); ``"arrow"`` = mapInArrow + numpy int64 matmul (d2 =
+    |v|² + |c|² − 2·V·Cᵀ, argmin row-wise) — the per-row cost drops
+    from O(k·dim) interpreted lambda steps to a vectorized BLAS-shaped
+    product, which at auto_k (k ~ n/64, 312 centroids at 20k vectors)
+    is ~10× faster; int64 matmul is exact and np.argmin's first-hit
+    rule equals the SQL tiebreak (centroids sorted by cluster_id), so
+    the two paths are value-identical and both oracle-green.
+    ``"auto"`` picks by centroid count."""
+    if impl == "auto":
+        impl = "arrow" if centroids.count() >= _ARROW_K_THRESHOLD \
+            else "sql"
+    emb_q = (_quantized(emb, vec_col, "qv")
+             .select(F.col(id_col).cast("long").alias("vec_id"), "qv"))
+    if impl == "arrow":
+        return _assign_arrow(emb_q, centroids)
     ctr_row = centroids.agg(
         F.collect_list(F.struct("cluster_id", "cv")).alias("ctrs"))
     best = (
@@ -103,13 +131,44 @@ def assign_clusters(emb: DataFrame, centroids: DataFrame,
         + " as dist_q, c.cluster_id as cluster_id)))"
     )
     return (
-        _quantized(emb, vec_col, "qv")
-        .select(F.col(id_col).cast("long").alias("vec_id"), "qv")
+        emb_q
         .crossJoin(F.broadcast(ctr_row))
         .select("vec_id", "qv", F.expr(best).alias("b"))
         .select("vec_id", "qv", F.col("b.cluster_id").alias("cluster_id"),
                 F.col("b.dist_q").alias("dist_q"))
     )
+
+
+def _assign_arrow(emb_q: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Vectorized assignment twin (see assign_clusters ``impl``).
+    Centroids are collected once (k×dim int64 — the same bound the
+    broadcast-array path carries) and shipped in the task closure."""
+    rows = centroids.orderBy("cluster_id").collect()
+    import numpy as np
+    C = np.array([list(r["cv"]) for r in rows], dtype=np.int64)
+    cids = np.array([r["cluster_id"] for r in rows], dtype=np.int32)
+    cn = (C * C).sum(axis=1)
+
+    def fn(batches):
+        import numpy as np
+        import pyarrow as pa
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            qv = b.column("qv")
+            V = np.asarray(qv.flatten()).reshape(b.num_rows, -1)
+            vn = (V * V).sum(axis=1)
+            d2 = vn[:, None] + cn[None, :] - 2 * (V @ C.T)
+            idx = d2.argmin(axis=1)  # first hit == smallest cluster_id
+            yield pa.record_batch(
+                [b.column("vec_id"), qv,
+                 pa.array(cids[idx], type=pa.int32()),
+                 pa.array(d2[np.arange(len(idx)), idx],
+                          type=pa.int64())],
+                names=["vec_id", "qv", "cluster_id", "dist_q"])
+
+    return emb_q.mapInArrow(
+        fn, "vec_id long, qv array<bigint>, cluster_id int, dist_q long")
 
 
 def cluster_stats(assigned: DataFrame) -> DataFrame:
@@ -171,16 +230,38 @@ def refine_centroids(assigned: DataFrame, centroids: DataFrame,
     )
 
 
+SUB_SALT = "subsplit-v1"
+MAX_CLUSTER_SIZE = 256
+
+
 def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
                          tau: float = SEM_TAU,
                          id_col: str = "vec_id",
-                         vec_col: str = "embedding") -> DataFrame:
+                         vec_col: str = "embedding",
+                         max_cluster_size: int = MAX_CLUSTER_SIZE
+                         ) -> DataFrame:
     """SemDeDup: embedding pairs with cosine ≥ tau, searched ONLY
     within a cluster. Candidates are an equi-join on cluster_id (both
     sides the same zero-shuffle assignment — AQE reuses the exchange,
     pinned in test_clustering.py); scoring is the exact quantized-
     integer cosine of the X3 paths, so exact/LSH/IVF/semantic dedup
-    differ only in candidate generation, never in scoring."""
+    differ only in candidate generation, never in scoring.
+
+    ``max_cluster_size`` is the worst-case pair bound. auto_k keeps
+    the AVERAGE cluster population constant, but on mode-concentrated
+    corpora seed-based assignment is skewed — most of a dense mode
+    falls to one centroid, and the sf1-decade audit measured pair
+    growth n^1.34 without a cap. An oversized cluster is therefore
+    split into ceil(size / cap) deterministic salted-md5 sub-buckets
+    (balanced clusters get ONE bucket — a no-op), which hard-bounds
+    pairs at ~n·cap/2 — linear at ANY skew, the same blocking bound
+    the Jaccard df-cap uses. Cost: near-dup pairs straddling
+    sub-buckets of a hot cluster are missed (recall < 1 there, like
+    every blocking cap); dup-dense clusters are exactly where dups
+    concentrate, so the kept intra-bucket pairs still find the mass.
+    The per-cluster sizes come from one tiny aggregation of the
+    assignment (O(k) rows) joined back on cluster_id.
+    """
     # squared norms are per-VECTOR, so compute them once on the
     # assignment side, not per pair — a first cut recomputed both
     # norms inside the pair row (192 lambda ops/pair vs 64 for the
@@ -191,13 +272,24 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
         .withColumn("nq", F.expr(sq))
         .filter(F.col("nq") > 0)
     )
+    sizes = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_sz"))
+    assigned = (
+        assigned.join(sizes, "cluster_id")
+        .withColumn("_sub", F.expr(_HASH.format(salt=SUB_SALT,
+                                                id="vec_id"))
+                    % F.ceil(F.col("_sz") / F.lit(max_cluster_size))
+                    .cast("long"))
+    )
     scored = (
-        assigned.select("cluster_id", F.col("vec_id").alias("a_id"),
+        assigned.select("cluster_id", "_sub",
+                        F.col("vec_id").alias("a_id"),
                         F.col("qv").alias("ai"), F.col("nq").alias("an"))
-        .join(assigned.select("cluster_id", F.col("vec_id").alias("b_id"),
+        .join(assigned.select("cluster_id", "_sub",
+                              F.col("vec_id").alias("b_id"),
                               F.col("qv").alias("bi"),
                               F.col("nq").alias("bn")),
-              "cluster_id")
+              ["cluster_id", "_sub"])
         .filter(F.col("a_id") < F.col("b_id"))
         .withColumn("dot", F.expr(
             "aggregate(zip_with(ai, bi, (x, y) -> x * y), 0L, "
@@ -321,6 +413,18 @@ _O_SEEDS = (
     "  FROM base b CROSS JOIN seeds s) WHERE rk = 1)"
 )
 
+# oracle twin of the sub-bucket cap: oversized clusters split into
+# ceil(size/cap) salted-md5 buckets (balanced clusters -> 1 bucket)
+_O_SUBSPLIT = (
+    "nz AS (SELECT * FROM assign WHERE vn > 0), "
+    "sizes AS (SELECT cluster_id, count(*) AS sz FROM nz "
+    "  GROUP BY cluster_id), "
+    "sub AS (SELECT nz.*, "
+    + _O_HASH.format(salt=SUB_SALT, id="vec_id")
+    + f" % CAST(ceil(CAST(sz AS DOUBLE) / {MAX_CLUSTER_SIZE}) AS BIGINT)"
+    " AS sub FROM nz JOIN sizes USING (cluster_id))"
+)
+
 ORACLES = {
     "cluster_assign": (
         "WITH " + _O_SEEDS +
@@ -373,24 +477,22 @@ ORACLES = {
         "FROM assign2 GROUP BY cluster_id"
     ).format(qv=_ORACLE_QV, klim='8'),
     "semantic_dedup_pairs": (
-        "WITH " + _O_SEEDS +
-        " SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id, "
+        "WITH " + _O_SEEDS + ", " + "{subsplit} "
+        "SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id, "
         "round(list_dot_product(CAST(a.v AS DOUBLE[]), "
         "    CAST(b.v AS DOUBLE[])) "
         "  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)), 6) AS sim "
-        "FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id "
-        "AND a.vec_id < b.vec_id "
-        "WHERE a.vn > 0 AND b.vn > 0 "
-        "AND list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        "FROM sub a JOIN sub b ON a.cluster_id = b.cluster_id "
+        "AND a.sub = b.sub AND a.vec_id < b.vec_id "
+        "WHERE list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
         f"  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= {SEM_TAU}"
-    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K),
+    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K, subsplit=_O_SUBSPLIT),
     "semantic_dedup_stats": (
-        "WITH " + _O_SEEDS + ", "
+        "WITH " + _O_SEEDS + ", " + "{subsplit} , "
         "pairs AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id "
-        "  FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id "
-        "  AND a.vec_id < b.vec_id "
-        "  WHERE a.vn > 0 AND b.vn > 0 "
-        "  AND list_dot_product(CAST(a.v AS DOUBLE[]), "
+        "  FROM sub a JOIN sub b ON a.cluster_id = b.cluster_id "
+        "  AND a.sub = b.sub AND a.vec_id < b.vec_id "
+        "  WHERE list_dot_product(CAST(a.v AS DOUBLE[]), "
         "      CAST(b.v AS DOUBLE[])) "
         f"    / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) "
         f"    >= {SEM_TAU}) "
@@ -400,5 +502,5 @@ ORACLES = {
         "(SELECT CAST(count(*) AS BIGINT) FROM embeddings) - "
         "(SELECT CAST(count(DISTINCT b_id) AS BIGINT) FROM pairs) "
         "  AS n_kept"
-    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K),
+    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K, subsplit=_O_SUBSPLIT),
 }

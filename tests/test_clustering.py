@@ -106,3 +106,49 @@ def test_semantic_dedup_stats_consistent(spark, sf_dir):
     assert row["n_vectors"] == emb.count()
     assert row["n_sem_pairs"] == len(pairs)
     assert row["n_kept"] == row["n_vectors"] - len(dropped)
+
+
+def test_semantic_dedup_cap_bounds_skewed_cluster(spark):
+    """Degenerate mode-concentrated corpus: every vector lands in one
+    cluster. Without the sub-bucket cap the pair join is C(n,2); with
+    it the count is hard-bounded by ~n_sub * C(bucket,2) — the linear
+    blocking bound the sf1-decade audit demanded."""
+    import pyspark.sql.functions as F
+
+    from logsqlite_spark.operators.clustering import (
+        seed_centroids, semantic_dedup_pairs)
+
+    n, cap = 400, 50
+    # one tight mode: identical base vector + tiny unique perturbation
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr("transform(sequence(0, 15), "
+               "i -> cast(1.0 + (id % 97) * 0.0001 * (i + 1) as float))")
+        .alias("embedding"))
+    seeds = seed_centroids(emb, k=4)
+    pairs = semantic_dedup_pairs(emb, seeds, tau=-1.0,
+                                 max_cluster_size=cap)
+    got = pairs.count()
+    all_pairs = n * (n - 1) // 2
+    # expected ~ n*cap/2 with hash variance; must be far below C(n,2)
+    assert 0 < got < all_pairs // 3, (got, all_pairs)
+
+
+def test_arrow_assignment_identical_to_sql(spark, sf_dir):
+    """The vectorized numpy path must produce bit-identical
+    assignments to the codegen HOF path (same int64 math, same
+    first-hit tiebreak)."""
+    from logsqlite_spark.operators.clustering import _emb
+
+    emb = _emb(spark, sf_dir)
+    seeds = seed_centroids(emb, k=40)  # >= _ARROW_K_THRESHOLD
+    sql_rows = sorted(
+        map(tuple, assign_clusters(emb, seeds, impl="sql")
+            .select("vec_id", "cluster_id", "dist_q").collect()))
+    arrow_rows = sorted(
+        map(tuple, assign_clusters(emb, seeds, impl="arrow")
+            .select("vec_id", "cluster_id", "dist_q").collect()))
+    auto_rows = sorted(
+        map(tuple, assign_clusters(emb, seeds)
+            .select("vec_id", "cluster_id", "dist_q").collect()))
+    assert sql_rows == arrow_rows == auto_rows
