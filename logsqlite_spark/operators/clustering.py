@@ -354,10 +354,23 @@ def _q_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_stats(assign_clusters(emb, c1))
 
 
+# k is capped: the centroid table is broadcast (collected for the
+# arrow path), so it cannot grow O(n) forever — 4096 centroids x 64
+# dims is ~2 MB, safe at any cluster size. Beyond the cap, average
+# cluster population grows with n, and LINEARITY of the pair join is
+# carried by the sub-bucket cap alone (which bounds pairs at ~n*cap/2
+# regardless of cluster size); the clusters just get semantically
+# coarser. A corpus needing finer semantic granularity at that scale
+# uses hierarchical clustering (coarse assign -> per-cell re-cluster),
+# which composes from these same primitives.
+MAX_K = 4096
+
+
 def auto_k(emb: DataFrame) -> int:
     """k for SemDeDup at this corpus size (module constant note).
     The count is a metadata-only parquet count-star."""
-    return max(K_CLUSTERS, emb.count() // TARGET_CLUSTER_SIZE)
+    return max(K_CLUSTERS,
+               min(emb.count() // TARGET_CLUSTER_SIZE, MAX_K))
 
 
 def _q_sem_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -389,8 +402,9 @@ _O_HASH = ("CAST('0x' || substr(md5('{salt}:' || CAST({id} AS VARCHAR)), "
 # on values ≤ ~2.6e10 is integer-exact in doubles)
 # oracle-side auto_k: same rule as the Spark helper, evaluated by
 # DuckDB so the two sides stay in lockstep at every scale factor
-_O_AUTO_K = (f"(SELECT greatest({K_CLUSTERS}, "
-             f"count(*) // {TARGET_CLUSTER_SIZE}) FROM embeddings)")
+_O_AUTO_K = (f"(SELECT greatest({K_CLUSTERS}, least("
+             f"count(*) // {TARGET_CLUSTER_SIZE}, {MAX_K})) "
+             "FROM embeddings)")
 
 _O_SEEDS = (
     "seeds AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 "
