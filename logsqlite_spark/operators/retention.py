@@ -218,3 +218,88 @@ def drop_container(logs_dir: str, container_id: str) -> bool:
         shutil.rmtree(root)
         return True
     return dropped > 0
+
+
+def erase_matching(
+    spark: SparkSession,
+    logs_dir: str,
+    predicate_sql: str,
+    container_id: str | None = None,
+) -> dict:
+    """Targeted erasure of every row matching ``predicate_sql`` — the
+    right-to-be-forgotten path (delete by user/source/content, not by
+    age). Strategy mirrors :func:`apply_retention`:
+
+    1. Optional partition-prune to one container; otherwise all live
+       files are in scope (erasure predicates usually aren't aligned
+       with partitions — that's exactly why this operator exists).
+    2. ONE aggregation finds the per-(container, date) match counts.
+       Parquet footer stats + predicate pushdown make this the cheap
+       pass; partitions with zero matches keep their files
+       byte-identical — never rewritten, never even re-read by step 3.
+    3. Fully-matching partitions drop from the manifest metadata-only;
+       mixed partitions get ONE filtered rewrite (all of them in a
+       single spark write).
+    4. Everything publishes as ONE manifest commit — concurrent
+       readers keep their snapshot until ``gc``.
+
+    At 100 TB the cost is: one stats-assisted scan + a rewrite of only
+    the partitions that actually contain the subject's rows.
+    """
+    table = ManifestTable(logs_dir)
+    manifest = table.import_existing()
+    prefix = f"container_id={container_id}/" if container_id else None
+    by_part: dict[tuple[str, str], list[str]] = {}
+    for f in manifest["files"]:
+        if prefix and not f.startswith(prefix):
+            continue
+        parts = f.split("/")
+        c = parts[0].split("=", 1)[1]
+        d = parts[1].split("=", 1)[1]
+        by_part.setdefault((c, d), []).append(f)
+    empty = {"dropped_partitions": 0, "rewritten_partitions": 0,
+             "deleted_rows": 0}
+    if not by_part:
+        return empty
+
+    paths = [str(Path(logs_dir) / f) for fs in by_part.values() for f in fs]
+    df = spark.read.option("basePath", logs_dir).parquet(*paths)
+    cond = F.expr(predicate_sql)
+
+    per_part = (
+        df.groupBy(F.col("container_id").cast("string").alias("c"),
+                   F.col("date").cast("string").alias("d"))
+        .agg(F.sum(cond.cast("long")).alias("del_n"),
+             F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    affected = {(r["c"], r["d"]): (r["del_n"], r["n"])
+                for r in per_part if r["del_n"]}
+    if not affected:
+        return empty
+
+    deleted_rows = int(sum(dn for dn, _ in affected.values()))
+    rewrite = sorted(k for k, (dn, n) in affected.items() if dn < n)
+    dropped = sum(1 for dn, n in affected.values() if dn == n)
+
+    new_files: list[str] = []
+    if rewrite:
+        keys = [f"{c} {d}" for c, d in rewrite]
+        part_key = F.concat_ws(
+            " ", F.col("container_id").cast("string"),
+            F.col("date").cast("string"))
+        staging = table.new_staging_dir()
+        (
+            df.filter(part_key.isin(keys)).filter(~cond)
+            .write.mode("overwrite")
+            .partitionBy("container_id", "date")
+            .parquet(str(staging))
+        )
+        new_files = table.adopt_staged(staging)
+    removed = [f for k in affected for f in by_part[k]]
+    table.commit_replace(removed, new_files)
+    return {
+        "dropped_partitions": dropped,
+        "rewritten_partitions": len(rewrite),
+        "deleted_rows": deleted_rows,
+    }

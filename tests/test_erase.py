@@ -1,0 +1,84 @@
+"""Targeted erasure (operators/retention.py::erase_matching) — the
+right-to-be-forgotten path over the manifest table."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.retention import erase_matching
+from logsqlite_spark.table import ManifestTable
+
+
+def _write_logs_table(spark, tmp_path):
+    rows = []
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1e9)
+    day = 86400 * 1_000_000_000
+    for c in ("c1", "c2"):
+        for i in range(100):
+            ts = base + (i // 34) * day + i * 1_000_000
+            src = "stderr" if (c == "c1" and i < 34) else "stdout"
+            rows.append((i + 1, ts, src, f"user={i % 5} msg{i}\n", c))
+    df = spark.createDataFrame(
+        rows, "seq long, ts_nanos long, source string, line string, "
+        "container_id string"
+    ).withColumn("ts", F.timestamp_micros(F.expr("ts_nanos div 1000"))) \
+     .withColumn("date", F.to_date("ts"))
+    out = str(tmp_path / "logs")
+    df.write.partitionBy("container_id", "date").parquet(out)
+    return out
+
+
+def test_erase_mixed_partitions_rewrite_only_affected(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    t = ManifestTable(logs_dir)
+    t.import_existing()
+    before_files = set(t.data_files())
+
+    res = erase_matching(spark, logs_dir, "line LIKE 'user=3 %'")
+    # user=3 appears in every (container, date) partition -> all 6
+    # partitions are mixed: rewritten, none dropped
+    assert res["rewritten_partitions"] == 6
+    assert res["dropped_partitions"] == 0
+    assert res["deleted_rows"] == 40  # 20 per container
+
+    left = t.read_df(spark)
+    assert left.count() == 160
+    assert left.filter("line LIKE 'user=3 %'").count() == 0
+    # untouched rows survive byte-identical reads
+    assert left.filter("line LIKE 'user=1 %'").count() == 40
+
+
+def test_erase_full_partition_is_metadata_only(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    t = ManifestTable(logs_dir)
+    t.import_existing()
+    before = set(t.data_files())
+
+    # c1's first date partition is entirely stderr -> metadata drop
+    res = erase_matching(spark, logs_dir, "source = 'stderr'",
+                         container_id="c1")
+    assert res["dropped_partitions"] == 1
+    assert res["rewritten_partitions"] == 0
+    assert res["deleted_rows"] == 34
+
+    after = set(t.data_files())
+    # no new files were written; c2 and c1's other dates untouched
+    assert after < before
+    left = t.read_df(spark)
+    assert left.count() == 166
+    assert left.filter("source = 'stderr'").count() == 0
+
+
+def test_erase_no_match_is_noop(spark, tmp_path):
+    logs_dir = _write_logs_table(spark, tmp_path)
+    t = ManifestTable(logs_dir)
+    t.import_existing()
+    before = set(t.data_files())
+    gen = t.manifest()["generation"]
+    res = erase_matching(spark, logs_dir, "line LIKE 'nobody %'")
+    assert res == {"dropped_partitions": 0, "rewritten_partitions": 0,
+                   "deleted_rows": 0}
+    assert set(t.data_files()) == before
+    assert t.manifest()["generation"] == gen
