@@ -202,6 +202,16 @@ class Engine:
                                         container_id, **kw)
         return CP.compact_all(self.spark, self.config.logs_dir, **kw)
 
+    def erase(self, predicate_sql: str,
+              container_id: str | None = None) -> dict:
+        """Targeted erasure (right-to-be-forgotten): delete every row
+        matching the predicate as one manifest commit (see
+        operators/retention.py::erase_matching)."""
+        from logsqlite_spark.operators.retention import erase_matching
+
+        return erase_matching(self.spark, self.config.logs_dir,
+                              predicate_sql, container_id)
+
     def start_cleaner(self, interval_s: float | None = None):
         """The cleaner loop (cleaner.rs:134-158): a background thread
         running :meth:`cleanup_all` every interval until stopped.

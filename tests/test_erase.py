@@ -82,3 +82,27 @@ def test_erase_no_match_is_noop(spark, tmp_path):
                    "deleted_rows": 0}
     assert set(t.data_files()) == before
     assert t.manifest()["generation"] == gen
+
+
+def test_engine_erase_surface(spark, tmp_path):
+    """Engine.erase routes through erase_matching against the
+    engine's own logs_dir."""
+    from logsqlite_spark.api import Engine
+    from logsqlite_spark.config import EngineConfig
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    logs_dir = eng.config.logs_dir
+    import shutil
+    from pathlib import Path
+    src = _write_logs_table(spark, tmp_path)
+    Path(logs_dir).parent.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(src, logs_dir, dirs_exist_ok=True)
+
+    res = eng.erase("line LIKE 'user=0 %'", container_id="c2")
+    assert res["deleted_rows"] == 20
+    t = ManifestTable(logs_dir)
+    left = t.read_df(spark)
+    assert left.filter("container_id = 'c2' AND line LIKE 'user=0 %'") \
+        .count() == 0
+    assert left.filter("container_id = 'c1' AND line LIKE 'user=0 %'") \
+        .count() == 20
