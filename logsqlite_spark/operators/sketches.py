@@ -194,6 +194,26 @@ def retention_overlap(events: DataFrame, lg_k: int = 12) -> DataFrame:
         .cast("long").alias("churned"))
 
 
+def weekly_active_theta(events: DataFrame, lg_k: int = 12) -> DataFrame:
+    """Weekly active users served from the DAILY theta sketch table —
+    the merge path: one scan builds daily sketches, and every coarser
+    grain (week here; month/all-time identically) is a
+    ``theta_union_agg`` over a handful of KB-sized sketches, never a
+    re-scan. Below 2^lg_k distinct users the union estimate is the
+    EXACT weekly distinct count (set union of exact sketches), so the
+    query carries a full DuckDB oracle — the property that makes the
+    daily-sketch materialization strategy auditable end to end."""
+    daily = daily_user_theta(events, lg_k)
+    return (
+        daily.where(F.col("day").isNotNull())
+        .groupBy(F.date_trunc("week", F.col("day").cast("timestamp"))
+                 .cast("date").cast("string").alias("week"))
+        .agg(F.theta_sketch_estimate(
+            F.theta_union_agg("sketch", F.lit(lg_k)))
+            .cast("long").alias("est_users"))
+    )
+
+
 def segment_overlap(events: DataFrame, lg_k: int = 12) -> DataFrame:
     """Audience overlap between event-type segments: distinct users
     active in BOTH segments, for every unordered type pair.
@@ -235,6 +255,10 @@ def _q_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_overlap(_events(spark, sf_dir))
 
 
+def _q_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return weekly_active_theta(_events(spark, sf_dir))
+
+
 QUERIES = {
     # rows-only by design: KLL compaction is randomized (no DuckDB twin);
     # error-bounded vs exact quantiles in test_sketches.py
@@ -243,6 +267,7 @@ QUERIES = {
     # which holds at the driver's sf0.01 gate (see module docstring)
     "events_retention_overlap": _q_retention,
     "events_segment_overlap": _q_segments,
+    "events_weekly_active": _q_weekly,
 }
 
 ORACLES = {
@@ -260,6 +285,13 @@ ORACLES = {
         "CAST(p.active - COALESCE(r.returning, 0) AS BIGINT) AS churned "
         "FROM today t JOIN today p ON p.d = t.d - 1 "
         "LEFT JOIN ret r ON r.d = t.d"
+    ),
+    "events_weekly_active": (
+        "SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS VARCHAR) "
+        "  AS week, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS est_users "
+        "FROM events WHERE ts IS NOT NULL "
+        "GROUP BY date_trunc('week', CAST(ts AS DATE))"
     ),
     "events_segment_overlap": (
         "WITH s AS (SELECT DISTINCT event_type, user_id FROM events) "

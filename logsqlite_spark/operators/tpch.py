@@ -23,7 +23,7 @@ broadcasts.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.tables import table
@@ -976,3 +976,199 @@ ORACLES = {
         "GROUP BY n_name, year(o_orderdate)"
     ),
 }
+
+
+# ---------------------------------------------------------------------------
+# round 5: the three shapes that were still missing from the engine-
+# health family — q2 (correlated min per group), q11 (HAVING vs a
+# scalar subquery), q20 (nested semi-joins over two agg grains). The
+# synthetic schema has no partsupp, so s_acctbal stands in for
+# ps_supplycost (q2) and shipped quantities for availqty (q11/q20) —
+# same device nation_year_profit documents for q9.
+
+
+def min_cost_supplier(part: DataFrame, supplier: DataFrame,
+                      lineitem: DataFrame, nation: DataFrame,
+                      region: DataFrame, r_name: str = "ASIA",
+                      size_max: int = 15, k: int = 100) -> DataFrame:
+    """Q2 shape: per part (bounded size, one region), the supplier
+    with the minimum cost proxy. The correlated scalar subquery
+    (min per part) compiles to ONE per-part window rank over the
+    bridge join — no second scan, no self-join; the part⋈supplier
+    bridge is the distinct (l_partkey, l_suppkey) pairs actually
+    shipped (q16's device). Region dims broadcast; ties break on
+    s_suppkey; the final top-k orders on the unique (bal_c,
+    p_partkey) pair so the limit is deterministic."""
+    sup = (
+        supplier
+        .join(F.broadcast(nation.select("n_nationkey", "n_name",
+                                        "n_regionkey")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region.filter(F.col("r_name") == r_name)
+                          .select("r_regionkey")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name",
+                _cents("s_acctbal").alias("bal_c"))
+    )
+    bridge = lineitem.select("l_partkey", "l_suppkey").distinct()
+    cand = (
+        bridge
+        .join(part.filter(F.col("p_size") <= size_max)
+              .select("p_partkey"),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    w = Window.partitionBy("p_partkey").orderBy("bal_c", "s_suppkey")
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .orderBy("bal_c", "p_partkey").limit(k)
+        .select(F.col("p_partkey").cast("long"),
+                F.col("s_suppkey").cast("long"),
+                "s_name", "n_name", F.col("bal_c").cast("long"))
+    )
+
+
+def important_stock(lineitem: DataFrame, supplier: DataFrame,
+                    nation: DataFrame, n_name: str = "NATION_1",
+                    frac_per_mille: int = 1) -> DataFrame:
+    """Q11 shape: per-part shipped value for one nation's suppliers,
+    keeping parts whose value exceeds ``frac_per_mille``/1000 of the
+    grand total. The scalar subquery in HAVING compiles to a one-row
+    broadcast cross join, and the threshold compares in exact integer
+    space (value_u * 1000 > total) — no FP fraction."""
+    sup = supplier.join(
+        F.broadcast(nation.filter(F.col("n_name") == n_name)
+                    .select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    val = (_cents("l_quantity") * _cents("l_extendedprice")).cast("bigint")
+    per = (
+        lineitem.join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("l_partkey", val.alias("v"))
+        .groupBy("l_partkey")
+        .agg(F.sum("v").cast("long").alias("value_u"))
+    )
+    total = per.agg(F.sum("value_u").cast("long").alias("t"))
+    return (
+        per.crossJoin(F.broadcast(total))
+        .filter(F.col("value_u") * F.lit(1000 // frac_per_mille)
+                > F.col("t"))
+        .select(F.col("l_partkey").cast("long"),
+                F.col("value_u").cast("long"))
+    )
+
+
+def excess_shippers(part: DataFrame, supplier: DataFrame,
+                    lineitem: DataFrame, nation: DataFrame,
+                    p_prefix: str = "red ",
+                    share_den: int = 8) -> DataFrame:
+    """Q20 shape: suppliers holding an outsized share (> 1/share_den)
+    of some promo-part's total shipped quantity — nested semi-joins
+    over two aggregation grains. Both grains come from one scan: the
+    (part, supplier) rollup feeds the per-part rollup (partial-agg
+    reuse), the share test compares share_den*ps_qty > tot_qty in
+    exact integers, and the supplier list is a LEFT SEMI join (the
+    EXISTS of the original), so supplier rows are never duplicated.
+    (Original q20 uses 1/2 of availqty; with ~25 suppliers per part
+    in the synthetic bridge that set is empty, so the default share
+    is 1/8 — same plan skeleton, non-vacuous result.)"""
+    pp = part.filter(F.col("p_name").startswith(p_prefix)) \
+        .select("p_partkey")
+    li = (
+        lineitem.join(pp, F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey",
+                _cents("l_quantity").alias("qty_c"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("qty_c").cast("long").alias("ps_qty"))
+    per_p = per_ps.groupBy("l_partkey").agg(
+        F.sum("ps_qty").cast("long").alias("tot_qty"))
+    hot = (
+        per_ps.join(per_p, "l_partkey")
+        .filter(F.col("ps_qty") * share_den > F.col("tot_qty"))
+        .select("l_suppkey").distinct()
+    )
+    return (
+        supplier.join(hot, F.col("s_suppkey") == F.col("l_suppkey"),
+                      "left_semi")
+        .join(F.broadcast(nation.select("n_nationkey", "n_name")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_suppkey").cast("long"), "s_name", "n_name")
+    )
+
+
+def _q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return min_cost_supplier(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "nation"),
+        table(spark, sf_dir, "region"))
+
+
+def _q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return important_stock(
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "nation"))
+
+
+def _q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return excess_shippers(
+        table(spark, sf_dir, "part"), table(spark, sf_dir, "supplier"),
+        table(spark, sf_dir, "lineitem"), table(spark, sf_dir, "nation"))
+
+
+QUERIES["tpch_q2_min_cost_supplier"] = _q_tpch_q2
+QUERIES["tpch_q11_important_stock"] = _q_tpch_q11
+QUERIES["tpch_q20_excess_shippers"] = _q_tpch_q20
+
+_BAL_SQL = _CENTS_SQL.format(c="s_acctbal")
+_QTY_SQL = _CENTS_SQL.format(c="l_quantity")
+_PRICE_SQL = _CENTS_SQL.format(c="l_extendedprice")
+
+ORACLES["tpch_q2_min_cost_supplier"] = (
+    "WITH sup AS (SELECT s_suppkey, s_name, n_name, "
+    f"  {_BAL_SQL} AS bal_c "
+    "  FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "  JOIN region ON n_regionkey = r_regionkey "
+    "  WHERE r_name = 'ASIA'), "
+    "bridge AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem), "
+    "cand AS (SELECT p_partkey, s_suppkey, s_name, n_name, bal_c "
+    "  FROM bridge JOIN part ON l_partkey = p_partkey AND p_size <= 15 "
+    "  JOIN sup ON l_suppkey = s_suppkey), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY p_partkey "
+    "  ORDER BY bal_c, s_suppkey) AS rk FROM cand) "
+    "SELECT CAST(p_partkey AS BIGINT) AS p_partkey, "
+    "CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name, "
+    "CAST(bal_c AS BIGINT) AS bal_c "
+    "FROM r WHERE rk = 1 ORDER BY bal_c, p_partkey LIMIT 100"
+)
+
+ORACLES["tpch_q11_important_stock"] = (
+    "WITH sup AS (SELECT s_suppkey FROM supplier "
+    "  JOIN nation ON s_nationkey = n_nationkey "
+    "  WHERE n_name = 'NATION_1'), "
+    "per AS (SELECT l_partkey, "
+    f"  CAST(sum({_QTY_SQL} * {_PRICE_SQL}) AS BIGINT) AS value_u "
+    "  FROM lineitem JOIN sup ON l_suppkey = s_suppkey "
+    "  GROUP BY l_partkey) "
+    "SELECT CAST(l_partkey AS BIGINT) AS l_partkey, "
+    "CAST(value_u AS BIGINT) AS value_u FROM per "
+    "WHERE value_u * 1000 > (SELECT sum(value_u) FROM per)"
+)
+
+ORACLES["tpch_q20_excess_shippers"] = (
+    "WITH li AS (SELECT l_partkey, l_suppkey, "
+    f"  {_QTY_SQL} AS qty_c "
+    "  FROM lineitem JOIN part ON l_partkey = p_partkey "
+    "  WHERE p_name LIKE 'red %'), "
+    "per_ps AS (SELECT l_partkey, l_suppkey, "
+    "  CAST(sum(qty_c) AS BIGINT) AS ps_qty FROM li "
+    "  GROUP BY l_partkey, l_suppkey), "
+    "per_p AS (SELECT l_partkey, CAST(sum(ps_qty) AS BIGINT) AS tot_qty "
+    "  FROM per_ps GROUP BY l_partkey), "
+    "hot AS (SELECT DISTINCT l_suppkey FROM per_ps "
+    "  JOIN per_p USING (l_partkey) WHERE ps_qty * 8 > tot_qty) "
+    "SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name, n_name "
+    "FROM supplier JOIN nation ON s_nationkey = n_nationkey "
+    "WHERE s_suppkey IN (SELECT l_suppkey FROM hot)"
+)
