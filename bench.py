@@ -67,6 +67,9 @@ BENCH_QUERIES = [
     # semantic clustering / SemDeDup tier
     "cluster_assign",
     "semantic_dedup_pairs",
+    # data-quality tier + the round-5 tpch additions
+    "quality_checks_events",
+    "tpch_q2_min_cost_supplier",
 ]
 
 def main() -> None:
