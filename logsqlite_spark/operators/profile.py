@@ -25,20 +25,32 @@ from logsqlite_spark.tables import table
 
 
 def profile_table(df: DataFrame, numeric_cols: tuple[str, ...],
-                  string_cols: tuple[str, ...]) -> DataFrame:
+                  string_cols: tuple[str, ...],
+                  exact_distinct: bool = True) -> DataFrame:
     """Profile the given columns in one aggregation over ``df``.
 
     Output per column: (column, n, n_null, n_distinct, min_num,
     max_num, min_str, max_str) — the num/str pair not applicable to
     the column's kind is NULL.
+
+    ``exact_distinct=True`` (default, and what the DuckDB oracle
+    replays) computes exact per-column distincts: still one scan, but
+    the multi-distinct aggregation expands the input once per distinct
+    column. At 100 TB profile with ``exact_distinct=False`` —
+    ``approx_count_distinct`` (HLL++, ~2% error) keeps the aggregation
+    a single no-Expand pass whose state is a fixed sketch per column,
+    which is the right trade for a profile whose purpose is choosing
+    constraints, not auditing them.
     """
+    n_distinct = F.countDistinct if exact_distinct else \
+        (lambda c: F.approx_count_distinct(c, 0.02).cast("long"))
     cols = [(c, "num") for c in numeric_cols] + \
         [(c, "str") for c in string_cols]
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, (c, kind) in enumerate(cols):
         aggs.append(F.count(F.when(F.col(c).isNull(), 1))
                     .alias(f"_null{i}"))
-        aggs.append(F.countDistinct(c).alias(f"_dist{i}"))
+        aggs.append(n_distinct(c).alias(f"_dist{i}"))
         if kind == "num":
             aggs.append(F.round(F.min(F.col(c).cast("double")), 6)
                         .alias(f"_min{i}"))

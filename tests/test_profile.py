@@ -27,3 +27,27 @@ def test_profile_accounting(spark):
     assert rows["v"]["n_null"] == 1 and rows["v"]["n_distinct"] == 2
     assert rows["s"]["n_null"] == 1 and rows["s"]["max_str"] == "b"
     assert rows["s"]["min_num"] is None
+
+
+def test_profile_approx_mode_no_expand(spark, sf_dir):
+    """The 100 TB mode: approx distincts keep the aggregation a
+    single no-Expand pass with error-bounded counts."""
+    from logsqlite_spark.operators.profile import (
+        _EVENTS_NUM, _EVENTS_STR)
+    from logsqlite_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    df = profile_table(ev, _EVENTS_NUM, _EVENTS_STR,
+                       exact_distinct=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert "Expand" not in plan, plan
+    approx = {r["column"]: r for r in df.collect()}
+    exact = {r["column"]: r
+             for r in profile_table(ev, _EVENTS_NUM, _EVENTS_STR)
+             .collect()}
+    for c, r in exact.items():
+        a = approx[c]
+        assert (a["n"], a["n_null"]) == (r["n"], r["n_null"])
+        assert abs(a["n_distinct"] - r["n_distinct"]) <= \
+            max(1, 0.05 * r["n_distinct"]), c
