@@ -119,6 +119,24 @@ class ManifestTable:
 
         return self.commit(change)
 
+    def generations(self) -> list[int]:
+        """Snapshots still readable (``gc`` keeps the newest
+        ``keep_generations`` manifests and every file they reference)."""
+        if not self.manifests.exists():
+            return []
+        return sorted(int(p.stem) for p in self.manifests.glob("*.json"))
+
+    def manifest_at(self, generation: int) -> dict:
+        """Time travel: the table snapshot as of ``generation`` —
+        pass it to :meth:`read_df` to query the table as it was before
+        any later retention / compaction / erasure commit. Valid while
+        the generation is inside the ``gc`` retention window
+        (``FileNotFoundError`` after); note the compliance corollary:
+        an erasure (``erase_matching``) is only physically complete
+        once ``gc`` has aged the pre-erasure snapshots out."""
+        p = self.manifests / f"{generation:08d}.json"
+        return json.loads(p.read_text())
+
     def data_files(self, manifest: dict | None = None) -> list[str]:
         m = manifest or self.manifest()
         return [str(self.dir / f) for f in m["files"]]

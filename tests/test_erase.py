@@ -106,3 +106,32 @@ def test_engine_erase_surface(spark, tmp_path):
         .count() == 0
     assert left.filter("container_id = 'c1' AND line LIKE 'user=0 %'") \
         .count() == 20
+
+
+def test_time_travel_and_gc_complete_erasure(spark, tmp_path):
+    """manifest_at reads the pre-erasure snapshot (time travel); gc
+    ages it out, which is when the erasure is physically complete."""
+    logs_dir = _write_logs_table(spark, tmp_path)
+    t = ManifestTable(logs_dir)
+    t.import_existing()
+    g0 = t.manifest()["generation"]
+
+    erase_matching(spark, logs_dir, "line LIKE 'user=3 %'")
+    g1 = t.manifest()["generation"]
+    assert g1 > g0 and g0 in t.generations()
+
+    # time travel: the old snapshot still shows the erased rows
+    old = t.read_df(spark, t.manifest_at(g0))
+    assert old.filter("line LIKE 'user=3 %'").count() == 40
+    now = t.read_df(spark)
+    assert now.filter("line LIKE 'user=3 %'").count() == 0
+
+    # gc with keep_generations=1 retires the pre-erasure snapshot
+    res = t.gc(keep_generations=1)
+    assert res["deleted_manifests"] >= 1 and res["deleted_files"] > 0
+    assert g0 not in t.generations()
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        t.manifest_at(g0)
+    # the live snapshot is untouched
+    assert t.read_df(spark).count() == 160
