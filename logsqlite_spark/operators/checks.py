@@ -54,14 +54,21 @@ class Check:
 def completeness(name: str, col: str, bound: float = 1.0) -> Check:
     """Fraction of rows with a non-null ``col``."""
     return Check(name,
-                 f"cast(count({col}) as double) / count(*)", ">=", bound)
+                 f"cast(count({col}) as double) / nullif(count(*), 0)",
+                 ">=", bound)
 
 
 def uniqueness(name: str, col: str) -> Check:
-    """Fraction of rows whose ``col`` value occurs exactly once
-    (Deequ's uniqueness; 1.0 == primary-key property)."""
+    """Distinctness: ``count(distinct col) / count(col)`` — equals 1.0
+    iff every value occurs exactly once, i.e. the primary-key
+    property, which is what the ``== 1.0`` bound tests. (This is
+    Deequ's *distinctness*; its exactly-once *uniqueness* ratio needs
+    per-value counts — a groupBy, not a conditional aggregate — and
+    would break the one-pass contract. At any bound other than 1.0
+    the two metrics diverge; don't loosen the bound expecting
+    exactly-once semantics.)"""
     return Check(name,
-                 f"cast(count(distinct {col}) as double) / count({col})",
+                 f"cast(count(distinct {col}) as double) / nullif(count({col}), 0)",
                  "==", 1.0)
 
 
@@ -70,7 +77,8 @@ def in_set(name: str, col: str, values: Sequence[str],
     quoted = ", ".join(f"'{v}'" for v in values)
     return Check(
         name,
-        f"cast(count_if({col} in ({quoted})) as double) / count({col})",
+        f"cast(count_if({col} in ({quoted})) as double) "
+        f"/ nullif(count({col}), 0)",
         ">=", bound)
 
 
@@ -83,28 +91,37 @@ def bound_metric(name: str, metric_sql: str, op: str,
 def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
     """Verify the suite in ONE aggregation over ``df`` (module
     docstring). Output: (check_name, metric, bound, passed) per
-    constraint, in suite order."""
+    constraint, in suite order.
+
+    The verdict is computed on the UNROUNDED metric — rounding first
+    would let one duplicate id in 3M rows round a 0.99999967
+    distinctness up to the 1.0 bound and pass, exactly at the scale
+    the gate exists for; the 6-decimal rounding is display/oracle
+    only. A NULL metric (empty table, all-NULL column) is a FAILED
+    constraint, not an unknown: ``passed`` is coalesced to false so
+    ``filter(~passed)`` gates can't be sneaked past by an empty
+    snapshot."""
     metrics = df.agg(*[
-        F.round(F.expr(c.metric_sql), 6).alias(f"_m{i}")
+        F.expr(c.metric_sql).alias(f"_m{i}")
         for i, c in enumerate(checks)
     ])
     stack_args = ", ".join(
         f"'{c.name}', _m{i}" for i, c in enumerate(checks))
     rows = metrics.select(F.expr(
-        f"stack({len(checks)}, {stack_args}) as (check_name, metric)"))
+        f"stack({len(checks)}, {stack_args}) as (check_name, raw)"))
     bound_map = F.create_map(*[
         x for c in checks for x in (F.lit(c.name), F.lit(float(c.bound)))])
     # per-row verdicts: ops differ per check, so rebuild via CASE
     verdict = None
     for c in checks:
         cond = (F.col("check_name") == c.name) & \
-            c.passed_expr(F.col("metric"))
+            c.passed_expr(F.col("raw"))
         verdict = cond if verdict is None else (verdict | cond)
     return rows.select(
         "check_name",
-        F.col("metric").cast("double").alias("metric"),
+        F.round(F.col("raw"), 6).cast("double").alias("metric"),
         bound_map[F.col("check_name")].alias("bound"),
-        verdict.alias("passed"))
+        F.coalesce(verdict, F.lit(False)).alias("passed"))
 
 
 EVENTS_CHECKS: tuple[Check, ...] = (
@@ -127,7 +144,7 @@ DOCUMENTS_CHECKS: tuple[Check, ...] = (
     completeness("lang_mostly_present", "lang", 0.9),
     bound_metric("n_chars_consistent",
                  "cast(count_if(n_chars = length(text)) as double) "
-                 "/ count(*)", ">=", 0.0),
+                 "/ nullif(count(*), 0)", ">=", 0.0),
 )
 
 
@@ -201,16 +218,18 @@ QUERIES = {
 
 def _oracle(table_name: str, checks: Sequence[Check],
             rewrites: dict[str, str] | None = None) -> str:
-    """Replay the suite in DuckDB: same one-agg + unpivot shape."""
+    """Replay the suite in DuckDB: same one-agg + unpivot shape —
+    verdict on the UNROUNDED metric, NULL coalesced to false, rounding
+    display-only (the run_checks contract)."""
     rewrites = rewrites or {}
     cols = ", ".join(
-        f"round(CAST({rewrites.get(c.name, c.metric_sql)} AS DOUBLE), 6) "
-        f"AS m{i}"
+        f"CAST({rewrites.get(c.name, c.metric_sql)} AS DOUBLE) AS m{i}"
         for i, c in enumerate(checks))
     rows = " UNION ALL ".join(
-        f"SELECT '{c.name}' AS check_name, m{i} AS metric, "
+        f"SELECT '{c.name}' AS check_name, round(m{i}, 6) AS metric, "
         f"CAST({float(c.bound)} AS DOUBLE) AS bound, "
-        f"(m{i} {'=' if c.op == '==' else c.op} {float(c.bound)}) AS passed "
+        f"COALESCE(m{i} {'=' if c.op == '==' else c.op} {float(c.bound)}, "
+        f"FALSE) AS passed "
         f"FROM agg"
         for i, c in enumerate(checks))
     return f"WITH agg AS (SELECT {cols} FROM {table_name}) {rows}"
@@ -220,12 +239,13 @@ def _oracle(table_name: str, checks: Sequence[Check],
 _O_REWRITES_EVENTS = {
     "event_type_known": (
         "cast(count(*) FILTER (event_type IN ('view', 'click', "
-        "'purchase', 'signup', 'error')) AS DOUBLE) / count(event_type)"),
+        "'purchase', 'signup', 'error')) AS DOUBLE) "
+        "/ nullif(count(event_type), 0)"),
 }
 _O_REWRITES_DOCS = {
     "n_chars_consistent": (
         "cast(count(*) FILTER (n_chars = length(text)) AS DOUBLE) "
-        "/ count(*)"),
+        "/ nullif(count(*), 0)"),
 }
 
 ORACLES = {

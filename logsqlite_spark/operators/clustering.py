@@ -203,8 +203,8 @@ def cluster_balanced_sample(assigned: DataFrame,
     )
 
 
-def refine_centroids(assigned: DataFrame, centroids: DataFrame,
-                     dim: int = 64) -> DataFrame:
+def refine_centroids(assigned: DataFrame,
+                     centroids: DataFrame) -> DataFrame:
     """One Lloyd iteration: new centroid = element-wise
     ``floor(mean)`` of each cluster's quantized vectors (stays
     integral — further assignment rounds remain exact and
@@ -311,13 +311,17 @@ def semantic_dedup_stats(emb: DataFrame, centroids: DataFrame,
     one representative per group' with the same deterministic
     tie-break the exact-dedup path uses)."""
     pairs = semantic_dedup_pairs(emb, centroids, tau)
-    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
-    total = emb.count()
-    n_pairs = pairs.count()
-    n_dropped = dropped.count()
+    # ONE action over the expensive pair lineage: count and distinct
+    # dropped ids in the same aggregation (three separate .count()s
+    # re-ran the whole clustered join twice more — review r5)
+    agg = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.countDistinct("b_id").cast("long").alias("n_dropped")
+    ).collect()[0]
+    total = emb.count()  # metadata-only parquet count-star
     spark = emb.sparkSession
     return spark.createDataFrame(
-        [(total, n_pairs, total - n_dropped)],
+        [(total, agg["n_pairs"], total - agg["n_dropped"])],
         "n_vectors long, n_sem_pairs long, n_kept long")
 
 

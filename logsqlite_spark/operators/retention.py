@@ -246,16 +246,20 @@ def erase_matching(
     At 100 TB the cost is: one stats-assisted scan + a rewrite of only
     the partitions that actually contain the subject's rows.
     """
+    from urllib.parse import unquote
+
     table = ManifestTable(logs_dir)
     manifest = table.import_existing()
-    prefix = f"container_id={container_id}/" if container_id else None
     by_part: dict[tuple[str, str], list[str]] = {}
     for f in manifest["files"]:
-        if prefix and not f.startswith(prefix):
-            continue
         parts = f.split("/")
-        c = parts[0].split("=", 1)[1]
-        d = parts[1].split("=", 1)[1]
+        # partition-dir values are URI-escaped by Spark (a container id
+        # "a:b" lives under container_id=a%3Ab); unescape so the keys
+        # match the DataFrame values the counting pass groups by
+        c = unquote(parts[0].split("=", 1)[1])
+        d = unquote(parts[1].split("=", 1)[1])
+        if container_id is not None and c != container_id:
+            continue
         by_part.setdefault((c, d), []).append(f)
     empty = {"dropped_partitions": 0, "rewritten_partitions": 0,
              "deleted_rows": 0}
@@ -264,7 +268,10 @@ def erase_matching(
 
     paths = [str(Path(logs_dir) / f) for fs in by_part.values() for f in fs]
     df = spark.read.option("basePath", logs_dir).parquet(*paths)
-    cond = F.expr(predicate_sql)
+    # SQL DELETE semantics: a NULL predicate row is NOT deleted — fold
+    # NULL to false on BOTH the counting and the keep side, or the
+    # rewrite would silently drop rows the caller never asked to erase
+    cond = F.coalesce(F.expr(predicate_sql), F.lit(False))
 
     per_part = (
         df.groupBy(F.col("container_id").cast("string").alias("c"),

@@ -255,9 +255,67 @@ def _ivf_index_root() -> str:
 
 # Auto-builds serialize on one module lock (a lazily-created per-
 # function lock had a create-race: two threads could each make their
-# own lock and overwrite the same index dir concurrently).
+# own lock and overwrite the same index dir concurrently). The module
+# lock covers THREADS; the auto root is a machine-shared tmpdir, so
+# concurrent PROCESSES additionally serialize on an O_EXCL lock file
+# beside the index dir (review r5: two drivers querying the same
+# corpus could interleave overwrite-writes into one lists/ dir and
+# serve a mixed index).
 _IVF_BUILD_LOCK = threading.Lock()
 _IVF_KEEP_NEWEST = 8
+# never GC an index whose marker is fresher than this — another
+# session may be mid-read; keep-newest alone could retire a live one
+_IVF_GC_MIN_AGE_S = 6 * 3600.0
+
+
+def _local_fs_path(path: str) -> str | None:
+    """The local filesystem path for ``path`` if it is local (bare or
+    file: scheme), else None — the O_EXCL lock protocol only exists on
+    a local FS; scheme'd stores coordinate via their own atomics."""
+    if path.startswith("file:"):
+        return path[len("file:"):] or "/"
+    return None if "://" in path or path.startswith("hdfs:") else path
+
+
+class _DirBuildLock:
+    """O_EXCL lock file beside an index dir — cross-process build
+    mutex. A stale lock (holder crashed) is broken after an hour."""
+
+    def __init__(self, local_dir: str, timeout_s: float = 600.0):
+        import os
+        self.lock_file = local_dir + ".lock"
+        self.timeout_s = timeout_s
+        os.makedirs(os.path.dirname(self.lock_file), exist_ok=True)
+
+    def __enter__(self):
+        import os
+        import time
+        deadline = time.monotonic() + self.timeout_s
+        while True:
+            try:
+                fd = os.open(self.lock_file,
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return self
+            except FileExistsError:
+                try:
+                    if (time.time() - os.path.getmtime(self.lock_file)
+                            > 3600.0):
+                        os.unlink(self.lock_file)
+                        continue
+                except OSError:
+                    continue
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"IVF build lock busy: {self.lock_file}")
+                time.sleep(0.25)
+
+    def __exit__(self, *exc):
+        import contextlib
+        import os
+        with contextlib.suppress(OSError):
+            os.unlink(self.lock_file)
 
 
 def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,
@@ -315,10 +373,28 @@ def _gc_auto_index_root() -> None:
                     continue
             entries.append((ts, d))
         entries.sort(reverse=True)
-        for _, d in entries[_IVF_KEEP_NEWEST:]:
+        now = time.time()
+        for ts, d in entries[_IVF_KEEP_NEWEST:]:
+            # readers bump the marker mtime on use (_touch_index_marker)
+            # — a recently-used index is never retired under a live
+            # session even when it falls out of the newest-N
+            if now - ts < _IVF_GC_MIN_AGE_S:
+                continue
             shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass
+
+
+def _touch_index_marker(path: str) -> None:
+    """Best-effort read-use bump (local roots only) so GC's age guard
+    sees in-use indexes as fresh."""
+    import contextlib
+    import os
+    local = _local_fs_path(path)
+    if local is None:
+        return
+    with contextlib.suppress(OSError):
+        os.utime(os.path.join(local, "_INDEX_OK"))
 
 
 def _index_marker_path(spark: SparkSession, path: str):
@@ -373,10 +449,24 @@ def ivf_topk(
     if path is not None:
         with _IVF_BUILD_LOCK:
             if not _index_marker_exists(spark, path):
-                build_ivf_index(corpus_df, path, n_clusters=n_clusters,
-                                id_col=id_col, vec_col=vec_col)
+                local = _local_fs_path(path)
+                if local is not None:
+                    with _DirBuildLock(local):
+                        # another process may have built while we
+                        # waited on its lock — re-check under it
+                        if not _index_marker_exists(spark, path):
+                            build_ivf_index(corpus_df, path,
+                                            n_clusters=n_clusters,
+                                            id_col=id_col,
+                                            vec_col=vec_col)
+                else:
+                    build_ivf_index(corpus_df, path,
+                                    n_clusters=n_clusters,
+                                    id_col=id_col, vec_col=vec_col)
                 if index_path is None:
                     _gc_auto_index_root()
+            else:
+                _touch_index_marker(path)
         return ivf_topk_indexed(spark, queries_df, path, k=k,
                                 n_probe=n_probe, id_col=id_col,
                                 vec_col=vec_col)

@@ -1050,10 +1050,11 @@ def important_stock(lineitem: DataFrame, supplier: DataFrame,
         .agg(F.sum("v").cast("long").alias("value_u"))
     )
     total = per.agg(F.sum("value_u").cast("long").alias("t"))
+    # exact rational threshold: value_u/t > frac/1000 as pure integers
     return (
         per.crossJoin(F.broadcast(total))
-        .filter(F.col("value_u") * F.lit(1000 // frac_per_mille)
-                > F.col("t"))
+        .filter(F.col("value_u") * F.lit(1000)
+                > F.col("t") * F.lit(frac_per_mille))
         .select(F.col("l_partkey").cast("long"),
                 F.col("value_u").cast("long"))
     )

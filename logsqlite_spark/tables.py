@@ -82,6 +82,10 @@ _SCAN_WRAPPER_NODES = frozenset((
 _SCAN_LEAF_NODES = frozenset((
     "LogicalRelation", "DataSourceV2Relation", "DataSourceV2ScanRelation",
     "HiveTableRelation",
+    # in-memory frames have no upstream shuffle either — probing them
+    # can't trigger eager stage execution, and skipping them regressed
+    # the parallelism of createDataFrame-backed corpora (review r5)
+    "LocalRelation", "LogicalRDD",
 ))
 
 

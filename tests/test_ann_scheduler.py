@@ -64,13 +64,26 @@ def test_ivf_auto_persist_builds_once_and_reuses(spark, tmp_path, monkeypatch):
     root = str(tmp_path / "auto")
     idxs = os.listdir(root)
     assert len(idxs) == 1
-    marker = os.path.join(root, idxs[0], "_INDEX_OK")
-    m0 = os.path.getmtime(marker)
+    idx_dir = os.path.join(root, idxs[0])
+    marker = os.path.join(idx_dir, "_INDEX_OK")
+
+    def data_mtimes():
+        return {
+            os.path.join(dp, f): os.path.getmtime(os.path.join(dp, f))
+            for dp, _, fs in os.walk(idx_dir) for f in fs
+            if f != "_INDEX_OK"
+        }
+
+    m0 = data_mtimes()
+    t0 = os.path.getmtime(marker)
     b = sorted(map(tuple, ivf_topk(q, emb, k=5, n_clusters=8,
                                    n_probe=4).collect()))
     assert a == b and len(a) > 0
-    # same key, no rebuild: marker untouched, still exactly one index
-    assert os.path.getmtime(marker) == m0
+    # same key, no rebuild: every index DATA file untouched (the
+    # marker mtime advances by design — reads bump it so the GC age
+    # guard sees in-use indexes as fresh), still exactly one index
+    assert data_mtimes() == m0 and m0
+    assert os.path.getmtime(marker) >= t0
     assert os.listdir(root) == idxs
 
 

@@ -62,3 +62,33 @@ def test_metric_drift_flags_volume_collapse(spark):
     second = got["2024-01-02"]
     assert second["drift"] and second["rel_n"] == 0.9
     assert second["n"] == 10 and second["n_users"] == 10
+
+
+def test_empty_table_fails_closed(spark):
+    """Review r5: a NULL metric (empty snapshot) must be a FAILED
+    constraint, not passed=NULL that filter(~passed) gates miss."""
+    from logsqlite_spark.operators.checks import completeness, uniqueness
+
+    df = spark.createDataFrame([], "id long, v double")
+    got = {r["check_name"]: r for r in run_checks(df, (
+        completeness("v_complete", "v"),
+        uniqueness("id_unique", "id"),
+        bound_metric("rows_min", "count(*)", ">=", 1.0),
+    )).collect()}
+    for name, r in got.items():
+        assert r["passed"] is False, (name, r)
+
+
+def test_verdict_on_unrounded_metric(spark):
+    """One duplicate in 3M rows must NOT round up to a passing 1.0."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.checks import uniqueness
+
+    n = 3_000_000
+    df = spark.range(n).select(
+        F.when(F.col("id") == 0, F.lit(1)).otherwise(F.col("id"))
+        .alias("k"))
+    got = run_checks(df, (uniqueness("k_unique", "k"),)).collect()[0]
+    assert got["passed"] is False
+    assert got["metric"] == 1.0  # display rounding unchanged

@@ -135,3 +135,25 @@ def test_time_travel_and_gc_complete_erasure(spark, tmp_path):
         t.manifest_at(g0)
     # the live snapshot is untouched
     assert t.read_df(spark).count() == 160
+
+
+def test_erase_null_predicate_rows_survive(spark, tmp_path):
+    """Review r5: SQL DELETE semantics — rows where the predicate is
+    NULL are kept, and deleted_rows counts only TRUE matches."""
+    from pyspark.sql import functions as F
+
+    rows = [(1, 10**15, "stdout", "keep\n", "c1"),
+            (2, 10**15 + 1, None, "nullsrc\n", "c1"),
+            (3, 10**15 + 2, "stderr", "drop\n", "c1")]
+    df = (spark.createDataFrame(
+        rows, "seq long, ts_nanos long, source string, line string, "
+        "container_id string")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts_nanos div 1000")))
+        .withColumn("date", F.to_date("ts")))
+    logs_dir = str(tmp_path / "logs")
+    df.write.partitionBy("container_id", "date").parquet(logs_dir)
+
+    res = erase_matching(spark, logs_dir, "source = 'stderr'")
+    assert res["deleted_rows"] == 1
+    left = ManifestTable(logs_dir).read_df(spark)
+    assert sorted(r["seq"] for r in left.collect()) == [1, 2]
