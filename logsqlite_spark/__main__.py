@@ -5,9 +5,18 @@
     python -m logsqlite_spark read   --warehouse DIR --container ID \
         [--since RFC3339] [--until RFC3339] [--tail N] [--follow]
     python -m logsqlite_spark sql    --warehouse DIR "SELECT ..."
+    python -m logsqlite_spark cleanup --warehouse DIR
+    python -m logsqlite_spark compact --warehouse DIR [--container ID]
+    python -m logsqlite_spark erase  --warehouse DIR "PREDICATE SQL" \
+        [--container ID] [--gc]
+    python -m logsqlite_spark gc     --warehouse DIR [--keep N]
 
 ``serve`` is the reference's main(): replay registered containers, bind
 the LogDriver unix socket, run until interrupted (main.rs:82-110).
+The maintenance subcommands are the cleaner-cadence jobs runnable
+out-of-band: retention, compaction, targeted (GDPR) erasure — with
+``--gc`` to immediately age out pre-erasure snapshots — and manifest
+garbage collection.
 """
 
 from __future__ import annotations
@@ -52,6 +61,27 @@ def main(argv: list[str] | None = None) -> int:
     sq = sub.add_parser("sql", help="SQL over the engine views")
     sq.add_argument("--warehouse", required=True)
     sq.add_argument("query")
+
+    cl = sub.add_parser("cleanup", help="apply retention for all containers")
+    cl.add_argument("--warehouse", required=True)
+
+    cp = sub.add_parser("compact", help="small-file compaction")
+    cp.add_argument("--warehouse", required=True)
+    cp.add_argument("--container", default=None)
+
+    er = sub.add_parser("erase",
+                        help="delete rows matching a SQL predicate")
+    er.add_argument("--warehouse", required=True)
+    er.add_argument("predicate")
+    er.add_argument("--container", default=None)
+    er.add_argument("--gc", action="store_true",
+                    help="also age out pre-erasure snapshots now "
+                         "(physical completion of the erasure)")
+
+    gc = sub.add_parser("gc", help="retire unreferenced files/manifests")
+    gc.add_argument("--warehouse", required=True)
+    gc.add_argument("--keep", type=int, default=2,
+                    help="manifest generations to keep (default 2)")
 
     a = p.parse_args(argv)
     eng = _engine(a.warehouse)
@@ -99,6 +129,31 @@ def main(argv: list[str] | None = None) -> int:
         df = eng.sql(a.query)
         for r in df.toLocalIterator():
             print(r)
+        return 0
+
+    if a.cmd == "cleanup":
+        print(eng.cleanup_all())
+        return 0
+
+    if a.cmd == "compact":
+        print(eng.compact(a.container))
+        return 0
+
+    if a.cmd == "erase":
+        res = eng.erase(a.predicate, container_id=a.container)
+        if a.gc:
+            from logsqlite_spark.table import ManifestTable
+
+            res["gc"] = ManifestTable(eng.config.logs_dir).gc(
+                keep_generations=1)
+        print(res)
+        return 0
+
+    if a.cmd == "gc":
+        from logsqlite_spark.table import ManifestTable
+
+        print(ManifestTable(eng.config.logs_dir).gc(
+            keep_generations=a.keep))
         return 0
 
     return 2
