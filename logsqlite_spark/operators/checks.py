@@ -124,6 +124,41 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         F.coalesce(verdict, F.lit(False)).alias("passed"))
 
 
+def run_checks_grouped(df: DataFrame, checks: Sequence[Check],
+                       keys: Sequence[str]) -> DataFrame:
+    """Per-group constraint verification — the suite evaluated for
+    every value of ``keys`` (per source, per container, per day) in
+    the SAME single aggregation pass: one groupBy carries every
+    constraint's conditional aggregate, then the per-group metrics
+    row unpivots exactly like :func:`run_checks`. This is how a
+    pipeline finds that ONE upstream feed is broken while the global
+    suite still passes (the global ratios dilute a single bad
+    source). Same verdict contract: unrounded metrics, NULL fails
+    closed."""
+    metrics = df.groupBy(*keys).agg(*[
+        F.expr(c.metric_sql).alias(f"_m{i}")
+        for i, c in enumerate(checks)
+    ])
+    stack_args = ", ".join(
+        f"'{c.name}', _m{i}" for i, c in enumerate(checks))
+    rows = metrics.select(
+        *keys,
+        F.expr(f"stack({len(checks)}, {stack_args}) "
+               "as (check_name, raw)"))
+    bound_map = F.create_map(*[
+        x for c in checks for x in (F.lit(c.name), F.lit(float(c.bound)))])
+    verdict = None
+    for c in checks:
+        cond = (F.col("check_name") == c.name) & \
+            c.passed_expr(F.col("raw"))
+        verdict = cond if verdict is None else (verdict | cond)
+    return rows.select(
+        *keys, "check_name",
+        F.round(F.col("raw"), 6).cast("double").alias("metric"),
+        bound_map[F.col("check_name")].alias("bound"),
+        F.coalesce(verdict, F.lit(False)).alias("passed"))
+
+
 EVENTS_CHECKS: tuple[Check, ...] = (
     completeness("user_id_complete", "user_id"),
     completeness("ts_complete", "ts"),
@@ -209,30 +244,41 @@ def _q_metric_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return metric_drift(table(spark, sf_dir, "events"))
 
 
+def _q_checks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_checks_grouped(table(spark, sf_dir, "documents"),
+                              DOCUMENTS_CHECKS, ["source"])
+
+
 QUERIES = {
     "quality_checks_events": _q_events_checks,
     "quality_checks_documents": _q_docs_checks,
+    "quality_checks_by_source": _q_checks_by_source,
     "metric_drift_events": _q_metric_drift,
 }
 
 
 def _oracle(table_name: str, checks: Sequence[Check],
-            rewrites: dict[str, str] | None = None) -> str:
+            rewrites: dict[str, str] | None = None,
+            keys: Sequence[str] = ()) -> str:
     """Replay the suite in DuckDB: same one-agg + unpivot shape —
     verdict on the UNROUNDED metric, NULL coalesced to false, rounding
-    display-only (the run_checks contract)."""
+    display-only (the run_checks contract). ``keys`` mirrors
+    run_checks_grouped."""
     rewrites = rewrites or {}
-    cols = ", ".join(
+    key_cols = "".join(f"{k}, " for k in keys)
+    cols = key_cols + ", ".join(
         f"CAST({rewrites.get(c.name, c.metric_sql)} AS DOUBLE) AS m{i}"
         for i, c in enumerate(checks))
+    group = f" GROUP BY {', '.join(keys)}" if keys else ""
     rows = " UNION ALL ".join(
-        f"SELECT '{c.name}' AS check_name, round(m{i}, 6) AS metric, "
+        f"SELECT {key_cols}'{c.name}' AS check_name, "
+        f"round(m{i}, 6) AS metric, "
         f"CAST({float(c.bound)} AS DOUBLE) AS bound, "
         f"COALESCE(m{i} {'=' if c.op == '==' else c.op} {float(c.bound)}, "
         f"FALSE) AS passed "
         f"FROM agg"
         for i, c in enumerate(checks))
-    return f"WITH agg AS (SELECT {cols} FROM {table_name}) {rows}"
+    return f"WITH agg AS (SELECT {cols} FROM {table_name}{group}) {rows}"
 
 
 # DuckDB has no count_if; spell the conditional counts portably
@@ -253,6 +299,9 @@ ORACLES = {
                                      _O_REWRITES_EVENTS),
     "quality_checks_documents": _oracle("documents", DOCUMENTS_CHECKS,
                                         _O_REWRITES_DOCS),
+    "quality_checks_by_source": _oracle("documents", DOCUMENTS_CHECKS,
+                                        _O_REWRITES_DOCS,
+                                        keys=("source",)),
     "metric_drift_events": (
         "WITH pd AS (SELECT CAST(ts AS DATE) AS day, "
         "  CAST(count(*) AS BIGINT) AS n, "

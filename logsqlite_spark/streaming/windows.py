@@ -219,6 +219,34 @@ def windowed_quality_metrics(stream: DataFrame,
     )
 
 
+def windowed_user_theta(stream: DataFrame,
+                        id_col: str = "user_id",
+                        window: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        ts_col: str = "ts",
+                        lg_k: int = 12) -> DataFrame:
+    """Per-window Theta sketches of the distinct-id set — like
+    ``windowed_distinct_sketch`` but the emitted sketches support
+    INTERSECTION and DIFFERENCE downstream: window-over-window
+    returning/new/churned users (``operators.sketches
+    .retention_overlap``'s streaming feed) come from pairwise sketch
+    ops over this output table, never from replaying the stream.
+    State per live window is at most 2^lg_k retained hashes; theta
+    merging is order-independent, so estimates equal a batch pass
+    over the same rows (exact below 2^lg_k distinct — pinned in
+    ``test_streaming_theta.py``)."""
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.theta_sketch_agg(id_col, F.lit(lg_k)).alias("sketch"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "sketch",
+                F.theta_sketch_estimate("sketch").cast("long")
+                .alias("est_distinct"))
+    )
+
+
 def run_windowed_batch(logs: DataFrame, window: str = "1 hour",
                        keys: tuple[str, ...] = ("container_id",)) -> DataFrame:
     """Same rollup over the batch table (streaming/batch unification:

@@ -92,3 +92,28 @@ def test_verdict_on_unrounded_metric(spark):
     got = run_checks(df, (uniqueness("k_unique", "k"),)).collect()[0]
     assert got["passed"] is False
     assert got["metric"] == 1.0  # display rounding unchanged
+
+
+def test_grouped_checks_isolate_bad_source(spark):
+    """The per-group suite flags the one broken feed that the global
+    ratios dilute past its bound."""
+    from logsqlite_spark.operators.checks import run_checks_grouped
+
+    rows = [("good", float(i), i) for i in range(90)] + \
+        [("bad", None, 100 + i) for i in range(10)]
+    df = spark.createDataFrame(rows, "src string, v double, id long")
+    suite = (completeness("v_complete", "v", 0.5),)
+
+    glob = run_checks(df, suite).collect()[0]
+    assert glob["passed"]  # 90% complete globally
+
+    per = {r["src"]: r for r in
+           run_checks_grouped(df, suite, ["src"]).collect()}
+    assert per["good"]["passed"]
+    assert per["bad"]["passed"] is False
+    assert per["bad"]["metric"] == 0.0
+
+    # still ONE aggregation pass
+    plan = run_checks_grouped(df, suite, ["src"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("HashAggregate") <= 2 or "Aggregate" in plan
