@@ -299,6 +299,24 @@ def merge_daily_sketches(daily: DataFrame) -> DataFrame:
     )
 
 
+def update_daily_sketches(daily: DataFrame, new_events: DataFrame,
+                          lg_k: int = 12) -> DataFrame:
+    """Incremental maintenance of the materialized daily table: fold a
+    new batch in by sketching ONLY the new rows and union-merging per
+    day. Register-max merging makes this exact maintenance — a day
+    split across the old table and the new batch ends up with the
+    identical sketch a full recompute would build (pinned in
+    ``test_hll.py``), so the nightly job appends instead of
+    re-scanning history. This is the sketch tier's whole point:
+    exact distincts can't be maintained this way at all."""
+    fresh = daily_user_sketches(new_events, lg_k)
+    return (
+        daily.unionByName(fresh)
+        .groupBy("day")
+        .agg(F.hll_union_agg("sketch").alias("sketch"))
+    )
+
+
 def _q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return running_value(_events(spark, sf_dir))
 

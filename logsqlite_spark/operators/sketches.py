@@ -118,6 +118,21 @@ def merge_daily_value_sketches(daily: DataFrame,
         *_kll_quantiles(F.col("sk"), qs))
 
 
+def update_daily_value_sketches(daily: DataFrame, new_events: DataFrame,
+                                k: int = 200) -> DataFrame:
+    """Incremental maintenance of the daily quantile table: sketch
+    only the new rows, merge per day (``kll_merge_agg_bigint``). KLL
+    merge carries the same rank-error guarantee as a fresh sketch
+    (pinned in ``test_sketches.py``), so history is never re-scanned —
+    the property exact quantiles fundamentally lack."""
+    fresh = daily_value_sketches(new_events, k)
+    return (
+        daily.unionByName(fresh)
+        .groupBy("day")
+        .agg(F.kll_merge_agg_bigint("sketch").alias("sketch"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Theta sketches — set operations over daily user sets
 

@@ -60,3 +60,23 @@ def test_hll_rollup_single_scan_with_partial_agg(spark, sf_dir):
     assert plan.count("FileScan") == 1, plan
     assert "partial_hll_sketch_agg" in plan, plan
     assert "Expand" in plan, plan
+
+
+def test_incremental_update_equals_full_recompute(spark, sf_dir):
+    """update_daily_sketches(daily(h1), h2) must estimate identically
+    to daily(full) — register-max merge makes incremental maintenance
+    exact, even for days split across the old table and the batch."""
+    from logsqlite_spark.operators.analytics import update_daily_sketches
+
+    ev = _events(spark, sf_dir)
+    h1 = ev.filter("event_id % 2 = 0")   # arbitrary split: days overlap
+    h2 = ev.filter("event_id % 2 = 1")
+    updated = update_daily_sketches(daily_user_sketches(h1), h2)
+    full = daily_user_sketches(ev)
+
+    def ests(daily):
+        return {str(r["day"]): r["est"] for r in daily.select(
+            "day", F.hll_sketch_estimate("sketch").cast("long")
+            .alias("est")).collect()}
+
+    assert ests(updated) == ests(full)

@@ -146,3 +146,22 @@ def test_theta_approximate_regime_error_bounded(spark):
                        ("new_users", n - overlap),
                        ("churned", n - overlap)):
         assert abs(r[col] - truth) <= 0.10 * truth, (col, r[col], truth)
+
+
+def test_kll_incremental_update_rank_error(spark, sf_dir):
+    """Incrementally maintained daily quantile sketches keep the
+    rank-error guarantee vs exact quantiles over the full data."""
+    from logsqlite_spark.operators.sketches import (
+        update_daily_value_sketches)
+
+    ev = _events(spark, sf_dir).where(F.col("day").isNotNull())
+    ev = ev.withColumn("_r", F.crc32(F.col("user_id").cast("string")))
+    h1, h2 = ev.filter("_r % 2 = 0"), ev.filter("_r % 2 = 1")
+    updated = update_daily_value_sketches(daily_value_sketches(h1), h2)
+    merged = merge_daily_value_sketches(updated).collect()[0]
+
+    vals = sorted(r["value_c"] for r in ev.select("value_c").collect())
+    assert merged["n"] == len(vals)
+    for q in (0.5, 0.9, 0.99):
+        est = merged[f"p{int(q * 100)}_c"]
+        assert abs(_rank_of(vals, est) - q) <= _RANK_EPS, (q, est)
