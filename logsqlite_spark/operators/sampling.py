@@ -107,6 +107,44 @@ def stratified_sample(docs: DataFrame, stratum_col: str = "lang",
     )
 
 
+def mixture_sample(docs: DataFrame, quotas: dict[str, int],
+                   stratum_col: str = "source", id_col: str = "doc_id",
+                   salt: str = "mix-v1") -> DataFrame:
+    """Source-weighted corpus mixing (DoReMi/Pile-style static data
+    mixture): draw EXACTLY ``quotas[s]`` documents from each listed
+    source, deterministically. The quota table is a handful of
+    literals broadcast into the per-stratum rank filter, so the plan
+    is the stratified-sample WindowGroupLimit — each executor retains
+    at most the quota per source, and the shuffle carries
+    O(sum(quotas)) rows no matter the corpus size. Sources short of
+    their quota contribute everything they have (the caller audits
+    via a count per stratum); unlisted sources contribute nothing.
+
+    Determinism: rows rank inside a source by (salted md5, id) — a
+    uniform pseudo-random order both engines reproduce, so resampling
+    under a different salt gives an independent draw and the DuckDB
+    oracle hash-matches exactly.
+    """
+    h = _bucket_col(id_col, salt, 1_000_000_007)
+    quota_map = F.create_map(*[
+        x for s, q in quotas.items() for x in (F.lit(s), F.lit(int(q)))])
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(),
+                                               F.col(id_col).asc())
+    return (
+        docs.filter(F.col(stratum_col).isin(list(quotas)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= quota_map[F.col(stratum_col)])
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(stratum_col).alias("stratum"),
+            F.col("rn").cast("int").alias("rn"),
+        )
+    )
+
+
+MIX_QUOTAS = {"src0": 12, "src1": 3, "src2": 20, "src3": 7}
+
+
 def _q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return split_assign(table(spark, sf_dir, "documents"))
 
@@ -119,10 +157,15 @@ def _q_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stratified_sample(table(spark, sf_dir, "documents"))
 
 
+def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixture_sample(table(spark, sf_dir, "documents"), MIX_QUOTAS)
+
+
 QUERIES = {
     "split_assign": _q_split_assign,
     "split_counts": _q_split_counts,
     "stratified_sample": _q_stratified,
+    "mixture_sample": _q_mixture,
 }
 
 _SQL_BUCKET = (
@@ -151,5 +194,17 @@ ORACLES = {
         "FROM documents) "
         f"SELECT doc_id, stratum, CAST(rn AS INT) AS rn FROM r "
         f"WHERE rn <= {STRATUM_K}"
+    ),
+    "mixture_sample": (
+        "WITH q(src, quota) AS (VALUES "
+        + ", ".join(f"('{s}', {n})" for s, n in MIX_QUOTAS.items())
+        + "), "
+        "r AS (SELECT doc_id, source AS stratum, row_number() OVER ("
+        "  PARTITION BY source ORDER BY "
+        + _SQL_BUCKET.format(salt="mix-v1", id="doc_id", n=1_000_000_007)
+        + " ASC, doc_id ASC) AS rn "
+        "  FROM documents WHERE source IN (SELECT src FROM q)) "
+        "SELECT doc_id, stratum, CAST(rn AS INT) AS rn "
+        "FROM r JOIN q ON stratum = src WHERE rn <= quota"
     ),
 }

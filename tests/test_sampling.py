@@ -62,3 +62,28 @@ def test_stratified_deterministic(spark, sf_dir):
     b = sorted((r.doc_id, r.rn)
                for r in SP.stratified_sample(docs.repartition(5)).collect())
     assert a == b
+
+
+def test_mixture_sample_quotas_shortfall_and_salts(spark, sf_dir):
+    from logsqlite_spark.operators.sampling import mixture_sample
+    from logsqlite_spark.tables import table as _table
+
+    docs = _table(spark, sf_dir, "documents")
+    quotas = {"src0": 3, "src1": 10_000, "src2": 1}
+    rows = mixture_sample(docs, quotas).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["stratum"], []).append(r["doc_id"])
+    avail = {r["source"]: r["n"] for r in docs.groupBy("source")
+             .count().withColumnRenamed("count", "n").collect()}
+    # exact quota where available, everything where short
+    assert len(per["src0"]) == 3
+    assert len(per["src1"]) == min(10_000, avail["src1"])
+    assert len(per["src2"]) == 1
+    assert set(per) == {"src0", "src1", "src2"}  # unlisted excluded
+
+    # deterministic across runs; a different salt draws independently
+    again = sorted(map(tuple, mixture_sample(docs, quotas).collect()))
+    assert again == sorted(map(tuple, rows))
+    other = mixture_sample(docs, {"src0": 3}, salt="mix-v2").collect()
+    assert {r["doc_id"] for r in other} != set(per["src0"])
