@@ -120,6 +120,42 @@ def winnow_fingerprints(docs: DataFrame, k: int = WINNOW_K,
     )
 
 
+def chunk_documents(docs: DataFrame, chunk_tokens: int = 64,
+                    overlap: int = 8, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap —
+    the RAG / long-context-pretraining prep step. Pure zero-shuffle
+    projection: chunk starts are a generated ``sequence`` at stride
+    ``chunk_tokens - overlap`` (the last start is the largest stride
+    multiple that still contributes uncovered tokens, so every token
+    appears and no trailing chunk is redundant), exploded and sliced
+    in whole-stage codegen. A 100 TB corpus chunks at scan speed;
+    output order is (doc_id, chunk_id) by construction.
+    """
+    stride = chunk_tokens - overlap
+    if stride <= 0:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    toks = f"split({text_col}, ' ')"
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.expr(toks).alias("__t"))
+        .select(
+            "doc_id", F.expr("size(__t)").alias("__n"), "__t",
+            F.explode(F.expr(
+                f"sequence(0, greatest(size(__t) - {overlap} - 1, 0), "
+                f"{stride})")).alias("start"))
+        .select(
+            "doc_id",
+            (F.col("start") / F.lit(stride)).cast("int").alias("chunk_id"),
+            F.least(F.lit(chunk_tokens),
+                    F.col("__n") - F.col("start")).cast("int")
+            .alias("n_tokens"),
+            F.expr(f"array_join(slice(__t, start + 1, {chunk_tokens}), "
+                   "' ')").alias("chunk_text"))
+    )
+
+
 def winnow_matches(docs: DataFrame, min_shared: int = 8,
                    max_doc_freq: int = 64, k: int = WINNOW_K,
                    w: int = WINNOW_W, text_col: str = "text",
@@ -529,7 +565,13 @@ def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matches(table(spark, sf_dir, "documents"))
 
 
+def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(table(spark, sf_dir, "documents"),
+                           chunk_tokens=32, overlap=4)
+
+
 QUERIES = {
+    "chunk_documents": _q_chunks,
     "text_quality": _q_text_quality,
     "token_counts": _q_token_counts,
     "token_freq": _q_token_freq,
@@ -582,6 +624,20 @@ _WINNOW_FP_SQL = (
 )
 
 ORACLES = {
+    "chunk_documents": (
+        # stride = 32 - 4 = 28; starts = range(0, greatest(n-4,1), 28)
+        # (range excludes the stop, matching Spark's inclusive
+        # sequence(0, n-4-1, 28) — same start set)
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks "
+        "  FROM documents), "
+        "s AS (SELECT doc_id, toks, len(toks) AS n, "
+        "  unnest(range(0, greatest(len(toks) - 4, 1), 28)) AS start "
+        "  FROM t) "
+        "SELECT doc_id, CAST(start / 28 AS INT) AS chunk_id, "
+        "CAST(least(32, n - start) AS INT) AS n_tokens, "
+        "array_to_string(toks[start + 1 : start + 32], ' ') AS chunk_text "
+        "FROM s"
+    ),
     "text_quality": (
         f"SELECT doc_id, CAST(length(text) AS INT) AS text_len, "
         f"CAST(len({_TOKS}) AS INT) AS n_tokens, "

@@ -125,3 +125,37 @@ def test_winnow_fingerprint_count_sublinear_in_length(spark):
     docs = spark.createDataFrame([(0, text)], "doc_id long, text string")
     n = winnow_fingerprints(docs).count()
     assert n <= 2 * len(text) / WINNOW_W
+
+
+def test_chunk_documents_coverage_and_zero_shuffle(spark):
+    from logsqlite_spark.operators.textstats import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(100))),
+         (2, "a b c"),             # shorter than one chunk
+         (3, " ".join(f"x{i}" for i in range(64)))],  # exactly one
+        "doc_id long, text string")
+    out = chunk_documents(docs, chunk_tokens=64, overlap=8).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+
+    # short doc: one chunk, everything in it
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "a b c"
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_tokens"] == 64
+
+    # long doc: every token appears; consecutive chunks share exactly
+    # `overlap` tokens; no redundant trailing chunk
+    chunks = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    toks = [c["chunk_text"].split(" ") for c in chunks]
+    covered = set()
+    for t in toks:
+        covered.update(t)
+    assert covered == {f"t{i}" for i in range(100)}
+    for a, b in zip(toks, toks[1:]):
+        assert a[-8:] == b[:8]
+    assert len(chunks[-1]["chunk_text"].split(" ")) > 8  # adds new toks
+
+    plan = chunk_documents(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan, plan
