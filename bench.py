@@ -70,6 +70,7 @@ BENCH_QUERIES = [
     # data-quality tier + the round-5 tpch additions
     "quality_checks_events",
     "tpch_q2_min_cost_supplier",
+    "chunk_documents",
 ]
 
 def main() -> None:
