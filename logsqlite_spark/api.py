@@ -202,6 +202,21 @@ class Engine:
                                         container_id, **kw)
         return CP.compact_all(self.spark, self.config.logs_dir, **kw)
 
+    def start_quality_monitor(self, **kw):
+        """Streaming per-window health metrics over the logs table
+        with threshold alerts appended to ``<state>/quality_alerts``
+        (see streaming/monitor.py)."""
+        import os
+
+        from logsqlite_spark.streaming.monitor import (
+            start_quality_monitor)
+
+        return start_quality_monitor(
+            self.spark, self.config.logs_dir,
+            os.path.join(self.config.state_dir, "quality_alerts"),
+            os.path.join(self.config.state_dir, "quality_monitor_ck"),
+            **kw)
+
     def erase(self, predicate_sql: str,
               container_id: str | None = None) -> dict:
         """Targeted erasure (right-to-be-forgotten): delete every row

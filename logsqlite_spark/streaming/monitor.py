@@ -1,0 +1,90 @@
+"""Streaming quality monitor over the logs table (§2.8 extension).
+
+Operationalizes the data-quality tier for the live ingest path: a
+Structured Streaming query computes per-(window, container) health
+metrics — row counts, empty/oversized-line counts, HLL distinct
+sources — and appends ALERT rows for windows that violate the
+declared thresholds to a plain parquet alert table the operator (or
+the cleaner-cadence jobs) can tail. This is the "quarantine the bad
+window before publication" loop of the batch ``operators.checks``
+suite, kept streaming-shaped:
+
+- state per live (window, container) is a handful of counters plus a
+  fixed-size sketch — the watermark expires it, so an unbounded
+  stream holds bounded state;
+- thresholds evaluate in ``foreachBatch`` on the handful of finalized
+  metric rows, never against the stream itself;
+- the alert sink is idempotent per (window, container): append-mode
+  windows finalize exactly once when the watermark passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logsqlite_spark.schema import LOGS_SCHEMA
+
+
+def windowed_log_health(stream: DataFrame,
+                        window: str = "5 minutes",
+                        watermark: str = "10 minutes",
+                        max_line_bytes: int = 16384) -> DataFrame:
+    """Per-(window, container) health metrics for the logs stream."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "container_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"),
+             F.count(F.when(F.length("line") == 0, 1))
+             .cast("long").alias("n_empty"),
+             F.count(F.when(F.length("line") > max_line_bytes, 1))
+             .cast("long").alias("n_oversized"),
+             F.hll_sketch_estimate(
+                 F.hll_sketch_agg("source", F.lit(12)))
+             .cast("long").alias("est_sources"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "container_id", "n", "n_empty", "n_oversized",
+                "est_sources")
+    )
+
+
+def start_quality_monitor(spark: SparkSession, logs_dir: str,
+                          alerts_dir: str,
+                          checkpoint_dir: str,
+                          window: str = "5 minutes",
+                          watermark: str = "10 minutes",
+                          max_empty_ratio: float = 0.5,
+                          max_line_bytes: int = 16384,
+                          query_name: str = "logsqlite-quality-monitor"):
+    """Start the monitor: finalized windows violating a threshold are
+    appended to ``alerts_dir`` with the violated rule named. Append
+    output mode = a window alerts at most once (on watermark close)."""
+    stream = (
+        spark.readStream.schema(LOGS_SCHEMA)
+        .option("maxFilesPerTrigger", "512")
+        .parquet(logs_dir)
+    )
+    health = windowed_log_health(stream, window, watermark,
+                                 max_line_bytes)
+
+    def emit(df: DataFrame, batch_id: int) -> None:
+        alerts = (
+            df.withColumn(
+                "rule",
+                F.when(F.col("n_empty").cast("double")
+                       > F.lit(max_empty_ratio) * F.col("n"),
+                       F.lit("empty_ratio"))
+                .when(F.col("n_oversized") > 0, F.lit("oversized_line")))
+            .filter(F.col("rule").isNotNull())
+        )
+        if alerts.take(1):
+            alerts.write.mode("append").parquet(alerts_dir)
+
+    return (
+        health.writeStream.foreachBatch(emit)
+        .outputMode("append")
+        .queryName(query_name)
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

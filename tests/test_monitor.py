@@ -1,0 +1,61 @@
+"""Streaming quality monitor (streaming/monitor.py): bad windows
+produce exactly one alert row when the watermark finalizes them;
+healthy windows never alert."""
+
+from __future__ import annotations
+
+import time
+from datetime import datetime, timezone
+
+from pyspark.sql import functions as F
+
+from logsqlite_spark.streaming.monitor import start_quality_monitor
+
+BASE = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp())
+M = 1_000_000
+
+
+def _write(spark, path, rows):
+    df = (spark.createDataFrame(
+        rows, "seq long, ts_us long, source string, line string, "
+        "container_id string")
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+        .withColumn("ts_nanos", F.expr("ts_us * 1000"))
+        .withColumn("partial", F.lit(False))
+        .withColumn("partial_meta", F.expr(
+            "cast(null as struct<last boolean, id string, ordinal int>)"))
+        .withColumn("date", F.to_date("ts"))
+        .drop("ts_us"))
+    df.coalesce(1).write.mode("append") \
+        .partitionBy("container_id", "date").parquet(path)
+
+
+def test_monitor_alerts_on_empty_window(spark, tmp_path):
+    logs = str(tmp_path / "logs")
+    alerts = str(tmp_path / "alerts")
+    ck = str(tmp_path / "ck")
+
+    # window A (healthy): normal lines; window B (bad): 80% empty
+    healthy = [(i, (BASE + i) * M, "stdout", f"line{i}\n", "c1")
+               for i in range(20)]
+    bad = [(100 + i, (BASE + 300 + i) * M, "stdout",
+            "" if i % 5 != 0 else "ok\n", "c1") for i in range(20)]
+    # sentinel far ahead: advances the watermark past both windows
+    tail = [(999, (BASE + 7200) * M, "stdout", "tail\n", "c1")]
+    _write(spark, logs, healthy)
+    _write(spark, logs, bad)
+    _write(spark, logs, tail)
+
+    q = start_quality_monitor(spark, logs, alerts, ck,
+                              window="5 minutes", watermark="1 minute")
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(alerts).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["rule"] == "empty_ratio" and r["container_id"] == "c1"
+    assert r["n"] == 20 and r["n_empty"] == 16
+    assert r["window_start"].isoformat().startswith("2024-01-01T00:05")
