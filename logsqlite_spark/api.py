@@ -48,6 +48,13 @@ class Engine:
         # warehouses written before the manifest protocol (migration).
         return self.table.read_df(self.spark, self.table.import_existing())
 
+    def logs_df_at(self, generation: int) -> DataFrame:
+        """Time travel: the logs table as of a retained manifest
+        generation (``self.table.generations()`` lists them; valid
+        inside the gc retention window — see table.manifest_at)."""
+        return self.table.read_df(self.spark,
+                                  self.table.manifest_at(generation))
+
     # -- StartLogging (docker.rs:59-84) ---------------------------------------
 
     def start_logging(self, container_id: str, fifo: str | None = None,

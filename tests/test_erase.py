@@ -157,3 +157,21 @@ def test_erase_null_predicate_rows_survive(spark, tmp_path):
     assert res["deleted_rows"] == 1
     left = ManifestTable(logs_dir).read_df(spark)
     assert sorted(r["seq"] for r in left.collect()) == [1, 2]
+
+
+def test_engine_logs_df_at_time_travel(spark, tmp_path):
+    from logsqlite_spark.api import Engine
+    from logsqlite_spark.config import EngineConfig
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    import shutil
+    from pathlib import Path
+    src = _write_logs_table(spark, tmp_path)
+    Path(eng.config.logs_dir).parent.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(src, eng.config.logs_dir, dirs_exist_ok=True)
+
+    n0 = eng.logs_df().count()
+    g0 = eng.table.manifest()["generation"]
+    eng.erase("line LIKE 'user=4 %'")
+    assert eng.logs_df().count() == n0 - 40
+    assert eng.logs_df_at(g0).count() == n0
