@@ -130,10 +130,18 @@ def mixture_sample(docs: DataFrame, quotas: dict[str, int],
         x for s, q in quotas.items() for x in (F.lit(s), F.lit(int(q)))])
     w = Window.partitionBy(stratum_col).orderBy(h.asc(),
                                                F.col(id_col).asc())
+    # the per-source bound is a map lookup — NOT a literal, so it
+    # cannot trigger InsertWindowGroupLimit by itself and every row
+    # would sort through the shuffle. The literal max-quota conjunct
+    # restores the map-side prune (each task keeps ≤ max(quota) rows
+    # per source before the exchange); the map conjunct then trims to
+    # the exact per-source quota. Plan pinned in test_plans.py.
+    max_q = max(int(q) for q in quotas.values())
     return (
         docs.filter(F.col(stratum_col).isin(list(quotas)))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= quota_map[F.col(stratum_col)])
+        .filter((F.col("rn") <= F.lit(max_q))
+                & (F.col("rn") <= quota_map[F.col(stratum_col)]))
         .select(
             F.col(id_col).cast("long").alias("doc_id"),
             F.col(stratum_col).alias("stratum"),

@@ -416,3 +416,17 @@ def test_runtime_bloom_filter_prunes_selective_dim_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_mixture_sample_group_limit_before_exchange(spark):
+    """mixture_sample's per-source quota must prune map-side (partial
+    WindowGroupLimit before the exchange) so the shuffle carries
+    O(sum quotas) rows, not the corpus."""
+    from logsqlite_spark.operators.sampling import mixture_sample
+    from logsqlite_spark.tables import table as _table
+
+    df = mixture_sample(_table(spark, SF, "documents"),
+                        {"src0": 5, "src1": 2})
+    plan = _plan_initial(df)
+    assert "WindowGroupLimit" in plan, plan
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange"), plan
