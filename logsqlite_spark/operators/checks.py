@@ -72,9 +72,16 @@ def uniqueness(name: str, col: str) -> Check:
                  "==", 1.0)
 
 
+def _sq(s: str) -> str:
+    """Single-quote a string literal for SQL interpolation, doubling
+    embedded quotes — check names and in_set values are user-supplied
+    and land inside stack()/oracle SQL text."""
+    return "'" + s.replace("'", "''") + "'"
+
+
 def in_set(name: str, col: str, values: Sequence[str],
            bound: float = 1.0) -> Check:
-    quoted = ", ".join(f"'{v}'" for v in values)
+    quoted = ", ".join(_sq(v) for v in values)
     return Check(
         name,
         f"cast(count_if({col} in ({quoted})) as double) "
@@ -106,7 +113,7 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         for i, c in enumerate(checks)
     ])
     stack_args = ", ".join(
-        f"'{c.name}', _m{i}" for i, c in enumerate(checks))
+        f"{_sq(c.name)}, _m{i}" for i, c in enumerate(checks))
     rows = metrics.select(F.expr(
         f"stack({len(checks)}, {stack_args}) as (check_name, raw)"))
     bound_map = F.create_map(*[
@@ -140,7 +147,7 @@ def run_checks_grouped(df: DataFrame, checks: Sequence[Check],
         for i, c in enumerate(checks)
     ])
     stack_args = ", ".join(
-        f"'{c.name}', _m{i}" for i, c in enumerate(checks))
+        f"{_sq(c.name)}, _m{i}" for i, c in enumerate(checks))
     rows = metrics.select(
         *keys,
         F.expr(f"stack({len(checks)}, {stack_args}) "
@@ -224,9 +231,13 @@ def metric_drift(events: DataFrame,
     )
     from pyspark.sql import Window
     w = Window.orderBy("day")
+    # Divide by nullif(lag, 0): a previous day with zero mass (all-null
+    # or all-zero values) must yield rel=NULL -> drift coalesces false,
+    # not an ANSI DIVIDE_BY_ZERO that kills the whole query. Mirrored
+    # in the DuckDB oracle below.
     rel = lambda c: F.round(  # noqa: E731
         F.abs(F.col(c) - F.lag(c).over(w)).cast("double")
-        / F.lag(c).over(w).cast("double"), 6)
+        / F.nullif(F.lag(c).over(w).cast("double"), F.lit(0.0)), 6)
     out = per_day.select(
         F.col("day").cast("string").alias("day"),
         "n", "n_users", "sum_value_c",
@@ -271,7 +282,7 @@ def _oracle(table_name: str, checks: Sequence[Check],
         for i, c in enumerate(checks))
     group = f" GROUP BY {', '.join(keys)}" if keys else ""
     rows = " UNION ALL ".join(
-        f"SELECT {key_cols}'{c.name}' AS check_name, "
+        f"SELECT {key_cols}{_sq(c.name)} AS check_name, "
         f"round(m{i}, 6) AS metric, "
         f"CAST({float(c.bound)} AS DOUBLE) AS bound, "
         f"COALESCE(m{i} {'=' if c.op == '==' else c.op} {float(c.bound)}, "
@@ -311,13 +322,14 @@ ORACLES = {
         "  FROM events WHERE ts IS NOT NULL GROUP BY day), "
         "rel AS (SELECT day, n, n_users, sum_value_c, "
         "  round(CAST(abs(n - lag(n) OVER (ORDER BY day)) AS DOUBLE) "
-        "    / lag(n) OVER (ORDER BY day), 6) AS rel_n, "
+        "    / nullif(lag(n) OVER (ORDER BY day), 0), 6) AS rel_n, "
         "  round(CAST(abs(n_users - lag(n_users) OVER (ORDER BY day)) "
-        "    AS DOUBLE) / lag(n_users) OVER (ORDER BY day), 6) "
+        "    AS DOUBLE) / nullif(lag(n_users) OVER (ORDER BY day), 0), 6) "
         "    AS rel_users, "
         "  round(CAST(abs(sum_value_c - lag(sum_value_c) "
         "    OVER (ORDER BY day)) AS DOUBLE) "
-        "    / lag(sum_value_c) OVER (ORDER BY day), 6) AS rel_value "
+        "    / nullif(lag(sum_value_c) OVER (ORDER BY day), 0), 6) "
+        "    AS rel_value "
         "  FROM pd) "
         "SELECT CAST(day AS VARCHAR) AS day, n, n_users, sum_value_c, "
         "rel_n, rel_users, rel_value, "

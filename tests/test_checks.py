@@ -117,3 +117,34 @@ def test_grouped_checks_isolate_bad_source(spark):
     plan = run_checks_grouped(df, suite, ["src"]) \
         ._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") <= 2 or "Aggregate" in plan
+
+
+def test_metric_drift_zero_mass_day(spark):
+    """A previous day with zero value mass must yield rel_value=NULL
+    (drift decided by the other metrics), not an ANSI DIVIDE_BY_ZERO
+    that kills the query — mirrors the DuckDB oracle's nullif."""
+    from logsqlite_spark.operators.checks import metric_drift
+
+    base = 1_704_067_200 * 1_000_000_000
+    day = 86_400 * 1_000_000_000
+    rows = [(base + i, i, 0.0) for i in range(10)] + \
+        [(base + day + i, i, 5.0) for i in range(10)]
+    ev = spark.createDataFrame(rows, "ts long, user_id long, value double")
+    got = {r["day"]: r for r in metric_drift(ev).collect()}
+    d2 = got["2024-01-02"]
+    assert d2["rel_value"] is None
+    assert d2["rel_n"] == 0.0 and d2["rel_users"] == 0.0
+    assert d2["drift"] is False
+
+
+def test_check_names_and_in_set_values_with_quotes(spark):
+    """Single quotes in check names / in_set values must be escaped,
+    not produce malformed stack()/IN expressions."""
+    from logsqlite_spark.operators.checks import in_set, run_checks
+
+    df = spark.createDataFrame(
+        [("it's",), ("other",)], "kind string")
+    suite = (in_set("kind's check", "kind", ("it's", "other")),)
+    got = run_checks(df, suite).collect()
+    assert got[0]["check_name"] == "kind's check"
+    assert got[0]["passed"] is True
