@@ -84,7 +84,13 @@ class _Handler(BaseHTTPRequestHandler):
         eng: Engine = self.server.engine  # type: ignore[attr-defined]
         body = self._json_body()
         try:
-            if self.path == "/LogDriver.Capabilities":
+            if self.path == "/Plugin.Activate":
+                # Plugin handshake (docker.rs:190-193, routed at
+                # main.rs:101): dockerd calls this FIRST to discover
+                # what the plugin implements; without it the daemon
+                # never reaches StartLogging.
+                self._reply_json({"Implements": ["LogDriver"]})
+            elif self.path == "/LogDriver.Capabilities":
                 # main.rs capabilities: the plugin reads logs back
                 self._reply_json({"Cap": {"ReadLogs": True}})
             elif self.path == "/LogDriver.StartLogging":

@@ -163,3 +163,37 @@ def test_tail_then_follow_combined(spark, engine, server):
     t.join(timeout=30)
     assert got == [f"hello-{i}\n".encode() for i in range(3, 8)], got
     conn.close()
+
+
+def test_plugin_activate_handshake(spark, engine, server):
+    """Dockerd's first call is /Plugin.Activate (docker.rs:190-193,
+    routed at main.rs:101); the full handshake — Activate →
+    Capabilities → StartLogging → ReadLogs — must work over ONE
+    keep-alive socket session, like a real daemon drives it."""
+    conn = connect_client(server.socket_path)
+
+    def req(route, obj):
+        body = json.dumps(obj).encode()
+        conn.request("POST", route, body=body,
+                     headers={"Content-Length": str(len(body))})
+        resp = conn.getresponse()
+        assert resp.status == 200, route
+        return resp.read()
+
+    assert json.loads(req("/Plugin.Activate", {})) == \
+        {"Implements": ["LogDriver"]}
+    assert json.loads(req("/LogDriver.Capabilities", {})) == \
+        {"Cap": {"ReadLogs": True}}
+    assert json.loads(req("/LogDriver.StartLogging",
+                          {"File": "/run/hs.fifo",
+                           "Info": {"ContainerID": "hs1"}}))["Err"] == ""
+
+    w = SpoolWriter(engine.config.spool_dir, "hs1")
+    w.write_burst([LogEntry(source="stdout", time_nano=BASE_TS,
+                            line=b"hi")])
+    engine.ingest_once("hs1")
+
+    frames = req("/LogDriver.ReadLogs",
+                 {"Info": {"ContainerID": "hs1"}, "Config": {}})
+    assert [e.line for e in decode_frames(frames)] == [b"hi\n"]
+    conn.close()
