@@ -113,15 +113,24 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     # misnamed file is an inspectable incident, not silent data loss.
     # ``on_stale="drop"`` is for callers that replay by design
     # (``consume=False`` batch re-pulls).
+    # Hot-path guard: the common case (fresh table, or a steady stream
+    # whose files are always new) has an EMPTY watermark map — skip the
+    # __stale column entirely there so the per-row condition, the extra
+    # aggregate, and the live-row filters never enter the plan. The
+    # quarantine machinery only costs when there is a watermark to
+    # violate.
     last_file = st.get("last_file", {})
-    stale_cond = F.lit(False)
-    if last_file:
+    track_stale = bool(last_file)
+    if track_stale:
         pairs = []
         for cid, name in last_file.items():
             pairs += [F.lit(cid), F.lit(name)]
         lf_col = F.element_at(F.create_map(*pairs), F.col("container_id"))
         stale_cond = lf_col.isNotNull() & (F.col("path") <= lf_col)
-    batch_df = batch_df.withColumn("__stale", stale_cond)
+        batch_df = batch_df.withColumn("__stale", stale_cond)
+        not_stale = ~F.col("__stale")
+    else:
+        not_stale = F.lit(True)
 
     batch_df = batch_df.persist()
     try:
@@ -131,18 +140,23 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
         # row_number on top of the high-water mark, so max(seq) after
         # the write is just high_water + n_good — no second aggregation
         # job needed. Watermark and counts consider live rows only.
-        live = (~F.col("__stale")).cast("long")
-        good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long") * live
-        stats = (
-            batch_df.groupBy("container_id")
-            .agg(
-                F.max(F.when(~F.col("__stale"), F.col("path"))).alias("f"),
-                F.sum(live - good).alias("e"),
-                F.sum(good).alias("n"),
+        good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+        if track_stale:
+            live = not_stale.cast("long")
+            aggs = [
+                F.max(F.when(not_stale, F.col("path"))).alias("f"),
+                F.sum(live - good * live).alias("e"),
+                F.sum(good * live).alias("n"),
                 F.sum(1 - live).alias("st"),
-            )
-            .collect()
-        )
+            ]
+        else:
+            aggs = [
+                F.max("path").alias("f"),
+                F.sum(1 - good).alias("e"),
+                F.sum(good).alias("n"),
+                F.lit(0).alias("st"),
+            ]
+        stats = batch_df.groupBy("container_id").agg(*aggs).collect()
         if not stats:
             return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
         top_files = {r["container_id"]: r["f"] for r in stats
@@ -164,7 +178,7 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
             # the error row is quarantined for ops visibility.
             (
                 batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
-                                & ~F.col("__stale"))
+                                & not_stale)
                 .select("path", "container_id", "line")
                 .write.mode("append")
                 .parquet(str(Path(state_dir) / "decode_errors"))
@@ -174,9 +188,9 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
         new_files: list[str] = []
         if n_rows:
             staging = table.new_staging_dir()
+            live_df = batch_df.filter(not_stale) if track_stale else batch_df
             (
-                assign_seq(batch_df.filter(~F.col("__stale")),
-                           st["high_water"])
+                assign_seq(live_df, st["high_water"])
                 .write.mode("overwrite")
                 .option("maxRecordsPerFile", max_records_per_file)
                 .partitionBy("container_id", "date")
