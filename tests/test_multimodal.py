@@ -92,3 +92,21 @@ def test_media_stats_prunes_payload(spark, media, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert read_schema and "payload" not in read_schema[0]
+
+
+def test_bytestat_vectorized_matches_python_fold():
+    """The numpy mat-vec featurizer must be bit-identical to the
+    per-byte Python fold it replaced (same integer recurrence)."""
+    import random
+
+    from logsqlite_spark.operators.multimodal import (
+        _bytestat_features, _bytestat_features_py)
+
+    rng = random.Random(42)
+    cases = [b"", b"x", bytes(range(16)), bytes(range(17)),
+             bytes(255 for _ in range(16 * 1250 + 7))]
+    cases += [bytes(rng.randrange(256) for _ in range(n))
+              for n in (1, 15, 16, 31, 32, 1000, 12345)]
+    for payload in cases:
+        assert _bytestat_features(payload) == \
+            _bytestat_features_py(payload), len(payload)
