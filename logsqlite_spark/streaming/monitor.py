@@ -15,7 +15,9 @@ suite, kept streaming-shaped:
 - thresholds evaluate in ``foreachBatch`` on the handful of finalized
   metric rows, never against the stream itself;
 - the alert sink is idempotent per (window, container): append-mode
-  windows finalize exactly once when the watermark passes.
+  windows finalize exactly once when the watermark passes, and a
+  replayed micro-batch OVERWRITES its own ``batch_id=<id>`` partition
+  of the alert table instead of appending duplicates.
 """
 
 from __future__ import annotations
@@ -49,6 +51,31 @@ def windowed_log_health(stream: DataFrame,
     )
 
 
+def _emit_alerts(df: DataFrame, batch_id: int, alerts_dir: str,
+                 max_empty_ratio: float) -> None:
+    """Threshold the finalized metric rows and write violations.
+
+    Idempotent under micro-batch replay: foreachBatch is
+    at-least-once, so a crash between the write and the checkpoint
+    commit re-delivers the same batch_id. Each batch writes to its
+    own ``batch_id=<id>`` partition with overwrite, so redelivery
+    rewrites the same rows instead of appending a second copy.
+    Readers just ``spark.read.parquet(alerts_dir)`` — batch_id
+    surfaces as a discovered partition column they can ignore."""
+    alerts = (
+        df.withColumn(
+            "rule",
+            F.when(F.col("n_empty").cast("double")
+                   > F.lit(max_empty_ratio) * F.col("n"),
+                   F.lit("empty_ratio"))
+            .when(F.col("n_oversized") > 0, F.lit("oversized_line")))
+        .filter(F.col("rule").isNotNull())
+    )
+    if alerts.take(1):
+        alerts.write.mode("overwrite").parquet(
+            f"{alerts_dir}/batch_id={int(batch_id)}")
+
+
 def start_quality_monitor(spark: SparkSession, logs_dir: str,
                           alerts_dir: str,
                           checkpoint_dir: str,
@@ -69,17 +96,7 @@ def start_quality_monitor(spark: SparkSession, logs_dir: str,
                                  max_line_bytes)
 
     def emit(df: DataFrame, batch_id: int) -> None:
-        alerts = (
-            df.withColumn(
-                "rule",
-                F.when(F.col("n_empty").cast("double")
-                       > F.lit(max_empty_ratio) * F.col("n"),
-                       F.lit("empty_ratio"))
-                .when(F.col("n_oversized") > 0, F.lit("oversized_line")))
-            .filter(F.col("rule").isNotNull())
-        )
-        if alerts.take(1):
-            alerts.write.mode("append").parquet(alerts_dir)
+        _emit_alerts(df, batch_id, alerts_dir, max_empty_ratio)
 
     return (
         health.writeStream.foreachBatch(emit)

@@ -59,3 +59,22 @@ def test_monitor_alerts_on_empty_window(spark, tmp_path):
     assert r["rule"] == "empty_ratio" and r["container_id"] == "c1"
     assert r["n"] == 20 and r["n_empty"] == 16
     assert r["window_start"].isoformat().startswith("2024-01-01T00:05")
+
+
+def test_alert_sink_idempotent_under_replay(spark, tmp_path):
+    """Re-delivering the same micro-batch (foreachBatch is
+    at-least-once) must not duplicate alert rows."""
+    from logsqlite_spark.streaming.monitor import _emit_alerts
+
+    alerts_dir = str(tmp_path / "alerts")
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:05:00", "c1",
+          10, 9, 0, 1)],
+        "window_start string, window_end string, container_id string, "
+        "n long, n_empty long, n_oversized long, est_sources long")
+    _emit_alerts(df, 7, alerts_dir, max_empty_ratio=0.5)
+    _emit_alerts(df, 7, alerts_dir, max_empty_ratio=0.5)  # replay
+    got = spark.read.parquet(alerts_dir)
+    assert got.count() == 1
+    row = got.collect()[0]
+    assert row["rule"] == "empty_ratio" and row["batch_id"] == 7
