@@ -279,15 +279,33 @@ def _local_fs_path(path: str) -> str | None:
 
 class _DirBuildLock:
     """O_EXCL lock file beside an index dir — cross-process build
-    mutex. A stale lock (holder crashed) is broken after an hour."""
+    mutex. A stale lock (holder crashed) is broken after an hour.
+
+    Crash-recovery races (ADVICE r5): two waiters that both observe a
+    stale mtime must not each unlink-and-recreate — the second unlink
+    would remove the first winner's FRESH lock. Stale locks are
+    therefore broken by an atomic rename to a waiter-unique name
+    (exactly one rename succeeds; the loser's rename raises and it
+    goes back to waiting), and ``__exit__`` only unlinks a lock this
+    process still owns (token check) so a build that outlives the
+    staleness window can't delete its successor's lock."""
 
     def __init__(self, local_dir: str, timeout_s: float = 600.0):
         import os
         self.lock_file = local_dir + ".lock"
         self.timeout_s = timeout_s
+        self._token = f"{os.getpid()}:{id(self)}"
         os.makedirs(os.path.dirname(self.lock_file), exist_ok=True)
 
+    def _owns_lock(self) -> bool:
+        try:
+            with open(self.lock_file) as fh:
+                return fh.read() == self._token
+        except OSError:
+            return False
+
     def __enter__(self):
+        import contextlib
         import os
         import time
         deadline = time.monotonic() + self.timeout_s
@@ -295,16 +313,23 @@ class _DirBuildLock:
             try:
                 fd = os.open(self.lock_file,
                              os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
+                os.write(fd, self._token.encode())
                 os.close(fd)
                 return self
             except FileExistsError:
                 try:
-                    if (time.time() - os.path.getmtime(self.lock_file)
-                            > 3600.0):
-                        os.unlink(self.lock_file)
-                        continue
+                    stale = (time.time() - os.path.getmtime(self.lock_file)
+                             > 3600.0)
                 except OSError:
+                    continue  # holder released between EXIST and stat
+                if stale:
+                    # Atomic claim: rename to a name only WE use. If a
+                    # concurrent waiter already claimed it (or the
+                    # holder released), the rename raises and we retry.
+                    grave = f"{self.lock_file}.stale.{self._token}"
+                    with contextlib.suppress(OSError):
+                        os.rename(self.lock_file, grave)
+                        os.unlink(grave)
                     continue
                 if time.monotonic() > deadline:
                     raise TimeoutError(
@@ -314,8 +339,9 @@ class _DirBuildLock:
     def __exit__(self, *exc):
         import contextlib
         import os
-        with contextlib.suppress(OSError):
-            os.unlink(self.lock_file)
+        if self._owns_lock():
+            with contextlib.suppress(OSError):
+                os.unlink(self.lock_file)
 
 
 def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,

@@ -84,3 +84,34 @@ def test_ann_lsh_portable_identical_vectors_always_meet(spark):
     pairs = {(r.qid, r.nid): r.sim for r in out}
     # identical vector -> same chunks in every band -> guaranteed hit
     assert pairs[(0, 1)] == 1.0
+
+
+def test_dir_build_lock_stale_break_and_owner_only_unlink(tmp_path):
+    """ADVICE r5: stale locks break via atomic rename (single winner);
+    __exit__ never deletes a lock this process no longer owns."""
+    import os
+    import time
+
+    from logsqlite_spark.operators.similarity import _DirBuildLock
+
+    d = str(tmp_path / "idx")
+    # stale lock left by a crashed holder
+    stale = d + ".lock"
+    with open(stale, "w") as fh:
+        fh.write("99999:dead")
+    old = time.time() - 7200
+    os.utime(stale, (old, old))
+
+    with _DirBuildLock(d, timeout_s=5.0) as lk:
+        # acquired by breaking the stale lock; file now carries our token
+        with open(stale) as fh:
+            assert fh.read() == lk._token
+    assert not os.path.exists(stale)
+
+    # a lock owned by someone else must survive our __exit__
+    lk2 = _DirBuildLock(d, timeout_s=0.1)
+    with open(stale, "w") as fh:
+        fh.write("other:token")
+    lk2.__exit__(None, None, None)
+    assert os.path.exists(stale)
+    os.unlink(stale)
