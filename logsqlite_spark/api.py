@@ -36,6 +36,7 @@ class Engine:
         self.state = StateStore(self.config.state_dir)
         self.table = ManifestTable(self.config.logs_dir)
         self._queries: dict[str, object] = {}  # container_id -> StreamingQuery
+        self._restarts: dict[str, int] = {}    # T4 restart-policy counter
 
     # -- data access ---------------------------------------------------------
 
@@ -75,6 +76,19 @@ class Engine:
                 raise RuntimeError(
                     "multiplexed ingest already consumes every container's "
                     "spool — a per-container stream would double-ingest")
+            on_result = None
+            if self.config.on_decode_error == "restart":
+                # T4 parity option (statehandler.rs:146-166): the
+                # reference RESTARTS a container's logger when it dies
+                # on a protobuf DecodeError (tear-down on any other
+                # error — which a StreamingQuery does by terminating).
+                # Here the logger is the StreamingQuery: after a
+                # committed batch that saw decode errors, bounce it.
+                # The restart runs on a helper thread — a query cannot
+                # stop itself from inside its own foreachBatch.
+                def on_result(res: dict, _cid=container_id) -> None:
+                    if res.get("decode_errors"):
+                        self._schedule_restart(_cid)
             q = ING.start_ingest_stream(
                 self.spark,
                 self.config.spool_dir,
@@ -84,10 +98,54 @@ class Engine:
                 conf,
                 query_name=f"ingest-{container_id}",
                 container_id=container_id,  # scoped: only this spool subdir
+                on_batch_result=on_result,
             )
             self._queries[container_id] = q
             return q
         return None
+
+    def _schedule_restart(self, container_id: str) -> None:
+        """Restart a container's ingest stream (T4 restart policy).
+
+        Exactly-once survives the bounce: the batch that carried the
+        decode error committed its manifest BEFORE the policy hook
+        fired, and the restarted query resumes from the same
+        checkpoint, so no batch is lost or doubled. The good prefix
+        of the corrupt file was kept and the bad frame quarantined —
+        strictly more than the reference preserves (it drops the
+        FIFO's unread buffer on restart)."""
+        import threading
+
+        def bounce() -> None:
+            q = self._queries.get(container_id)
+            if q is None:
+                return
+            try:
+                q.stop()
+                q.awaitTermination(60)
+            except Exception:  # noqa: BLE001 — already terminating
+                pass
+            if self._queries.get(container_id) is not q:
+                return  # concurrently stopped/restarted elsewhere
+            doc = self.state.get(container_id)
+            conf = LogConfig.from_dict((doc or {}).get("log_conf") or {})
+            nq = ING.start_ingest_stream(
+                self.spark, self.config.spool_dir, self.config.logs_dir,
+                self.config.state_dir,
+                f"{self.config.checkpoints_dir}/{container_id}",
+                conf, query_name=f"ingest-{container_id}",
+                container_id=container_id,
+                on_batch_result=lambda res, _cid=container_id: (
+                    self._schedule_restart(_cid)
+                    if res.get("decode_errors") else None),
+            )
+            self._queries[container_id] = nq
+            self._restarts[container_id] = \
+                self._restarts.get(container_id, 0) + 1
+
+        t = threading.Thread(target=bounce, daemon=True,
+                             name=f"t4-restart-{container_id}")
+        t.start()
 
     def start_multiplexed_ingest(self, conf: LogConfig | None = None):
         """The scale path: one stream, all containers (SURVEY §7.5)."""

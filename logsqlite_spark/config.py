@@ -132,6 +132,14 @@ class EngineConfig:
     warehouse_dir: str = "/tmp/logsqlite_spark"
     cleanup_interval_s: int = 30 * 60
     options: dict[str, str] = field(default_factory=dict)
+    # T4 decode-error policy for per-container streaming ingest:
+    # "quarantine" (default) parks bad frames and keeps the stream
+    # running; "restart" additionally restarts the container's logger
+    # after a batch that saw decode errors — the reference's behavior
+    # (statehandler.rs:146-166 restarts the logger on DecodeError,
+    # tears down on any other error; non-decode stream failures
+    # terminate the StreamingQuery here too).
+    on_decode_error: str = "quarantine"
 
     @property
     def logs_dir(self) -> str:

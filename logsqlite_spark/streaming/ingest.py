@@ -265,6 +265,7 @@ def start_ingest_stream(
     query_name: str = "logsqlite-ingest",
     fmt: str = "plog",
     container_id: str | None = None,
+    on_batch_result=None,
 ):
     """S4/S5: the continuous ingest StreamingQuery.
 
@@ -294,8 +295,13 @@ def start_ingest_stream(
                                     container_id=container_id)
 
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
-        _write_batch(batch_df, logs_dir, state_dir, query_name, batch_id,
-                     max_records_per_file=max(conf.max_lines_per_tx, 1))
+        res = _write_batch(batch_df, logs_dir, state_dir, query_name,
+                           batch_id,
+                           max_records_per_file=max(conf.max_lines_per_tx, 1))
+        # Observed AFTER the manifest commit, so a policy hook (e.g.
+        # T4 restart-on-decode-error) never sees an uncommitted batch.
+        if on_batch_result is not None:
+            on_batch_result(res)
 
     trigger_ms = max(conf.message_read_timeout_ms, 100)
     return (

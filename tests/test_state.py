@@ -116,3 +116,91 @@ def test_engine_follow_sees_new_rows(engine):
     assert [r["seq"] for r in batches[1]] == [4, 5]
     # idle timeout ends iteration (reference FOLLOW_COUNTER_MAX)
     assert list(it) == []
+
+
+def _wait(pred, timeout=60.0, every=0.5):
+    import time
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        try:
+            if pred():
+                return True
+        except Exception:
+            pass
+        time.sleep(every)
+    return False
+
+
+def test_t4_restart_policy_bounces_logger_on_decode_error(spark, tmp_path):
+    """T4 parity (statehandler.rs:146-166): with
+    ``on_decode_error="restart"`` a committed micro-batch that saw a
+    protobuf DecodeError restarts that container's ingest stream; data
+    already committed survives, the bad frame is quarantined, and the
+    stream keeps consuming afterwards."""
+    from pathlib import Path
+
+    from logsqlite_spark.sources.frames import encode_frame
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh"),
+                                     on_decode_error="restart"))
+    try:
+        _burst(eng.config.spool_dir, "ct4", 3)
+        q0 = eng.start_logging("ct4", "/run/ct4.fifo", streaming=True)
+        run_id0 = q0.runId
+
+        assert _wait(lambda: spark.read.parquet(
+            eng.config.logs_dir).count() >= 3)
+
+        # corrupt frame after a good one, via a raw spool file whose
+        # name respects the monotonic time-ns convention (a
+        # future-dated name would poison the file watermark and
+        # legitimately quarantine every later burst as out-of-order)
+        import time as _time
+
+        d = Path(eng.config.spool_dir) / "ct4"
+        good = encode_frame(LogEntry(source="stdout",
+                                     time_nano=BASE_TS + 10**11,
+                                     line=b"ok"))
+        (d / f"{_time.time_ns():020d}-999999.plog").write_bytes(
+            good + b"\x00\x00\x00\xffgarbage")
+
+        # the policy bounces the stream: new runId registered
+        assert _wait(lambda: eng._restarts.get("ct4", 0) >= 1), \
+            "restart policy never fired"
+        assert _wait(lambda: eng._queries["ct4"].runId != run_id0)
+
+        # committed rows survived; bad frame quarantined; stream live
+        _burst(eng.config.spool_dir, "ct4", 2, ts=BASE_TS + 2 * 10**11)
+        assert _wait(lambda: spark.read.parquet(
+            eng.config.logs_dir).count() >= 6)
+        assert eng.decode_errors_df().count() == 1
+    finally:
+        eng.stop_all()
+
+
+def test_t4_quarantine_policy_never_restarts(spark, tmp_path):
+    """Default policy: decode errors quarantine and the stream keeps
+    its original run — no bounce."""
+    from pathlib import Path
+
+    from logsqlite_spark.sources.frames import encode_frame
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    try:
+        d = Path(eng.config.spool_dir) / "cq4"
+        d.mkdir(parents=True, exist_ok=True)
+        good = encode_frame(LogEntry(source="stdout", time_nano=BASE_TS,
+                                     line=b"ok"))
+        import time as _time
+        (d / f"{_time.time_ns():020d}-000000.plog").write_bytes(
+            good + b"\x00\x00\x00\xffgarbage")
+        q0 = eng.start_logging("cq4", "/run/cq4.fifo", streaming=True)
+        run_id0 = q0.runId
+        assert _wait(lambda: spark.read.parquet(
+            eng.config.logs_dir).count() >= 1)
+        assert _wait(lambda: eng.decode_errors_df() is not None
+                     and eng.decode_errors_df().count() == 1)
+        assert eng._restarts.get("cq4", 0) == 0
+        assert eng._queries["cq4"].runId == run_id0
+    finally:
+        eng.stop_all()
