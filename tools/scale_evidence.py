@@ -148,9 +148,38 @@ def measure(spark, d: Path) -> dict:
     return out
 
 
+def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
+    """Embeddings-only measurement for the --xl decade (VERDICT r5
+    #7): SemDeDup candidate growth (the 1.116 exponent with the least
+    gate headroom — the cluster-population cap should bind harder as
+    n grows, pushing it toward 1.0) and IVF probe-candidate growth
+    (the inverted lists should keep per-query candidates ~n * n_probe
+    / n_clusters — linear in corpus size at fixed config)."""
+    from logsqlite_spark.operators.clustering import (
+        auto_k, seed_centroids, semantic_dedup_pairs)
+    from logsqlite_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(str(d / "embeddings.parquet"))
+    qs = emb.filter("vec_id < 32")
+    out = {"n_vecs": emb.count()}
+    for key, df in (
+        ("semdedup_cand", semantic_dedup_pairs(
+            emb, seed_centroids(emb, auto_k(emb)), tau=-1.0)),
+        # k larger than any list => rows == candidates surviving the
+        # n_probe inverted-list scan
+        ("ivf_cand", ivf_topk(qs, emb, k=1 << 30,
+                              index_path=str(ivf_index_dir / d.name))),
+    ):
+        t0 = time.perf_counter()
+        out[key] = df.count()
+        out[key + "_s"] = round(time.perf_counter() - t0, 3)
+    return out
+
+
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
                     "winnow_matches", "ann_lsh_cand", "semdedup_cand")
 AUDIT_PATHS = ("simhash_pairs",)
+XL_PATHS = ("semdedup_cand", "ivf_cand")
 GATE = 1.15
 
 
@@ -160,6 +189,11 @@ def main() -> int:
     ap.add_argument("--hi", type=int, default=50000)
     ap.add_argument("--keep", action="store_true",
                     help="keep the generated corpora on disk")
+    ap.add_argument("--xl", action="store_true",
+                    help="also run the embeddings-only decade above "
+                         "--hi (hi -> 10*hi docs-equivalent, i.e. "
+                         "2*hi/5 -> 4*hi vectors) for the SemDeDup "
+                         "and IVF candidate paths")
     args = ap.parse_args()
 
     from logsqlite_spark.session import get_spark
@@ -178,6 +212,19 @@ def main() -> int:
             print(f"# {tag} ({n} docs) measured in "
                   f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
                   file=sys.stderr)
+        if args.xl:
+            # the xl decade reuses hi's vector count as its LO so the
+            # exponent spans exactly one decade of corpus growth
+            for tag, nv in (("xlo", max(2000, (args.hi * 2) // 5)),
+                            ("xhi", args.hi * 4)):
+                d = root / tag
+                d.mkdir()
+                gen_embeddings(nv, d)
+                t0 = time.perf_counter()
+                res[tag] = measure_emb_xl(spark, d, root / "ivf_idx")
+                print(f"# {tag} ({nv} vecs) measured in "
+                      f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
+                      file=sys.stderr)
     finally:
         if not args.keep:
             shutil.rmtree(root, ignore_errors=True)
@@ -199,6 +246,18 @@ def main() -> int:
         res[key + "_growth_exp"] = exp
         if key in DEPLOYMENT_PATHS and exp > GATE:
             bad.append((key, exp))
+    if args.xl:
+        d_ratio = res["xhi"]["n_vecs"] / res["xlo"]["n_vecs"]
+        for key in XL_PATHS:
+            if res["xhi"][key] == 0 or res["xlo"][key] == 0:
+                res[key + "_xl_growth_exp"] = None
+                bad.append((key + "_xl", "degenerate: zero output"))
+                continue
+            p_ratio = res["xhi"][key] / res["xlo"][key]
+            exp = round(math.log(p_ratio) / math.log(d_ratio), 3)
+            res[key + "_xl_growth_exp"] = exp
+            if exp > GATE:
+                bad.append((key + "_xl", exp))
     res["gate"] = GATE
     res["deployment_ok"] = not bad
     print(json.dumps(res))
