@@ -175,3 +175,45 @@ def test_engine_logs_df_at_time_travel(spark, tmp_path):
     eng.erase("line LIKE 'user=4 %'")
     assert eng.logs_df().count() == n0 - 40
     assert eng.logs_df_at(g0).count() == n0
+
+
+def test_engine_erase_then_gc_makes_old_generations_unreadable(
+        spark, tmp_path):
+    """VERDICT r5 #8 — the "erasure physically complete after gc"
+    corollary at the Engine surface: after erase + gc, a pre-erasure
+    generation is unreadable BOTH by number (manifest gone) and
+    through a pre-captured manifest handle (data files gone), so no
+    path resurrects erased rows."""
+    import shutil
+    from pathlib import Path
+
+    import pytest as _pytest
+
+    from logsqlite_spark.api import Engine
+    from logsqlite_spark.config import EngineConfig
+
+    eng = Engine(spark, EngineConfig(warehouse_dir=str(tmp_path / "wh")))
+    src = _write_logs_table(spark, tmp_path)
+    Path(eng.config.logs_dir).parent.mkdir(parents=True, exist_ok=True)
+    shutil.copytree(src, eng.config.logs_dir, dirs_exist_ok=True)
+
+    eng.table.import_existing()
+    g0 = eng.table.manifest()["generation"]
+    old_manifest = eng.table.manifest_at(g0)  # adversarial: keep a handle
+    eng.erase("line LIKE 'user=3 %'")
+    assert eng.logs_df_at(g0).filter(
+        "line LIKE 'user=3 %'").count() == 40  # travel works pre-gc
+
+    res = eng.table.gc(keep_generations=1)
+    assert res["deleted_files"] > 0
+    # by generation number: gone
+    with _pytest.raises(FileNotFoundError):
+        eng.logs_df_at(g0)
+    # via the stale handle: the erased rows' files are physically gone
+    live = set(eng.table.manifest()["files"])
+    dead = [p for p in old_manifest["files"] if p not in live]
+    assert dead, "erase rewrote nothing?"
+    for p in dead:
+        assert not (Path(eng.config.logs_dir) / p).exists(), p
+    # current snapshot unaffected
+    assert eng.logs_df().filter("line LIKE 'user=3 %'").count() == 0
