@@ -87,6 +87,91 @@ def cosine_topk(
         )
     )
 
+SQ_DIM = 64
+SQ_LEVELS = 127
+
+_SQ_ENCODE = (
+    "zip_with({v}, {sc}, (x, s) -> coalesce(cast(floor("
+    "cast(x as double) / nullif(s, 0D) * {lv}.0D + 0.5D) as bigint), 0L))"
+)
+
+
+def sq_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    dim: int = SQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine neighbors over int8 scalar-quantized vectors.
+
+    The 100 TB play is memory bandwidth: per-dimension symmetric
+    quantization ``code_i = round(x_i / s_i * 127)`` shrinks fp32
+    embeddings 4x (and 8x vs fp64 staging), which is the standard
+    first compression tier of a production vector store — scan
+    bandwidth, shuffle volume, and cache footprint all drop by the
+    same factor while recall stays near-exact (the per-dim scale
+    spends the full 8-bit range on each coordinate's actual spread).
+
+    Execution shape mirrors :func:`cosine_topk`: the per-dim scales
+    are ONE map-side-combined aggregation (64 ``max(abs(...))``
+    columns, no explode) collected once at plan-build time — dim
+    doubles, bounded by dimensionality not data, the same class as
+    the clustering centroids — and inlined as a literal array so the
+    scoring plan scans the corpus exactly once; codes are built
+    JVM-side with ``zip_with`` (whole-stage codegen, no Python); the
+    corpus never shuffles (query side broadcasts) and top-k is the
+    WindowGroupLimit pattern. Everything after the scale pass is
+    INTEGER math — deterministic across engines and partitionings, so
+    unlike LSH/IVF this approximate path carries a full DuckDB
+    value-hash oracle.
+    """
+    row = corpus_df.agg(*[
+        F.max(F.abs(F.col(vec_col)[i].cast("double"))).alias(f"s{i}")
+        for i in range(dim)
+    ]).collect()[0]
+    sc = F.array(*[F.lit(float(row[f"s{i}"] or 0.0)) for i in range(dim)])
+
+    enc = _SQ_ENCODE.format(v="v", sc="sc", lv=SQ_LEVELS)
+    q = (
+        queries_df.select(F.col(id_col).alias("qid"),
+                          F.col(vec_col).alias("v"), sc.alias("sc"))
+        .withColumn("qi", F.expr(enc))
+        .withColumn("qn", F.expr(_SQNORM.format(v="qi")))
+        .select("qid", "qi", "qn")
+    )
+    c = (
+        rebalance_for_compute(corpus_df)
+        .select(F.col(id_col).alias("nid"), F.col(vec_col).alias("v"),
+                sc.alias("sc"))
+        .withColumn("ni", F.expr(enc))
+        .withColumn("nn", F.expr(_SQNORM.format(v="ni")))
+        .select("nid", "ni", "nn")
+    )
+    joined = (
+        c.join(F.broadcast(q), F.col("qid") != F.col("nid"))
+        .filter((F.col("qn") > 0) & (F.col("nn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="qi", b="ni")))
+        .withColumn(
+            "sim",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qn").cast("double") * F.col("nn").cast("double")),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nid"))
+    return (
+        joined.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("qid").cast("long"),
+            F.col("nid").cast("long"),
+            F.col("rank").cast("int"),
+            F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
 def ann_lsh_topk(
     spark: SparkSession,
     queries_df: DataFrame,
@@ -829,6 +914,44 @@ def _lsh_portable_sql(k: int = TOP_K, n_bands: int = LSH_BANDS) -> str:
         f"FROM ranked WHERE rank <= {k}"
     ).format(qv=_ORACLE_QUANT)
 
+def _q_ann_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return sq_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
+
+def _sq_oracle(k: int = TOP_K, dim: int = SQ_DIM,
+               lv: int = SQ_LEVELS) -> str:
+    """DuckDB twin of :func:`sq_topk`: the per-dim scales, the int8
+    encode, and the integer dot are all replayed with the SAME
+    operation order, so the doubles agree bit-for-bit."""
+    return (
+        "WITH dims AS ("
+        f"  SELECT t.i, max(abs(CAST(embedding[t.i] AS DOUBLE))) AS s "
+        f"  FROM embeddings CROSS JOIN range(1, {dim + 1}) AS t(i) "
+        "  GROUP BY t.i), "
+        "enc AS ("
+        "  SELECT vec_id AS id, "
+        "    list(COALESCE(CAST(floor(CAST(embedding[t.i] AS DOUBLE) "
+        f"      / nullif(d.s, 0) * {lv}.0 + 0.5) AS BIGINT), 0) "
+        "      ORDER BY t.i) AS code "
+        f"  FROM embeddings CROSS JOIN range(1, {dim + 1}) AS t(i) "
+        "  JOIN dims d ON d.i = t.i GROUP BY vec_id), "
+        "normed AS (SELECT id, code, "
+        "  list_aggregate(list_transform(code, x -> x * x), 'sum') AS nrm "
+        "  FROM enc), "
+        "sims AS (SELECT q.id AS qid, c.id AS nid, "
+        "  list_dot_product(CAST(q.code AS DOUBLE[]), "
+        "                   CAST(c.code AS DOUBLE[])) "
+        "    / sqrt(CAST(q.nrm AS DOUBLE) * CAST(c.nrm AS DOUBLE)) AS sim "
+        f"  FROM normed q, normed c WHERE q.id < {N_QUERIES} "
+        "  AND q.id <> c.id AND q.nrm > 0 AND c.nrm > 0), "
+        "ranked AS (SELECT qid, nid, sim, row_number() OVER ("
+        "  PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95.
@@ -848,6 +971,7 @@ QUERIES = {
     "ann_cosine_topk": _q_ann_cosine,
     "ann_lsh_topk": _q_ann_lsh,  # rows-only (ml-internal hash fns)
     "ann_lsh_portable": _q_ann_lsh_portable,
+    "ann_sq_topk": _q_ann_sq,
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
@@ -859,6 +983,7 @@ _ORACLE_QUANT = (
 )
 
 ORACLES = {
+    "ann_sq_topk": _sq_oracle(),
     "ann_cosine_topk": (
         "WITH q AS (SELECT vec_id AS qid, {qv} AS v FROM embeddings WHERE vec_id < 10), "
         "c AS (SELECT vec_id AS nid, {qv} AS v FROM embeddings), "

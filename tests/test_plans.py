@@ -430,3 +430,24 @@ def test_mixture_sample_group_limit_before_exchange(spark):
     plan = _plan_initial(df)
     assert "WindowGroupLimit" in plan, plan
     assert plan.index("WindowGroupLimit") < plan.index("Exchange"), plan
+
+
+def test_ann_sq_topk_broadcasts_and_group_limits(spark):
+    """Int8 SQ ANN keeps the cosine_topk shape: scales + query side
+    broadcast (the corpus never shuffles), top-k via WindowGroupLimit,
+    and no Python in the plan (codes built by zip_with JVM-side)."""
+    from logsqlite_spark.operators.similarity import sq_topk
+
+    emb = table(spark, SF, "embeddings")
+    df = sq_topk(emb.filter(F.col("vec_id") < 5), emb)
+    plan = explain_str(df)
+    # all-pairs scoring against the broadcast query side is a
+    # BroadcastNestedLoopJoin (non-equi qid != nid), like cosine_topk
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "WindowGroupLimit" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
+    # scales are inlined literals: the scoring plan scans parquet only
+    # for the corpus and the broadcast query side
+    assert plan.count("(1) Scan parquet") == 1 and \
+        plan.count("Scan parquet  (") == 2, plan
