@@ -57,6 +57,7 @@ BENCH_QUERIES = [
     "pack_sequences",
     "ann_cosine_topk",
     "ann_lsh_portable",
+    "ann_sq_rerank",   # int8 compressed scan + fp rerank (r6)
     "dedup_minhash_pairs",
     "text_winnow_matches",
     # mergeable-sketch tier (HLL distinct rollup, KLL quantile rollup,
