@@ -14,6 +14,7 @@ and the cleaner loop (cleaner.rs:134-158 -> :meth:`Engine.cleanup_all`).
 
 from __future__ import annotations
 
+import threading
 from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame, SparkSession
@@ -30,6 +31,9 @@ from logsqlite_spark.table import ManifestTable
 class Engine:
     """One instance ≈ one daemon process of the reference."""
 
+    # T4 restart policy: minimum seconds between bounces per container
+    RESTART_MIN_INTERVAL_S = 5.0
+
     def __init__(self, spark: SparkSession, config: EngineConfig | None = None):
         self.spark = ensure_engine_confs(spark)
         self.config = config or EngineConfig()
@@ -37,6 +41,8 @@ class Engine:
         self.table = ManifestTable(self.config.logs_dir)
         self._queries: dict[str, object] = {}  # container_id -> StreamingQuery
         self._restarts: dict[str, int] = {}    # T4 restart-policy counter
+        self._last_restart: dict[str, float] = {}
+        self._lifecycle_lock = threading.RLock()  # bounces vs stop_logging
 
     # -- data access ---------------------------------------------------------
 
@@ -113,35 +119,59 @@ class Engine:
         checkpoint, so no batch is lost or doubled. The good prefix
         of the corrupt file was kept and the bad frame quarantined —
         strictly more than the reference preserves (it drops the
-        FIFO's unread buffer on restart)."""
+        FIFO's unread buffer on restart).
+
+        Concurrency discipline (round-6 review): all bounces and
+        :meth:`stop_logging` serialize on ``_lifecycle_lock``, so two
+        decode-error batches can't start two queries on one
+        checkpoint and a bounce can't resurrect a container that was
+        just stopped (the claim re-check under the lock sees the pop).
+        A per-container min-interval backoff keeps sustained corrupt
+        input from degrading ingest into restart churn — between
+        bounces the quarantine path still handles every bad frame, so
+        skipping a restart loses nothing. Failures inside the bounce
+        are logged, never silently swallowed into a dead container."""
+        import sys
         import threading
+        import time
 
         def bounce() -> None:
-            q = self._queries.get(container_id)
-            if q is None:
-                return
             try:
-                q.stop()
-                q.awaitTermination(60)
-            except Exception:  # noqa: BLE001 — already terminating
-                pass
-            if self._queries.get(container_id) is not q:
-                return  # concurrently stopped/restarted elsewhere
-            doc = self.state.get(container_id)
-            conf = LogConfig.from_dict((doc or {}).get("log_conf") or {})
-            nq = ING.start_ingest_stream(
-                self.spark, self.config.spool_dir, self.config.logs_dir,
-                self.config.state_dir,
-                f"{self.config.checkpoints_dir}/{container_id}",
-                conf, query_name=f"ingest-{container_id}",
-                container_id=container_id,
-                on_batch_result=lambda res, _cid=container_id: (
-                    self._schedule_restart(_cid)
-                    if res.get("decode_errors") else None),
-            )
-            self._queries[container_id] = nq
-            self._restarts[container_id] = \
-                self._restarts.get(container_id, 0) + 1
+                with self._lifecycle_lock:
+                    q = self._queries.get(container_id)
+                    if q is None:
+                        return  # stopped concurrently
+                    now = time.monotonic()
+                    last = self._last_restart.get(container_id, 0.0)
+                    if now - last < self.RESTART_MIN_INTERVAL_S:
+                        return  # backoff: quarantine already handled it
+                    self._last_restart[container_id] = now
+                    try:
+                        q.stop()
+                        q.awaitTermination(60)
+                    except Exception:  # noqa: BLE001 — terminating
+                        pass
+                    if self._queries.get(container_id) is not q:
+                        return  # stop_logging won the race
+                    doc = self.state.get(container_id)
+                    conf = LogConfig.from_dict(
+                        (doc or {}).get("log_conf") or {})
+                    nq = ING.start_ingest_stream(
+                        self.spark, self.config.spool_dir,
+                        self.config.logs_dir, self.config.state_dir,
+                        f"{self.config.checkpoints_dir}/{container_id}",
+                        conf, query_name=f"ingest-{container_id}",
+                        container_id=container_id,
+                        on_batch_result=lambda res, _cid=container_id: (
+                            self._schedule_restart(_cid)
+                            if res.get("decode_errors") else None),
+                    )
+                    self._queries[container_id] = nq
+                    self._restarts[container_id] = \
+                        self._restarts.get(container_id, 0) + 1
+            except Exception as e:  # noqa: BLE001 — daemon thread
+                print(f"[logsqlite-spark] T4 restart of {container_id} "
+                      f"failed: {type(e).__name__}: {e}", file=sys.stderr)
 
         t = threading.Thread(target=bounce, daemon=True,
                              name=f"t4-restart-{container_id}")
@@ -175,7 +205,8 @@ class Engine:
         """Stop ingest, drop state; delete data if configured
         (statehandler.rs:173-182 delete_when_stopped)."""
         doc = self.state.get(container_id)
-        q = self._queries.pop(container_id, None)
+        with self._lifecycle_lock:
+            q = self._queries.pop(container_id, None)
         if q is not None:
             q.stop()            # drains the in-flight micro-batch (T5)
             q.awaitTermination(60)

@@ -141,6 +141,14 @@ class EngineConfig:
     # terminate the StreamingQuery here too).
     on_decode_error: str = "quarantine"
 
+    def __post_init__(self) -> None:
+        # fail loudly on a misspelled policy — a silent fallback to
+        # quarantine would leave the operator believing restarts are on
+        if self.on_decode_error not in ("quarantine", "restart"):
+            raise ValueError(
+                f"on_decode_error must be 'quarantine' or 'restart', "
+                f"got {self.on_decode_error!r}")
+
     @property
     def logs_dir(self) -> str:
         return f"{self.warehouse_dir}/logs"

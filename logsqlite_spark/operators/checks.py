@@ -74,13 +74,24 @@ def uniqueness(name: str, col: str) -> Check:
 
 def _sq(s: str) -> str:
     """Single-quote a string literal for SQL interpolation, doubling
-    embedded quotes — check names and in_set values are user-supplied
-    and land inside stack()/oracle SQL text."""
+    embedded quotes — user-supplied names/values land inside SQL text.
+
+    Quote-doubling covers standard SQL (DuckDB oracles, and Spark's
+    IN-list below). Backslashes are rejected at the `in_set` boundary
+    instead of escaped: Spark string literals are backslash-escaped by
+    default while DuckDB's are not, so no single spelling evaluates
+    identically in both engines — a loud error beats a value that
+    silently means different things to the query and its oracle."""
     return "'" + s.replace("'", "''") + "'"
 
 
 def in_set(name: str, col: str, values: Sequence[str],
            bound: float = 1.0) -> Check:
+    for v in values:
+        if "\\" in v:
+            raise ValueError(
+                "in_set values must not contain backslashes (Spark and "
+                f"DuckDB escape string literals differently): {v!r}")
     quoted = ", ".join(_sq(v) for v in values)
     return Check(
         name,
@@ -112,10 +123,13 @@ def run_checks(df: DataFrame, checks: Sequence[Check]) -> DataFrame:
         F.expr(c.metric_sql).alias(f"_m{i}")
         for i, c in enumerate(checks)
     ])
-    stack_args = ", ".join(
-        f"{_sq(c.name)}, _m{i}" for i, c in enumerate(checks))
-    rows = metrics.select(F.expr(
-        f"stack({len(checks)}, {stack_args}) as (check_name, raw)"))
+    # names go in as F.lit COLUMNS, not SQL literals — immune to any
+    # literal-escaping differences (quotes, backslashes)
+    rows = metrics.select(
+        F.stack(F.lit(len(checks)),
+                *[x for i, c in enumerate(checks)
+                  for x in (F.lit(c.name), F.col(f"_m{i}"))])
+        .alias("check_name", "raw"))
     bound_map = F.create_map(*[
         x for c in checks for x in (F.lit(c.name), F.lit(float(c.bound)))])
     # per-row verdicts: ops differ per check, so rebuild via CASE
@@ -146,12 +160,12 @@ def run_checks_grouped(df: DataFrame, checks: Sequence[Check],
         F.expr(c.metric_sql).alias(f"_m{i}")
         for i, c in enumerate(checks)
     ])
-    stack_args = ", ".join(
-        f"{_sq(c.name)}, _m{i}" for i, c in enumerate(checks))
     rows = metrics.select(
         *keys,
-        F.expr(f"stack({len(checks)}, {stack_args}) "
-               "as (check_name, raw)"))
+        F.stack(F.lit(len(checks)),
+                *[x for i, c in enumerate(checks)
+                  for x in (F.lit(c.name), F.col(f"_m{i}"))])
+        .alias("check_name", "raw"))
     bound_map = F.create_map(*[
         x for c in checks for x in (F.lit(c.name), F.lit(float(c.bound)))])
     verdict = None

@@ -421,70 +421,51 @@ def _local_fs_path(path: str) -> str | None:
 
 
 class _DirBuildLock:
-    """O_EXCL lock file beside an index dir — cross-process build
-    mutex. A stale lock (holder crashed) is broken after an hour.
+    """``flock``-based cross-process build mutex beside an index dir.
 
-    Crash-recovery races (ADVICE r5): two waiters that both observe a
-    stale mtime must not each unlink-and-recreate — the second unlink
-    would remove the first winner's FRESH lock. Stale locks are
-    therefore broken by an atomic rename to a waiter-unique name
-    (exactly one rename succeeds; the loser's rename raises and it
-    goes back to waiting), and ``__exit__`` only unlinks a lock this
-    process still owns (token check) so a build that outlives the
-    staleness window can't delete its successor's lock."""
+    Earlier versions used an O_EXCL lock file with an mtime-staleness
+    break, but every staleness heuristic has the same race: the
+    decision is made from a stat taken BEFORE the break, so a waiter
+    can destroy a successor's fresh lock (round-5 ADVICE, and again
+    in the round-6 review of the first fix). ``fcntl.flock`` removes
+    the heuristic entirely — the kernel drops the lock when the
+    holder's fd closes, including on crash, so there IS no stale
+    state to break. The lock file itself is just an anchor inode and
+    is never deleted. Only valid on a local FS (guaranteed by
+    :func:`_local_fs_path` at the call site)."""
 
     def __init__(self, local_dir: str, timeout_s: float = 600.0):
         import os
         self.lock_file = local_dir + ".lock"
         self.timeout_s = timeout_s
-        self._token = f"{os.getpid()}:{id(self)}"
+        self._fd: int | None = None
         os.makedirs(os.path.dirname(self.lock_file), exist_ok=True)
 
-    def _owns_lock(self) -> bool:
-        try:
-            with open(self.lock_file) as fh:
-                return fh.read() == self._token
-        except OSError:
-            return False
-
     def __enter__(self):
-        import contextlib
+        import fcntl
         import os
         import time
+        fd = os.open(self.lock_file, os.O_CREAT | os.O_RDWR)
         deadline = time.monotonic() + self.timeout_s
         while True:
             try:
-                fd = os.open(self.lock_file,
-                             os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, self._token.encode())
-                os.close(fd)
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                self._fd = fd
                 return self
-            except FileExistsError:
-                try:
-                    stale = (time.time() - os.path.getmtime(self.lock_file)
-                             > 3600.0)
-                except OSError:
-                    continue  # holder released between EXIST and stat
-                if stale:
-                    # Atomic claim: rename to a name only WE use. If a
-                    # concurrent waiter already claimed it (or the
-                    # holder released), the rename raises and we retry.
-                    grave = f"{self.lock_file}.stale.{self._token}"
-                    with contextlib.suppress(OSError):
-                        os.rename(self.lock_file, grave)
-                        os.unlink(grave)
-                    continue
+            except OSError:
                 if time.monotonic() > deadline:
+                    os.close(fd)
                     raise TimeoutError(
                         f"IVF build lock busy: {self.lock_file}")
                 time.sleep(0.25)
 
     def __exit__(self, *exc):
-        import contextlib
+        import fcntl
         import os
-        if self._owns_lock():
-            with contextlib.suppress(OSError):
-                os.unlink(self.lock_file)
+        if self._fd is not None:
+            fcntl.flock(self._fd, fcntl.LOCK_UN)
+            os.close(self._fd)
+            self._fd = None
 
 
 def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,

@@ -409,9 +409,11 @@ _CERT_FIRST: tuple[str, ...] = (
     "token_freq_histogram", "quality_percentile", "token_commonness",
     "quality_gate", "quality_gate_stats",
     "text_winnow_fps", "text_winnow_matches",
-    "read_since", "read_until", "read_cursor", "read_tail",
+    "read_since",
+    # ---- position 50 ends here (after the two (d) r6 insertions) ----
+    # positions 51+ (all r5-stamped green; stamps persist):
+    "read_until", "read_cursor", "read_tail",
     "read_tail_range",
-    # positions 51+:
     "retention_age", "retention_keep_last",
     "wire_frames", "reassemble_partials", "cube_counts",
     "dedup_exact_groups", "dedup_exact_kept", "dedup_jaccard_pairs",

@@ -72,8 +72,32 @@ def _emit_alerts(df: DataFrame, batch_id: int, alerts_dir: str,
         .filter(F.col("rule").isNotNull())
     )
     if alerts.take(1):
+        _migrate_flat_alerts(alerts_dir)
         alerts.write.mode("overwrite").parquet(
             f"{alerts_dir}/batch_id={int(batch_id)}")
+
+
+def _migrate_flat_alerts(alerts_dir: str) -> None:
+    """Adopt pre-partitioned-layout alert files (flat part-*.parquet
+    written by the append-mode sink) into a ``batch_id=-1`` partition:
+    mixing flat files with batch_id=N dirs would fail Spark's
+    partition discovery and make the whole alert history unreadable
+    on upgrade."""
+    import os
+    import shutil
+
+    try:
+        entries = os.listdir(alerts_dir)
+    except FileNotFoundError:
+        return
+    legacy = [e for e in entries
+              if e.endswith(".parquet") and not e.startswith("batch_id=")]
+    if legacy:
+        dest = os.path.join(alerts_dir, "batch_id=-1")
+        os.makedirs(dest, exist_ok=True)
+        for e in legacy:
+            shutil.move(os.path.join(alerts_dir, e),
+                        os.path.join(dest, e))
 
 
 def start_quality_monitor(spark: SparkSession, logs_dir: str,

@@ -78,3 +78,28 @@ def test_alert_sink_idempotent_under_replay(spark, tmp_path):
     assert got.count() == 1
     row = got.collect()[0]
     assert row["rule"] == "empty_ratio" and row["batch_id"] == 7
+
+
+def test_alert_sink_migrates_legacy_flat_files(spark, tmp_path):
+    """Flat pre-partition-layout alert files are adopted into
+    batch_id=-1 so old + new alerts stay readable together."""
+    from logsqlite_spark.streaming.monitor import _emit_alerts
+
+    alerts_dir = str(tmp_path / "alerts")
+    legacy = spark.createDataFrame(
+        [("2023-12-31 00:00:00", "2023-12-31 00:05:00", "c0",
+          5, 5, 0, 1, "empty_ratio")],
+        "window_start string, window_end string, container_id string, "
+        "n long, n_empty long, n_oversized long, est_sources long, "
+        "rule string")
+    legacy.coalesce(1).write.mode("overwrite").parquet(alerts_dir)
+
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", "2024-01-01 00:05:00", "c1",
+          10, 9, 0, 1)],
+        "window_start string, window_end string, container_id string, "
+        "n long, n_empty long, n_oversized long, est_sources long")
+    _emit_alerts(df, 3, alerts_dir, max_empty_ratio=0.5)
+    got = spark.read.parquet(alerts_dir)
+    assert got.count() == 2
+    assert {r["batch_id"] for r in got.collect()} == {-1, 3}

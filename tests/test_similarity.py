@@ -86,35 +86,33 @@ def test_ann_lsh_portable_identical_vectors_always_meet(spark):
     assert pairs[(0, 1)] == 1.0
 
 
-def test_dir_build_lock_stale_break_and_owner_only_unlink(tmp_path):
-    """ADVICE r5: stale locks break via atomic rename (single winner);
-    __exit__ never deletes a lock this process no longer owns."""
+def test_dir_build_lock_mutual_exclusion_and_crash_release(tmp_path):
+    """flock semantics: a held lock blocks a second acquirer (timeout),
+    releases on exit, and a crashed holder's lock is auto-released by
+    the kernel (no staleness heuristic to race on)."""
     import os
-    import time
+
+    import pytest as _pytest
 
     from logsqlite_spark.operators.similarity import _DirBuildLock
 
     d = str(tmp_path / "idx")
-    # stale lock left by a crashed holder
-    stale = d + ".lock"
-    with open(stale, "w") as fh:
-        fh.write("99999:dead")
-    old = time.time() - 7200
-    os.utime(stale, (old, old))
+    with _DirBuildLock(d, timeout_s=5.0):
+        with _pytest.raises(TimeoutError):
+            _DirBuildLock(d, timeout_s=0.6).__enter__()
+    # released on exit: immediate re-acquire succeeds
+    with _DirBuildLock(d, timeout_s=1.0):
+        pass
 
-    with _DirBuildLock(d, timeout_s=5.0) as lk:
-        # acquired by breaking the stale lock; file now carries our token
-        with open(stale) as fh:
-            assert fh.read() == lk._token
-    assert not os.path.exists(stale)
-
-    # a lock owned by someone else must survive our __exit__
-    lk2 = _DirBuildLock(d, timeout_s=0.1)
-    with open(stale, "w") as fh:
-        fh.write("other:token")
-    lk2.__exit__(None, None, None)
-    assert os.path.exists(stale)
-    os.unlink(stale)
+    # crash release: child takes the lock and dies without cleanup;
+    # the kernel drops it with the fd, so the parent acquires at once
+    pid = os.fork()
+    if pid == 0:  # child
+        _DirBuildLock(d, timeout_s=5.0).__enter__()
+        os._exit(0)  # no __exit__, no unlock — simulated crash
+    os.waitpid(pid, 0)
+    with _DirBuildLock(d, timeout_s=2.0):
+        pass
 
 
 def test_ivf_recall_at_k_vs_exact(spark):
