@@ -62,7 +62,10 @@ def test_ivf_auto_persist_builds_once_and_reuses(spark, tmp_path, monkeypatch):
     a = sorted(map(tuple, ivf_topk(q, emb, k=5, n_clusters=8,
                                    n_probe=4).collect()))
     root = str(tmp_path / "auto")
-    idxs = os.listdir(root)
+    # the flock anchor (<key>.lock) persists by design — it is never
+    # deleted, else a waiter holding the old inode and a newcomer on a
+    # fresh one would both "hold" the build mutex
+    idxs = [e for e in os.listdir(root) if not e.endswith(".lock")]
     assert len(idxs) == 1
     idx_dir = os.path.join(root, idxs[0])
     marker = os.path.join(idx_dir, "_INDEX_OK")
@@ -84,7 +87,8 @@ def test_ivf_auto_persist_builds_once_and_reuses(spark, tmp_path, monkeypatch):
     # guard sees in-use indexes as fresh), still exactly one index
     assert data_mtimes() == m0 and m0
     assert os.path.getmtime(marker) >= t0
-    assert os.listdir(root) == idxs
+    assert [e for e in os.listdir(root)
+            if not e.endswith(".lock")] == idxs
 
 
 BASE_TS = 1_704_067_200_000_000_000
