@@ -193,6 +193,60 @@ def winnow_matches(docs: DataFrame, min_shared: int = 8,
     )
 
 
+def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Exact repeated-token-n-gram signal per document — the substring
+    dedup statistic of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (2022): a position is *duplicated* when
+    its token n-gram occurs in >= ``min_df`` distinct documents, and
+    a document's ``dup_fraction`` is the share of its positions that
+    are duplicated. Pipelines cut or down-weight high-dup documents;
+    unlike the winnowing path (sampled fingerprints, approximate)
+    this is exact on token n-grams.
+
+    Shape: gram generation is a zero-shuffle generated-sequence
+    projection (like chunking); then the canonical two-pass — gram ->
+    doc-frequency aggregation, and a same-key join back to count each
+    document's duplicated positions. Both passes key on the gram, so
+    AQE reuses the exchange; at 100 TB you key on ``xxhash64(gram)``
+    to shrink shuffle bytes (same plan; strings kept here so DuckDB
+    replays the join key byte-for-byte). Documents shorter than ``n``
+    tokens emit no positions and are absent from the output (both
+    engines drop them identically)."""
+    toks = _tok(text_col)
+    grams = (
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> array_join(slice(__t, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    g = (
+        rebalance_for_compute(docs)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.expr(toks).alias("__t"))
+        .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+    )
+    df_counts = (g.groupBy("gram")
+                 .agg(F.countDistinct("doc_id").alias("df"))
+                 .filter(F.col("df") >= min_df))
+    per_doc = g.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"))
+    dup = (g.join(df_counts, "gram")
+           .groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_dup")))
+    return (
+        per_doc.join(dup, "doc_id", "left")
+        .select(
+            "doc_id", "n_grams",
+            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+            .alias("n_dup_positions"),
+            F.round(F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+                    / F.col("n_grams").cast("double"), 6)
+            .alias("dup_fraction"))
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Keyword-marker language ID (deterministic argmax, 'en'-biased
@@ -513,6 +567,10 @@ def _q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(table(spark, sf_dir, "documents"))
 
+def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return repeated_ngram_stats(table(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(table(spark, sf_dir, "documents"))
 
@@ -579,6 +637,7 @@ QUERIES = {
     "text_winnow_fps": _q_winnow_fps,
     "text_winnow_matches": _q_winnow_matches,
     "lang_id": _q_lang_id,
+    "repeated_ngrams": _q_repeated_ngrams,
     "doc_stats": _q_doc_stats,
     "length_quantiles": _q_length_quantiles,
     "clean_text": _q_clean_text,
@@ -622,6 +681,30 @@ _WINNOW_FP_SQL = (
     f"generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)), "
     f"j -> list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))) AS fps FROM g)"
 )
+
+
+def _repeated_ngrams_oracle(n: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of :func:`repeated_ngram_stats` — same whitespace
+    tokens, same string gram key, same df>=min_df rule."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "pos AS (SELECT doc_id, tk, "
+        f"  unnest(range(1, len(tk) - {n - 1} + 1)) AS i "
+        f"  FROM t WHERE len(tk) >= {n}), "
+        "g AS (SELECT doc_id, "
+        f"  array_to_string(tk[i:i+{n - 1}], ' ') AS gram FROM pos), "
+        "dfc AS (SELECT gram FROM g GROUP BY gram "
+        f"  HAVING count(DISTINCT doc_id) >= {min_df}), "
+        "perdoc AS (SELECT doc_id, count(*) AS n_grams FROM g "
+        "  GROUP BY doc_id), "
+        "dup AS (SELECT g.doc_id, count(*) AS n_dup FROM g "
+        "  JOIN dfc ON g.gram = dfc.gram GROUP BY g.doc_id) "
+        "SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams, "
+        "CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_positions, "
+        "round(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) "
+        "  / CAST(p.n_grams AS DOUBLE), 6) AS dup_fraction "
+        "FROM perdoc p LEFT JOIN dup d ON p.doc_id = d.doc_id"
+    )
 
 ORACLES = {
     "chunk_documents": (
@@ -670,6 +753,7 @@ ORACLES = {
         "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
     ),
     "lang_id": _langid_oracle(),
+    "repeated_ngrams": _repeated_ngrams_oracle(),
     # ceil(p*n) is evaluated in IEEE doubles on both sides (identical
     # literal, identical product, identical ceil) — consistent even at
     # the 0.99*n representation boundary.

@@ -396,7 +396,7 @@ _CERT_FIRST: tuple[str, ...] = (
     # (b) stale-FAIL re-certification
     "read_range_container",
     # (d) new round-6 queries slot in here as they are added
-    "ann_sq_topk", "ann_sq_rerank",
+    "ann_sq_topk", "ann_sq_rerank", "repeated_ngrams",
     # --- remaining window: oldest-stamp-first (r3 stamps) ---
     "logparse_json", "logparse_typed", "logparse_regex",
     "count_per_container",
@@ -409,10 +409,11 @@ _CERT_FIRST: tuple[str, ...] = (
     "token_freq_histogram", "quality_percentile", "token_commonness",
     "quality_gate", "quality_gate_stats",
     "text_winnow_fps", "text_winnow_matches",
-    "read_since",
-    # ---- position 50 ends here (after the two (d) r6 insertions) ----
-    # positions 51+ (all r5-stamped green; stamps persist):
-    "read_until", "read_cursor", "read_tail",
+    # ---- ~position 50: with the three (d) r6 insertions the window
+    # ends at text_winnow_matches; every (d) addition pushes one more
+    # r5-stamped entry below the gate (run
+    # `list(registry.queries())[:50]` to see the exact cut) ----
+    "read_since", "read_until", "read_cursor", "read_tail",
     "read_tail_range",
     "retention_age", "retention_keep_last",
     "wire_frames", "reassemble_partials", "cube_counts",

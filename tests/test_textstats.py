@@ -159,3 +159,26 @@ def test_chunk_documents_coverage_and_zero_shuffle(spark):
     plan = chunk_documents(docs)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_repeated_ngram_stats_planted_duplicates(spark):
+    """Lee-et-al substring-dup signal: positions whose token 8-gram
+    appears in >= 2 docs are flagged; unique docs measure 0.0."""
+    from logsqlite_spark.operators.textstats import repeated_ngram_stats
+
+    shared = "one two three four five six seven eight"  # exactly 8 toks
+    rows = [
+        (1, shared + " tail1 x1"),
+        (2, "head2 " + shared + " tail2"),
+        (3, "a b c d e f g h i j"),   # unique 10-token doc
+        (4, "short doc"),             # < n tokens -> absent
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repeated_ngram_stats(docs).collect()}
+    assert set(got) == {1, 2, 3}
+    # doc1: 3 positions, exactly 1 (the leading 8-gram) duplicated
+    assert got[1]["n_grams"] == 3 and got[1]["n_dup_positions"] == 1
+    # doc2: 3 positions, the middle one duplicated
+    assert got[2]["n_grams"] == 3 and got[2]["n_dup_positions"] == 1
+    assert got[3]["n_dup_positions"] == 0
+    assert got[3]["dup_fraction"] == 0.0
