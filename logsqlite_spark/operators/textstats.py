@@ -247,6 +247,65 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
     )
 
 
+def dedup_span_clean(docs: DataFrame, n: int = 8, min_df: int = 2,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The removal half of Lee-et-al substring dedup: every token
+    covered by a duplicated n-gram (one occurring in >= ``min_df``
+    docs — :func:`repeated_ngram_stats` is the detection half) is cut,
+    and the document text is rebuilt from the survivors. Overlapping
+    duplicated spans need no interval merging — coverage is just the
+    distinct set of covered token indices.
+
+    Shape: the gram->df aggregation and join-back of the stats
+    operator, then covered positions explode to token indices,
+    ``collect_set`` per doc (bounded by the doc's own length), and the
+    rebuild runs in codegen: filter the index sequence against the
+    removal set, map back to tokens. Documents with nothing to remove
+    pass through verbatim. The rebuild idiom (filter indices, then
+    index into the token array) is chosen because both Spark and
+    DuckDB express it identically — lambda-with-index exists in only
+    one of them."""
+    toks = _tok(text_col)
+    grams = (
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> array_join(slice(__t, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+    base = (
+        rebalance_for_compute(docs)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.expr(toks).alias("__t"))
+    )
+    g = base.select("doc_id",
+                    F.posexplode(F.expr(grams)).alias("pos0", "gram"))
+    df_counts = (g.groupBy("gram")
+                 .agg(F.countDistinct("doc_id").alias("df"))
+                 .filter(F.col("df") >= min_df))
+    removed = (
+        g.join(df_counts, "gram")
+        .select("doc_id", F.explode(
+            F.expr(f"sequence(pos0 + 1, pos0 + {n})")).alias("tok_idx"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("tok_idx").alias("rm"))
+    )
+    rebuilt = (
+        "transform(filter(sequence(1, size(__t)), "
+        "j -> NOT array_contains(coalesce(rm, array()), j)), "
+        "j -> element_at(__t, j))"
+    )
+    return (
+        base.join(removed, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.expr("size(__t)").cast("long").alias("n_tokens"),
+            F.expr("size(coalesce(rm, array()))").cast("long")
+            .alias("n_removed"),
+            F.expr(f"array_join({rebuilt}, ' ')").alias("clean_text"))
+    )
+
+
 def lang_id(docs: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Keyword-marker language ID (deterministic argmax, 'en'-biased
@@ -571,6 +630,10 @@ def _q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_ngram_stats(table(spark, sf_dir, "documents"))
 
 
+def _q_span_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_span_clean(table(spark, sf_dir, "documents"))
+
+
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(table(spark, sf_dir, "documents"))
 
@@ -638,6 +701,7 @@ QUERIES = {
     "text_winnow_matches": _q_winnow_matches,
     "lang_id": _q_lang_id,
     "repeated_ngrams": _q_repeated_ngrams,
+    "dedup_span_clean": _q_span_clean,
     "doc_stats": _q_doc_stats,
     "length_quantiles": _q_length_quantiles,
     "clean_text": _q_clean_text,
@@ -681,6 +745,34 @@ _WINNOW_FP_SQL = (
     f"generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)), "
     f"j -> list_aggregate(list_slice(grams, j, j + {WINNOW_W - 1}), 'min'))) AS fps FROM g)"
 )
+
+
+
+def _span_clean_oracle(n: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of :func:`dedup_span_clean` — same gram keys, same
+    covered-index union, same filter-indices-then-index rebuild."""
+    return (
+        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        "pos AS (SELECT doc_id, tk, "
+        f"  unnest(range(1, len(tk) - {n - 1} + 1)) AS i "
+        f"  FROM t WHERE len(tk) >= {n}), "
+        "g AS (SELECT doc_id, i, "
+        f"  array_to_string(tk[i:i+{n - 1}], ' ') AS gram FROM pos), "
+        "dfc AS (SELECT gram FROM g GROUP BY gram "
+        f"  HAVING count(DISTINCT doc_id) >= {min_df}), "
+        "cov AS (SELECT g.doc_id, "
+        f"  unnest(range(g.i, g.i + {n})) AS tok_idx "
+        "  FROM g JOIN dfc ON g.gram = dfc.gram), "
+        "rmv AS (SELECT doc_id, list(DISTINCT tok_idx) AS rm FROM cov "
+        "  GROUP BY doc_id) "
+        "SELECT t.doc_id, CAST(len(t.tk) AS BIGINT) AS n_tokens, "
+        "CAST(len(COALESCE(rmv.rm, [])) AS BIGINT) AS n_removed, "
+        "COALESCE(array_to_string(list_transform(list_filter("
+        "  range(1, len(t.tk) + 1), "
+        "  j -> NOT list_contains(COALESCE(rmv.rm, []), j)), "
+        "  j -> t.tk[j]), ' '), '') AS clean_text "
+        "FROM t LEFT JOIN rmv ON t.doc_id = rmv.doc_id"
+    )
 
 
 def _repeated_ngrams_oracle(n: int = 8, min_df: int = 2) -> str:
@@ -754,6 +846,7 @@ ORACLES = {
     ),
     "lang_id": _langid_oracle(),
     "repeated_ngrams": _repeated_ngrams_oracle(),
+    "dedup_span_clean": _span_clean_oracle(),
     # ceil(p*n) is evaluated in IEEE doubles on both sides (identical
     # literal, identical product, identical ceil) — consistent even at
     # the 0.99*n representation boundary.

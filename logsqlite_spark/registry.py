@@ -397,6 +397,7 @@ _CERT_FIRST: tuple[str, ...] = (
     "read_range_container",
     # (d) new round-6 queries slot in here as they are added
     "ann_sq_topk", "ann_sq_rerank", "repeated_ngrams",
+    "dedup_span_clean",
     # --- remaining window: oldest-stamp-first (r3 stamps) ---
     "logparse_json", "logparse_typed", "logparse_regex",
     "count_per_container",

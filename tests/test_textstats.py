@@ -182,3 +182,25 @@ def test_repeated_ngram_stats_planted_duplicates(spark):
     assert got[2]["n_grams"] == 3 and got[2]["n_dup_positions"] == 1
     assert got[3]["n_dup_positions"] == 0
     assert got[3]["dup_fraction"] == 0.0
+
+
+def test_dedup_span_clean_removes_shared_span(spark):
+    """The removal half: tokens covered by a cross-doc 8-gram are cut,
+    unique docs pass through verbatim, fully-duplicated docs end empty."""
+    from logsqlite_spark.operators.textstats import dedup_span_clean
+
+    shared = "one two three four five six seven eight"
+    rows = [
+        (1, shared + " tail1 x1"),
+        (2, "head2 " + shared + " tail2"),
+        (3, "a b c d e f g h i j"),
+        (4, shared),                  # nothing but the shared gram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in dedup_span_clean(docs).collect()}
+    assert got[1]["clean_text"] == "tail1 x1"
+    assert got[1]["n_removed"] == 8
+    assert got[2]["clean_text"] == "head2 tail2"
+    assert got[3]["clean_text"] == "a b c d e f g h i j"
+    assert got[3]["n_removed"] == 0
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 8
