@@ -206,14 +206,21 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
     this is exact on token n-grams.
 
     Shape: gram generation is a zero-shuffle generated-sequence
-    projection (like chunking); then the canonical two-pass — gram ->
-    doc-frequency aggregation, and a same-key join back to count each
-    document's duplicated positions. Both passes key on the gram, so
-    AQE reuses the exchange; at 100 TB you key on ``xxhash64(gram)``
-    to shrink shuffle bytes (same plan; strings kept here so DuckDB
-    replays the join key byte-for-byte). Documents shorter than ``n``
-    tokens emit no positions and are absent from the output (both
-    engines drop them identically)."""
+    projection (like chunking), and the corpus is scanned exactly
+    ONCE — positions combine map-side to (gram, doc_id, count)
+    partials before anything shuffles, doc-frequency is a count over
+    a gram-partitioned window on those partials (each (gram, doc_id)
+    row = one distinct doc), and the per-doc roll-up is a third
+    shuffle of doc-level rows. A naive df-aggregate + join-back
+    formulation re-scans and re-explodes the corpus three times and
+    shuffles raw positions; this one never shuffles anything bigger
+    than the distinct (gram, doc) pairs. At 100 TB you key on
+    ``xxhash64(gram)`` to shrink shuffle bytes (same plan; strings
+    kept here so DuckDB replays the key byte-for-byte). Documents
+    shorter than ``n`` tokens emit no positions and are absent from
+    the output (both engines drop them identically)."""
+    from pyspark.sql import Window
+
     toks = _tok(text_col)
     grams = (
         f"CASE WHEN size(__t) >= {n} THEN "
@@ -227,21 +234,20 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
                 F.expr(toks).alias("__t"))
         .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
     )
-    df_counts = (g.groupBy("gram")
-                 .agg(F.countDistinct("doc_id").alias("df"))
-                 .filter(F.col("df") >= min_df))
-    per_doc = g.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_grams"))
-    dup = (g.join(df_counts, "gram")
-           .groupBy("doc_id")
-           .agg(F.count(F.lit(1)).cast("long").alias("n_dup")))
+    per_gram_doc = g.groupBy("gram", "doc_id").agg(
+        F.count(F.lit(1)).alias("c"))
+    # one row per (gram, doc): row count over the gram window IS the
+    # gram's distinct-doc frequency
+    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
     return (
-        per_doc.join(dup, "doc_id", "left")
+        per_gram_doc.withColumn("df", df_w)
+        .groupBy("doc_id")
+        .agg(F.sum("c").cast("long").alias("n_grams"),
+             F.sum(F.when(F.col("df") >= min_df, F.col("c"))
+                   .otherwise(0)).cast("long").alias("n_dup_positions"))
         .select(
-            "doc_id", "n_grams",
-            F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
-            .alias("n_dup_positions"),
-            F.round(F.coalesce(F.col("n_dup"), F.lit(0)).cast("double")
+            "doc_id", "n_grams", "n_dup_positions",
+            F.round(F.col("n_dup_positions").cast("double")
                     / F.col("n_grams").cast("double"), 6)
             .alias("dup_fraction"))
     )
@@ -262,7 +268,11 @@ def dedup_span_clean(docs: DataFrame, n: int = 8, min_df: int = 2,
     ``collect_set`` per doc (bounded by the doc's own length), and the
     rebuild runs in codegen: filter the index sequence against the
     removal set, map back to tokens. Documents with nothing to remove
-    pass through verbatim. The rebuild idiom (filter indices, then
+    pass through verbatim. Unlike the stats operator this needs the
+    POSITIONS of duplicated grams, so the gram stream is consumed
+    twice (df aggregation + coverage join) and Spark re-derives it —
+    two corpus scans; a 100 TB run persists the gram stream
+    (DISK_ONLY) or feeds coverage from the stats pass instead. The rebuild idiom (filter indices, then
     index into the token array) is chosen because both Spark and
     DuckDB express it identically — lambda-with-index exists in only
     one of them."""

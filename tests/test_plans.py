@@ -451,3 +451,15 @@ def test_ann_sq_topk_broadcasts_and_group_limits(spark):
     # for the corpus and the broadcast query side
     assert plan.count("(1) Scan parquet") == 1 and \
         plan.count("Scan parquet  (") == 2, plan
+
+
+def test_repeated_ngram_stats_single_scan(spark):
+    """Substring-dup stats must scan the corpus ONCE: positions
+    combine to (gram, doc) partials map-side; nothing bigger than the
+    distinct pairs ever shuffles (no df-join back to raw positions)."""
+    from logsqlite_spark.operators.textstats import repeated_ngram_stats
+
+    df = repeated_ngram_stats(table(spark, SF, "documents"))
+    plan = explain_str(df)
+    assert plan.count("Scan parquet  (") == 1, plan
+    assert "Join" not in plan  # window-on-partials, not join-back
