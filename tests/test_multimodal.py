@@ -110,3 +110,89 @@ def test_bytestat_vectorized_matches_python_fold():
     for payload in cases:
         assert _bytestat_features(payload) == \
             _bytestat_features_py(payload), len(payload)
+
+
+def _make_bmp(h, w, rgb):
+    """Solid-color 24bpp BMP via the module's own encoder twin."""
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import _encode_bmp
+
+    arr = np.zeros((h, w, 3), np.uint8)
+    arr[:, :] = rgb
+    return _encode_bmp(arr)
+
+
+def _make_wav(rate, samples):
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def test_bmp_roundtrip_and_native_decode():
+    """The numpy BMP codec round-trips pixel-exactly (incl. the 4-byte
+    row padding of non-multiple-of-4 widths) and native features carry
+    real dimensions + channel stats."""
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import (
+        _decode_bmp, _encode_bmp, _native_features)
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)  # w=7: padded
+    assert (_decode_bmp(_encode_bmp(img)) == img).all()
+
+    kind, f = _native_features(_make_bmp(4, 6, (10, 200, 30)))
+    assert kind == "image"
+    assert f[0] == 1.0 and f[1] == 4.0 and f[2] == 6.0
+    assert f[3:6] == [10.0, 200.0, 30.0]   # exact channel means
+    assert f[6:9] == [0.0, 0.0, 0.0]       # solid color -> zero std
+
+
+def test_wav_native_decode():
+    from logsqlite_spark.operators.multimodal import _native_features
+
+    kind, f = _native_features(_make_wav(8000, [0, 1000, -1000, 1000]))
+    assert kind == "audio"
+    assert f[0] == 2.0 and f[1] == 8000.0 and f[2] == 4.0 and f[3] == 1.0
+    assert abs(f[4] - (3 * 1000**2 / 4) ** 0.5) < 1e-9  # exact RMS
+
+
+def test_native_decode_and_real_resize_through_spark(spark):
+    """End-to-end through mapInPandas: native decode classifies by
+    magic bytes; real resize produces a decodable BMP at the target
+    dimensions with preserved solid color."""
+    from logsqlite_spark.operators.multimodal import (
+        _decode_bmp, decode_media, resize_images)
+
+    rows = [
+        (1, 10, _make_bmp(8, 8, (255, 0, 0)),
+         {"media_type": "image", "width": 8, "height": 8}),
+        (2, 20, _make_wav(16000, [100, -100] * 50),
+         {"media_type": "audio", "duration_ms": 100}),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    got = {r["media_id"]: r for r in
+           decode_media(media, codec="native").collect()}
+    assert got[1]["media_type"] == "image" and got[1]["feature"][1] == 8.0
+    assert got[2]["media_type"] == "audio" and got[2]["feature"][1] == 16000.0
+
+    imgs = media.filter("media_id = 1")
+    out = resize_images(imgs, 4, 2, fake=False).collect()[0]
+    arr = _decode_bmp(bytes(out["payload"]))
+    assert arr.shape == (2, 4, 3)
+    assert (arr == (255, 0, 0)).all()
+
+    # compressed formats still raise at the integration point
+    junk = spark.createDataFrame(
+        [(3, 30, b"\xff\xd8\xff\xe0JFIF-not-really", None)],
+        "media_id long, doc_id long, payload binary, meta map<string,string>")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="integration point"):
+        decode_media(junk, codec="native").collect()
