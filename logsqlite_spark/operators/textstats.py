@@ -193,6 +193,21 @@ def winnow_matches(docs: DataFrame, min_shared: int = 8,
     )
 
 
+
+def _gram_expr(n: int) -> str:
+    """Token n-gram strings over the __t column — shared by the
+    detection (repeated_ngram_stats) and removal (dedup_span_clean)
+    halves so their gram keys can never desynchronize. Emits an empty
+    array for docs shorter than n tokens (sequence(1, 0) in Spark is
+    the DESCENDING [1, 0], so the CASE guard is load-bearing)."""
+    return (
+        f"CASE WHEN size(__t) >= {n} THEN "
+        f"transform(sequence(1, size(__t) - {n - 1}), "
+        f"i -> array_join(slice(__t, i, {n}), ' ')) "
+        "ELSE array() END"
+    )
+
+
 def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -222,12 +237,7 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
     from pyspark.sql import Window
 
     toks = _tok(text_col)
-    grams = (
-        f"CASE WHEN size(__t) >= {n} THEN "
-        f"transform(sequence(1, size(__t) - {n - 1}), "
-        f"i -> array_join(slice(__t, i, {n}), ' ')) "
-        "ELSE array() END"
-    )
+    grams = _gram_expr(n)
     g = (
         rebalance_for_compute(docs)
         .select(F.col(id_col).cast("long").alias("doc_id"),
@@ -276,13 +286,12 @@ def dedup_span_clean(docs: DataFrame, n: int = 8, min_df: int = 2,
     index into the token array) is chosen because both Spark and
     DuckDB express it identically — lambda-with-index exists in only
     one of them."""
-    toks = _tok(text_col)
-    grams = (
-        f"CASE WHEN size(__t) >= {n} THEN "
-        f"transform(sequence(1, size(__t) - {n - 1}), "
-        f"i -> array_join(slice(__t, i, {n}), ' ')) "
-        "ELSE array() END"
-    )
+    # tokens coalesce to [] so zero-token and NULL-text docs flow
+    # through as (0, 0, '') instead of crashing the rebuild (Spark's
+    # sequence(1, 0) is the DESCENDING [1, 0] -> element_at OOB) or
+    # diverging from the oracle on NULL
+    toks = f"coalesce({_tok(text_col)}, array())"
+    grams = _gram_expr(n)
     base = (
         rebalance_for_compute(docs)
         .select(F.col(id_col).cast("long").alias("doc_id"),
@@ -301,7 +310,9 @@ def dedup_span_clean(docs: DataFrame, n: int = 8, min_df: int = 2,
         .agg(F.collect_set("tok_idx").alias("rm"))
     )
     rebuilt = (
-        "transform(filter(sequence(1, size(__t)), "
+        "transform(filter("
+        "CASE WHEN size(__t) >= 1 THEN sequence(1, size(__t)) "
+        "ELSE array() END, "
         "j -> NOT array_contains(coalesce(rm, array()), j)), "
         "j -> element_at(__t, j))"
     )
