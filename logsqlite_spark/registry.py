@@ -357,96 +357,11 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_counts": q_cube_counts,
 }
 
-# Driver-certification ordering. The round driver samples the FIRST
-# 50 entries of queries() for its oracle gate, so ordering is how we
-# steer which operators get a hard CORRECTNESS_r{N}.json stamp.
-# Round-6 allocation (VERDICT r5 "Next round" #1, list pre-written at
-# NOTES_r5.md:114-127):
-# (a) the 22 round-5 queries that have never had a driver stamp —
-#     clustering/SemDeDup (X8), sketch tier (X7), quality checks +
-#     profiling (X9), chunking, mixture sampling, tpch q2/q11/q20;
-# (b) read_range_container, whose LATEST driver stamp is the stale r3
-#     environment-typing FAIL (green r1/r2 and in the judge's own r5
-#     local oracle run) — needs a fresh green row on record;
-# (c) queries whose code or oracle changed THIS round (metric_drift
-#     ANSI divide fix lands in the same window as its first stamp);
-# (d) new round-6 queries, so they certify the round they are born.
-# Everything stamped green in r4/r5 rotates below position 50 — stamps
-# persist, so rotation costs nothing.
-_CERT_FIRST: tuple[str, ...] = (
-    # (a) X8 clustering + SemDeDup
-    "cluster_assign", "cluster_stats", "cluster_sample",
-    "cluster_refined_stats", "semantic_dedup_pairs",
-    "semantic_dedup_stats",
-    # (a) X7 sketch tier (theta queries carry full oracles; the HLL/KLL
-    # entries are rows-only by design — the driver records the weaker
-    # check and the pytest error pins carry the quantitative gate)
-    "events_retention_overlap", "events_segment_overlap",
-    "events_weekly_active", "events_value_quantiles",
-    "events_distinct_hll",
-    # (a) X9 quality checks + profiling (metric_drift also satisfies
-    # (c): its rel() helper + oracle gained nullif-zero semantics r6)
-    "quality_checks_events", "quality_checks_documents",
-    "quality_checks_by_source", "metric_drift_events",
-    "profile_events", "profile_documents",
-    # (a) chunking, mixture, late tpch
-    "chunk_documents", "mixture_sample",
-    "tpch_q2_min_cost_supplier", "tpch_q11_important_stock",
-    "tpch_q20_excess_shippers",
-    # (b) stale-FAIL re-certification
-    "read_range_container",
-    # (d) new round-6 queries slot in here as they are added
-    "ann_sq_topk", "ann_sq_rerank", "repeated_ngrams",
-    "dedup_span_clean",
-    # --- remaining window: oldest-stamp-first (r3 stamps) ---
-    "logparse_json", "logparse_typed", "logparse_regex",
-    "count_per_container",
-    # r5-stamped (freshest, fill the tail of the window)
-    "tpch_q1_pricing", "tpch_q12_priority_split", "tpch_q18_large_orders",
-    "events_running_value", "events_lag_delta", "events_topk_per_user",
-    "events_trailing_hour", "events_activity_gaps",
-    "split_counts", "value_histogram",
-    "clean_text", "repetition_signals", "token_freq_per_lang",
-    "token_freq_histogram", "quality_percentile", "token_commonness",
-    "quality_gate", "quality_gate_stats",
-    "text_winnow_fps", "text_winnow_matches",
-    # ---- ~position 50: with the three (d) r6 insertions the window
-    # ends at text_winnow_matches; every (d) addition pushes one more
-    # r5-stamped entry below the gate (run
-    # `list(registry.queries())[:50]` to see the exact cut) ----
-    "read_since", "read_until", "read_cursor", "read_tail",
-    "read_tail_range",
-    "retention_age", "retention_keep_last",
-    "wire_frames", "reassemble_partials", "cube_counts",
-    "dedup_exact_groups", "dedup_exact_kept", "dedup_jaccard_pairs",
-    "dedup_jaccard_capped", "dedup_shingle_pairs", "dedup_incremental",
-    "dedup_components", "dedup_pair_degrees", "dedup_cluster_stats",
-    "dedup_minhash_lsh", "dedup_simhash", "dedup_simhash_groups",
-    "dedup_simhash_pairs",
-    "dedup_minhash_sig", "dedup_minhash_pairs", "dedup_two_stage",
-    "ann_cosine_topk", "ann_lsh_portable", "embedding_norms",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "read_all", "read_range", "read_tail_per_container",
-    "count_filtered", "retention_combined", "events_window_agg",
-    "tpch_q3_top_orders", "tpch_q4_priority_check",
-    "tpch_q5_local_volume", "tpch_q6_forecast", "tpch_q7_nation_trade",
-    "tpch_q8_market_share", "tpch_q9_nation_profit",
-    "tpch_q10_returned_items", "tpch_q13_order_distribution",
-    "tpch_q14_promo", "tpch_q15_top_supplier", "tpch_q16_part_variety",
-    "tpch_q17_small_qty", "tpch_q19_disjunctive", "tpch_q21_sole_blame",
-    "tpch_q22_dormant_rich",
-    "corpus_prepare_stats", "corpus_prepare_full_stats",
-    "split_leakage", "contamination_check", "decontaminate_stats",
-    "pack_sequences", "pack_stats", "pack_emit",
-    "media_stats", "media_frames", "media_decode_features",
-    "events_funnel", "events_conversion_time",
-    "asof_join_signup", "range_join_1h", "sessionize_30m",
-    "distinct_users", "pivot_value_by_type",
-    "count_per_container_salted", "events_salted_join",
-    "events_cohorts", "events_ewma",
-    "split_assign", "stratified_sample", "value_outliers",
-)
+# Driver-certification ordering lives in cert_window.py (GENERATED by
+# tools/stamp_freshness.py --write). The round driver samples the FIRST
+# 50 entries of queries() for its oracle gate, so that ordering is how
+# we steer which operators get a hard CORRECTNESS_r{N}.json stamp.
+from .cert_window import CERT_FIRST as _CERT_FIRST
 
 
 def _cert_order(d: dict) -> dict:

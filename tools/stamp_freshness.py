@@ -1,0 +1,235 @@
+#!/usr/bin/env python
+"""Stamp-freshness audit over the driver's CORRECTNESS ledger.
+
+The round driver certifies only the first 50 entries of
+``__spark_entry__.queries()`` each round, and stamps persist across
+rounds — so a query whose operator file changed AFTER its latest stamp
+carries certification for code that no longer exists.  This tool makes
+that visible and machine-checkable:
+
+  * for every registered query: latest stamp round + status, the file
+    that defines the query callable, and the commits touching that file
+    since the stamp was taken;
+  * exit non-zero when any stamped query's operator changed post-stamp
+    (or was never stamped at all);
+  * print a suggested ``_CERT_FIRST`` head: never-stamped first, then
+    stale-stamped (oldest stamp first), then fresh-oldest-first backfill
+    up to the 50-query window.
+
+Round→commit mapping: the driver stamps the code present at the
+"round N: verdict/advice/correctness/bench" commit (that commit adds
+only judge artifacts, no source), so a round-N stamp is stale iff the
+query's defining file has commits in ``<verdict_rN>..HEAD``.
+
+Usage:  python tools/stamp_freshness.py [--json] [--window 50]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import inspect
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", "-C", REPO, *args], check=True, capture_output=True, text=True
+    ).stdout
+
+
+def round_commits() -> dict[int, str]:
+    """round number -> commit sha whose tree the driver stamped."""
+    out: dict[int, str] = {}
+    for line in _git("log", "--format=%H %s").splitlines():
+        sha, _, subj = line.partition(" ")
+        m = re.match(r"round (\d+): verdict/advice/correctness/bench", subj)
+        if m:
+            out.setdefault(int(m.group(1)), sha)
+    return out
+
+
+def load_ledger() -> dict[str, dict]:
+    """query -> {round, hash_match, rows_match, err} at its LATEST stamp."""
+    ledger: dict[str, dict] = {}
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            prev = ledger.get(name)
+            if prev is None or rnd >= prev["round"]:
+                ledger[name] = {
+                    "round": rnd,
+                    "hash_match": rec.get("hash_match"),
+                    "rows_match": rec.get("rows_match"),
+                    "err": rec.get("err"),
+                }
+    return ledger
+
+
+def query_files() -> dict[str, str]:
+    """query name -> repo-relative file defining its callable."""
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entry  # noqa: E402
+
+    out: dict[str, str] = {}
+    for name, fn in entry.queries().items():
+        target = getattr(fn, "func", fn)  # unwrap functools.partial
+        try:
+            path = inspect.getfile(target)
+        except TypeError:
+            path = inspect.getfile(type(target))
+        out[name] = os.path.relpath(os.path.abspath(path), REPO)
+    return out
+
+
+def commits_since(sha: str, path: str) -> list[str]:
+    log = _git("log", "--format=%h %s", f"{sha}..HEAD", "--", path)
+    return [l for l in log.splitlines() if l.strip()]
+
+
+REGISTRY_FILE = "logsqlite_spark/registry.py"
+
+
+def audit(window: int = 50) -> dict:
+    rounds = round_commits()
+    ledger = load_ledger()
+    files = query_files()
+
+    rows = []
+    for name, path in files.items():
+        stamp = ledger.get(name)
+        if stamp is None:
+            rows.append(
+                {
+                    "query": name,
+                    "file": path,
+                    "stamp_round": None,
+                    "status": "never-stamped",
+                    "changes_since_stamp": [],
+                }
+            )
+            continue
+        rnd = stamp["round"]
+        sha = rounds.get(rnd)
+        changes = commits_since(sha, path) if sha else []
+        status = "stale" if changes else "fresh"
+        # err == "no_oracle" is the driver's rows-only marker for queries
+        # that deliberately omit an oracle_sql() entry — a design property,
+        # not a failure.  Real failures: hash/rows mismatch or another err.
+        if (
+            stamp["hash_match"] is False
+            or stamp["rows_match"] is False
+            or (stamp["err"] not in (None, "", "no_oracle"))
+        ):
+            status = "stamped-error"
+        rows.append(
+            {
+                "query": name,
+                "file": path,
+                "stamp_round": rnd,
+                "hash_match": stamp["hash_match"],
+                "rows_match": stamp["rows_match"],
+                "status": status,
+                "changes_since_stamp": changes,
+            }
+        )
+
+    order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 3}
+    # Tie-breaks within a (status, stamp_round) bucket: queries whose
+    # callable lives in registry.py last — registry.py churns every round
+    # for reasons unrelated to those lambdas (module wiring), so their
+    # "stale" is the weakest signal — then higher post-stamp churn first.
+    suggested = sorted(
+        rows,
+        key=lambda r: (
+            order[r["status"]],
+            r["stamp_round"] if r["stamp_round"] is not None else -1,
+            r["file"] == REGISTRY_FILE,
+            -len(r["changes_since_stamp"]),
+            r["query"],
+        ),
+    )
+    head = [r["query"] for r in suggested[:window]]
+    full_order = [r["query"] for r in suggested]
+    bad = [r for r in rows if r["status"] in ("never-stamped", "stale", "stamped-error")]
+    return {"rows": rows, "suggested_head": head, "suggested_order": full_order, "bad": bad}
+
+
+CERT_WINDOW_PATH = os.path.join(REPO, "logsqlite_spark", "cert_window.py")
+
+_CERT_WINDOW_TEMPLATE = '''"""Driver-certification ordering — GENERATED, do not hand-edit.
+
+Regenerate with:  python tools/stamp_freshness.py --write
+
+The round driver oracle-stamps only the FIRST 50 entries of
+``__spark_entry__.queries()``; stamps persist across rounds.  This
+ordering front-loads queries that most need a fresh stamp:
+never-stamped first, then failed-at-latest-stamp, then queries whose
+defining file changed after their latest stamp (oldest stamp first,
+registry.py-defined lambdas last within a bucket since that file churns
+for unrelated wiring), then fresh queries oldest-stamp-first so
+long-standing stamps eventually rotate back through the window.
+
+Living in its own module keeps window rotation from dirtying
+registry.py and poisoning the very freshness signal used to rotate.
+"""
+
+CERT_FIRST: tuple[str, ...] = (
+{entries})
+'''
+
+
+def write_cert_window(full_order: list[str]) -> None:
+    entries = "".join(f'    "{name}",\n' for name in full_order)
+    with open(CERT_WINDOW_PATH, "w") as fh:
+        fh.write(_CERT_WINDOW_TEMPLATE.format(entries=entries))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--json", action="store_true", help="emit machine JSON")
+    ap.add_argument("--window", type=int, default=50)
+    ap.add_argument(
+        "--write",
+        action="store_true",
+        help="regenerate logsqlite_spark/cert_window.py from the suggested order",
+    )
+    args = ap.parse_args()
+
+    result = audit(window=args.window)
+    if args.write:
+        write_cert_window(result["suggested_order"])
+        print(f"wrote {CERT_WINDOW_PATH} ({len(result['suggested_order'])} entries)")
+    if args.json:
+        print(json.dumps(result, indent=1))
+    else:
+        for r in sorted(
+            result["rows"],
+            key=lambda r: (r["stamp_round"] if r["stamp_round"] is not None else -1),
+        ):
+            mark = {"fresh": " ", "stale": "!", "never-stamped": "?", "stamped-error": "E"}[
+                r["status"]
+            ]
+            rnd = f"r{r['stamp_round']}" if r["stamp_round"] is not None else "--"
+            print(f"{mark} {rnd:>3}  {r['query']:<32} {r['file']}")
+            for c in r["changes_since_stamp"]:
+                print(f"        post-stamp: {c}")
+        print()
+        print(f"suggested _CERT_FIRST head (window={args.window}):")
+        for name in result["suggested_head"]:
+            print(f"    \"{name}\",")
+        n_bad = len(result["bad"])
+        print(f"\n{n_bad} queries never-stamped/stale/errored; {len(result['rows'])} total")
+    return 1 if result["bad"] else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
