@@ -465,14 +465,40 @@ def test_repeated_ngram_stats_single_scan_salted(spark):
     from logsqlite_spark.operators.textstats import repeated_ngram_stats
 
     df = repeated_ngram_stats(table(spark, SF, "documents"))
+    prev_aqe = df.sparkSession.conf.get("spark.sql.adaptive.enabled")
     df.sparkSession.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         plan = explain_str(df)
     finally:
-        df.sparkSession.conf.set("spark.sql.adaptive.enabled", "true")
+        df.sparkSession.conf.set("spark.sql.adaptive.enabled", prev_aqe)
     assert plan.count("Scan parquet  (") == 1, plan
     assert "ReusedExchange" in plan, plan  # shared (gram,doc) partials
     # no gram-partitioned window (the skew-unsafe formulation)
     assert "Window" not in plan, plan
     # join keys carry the salt on both sides
     assert "__salt" in plan, plan
+
+
+def test_ivf_sq_stage1_scans_codes_only(spark):
+    """The SQ∘IVF serving path's stage-1 list scan must read the int8
+    codes WITHOUT the fp vector column (4-5x the bytes), and every
+    lists scan — codes for stage 1, nv for the top-c rerank fetch —
+    must carry dynamic partition pruning on the cluster partition
+    column, so at 100 TB both scans touch only their probed/winner
+    list directories (VERDICT r7 #3)."""
+    from logsqlite_spark.operators.similarity import ivf_sq_topk
+
+    emb = table(spark, SF, "embeddings")
+    df = ivf_sq_topk(emb.filter(F.col("vec_id") < 5), emb)
+    plan = explain_str(df)
+    scans = re.findall(
+        r"\(\d+\) Scan parquet ?\n(?:.+\n)*?ReadSchema: [^\n]*", plan)
+    lists_scans = [s for s in scans if "/lists" in s]
+    assert lists_scans, plan
+    code_scans = [s for s in lists_scans if "code:array<tinyint>" in s]
+    nv_scans = [s for s in lists_scans if "nv:array" in s]
+    assert code_scans and nv_scans, plan
+    for s in lists_scans:
+        # no scan reads both: codes-only stage 1, nv-only fetch
+        assert not ("code:array<tinyint>" in s and "nv:array" in s), s
+        assert "dynamicpruningexpression" in s, s

@@ -234,6 +234,25 @@ def test_ivf_sq_recall_matches_ivf_at_equal_probes(spark):
     assert r_sq >= 0.70, r_sq
 
 
+def test_ivf_sq_dim_mismatch_raises(spark, tmp_path):
+    """ADVICE r7: a non-default ``dim`` must never be silently
+    zero-coded against an index whose persisted scales cover fewer
+    dimensions — an explicit index_path built at sq_dim=64 served to a
+    dim=96 caller raises instead of returning wrong-but-plausible
+    similarities. (On the auto-persist path the SQ dim is part of the
+    index key, so each dim gets its own index.)"""
+    from logsqlite_spark.operators.similarity import (
+        build_ivf_index, ivf_sq_topk)
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf_d64")
+    build_ivf_index(emb, path, sq_dim=64)
+    q = emb.filter(F.col("vec_id") < 3)
+    with pytest.raises(ValueError, match="sq_dim"):
+        ivf_sq_topk(q, emb, dim=96, index_path=path)
+
+
 def test_sq_scales_persisted_single_compute(spark):
     """VERDICT r6 #4: the per-dim SQ scale vector must be computed by
     at most ONE full-corpus aggregation per corpus — later sq_topk
