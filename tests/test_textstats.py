@@ -204,3 +204,52 @@ def test_dedup_span_clean_removes_shared_span(spark):
     assert got[3]["clean_text"] == "a b c d e f g h i j"
     assert got[3]["n_removed"] == 0
     assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 8
+
+
+def test_incremental_ngram_stats_equals_batch(spark):
+    """VERDICT r6 #7: the incremental path (new batch merged against
+    persisted (gram, df) partials) must report EXACTLY what a full
+    recompute over history ∪ batch reports for the batch docs —
+    including grams duplicated only ACROSS the batch/history split,
+    and only WITHIN history (df from partials alone)."""
+    from logsqlite_spark.operators.textstats import (
+        ngram_df_partials, repeated_ngram_stats,
+        repeated_ngram_stats_incremental)
+
+    shared = "one two three four five six seven eight"  # 8 tokens
+    hist_rows = [
+        (1, shared + " tail1 x1"),
+        (2, "a b c d e f g h i j"),
+        (3, "p q r s t u v w histonly"),
+        (4, "p q r s t u v w histdup"),  # 'p..w'-prefix grams df=2 in history
+    ]
+    new_rows = [
+        (10, "head2 " + shared + " tail2"),   # dup only via history
+        (11, "fresh tokens nine ten eleven twelve thirteen fourteen fifteen"),
+        (12, "p q r s t u v w batchhit"),     # dup via history pair
+        (13, shared + " tail1 x1"),           # exact text seen in history
+    ]
+    hist = spark.createDataFrame(hist_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    inc = {r["doc_id"]: (r["n_grams"], r["n_dup_positions"],
+                         r["dup_fraction"])
+           for r in repeated_ngram_stats_incremental(
+               new, ngram_df_partials(hist)).collect()}
+    full = {r["doc_id"]: (r["n_grams"], r["n_dup_positions"],
+                          r["dup_fraction"])
+            for r in repeated_ngram_stats(hist.unionByName(new)).collect()
+            if r["doc_id"] >= 10}
+    assert inc == full
+    assert inc[10][1] >= 1       # cross-split duplication detected
+    assert inc[11][1] == 0       # fresh content untouched
+
+    # two-batch state maintenance: merging batch partials into history
+    # partials (sum df per gram) equals recomputing partials over the
+    # union — the associativity the persisted snapshot relies on
+    from pyspark.sql import functions as F
+    merged = (ngram_df_partials(hist).unionByName(ngram_df_partials(new))
+              .groupBy("gram").agg(F.sum("df").alias("df")))
+    recomputed = ngram_df_partials(hist.unionByName(new))
+    assert {(r["gram"], r["df"]) for r in merged.collect()} \
+        == {(r["gram"], r["df"]) for r in recomputed.collect()}
