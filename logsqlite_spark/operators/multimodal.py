@@ -3,12 +3,22 @@
 A 100 TB training-data pipeline carries images/audio/video as opaque
 ``binary`` columns with a typed metadata struct, and runs decode /
 feature-extract / resize / frame-sample as Arrow-batched pandas
-functions over ``mapInPandas``. The Spark-side plumbing here — schema,
-partitioning, UDF signatures, batch shapes — is real and tested; the
-actual codec calls are STUBBED (this container has no image/audio
-libraries): ``decode_media`` produces a deterministic fake decode when
-``fake=True`` and raises ``NotImplementedError`` otherwise, marking
-exactly where PIL/ffmpeg plug in.
+functions over ``mapInPandas``. Three tiers, by codec dependency:
+
+1. ``codec="bytestat"`` (default) — REAL for any payload: exact
+   byte-stripe statistics (a blob fingerprint for near-dup triage),
+   vectorized numpy, fully oracle-checked by the driver.
+2. ``codec="native"`` — REAL decode of uncompressed formats with pure
+   numpy: 24bpp BI_RGB BMP rasters and PCM16 RIFF WAV (header + raster/
+   sample math from the public specs). Real nearest-neighbor resize +
+   BMP re-encode on the same path.
+3. Compressed formats (JPEG/PNG/GIF/WEBP/MP4/MP3) — genuinely need an
+   external codec. Payloads are dispatched on magic bytes; when Pillow
+   is importable the image formats decode/resize through it, otherwise
+   they raise ``NotImplementedError`` at that clearly-marked
+   integration point (this container ships no media libraries). Video
+   frame DECODE likewise needs ffmpeg/pyav; frame-index sampling from
+   metadata is real.
 
 Design rules at scale:
 - media rows are large -> keep ``maxRecordsPerFile`` low on write and
@@ -200,20 +210,73 @@ def _decode_wav(payload: bytes):
     return samples.reshape(-1, n_ch), rate
 
 
+_COMPRESSED_IMAGE_KINDS = ("png", "jpeg", "gif", "webp")
+
+
+def _magic_kind(payload: bytes) -> str:
+    """Container format from magic bytes (public file signatures) —
+    the dispatch key for the native/Pillow/unsupported split."""
+    if not payload:
+        return "empty"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if payload[:3] == b"\xff\xd8\xff":
+        return "jpeg"
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        return "gif"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        return "webp"
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return "mp4"
+    return "unknown"
+
+
+def _pil_image(payload: bytes, kind: str):
+    """Decode a compressed image through Pillow if importable — the
+    conditional-import integration point for formats numpy can't
+    parse. Raises NotImplementedError (not ImportError) when Pillow
+    is absent so callers see the documented contract."""
+    try:
+        from PIL import Image  # noqa: PLC0415 — optional dependency
+    except ImportError as e:
+        raise NotImplementedError(
+            f"decoding {kind} needs Pillow (unavailable in this "
+            f"environment) — conditional-import integration point; "
+            f"uncompressed BMP and PCM WAV decode natively") from e
+    import io
+
+    return Image.open(io.BytesIO(payload)).convert("RGB")
+
+
+def _image_stats(img) -> list[float]:
+    """(H, W, 3) uint8 -> the slot-tagged image feature layout."""
+    import numpy as np
+
+    h, w = img.shape[:2]
+    means = img.reshape(-1, 3).mean(axis=0)
+    stds = img.reshape(-1, 3).astype(np.float64).std(axis=0)
+    return [1.0, float(h), float(w),
+            *(float(m) for m in means), *(float(s) for s in stds)]
+
+
 def _native_features(payload: bytes) -> tuple[str, list[float]]:
     """Dispatch on magic bytes; returns (decoded_kind, FEATURE_DIM
     floats). Layout: slot 0 tags the kind (1=image, 2=audio), then
-    kind-specific exact statistics, zero-padded."""
+    kind-specific exact statistics, zero-padded. Empty/None payloads
+    return ("empty", zeros) — explicitly, not via a misleading codec
+    error (ADVICE r7)."""
     import numpy as np
 
-    if payload[:2] == b"BM":
-        img = _decode_bmp(payload)
-        h, w = img.shape[:2]
-        means = img.reshape(-1, 3).mean(axis=0)
-        stds = img.reshape(-1, 3).astype(np.float64).std(axis=0)
-        f = [1.0, float(h), float(w),
-             *(float(m) for m in means), *(float(s) for s in stds)]
-    elif payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+    kind = _magic_kind(payload)
+    if kind == "empty":
+        return ("empty", [0.0] * FEATURE_DIM)
+    if kind == "bmp":
+        f = _image_stats(_decode_bmp(payload))
+    elif kind == "wav":
         samples, rate = _decode_wav(payload)
         x = samples.astype(np.float64)
         rms = float(np.sqrt((x ** 2).mean())) if x.size else 0.0
@@ -221,11 +284,15 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
             if len(x) > 1 else 0.0
         f = [2.0, float(rate), float(len(samples)),
              float(samples.shape[1]), rms, zc]
+    elif kind in _COMPRESSED_IMAGE_KINDS:
+        f = _image_stats(np.asarray(_pil_image(payload, kind),
+                                    dtype=np.uint8))
     else:
         raise NotImplementedError(
-            "compressed media needs an external codec (PIL/ffmpeg) — "
-            "this is the marked integration point; uncompressed BMP "
-            "and PCM WAV decode natively")
+            f"decoding {kind} media needs an external codec "
+            f"(Pillow for compressed images, ffmpeg/pyav for video) — "
+            f"this is the marked integration point; uncompressed BMP "
+            f"and PCM WAV decode natively")
     return ("image" if f[0] == 1.0 else "audio",
             (f + [0.0] * FEATURE_DIM)[:FEATURE_DIM])
 
@@ -280,13 +347,38 @@ def resize_images(media: DataFrame, width: int, height: int,
     """Resize image payloads, executor-side, Arrow-batched.
 
     ``fake=True`` (legacy default) only rewrites meta. ``fake=False``
-    REALLY resizes BMP payloads: numpy nearest-neighbor index maps
-    (deterministic, no external library), re-encoded as BMP;
-    compressed formats raise at the integration point."""
+    REALLY resizes: payloads dispatch on magic bytes — BMP gets numpy
+    nearest-neighbor index maps (deterministic, no external library)
+    re-encoded as BMP; compressed image formats (PNG/JPEG/GIF/WEBP) go
+    through Pillow when importable and otherwise raise
+    ``NotImplementedError`` at the conditional-import integration
+    point; non-image payloads raise with the detected format named."""
 
     def resize_batches(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
+
+        def one(p) -> bytes:
+            raw = bytes(p) if p is not None else b""
+            kind = _magic_kind(raw)
+            if kind == "bmp":
+                img = _decode_bmp(raw)
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                return _encode_bmp(img[ys][:, xs])
+            if kind in _COMPRESSED_IMAGE_KINDS:
+                import io
+
+                img = _pil_image(raw, kind)  # raises without Pillow
+                from PIL import Image
+
+                buf = io.BytesIO()
+                img.resize((width, height), Image.NEAREST) \
+                    .save(buf, format=kind.upper())
+                return buf.getvalue()
+            raise NotImplementedError(
+                f"resize of {kind} payload is not an image operation "
+                f"(or needs an external codec)")
 
         for pdf in batches:
             metas, payloads = [], []
@@ -294,13 +386,7 @@ def resize_images(media: DataFrame, width: int, height: int,
                 m = dict(m) if m is not None else {}
                 m["width"], m["height"] = width, height
                 metas.append(m)
-                if fake:
-                    payloads.append(p)
-                    continue
-                img = _decode_bmp(bytes(p) if p is not None else b"")
-                ys = (np.arange(height) * img.shape[0]) // height
-                xs = (np.arange(width) * img.shape[1]) // width
-                payloads.append(_encode_bmp(img[ys][:, xs]))
+                payloads.append(p if fake else one(p))
             pdf = pdf.copy()
             pdf["meta"] = metas
             pdf["payload"] = payloads

@@ -196,3 +196,91 @@ def test_native_decode_and_real_resize_through_spark(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="integration point"):
         decode_media(junk, codec="native").collect()
+
+
+def test_native_empty_payload_explicit(spark):
+    """ADVICE r7: empty/None payloads on the native path return
+    ("empty", zeros) explicitly instead of a misleading codec error."""
+    from logsqlite_spark.operators.multimodal import _native_features
+
+    assert _native_features(b"") == ("empty", [0.0] * FEATURE_DIM)
+
+    media = spark.createDataFrame(
+        [(1, 10, None, None), (2, 20, b"", None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    got = {r["media_id"]: r for r in
+           decode_media(media, codec="native").collect()}
+    for r in got.values():
+        assert r["media_type"] == "empty"
+        assert r["feature"] == [0.0] * FEATURE_DIM
+        assert r["n_bytes"] == 0
+
+
+def test_magic_dispatch_names_detected_format():
+    """Magic-byte dispatch recognizes the public signatures and the
+    unsupported paths raise naming what was detected."""
+    from logsqlite_spark.operators.multimodal import _magic_kind
+
+    assert _magic_kind(b"\x89PNG\r\n\x1a\n" + b"\x00" * 8) == "png"
+    assert _magic_kind(b"\xff\xd8\xff\xe0" + b"\x00" * 8) == "jpeg"
+    assert _magic_kind(b"GIF89a" + b"\x00" * 8) == "gif"
+    assert _magic_kind(b"RIFF\x00\x00\x00\x00WEBPVP8 ") == "webp"
+    assert _magic_kind(b"\x00\x00\x00\x18ftypisom\x00\x00\x02\x00") == "mp4"
+    assert _magic_kind(b"BM" + b"\x00" * 12) == "bmp"
+    assert _magic_kind(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert _magic_kind(b"plain text") == "unknown"
+    assert _magic_kind(b"") == "empty"
+
+
+def test_resize_compressed_dispatches_not_bmp_error(spark):
+    """A PNG payload under real resize must hit the Pillow integration
+    point (NotImplementedError naming the conditional import when
+    Pillow is absent), never the BMP codec's 'not a BMP' error; an
+    mp4 payload must raise naming the detected format."""
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
+    media = spark.createDataFrame(
+        [(1, 10, png, None), (2, 20, mp4, None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+
+    try:
+        import PIL  # noqa: F401
+        has_pil = True
+    except ImportError:
+        has_pil = False
+
+    if not has_pil:
+        with pytest.raises(Exception, match="integration point|Pillow"):
+            resize_images(media.filter("media_id = 1"), 4, 4,
+                          fake=False).collect()
+    with pytest.raises(Exception, match="mp4"):
+        resize_images(media.filter("media_id = 2"), 4, 4,
+                      fake=False).collect()
+
+
+def test_pillow_backed_resize_roundtrip(spark):
+    """Runs only where Pillow exists (skipped in this container): a
+    real PNG resizes through the conditional-import path."""
+    PIL = pytest.importorskip("PIL")  # noqa: N806
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from logsqlite_spark.operators.multimodal import decode_media
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((8, 8, 3), (0, 128, 255), np.uint8)) \
+        .save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(1, 10, buf.getvalue(), None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = resize_images(media, 4, 2, fake=False).collect()[0]
+    resized = Image.open(io.BytesIO(bytes(out["payload"])))
+    assert resized.size == (4, 2)
+    dec = decode_media(media, codec="native").collect()[0]
+    assert dec["media_type"] == "image"
+    assert dec["feature"][1] == 8.0
