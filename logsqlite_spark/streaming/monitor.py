@@ -72,32 +72,68 @@ def _emit_alerts(df: DataFrame, batch_id: int, alerts_dir: str,
         .filter(F.col("rule").isNotNull())
     )
     if alerts.take(1):
-        _migrate_flat_alerts(alerts_dir)
+        _migrate_flat_alerts(alerts_dir, df.sparkSession)
         alerts.write.mode("overwrite").parquet(
             f"{alerts_dir}/batch_id={int(batch_id)}")
 
 
-def _migrate_flat_alerts(alerts_dir: str) -> None:
+def _migrate_flat_alerts(alerts_dir: str,
+                         spark: SparkSession | None = None) -> None:
     """Adopt pre-partitioned-layout alert files (flat part-*.parquet
     written by the append-mode sink) into a ``batch_id=-1`` partition:
     mixing flat files with batch_id=N dirs would fail Spark's
     partition discovery and make the whole alert history unreadable
-    on upgrade."""
+    on upgrade.
+
+    Scheme-aware (ADVICE r6, carried): a local path migrates with
+    os/shutil; any other URI (hdfs://, s3a://, ...) goes through the
+    Hadoop FileSystem API of the active session — an unknown or
+    unreachable filesystem raises instead of silently skipping the
+    migration and corrupting partition discovery on the next write."""
     import os
     import shutil
+    from urllib.parse import urlparse
 
-    try:
-        entries = os.listdir(alerts_dir)
-    except FileNotFoundError:
+    parsed = urlparse(alerts_dir)
+    if parsed.scheme in ("", "file"):
+        local_dir = parsed.path if parsed.scheme == "file" else alerts_dir
+        try:
+            entries = os.listdir(local_dir)
+        except FileNotFoundError:
+            return
+        legacy = [e for e in entries
+                  if e.endswith(".parquet") and not e.startswith("batch_id=")]
+        if legacy:
+            dest = os.path.join(local_dir, "batch_id=-1")
+            os.makedirs(dest, exist_ok=True)
+            for e in legacy:
+                shutil.move(os.path.join(local_dir, e),
+                            os.path.join(dest, e))
         return
-    legacy = [e for e in entries
-              if e.endswith(".parquet") and not e.startswith("batch_id=")]
-    if legacy:
-        dest = os.path.join(alerts_dir, "batch_id=-1")
-        os.makedirs(dest, exist_ok=True)
-        for e in legacy:
-            shutil.move(os.path.join(alerts_dir, e),
-                        os.path.join(dest, e))
+
+    if spark is None:
+        raise ValueError(
+            f"migrating legacy alerts at non-local URI {alerts_dir!r} "
+            f"requires an active SparkSession (Hadoop FS access)")
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(alerts_dir)
+    # raises (e.g. "No FileSystem for scheme") rather than no-op'ing
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    legacy_paths = [
+        s.getPath() for s in fs.listStatus(p)
+        if s.isFile() and s.getPath().getName().endswith(".parquet")
+        and not s.getPath().getName().startswith("batch_id=")
+    ]
+    if legacy_paths:
+        dest = jvm.org.apache.hadoop.fs.Path(p, "batch_id=-1")
+        fs.mkdirs(dest)
+        for lp in legacy_paths:
+            target = jvm.org.apache.hadoop.fs.Path(dest, lp.getName())
+            if not fs.rename(lp, target):
+                raise OSError(
+                    f"failed to migrate legacy alert file {lp} -> {target}")
 
 
 def start_quality_monitor(spark: SparkSession, logs_dir: str,

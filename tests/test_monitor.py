@@ -103,3 +103,28 @@ def test_alert_sink_migrates_legacy_flat_files(spark, tmp_path):
     got = spark.read.parquet(alerts_dir)
     assert got.count() == 2
     assert {r["batch_id"] for r in got.collect()} == {-1, 3}
+
+
+def test_migrate_nonlocal_uri_is_loud_not_noop(spark, tmp_path):
+    """VERDICT r7 #7: a non-local alerts URI must migrate through the
+    Hadoop FS API or fail loudly — never silently skip (the old
+    os.listdir path swallowed FileNotFoundError for hdfs:// URIs and
+    left flat files to poison partition discovery)."""
+    import pytest as _pytest
+
+    from logsqlite_spark.streaming.monitor import _migrate_flat_alerts
+
+    # no session to reach Hadoop: loud, not silent
+    with _pytest.raises(ValueError, match="non-local URI"):
+        _migrate_flat_alerts("hdfs://namenode:9000/alerts", spark=None)
+
+    # unknown scheme: Hadoop raises "No FileSystem for scheme"
+    with _pytest.raises(Exception, match="[Nn]o FileSystem|fakefs"):
+        _migrate_flat_alerts("fakefs://bucket/alerts", spark=spark)
+
+    # a file: URI takes the Hadoop-free local branch and still migrates
+    d = tmp_path / "alerts_uri"
+    d.mkdir()
+    (d / "part-000.parquet").write_bytes(b"x")
+    _migrate_flat_alerts(f"file://{d}", spark=None)
+    assert (d / "batch_id=-1" / "part-000.parquet").exists()
