@@ -145,6 +145,19 @@ def measure(spark, d: Path) -> dict:
         t0 = time.perf_counter()
         out[key] = df.count()
         out[key + "_s"] = round(time.perf_counter() - t0, 3)
+    # substring-dedup leg (VERDICT r7 #6): total duplicated positions
+    # under the salted two-level-aggregate plan — linear in corpus
+    # size when dup injection is rate-constant (bench measured 1.011
+    # at sf0.01->0.1; this extends the evidence a decade up)
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.textstats import repeated_ngram_stats
+
+    t0 = time.perf_counter()
+    out["substring_dup_positions"] = int(
+        repeated_ngram_stats(docs)
+        .agg(F.sum("n_dup_positions")).collect()[0][0] or 0)
+    out["substring_dup_positions_s"] = round(time.perf_counter() - t0, 3)
     return out
 
 
@@ -157,7 +170,7 @@ def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
     / n_clusters — linear in corpus size at fixed config)."""
     from logsqlite_spark.operators.clustering import (
         auto_k, seed_centroids, semantic_dedup_pairs)
-    from logsqlite_spark.operators.similarity import ivf_topk
+    from logsqlite_spark.operators.similarity import ivf_sq_topk, ivf_topk
 
     emb = spark.read.parquet(str(d / "embeddings.parquet"))
     qs = emb.filter("vec_id < 32")
@@ -169,6 +182,13 @@ def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
         # n_probe inverted-list scan
         ("ivf_cand", ivf_topk(qs, emb, k=1 << 30,
                               index_path=str(ivf_index_dir / d.name))),
+        # SQ∘IVF leg (VERDICT r7 #6): uncapped c and k surface every
+        # stage-1 candidate the codes-only probed-list scan emits —
+        # by construction the same probed set as plain IVF, so its
+        # exponent must track ivf_cand's (~1.0); shares the index
+        # artifact built by the ivf_cand call above
+        ("ivf_sq_cand", ivf_sq_topk(qs, emb, k=1 << 30, c=1 << 30,
+                                    index_path=str(ivf_index_dir / d.name))),
     ):
         t0 = time.perf_counter()
         out[key] = df.count()
@@ -177,9 +197,10 @@ def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
 
 
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
-                    "winnow_matches", "ann_lsh_cand", "semdedup_cand")
+                    "winnow_matches", "ann_lsh_cand", "semdedup_cand",
+                    "substring_dup_positions")
 AUDIT_PATHS = ("simhash_pairs",)
-XL_PATHS = ("semdedup_cand", "ivf_cand")
+XL_PATHS = ("semdedup_cand", "ivf_cand", "ivf_sq_cand")
 GATE = 1.15
 
 
