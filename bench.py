@@ -101,14 +101,10 @@ def main() -> None:
 
     spark.range(64, numPartitions=32).mapInArrow(_noop_arrow, "id long").count()
 
-    # Pre-build the persisted ANN artifacts (fingerprint-keyed IVF
-    # index + SQ scales) before timing: they are build-once/serve-many
-    # by design, and letting trial 1 pay the build inflated that
-    # query's spread to 5x+ without measuring anything about serving
-    # (VERDICT r7 #8). Construction alone triggers the builds.
-    for _ann in ("ann_sq_rerank", "ann_ivf_sq_topk"):
-        if _ann in qs:
-            qs[_ann](spark, sf_dir)
+    # The persisted ANN artifacts (fingerprint-keyed IVF index + SQ
+    # scales) are built during each query's untimed rep0 warmup below
+    # (VERDICT r7 #8: the build is build-once/serve-many and must not
+    # land in a timed trial) — no separate prebuild needed.
 
     # Warm the ingest pipeline itself (window codegen, parquet writer,
     # shuffle) with a tiny throwaway run per format — whichever format
@@ -229,7 +225,7 @@ def main() -> None:
             for i in range(N_TRIALS)]
     # medians/spreads over FULL-precision trials (ADVICE r7: rounding
     # before normalizing biased sub-10ms spreads); round only at print
-    med = {k: sorted(r[k] for r in runs)[1] for k in runs[0]}
+    med = {k: statistics.median(r[k] for r in runs) for k in runs[0]}
     spread = {
         k: round((max(r[k] for r in runs) - min(r[k] for r in runs))
                  / max(med[k], 1e-9), 3)

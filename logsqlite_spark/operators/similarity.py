@@ -994,18 +994,24 @@ def ivf_sq_topk(
     )
     w1 = Window.partitionBy("qid").orderBy(F.col("s1").desc(),
                                            F.col("nid"))
+    # winners carry only ids (qid, nid, __cluster) — the fp query
+    # vector re-attaches from the n_queries-row probe side below, so
+    # the broadcast stays ~25B/row even when a caller passes an
+    # unbounded c (the scale-evidence leg does)
     winners = (
         stage1.withColumn("r1", F.row_number().over(w1))
         .filter(F.col("r1") <= c)
-        .select("qid", "qv", "nid", "__cluster")
+        .select("qid", "nid", "__cluster")
     )
-    # fetch the n_queries*c winners' fp vectors: broadcast the tiny
-    # winner set against the lists, keeping __cluster in the join key
-    # so dynamic partition pruning limits the fetch scan to the
+    qvecs = probes.select("qid", "qv").dropDuplicates(["qid"])
+    # fetch the n_queries*c winners' fp vectors: broadcast the small
+    # winner-id set against the lists, keeping __cluster in the join
+    # key so dynamic partition pruning limits the fetch scan to the
     # winners' list directories (the serving-store point-lookup,
     # expressed as a DPP-prunable broadcast join)
     cand = (
         vecs_df.join(F.broadcast(winners), ["__cluster", "nid"])
+        .join(F.broadcast(qvecs), "qid")
         .select("qid", "qv", "nid", "nv")
     )
     # stage 2: fp rerank over n_queries*c rows, same quantized-integer

@@ -119,7 +119,15 @@ def audit(window: int = 50) -> dict:
             continue
         rnd = stamp["round"]
         sha = rounds.get(rnd)
-        changes = commits_since(sha, path) if sha else []
+        if sha is None:
+            # a stamp round with no matching verdict commit (regex
+            # drift, shallow clone) must not silently read as fresh —
+            # treat as stale so it rotates forward and the exit code
+            # stays non-zero
+            changes = [f"(no verdict commit found for round {rnd} — "
+                       f"treating stamp as stale)"]
+        else:
+            changes = commits_since(sha, path)
         status = "stale" if changes else "fresh"
         # err == "no_oracle" is the driver's rows-only marker for queries
         # that deliberately omit an oracle_sql() entry — a design property,
