@@ -45,13 +45,35 @@ def _git(*args: str) -> str:
 
 
 def round_commits() -> dict[int, str]:
-    """round number -> commit sha whose tree the driver stamped."""
-    out: dict[int, str] = {}
+    """round number -> commit sha whose tree the driver stamped.
+
+    Primary boundary: the "round N: verdict/..." commit (judge artifacts
+    only, no source changes).  Mid-round, the CURRENT round's verdict
+    commit does not exist yet, which used to conservatively report every
+    current-round stamp as stale and bury the real stale set; fall back
+    to the "round N: end-of-round snapshot" commit, which equally
+    post-dates all of round N's source changes (the verdict commit adds
+    no source on top of it).  A round with neither commit still reads as
+    stale-not-fresh downstream (sha None).
+
+    git log is newest-first; we OVERWRITE per round so that when a round
+    subject ever appears twice the OLDEST commit wins — commits landing
+    between the duplicates then correctly count as post-stamp changes
+    instead of being silently skipped.
+    """
+    verdict: dict[int, str] = {}
+    snapshot: dict[int, str] = {}
     for line in _git("log", "--format=%H %s").splitlines():
         sha, _, subj = line.partition(" ")
         m = re.match(r"round (\d+): verdict/advice/correctness/bench", subj)
         if m:
-            out.setdefault(int(m.group(1)), sha)
+            verdict[int(m.group(1))] = sha
+            continue
+        m = re.match(r"round (\d+): end-of-round snapshot", subj)
+        if m:
+            snapshot[int(m.group(1))] = sha
+    out = dict(snapshot)
+    out.update(verdict)
     return out
 
 
