@@ -21,6 +21,7 @@ on identical inputs. Ranks tie-break on neighbor id.
 
 from __future__ import annotations
 
+import contextlib
 import threading
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -93,6 +94,18 @@ SQ_LEVELS = 127
 _SQ_ENCODE = (
     "zip_with({v}, {sc}, (x, s) -> coalesce(cast(floor("
     "cast(x as double) / nullif(s, 0D) * {lv}.0D + 0.5D) as bigint), 0L))"
+)
+
+# saturating variant for FROZEN-scale encoding (incremental appends):
+# a batch value outside the base corpus's per-dim range would overflow
+# int8 under the plain formula — standard SQ practice clamps to the
+# code range instead (the fp vector is exact; rerank restores
+# precision).  The self-encoded paths keep the unclamped formula their
+# DuckDB oracles replicate (a corpus can't exceed its own max-abs).
+_SQ_ENCODE_SAT = (
+    "zip_with({v}, {sc}, (x, s) -> greatest(-{lv}L, least({lv}L, "
+    "coalesce(cast(floor("
+    "cast(x as double) / nullif(s, 0D) * {lv}.0D + 0.5D) as bigint), 0L))))"
 )
 
 # test hook: number of full-corpus scale aggregations actually run —
@@ -483,7 +496,9 @@ def _ivf_index_root() -> str:
 # beside the index dir (review r5: two drivers querying the same
 # corpus could interleave overwrite-writes into one lists/ dir and
 # serve a mixed index).
-_IVF_BUILD_LOCK = threading.Lock()
+_IVF_BUILD_LOCK = threading.RLock()  # reentrant: the append demo holds
+# it across a build_ivf_index + append_to_ivf_index pair, and append
+# itself re-acquires for its own callers
 _IVF_KEEP_NEWEST = 8
 # never GC an index whose marker is fresher than this — another
 # session may be mid-read; keep-newest alone could retire a live one
@@ -631,22 +646,25 @@ def _touch_index_marker(path: str) -> None:
         os.utime(os.path.join(local, "_INDEX_OK"))
 
 
-def _index_marker_path(spark: SparkSession, path: str):
+def _index_marker_path(spark: SparkSession, path: str,
+                       name: str = "_INDEX_OK"):
     jvm = spark._jvm
-    return jvm.org.apache.hadoop.fs.Path(path + "/_INDEX_OK")
+    return jvm.org.apache.hadoop.fs.Path(path + "/" + name)
 
 
-def _index_marker_exists(spark: SparkSession, path: str) -> bool:
+def _index_marker_exists(spark: SparkSession, path: str,
+                         name: str = "_INDEX_OK") -> bool:
     """Scheme-aware probe (file:, bare local, hdfs:, s3a:, ...) — an
     os.path.exists on a scheme-prefixed path is never true, which
     would re-fit and rewrite the index on every query."""
-    p = _index_marker_path(spark, path)
+    p = _index_marker_path(spark, path, name)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs.exists(p)
 
 
-def _write_index_marker(spark: SparkSession, path: str) -> None:
-    p = _index_marker_path(spark, path)
+def _write_index_marker(spark: SparkSession, path: str,
+                        name: str = "_INDEX_OK") -> None:
+    p = _index_marker_path(spark, path, name)
     fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.create(p, True).close()
 
@@ -746,15 +764,67 @@ def ivf_topk(
                       id_col, vec_col)
 
 
+def _frozen_assign_encode(batch_df: DataFrame,
+                          centers: list[list[float]],
+                          scales: list[float],
+                          id_col: str, vec_col: str) -> DataFrame:
+    """Assign each row to its nearest FROZEN centroid and int8-encode
+    it with the FROZEN scales — (nid, nv, code, __cluster, __d2).
+
+    The 100 TB shape for index maintenance: centroids are a literal
+    expression (a few KB), so assignment is an argmin evaluated inside
+    the batch's own scan — no join, no shuffle, no window.  The argmin
+    tie-breaks to the lowest cid via struct ordering, the same (d2,
+    cid) ordering the probe side (:func:`_probe_lists`) uses.
+    """
+    ctr = F.array(*[
+        F.struct(F.lit(i).alias("cid"),
+                 F.array(*[F.lit(float(x)) for x in c]).alias("center"))
+        for i, c in enumerate(centers)])
+    sc = F.array(*[F.lit(s) for s in scales])
+    return (
+        batch_df.select(F.col(id_col).cast("long").alias("nid"),
+                        F.col(vec_col).alias("nv"))
+        .withColumn("__ctr", ctr)
+        .withColumn(
+            "__best",
+            F.array_min(F.expr(
+                "transform(__ctr, c -> struct("
+                "aggregate(zip_with(cast(nv as array<double>), c.center, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) as d2, "
+                "c.cid as cid))")))
+        .withColumn("__sc", sc)
+        .withColumn(
+            "code",
+            F.expr(_SQ_ENCODE_SAT.format(v="nv", sc="__sc", lv=SQ_LEVELS))
+            .cast("array<tinyint>"))
+        .select("nid", "nv", "code",
+                F.col("__best.cid").alias("__cluster"),
+                F.col("__best.d2").alias("__d2"))
+    )
+
+
+def _write_ivf_stats(spark: SparkSession, path: str, n: int,
+                     mean_d2: float) -> None:
+    spark.createDataFrame([(int(n), float(mean_d2))],
+                          "n bigint, mean_d2 double") \
+        .coalesce(1).write.mode("overwrite").parquet(f"{path}/stats")
+
+
 def build_ivf_index(corpus_df: DataFrame, path: str,
                     n_clusters: int = 16,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    sq_dim: int = SQ_DIM) -> None:
+                    sq_dim: int = SQ_DIM,
+                    centers: list[list[float]] | None = None,
+                    scales: list[float] | None = None) -> None:
     """Fit KMeans ONCE and persist the IVF index: centroids (tiny),
-    the per-dim SQ scale vector (64 doubles), and the corpus inverted
-    lists — each row carrying BOTH the full-precision vector and its
-    int8 code — parquet-partitioned by cluster id.
+    the per-dim SQ scale vector (64 doubles), per-index assignment
+    stats (row count + mean squared assignment distance — the drift
+    baseline :func:`append_to_ivf_index` checks new batches against),
+    and the corpus inverted lists — each row carrying BOTH the
+    full-precision vector and its int8 code — parquet-partitioned by
+    cluster id.
 
     This splits the expensive build from the cheap probe — the
     build-once/query-many shape a production ANN service needs. The
@@ -766,45 +836,186 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     smaller than the fp32 vectors it mirrors) is what the composed
     SQ∘IVF path (:func:`ivf_sq_topk`) scans — probed lists on
     compressed codes, full precision touched only at rerank.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
 
-    corpus_vec = corpus_df.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
-    )
-    km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
-                predictionCol="__cluster")
-    model = km.fit(corpus_vec)
+    ``centers``/``scales``: when given, the fit and the scale scan are
+    skipped and every row is assigned/encoded against the FROZEN
+    parameters via :func:`_frozen_assign_encode` — the "rebuild with
+    the old geometry" reference that pins the append path's
+    correctness (an appended index must equal this rebuild exactly).
+    """
     spark = corpus_df.sparkSession
-    scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
-    sc = F.array(*[F.lit(s) for s in scales])
-    assigned = (
-        model.transform(corpus_vec)
-        .withColumn("__sc", sc)
-        .withColumn(
-            "code",
-            F.expr(_SQ_ENCODE.format(v="nv", sc="__sc", lv=SQ_LEVELS))
-            .cast("array<tinyint>"))
-        .select("nid", "nv", "code", "__cluster")
-    )
+    if centers is None:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
+
+        corpus_vec = corpus_df.select(
+            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
+            array_to_vector(
+                F.col(vec_col).cast("array<double>")).alias("__v"),
+        )
+        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
+                    predictionCol="__cluster")
+        model = km.fit(corpus_vec)
+        scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
+        centers = [[float(x) for x in c] for c in model.clusterCenters()]
+        sc = F.array(*[F.lit(s) for s in scales])
+        ctr = F.array(*[
+            F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+        assigned = (
+            model.transform(corpus_vec)
+            .withColumn("__sc", sc)
+            .withColumn(
+                "code",
+                F.expr(_SQ_ENCODE.format(v="nv", sc="__sc", lv=SQ_LEVELS))
+                .cast("array<tinyint>"))
+            .withColumn("__ctr_at", F.element_at(ctr, F.col("__cluster") + 1))
+            .withColumn("__d2", F.expr(
+                "aggregate(zip_with(cast(nv as array<double>), __ctr_at, "
+                "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+            .select("nid", "nv", "code", "__cluster", "__d2")
+        )
+    else:
+        if scales is None:
+            scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
+        assigned = _frozen_assign_encode(corpus_df, centers, scales,
+                                         id_col, vec_col)
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c])
-         for i, c in enumerate(model.clusterCenters())],
+        [(i, list(c)) for i, c in enumerate(centers)],
         "cid int, center array<double>",
     )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame([(scales,)], "scales array<double>") \
         .coalesce(1).write.mode("overwrite").parquet(f"{path}/scales")
-    assigned.write.mode("overwrite").partitionBy("__cluster") \
+    assigned.drop("__d2").write.mode("overwrite").partitionBy("__cluster") \
         .parquet(f"{path}/lists")
+    # drift baseline over what was just written: read the persisted
+    # lists back (they're already columnar + partition-pruned) instead
+    # of re-running the assignment lineage a second time
+    written = spark.read.option("basePath", f"{path}/lists") \
+        .parquet(f"{path}/lists")
+    ctr_arr = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
+    st = (written.withColumn("__ctr_at",
+                             F.element_at(ctr_arr, F.col("__cluster") + 1))
+          .withColumn("__d2", F.expr(
+              "aggregate(zip_with(cast(nv as array<double>), __ctr_at, "
+              "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+          .agg(F.count("*").alias("n"), F.avg("__d2").alias("m"))
+          .collect()[0])
+    _write_ivf_stats(spark, path, st["n"], float(st["m"] or 0.0))
     # completion marker (partitioned writes don't emit a top-level
     # _SUCCESS under dynamic partition-overwrite): written LAST so a
     # crashed build is retried, probed by ivf_topk's auto-persist.
     # Hadoop-FS, not open(): the path may carry a scheme (file:,
     # hdfs:, s3a:) that local I/O can't touch
     _write_index_marker(spark, path)
+
+
+def append_to_ivf_index(batch_df: DataFrame, path: str,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        drift_threshold: float = 2.0) -> dict:
+    """Incrementally maintain a persisted IVF index (VERDICT r8 #3):
+    assign the new batch to the EXISTING centroids, encode with the
+    FROZEN scales, and append to the cluster-partitioned lists —
+    re-fitting only when the batch has drifted away from the index
+    geometry.
+
+    The 100 TB contract — **appending N rows scans only the N rows**
+    (plus the few-KB centroid/scale/stats control artifacts; the
+    existing lists are never read on the append path — pinned by a
+    reader spy in ``test_similarity``).  This mirrors the
+    ``ngram_df_partials`` merge idiom from the incremental substring
+    dedup: the persisted artifact absorbs batches associatively, and a
+    corpus-sized scan happens only at (re)build.  Previously the
+    fingerprint-keyed auto index forced a FULL rebuild per append.
+
+    Drift: the build stamps ``stats`` (row count + mean squared
+    assignment distance).  A batch whose mean assignment distance
+    exceeds ``drift_threshold`` x the baseline means the frozen
+    centroids no longer describe the data; the index is then re-fit
+    from lists ∪ batch (the lists carry full-precision vectors, so no
+    original-corpus handle is needed).  A non-drifting append folds its
+    distances into the running baseline mean.  Indexes built before
+    the stats artifact existed append without the drift check.
+
+    Caller contract: batch ids must be new (dedup upstream — an
+    id-anti-join here would scan the lists and break the batch-only
+    bound).  Appends add one file per touched cluster per batch;
+    compact periodically at high batch cadence.  On refit the lists
+    are rewritten in place under the build locks — single-writer
+    engines (this repo) are safe; a concurrently-serving deployment
+    should build to a versioned dir and swap.
+
+    Returns a summary dict: mode ("append"|"refit"), rows appended,
+    batch/baseline mean d2.
+    """
+    spark = batch_df.sparkSession
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path):
+            raise ValueError(f"no completed IVF index at {path}")
+        centers_rows = spark.read.parquet(f"{path}/centroids") \
+            .orderBy("cid").collect()
+        centers = [[float(x) for x in r["center"]] for r in centers_rows]
+        scales = [float(x) for x in spark.read.parquet(
+            f"{path}/scales").collect()[0]["scales"]]
+        try:
+            st = spark.read.parquet(f"{path}/stats").collect()[0]
+            base_n, base_mean = int(st["n"]), float(st["mean_d2"])
+        except Exception:  # noqa: BLE001 — pre-stats index (back-compat)
+            base_n, base_mean = 0, None
+
+        assigned = _frozen_assign_encode(batch_df, centers, scales,
+                                         id_col, vec_col)
+        # one batch scan: cache the assignment so the stats agg and the
+        # list write don't each re-run it (batches are micro-batch
+        # sized; the full corpus never enters this path)
+        assigned = assigned.persist()
+        try:
+            st = assigned.agg(F.count("*").alias("n"),
+                              F.avg("__d2").alias("m")).collect()[0]
+            batch_n, batch_mean = int(st["n"]), float(st["m"] or 0.0)
+            if batch_n == 0:
+                return {"mode": "append", "rows": 0,
+                        "batch_mean_d2": 0.0, "base_mean_d2": base_mean}
+            if (base_mean is not None and base_mean > 0
+                    and batch_mean > drift_threshold * base_mean):
+                # drift: full re-fit over lists ∪ batch.  Spark can't
+                # overwrite a path mid-read, so the union is staged to
+                # a scratch dir first, then the index rebuilt from it.
+                union = (
+                    spark.read.option("basePath", f"{path}/lists")
+                    .parquet(f"{path}/lists").select("nid", "nv")
+                    .unionByName(assigned.select("nid", "nv")))
+                staged = f"{path}/.refit_src"
+                union.write.mode("overwrite").parquet(staged)
+                n_clusters = len(centers)
+                build_ivf_index(
+                    spark.read.parquet(staged), path,
+                    n_clusters=n_clusters, id_col="nid", vec_col="nv",
+                    sq_dim=len(scales))
+                _rm_index_dir(spark, staged)
+                return {"mode": "refit", "rows": batch_n,
+                        "batch_mean_d2": batch_mean,
+                        "base_mean_d2": base_mean}
+            assigned.drop("__d2").write.mode("append") \
+                .partitionBy("__cluster").parquet(f"{path}/lists")
+            if base_mean is not None:
+                new_n = base_n + batch_n
+                new_mean = (base_n * base_mean + batch_n * batch_mean) / new_n
+                _write_ivf_stats(spark, path, new_n, new_mean)
+            return {"mode": "append", "rows": batch_n,
+                    "batch_mean_d2": batch_mean,
+                    "base_mean_d2": base_mean}
+        finally:
+            assigned.unpersist()
+
+
+def _rm_index_dir(spark: SparkSession, path: str) -> None:
+    """Scheme-aware recursive delete of a scratch dir."""
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, True)
 
 
 def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
@@ -1343,6 +1554,45 @@ def _sq_rerank_oracle(k: int = TOP_K, c: int = 32, dim: int = SQ_DIM,
     )
 
 
+def _q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index demo: build the IVF index on ~90% of the
+    corpus, :func:`append_to_ivf_index` the remaining ~10% as a batch
+    (batch-only scan, frozen geometry), then serve queries from the
+    appended index.  Deterministic artifact keyed off the FULL corpus
+    fingerprint + a demo suffix; "_APPEND_OK" marks base-build +
+    append both complete so re-runs serve instead of re-appending
+    (idempotence — a crash between build and append leaves no demo
+    marker and the next run rebuilds from scratch, the static
+    partition-overwrite dropping any half-appended lists).  Rows-only
+    in the driver gate (approximate by design, like ann_ivf_topk); the
+    quantitative bar is the pytest pin that an appended index equals a
+    frozen-geometry rebuild exactly."""
+    emb = table(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    root = _ivf_auto_path(emb, "vec_id", "embedding", 16)
+    if root is None:  # literal/streaming corpus: no file key — serve inline
+        return ivf_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
+    path = root + "-apnd"
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path, "_APPEND_OK"):
+            local = _local_fs_path(path)
+            ctx = _DirBuildLock(local) if local is not None else \
+                contextlib.nullcontext()
+            with ctx:
+                if not _index_marker_exists(spark, path, "_APPEND_OK"):
+                    build_ivf_index(base, path, n_clusters=16,
+                                    id_col="vec_id", vec_col="embedding")
+                    append_to_ivf_index(batch, path, id_col="vec_id",
+                                        vec_col="embedding")
+                    _write_index_marker(spark, path, "_APPEND_OK")
+            _gc_auto_index_root()
+        else:
+            _touch_index_marker(path)
+    return ivf_topk_indexed(spark, emb.filter(F.col("vec_id") < N_QUERIES),
+                            path)
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # synthetic embeddings are near-orthogonal (max pairwise cosine
     # ~0.51), so the demo threshold is 0.4; real corpora use ~0.95.
@@ -1366,6 +1616,7 @@ QUERIES = {
     "ann_sq_rerank": _q_ann_sq_rerank,
     "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
     "ann_ivf_sq_topk": _q_ann_ivf_sq,  # rows-only (SQ∘IVF, approx)
+    "ann_ivf_append": _q_ann_ivf_append,  # rows-only (incremental index)
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
     "dedup_embedding_ann": _q_embedding_dedup_ann,  # rows-only (ANN)

@@ -270,3 +270,122 @@ def test_sq_scales_persisted_single_compute(spark):
     S.sq_rerank_topk(q, emb).count()
     assert S._SQ_SCALE_COMPUTES == before, \
         "scales recomputed after the artifact existed"
+
+
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance (VERDICT r8 #3)
+
+def _read_lists(spark, path):
+    return (spark.read.option("basePath", f"{path}/lists")
+            .parquet(f"{path}/lists"))
+
+
+def test_ivf_append_equals_frozen_rebuild(spark, tmp_path):
+    """An appended index must EQUAL a from-scratch rebuild of the union
+    corpus under the same frozen geometry (centroids + scales) — both
+    the persisted list rows and the served top-k."""
+    from logsqlite_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, ivf_topk_indexed)
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+
+    p1 = str(tmp_path / "appended")
+    build_ivf_index(base, p1, n_clusters=8)
+    out = append_to_ivf_index(batch, p1)
+    assert out["mode"] == "append" and out["rows"] == batch.count()
+
+    centers = [[float(x) for x in r["center"]] for r in
+               spark.read.parquet(f"{p1}/centroids").orderBy("cid").collect()]
+    scales = [float(x) for x in
+              spark.read.parquet(f"{p1}/scales").collect()[0]["scales"]]
+    p2 = str(tmp_path / "rebuilt")
+    build_ivf_index(emb, p2, n_clusters=8, centers=centers, scales=scales)
+
+    rows1 = {(r["nid"], r["__cluster"], tuple(r["code"]))
+             for r in _read_lists(spark, p1).collect()}
+    rows2 = {(r["nid"], r["__cluster"], tuple(r["code"]))
+             for r in _read_lists(spark, p2).collect()}
+    assert rows1 == rows2
+
+    q = emb.filter(F.col("vec_id") < 5)
+    got1 = sorted(map(tuple, ivf_topk_indexed(spark, q, p1).collect()))
+    got2 = sorted(map(tuple, ivf_topk_indexed(spark, q, p2).collect()))
+    assert got1 == got2 and len(got1) > 0
+
+    # stats folded the batch in: n covers the whole union
+    st = spark.read.parquet(f"{p1}/stats").collect()[0]
+    assert st["n"] == emb.count()
+
+
+def test_ivf_append_scans_only_batch(spark, tmp_path, monkeypatch):
+    """The append path's 100 TB contract: appending N rows reads the N
+    rows plus the few-KB control artifacts — NEVER the existing lists.
+    Pinned with a reader spy (the scan happens eagerly inside append,
+    so a counter/spy, not a plan pin, is the honest gate)."""
+    import pyspark.sql.readwriter as rw
+
+    from logsqlite_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index)
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_clusters=8)
+
+    seen = []
+    orig = rw.DataFrameReader.parquet
+
+    def spy(self, *paths, **kw):
+        seen.extend(paths)
+        return orig(self, *paths, **kw)
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", spy)
+    out = append_to_ivf_index(batch, path)
+    assert out["mode"] == "append"
+    assert not [p for p in seen if "/lists" in p], seen
+
+
+def test_ivf_append_requires_completed_index(spark, tmp_path):
+    from logsqlite_spark.operators.similarity import append_to_ivf_index
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="no completed IVF index"):
+        append_to_ivf_index(emb, str(tmp_path / "nope"))
+
+
+def test_ivf_append_drift_triggers_refit(spark, tmp_path):
+    """A batch whose mean assignment distance blows past the baseline
+    re-fits the index from lists ∪ batch (the lists carry the fp
+    vectors, so no original-corpus handle is needed); the rebuilt index
+    serves every row."""
+    from logsqlite_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index)
+
+    base = spark.createDataFrame(
+        [(i, [float(i % 4), float((i * 3) % 5), 0.0, 0.0])
+         for i in range(40)],
+        "vec_id long, embedding array<float>")
+    # far-away batch: shifted by +100 on every axis
+    batch = spark.createDataFrame(
+        [(100 + i, [100.0 + i % 3, 100.0, 100.0, 100.0])
+         for i in range(10)],
+        "vec_id long, embedding array<float>")
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_clusters=4, sq_dim=4)
+    out = append_to_ivf_index(batch, path, drift_threshold=1.5)
+    assert out["mode"] == "refit"
+    assert out["batch_mean_d2"] > 1.5 * out["base_mean_d2"]
+
+    lists = _read_lists(spark, path)
+    assert lists.count() == 50
+    # refit leaves no scratch dir behind and a fresh drift baseline
+    import os
+    assert not os.path.exists(os.path.join(path, ".refit_src"))
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    assert st["n"] == 50
