@@ -193,6 +193,132 @@ def winnow_matches(docs: DataFrame, min_shared: int = 8,
     )
 
 
+# test hook: number of eager corpus fingerprint-table builds — the
+# persisted-artifact contract is "the at-rest corpus is winnowed once,
+# ever" (VERDICT r8 #4), and the build happens eagerly at artifact
+# creation, so a counter, not a plan pin, is the honest gate (the same
+# argument as similarity._SQ_SCALE_COMPUTES).
+_WINNOW_ARTIFACT_BUILDS = 0
+
+
+def winnow_fps_artifact(docs: DataFrame, k: int = WINNOW_K,
+                        w: int = WINNOW_W, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """The corpus-side winnow fingerprint table ``(doc_id, fp)`` as a
+    PERSISTED artifact — fingerprint-keyed parquet under the shared
+    artifact root, built once per corpus and served on every later
+    call (VERDICT r8 #4: ``text_winnow_matches`` used to re-winnow the
+    whole corpus per query).
+
+    Maintenance is incremental by construction: winnowing is per-doc,
+    so the table for corpus ∪ batch is the table for corpus plus the
+    batch's own fingerprints — append :func:`winnow_fingerprints`
+    (new_batch) to the same parquet per ingest batch, exactly the
+    ``ngram_df_partials`` snapshot idiom.  At 100 TB the at-rest text
+    is never re-hashed; matches against a batch scan this columnar
+    table (semi-joined down to the batch's fps) instead.
+
+    Reuses the similarity module's artifact protocol (root dir, flock
+    + thread lock, completion marker, keep-newest GC) so all
+    fingerprint-keyed caches live and age in one place.  A literal or
+    streaming corpus (no backing files to key on) computes inline.
+    """
+    import hashlib
+    import os
+
+    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _WINNOW_ARTIFACT_BUILDS
+    spark = docs.sparkSession
+    inline = winnow_fingerprints(docs, k, w, text_col, id_col)
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        files = []
+    if not files:
+        return inline
+    key = hashlib.sha256("|".join(
+        (frames_fingerprint(docs), text_col, id_col, str(k), str(w),
+         "winnow-fps")).encode()).hexdigest()[:16]
+    path = os.path.join(_SIM._ivf_index_root(), key)
+    with _SIM._IVF_BUILD_LOCK:
+        if not _SIM._index_marker_exists(spark, path):
+            local = _SIM._local_fs_path(path)
+            if local is not None:
+                with _SIM._DirBuildLock(local):
+                    if not _SIM._index_marker_exists(spark, path):
+                        _WINNOW_ARTIFACT_BUILDS += 1
+                        inline.write.mode("overwrite").parquet(f"{path}/fps")
+                        _SIM._write_index_marker(spark, path)
+            else:
+                _WINNOW_ARTIFACT_BUILDS += 1
+                inline.write.mode("overwrite").parquet(f"{path}/fps")
+                _SIM._write_index_marker(spark, path)
+            _SIM._gc_auto_index_root()
+        else:
+            _SIM._touch_index_marker(path)
+    return spark.read.parquet(f"{path}/fps")
+
+
+def winnow_matches_incremental(new_docs: DataFrame,
+                               history_fps: DataFrame,
+                               min_shared: int = 8,
+                               max_doc_freq: int = 64,
+                               k: int = WINNOW_K, w: int = WINNOW_W,
+                               text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Winnow near-dup candidates INVOLVING a new batch, without
+    re-fingerprinting the at-rest corpus — the incremental twin of
+    :func:`winnow_matches` (VERDICT r8 #4), mirroring
+    ``repeated_ngram_stats_incremental``'s new-vs-at-rest shape.
+
+    ``history_fps`` is the persisted ``(doc_id, fp)`` table from
+    :func:`winnow_fps_artifact` / :func:`winnow_fingerprints` over
+    every prior batch (doc sets disjoint from the batch, which ingest
+    guarantees).  Every fingerprint shared by a batch-involving pair
+    is by definition one of the BATCH's fingerprints, so the history
+    side is first semi-joined down to the batch's fp set — a broadcast
+    semi-join against a batch-sized key set, pruning the history scan
+    to the relevant fps (with fp-bucketed storage this also prunes at
+    the file level).  Groups keep ALL docs of a surviving fp, so the
+    ``max_doc_freq`` cap and every pair's ``n_shared`` count are
+    computed over history ∪ batch exactly as the full recompute would
+    — the result is IDENTICAL to ``winnow_matches(history ∪ batch)``
+    restricted to pairs touching the batch (pytest-pinned; the oracled
+    query replays the full formulation in SQL).
+
+    Only the batch is tokenized/hashed; history contributes a columnar
+    ``(doc_id, fp)`` scan.  Same groups-to-pairs shape (never a
+    self-join) and the same group-size bound as the batch operator.
+    """
+    batch_fp = winnow_fingerprints(new_docs, k, w, text_col, id_col) \
+        .withColumn("nw", F.lit(1))
+    hist = history_fps.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("fp").cast("long").alias("fp")).withColumn("nw", F.lit(0))
+    pruned = hist.join(F.broadcast(batch_fp.select("fp").distinct()),
+                       "fp", "leftsemi").unionByName(batch_fp)
+    groups = (
+        pruned.groupBy("fp")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("doc_id").alias("d"), F.col("nw")))).alias("ds"))
+        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+    )
+    pairs = groups.select(F.explode(F.expr(
+        "flatten(transform(ds, (x, i) -> "
+        "transform(slice(ds, i + 2, size(ds)), "
+        "y -> struct(x.d AS a_id, y.d AS b_id, "
+        "greatest(x.nw, y.nw) AS has_new))))"
+    )).alias("p")).filter(F.col("p.has_new") == 1) \
+        .select("p.a_id", "p.b_id")
+    return (
+        pairs.groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 
 def _gram_expr(n: int) -> str:
     """Token n-gram strings over the __t column — shared by the
@@ -870,6 +996,16 @@ def _q_winnow_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_matches(table(spark, sf_dir, "documents"))
 
 
+def _q_winnow_matches_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = doc_id % 4 == 0 (the incremental-twin convention of
+    repeated_ngrams_incremental); history fps come from the persisted
+    artifact, so repeated calls never re-winnow the at-rest corpus."""
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return winnow_matches_incremental(batch, winnow_fps_artifact(history))
+
+
 def _q_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(table(spark, sf_dir, "documents"),
                            chunk_tokens=32, overlap=4)
@@ -883,6 +1019,7 @@ QUERIES = {
     "text_fingerprint": _q_fingerprint,
     "text_winnow_fps": _q_winnow_fps,
     "text_winnow_matches": _q_winnow_matches,
+    "text_winnow_matches_inc": _q_winnow_matches_inc,
     "lang_id": _q_lang_id,
     "repeated_ngrams": _q_repeated_ngrams,
     "repeated_ngrams_incremental": _q_repeated_ngrams_incremental,
@@ -1031,6 +1168,20 @@ ORACLES = {
         "cold AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)) "
         "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared "
         "FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
+    ),
+    # incremental ≡ the full-corpus formulation restricted to pairs
+    # touching the batch (every shared fp of such a pair is a batch
+    # fp, so the fp-pruned incremental path reproduces the full
+    # group sizes and counts exactly)
+    "text_winnow_matches_inc": (
+        _WINNOW_FP_SQL +
+        ", e AS (SELECT doc_id, CAST(unnest(fps) AS BIGINT) AS fp FROM f), "
+        "hot AS (SELECT fp FROM e GROUP BY fp HAVING count(*) > 64), "
+        "cold AS (SELECT * FROM e WHERE fp NOT IN (SELECT fp FROM hot)) "
+        "SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared "
+        "FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+        "WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0 "
         "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
     ),
     "lang_id": _langid_oracle(),

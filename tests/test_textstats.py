@@ -1,6 +1,7 @@
 """Text analysis operators (X4)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from logsqlite_spark.operators.textstats import (
     doc_stats,
@@ -253,3 +254,69 @@ def test_incremental_ngram_stats_equals_batch(spark):
     recomputed = ngram_df_partials(hist.unionByName(new))
     assert {(r["gram"], r["df"]) for r in merged.collect()} \
         == {(r["gram"], r["df"]) for r in recomputed.collect()}
+
+
+# ---------------------------------------------------------------------------
+# Incremental winnow matches + persisted fingerprint artifact (VERDICT r8 #4)
+
+def test_winnow_incremental_equals_full_restricted(spark):
+    """winnow_matches_incremental(batch, history_fps) must equal the
+    full recompute over history ∪ batch restricted to pairs touching
+    the batch — group sizes, the df cap, and n_shared all computed
+    over the union exactly."""
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches, winnow_matches_incremental)
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    inc = winnow_matches_incremental(batch, winnow_fingerprints(history))
+    full = winnow_matches(docs).filter(
+        (F.col("a_id") % 4 == 0) | (F.col("b_id") % 4 == 0))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_winnow_incremental_history_only_and_batch_only_pairs(spark):
+    """Cross (history x batch) and within-batch pairs surface;
+    history-only pairs never do."""
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches_incremental)
+
+    shared = "the quick brown fox jumps over the lazy dog again and again"
+    rows_hist = [(1, shared + " alpha"), (2, shared + " beta"),
+                 (3, "completely unrelated text with nothing in common")]
+    rows_batch = [(10, shared + " gamma"), (11, shared + " delta")]
+    hist = spark.createDataFrame(rows_hist, "doc_id long, text string")
+    batch = spark.createDataFrame(rows_batch, "doc_id long, text string")
+    out = winnow_matches_incremental(
+        batch, winnow_fingerprints(hist), min_shared=2)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 2) not in pairs            # history-only: excluded
+    assert (10, 11) in pairs              # within-batch
+    assert (1, 10) in pairs and (2, 11) in pairs  # cross
+
+
+def test_winnow_artifact_built_once(spark):
+    """The persisted fingerprint artifact's 100 TB contract: the
+    at-rest corpus is winnowed ONCE — later calls serve the parquet
+    artifact (counter gate, same argument as the SQ scales pin)."""
+    from logsqlite_spark.operators import textstats as TS
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .filter(F.col("doc_id") % 4 != 0)
+    TS.winnow_fps_artifact(docs).count()   # builds or serves
+    before = TS._WINNOW_ARTIFACT_BUILDS
+    a = TS.winnow_fps_artifact(docs)
+    b = TS.winnow_fps_artifact(docs)
+    assert a.count() == b.count() > 0
+    assert TS._WINNOW_ARTIFACT_BUILDS == before
+
+    # the artifact serves the same rows the inline computation yields
+    inline = TS.winnow_fingerprints(docs)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, inline.collect()))
