@@ -1,0 +1,171 @@
+"""Streaming substring-dedup state — the ingest-time twin of
+``operators/textstats.ngram_df_partials`` (VERDICT r8 #6).
+
+The batch API (``repeated_ngram_stats_incremental``) assumes someone
+maintains the persisted ``(gram, df)`` snapshot between batches; this
+module IS that someone for a continuously-ingesting pipeline: a
+``foreachBatch`` sink that
+
+  1. computes the incoming micro-batch's own gram partials (only the
+     batch is tokenized — the at-rest corpus is never re-scanned),
+  2. merges them into the persisted snapshot (``sum(df)`` over
+     disjoint doc sets is associative, so merge ≡ one-shot recompute
+     over everything ingested — pytest-pinned),
+  3. optionally emits the batch's substring-dup stats against the
+     PRE-batch history, exactly what the batch-mode incremental
+     operator reports.
+
+Durability protocol: snapshots are immutable version directories
+(``v00000001/``, ...) under one root, with a JSON pointer file naming
+the current version and the last merged ``batch_id``.  A replayed
+micro-batch (foreachBatch is at-least-once; Spark replays the last
+uncommitted batch after a crash) is detected by ``batch_id <= last``
+and skipped, so the merge is exactly-once.  The pointer flips via
+write-temp + atomic rename AFTER the new version is fully written — a
+crash mid-write leaves the old pointer serving the old, complete
+snapshot.  Old versions are GC'd (keep 2: current + the one a
+concurrent reader may still hold open).
+
+At 100 TB: the snapshot is a pre-aggregated (gram, df) table —
+orders of magnitude smaller than the corpus — and each merge costs
+one batch tokenization + one snapshot-sized columnar scan.  The
+pointer file assumes a filesystem with atomic rename; local and HDFS
+qualify, eventual-consistency object stores need a real metastore —
+a non-local root raises loudly instead of corrupting silently
+(the lesson of ADVICE r7's alert-migration item).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.textstats import (
+    ngram_df_partials,
+    repeated_ngram_stats_incremental,
+)
+
+_POINTER = "_SNAPSHOT.json"
+_KEEP_VERSIONS = 2
+
+
+def _local_root(root: str) -> str:
+    parsed = urlparse(root)
+    if parsed.scheme in ("", "file") and not parsed.netloc:
+        return parsed.path or root
+    raise ValueError(
+        f"streaming ngram partials need an atomic-rename local root; "
+        f"got {root!r} — mount it or add a metastore-backed pointer")
+
+
+def read_pointer(snapshot_root: str) -> tuple[int | None, int | None]:
+    """(current version, last merged batch_id); (None, None) if no
+    snapshot has been committed yet."""
+    path = os.path.join(_local_root(snapshot_root), _POINTER)
+    try:
+        with open(path) as fh:
+            d = json.load(fh)
+        return int(d["version"]), int(d["batch_id"])
+    except FileNotFoundError:
+        return None, None
+
+
+def _write_pointer(snapshot_root: str, version: int, batch_id: int) -> None:
+    root = _local_root(snapshot_root)
+    tmp = os.path.join(root, _POINTER + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(root, _POINTER))
+
+
+def snapshot_partials(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (gram, df) snapshot, or None pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}"))
+
+
+def _gc_versions(snapshot_root: str, current: int) -> None:
+    import shutil
+
+    root = _local_root(snapshot_root)
+    try:
+        for name in os.listdir(root):
+            if not (name.startswith("v") and name[1:].isdigit()):
+                continue
+            if int(name[1:]) <= current - _KEEP_VERSIONS:
+                shutil.rmtree(os.path.join(root, name),
+                              ignore_errors=True)
+    except OSError:
+        pass
+
+
+def ngram_partials_sink(snapshot_root: str, n: int = 8, min_df: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        stats_dir: str | None = None,
+                        ) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body (returned as a plain callable so batch
+    tests drive it directly): merge one micro-batch of documents into
+    the persisted gram-partials snapshot, optionally appending the
+    batch's dup stats vs the pre-batch history to ``stats_dir``.
+
+    Batches must carry disjoint ``id_col`` sets (the ingest path's
+    at-least-once duplicates are exactly what the batch_id replay
+    guard removes; *cross-batch* doc re-sends need upstream dedup,
+    e.g. ``streaming_dedup_exact``)."""
+    _local_root(snapshot_root)  # fail fast on a non-local root
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        history = (None if ver is None else spark.read.parquet(
+            os.path.join(snapshot_root, f"v{ver:08d}")))
+        if stats_dir is not None:
+            hist_or_empty = history if history is not None else \
+                spark.createDataFrame([], "gram string, df long")
+            repeated_ngram_stats_incremental(
+                batch_df, hist_or_empty, n=n, min_df=min_df,
+                text_col=text_col, id_col=id_col) \
+                .write.mode("append").parquet(stats_dir)
+        batch_partials = ngram_df_partials(batch_df, n=n,
+                                           text_col=text_col,
+                                           id_col=id_col)
+        merged = batch_partials if history is None else (
+            batch_partials.unionByName(history)
+            .groupBy("gram")
+            .agg(F.sum("df").cast("long").alias("df")))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def start_streaming_ngram_partials(stream: DataFrame, snapshot_root: str,
+                                   checkpoint_dir: str, n: int = 8,
+                                   min_df: int = 2,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   stats_dir: str | None = None):
+    """Wire the sink into a document stream: each micro-batch merges
+    into the snapshot under the exactly-once pointer protocol."""
+    return (
+        stream.writeStream
+        .foreachBatch(ngram_partials_sink(
+            snapshot_root, n=n, min_df=min_df, text_col=text_col,
+            id_col=id_col, stats_dir=stats_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
