@@ -91,6 +91,13 @@ def cosine_topk(
 SQ_DIM = 64
 SQ_LEVELS = 127
 
+# rerank-fetch broadcast gate: winners rows are ~25B (qid, nid,
+# cluster), so even 64k candidates/query x a plausible query-batch
+# stays well under spark.sql.autoBroadcastJoinThreshold territory;
+# anything larger (notably the unbounded-c measurement runs) takes a
+# plain join and lets AQE decide from the observed size
+_WINNER_BROADCAST_C_MAX = 1 << 16
+
 _SQ_ENCODE = (
     "zip_with({v}, {sc}, (x, s) -> coalesce(cast(floor("
     "cast(x as double) / nullif(s, 0D) * {lv}.0D + 0.5D) as bigint), 0L))"
@@ -1219,9 +1226,15 @@ def ivf_sq_topk(
     # winner-id set against the lists, keeping __cluster in the join
     # key so dynamic partition pruning limits the fetch scan to the
     # winners' list directories (the serving-store point-lookup,
-    # expressed as a DPP-prunable broadcast join)
+    # expressed as a DPP-prunable broadcast join).  The hint is gated
+    # on c (ADVICE r8): an uncapped c (the scale-evidence leg passes
+    # 1<<30) makes winners ≡ every stage-1 candidate — linear in the
+    # probed corpus — and a FORCED broadcast of that would hit the
+    # driver/broadcast limit; those callers get a plain shuffle join
+    # and AQE still broadcasts if the runtime size turns out small
+    wb = F.broadcast(winners) if c <= _WINNER_BROADCAST_C_MAX else winners
     cand = (
-        vecs_df.join(F.broadcast(winners), ["__cluster", "nid"])
+        vecs_df.join(wb, ["__cluster", "nid"])
         .join(F.broadcast(qvecs), "qid")
         .select("qid", "qv", "nid", "nv")
     )

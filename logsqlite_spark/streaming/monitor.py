@@ -94,8 +94,18 @@ def _migrate_flat_alerts(alerts_dir: str,
     import shutil
     from urllib.parse import urlparse
 
+    # Scheme sniffing hardened (ADVICE r8): urlparse alone misroutes a
+    # relative local path containing a colon ('out:dir/alerts' parses
+    # with scheme 'out' and would die in Hadoop's "No FileSystem for
+    # scheme"), so only strings with a real authority separator
+    # ('://') leave the local branch; and a file: URI with a non-empty
+    # host ('file://host/path') must not silently drop the netloc —
+    # there is no remote-file protocol here, so it raises.
     parsed = urlparse(alerts_dir)
-    if parsed.scheme in ("", "file"):
+    if parsed.scheme == "file" and parsed.netloc:
+        raise ValueError(
+            f"file: URI with a host is not supported: {alerts_dir!r}")
+    if parsed.scheme in ("", "file") or "://" not in alerts_dir:
         local_dir = parsed.path if parsed.scheme == "file" else alerts_dir
         try:
             entries = os.listdir(local_dir)

@@ -7,6 +7,8 @@ from __future__ import annotations
 import time
 from datetime import datetime, timezone
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from logsqlite_spark.streaming.monitor import start_quality_monitor
@@ -128,3 +130,27 @@ def test_migrate_nonlocal_uri_is_loud_not_noop(spark, tmp_path):
     (d / "part-000.parquet").write_bytes(b"x")
     _migrate_flat_alerts(f"file://{d}", spark=None)
     assert (d / "batch_id=-1" / "part-000.parquet").exists()
+
+
+def test_migrate_colon_relative_path_stays_local(tmp_path, monkeypatch):
+    """ADVICE r8: a relative local dir containing a colon ('out:dir')
+    parses with a bogus urlparse scheme — it must take the os/shutil
+    branch, not die in Hadoop's 'No FileSystem for scheme'."""
+    import os
+
+    from logsqlite_spark.streaming.monitor import _migrate_flat_alerts
+
+    monkeypatch.chdir(tmp_path)
+    d = "out:dir/alerts"
+    os.makedirs(d)
+    open(os.path.join(d, "part-000.parquet"), "w").write("x")
+    _migrate_flat_alerts(d, spark=None)  # no session needed locally
+    assert os.path.exists(os.path.join(d, "batch_id=-1",
+                                       "part-000.parquet"))
+
+
+def test_migrate_file_uri_with_host_raises(spark):
+    from logsqlite_spark.streaming.monitor import _migrate_flat_alerts
+
+    with pytest.raises(ValueError, match="file: URI with a host"):
+        _migrate_flat_alerts("file://somehost/var/alerts", spark)
