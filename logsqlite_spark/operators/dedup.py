@@ -433,8 +433,23 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
 def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
                        text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """LSH banding over the signature: candidate pairs agreeing on at
-    least one band (bands of ``band_size`` hashes). The join is a
-    hash-shuffle on band values — candidates only, never all pairs."""
+    least one band (bands of ``band_size`` hashes) — candidates only,
+    never all pairs.
+
+    Groups-to-pairs, not a self-join (the same argument as
+    ``textstats.winnow_matches``, applied here after VERDICT r8's
+    bench flag on this operator): a banded SELF-join re-evaluates the
+    whole md5-shingle signature pipeline for EACH exchange input —
+    stage metrics showed two stages reading identical shuffle bytes
+    and together burning ~2x the hashing CPU — and shuffles the bands
+    table twice.  Grouping by (band, key) computes signatures ONCE,
+    shuffles once, and emits each bucket's pairs in codegen from the
+    sorted doc array (a_id < b_id by construction).  Per-group state
+    is the bucket's id list — the same cardinality class as the
+    join's hash bucket, and any k-doc bucket was already emitting k^2
+    candidate pairs under either formulation.  Pair set is identical
+    (same buckets, same distinct), so the DuckDB oracle is unchanged.
+    """
     sig = minhash_signatures(docs, text_col, id_col)
     n_bands = MINHASH_K // band_size
     bands = sig.select(
@@ -448,13 +463,18 @@ def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
             for bi in range(n_bands)
         ])).alias("b"),
     ).select("doc_id", "b.band", "b.key")
-    a, b = bands.alias("a"), bands.alias("b")
+    groups = (
+        bands.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("a_id"),
-                F.col("b.doc_id").alias("b_id"))
+        groups.select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "y -> struct(x AS a_id, y AS b_id))))"
+        )).alias("p"))
+        .select("p.a_id", "p.b_id")
         .distinct()
     )
 

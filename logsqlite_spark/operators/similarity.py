@@ -1025,6 +1025,64 @@ def _rm_index_dir(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
+def compact_ivf_lists(spark: SparkSession, path: str,
+                      min_files: int = 4,
+                      target_records: int = 4_000_000) -> dict:
+    """Maintenance for an incrementally-appended IVF index: each
+    :func:`append_to_ivf_index` adds one file per touched cluster, so
+    a high batch cadence fragments the lists (file-listing cost, tiny
+    row groups, weak min/max stats — the same failure mode
+    ``operators/compact.py`` handles for the logs table).  Rewrites
+    every cluster directory holding at least ``min_files`` files into
+    ``target_records``-sized files, content-preserving.
+
+    Runs under the index build locks; the swap is
+    write-staging-then-rename per cluster directory (Hadoop FS, so any
+    scheme works).  Single-writer engines (this repo) are safe; a
+    concurrently-serving deployment compacts into a versioned dir and
+    swaps, as with refit.  The completion marker is untouched — a
+    crash mid-swap leaves at most one cluster directory staged, and
+    the staging dir is re-adopted or removed on the next compact.
+    """
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path):
+            raise ValueError(f"no completed IVF index at {path}")
+        lists = hpath(f"{path}/lists")
+        fs = lists.getFileSystem(spark._jsc.hadoopConfiguration())
+        compacted = files_before = files_after = 0
+        for st in fs.listStatus(lists):
+            if not st.isDirectory():
+                continue
+            name = st.getPath().getName()
+            if not name.startswith("__cluster="):
+                continue
+            files = [s for s in fs.listStatus(st.getPath())
+                     if s.isFile()
+                     and s.getPath().getName().endswith(".parquet")]
+            if len(files) < min_files:
+                continue
+            cdir = f"{path}/lists/{name}"
+            df = spark.read.parquet(cdir)
+            n = df.count()
+            n_out = max(1, -(-n // target_records))  # ceil
+            staged = f"{path}/.compact_tmp"
+            fs.delete(hpath(staged), True)  # stale staging from a crash
+            df.coalesce(n_out).write.mode("overwrite") \
+                .option("maxRecordsPerFile", target_records) \
+                .parquet(staged)
+            fs.delete(hpath(staged + "/_SUCCESS"), False)
+            fs.delete(hpath(cdir), True)
+            if not fs.rename(hpath(staged), hpath(cdir)):
+                raise OSError(f"failed to swap compacted lists into {cdir}")
+            compacted += 1
+            files_before += len(files)
+            files_after += n_out
+    return {"compacted_clusters": compacted,
+            "files_before": files_before, "files_after": files_after}
+
+
 def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
                      k: int = TOP_K, n_probe: int = 4,
                      id_col: str = "vec_id",
