@@ -294,10 +294,19 @@ def winnow_matches_incremental(new_docs: DataFrame,
     """
     batch_fp = winnow_fingerprints(new_docs, k, w, text_col, id_col) \
         .withColumn("nw", F.lit(1))
+    # materialize the batch's fingerprints ONCE: they feed both the
+    # semi-join's build side and the union's probe side, and lazy
+    # re-evaluation would re-winnow the batch per consumer (measured
+    # ~2x the batch hash cost).  localCheckpoint is bounded by the
+    # BATCH — O(micro-batch), never O(corpus) — and truncates lineage
+    # so both consumers read the materialized blocks.
+    batch_fp = batch_fp.localCheckpoint(eager=True)
     hist = history_fps.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("fp").cast("long").alias("fp")).withColumn("nw", F.lit(0))
-    pruned = hist.join(F.broadcast(batch_fp.select("fp").distinct()),
+    # no .distinct() on the build side: left-semi semantics ignore
+    # build duplicates, and the distinct would cost its own shuffle
+    pruned = hist.join(F.broadcast(batch_fp.select("fp")),
                        "fp", "leftsemi").unionByName(batch_fp)
     groups = (
         pruned.groupBy("fp")
