@@ -93,3 +93,70 @@ def test_guarantee_shared_run_shares_fp(prefix_a, prefix_b, shared,
     a = prefix_a + shared + suffix_a
     b = prefix_b + shared + suffix_b
     assert model_fps(a) & model_fps(b)
+
+
+# ---------------------------------------------------------------------------
+# Layer 3 (round 9): the match operators against a pure-Python model —
+# winnow_matches and its incremental twin must agree exactly with a
+# straight-line implementation of bucket→pairs over model_fps, and the
+# incremental result must equal the full model restricted to
+# batch-involving pairs (the defining equivalence).
+
+def model_matches(docs: dict[int, str], min_shared: int = 2,
+                  cap: int = 64) -> dict[tuple[int, int], int]:
+    inv: dict[int, list[int]] = {}
+    for d in sorted(docs):
+        for fp in model_fps(docs[d]):
+            inv.setdefault(fp, []).append(d)
+    counts: dict[tuple[int, int], int] = {}
+    for ds in inv.values():
+        if not (2 <= len(ds) <= cap):
+            continue
+        for i, a in enumerate(ds):
+            for b in ds[i + 1:]:
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+    return {p: n for p, n in counts.items() if n >= min_shared}
+
+
+def _match_corpus():
+    import random
+
+    rng = random.Random(7)
+    alpha = "abcde "
+    base = ["".join(rng.choice(alpha) for _ in range(rng.randrange(12, 60)))
+            for _ in range(30)]
+    docs = {}
+    for i, t in enumerate(base):
+        docs[i] = t
+    # planted near-dups across the batch boundary (doc_id % 4 == 0 is
+    # the batch): shared long substrings guarantee shared fingerprints
+    docs[100] = base[1] + " tail one"      # batch (100 % 4 == 0)
+    docs[101] = base[1] + " tail two"      # history
+    docs[104] = base[2] + base[3]          # batch
+    docs[105] = base[2] + " other"         # history
+    return docs
+
+
+def test_matches_agree_with_model(spark):
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches, winnow_matches_incremental)
+
+    docs = _match_corpus()
+    df = spark.createDataFrame(sorted(docs.items()),
+                               "doc_id long, text string")
+    want_full = model_matches(docs)
+    got_full = {(r["a_id"], r["b_id"]): r["n_shared"]
+                for r in winnow_matches(df, min_shared=2).collect()}
+    assert got_full == want_full and len(want_full) > 0
+
+    batch = df.filter(F.col("doc_id") % 4 == 0)
+    hist = df.filter(F.col("doc_id") % 4 != 0)
+    want_inc = {p: n for p, n in want_full.items()
+                if p[0] % 4 == 0 or p[1] % 4 == 0}
+    got_inc = {(r["a_id"], r["b_id"]): r["n_shared"]
+               for r in winnow_matches_incremental(
+                   batch, winnow_fingerprints(hist),
+                   min_shared=2).collect()}
+    assert got_inc == want_inc and len(want_inc) > 0
