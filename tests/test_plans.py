@@ -502,3 +502,38 @@ def test_ivf_sq_stage1_scans_codes_only(spark):
         # no scan reads both: codes-only stage 1, nv-only fetch
         assert not ("code:array<tinyint>" in s and "nv:array" in s), s
         assert "dynamicpruningexpression" in s, s
+
+
+def test_frozen_assign_is_zero_shuffle(spark):
+    """Incremental IVF append's batch assignment (round 9): centroids
+    are a literal expression, so assigning a batch to its nearest
+    frozen centroid must be a pure projection — no Exchange, no join,
+    no Window in the plan (appending N rows costs one scan of the N
+    rows)."""
+    from logsqlite_spark.operators.similarity import _frozen_assign_encode
+
+    emb = table(spark, SF, "embeddings")
+    centers = [[0.1 * i] * 64 for i in range(8)]
+    scales = [1.0] * 64
+    df = _frozen_assign_encode(emb, centers, scales, "vec_id", "embedding")
+    plan = explain_str(df)
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    assert "Window" not in plan, plan
+
+
+def test_winnow_incremental_history_semi_broadcast(spark):
+    """The incremental winnow matcher's scale claim (round 9): the
+    history fingerprint table is pruned by a BROADCAST LEFT-SEMI join
+    against the batch's fp set before any aggregation — the at-rest
+    side is never shuffled in full, only its fp-matched rows enter the
+    groupBy exchange."""
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches_incremental)
+
+    docs = table(spark, SF, "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    hist = winnow_fingerprints(docs.filter(F.col("doc_id") % 4 != 0))
+    df = winnow_matches_incremental(batch, hist)
+    plan = explain_str(df)
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
