@@ -303,6 +303,86 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
                          F.round("sim", 6).alias("sim"))
 
 
+def semantic_dedup_incremental(new_emb: DataFrame, history_emb: DataFrame,
+                               centroids: DataFrame,
+                               tau: float = SEM_TAU,
+                               id_col: str = "vec_id",
+                               vec_col: str = "embedding",
+                               max_cluster_size: int = MAX_CLUSTER_SIZE
+                               ) -> DataFrame:
+    """SemDeDup pairs INVOLVING a new batch, against frozen centroids
+    — the incremental twin of :func:`semantic_dedup_pairs` (round 9),
+    completing the incremental family across every dedup modality
+    (exact/jaccard: ``dedup_incremental``; substring:
+    ``repeated_ngram_stats_incremental``; winnow:
+    ``winnow_matches_incremental``; embedding: this).
+
+    ``centroids`` are fit on HISTORY (frozen; refit on drift is the
+    IVF append playbook).  Assignment is the same zero-shuffle
+    broadcast argmin for both sides; cluster sizes — which drive the
+    sub-bucket split — are counted over history ∪ batch, so every
+    doc's ``_sub`` equals what the full recompute assigns and the
+    result is IDENTICAL to ``semantic_dedup_pairs(history ∪ batch,
+    centroids)`` restricted to pairs touching the batch
+    (pytest-pinned; the oracled query replays the full formulation).
+
+    Scale shape: the history side is pruned to the batch's
+    (cluster_id, _sub) key set by a broadcast semi-join BEFORE the
+    pair join — clusters the batch doesn't touch never enter the
+    shuffle (the winnow-incremental argument: a batch-involving pair
+    shares the batch doc's bucket by definition).  The history
+    ASSIGNMENT here is recomputed from embeddings for self-
+    containment; a production pipeline persists it (plus the O(k)
+    size table) per batch exactly like the winnow fp artifact, making
+    the per-batch cost O(batch + matched buckets).
+    """
+    sq = "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+
+    def _assigned(df: DataFrame, nw: int) -> DataFrame:
+        return (assign_clusters(df, centroids, id_col, vec_col)
+                .withColumn("nq", F.expr(sq))
+                .filter(F.col("nq") > 0)
+                .withColumn("nw", F.lit(nw)))
+
+    combined = _assigned(history_emb, 0).unionByName(_assigned(new_emb, 1))
+    sizes = combined.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("_sz"))
+    combined = (
+        combined.join(sizes, "cluster_id")
+        .withColumn("_sub", F.expr(_HASH.format(salt=SUB_SALT,
+                                                id="vec_id"))
+                    % F.ceil(F.col("_sz") / F.lit(max_cluster_size))
+                    .cast("long"))
+    )
+    batch_keys = combined.filter(F.col("nw") == 1) \
+        .select("cluster_id", "_sub")
+    pruned = combined.join(F.broadcast(batch_keys),
+                           ["cluster_id", "_sub"], "leftsemi")
+    scored = (
+        pruned.select("cluster_id", "_sub", "nw",
+                      F.col("vec_id").alias("a_id"),
+                      F.col("qv").alias("ai"), F.col("nq").alias("an"))
+        .withColumnRenamed("nw", "anw")
+        .join(pruned.select("cluster_id", "_sub", "nw",
+                            F.col("vec_id").alias("b_id"),
+                            F.col("qv").alias("bi"),
+                            F.col("nq").alias("bn"))
+              .withColumnRenamed("nw", "bnw"),
+              ["cluster_id", "_sub"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .filter((F.col("anw") == 1) | (F.col("bnw") == 1))
+        .withColumn("dot", F.expr(
+            "aggregate(zip_with(ai, bi, (x, y) -> x * y), 0L, "
+            "(acc, x) -> acc + x)"))
+        .withColumn("sim", F.col("dot").cast("double")
+                    / F.sqrt(F.col("an").cast("double")
+                             * F.col("bn").cast("double")))
+        .filter(F.col("sim") >= tau)
+    )
+    return scored.select("cluster_id", "a_id", "b_id",
+                         F.round("sim", 6).alias("sim"))
+
+
 def semantic_dedup_stats(emb: DataFrame, centroids: DataFrame,
                          tau: float = SEM_TAU) -> DataFrame:
     """One-row summary: corpus size, semantic-dup pairs found, and
@@ -387,6 +467,16 @@ def _q_sem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup_stats(emb, seed_centroids(emb, auto_k(emb)))
 
 
+def _q_sem_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = vec_id % 4 == 0 (the incremental-twin convention);
+    centroids fit on history only — frozen geometry."""
+    emb = _emb(spark, sf_dir)
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    return semantic_dedup_incremental(
+        batch, hist, seed_centroids(hist, auto_k(hist)))
+
+
 QUERIES = {
     "cluster_assign": _q_assign,
     "cluster_stats": _q_stats,
@@ -394,6 +484,7 @@ QUERIES = {
     "cluster_refined_stats": _q_refined,
     "semantic_dedup_pairs": _q_sem_pairs,
     "semantic_dedup_stats": _q_sem_stats,
+    "semantic_dedup_inc": _q_sem_inc,
 }
 
 _ORACLE_QV = ("list_transform(embedding, "
@@ -443,7 +534,29 @@ _O_SUBSPLIT = (
     " AS sub FROM nz JOIN sizes USING (cluster_id))"
 )
 
+# incremental twins: seeds + auto_k evaluated over HISTORY only
+# (vec_id % 4 <> 0 — frozen geometry), assignment/sizes/subsplit over
+# the full union (what the Spark side's union-sized _sub reproduces),
+# pairs restricted to batch-involving
+_O_SEEDS_INC = _O_SEEDS.replace(
+    "AS h FROM embeddings ORDER BY",
+    "AS h FROM embeddings WHERE vec_id % 4 <> 0 ORDER BY")
+_O_AUTO_K_INC = _O_AUTO_K.replace(
+    "FROM embeddings)", "FROM embeddings WHERE vec_id % 4 <> 0)")
+
 ORACLES = {
+    "semantic_dedup_inc": (
+        "WITH " + _O_SEEDS_INC + ", " + "{subsplit} "
+        "SELECT a.cluster_id, a.vec_id AS a_id, b.vec_id AS b_id, "
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), "
+        "    CAST(b.v AS DOUBLE[])) "
+        "  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)), 6) AS sim "
+        "FROM sub a JOIN sub b ON a.cluster_id = b.cluster_id "
+        "AND a.sub = b.sub AND a.vec_id < b.vec_id "
+        "WHERE list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        f"  / sqrt(CAST(a.vn AS DOUBLE) * CAST(b.vn AS DOUBLE)) >= {SEM_TAU} "
+        "AND (a.vec_id % 4 = 0 OR b.vec_id % 4 = 0)"
+    ).format(qv=_ORACLE_QV, klim=_O_AUTO_K_INC, subsplit=_O_SUBSPLIT),
     "cluster_assign": (
         "WITH " + _O_SEEDS +
         " SELECT vec_id, cluster_id, dist_q FROM assign"

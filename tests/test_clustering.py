@@ -152,3 +152,56 @@ def test_arrow_assignment_identical_to_sql(spark, sf_dir):
         map(tuple, assign_clusters(emb, seeds)
             .select("vec_id", "cluster_id", "dist_q").collect()))
     assert sql_rows == arrow_rows == auto_rows
+
+
+def test_semantic_dedup_incremental_equals_full_restricted(spark):
+    """semantic_dedup_incremental(batch, history, frozen_centroids)
+    must equal semantic_dedup_pairs(history ∪ batch, same centroids)
+    restricted to pairs touching the batch — cluster sizes (hence the
+    sub-bucket split) counted over the union on both sides."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.clustering import (
+        auto_k,
+        seed_centroids,
+        semantic_dedup_incremental,
+        semantic_dedup_pairs,
+    )
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    ctr = seed_centroids(hist, auto_k(hist))
+
+    # the synthetic corpus is near-orthogonal; lower tau so pairs exist
+    inc = semantic_dedup_incremental(batch, hist, ctr, tau=0.2)
+    full = semantic_dedup_pairs(emb, ctr, tau=0.2).filter(
+        (F.col("a_id") % 4 == 0) | (F.col("b_id") % 4 == 0))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_semantic_dedup_incremental_excludes_history_only_pairs(spark):
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.clustering import (
+        seed_centroids,
+        semantic_dedup_incremental,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0, 0.0]),  # hist dup pair
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [1.0, 0.001, 0.0, 0.0]),   # batch: dup of 1 and 2
+        (8, [0.0, 0.999, 0.01, 0.0]),  # batch: dup of 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    out = semantic_dedup_incremental(batch, hist, seed_centroids(hist, 2),
+                                     tau=0.95)
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 2) not in pairs          # history-only: excluded
+    assert (1, 4) in pairs and (2, 4) in pairs and (3, 8) in pairs
