@@ -205,3 +205,40 @@ def test_semantic_dedup_incremental_excludes_history_only_pairs(spark):
     pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
     assert (1, 2) not in pairs          # history-only: excluded
     assert (1, 4) in pairs and (2, 4) in pairs and (3, 8) in pairs
+
+
+def test_assignment_artifact_built_once_and_equivalent(spark):
+    """The persisted assignment artifact's contract: the at-rest
+    corpus is assigned ONCE (counter gate), serves the same rows the
+    inline computation yields, and feeding it to
+    semantic_dedup_incremental via history_assigned gives the exact
+    same pairs as the self-contained recompute path."""
+    from logsqlite_spark.operators import clustering as CL
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    hist = emb.filter(F.col("vec_id") % 4 != 0)
+    batch = emb.filter(F.col("vec_id") % 4 == 0)
+    k = CL.auto_k(hist)
+    ctr = CL.seed_centroids(hist, k)
+
+    CL.assignment_artifact(hist, ctr, k).count()   # builds or serves
+    before = CL._ASSIGN_ARTIFACT_BUILDS
+    art = CL.assignment_artifact(hist, ctr, k)
+    assert art.count() > 0
+    assert CL._ASSIGN_ARTIFACT_BUILDS == before
+
+    sq = "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+    inline = (CL.assign_clusters(hist, ctr)
+              .withColumn("nq", F.expr(sq))
+              .select("vec_id", "cluster_id", "qv", "nq"))
+    assert sorted((r["vec_id"], r["cluster_id"], tuple(r["qv"]), r["nq"])
+                  for r in art.collect()) == \
+        sorted((r["vec_id"], r["cluster_id"], tuple(r["qv"]), r["nq"])
+               for r in inline.collect())
+
+    via_art = CL.semantic_dedup_incremental(
+        batch, None, ctr, tau=0.2, history_assigned=art)
+    recomputed = CL.semantic_dedup_incremental(batch, hist, ctr, tau=0.2)
+    assert sorted(map(tuple, via_art.collect())) == \
+        sorted(map(tuple, recomputed.collect()))
