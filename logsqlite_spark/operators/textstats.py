@@ -8,7 +8,7 @@ DuckDB oracle agrees bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.tables import rebalance_for_compute, table
@@ -169,17 +169,29 @@ def winnow_matches(docs: DataFrame, min_shared: int = 8,
     """
     fp = winnow_fingerprints(docs, k, w, text_col, id_col)
     # Groups-to-pairs, not a self-join: ONE pass computes the (fp ->
-    # sorted doc list) groups, the df cap is simply a group-size
-    # filter (<= cap replaces the separate hot-list anti-join), and
-    # pairs are generated from each bounded array in codegen. A
-    # self-join formulation re-evaluates the k-gram hashing for every
-    # exchange input (~3x the scan cost) and shuffles the fingerprint
-    # table twice. Per-group state is <= max_doc_freq ids, so
-    # collect_list stays bounded at any corpus size.
+    # sorted doc list) groups and pairs are generated from each
+    # bounded array in codegen. A self-join formulation re-evaluates
+    # the k-gram hashing for every exchange input (~3x the scan cost)
+    # and shuffles the fingerprint table twice.
+    #
+    # The df cap is enforced BEFORE the list aggregation (round 9): a
+    # group-size filter after collect_list would first materialize
+    # the full doc list of a hot fingerprint in one agg buffer — a
+    # template fp in millions of docs OOMs that task at 100 TB
+    # (HashAggregate buffers don't spill mid-group; WindowExec does).
+    # The window count shares the grouping's hashpartitioning
+    # exchange, spills on a pathological partition instead of dying,
+    # and the k-gram hash pipeline still runs exactly ONCE (the
+    # minhash double-compute lesson — a df pre-count + anti-join
+    # formulation re-evaluates the fingerprint scan per consumer).
+    # Surviving groups are <= max_doc_freq ids by construction.
+    w_fp = Window.partitionBy("fp")
     groups = (
-        fp.groupBy("fp")
+        fp.withColumn("__df", F.count(F.lit(1)).over(w_fp))
+        .filter(F.col("__df") <= max_doc_freq)
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+        .filter(F.size("ds") >= 2)
     )
     pairs = groups.select(F.explode(F.expr(
         "flatten(transform(ds, (x, i) -> "
@@ -308,11 +320,19 @@ def winnow_matches_incremental(new_docs: DataFrame,
     # build duplicates, and the distinct would cost its own shuffle
     pruned = hist.join(F.broadcast(batch_fp.select("fp")),
                        "fp", "leftsemi").unionByName(batch_fp)
+    # df cap BEFORE the list aggregation, like winnow_matches (round
+    # 9): the window count shares the grouping's exchange and spills
+    # on a hot fingerprint instead of materializing its full doc list
+    # in an agg buffer; df over pruned ≡ df over history ∪ batch for
+    # every batch fp, so the union-exactness argument is unchanged.
+    w_fp = Window.partitionBy("fp")
     groups = (
-        pruned.groupBy("fp")
+        pruned.withColumn("__df", F.count(F.lit(1)).over(w_fp))
+        .filter(F.col("__df") <= max_doc_freq)
+        .groupBy("fp")
         .agg(F.sort_array(F.collect_list(F.struct(
             F.col("doc_id").alias("d"), F.col("nw")))).alias("ds"))
-        .filter((F.size("ds") >= 2) & (F.size("ds") <= max_doc_freq))
+        .filter(F.size("ds") >= 2)
     )
     pairs = groups.select(F.explode(F.expr(
         "flatten(transform(ds, (x, i) -> "
