@@ -431,7 +431,8 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text",
     return hashed.select("doc_id", *cols)
 
 def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
-                       text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+                       text_col: str = "text", id_col: str = "doc_id",
+                       max_band_freq: int | None = None) -> DataFrame:
     """LSH banding over the signature: candidate pairs agreeing on at
     least one band (bands of ``band_size`` hashes) — candidates only,
     never all pairs.
@@ -449,6 +450,14 @@ def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
     join's hash bucket, and any k-doc bucket was already emitting k^2
     candidate pairs under either formulation.  Pair set is identical
     (same buckets, same distinct), so the DuckDB oracle is unchanged.
+
+    ``max_band_freq``: the exact semantics (default) emit EVERY
+    bucket's pairs, so a degenerate bucket (near-identical corpus
+    mass hashing to one band key) costs k^2 output under any
+    formulation — at 100 TB deployments set a cap, and over-cap
+    buckets are dropped before any doc list is built via the same
+    spill-safe window count the winnow/jaccard df caps use (a capped
+    bucket's pairs are blocking losses, exactly like those caps).
     """
     sig = minhash_signatures(docs, text_col, id_col)
     n_bands = MINHASH_K // band_size
@@ -463,6 +472,12 @@ def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
             for bi in range(n_bands)
         ])).alias("b"),
     ).select("doc_id", "b.band", "b.key")
+    if max_band_freq is not None:
+        from pyspark.sql import Window
+
+        w_bk = Window.partitionBy("band", "key")
+        bands = (bands.withColumn("__bf", F.count(F.lit(1)).over(w_bk))
+                 .filter(F.col("__bf") <= max_band_freq).drop("__bf"))
     groups = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))

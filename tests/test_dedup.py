@@ -251,3 +251,24 @@ def test_incremental_dedup_keeps_all_when_disjoint(spark):
     kept = sorted(r["doc_id"] for r in
                   incremental_dedup(new, hist, threshold=0.5).collect())
     assert kept == [10, 11]
+
+
+def test_minhash_band_freq_cap_drops_hot_buckets(spark):
+    """max_band_freq (round 9): a degenerate bucket — many identical
+    docs hashing to one band key — is dropped before any doc list is
+    built; distinct near-dup pairs outside the hot bucket survive."""
+    from logsqlite_spark.operators.dedup import minhash_band_pairs
+
+    hot = [(i, "the same exact template text repeated everywhere")
+           for i in range(20)]
+    pair = [(100, "a genuinely different document about spark joins"),
+            (101, "a genuinely different document about spark joins")]
+    docs = spark.createDataFrame(hot + pair, "doc_id long, text string")
+
+    capped = {(r["a_id"], r["b_id"]) for r in
+              minhash_band_pairs(docs, max_band_freq=8).collect()}
+    assert capped == {(100, 101)}
+    # default (exact) semantics keep the hot bucket's pairs
+    full = {(r["a_id"], r["b_id"]) for r in
+            minhash_band_pairs(docs).collect()}
+    assert (0, 1) in full and (100, 101) in full
