@@ -1,0 +1,175 @@
+"""Generic streaming twin for APPEND-ONLY corpus-side artifacts
+(round 9) — and the winnow / semantic-dedup sinks built on it.
+
+Two kinds of incremental state live in this engine:
+
+* **aggregate snapshots** (the (gram, df) partials): small, merged by
+  re-aggregation — versioned immutable snapshots
+  (``streaming/partials.py``);
+* **append-only row artifacts** (winnow fingerprints, cluster
+  assignments, IVF lists): corpus-sized, grown by appending each
+  batch's own rows — rewriting a version per batch would cost
+  O(corpus) per batch, so the artifact is ONE parquet dir plus a
+  batch-id pointer, exactly the ``streaming/ann.py`` protocol.
+
+``append_artifact_sink`` is that protocol, generalized: per
+micro-batch it (1) skips crash-replayed batch_ids (foreachBatch is
+at-least-once; the rows are append-only, so skipping the replay IS
+exactly-once), (2) optionally emits the batch's incremental query
+output against the PRE-batch artifact to a side output, then (3)
+appends ``transform(batch)`` to the artifact and flips the pointer.
+A crash between append and pointer-flip replays the batch and
+re-appends — the pointer write therefore happens LAST only after the
+emit, and the append is made idempotent by the batch_id guard at the
+top (the same ordering argument as the IVF sink).
+
+The winnow and semantic wrappers make the two remaining incremental
+operators (``winnow_matches_incremental``,
+``semantic_dedup_incremental``) end-to-end streaming citizens, like
+substring dedup (partials) and the IVF index (ann) already are.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Callable
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame
+
+_STATE = "_APPEND_STATE.json"
+
+
+def _local_root(root: str) -> str:
+    parsed = urlparse(root)
+    if parsed.scheme in ("", "file") and not parsed.netloc:
+        return parsed.path or root
+    raise ValueError(
+        f"append-artifact sink needs an atomic-rename local state dir "
+        f"for its batch pointer; got {root!r}")
+
+
+def last_appended_batch(state_dir: str) -> int | None:
+    try:
+        with open(os.path.join(_local_root(state_dir), _STATE)) as fh:
+            return int(json.load(fh)["batch_id"])
+    except FileNotFoundError:
+        return None
+
+
+def _write_state(state_dir: str, batch_id: int) -> None:
+    root = _local_root(state_dir)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _STATE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"batch_id": batch_id}, fh)
+    os.replace(tmp, os.path.join(root, _STATE))
+
+
+def artifact_rows(spark, state_dir: str) -> DataFrame | None:
+    """The accumulated artifact, or None before the first batch."""
+    if last_appended_batch(state_dir) is None:
+        return None
+    return spark.read.parquet(os.path.join(state_dir, "data"))
+
+
+def append_artifact_sink(
+    state_dir: str,
+    transform: Callable[[DataFrame], DataFrame],
+    emit: Callable[[DataFrame, DataFrame | None], DataFrame] | None = None,
+    emit_dir: str | None = None,
+) -> Callable[[DataFrame, int], None]:
+    """The ``foreachBatch`` body (a plain callable so batch tests
+    drive it directly).
+
+    ``transform(batch)`` → the batch's artifact rows (appended);
+    ``emit(batch, history_or_None)`` → the batch's incremental output
+    against the PRE-batch artifact, appended to ``emit_dir``.
+    """
+    _local_root(state_dir)  # fail fast on a non-local root
+    if (emit is None) != (emit_dir is None):
+        raise ValueError("emit and emit_dir must be given together")
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        last = last_appended_batch(state_dir)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already applied
+        history = artifact_rows(spark, state_dir)
+        if emit is not None:
+            emit(batch_df, history).write.mode("append").parquet(emit_dir)
+        transform(batch_df).write.mode("append").parquet(
+            os.path.join(state_dir, "data"))
+        _write_state(state_dir, batch_id)
+
+    return on_batch
+
+
+def winnow_sink(state_dir: str, emit_dir: str | None = None,
+                min_shared: int = 8, max_doc_freq: int = 64,
+                ) -> Callable[[DataFrame, int], None]:
+    """Streaming winnow dedup: the artifact is the corpus (doc_id, fp)
+    table; each batch optionally emits its near-dup matches against
+    everything ingested before it."""
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_matches_incremental,
+    )
+
+    def _emit(batch: DataFrame, history: DataFrame | None) -> DataFrame:
+        hist = history if history is not None else \
+            batch.sparkSession.createDataFrame([], "doc_id long, fp long")
+        return winnow_matches_incremental(
+            batch, hist, min_shared=min_shared,
+            max_doc_freq=max_doc_freq)
+
+    return append_artifact_sink(
+        state_dir, winnow_fingerprints,
+        emit=_emit if emit_dir is not None else None,
+        emit_dir=emit_dir)
+
+
+def semantic_sink(state_dir: str, centroids: DataFrame,
+                  emit_dir: str | None = None, tau: float | None = None,
+                  ) -> Callable[[DataFrame, int], None]:
+    """Streaming SemDeDup: the artifact is the corpus cluster
+    assignment (vec_id, cluster_id, qv, nq) against FROZEN
+    ``centroids`` (fit on the bootstrap corpus; refit-on-drift is the
+    IVF append playbook); each batch optionally emits its semantic
+    near-dup pairs against everything ingested before it."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.clustering import (
+        SEM_TAU,
+        assign_clusters,
+        semantic_dedup_incremental,
+    )
+
+    t = SEM_TAU if tau is None else tau
+    sq = "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+
+    def _transform(batch: DataFrame) -> DataFrame:
+        return (assign_clusters(batch, centroids)
+                .withColumn("nq", F.expr(sq))
+                .select("vec_id", "cluster_id", "qv", "nq"))
+
+    def _emit(batch: DataFrame, history: DataFrame | None) -> DataFrame:
+        hist = history if history is not None else \
+            batch.sparkSession.createDataFrame(
+                [], "vec_id long, cluster_id int, qv array<bigint>, "
+                    "nq long")
+        return semantic_dedup_incremental(
+            batch, None, centroids, tau=t, history_assigned=hist)
+
+    return append_artifact_sink(
+        state_dir, _transform,
+        emit=_emit if emit_dir is not None else None,
+        emit_dir=emit_dir)
+
+
+def start_append_artifact_stream(stream: DataFrame, sink,
+                                 checkpoint_dir: str):
+    """Wire any sink from this module into a stream."""
+    return (stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir).start())

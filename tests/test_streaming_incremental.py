@@ -1,0 +1,139 @@
+"""Streaming twins for winnow and semantic dedup (round 9) — the
+generic append-only-artifact sink: final artifact ≡ one-shot
+computation over everything ingested, per-batch emits ≡ the batch
+APIs, exactly-once under replay."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from logsqlite_spark.streaming.incremental import (
+    append_artifact_sink,
+    artifact_rows,
+    last_appended_batch,
+    semantic_sink,
+    start_append_artifact_stream,
+    winnow_sink,
+)
+
+DOCS = "doc_id long, text string"
+SHARED = "the quick brown fox jumps over the lazy dog again and again"
+B1 = [(1, SHARED + " alpha"), (2, SHARED + " beta"),
+      (3, "completely unrelated text with nothing in common here")]
+B2 = [(10, SHARED + " gamma"), (11, "another unrelated piece of text")]
+
+
+def test_winnow_sink_artifact_and_emits(spark, tmp_path):
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints,
+        winnow_matches_incremental,
+    )
+
+    state = str(tmp_path / "state")
+    emits = str(tmp_path / "emits")
+    sink = winnow_sink(state, emit_dir=emits, min_shared=2)
+    b1 = spark.createDataFrame(B1, DOCS)
+    b2 = spark.createDataFrame(B2, DOCS)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    union = spark.createDataFrame(B1 + B2, DOCS)
+    got = sorted(map(tuple, artifact_rows(spark, state).collect()))
+    want = sorted(map(tuple, winnow_fingerprints(union).collect()))
+    assert got == want and len(want) > 0
+
+    # batch-2 emits == the batch API against batch-1 history
+    emitted = spark.read.parquet(emits).filter(
+        (F.col("a_id") >= 10) | (F.col("b_id") >= 10))
+    want2 = winnow_matches_incremental(
+        b2, winnow_fingerprints(b1), min_shared=2)
+    assert sorted(map(tuple, emitted.collect())) == \
+        sorted(map(tuple, want2.collect()))
+    # batch-1 emitted its within-batch dup pair too
+    all_pairs = {(r["a_id"], r["b_id"])
+                 for r in spark.read.parquet(emits).collect()}
+    assert (1, 2) in all_pairs and (1, 10) in all_pairs
+
+
+def test_replay_applied_exactly_once(spark, tmp_path):
+    state = str(tmp_path / "state")
+    sink = winnow_sink(state)
+    b1 = spark.createDataFrame(B1, DOCS)
+    sink(b1, 0)
+    n = artifact_rows(spark, state).count()
+    sink(b1, 0)  # crash replay
+    assert artifact_rows(spark, state).count() == n
+    assert last_appended_batch(state) == 0
+
+
+def test_semantic_sink_artifact_and_emits(spark, tmp_path):
+    from logsqlite_spark.operators.clustering import (
+        assign_clusters,
+        seed_centroids,
+        semantic_dedup_incremental,
+    )
+
+    rows = [(i, [float((i * 7) % 5), float((i * 3) % 7), 1.0, 0.5])
+            for i in range(24)]
+    rows += [(100, rows[1][1]), (101, rows[2][1])]  # planted dups
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    boot = emb.filter(F.col("vec_id") < 12)
+    b1 = emb.filter((F.col("vec_id") >= 12) & (F.col("vec_id") < 100))
+    b2 = emb.filter(F.col("vec_id") >= 100)
+    ctr = seed_centroids(boot, 4)
+
+    state = str(tmp_path / "state")
+    emits = str(tmp_path / "emits")
+    sink = semantic_sink(state, ctr, emit_dir=emits, tau=0.99)
+    sink(boot, 0)
+    sink(b1, 1)
+    sink(b2, 2)
+
+    # artifact == one-shot assignment of everything ingested
+    sq = "aggregate(transform(qv, x -> x * x), 0L, (acc, x) -> acc + x)"
+    want = (assign_clusters(emb, ctr).withColumn("nq", F.expr(sq))
+            .select("vec_id", "cluster_id", "qv", "nq"))
+    a = sorted((r["vec_id"], r["cluster_id"], tuple(r["qv"]), r["nq"])
+               for r in artifact_rows(spark, state).collect())
+    b = sorted((r["vec_id"], r["cluster_id"], tuple(r["qv"]), r["nq"])
+               for r in want.collect())
+    assert a == b
+
+    # batch-3's emits == the batch API against the pre-batch history
+    hist = emb.filter(F.col("vec_id") < 100)
+    want3 = semantic_dedup_incremental(b2, hist, ctr, tau=0.99)
+    emitted = spark.read.parquet(emits).filter(
+        (F.col("a_id") >= 100) | (F.col("b_id") >= 100))
+    assert sorted(map(tuple, emitted.collect())) == \
+        sorted(map(tuple, want3.collect()))
+    pairs = {(r["a_id"], r["b_id"]) for r in emitted.collect()}
+    assert (1, 100) in pairs and (2, 101) in pairs
+
+
+def test_streaming_end_to_end_winnow(spark, tmp_path):
+    from logsqlite_spark.operators.textstats import winnow_fingerprints
+
+    src = str(tmp_path / "in")
+    state = str(tmp_path / "state")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(B1, DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(B2, DOCS).coalesce(1) \
+        .write.mode("append").parquet(src)
+    stream = (spark.readStream.schema(DOCS)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_append_artifact_stream(stream, winnow_sink(state), ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    union = spark.createDataFrame(B1 + B2, DOCS)
+    assert sorted(map(tuple, artifact_rows(spark, state).collect())) == \
+        sorted(map(tuple, winnow_fingerprints(union).collect()))
+
+
+def test_emit_requires_dir_and_remote_root_raises(spark):
+    with pytest.raises(ValueError, match="together"):
+        append_artifact_sink("/tmp/x", lambda df: df,
+                             emit=lambda b, h: b)
+    with pytest.raises(ValueError, match="local state dir"):
+        append_artifact_sink("s3a://bucket/x", lambda df: df)
