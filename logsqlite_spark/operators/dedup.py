@@ -504,7 +504,8 @@ def _minhash_sig_sql() -> str:
         )
     return "SELECT doc_id, " + ", ".join(cols) + " FROM documents"
 
-def _minhash_pairs_sql(band_size: int = 4) -> str:
+def _minhash_pairs_sql(band_size: int = 4,
+                       max_band_freq: int | None = None) -> str:
     n_bands = MINHASH_K // band_size
     band_rows = " UNION ALL ".join(
         "SELECT doc_id, {bi} AS band, concat_ws(',', {ks}) AS key FROM sig".format(
@@ -513,10 +514,15 @@ def _minhash_pairs_sql(band_size: int = 4) -> str:
         )
         for bi in range(n_bands)
     )
+    cap = (", capped AS (SELECT * FROM (SELECT bands.*, count(*) OVER "
+           "(PARTITION BY band, key) AS bf FROM bands) "
+           f"WHERE bf <= {max_band_freq})" if max_band_freq is not None
+           else "")
+    src = "capped" if max_band_freq is not None else "bands"
     return (
-        f"WITH sig AS ({_minhash_sig_sql()}), bands AS ({band_rows}) "
+        f"WITH sig AS ({_minhash_sig_sql()}), bands AS ({band_rows}){cap} "
         "SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        f"FROM {src} a JOIN {src} b ON a.band = b.band AND a.key = b.key "
         "AND a.doc_id < b.doc_id"
     )
 
@@ -860,6 +866,14 @@ def _two_stage_sql() -> str:
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(table(spark, sf_dir, "documents"))
 
+
+def _q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deployment-capped variant (round 9): degenerate band
+    buckets (df > 16) dropped before any doc list is built — fully
+    oracled because the cap is a pure (band, key)-count predicate."""
+    return minhash_band_pairs(table(spark, sf_dir, "documents"),
+                              max_band_freq=16)
+
 QUERIES = {
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
@@ -876,6 +890,7 @@ QUERIES = {
     "dedup_simhash_groups": _q_dedup_simhash_groups,
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
+    "dedup_minhash_capped": _q_minhash_capped,
     "dedup_two_stage": _q_two_stage,
 }
 
@@ -976,5 +991,6 @@ ORACLES = {
     ),
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),
+    "dedup_minhash_capped": _minhash_pairs_sql(max_band_freq=16),
     "dedup_two_stage": _two_stage_sql(),
 }

@@ -173,3 +173,34 @@ def start_append_artifact_stream(stream: DataFrame, sink,
     """Wire any sink from this module into a stream."""
     return (stream.writeStream.foreachBatch(sink)
             .option("checkpointLocation", checkpoint_dir).start())
+
+
+def compact_artifact(spark, state_dir: str, min_files: int = 8,
+                     target_records: int = 4_000_000) -> dict:
+    """Maintenance for an append-only artifact: each batch appends one
+    file, so a high batch cadence fragments the data dir (the same
+    failure mode ``compact_ivf_lists`` handles for the IVF lists).
+    Rewrites the artifact into ``target_records``-sized files via
+    write-staging-then-rename, content-preserving. Run it BETWEEN
+    batches (single-writer engines — this repo's shape; a concurrent
+    deployment compacts to a versioned dir and swaps)."""
+    import glob
+    import shutil
+
+    root = _local_root(state_dir)
+    data = os.path.join(root, "data")
+    files = glob.glob(os.path.join(data, "*.parquet"))
+    if len(files) < min_files:
+        return {"compacted": False, "files_before": len(files),
+                "files_after": len(files)}
+    df = spark.read.parquet(data)
+    n = df.count()
+    n_out = max(1, -(-n // target_records))  # ceil
+    staged = os.path.join(root, ".compact_tmp")
+    shutil.rmtree(staged, ignore_errors=True)
+    df.coalesce(n_out).write.mode("overwrite") \
+        .option("maxRecordsPerFile", target_records).parquet(staged)
+    shutil.rmtree(data)
+    os.replace(staged, data)
+    return {"compacted": True, "files_before": len(files),
+            "files_after": n_out}

@@ -137,3 +137,21 @@ def test_emit_requires_dir_and_remote_root_raises(spark):
                              emit=lambda b, h: b)
     with pytest.raises(ValueError, match="local state dir"):
         append_artifact_sink("s3a://bucket/x", lambda df: df)
+
+
+def test_compact_artifact_preserves_content(spark, tmp_path):
+    from logsqlite_spark.streaming.incremental import compact_artifact
+
+    state = str(tmp_path / "state")
+    sink = winnow_sink(state)
+    for i in range(8):
+        sink(spark.createDataFrame(
+            [(100 * i + j, f"doc {i} {j} " + SHARED) for j in range(3)],
+            DOCS), i)
+    before = sorted(map(tuple, artifact_rows(spark, state).collect()))
+    out = compact_artifact(spark, state, min_files=4)
+    assert out["compacted"] and out["files_after"] < out["files_before"]
+    assert sorted(map(tuple, artifact_rows(spark, state).collect())) == before
+    # the sink keeps working after compaction
+    sink(spark.createDataFrame([(9999, "post compact doc")], DOCS), 99)
+    assert last_appended_batch(state) == 99
