@@ -68,9 +68,11 @@ BENCH_QUERIES = [
     "ann_ivf_sq_topk",  # SQ∘IVF: probed lists on codes + fp rerank (r7/r8)
     "dedup_minhash_pairs",
     "text_winnow_matches",
-    # artifact-backed incremental twin (r9): corpus fps persist, only
-    # the batch is re-winnowed — the build lands in the untimed rep0
+    # artifact-backed incremental twins (r9): corpus-side fps / bands
+    # persist, only the batch is re-hashed — builds land in the
+    # untimed rep0
     "text_winnow_matches_inc",
+    "dedup_minhash_inc",
     # mergeable-sketch tier (HLL distinct rollup, KLL quantile rollup,
     # Theta set-op retention) — the 100 TB aggregation shapes
     "events_distinct_hll",

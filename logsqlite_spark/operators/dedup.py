@@ -459,25 +459,9 @@ def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
     spill-safe window count the winnow/jaccard df caps use (a capped
     bucket's pairs are blocking losses, exactly like those caps).
     """
-    sig = minhash_signatures(docs, text_col, id_col)
-    n_bands = MINHASH_K // band_size
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(bi).alias("band"),
-                F.concat_ws(",", *[F.col(f"m{bi * band_size + j}")
-                                   for j in range(band_size)]).alias("key"),
-            )
-            for bi in range(n_bands)
-        ])).alias("b"),
-    ).select("doc_id", "b.band", "b.key")
+    bands = minhash_bands(docs, band_size, text_col, id_col)
     if max_band_freq is not None:
-        from pyspark.sql import Window
-
-        w_bk = Window.partitionBy("band", "key")
-        bands = (bands.withColumn("__bf", F.count(F.lit(1)).over(w_bk))
-                 .filter(F.col("__bf") <= max_band_freq).drop("__bf"))
+        bands = _cap_band_freq(bands, max_band_freq)
     groups = (
         bands.groupBy("band", "key")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -489,6 +473,172 @@ def minhash_band_pairs(docs: DataFrame, band_size: int = 4,
             "transform(slice(ds, i + 2, size(ds)), "
             "y -> struct(x AS a_id, y AS b_id))))"
         )).alias("p"))
+        .select("p.a_id", "p.b_id")
+        .distinct()
+    )
+
+
+def minhash_bands(docs: DataFrame, band_size: int = 4,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """The banded signature as a row table ``(doc_id, band, key)`` —
+    the shared input of the batch pair generator, the persisted
+    artifact, and the incremental matcher.  Per-doc computation, zero
+    shuffle: signature projection then an explode of the band structs.
+    """
+    sig = minhash_signatures(docs, text_col, id_col)
+    n_bands = MINHASH_K // band_size
+    return sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(bi).alias("band"),
+                F.concat_ws(",", *[F.col(f"m{bi * band_size + j}")
+                                   for j in range(band_size)]).alias("key"),
+            )
+            for bi in range(n_bands)
+        ])).alias("b"),
+    ).select("doc_id", "b.band", "b.key")
+
+
+def _cap_band_freq(bands: DataFrame, max_band_freq: int) -> DataFrame:
+    """Drop over-cap (band, key) buckets BEFORE any doc list exists —
+    the spill-safe window-count shape shared with the winnow/jaccard
+    df caps (WindowExec spills; an agg buffer holding a degenerate
+    bucket's full doc list cannot)."""
+    w_bk = Window.partitionBy("band", "key")
+    return (bands.withColumn("__bf", F.count(F.lit(1)).over(w_bk))
+            .filter(F.col("__bf") <= max_band_freq).drop("__bf"))
+
+
+_MINHASH_ARTIFACT_BUILDS = 0
+
+
+def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """The corpus-side banded-signature table ``(doc_id, band, key)``
+    as a PERSISTED artifact — fingerprint-keyed parquet under the
+    shared artifact root, built once per corpus and served on every
+    later call (the ``winnow_fps_artifact`` idiom applied to minhash:
+    at 100 TB the at-rest text is shingled/md5-hashed ONCE, ever).
+
+    Maintenance is incremental by construction: banding is per-doc,
+    so the table for corpus ∪ batch is the table for corpus plus the
+    batch's own bands — append :func:`minhash_bands` (new_batch) per
+    ingest batch (``streaming/incremental.py``'s ``minhash_sink``
+    does exactly that).  Reuses the similarity module's artifact
+    protocol (root dir, flock + thread lock, completion marker,
+    keep-newest GC).  A literal or streaming corpus (no backing files
+    to key on) computes inline.
+    """
+    import hashlib
+    import os
+
+    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _MINHASH_ARTIFACT_BUILDS
+    spark = docs.sparkSession
+    inline = minhash_bands(docs, band_size, text_col, id_col)
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        files = []
+    if not files:
+        return inline
+    key = hashlib.sha256("|".join(
+        (frames_fingerprint(docs), text_col, id_col, str(band_size),
+         "minhash-bands")).encode()).hexdigest()[:16]
+    path = os.path.join(_SIM._ivf_index_root(), key)
+    with _SIM._IVF_BUILD_LOCK:
+        if not _SIM._index_marker_exists(spark, path):
+            local = _SIM._local_fs_path(path)
+            if local is not None:
+                with _SIM._DirBuildLock(local):
+                    if not _SIM._index_marker_exists(spark, path):
+                        _MINHASH_ARTIFACT_BUILDS += 1
+                        inline.write.mode("overwrite").parquet(
+                            f"{path}/bands")
+                        _SIM._write_index_marker(spark, path)
+            else:
+                _MINHASH_ARTIFACT_BUILDS += 1
+                inline.write.mode("overwrite").parquet(f"{path}/bands")
+                _SIM._write_index_marker(spark, path)
+            _SIM._gc_auto_index_root()
+        else:
+            _SIM._touch_index_marker(path)
+    return spark.read.parquet(f"{path}/bands")
+
+
+def minhash_band_pairs_incremental(new_docs: DataFrame,
+                                   history_bands: DataFrame,
+                                   band_size: int = 4,
+                                   text_col: str = "text",
+                                   id_col: str = "doc_id",
+                                   max_band_freq: int | None = None,
+                                   ) -> DataFrame:
+    """MinHash-LSH candidate pairs INVOLVING a new batch, without
+    re-hashing the at-rest corpus — the incremental twin of
+    :func:`minhash_band_pairs`, completing the incremental family
+    across every dedup modality (exact/jaccard → ``incremental_dedup``,
+    substring → ngram partials, winnow → fp artifact, embedding → IVF
+    append, semantic → ``semantic_dedup_incremental``).
+
+    ``history_bands`` is the persisted ``(doc_id, band, key)`` table
+    from :func:`minhash_bands_artifact` / :func:`minhash_bands` over
+    every prior batch (doc sets disjoint from the batch, which ingest
+    guarantees).  A pair touching the batch agrees with it on at
+    least one (band, key), so the history side is first semi-joined
+    down to the batch's band-key set — a broadcast semi-join against
+    a batch-sized build (n_batch × n_bands rows of ~40 B).  Pruning
+    keeps EVERY row of every surviving bucket, so bucket membership —
+    and, when ``max_band_freq`` is set, each bucket's window count —
+    equals the full-recompute value for every batch bucket
+    (history-only buckets are dropped, but those can only produce
+    history-history pairs, which are filtered anyway).  The result is
+    IDENTICAL to ``minhash_band_pairs(history ∪ batch)`` restricted
+    to pairs touching the batch (pytest-pinned; the oracled query
+    replays the full formulation in SQL).
+
+    Only the batch is shingled/md5-hashed; history contributes a
+    columnar 3-column scan.  Same groups-to-pairs shape (never a
+    self-join) as the batch operator.
+    """
+    batch_bands = minhash_bands(new_docs, band_size, text_col, id_col) \
+        .withColumn("nw", F.lit(1))
+    # materialize the batch's bands ONCE: they feed both the
+    # semi-join's build side and the union's probe side, and lazy
+    # re-evaluation would re-hash the batch per consumer (the
+    # winnow_matches_incremental measurement).  Bounded by the BATCH —
+    # O(micro-batch), never O(corpus).
+    batch_bands = batch_bands.localCheckpoint(eager=True)
+    hist = history_bands.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("band").cast("int").alias("band"),
+        F.col("key").cast("string").alias("key"),
+    ).withColumn("nw", F.lit(0))
+    # no .distinct() on the build side: left-semi semantics ignore
+    # build duplicates, and the distinct would cost its own shuffle
+    pruned = hist.join(F.broadcast(batch_bands.select("band", "key")),
+                       ["band", "key"], "leftsemi") \
+        .unionByName(batch_bands)
+    if max_band_freq is not None:
+        pruned = _cap_band_freq(pruned, max_band_freq)
+    groups = (
+        pruned.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            F.col("doc_id").alias("d"), F.col("nw")))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    return (
+        groups.select(F.explode(F.expr(
+            "flatten(transform(ds, (x, i) -> "
+            "transform(slice(ds, i + 2, size(ds)), "
+            "y -> struct(x.d AS a_id, y.d AS b_id, "
+            "greatest(x.nw, y.nw) AS has_new))))"
+        )).alias("p"))
+        .filter(F.col("p.has_new") == 1)
         .select("p.a_id", "p.b_id")
         .distinct()
     )
@@ -874,6 +1024,19 @@ def _q_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_band_pairs(table(spark, sf_dir, "documents"),
                               max_band_freq=16)
 
+
+def _q_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = doc_id % 4 == 0 (the incremental-twin convention of
+    repeated_ngrams_incremental / text_winnow_matches_inc); history
+    bands come from the persisted artifact, so repeated calls never
+    re-hash the at-rest corpus."""
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return minhash_band_pairs_incremental(
+        batch, minhash_bands_artifact(history))
+
+
 QUERIES = {
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
@@ -891,6 +1054,7 @@ QUERIES = {
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
     "dedup_minhash_capped": _q_minhash_capped,
+    "dedup_minhash_inc": _q_minhash_inc,
     "dedup_two_stage": _q_two_stage,
 }
 
@@ -992,5 +1156,12 @@ ORACLES = {
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),
     "dedup_minhash_capped": _minhash_pairs_sql(max_band_freq=16),
+    # incremental ≡ the full-corpus formulation restricted to pairs
+    # touching the batch (such a pair shares a batch (band, key), so
+    # the band-pruned incremental path reproduces its buckets exactly)
+    "dedup_minhash_inc": (
+        f"SELECT * FROM ({_minhash_pairs_sql()}) "
+        "WHERE a_id % 4 = 0 OR b_id % 4 = 0"
+    ),
     "dedup_two_stage": _two_stage_sql(),
 }

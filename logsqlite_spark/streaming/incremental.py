@@ -130,6 +130,35 @@ def winnow_sink(state_dir: str, emit_dir: str | None = None,
         emit_dir=emit_dir)
 
 
+def minhash_sink(state_dir: str, emit_dir: str | None = None,
+                 band_size: int = 4,
+                 max_band_freq: int | None = None,
+                 ) -> Callable[[DataFrame, int], None]:
+    """Streaming MinHash-LSH dedup: the artifact is the corpus
+    (doc_id, band, key) banded-signature table; each batch optionally
+    emits its candidate pairs against everything ingested before it."""
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs_incremental,
+        minhash_bands,
+    )
+
+    def _transform(batch: DataFrame) -> DataFrame:
+        return minhash_bands(batch, band_size)
+
+    def _emit(batch: DataFrame, history: DataFrame | None) -> DataFrame:
+        hist = history if history is not None else \
+            batch.sparkSession.createDataFrame(
+                [], "doc_id long, band int, key string")
+        return minhash_band_pairs_incremental(
+            batch, hist, band_size=band_size,
+            max_band_freq=max_band_freq)
+
+    return append_artifact_sink(
+        state_dir, _transform,
+        emit=_emit if emit_dir is not None else None,
+        emit_dir=emit_dir)
+
+
 def semantic_sink(state_dir: str, centroids: DataFrame,
                   emit_dir: str | None = None, tau: float | None = None,
                   ) -> Callable[[DataFrame, int], None]:

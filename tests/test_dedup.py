@@ -272,3 +272,83 @@ def test_minhash_band_freq_cap_drops_hot_buckets(spark):
     full = {(r["a_id"], r["b_id"]) for r in
             minhash_band_pairs(docs).collect()}
     assert (0, 1) in full and (100, 101) in full
+
+
+def test_minhash_incremental_equals_full_restricted(spark):
+    """minhash_band_pairs_incremental(batch, history_bands) must equal
+    the full recompute over history ∪ batch restricted to pairs
+    touching the batch — bucket membership computed over the union
+    exactly (round 9: completes the incremental dedup family)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs,
+        minhash_band_pairs_incremental,
+        minhash_bands,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    inc = minhash_band_pairs_incremental(batch, minhash_bands(history))
+    full = minhash_band_pairs(docs).filter(
+        (F.col("a_id") % 4 == 0) | (F.col("b_id") % 4 == 0))
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_minhash_incremental_cross_within_and_capped(spark):
+    """Cross (history x batch) and within-batch pairs surface,
+    history-only pairs never do; and the max_band_freq cap counts
+    bucket frequency over history ∪ batch (a bucket pushed over the
+    cap by history rows is dropped even if the batch alone is small)."""
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs_incremental,
+        minhash_bands,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog once more"
+    rows_hist = [(1, dup), (2, dup),
+                 (3, "completely unrelated text with nothing in common")]
+    rows_batch = [(10, dup), (11, dup)]
+    hist = spark.createDataFrame(rows_hist, "doc_id long, text string")
+    batch = spark.createDataFrame(rows_batch, "doc_id long, text string")
+
+    out = minhash_band_pairs_incremental(batch, minhash_bands(hist))
+    pairs = {(r["a_id"], r["b_id"]) for r in out.collect()}
+    assert (1, 2) not in pairs            # history-only: excluded
+    assert (10, 11) in pairs              # within-batch
+    assert (1, 10) in pairs and (2, 11) in pairs  # cross
+
+    # union df = 4 identical docs per bucket > cap 3, even though the
+    # batch contributes only 2 rows: the bucket must drop
+    capped = minhash_band_pairs_incremental(
+        batch, minhash_bands(hist), max_band_freq=3)
+    assert capped.count() == 0
+
+
+def test_minhash_bands_artifact_built_once(spark):
+    """The persisted banded-signature artifact's 100 TB contract: the
+    at-rest corpus is shingled/md5-hashed ONCE — later calls serve the
+    parquet artifact (counter gate, same as the winnow fps pin)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators import dedup as DD
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .filter(F.col("doc_id") % 4 != 0)
+    DD.minhash_bands_artifact(docs).count()   # builds or serves
+    before = DD._MINHASH_ARTIFACT_BUILDS
+    a = DD.minhash_bands_artifact(docs)
+    b = DD.minhash_bands_artifact(docs)
+    assert a.count() == b.count() > 0
+    assert DD._MINHASH_ARTIFACT_BUILDS == before
+
+    # the artifact serves the same rows the inline computation yields
+    inline = DD.minhash_bands(docs)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, inline.collect()))

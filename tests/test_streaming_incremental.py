@@ -10,6 +10,7 @@ from logsqlite_spark.streaming.incremental import (
     append_artifact_sink,
     artifact_rows,
     last_appended_batch,
+    minhash_sink,
     semantic_sink,
     start_append_artifact_stream,
     winnow_sink,
@@ -155,3 +156,41 @@ def test_compact_artifact_preserves_content(spark, tmp_path):
     # the sink keeps working after compaction
     sink(spark.createDataFrame([(9999, "post compact doc")], DOCS), 99)
     assert last_appended_batch(state) == 99
+
+
+def test_minhash_sink_artifact_and_emits(spark, tmp_path):
+    """Streaming MinHash-LSH twin: artifact ≡ one-shot banding over
+    everything ingested; per-batch emits ≡ the batch API against the
+    PRE-batch history (round 9: completes the streaming incremental
+    family across every dedup modality)."""
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs_incremental,
+        minhash_bands,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog once more"
+    b1_rows = [(1, dup), (2, dup),
+               (3, "completely unrelated text with nothing in common")]
+    b2_rows = [(10, dup), (11, "another unrelated piece of text")]
+    state = str(tmp_path / "state")
+    emits = str(tmp_path / "emits")
+    sink = minhash_sink(state, emit_dir=emits)
+    b1 = spark.createDataFrame(b1_rows, DOCS)
+    b2 = spark.createDataFrame(b2_rows, DOCS)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    union = spark.createDataFrame(b1_rows + b2_rows, DOCS)
+    got = sorted(map(tuple, artifact_rows(spark, state).collect()))
+    want = sorted(map(tuple, minhash_bands(union).collect()))
+    assert got == want and len(want) > 0
+
+    # batch-2 emits == the batch API against batch-1 history
+    emitted = spark.read.parquet(emits).filter(
+        (F.col("a_id") >= 10) | (F.col("b_id") >= 10))
+    want2 = minhash_band_pairs_incremental(b2, minhash_bands(b1))
+    assert sorted(map(tuple, emitted.collect())) ==         sorted(map(tuple, want2.collect()))
+    # batch-1 emitted its within-batch dup pair; cross pairs surfaced
+    all_pairs = {(r["a_id"], r["b_id"])
+                 for r in spark.read.parquet(emits).collect()}
+    assert (1, 2) in all_pairs and (1, 10) in all_pairs
