@@ -253,6 +253,110 @@ def simhash_dup_groups(docs: DataFrame, text_col: str = "text",
         F.count(F.lit(1)).over(w).cast("long").alias("group_size"),
     )
 
+_SIMHASH_ARTIFACT_BUILDS = 0
+
+
+def simhash_fps_artifact(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         n_bits: int = 60) -> DataFrame:
+    """The corpus-side ``(doc_id, simhash)`` fingerprint table as a
+    PERSISTED artifact — fingerprint-keyed parquet under the shared
+    artifact root, built once per corpus (the ``winnow_fps_artifact``
+    idiom applied to simhash: at 100 TB the at-rest text is
+    token-hashed ONCE, ever).  Per-doc computation, so corpus ∪ batch
+    = corpus table + the batch's own fingerprints — append
+    :func:`simhash_dedup` (new_batch) per ingest batch.  A literal or
+    streaming corpus (no backing files to key on) computes inline.
+    """
+    import hashlib
+    import os
+
+    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _SIMHASH_ARTIFACT_BUILDS
+    spark = docs.sparkSession
+    inline = simhash_dedup(docs, text_col, id_col, n_bits)
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        files = []
+    if not files:
+        return inline
+    key = hashlib.sha256("|".join(
+        (frames_fingerprint(docs), text_col, id_col, str(n_bits),
+         "simhash-fps")).encode()).hexdigest()[:16]
+    path = os.path.join(_SIM._ivf_index_root(), key)
+    with _SIM._IVF_BUILD_LOCK:
+        if not _SIM._index_marker_exists(spark, path):
+            local = _SIM._local_fs_path(path)
+            if local is not None:
+                with _SIM._DirBuildLock(local):
+                    if not _SIM._index_marker_exists(spark, path):
+                        _SIMHASH_ARTIFACT_BUILDS += 1
+                        inline.write.mode("overwrite").parquet(
+                            f"{path}/fps")
+                        _SIM._write_index_marker(spark, path)
+            else:
+                _SIMHASH_ARTIFACT_BUILDS += 1
+                inline.write.mode("overwrite").parquet(f"{path}/fps")
+                _SIM._write_index_marker(spark, path)
+            _SIM._gc_auto_index_root()
+        else:
+            _SIM._touch_index_marker(path)
+    return spark.read.parquet(f"{path}/fps")
+
+
+def simhash_groups_incremental(new_docs: DataFrame,
+                               history_fps: DataFrame,
+                               text_col: str = "text",
+                               id_col: str = "doc_id",
+                               n_bits: int = 60) -> DataFrame:
+    """Cluster assignment for a new batch over history ∪ batch,
+    without re-hashing the at-rest corpus — the incremental twin of
+    :func:`simhash_dup_groups` (the simhash DEPLOYMENT path: one row
+    per batch doc, linear output by construction, vs the quarantined
+    super-linear radius-pair audit lens).
+
+    ``history_fps`` is the persisted ``(doc_id, simhash)`` table from
+    :func:`simhash_fps_artifact` over every prior batch.  A batch
+    doc's group is its exact-fingerprint bucket, so the history side
+    is semi-joined down to the batch's fingerprint set (broadcast,
+    batch-sized build); pruning keeps EVERY union row of every batch
+    fingerprint, so ``rep_id`` (min doc_id) and ``group_size`` equal
+    the full-recompute values exactly.  Result ≡
+    ``simhash_dup_groups(history ∪ batch)`` restricted to batch docs
+    (pytest-pinned; the oracled query replays the full formulation).
+
+    Only the batch is tokenized/md5-hashed; history contributes a
+    columnar 2-column scan.  One shuffle (the window over simhash).
+
+    ``history_fps`` must be fingerprinted at the SAME ``n_bits`` as
+    this call — a width mismatch silently misses matches (the
+    persisted artifact keys on ``n_bits``, so the artifact path
+    cannot mismatch; hand-built history tables must pass it through).
+    """
+    batch = simhash_dedup(new_docs, text_col, id_col, n_bits) \
+        .withColumn("nw", F.lit(1))
+    # materialized ONCE (semi-join build + union probe), O(batch)
+    batch = batch.localCheckpoint(eager=True)
+    hist = history_fps.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("simhash").cast("long").alias("simhash"),
+    ).withColumn("nw", F.lit(0))
+    pruned = hist.join(F.broadcast(batch.select("simhash")),
+                       "simhash", "leftsemi").unionByName(batch)
+    w = Window.partitionBy("simhash")
+    return (
+        pruned.select(
+            "doc_id", "nw",
+            F.min("doc_id").over(w).cast("long").alias("rep_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("group_size"))
+        .filter(F.col("nw") == 1)
+        .select("doc_id", "rep_id", "group_size")
+    )
+
+
 def simhash_band_pairs(docs: DataFrame, max_hamming: int = 3,
                        n_bits: int = 32, n_bands: int = 4,
                        text_col: str = "text",
@@ -943,6 +1047,16 @@ def _q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_dedup_simhash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_dup_groups(table(spark, sf_dir, "documents"))
 
+
+def _q_dedup_simhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = doc_id % 4 == 0 (the incremental-twin convention);
+    history fingerprints come from the persisted artifact, so repeated
+    calls never re-hash the at-rest corpus."""
+    docs = table(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    return simhash_groups_incremental(batch, simhash_fps_artifact(history))
+
 def _simhash_sql(n_bits: int = 32) -> str:
     """DuckDB twin of :func:`simhash64` over documents: same md5-hex
     token hash as the minhash oracle, bit votes via unnest x range."""
@@ -1051,6 +1165,7 @@ QUERIES = {
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
     "dedup_simhash_groups": _q_dedup_simhash_groups,
+    "dedup_simhash_inc": _q_dedup_simhash_inc,
     "dedup_minhash_sig": _q_minhash_sig,
     "dedup_minhash_pairs": _q_minhash_pairs,
     "dedup_minhash_capped": _q_minhash_capped,
@@ -1152,6 +1267,16 @@ ORACLES = {
         "CAST(min(doc_id) OVER (PARTITION BY simhash) AS BIGINT) AS rep_id, "
         "CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size "
         "FROM sim"
+    ),
+    # incremental ≡ the full-corpus groups restricted to batch docs
+    # (a batch doc's bucket is its exact fingerprint, and the
+    # fp-pruned union reproduces min/count over that bucket exactly)
+    "dedup_simhash_inc": (
+        f"WITH sim AS ({_simhash_sql(60)}), g AS ("
+        "SELECT doc_id, "
+        "CAST(min(doc_id) OVER (PARTITION BY simhash) AS BIGINT) AS rep_id, "
+        "CAST(count(*) OVER (PARTITION BY simhash) AS BIGINT) AS group_size "
+        "FROM sim) SELECT * FROM g WHERE doc_id % 4 = 0"
     ),
     "dedup_minhash_sig": _minhash_sig_sql(),
     "dedup_minhash_pairs": _minhash_pairs_sql(),

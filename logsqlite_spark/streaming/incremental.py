@@ -159,6 +159,32 @@ def minhash_sink(state_dir: str, emit_dir: str | None = None,
         emit_dir=emit_dir)
 
 
+def simhash_sink(state_dir: str, emit_dir: str | None = None,
+                 n_bits: int = 60) -> Callable[[DataFrame, int], None]:
+    """Streaming SimHash dedup (the deployment groups path): the
+    artifact is the corpus (doc_id, simhash) table; each batch
+    optionally emits its docs' cluster assignment over everything
+    ingested up to and including it."""
+    from logsqlite_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_groups_incremental,
+    )
+
+    def _transform(batch: DataFrame) -> DataFrame:
+        return simhash_dedup(batch, n_bits=n_bits)
+
+    def _emit(batch: DataFrame, history: DataFrame | None) -> DataFrame:
+        hist = history if history is not None else \
+            batch.sparkSession.createDataFrame(
+                [], "doc_id long, simhash long")
+        return simhash_groups_incremental(batch, hist, n_bits=n_bits)
+
+    return append_artifact_sink(
+        state_dir, _transform,
+        emit=_emit if emit_dir is not None else None,
+        emit_dir=emit_dir)
+
+
 def semantic_sink(state_dir: str, centroids: DataFrame,
                   emit_dir: str | None = None, tau: float | None = None,
                   ) -> Callable[[DataFrame, int], None]:

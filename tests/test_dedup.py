@@ -352,3 +352,74 @@ def test_minhash_bands_artifact_built_once(spark):
     inline = DD.minhash_bands(docs)
     assert sorted(map(tuple, a.collect())) == \
         sorted(map(tuple, inline.collect()))
+
+
+def test_simhash_incremental_equals_full_restricted(spark):
+    """simhash_groups_incremental(batch, history_fps) must equal the
+    full groups recompute over history ∪ batch restricted to batch
+    docs — rep_id and group_size computed over the union exactly."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_dup_groups,
+        simhash_groups_incremental,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    history = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+
+    inc = simhash_groups_incremental(
+        batch, simhash_dedup(history, n_bits=60))
+    full = simhash_dup_groups(docs).filter(F.col("doc_id") % 4 == 0)
+    got = sorted(map(tuple, inc.collect()))
+    want = sorted(map(tuple, full.collect()))
+    assert got == want and len(want) > 0
+
+
+def test_simhash_incremental_groups_span_history(spark):
+    """A batch doc identical to history docs joins their group: rep_id
+    is the HISTORY minimum and group_size counts the union; a
+    batch-only doc forms its own group of 1."""
+    from logsqlite_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_groups_incremental,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog once more"
+    hist = spark.createDataFrame(
+        [(1, dup), (2, dup), (3, "completely unrelated text here")],
+        "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, dup), (11, "another unrelated piece of text")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: (r["rep_id"], r["group_size"])
+           for r in simhash_groups_incremental(
+               batch, simhash_dedup(hist, n_bits=60)).collect()}
+    assert set(out) == {10, 11}          # batch docs only
+    assert out[10] == (1, 3)             # joins history group 1,2
+    assert out[11] == (11, 1)            # alone
+
+
+def test_simhash_fps_artifact_built_once(spark):
+    """The persisted simhash fingerprint artifact's 100 TB contract:
+    the at-rest corpus is token-hashed ONCE (counter gate)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators import dedup as DD
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .filter(F.col("doc_id") % 4 != 0)
+    DD.simhash_fps_artifact(docs).count()   # builds or serves
+    before = DD._SIMHASH_ARTIFACT_BUILDS
+    a = DD.simhash_fps_artifact(docs)
+    b = DD.simhash_fps_artifact(docs)
+    assert a.count() == b.count() > 0
+    assert DD._SIMHASH_ARTIFACT_BUILDS == before
+
+    inline = DD.simhash_dedup(docs, n_bits=60)
+    assert sorted(map(tuple, a.collect())) == \
+        sorted(map(tuple, inline.collect()))

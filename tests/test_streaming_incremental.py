@@ -12,6 +12,7 @@ from logsqlite_spark.streaming.incremental import (
     last_appended_batch,
     minhash_sink,
     semantic_sink,
+    simhash_sink,
     start_append_artifact_stream,
     winnow_sink,
 )
@@ -194,3 +195,40 @@ def test_minhash_sink_artifact_and_emits(spark, tmp_path):
     all_pairs = {(r["a_id"], r["b_id"])
                  for r in spark.read.parquet(emits).collect()}
     assert (1, 2) in all_pairs and (1, 10) in all_pairs
+
+
+def test_simhash_sink_artifact_and_emits(spark, tmp_path):
+    """Streaming SimHash twin: artifact ≡ one-shot fingerprinting over
+    everything ingested; per-batch emits ≡ the batch API against the
+    PRE-batch history."""
+    from logsqlite_spark.operators.dedup import (
+        simhash_dedup,
+        simhash_groups_incremental,
+    )
+
+    dup = "the quick brown fox jumps over the lazy dog once more"
+    b1_rows = [(1, dup), (2, dup),
+               (3, "completely unrelated text with nothing in common")]
+    b2_rows = [(10, dup), (11, "another unrelated piece of text")]
+    state = str(tmp_path / "state")
+    emits = str(tmp_path / "emits")
+    sink = simhash_sink(state, emit_dir=emits)
+    b1 = spark.createDataFrame(b1_rows, DOCS)
+    b2 = spark.createDataFrame(b2_rows, DOCS)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    union = spark.createDataFrame(b1_rows + b2_rows, DOCS)
+    got = sorted(map(tuple, artifact_rows(spark, state).collect()))
+    want = sorted(map(tuple, simhash_dedup(union, n_bits=60).collect()))
+    assert got == want and len(want) > 0
+
+    # batch-2 emits == the batch API against batch-1 history
+    emitted = spark.read.parquet(emits).filter(F.col("doc_id") >= 10)
+    want2 = simhash_groups_incremental(b2, simhash_dedup(b1, n_bits=60))
+    assert sorted(map(tuple, emitted.collect())) == \
+        sorted(map(tuple, want2.collect()))
+    # batch-2's dup doc joined the history group rooted at doc 1
+    rows = {r["doc_id"]: (r["rep_id"], r["group_size"])
+            for r in emitted.collect()}
+    assert rows[10] == (1, 3) and rows[11] == (11, 1)
