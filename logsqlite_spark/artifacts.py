@@ -1,0 +1,65 @@
+"""Shared build-once/serve-many protocol for fingerprint-keyed
+corpus-side artifacts (round 9).
+
+Four operator families persist a derived table (or table set) keyed on
+the corpus fingerprint: the IVF/SQ index (``operators/similarity.py``),
+winnow fingerprints, minhash bands, simhash fingerprints, and the
+jaccard/exact dedup index (``operators/dedup.py``,
+``operators/textstats.py``).  They all need the same concurrency story
+— one build ever per (corpus, params) key across threads AND processes,
+a completion marker so readers never see a half-written dir, and
+keep-newest GC so iterating dev boxes don't strand a corpus copy per
+rewrite.  That protocol lives in the similarity module (it grew there
+with the IVF index); this module is the thin generic entry point so
+every new artifact reuses it instead of re-pasting the lock dance.
+
+``build_or_serve(spark, key_parts, write)`` returns ``(path, built)``:
+``write(path)`` is invoked at most once per key machine-wide, under the
+module thread lock + the cross-process flock; ``built`` tells the
+caller whether THIS call did the build (the per-module build counters
+the scale tests pin).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Callable, Sequence
+
+from pyspark.sql import SparkSession
+
+
+def artifact_path(key_parts: Sequence[str]) -> str:
+    from logsqlite_spark.operators import similarity as _SIM
+
+    key = hashlib.sha256("|".join(key_parts).encode()).hexdigest()[:16]
+    return os.path.join(_SIM._ivf_index_root(), key)
+
+
+def build_or_serve(spark: SparkSession, key_parts: Sequence[str],
+                   write: Callable[[str], None]) -> tuple[str, bool]:
+    """Serve the artifact dir for ``key_parts``, building it with
+    ``write(path)`` if absent.  Thread-safe and cross-process-safe on
+    local roots (flock); scheme'd stores serialize via their own
+    atomics exactly as the IVF index does."""
+    from logsqlite_spark.operators import similarity as _SIM
+
+    path = artifact_path(key_parts)
+    built = False
+    with _SIM._IVF_BUILD_LOCK:
+        if not _SIM._index_marker_exists(spark, path):
+            local = _SIM._local_fs_path(path)
+            if local is not None:
+                with _SIM._DirBuildLock(local):
+                    if not _SIM._index_marker_exists(spark, path):
+                        write(path)
+                        _SIM._write_index_marker(spark, path)
+                        built = True
+            else:
+                write(path)
+                _SIM._write_index_marker(spark, path)
+                built = True
+            _SIM._gc_auto_index_root()
+        else:
+            _SIM._touch_index_marker(path)
+    return path, built

@@ -268,10 +268,7 @@ def simhash_fps_artifact(docs: DataFrame, text_col: str = "text",
     :func:`simhash_dedup` (new_batch) per ingest batch.  A literal or
     streaming corpus (no backing files to key on) computes inline.
     """
-    import hashlib
-    import os
-
-    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.artifacts import build_or_serve
     from logsqlite_spark.tables import frames_fingerprint
 
     global _SIMHASH_ARTIFACT_BUILDS
@@ -283,27 +280,13 @@ def simhash_fps_artifact(docs: DataFrame, text_col: str = "text",
         files = []
     if not files:
         return inline
-    key = hashlib.sha256("|".join(
+    path, built = build_or_serve(
+        spark,
         (frames_fingerprint(docs), text_col, id_col, str(n_bits),
-         "simhash-fps")).encode()).hexdigest()[:16]
-    path = os.path.join(_SIM._ivf_index_root(), key)
-    with _SIM._IVF_BUILD_LOCK:
-        if not _SIM._index_marker_exists(spark, path):
-            local = _SIM._local_fs_path(path)
-            if local is not None:
-                with _SIM._DirBuildLock(local):
-                    if not _SIM._index_marker_exists(spark, path):
-                        _SIMHASH_ARTIFACT_BUILDS += 1
-                        inline.write.mode("overwrite").parquet(
-                            f"{path}/fps")
-                        _SIM._write_index_marker(spark, path)
-            else:
-                _SIMHASH_ARTIFACT_BUILDS += 1
-                inline.write.mode("overwrite").parquet(f"{path}/fps")
-                _SIM._write_index_marker(spark, path)
-            _SIM._gc_auto_index_root()
-        else:
-            _SIM._touch_index_marker(path)
+         "simhash-fps"),
+        lambda p: inline.write.mode("overwrite").parquet(f"{p}/fps"))
+    if built:
+        _SIMHASH_ARTIFACT_BUILDS += 1
     return spark.read.parquet(f"{path}/fps")
 
 
@@ -636,10 +619,7 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
     keep-newest GC).  A literal or streaming corpus (no backing files
     to key on) computes inline.
     """
-    import hashlib
-    import os
-
-    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.artifacts import build_or_serve
     from logsqlite_spark.tables import frames_fingerprint
 
     global _MINHASH_ARTIFACT_BUILDS
@@ -651,27 +631,13 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
         files = []
     if not files:
         return inline
-    key = hashlib.sha256("|".join(
+    path, built = build_or_serve(
+        spark,
         (frames_fingerprint(docs), text_col, id_col, str(band_size),
-         "minhash-bands")).encode()).hexdigest()[:16]
-    path = os.path.join(_SIM._ivf_index_root(), key)
-    with _SIM._IVF_BUILD_LOCK:
-        if not _SIM._index_marker_exists(spark, path):
-            local = _SIM._local_fs_path(path)
-            if local is not None:
-                with _SIM._DirBuildLock(local):
-                    if not _SIM._index_marker_exists(spark, path):
-                        _MINHASH_ARTIFACT_BUILDS += 1
-                        inline.write.mode("overwrite").parquet(
-                            f"{path}/bands")
-                        _SIM._write_index_marker(spark, path)
-            else:
-                _MINHASH_ARTIFACT_BUILDS += 1
-                inline.write.mode("overwrite").parquet(f"{path}/bands")
-                _SIM._write_index_marker(spark, path)
-            _SIM._gc_auto_index_root()
-        else:
-            _SIM._touch_index_marker(path)
+         "minhash-bands"),
+        lambda p: inline.write.mode("overwrite").parquet(f"{p}/bands"))
+    if built:
+        _MINHASH_ARTIFACT_BUILDS += 1
     return spark.read.parquet(f"{path}/bands")
 
 

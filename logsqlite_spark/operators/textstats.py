@@ -235,10 +235,7 @@ def winnow_fps_artifact(docs: DataFrame, k: int = WINNOW_K,
     fingerprint-keyed caches live and age in one place.  A literal or
     streaming corpus (no backing files to key on) computes inline.
     """
-    import hashlib
-    import os
-
-    from logsqlite_spark.operators import similarity as _SIM
+    from logsqlite_spark.artifacts import build_or_serve
     from logsqlite_spark.tables import frames_fingerprint
 
     global _WINNOW_ARTIFACT_BUILDS
@@ -250,26 +247,13 @@ def winnow_fps_artifact(docs: DataFrame, k: int = WINNOW_K,
         files = []
     if not files:
         return inline
-    key = hashlib.sha256("|".join(
+    path, built = build_or_serve(
+        spark,
         (frames_fingerprint(docs), text_col, id_col, str(k), str(w),
-         "winnow-fps")).encode()).hexdigest()[:16]
-    path = os.path.join(_SIM._ivf_index_root(), key)
-    with _SIM._IVF_BUILD_LOCK:
-        if not _SIM._index_marker_exists(spark, path):
-            local = _SIM._local_fs_path(path)
-            if local is not None:
-                with _SIM._DirBuildLock(local):
-                    if not _SIM._index_marker_exists(spark, path):
-                        _WINNOW_ARTIFACT_BUILDS += 1
-                        inline.write.mode("overwrite").parquet(f"{path}/fps")
-                        _SIM._write_index_marker(spark, path)
-            else:
-                _WINNOW_ARTIFACT_BUILDS += 1
-                inline.write.mode("overwrite").parquet(f"{path}/fps")
-                _SIM._write_index_marker(spark, path)
-            _SIM._gc_auto_index_root()
-        else:
-            _SIM._touch_index_marker(path)
+         "winnow-fps"),
+        lambda p: inline.write.mode("overwrite").parquet(f"{p}/fps"))
+    if built:
+        _WINNOW_ARTIFACT_BUILDS += 1
     return spark.read.parquet(f"{path}/fps")
 
 

@@ -114,12 +114,13 @@ def gen_embeddings(n: int, out_dir: Path, seed: int = 7,
 
 def measure(spark, d: Path) -> dict:
     from logsqlite_spark.operators.dedup import (
-        minhash_band_pairs, shingle_jaccard_pairs, simhash_band_pairs,
-        simhash_dup_groups)
+        minhash_band_pairs, minhash_band_pairs_incremental, minhash_bands,
+        shingle_jaccard_pairs, simhash_band_pairs, simhash_dup_groups)
     from logsqlite_spark.operators.clustering import (
         auto_k, seed_centroids, semantic_dedup_pairs)
     from logsqlite_spark.operators.similarity import ann_lsh_portable_topk
-    from logsqlite_spark.operators.textstats import winnow_matches
+    from logsqlite_spark.operators.textstats import (
+        winnow_fingerprints, winnow_matches, winnow_matches_incremental)
 
     docs = spark.read.parquet(str(d / "documents.parquet"))
     emb = spark.read.parquet(str(d / "embeddings.parquet"))
@@ -134,6 +135,20 @@ def measure(spark, d: Path) -> dict:
         ("simhash_groups", simhash_dup_groups(docs)),
         ("simhash_pairs", simhash_band_pairs(docs, n_bits=60, n_bands=6)),
         ("winnow_matches", winnow_matches(docs, min_shared=8)),
+        # incremental twins (r9): batch = a fixed 10% slice, history =
+        # the rest as inline columnar tables — output is the full
+        # candidate set restricted to batch-involving pairs, so the
+        # deployment gate is the same linearity bound (simhash's
+        # incremental twin emits exactly |batch| rows — linear by
+        # construction, nothing to measure)
+        ("minhash_inc_cand", minhash_band_pairs_incremental(
+            docs.filter("doc_id % 10 = 0"),
+            minhash_bands(docs.filter("doc_id % 10 != 0"), band_size=8),
+            band_size=8)),
+        ("winnow_inc_matches", winnow_matches_incremental(
+            docs.filter("doc_id % 10 = 0"),
+            winnow_fingerprints(docs.filter("doc_id % 10 != 0")),
+            min_shared=8)),
         # k larger than any candidate set => row count == candidate
         # pairs surviving the (band, chunk) join
         ("ann_lsh_cand", ann_lsh_portable_topk(qs, emb, k=1 << 30)),
@@ -197,7 +212,8 @@ def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
 
 
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
-                    "winnow_matches", "ann_lsh_cand", "semdedup_cand",
+                    "winnow_matches", "minhash_inc_cand",
+                    "winnow_inc_matches", "ann_lsh_cand", "semdedup_cand",
                     "substring_dup_positions")
 AUDIT_PATHS = ("simhash_pairs",)
 XL_PATHS = ("semdedup_cand", "ivf_cand", "ivf_sq_cand")
