@@ -423,3 +423,99 @@ def test_simhash_fps_artifact_built_once(spark):
     inline = DD.simhash_dedup(docs, n_bits=60)
     assert sorted(map(tuple, a.collect())) == \
         sorted(map(tuple, inline.collect()))
+
+
+def test_incremental_indexed_equals_original(spark):
+    """incremental_dedup_indexed(batch, DedupIndex(history)) must be
+    row-identical to incremental_dedup(batch, history) — the index is
+    a storage change, not a semantics change (round 9: closes the last
+    per-batch-O(corpus) incremental path)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        dedup_index_tables,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    got = sorted(map(tuple, incremental_dedup_indexed(
+        new, dedup_index_tables(hist)).collect()))
+    want = sorted(map(tuple, incremental_dedup(new, hist).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_incremental_indexed_history_only_hot_token(spark):
+    """A hot token present only in history still reduces candidate
+    sizes exactly as the full recompute sees it: with char shingles
+    (n=1), 'q' is hot (df 3 > floor(0.5*4)=2) and absent from the
+    batch, so the candidate's size drops from 3 to 2 and the jaccard
+    crosses the 0.45 threshold — the batch doc must be dropped by BOTH
+    formulations."""
+    from logsqlite_spark.operators.dedup import (
+        dedup_index_tables,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "qqab"), (2, "qqcd"), (3, "qqce")], "doc_id long, text string")
+    batch = spark.createDataFrame([(10, "abxy")], "doc_id long, text string")
+
+    want = sorted(map(tuple, incremental_dedup(
+        batch, hist, threshold=0.45, n=1).collect()))
+    got = sorted(map(tuple, incremental_dedup_indexed(
+        batch, dedup_index_tables(hist, n=1),
+        threshold=0.45, n=1).collect()))
+    assert got == want == []  # near-dup of doc 1 once 'q' is discounted
+
+    # raising the threshold keeps the doc — and the twins still agree
+    want2 = sorted(map(tuple, incremental_dedup(
+        batch, hist, threshold=0.6, n=1).collect()))
+    got2 = sorted(map(tuple, incremental_dedup_indexed(
+        batch, dedup_index_tables(hist, n=1),
+        threshold=0.6, n=1).collect()))
+    assert got2 == want2 == [(10, "abxy")]
+
+
+def test_incremental_indexed_exact_stage_and_empty_batch(spark):
+    """Stage-1 parity: an exact dup of history is dropped via the
+    digests table; a batch that empties out returns no rows."""
+    from logsqlite_spark.operators.dedup import (
+        dedup_index_tables,
+        incremental_dedup_indexed,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "some history document text")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "some history document text")], "doc_id long, text string")
+    out = incremental_dedup_indexed(batch, dedup_index_tables(hist))
+    assert out.count() == 0
+
+
+def test_dedup_index_artifact_built_once(spark):
+    """The persisted DedupIndex's 100 TB contract: the at-rest corpus
+    is tokenized ONCE (counter gate); the served tables equal the
+    inline computation."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators import dedup as DD
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .filter(F.col("doc_id") % 5 != 0)
+    DD.dedup_index_artifact(docs).stats.count()   # builds or serves
+    before = DD._DEDUP_INDEX_BUILDS
+    a = DD.dedup_index_artifact(docs)
+    b = DD.dedup_index_artifact(docs)
+    assert DD._DEDUP_INDEX_BUILDS == before
+    inline = DD.dedup_index_tables(docs)
+    for fld in ("digests", "inverted", "sizes", "dfreq"):
+        assert sorted(map(tuple, getattr(a, fld).collect())) == \
+            sorted(map(tuple, getattr(inline, fld).collect()))
+    assert a.stats.collect() == inline.stats.collect() \
+        == b.stats.collect()
