@@ -223,6 +223,120 @@ def semantic_sink(state_dir: str, centroids: DataFrame,
         emit_dir=emit_dir)
 
 
+_DSTATE = "_DEDUP_INDEX_STATE.json"
+
+
+def _read_dstate(state_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(_local_root(state_dir), _DSTATE)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _write_dstate(state_dir: str, st: dict) -> None:
+    root = _local_root(state_dir)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _DSTATE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(st, fh)
+    os.replace(tmp, os.path.join(root, _DSTATE))
+
+
+def dedup_index_rows(spark, state_dir: str):
+    """The accumulated streaming :class:`DedupIndex`, or None before
+    the first batch."""
+    from logsqlite_spark.operators.dedup import DedupIndex
+
+    st = _read_dstate(state_dir)
+    if st is None:
+        return None
+
+    def rd(sub: str) -> DataFrame:
+        return (spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(state_dir, sub)))
+
+    return DedupIndex(
+        digests=rd("digests"), inverted=rd("inverted"),
+        forward=rd("forward"), sizes=rd("sizes"),
+        dfreq=spark.read.parquet(
+            os.path.join(state_dir, f"dfreq/v{st['batch_id']}")),
+        stats=spark.createDataFrame([(st["n_docs"],)], "n_docs long"),
+    )
+
+
+def dedup_index_sink(state_dir: str, emit_dir: str | None = None,
+                     threshold: float = 0.6, n: int = 5,
+                     max_df_frac: float = 0.5,
+                     ) -> Callable[[DataFrame, int], None]:
+    """Streaming exact+jaccard dedup over the persisted
+    :class:`DedupIndex` — the combined protocol the index needs: its
+    per-doc tables (digests / inverted / forward / sizes) grow
+    append-only, while ``dfreq`` is a re-merged aggregate snapshot
+    (the partials idiom) and ``n_docs`` rides the state pointer.
+
+    Per batch: dedup the batch against the PRE-batch index
+    (``incremental_dedup_indexed``), emit the survivors, index THEM
+    (dropped docs never enter the corpus — the production ingest
+    shape), merge the dfreq snapshot, and flip the pointer last.
+
+    Exactly-once is stronger here than in ``append_artifact_sink``:
+    every write is a per-batch-keyed subdir (``<table>/b{batch_id}``,
+    ``dfreq/v{batch_id}``, ``emits/b{batch_id}``) written with
+    overwrite, so a crash-replayed batch REWRITES its own subdirs
+    byte-identically instead of appending duplicates — there is no
+    append-before-pointer window at all.  Readers list the table root
+    recursively (``dedup_index_rows``).
+    """
+    from logsqlite_spark.operators.dedup import (
+        DedupIndex,
+        dedup_index_tables,
+        incremental_dedup_indexed,
+    )
+
+    _local_root(state_dir)  # fail fast on a non-local root
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        st = _read_dstate(state_dir)
+        if st is not None and batch_id <= st["batch_id"]:
+            return  # crash-replayed micro-batch: already applied
+        idx = dedup_index_rows(spark, state_dir)
+        if idx is None:
+            idx = DedupIndex(
+                digests=spark.createDataFrame([], "h string"),
+                inverted=spark.createDataFrame([], "tok string, doc_id long"),
+                forward=spark.createDataFrame([], "doc_id long, tok string"),
+                sizes=spark.createDataFrame([], "doc_id long, sz_total long"),
+                dfreq=spark.createDataFrame([], "tok string, df long"),
+                stats=spark.createDataFrame([(0,)], "n_docs long"),
+            )
+        kept = incremental_dedup_indexed(
+            batch_df, idx, threshold=threshold, n=n,
+            max_df_frac=max_df_frac).localCheckpoint(eager=True)
+        if emit_dir is not None:
+            kept.write.mode("overwrite").parquet(
+                os.path.join(emit_dir, f"b{batch_id}"))
+        t = dedup_index_tables(kept, n)
+        for name, df in (("digests", t.digests), ("inverted", t.inverted),
+                         ("forward", t.forward), ("sizes", t.sizes)):
+            df.write.mode("overwrite").parquet(
+                os.path.join(state_dir, name, f"b{batch_id}"))
+        from pyspark.sql import functions as F
+
+        merged = t.dfreq if st is None else (
+            spark.read.parquet(
+                os.path.join(state_dir, f"dfreq/v{st['batch_id']}"))
+            .unionByName(t.dfreq)
+            .groupBy("tok").agg(F.sum("df").alias("df")))
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"dfreq/v{batch_id}"))
+        n_docs = (0 if st is None else st["n_docs"]) + kept.count()
+        _write_dstate(state_dir, {"batch_id": batch_id, "n_docs": n_docs})
+
+    return on_batch
+
+
 def start_append_artifact_stream(stream: DataFrame, sink,
                                  checkpoint_dir: str):
     """Wire any sink from this module into a stream."""

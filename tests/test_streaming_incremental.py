@@ -232,3 +232,63 @@ def test_simhash_sink_artifact_and_emits(spark, tmp_path):
     rows = {r["doc_id"]: (r["rep_id"], r["group_size"])
             for r in emitted.collect()}
     assert rows[10] == (1, 3) and rows[11] == (11, 1)
+
+
+def test_dedup_index_sink_artifact_and_emits(spark, tmp_path):
+    """Streaming exact+jaccard dedup over the persisted DedupIndex:
+    survivors accumulate, the streamed index ≡ the inline tables over
+    every survivor, each batch's emits ≡ the batch API against the
+    PRE-batch index, and a crash replay rewrites instead of
+    duplicating."""
+    from logsqlite_spark.operators.dedup import (
+        dedup_index_tables,
+        incremental_dedup_indexed,
+    )
+    from logsqlite_spark.streaming.incremental import (
+        dedup_index_rows,
+        dedup_index_sink,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    b1_rows = [(1, base + " alpha"),
+               (2, base + " alpha"),          # exact dup of 1: dropped
+               (3, "completely unrelated text with nothing in common")]
+    b2_rows = [(10, base + " alpha"),         # exact dup of survivor 1
+               (11, base + " alphA"),         # near dup of survivor 1
+               (12, "another unrelated piece of text entirely")]
+    state = str(tmp_path / "state")
+    emits = str(tmp_path / "emits")
+    sink = dedup_index_sink(state, emit_dir=emits, threshold=0.5)
+    b1 = spark.createDataFrame(b1_rows, DOCS)
+    b2 = spark.createDataFrame(b2_rows, DOCS)
+    sink(b1, 0)
+
+    surv1 = incremental_dedup_indexed(
+        b1, dedup_index_tables(spark.createDataFrame([], DOCS)),
+        threshold=0.5)
+    got1 = sorted(map(tuple, spark.read.parquet(emits + "/b0").collect()))
+    assert got1 == sorted(map(tuple, surv1.collect()))
+    assert {r[0] for r in got1} == {1, 3}  # 2 exact-dropped within batch
+
+    sink(b2, 1)
+    want2 = incremental_dedup_indexed(b2, dedup_index_tables(surv1),
+                                      threshold=0.5)
+    got2 = sorted(map(tuple, spark.read.parquet(emits + "/b1").collect()))
+    assert got2 == sorted(map(tuple, want2.collect()))
+    assert {r[0] for r in got2} == {12}  # 10 exact-dropped, 11 near-dropped
+
+    # streamed index ≡ inline tables over all survivors
+    all_surv = surv1.unionByName(want2)
+    idx = dedup_index_rows(spark, state)
+    inline = dedup_index_tables(all_surv)
+    for fld in ("digests", "inverted", "forward", "sizes", "dfreq"):
+        assert sorted(map(tuple, getattr(idx, fld).collect())) == \
+            sorted(map(tuple, getattr(inline, fld).collect()))
+    assert idx.stats.collect()[0]["n_docs"] == all_surv.count()
+
+    # crash replay of batch 1: state unchanged, no duplicate rows
+    n_inv = idx.inverted.count()
+    sink(b2, 1)
+    idx2 = dedup_index_rows(spark, state)
+    assert idx2.inverted.count() == n_inv
+    assert idx2.stats.collect()[0]["n_docs"] == all_surv.count()
