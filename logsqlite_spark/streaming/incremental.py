@@ -373,3 +373,55 @@ def compact_artifact(spark, state_dir: str, min_files: int = 8,
     os.replace(staged, data)
     return {"compacted": True, "files_before": len(files),
             "files_after": n_out}
+
+
+def compact_dedup_index(spark, state_dir: str, min_dirs: int = 8,
+                        target_records: int = 4_000_000) -> dict:
+    """Maintenance twin of :func:`compact_artifact` for the
+    ``dedup_index_sink`` layout: each batch writes one ``b{id}``
+    subdir per per-doc table, so a high cadence fragments all four.
+    Consolidates each table into one ``b{pointer}`` subdir (the
+    reader's recursive listing is layout-agnostic; keeping the
+    batch-keyed naming preserves the replay contract — replays at or
+    below the pointer are skipped, so the consolidated dir is never
+    rewritten).  Old dfreq snapshot versions below the pointer are
+    pruned too.  Run BETWEEN batches, single-writer, like
+    ``compact_artifact``."""
+    import glob
+    import shutil
+
+    root = _local_root(state_dir)
+    st = _read_dstate(state_dir)
+    if st is None:
+        return {"compacted": False, "reason": "no state"}
+    out: dict = {"compacted": False}
+    for name in ("digests", "inverted", "forward", "sizes"):
+        tdir = os.path.join(root, name)
+        subs = sorted(glob.glob(os.path.join(tdir, "b*")))
+        if len(subs) < min_dirs:
+            continue
+        df = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(tdir))
+        n = df.count()
+        n_out = max(1, -(-n // target_records))  # ceil
+        staged = os.path.join(root, f".compact_{name}")
+        shutil.rmtree(staged, ignore_errors=True)
+        (df.coalesce(n_out).write.mode("overwrite")
+         .option("maxRecordsPerFile", target_records)
+         .parquet(os.path.join(staged, f"b{st['batch_id']}")))
+        shutil.rmtree(tdir)
+        os.replace(staged, tdir)
+        out["compacted"] = True
+        out[name] = {"dirs_before": len(subs), "dirs_after": 1}
+    # retire superseded dfreq snapshots (the pointer names the live one)
+    dropped = 0
+    for vdir in glob.glob(os.path.join(root, "dfreq", "v*")):
+        try:
+            v = int(os.path.basename(vdir)[1:])
+        except ValueError:
+            continue
+        if v < st["batch_id"]:
+            shutil.rmtree(vdir, ignore_errors=True)
+            dropped += 1
+    out["dfreq_versions_dropped"] = dropped
+    return out

@@ -292,3 +292,38 @@ def test_dedup_index_sink_artifact_and_emits(spark, tmp_path):
     idx2 = dedup_index_rows(spark, state)
     assert idx2.inverted.count() == n_inv
     assert idx2.stats.collect()[0]["n_docs"] == all_surv.count()
+
+
+def test_compact_dedup_index_preserves_content(spark, tmp_path):
+    """Compaction consolidates the per-batch subdirs of every per-doc
+    table and retires superseded dfreq snapshots — content-preserving,
+    and the sink keeps working afterwards."""
+    from logsqlite_spark.streaming.incremental import (
+        compact_dedup_index,
+        dedup_index_rows,
+        dedup_index_sink,
+    )
+
+    state = str(tmp_path / "state")
+    sink = dedup_index_sink(state)
+    for i in range(9):
+        sink(spark.createDataFrame(
+            [(100 * i + j, f"unique doc {i} {j} " * 3 + "padding text")
+             for j in range(3)], DOCS), i)
+
+    before = {f: sorted(map(tuple,
+                            getattr(dedup_index_rows(spark, state), f)
+                            .collect()))
+              for f in ("digests", "inverted", "forward", "sizes",
+                        "dfreq")}
+    res = compact_dedup_index(spark, state, min_dirs=4)
+    assert res["compacted"] and res["dfreq_versions_dropped"] == 8
+    after_idx = dedup_index_rows(spark, state)
+    for f, want in before.items():
+        assert sorted(map(tuple, getattr(after_idx, f).collect())) == want
+
+    # the sink still appends after compaction
+    sink(spark.createDataFrame([(999, "a fresh post-compaction doc")],
+                               DOCS), 9)
+    assert dedup_index_rows(spark, state).stats.collect()[0]["n_docs"] \
+        == 9 * 3 + 1
