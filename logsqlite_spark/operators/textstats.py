@@ -809,6 +809,33 @@ def token_freq_histogram(docs: DataFrame, min_count: int = 2) -> DataFrame:
     )
 
 
+def bpe_pair_stats(docs: DataFrame, min_count: int = 2,
+                   text_col: str = "text") -> DataFrame:
+    """Adjacent-token-pair frequencies — step 1 of BPE/WordPiece
+    tokenizer training (the merge candidate table; the training loop
+    repeatedly merges the argmax pair and recounts).  One zero-join
+    projection (a generated-sequence explode over positions, the
+    ``chunk_documents`` idiom) into one map-side-combinable
+    aggregation: at 100 TB the shuffle carries (pair, partial-count)
+    rows only, and the min_count filter drops the hapax tail before
+    any driver contact.  Corpus-level counts, position-weighted
+    (every adjacent occurrence counts, not per-doc distinct) —
+    matching how BPE counts merge candidates.
+    """
+    pairs = F.explode(F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+    )).alias("p")
+    return (
+        docs.select(F.expr(_tok(text_col)).alias("__t"))
+        .filter(F.size("__t") >= 2)
+        .select(pairs)
+        .groupBy("p.first", "p.second")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def token_commonness(docs: DataFrame) -> DataFrame:
     """Mean corpus document-frequency of each document's tokens — the
     unigram-LM-score stand-in that stays engine-exact (a true log-prob
@@ -981,6 +1008,10 @@ def _q_token_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_quality_pctile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_percentile(table(spark, sf_dir, "documents"))
 
+def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bpe_pair_stats(table(spark, sf_dir, "documents"))
+
+
 def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(table(spark, sf_dir, "documents"))
 
@@ -1045,6 +1076,7 @@ QUERIES = {
     "token_freq_histogram": _q_token_freq_hist,
     "quality_percentile": _q_quality_pctile,
     "token_commonness": _q_token_commonness,
+    "bpe_pair_stats": _q_bpe_pairs,
     "quality_gate": _q_quality_gate,
     "quality_gate_stats": _q_quality_gate_stats,
 }
@@ -1196,6 +1228,14 @@ ORACLES = {
         "FROM cold a JOIN cold b ON a.fp = b.fp AND a.doc_id < b.doc_id "
         "WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0 "
         "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
+    ),
+    "bpe_pair_stats": (
+        f"WITH t AS (SELECT {_TOKS} AS toks FROM documents) "
+        "SELECT toks[i] AS first, toks[i + 1] AS second, "
+        "count(*) AS n FROM t, "
+        "unnest(generate_series(1, len(toks) - 1)) AS g(i) "
+        "WHERE len(toks) >= 2 "
+        "GROUP BY 1, 2 HAVING count(*) >= 2"
     ),
     "lang_id": _langid_oracle(),
     "repeated_ngrams": _repeated_ngrams_oracle(),

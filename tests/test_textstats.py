@@ -320,3 +320,24 @@ def test_winnow_artifact_built_once(spark):
     inline = TS.winnow_fingerprints(docs)
     assert sorted(map(tuple, a.collect())) == \
         sorted(map(tuple, inline.collect()))
+
+
+def test_bpe_pair_stats_position_weighted(spark):
+    """Adjacent pairs are position-weighted (every occurrence counts),
+    repeated pairs within one doc accumulate, and sub-2-token docs
+    contribute nothing."""
+    from logsqlite_spark.operators.textstats import bpe_pair_stats
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b c"),      # (a,b)x2, (b,a)x1, (b,c)x1
+         (2, "a b"),            # (a,b)x1
+         (3, "solo"),           # no pairs
+         (4, "")],              # no pairs
+        "doc_id long, text string")
+    got = {(r["first"], r["second"]): r["n"]
+           for r in bpe_pair_stats(docs, min_count=1).collect()}
+    assert got == {("a", "b"): 3, ("b", "a"): 1, ("b", "c"): 1}
+    # min_count drops the tail
+    got2 = {(r["first"], r["second"]): r["n"]
+            for r in bpe_pair_stats(docs, min_count=2).collect()}
+    assert got2 == {("a", "b"): 3}
