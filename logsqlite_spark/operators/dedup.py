@@ -894,7 +894,8 @@ class DedupIndex(NamedTuple):
     """The persisted corpus-side state for indexed incremental dedup —
     a classic search-index pair plus the aggregates the df cap needs:
 
-    - ``digests``:  (h)              distinct md5 digests (exact stage)
+    - ``digests``:  (doc_id, h)      md5 digests (exact stage; doc-
+                                     linked so erase can retract them)
     - ``inverted``: (tok, doc_id)    per-doc DISTINCT shingles, tok-keyed
     - ``forward``:  (doc_id, tok)    the same rows, doc-keyed (candidate
                                      size lookups prune by doc_id)
@@ -926,7 +927,7 @@ def dedup_index_tables(history: DataFrame, n: int = 5,
     )).alias("tok")
     toks = hd.select("doc_id", sh).filter(F.col("tok") != "").distinct()
     return DedupIndex(
-        digests=hd.select(F.md5("text").alias("h")).distinct(),
+        digests=hd.select("doc_id", F.md5("text").alias("h")),
         inverted=toks.select("tok", "doc_id"),
         forward=toks.select("doc_id", "tok"),
         sizes=toks.groupBy("doc_id").agg(
@@ -992,7 +993,7 @@ def dedup_index_artifact(history: DataFrame, n: int = 5,
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(history), text_col, id_col, str(n),
-         "dedup-index"),
+         "dedup-index-v2"),
         _write)
     if built:
         _DEDUP_INDEX_BUILDS += 1

@@ -259,8 +259,9 @@ def dedup_index_rows(spark, state_dir: str):
     return DedupIndex(
         digests=rd("digests"), inverted=rd("inverted"),
         forward=rd("forward"), sizes=rd("sizes"),
-        dfreq=spark.read.parquet(
-            os.path.join(state_dir, f"dfreq/v{st['batch_id']}")),
+        dfreq=spark.read.parquet(os.path.join(
+            state_dir, "dfreq",
+            st.get("dfreq_dir", f"v{st['batch_id']}"))),
         stats=spark.createDataFrame([(st["n_docs"],)], "n_docs long"),
     )
 
@@ -304,7 +305,7 @@ def dedup_index_sink(state_dir: str, emit_dir: str | None = None,
         idx = dedup_index_rows(spark, state_dir)
         if idx is None:
             idx = DedupIndex(
-                digests=spark.createDataFrame([], "h string"),
+                digests=spark.createDataFrame([], "doc_id long, h string"),
                 inverted=spark.createDataFrame([], "tok string, doc_id long"),
                 forward=spark.createDataFrame([], "doc_id long, tok string"),
                 sizes=spark.createDataFrame([], "doc_id long, sz_total long"),
@@ -325,14 +326,16 @@ def dedup_index_sink(state_dir: str, emit_dir: str | None = None,
         from pyspark.sql import functions as F
 
         merged = t.dfreq if st is None else (
-            spark.read.parquet(
-                os.path.join(state_dir, f"dfreq/v{st['batch_id']}"))
+            spark.read.parquet(os.path.join(
+                state_dir, "dfreq",
+                st.get("dfreq_dir", f"v{st['batch_id']}")))
             .unionByName(t.dfreq)
             .groupBy("tok").agg(F.sum("df").alias("df")))
         merged.write.mode("overwrite").parquet(
             os.path.join(state_dir, f"dfreq/v{batch_id}"))
         n_docs = (0 if st is None else st["n_docs"]) + kept.count()
-        _write_dstate(state_dir, {"batch_id": batch_id, "n_docs": n_docs})
+        _write_dstate(state_dir, {"batch_id": batch_id, "n_docs": n_docs,
+                                  "dfreq_dir": f"v{batch_id}"})
 
     return on_batch
 
@@ -414,14 +417,81 @@ def compact_dedup_index(spark, state_dir: str, min_dirs: int = 8,
         out["compacted"] = True
         out[name] = {"dirs_before": len(subs), "dirs_after": 1}
     # retire superseded dfreq snapshots (the pointer names the live one)
+    live = st.get("dfreq_dir", f"v{st['batch_id']}")
     dropped = 0
-    for vdir in glob.glob(os.path.join(root, "dfreq", "v*")):
-        try:
-            v = int(os.path.basename(vdir)[1:])
-        except ValueError:
-            continue
-        if v < st["batch_id"]:
+    for vdir in glob.glob(os.path.join(root, "dfreq", "*")):
+        if os.path.basename(vdir) != live:
             shutil.rmtree(vdir, ignore_errors=True)
             dropped += 1
     out["dfreq_versions_dropped"] = dropped
     return out
+
+
+def erase_from_dedup_index(spark, state_dir: str,
+                           doc_ids: list[int]) -> dict:
+    """Retract documents from the streamed :class:`DedupIndex` — the
+    deletion half of the index lifecycle (append via the sink, compact
+    via :func:`compact_dedup_index`, erase here; a 100 TB pipeline
+    honoring takedown/PII removal needs all three).
+
+    The erased docs' text is NEVER needed: their ``(tok, df)``
+    contribution comes from their own ``forward``-index rows (the df
+    partials are an associative sum over disjoint doc sets, so
+    subtraction is exact — the ngram-partials argument run backwards),
+    and after the rewrite the index is bit-equivalent to one built
+    WITHOUT those docs: a later batch identical to an erased doc
+    survives dedup.  Per-doc tables rewrite via the compactor's
+    staging protocol (content-preserving minus the erased rows); the
+    new dfreq snapshot lands in an ``e``-prefixed dir that can never
+    collide with a future batch's ``v{batch_id}`` write.  Run BETWEEN
+    batches, single-writer, like compaction.  Amortize: batch many
+    doc_ids per call — each call rewrites the per-doc tables once
+    (deletion-vector storage would defer even that; this engine keeps
+    plain parquet).
+    """
+    import glob
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = _local_root(state_dir)
+    st = _read_dstate(state_dir)
+    if st is None:
+        return {"erased": 0, "reason": "no state"}
+    ids = [int(x) for x in doc_ids]
+    idx = dedup_index_rows(spark, state_dir)
+    n_erased = idx.digests.filter(F.col("doc_id").isin(ids)).count()
+    if n_erased == 0:
+        return {"erased": 0}
+
+    # exact df retraction from the erased docs' own postings
+    erased_partial = (idx.forward.filter(F.col("doc_id").isin(ids))
+                      .groupBy("tok").agg(F.count(F.lit(1)).alias("e")))
+    new_dfreq = (idx.dfreq.join(erased_partial, "tok", "left")
+                 .select("tok", (F.col("df") - F.coalesce(F.col("e"),
+                                                          F.lit(0)))
+                         .alias("df"))
+                 .filter(F.col("df") > 0))
+    live = st.get("dfreq_dir", f"v{st['batch_id']}")
+    seq = len(glob.glob(os.path.join(root, "dfreq", "e*")))
+    new_dir = f"e{st['batch_id']}_{seq}"
+    new_dfreq.write.mode("overwrite").parquet(
+        os.path.join(root, "dfreq", new_dir))
+
+    # rewrite the per-doc tables without the erased docs (staged swap)
+    for name in ("digests", "inverted", "forward", "sizes"):
+        tdir = os.path.join(root, name)
+        df = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(tdir).filter(~F.col("doc_id").isin(ids)))
+        staged = os.path.join(root, f".erase_{name}")
+        shutil.rmtree(staged, ignore_errors=True)
+        df.write.mode("overwrite").parquet(
+            os.path.join(staged, f"b{st['batch_id']}"))
+        shutil.rmtree(tdir)
+        os.replace(staged, tdir)
+
+    _write_dstate(state_dir, {"batch_id": st["batch_id"],
+                              "n_docs": st["n_docs"] - n_erased,
+                              "dfreq_dir": new_dir})
+    shutil.rmtree(os.path.join(root, "dfreq", live), ignore_errors=True)
+    return {"erased": n_erased, "dfreq_dir": new_dir}

@@ -327,3 +327,42 @@ def test_compact_dedup_index_preserves_content(spark, tmp_path):
                                DOCS), 9)
     assert dedup_index_rows(spark, state).stats.collect()[0]["n_docs"] \
         == 9 * 3 + 1
+
+
+def test_erase_from_dedup_index(spark, tmp_path):
+    """Erase retracts docs exactly: the index becomes bit-equivalent
+    to one built without them (df subtraction from the erased docs'
+    own forward rows — no text re-tokenize), and a later batch
+    identical to an erased doc survives dedup as if it never existed."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import dedup_index_tables
+    from logsqlite_spark.streaming.incremental import (
+        dedup_index_rows,
+        dedup_index_sink,
+        erase_from_dedup_index,
+    )
+
+    rows = [(1, "alpha beta gamma delta epsilon unique one"),
+            (2, "zeta eta theta iota kappa unique two"),
+            (3, "lambda mu nu xi omicron unique three")]
+    state = str(tmp_path / "state")
+    sink = dedup_index_sink(state)
+    sink(spark.createDataFrame(rows, DOCS), 0)
+
+    res = erase_from_dedup_index(spark, state, [2, 999])  # 999: no-op
+    assert res["erased"] == 1
+
+    remaining = spark.createDataFrame([rows[0], rows[2]], DOCS)
+    idx = dedup_index_rows(spark, state)
+    inline = dedup_index_tables(remaining)
+    for f in ("digests", "inverted", "forward", "sizes", "dfreq"):
+        assert sorted(map(tuple, getattr(idx, f).collect())) == \
+            sorted(map(tuple, getattr(inline, f).collect())), f
+    assert idx.stats.collect()[0]["n_docs"] == 2
+
+    # a re-submission of the erased text now SURVIVES (never existed)
+    sink(spark.createDataFrame([(20, rows[1][1])], DOCS), 1)
+    idx2 = dedup_index_rows(spark, state)
+    assert idx2.stats.collect()[0]["n_docs"] == 3
+    assert idx2.digests.filter(F.col("doc_id") == 20).count() == 1
