@@ -1083,6 +1083,58 @@ def compact_ivf_lists(spark: SparkSession, path: str,
             "files_before": files_before, "files_after": files_after}
 
 
+def erase_from_ivf_index(spark: SparkSession, path: str,
+                         vec_ids: list[int]) -> dict:
+    """Retract vectors from a persisted IVF index — the deletion half
+    of the index lifecycle (append via :func:`append_to_ivf_index`,
+    compact via :func:`compact_ivf_lists`, erase here).  Only the
+    cluster directories actually HOLDING erased ids are rewritten
+    (staged swap, the compactor's protocol); every untouched list
+    keeps its files.  Serving afterwards is identical to an index
+    whose lists never contained those vectors — the geometry
+    (centroids, SQ scales) stays frozen, exactly like the append
+    path, and the drift baseline keeps its accumulated mean while
+    ``n`` drops by the erased count (conservative: an erase never
+    masks drift that the erased vectors contributed to).  Runs under
+    the build locks; single-writer, amortize by batching ids."""
+    from pyspark.sql import functions as F
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    ids = [int(x) for x in vec_ids]
+    with _IVF_BUILD_LOCK:
+        if not _index_marker_exists(spark, path):
+            raise ValueError(f"no completed IVF index at {path}")
+        lists = spark.read.option("basePath", f"{path}/lists") \
+            .parquet(f"{path}/lists")
+        hits = (lists.filter(F.col("nid").isin(ids))
+                .groupBy("__cluster").agg(F.count(F.lit(1)).alias("c"))
+                .collect())
+        n_erased = sum(r["c"] for r in hits)
+        if n_erased == 0:
+            return {"erased": 0, "clusters_rewritten": 0}
+        fs = hpath(f"{path}/lists").getFileSystem(
+            spark._jsc.hadoopConfiguration())
+        for r in hits:
+            cdir = f"{path}/lists/__cluster={r['__cluster']}"
+            kept = spark.read.parquet(cdir).filter(
+                ~F.col("nid").isin(ids))
+            staged = f"{path}/.erase_tmp"
+            fs.delete(hpath(staged), True)
+            kept.write.mode("overwrite").parquet(staged)
+            fs.delete(hpath(staged + "/_SUCCESS"), False)
+            fs.delete(hpath(cdir), True)
+            if not fs.rename(hpath(staged), hpath(cdir)):
+                raise OSError(f"failed to swap erased lists into {cdir}")
+        try:
+            st = spark.read.parquet(f"{path}/stats").collect()[0]
+            _write_ivf_stats(spark, path, max(0, st["n"] - n_erased),
+                             float(st["mean_d2"]))
+        except Exception:  # noqa: BLE001 — pre-stats index (back-compat)
+            pass
+        return {"erased": n_erased, "clusters_rewritten": len(hits)}
+
+
 def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
                      k: int = TOP_K, n_probe: int = 4,
                      id_col: str = "vec_id",

@@ -427,6 +427,39 @@ def compact_dedup_index(spark, state_dir: str, min_dirs: int = 8,
     return out
 
 
+def erase_from_artifact(spark, state_dir: str, ids: list[int],
+                        id_col: str = "doc_id") -> dict:
+    """Retract rows from a flat append-only artifact (the
+    ``winnow_sink`` / ``minhash_sink`` / ``simhash_sink`` layout) —
+    per-doc rows with no cross-row aggregates, so a filter-rewrite is
+    exact: the artifact becomes bit-equivalent to one built without
+    those docs.  Staged swap like :func:`compact_artifact`; run
+    BETWEEN batches, single-writer; amortize by batching ids.
+    Historical per-batch emits are not retroactively edited (they
+    were correct when emitted — the retraction applies to the corpus
+    state, exactly like the dedup-index erase)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    root = _local_root(state_dir)
+    if last_appended_batch(state_dir) is None:
+        return {"rows_erased": 0, "reason": "no state"}
+    data = os.path.join(root, "data")
+    ids = [int(x) for x in ids]
+    df = spark.read.parquet(data)
+    rows_erased = df.filter(F.col(id_col).isin(ids)).count()
+    if rows_erased == 0:
+        return {"rows_erased": 0}
+    staged = os.path.join(root, ".erase_tmp")
+    shutil.rmtree(staged, ignore_errors=True)
+    df.filter(~F.col(id_col).isin(ids)).write.mode("overwrite") \
+        .parquet(staged)
+    shutil.rmtree(data)
+    os.replace(staged, data)
+    return {"rows_erased": rows_erased}
+
+
 def erase_from_dedup_index(spark, state_dir: str,
                            doc_ids: list[int]) -> dict:
     """Retract documents from the streamed :class:`DedupIndex` — the

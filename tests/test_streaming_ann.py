@@ -116,3 +116,48 @@ def test_compact_ivf_lists_preserves_content(spark, base_index):
 def test_remote_index_root_raises():
     with pytest.raises(ValueError, match="local index dir"):
         ivf_append_sink("hdfs://nn/ivf")
+
+
+def test_erase_from_ivf_index_matches_built_without(spark, tmp_path,
+                                                    base_index):
+    """Erase (round 9): after retracting ids, the lists are
+    bit-identical to a frozen-geometry build that never contained
+    them, only the holding clusters were rewritten, stats.n drops by
+    the erased count, and serving excludes the erased ids."""
+    from logsqlite_spark.operators.similarity import erase_from_ivf_index
+
+    emb, path = base_index
+    erased_ids = [r["vec_id"] for r in
+                  emb.filter(F.col("vec_id") % 4 != 0)
+                  .limit(5).collect()]
+    n_before = spark.read.parquet(f"{path}/stats").collect()[0]["n"]
+    res = erase_from_ivf_index(spark, path, erased_ids + [10**9])
+    assert res["erased"] == 5 and res["clusters_rewritten"] >= 1
+
+    centers = [[float(x) for x in r["center"]] for r in
+               spark.read.parquet(f"{path}/centroids")
+               .orderBy("cid").collect()]
+    scales = [float(x) for x in
+              spark.read.parquet(f"{path}/scales").collect()[0]["scales"]]
+    ref = str(tmp_path / "ref_erase")
+    build_ivf_index(
+        emb.filter(F.col("vec_id") % 4 != 0)
+        .filter(~F.col("vec_id").isin(erased_ids)),
+        ref, n_clusters=8, centers=centers, scales=scales)
+    assert _lists_rows(spark, path) == _lists_rows(spark, ref)
+    assert spark.read.parquet(f"{path}/stats").collect()[0]["n"] \
+        == n_before - 5
+
+    # serving never returns an erased id
+    qs = emb.filter(F.col("vec_id") < 8)
+    got = ivf_topk_indexed(spark, qs, path, k=50, n_probe=8)
+    assert got.filter(F.col("nid").isin(erased_ids)).count() == 0
+
+
+def test_erase_noop_for_absent_ids(spark, base_index):
+    from logsqlite_spark.operators.similarity import erase_from_ivf_index
+
+    emb, path = base_index
+    before = _lists_rows(spark, path)
+    assert erase_from_ivf_index(spark, path, [10**9])["erased"] == 0
+    assert _lists_rows(spark, path) == before

@@ -366,3 +366,31 @@ def test_erase_from_dedup_index(spark, tmp_path):
     idx2 = dedup_index_rows(spark, state)
     assert idx2.stats.collect()[0]["n_docs"] == 3
     assert idx2.digests.filter(F.col("doc_id") == 20).count() == 1
+
+
+def test_erase_from_flat_artifact(spark, tmp_path):
+    """Generic erase on the flat append-sink layout: the artifact
+    becomes bit-equivalent to one built without the erased docs."""
+    from logsqlite_spark.operators.textstats import winnow_fingerprints
+    from logsqlite_spark.streaming.incremental import (
+        artifact_rows,
+        erase_from_artifact,
+        winnow_sink,
+    )
+
+    state = str(tmp_path / "state")
+    sink = winnow_sink(state)
+    sink(spark.createDataFrame(B1, DOCS), 0)
+    sink(spark.createDataFrame(B2, DOCS), 1)
+
+    res = erase_from_artifact(spark, state, [2, 999])
+    assert res["rows_erased"] > 0
+    remaining = spark.createDataFrame(
+        [r for r in B1 + B2 if r[0] != 2], DOCS)
+    got = sorted(map(tuple, artifact_rows(spark, state).collect()))
+    want = sorted(map(tuple, winnow_fingerprints(remaining).collect()))
+    assert got == want
+
+    # the sink keeps appending afterwards
+    sink(spark.createDataFrame([(30, "a post-erase document")], DOCS), 2)
+    assert artifact_rows(spark, state).filter("doc_id = 30").count() >= 0
