@@ -806,6 +806,72 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          F.col("label").cast("long").alias("cluster_id"))
 
 
+def connected_components_incremental(new_pairs: DataFrame,
+                                     history_components: DataFrame,
+                                     a_col: str = "a_id",
+                                     b_col: str = "b_id",
+                                     max_iter: int = 30) -> DataFrame:
+    """Update a components table with a batch of NEW edges without
+    re-running propagation over the whole graph — the incremental twin
+    of :func:`connected_components`, completing the dup-graph story
+    (pair generation already has incremental forms; cluster formation
+    was the last full-recompute step).
+
+    Contract: ``cc_inc(new_edges, cc(old_edges)) ≡ cc(old ∪ new)``
+    (pytest-pinned on explicit edge sets; the oracled registry query
+    uses minhash pairs, whose generation decomposes exactly —
+    ``pairs(union) = pairs(history) ∪ pairs_touching_batch`` since
+    bucket membership is per-doc with no df coupling).
+
+    Exactness argument: each history label IS the min doc id of its
+    component, and a new node's provisional label is its own id, so
+    running min-label CC on the LABEL graph (one edge per new pair,
+    endpoints mapped to current labels) yields, per merged group, the
+    min doc id over every member of the union component.  Only
+    touched components relabel; untouched rows pass through.  Per-
+    batch cost is O(new edges + touched component rows) — propagation
+    runs on the label graph, whose size is bounded by the batch's
+    edge endpoints, never the corpus.
+    """
+    hist = history_components.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
+    pairs = new_pairs.select(F.col(a_col).cast("long").alias("a"),
+                             F.col(b_col).cast("long").alias("b"))
+    la = hist.select(F.col("doc_id").alias("a"),
+                     F.col("cluster_id").alias("la"))
+    lb = hist.select(F.col("doc_id").alias("b"),
+                     F.col("cluster_id").alias("lb"))
+    label_edges = (
+        pairs.join(la, "a", "left").join(lb, "b", "left")
+        .select(F.coalesce("la", "a").alias("la"),
+                F.coalesce("lb", "b").alias("lb"))
+        .distinct()
+    )
+    merged = connected_components(label_edges, "la", "lb", max_iter)
+    m = merged.select(F.col("doc_id").alias("__old"),
+                      F.col("cluster_id").alias("__new"))
+    # the mapping is bounded by the batch's distinct endpoints; it is
+    # already materialized (the CC loop checkpoints its labels), so
+    # the size gate is a cheap action — the ivf winner-broadcast rule
+    if m.count() <= 5_000_000:
+        m = F.broadcast(m)
+    hist_re = (hist.join(m, hist["cluster_id"] == m["__old"], "left")
+               .select("doc_id",
+                       F.coalesce("__new", "cluster_id")
+                       .alias("cluster_id")))
+    new_nodes = (
+        pairs.select(F.col("a").alias("node"))
+        .unionByName(pairs.select(F.col("b").alias("node")))
+        .distinct()
+        .join(hist, F.col("node") == hist["doc_id"], "left_anti")
+    )
+    new_rows = (new_nodes.join(m, new_nodes["node"] == m["__old"])
+                .select(F.col("node").cast("long").alias("doc_id"),
+                        F.col("__new").cast("long").alias("cluster_id")))
+    return hist_re.unionByName(new_rows)
+
+
 def incremental_dedup(new_docs: DataFrame, history: DataFrame,
                       threshold: float = 0.6, n: int = 5,
                       max_df_frac: float = 0.5,
@@ -1245,6 +1311,20 @@ def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   threshold=0.6, max_df_frac=0.5)
     return connected_components(pairs)
 
+def _q_dedup_components_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cluster maintenance over minhash pairs (the pair
+    family whose generation decomposes exactly): history components
+    come from history-only pairs; the batch contributes its
+    batch-touching pairs via the persisted bands artifact."""
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    new_pairs = minhash_band_pairs_incremental(
+        batch, minhash_bands_artifact(hist))
+    return connected_components_incremental(
+        new_pairs, connected_components(minhash_band_pairs(hist)))
+
+
 def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
                                   threshold=0.6, max_df_frac=0.5)
@@ -1390,6 +1470,7 @@ QUERIES = {
     "dedup_incremental": _q_incremental,
     "dedup_incremental_idx": _q_incremental_idx,
     "dedup_components": _q_dedup_components,
+    "dedup_components_inc": _q_dedup_components_inc,
     "dedup_pair_degrees": _q_pair_degrees,
     "dedup_cluster_stats": _q_dedup_cluster_stats,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
@@ -1467,6 +1548,20 @@ ORACLES = {
         "WITH RECURSIVE pairs AS ("
         + _jaccard_sql(max_df_frac=0.5, threshold=0.6,
                        tok_expr=_DUCK_SHINGLES.format(c="text"))
+        + "), "
+        "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
+        "  UNION SELECT b_id, a_id FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+        "reach AS (SELECT n, n AS m FROM nodes "
+        "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m) "
+        "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY n"
+    ),
+    # incremental CC ≡ full CC over the union pair set; minhash pair
+    # generation decomposes exactly (per-doc buckets, no df coupling)
+    "dedup_components_inc": (
+        "WITH RECURSIVE pairs AS ("
+        + _minhash_pairs_sql()
         + "), "
         "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
         "  UNION SELECT b_id, a_id FROM pairs), "

@@ -519,3 +519,71 @@ def test_dedup_index_artifact_built_once(spark):
             sorted(map(tuple, getattr(inline, fld).collect()))
     assert a.stats.collect() == inline.stats.collect() \
         == b.stats.collect()
+
+
+def test_cc_incremental_merges_existing_components(spark):
+    """A batch edge bridging two existing components merges them to
+    the global min label; untouched components pass through; purely
+    new nodes form their own components."""
+    from logsqlite_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6), (8, 9)], "a_id long, b_id long")
+    hist = connected_components(old_pairs)
+    # 10-2 and 10-5 bridges {1,2} and {5,6} through new node 10;
+    # (20,21) is a brand-new component; {8,9} untouched
+    new_pairs = spark.createDataFrame(
+        [(2, 10), (5, 10), (20, 21)], "a_id long, b_id long")
+    got = {r["doc_id"]: r["cluster_id"] for r in
+           connected_components_incremental(new_pairs, hist).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 10: 1,
+                   8: 8, 9: 8, 20: 20, 21: 20}
+    # ≡ full recompute over the union
+    full = {r["doc_id"]: r["cluster_id"] for r in connected_components(
+        old_pairs.unionByName(new_pairs)).collect()}
+    assert got == full
+
+
+def test_cc_incremental_equals_full_on_minhash_pairs(spark):
+    """On real data with minhash pairs (whose generation decomposes
+    exactly across the batch split), the incremental update equals
+    the full recompute over the union pair set."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_band_pairs,
+        minhash_band_pairs_incremental,
+        minhash_bands,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    new_pairs = minhash_band_pairs_incremental(batch, minhash_bands(hist))
+    got = sorted(map(tuple, connected_components_incremental(
+        new_pairs, connected_components(minhash_band_pairs(hist)))
+        .collect()))
+    want = sorted(map(tuple,
+                      connected_components(minhash_band_pairs(docs))
+                      .collect()))
+    assert got == want and len(want) > 0
+
+
+def test_cc_incremental_empty_batch_is_identity(spark):
+    from logsqlite_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+    )
+
+    old_pairs = spark.createDataFrame([(1, 2)], "a_id long, b_id long")
+    hist = connected_components(old_pairs)
+    empty = spark.createDataFrame([], "a_id long, b_id long")
+    got = sorted(map(tuple, connected_components_incremental(
+        empty, hist).collect()))
+    assert got == sorted(map(tuple, hist.collect()))
