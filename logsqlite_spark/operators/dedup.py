@@ -836,6 +836,34 @@ def connected_components_incremental(new_pairs: DataFrame,
     hist = history_components.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"))
+    m, new_rows = cc_merge_delta(new_pairs, hist, a_col, b_col, max_iter)
+    # the mapping is bounded by the batch's distinct endpoints; it is
+    # already materialized (the CC loop checkpoints its labels), so
+    # the size gate is a cheap action — the ivf winner-broadcast rule
+    if m.count() <= 5_000_000:
+        m = F.broadcast(m)
+    hist_re = (hist.join(m, hist["cluster_id"] == m["__old"], "left")
+               .select("doc_id",
+                       F.coalesce("__new", "cluster_id")
+                       .alias("cluster_id")))
+    return hist_re.unionByName(new_rows)
+
+
+def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
+                   a_col: str = "a_id", b_col: str = "b_id",
+                   max_iter: int = 30) -> tuple[DataFrame, DataFrame]:
+    """The DELTA a batch of new edges applies to a components table:
+    ``(mapping, new_rows)`` where ``mapping`` is ``(__old, __new)``
+    label rewrites over the touched labels and ``new_rows`` is the
+    ``(doc_id, cluster_id)`` assignment for nodes the history has
+    never seen.  This is the streaming currency — the components sink
+    appends ``new_rows`` and the non-identity part of ``mapping``
+    instead of rewriting the corpus-sized labels table
+    (:mod:`logsqlite_spark.streaming.incremental`).
+    """
+    hist = history_components.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
     pairs = new_pairs.select(F.col(a_col).cast("long").alias("a"),
                              F.col(b_col).cast("long").alias("b"))
     la = hist.select(F.col("doc_id").alias("a"),
@@ -851,15 +879,6 @@ def connected_components_incremental(new_pairs: DataFrame,
     merged = connected_components(label_edges, "la", "lb", max_iter)
     m = merged.select(F.col("doc_id").alias("__old"),
                       F.col("cluster_id").alias("__new"))
-    # the mapping is bounded by the batch's distinct endpoints; it is
-    # already materialized (the CC loop checkpoints its labels), so
-    # the size gate is a cheap action — the ivf winner-broadcast rule
-    if m.count() <= 5_000_000:
-        m = F.broadcast(m)
-    hist_re = (hist.join(m, hist["cluster_id"] == m["__old"], "left")
-               .select("doc_id",
-                       F.coalesce("__new", "cluster_id")
-                       .alias("cluster_id")))
     new_nodes = (
         pairs.select(F.col("a").alias("node"))
         .unionByName(pairs.select(F.col("b").alias("node")))
@@ -869,7 +888,7 @@ def connected_components_incremental(new_pairs: DataFrame,
     new_rows = (new_nodes.join(m, new_nodes["node"] == m["__old"])
                 .select(F.col("node").cast("long").alias("doc_id"),
                         F.col("__new").cast("long").alias("cluster_id")))
-    return hist_re.unionByName(new_rows)
+    return m, new_rows
 
 
 def incremental_dedup(new_docs: DataFrame, history: DataFrame,

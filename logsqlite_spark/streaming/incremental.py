@@ -427,6 +427,148 @@ def compact_dedup_index(spark, state_dir: str, min_dirs: int = 8,
     return out
 
 
+_CSTATE = "_COMPONENTS_STATE.json"
+
+
+def _read_cstate(state_dir: str) -> dict | None:
+    try:
+        with open(os.path.join(_local_root(state_dir), _CSTATE)) as fh:
+            return json.load(fh)
+    except FileNotFoundError:
+        return None
+
+
+def _flatten_relabels(rows) -> dict[int, int]:
+    """Transitively resolve a relabel-delta chain: each batch's merge
+    maps labels to strictly smaller ones, and a later batch may map an
+    earlier batch's target further down — follow to the fixpoint."""
+    raw = {int(r["old"]): int(r["new"]) for r in rows}
+    flat: dict[int, int] = {}
+
+    def resolve(x: int) -> int:
+        seen = []
+        while x in raw and x not in flat:
+            seen.append(x)
+            x = raw[x]
+        final = flat.get(x, x)
+        for s in seen:
+            flat[s] = final
+        return final
+
+    for o in list(raw):
+        resolve(o)
+    return flat
+
+
+def components_rows(spark, state_dir: str) -> DataFrame | None:
+    """The streamed components table, resolved: the append-only
+    ``assign`` base joined through the flattened relabel chain.  The
+    chain is collected driver-side — it is the CUMULATIVE MERGE
+    HISTORY (one row per component-merge ever), orders of magnitude
+    smaller than the labels table, and :func:`compact_components`
+    squashes it to zero."""
+    from pyspark.sql import functions as F
+
+    st = _read_cstate(state_dir)
+    if st is None:
+        return None
+    assign = (spark.read.option("recursiveFileLookup", "true")
+              .parquet(os.path.join(state_dir, "assign")))
+    rel_dir = os.path.join(_local_root(state_dir), "relabel")
+    if os.path.isdir(rel_dir) and any(
+            e.is_dir() for e in os.scandir(rel_dir)):
+        rows = (spark.read.option("recursiveFileLookup", "true")
+                .parquet(os.path.join(state_dir, "relabel")).collect())
+    else:
+        rows = []
+    flat = _flatten_relabels(rows)
+    if not flat:
+        return assign.select("doc_id", "cluster_id")
+    bmap = spark.createDataFrame(
+        [(o, n) for o, n in flat.items()], "old long, new long")
+    return (assign.join(F.broadcast(bmap),
+                        assign["cluster_id"] == bmap["old"], "left")
+            .select("doc_id",
+                    F.coalesce("new", "cluster_id").alias("cluster_id")))
+
+
+def components_sink(state_dir: str) -> Callable[[DataFrame, int], None]:
+    """Streaming connected components over an EDGE stream — feed it
+    any dedup sink's per-batch candidate-pair emits (``a_id, b_id``
+    rows) and it maintains the corpus components table incrementally.
+
+    The corpus-sized labels table is never rewritten: per batch,
+    ``cc_merge_delta`` reduces the new edges to (a) assignment rows
+    for never-seen nodes, appended to the ``assign`` base, and (b) a
+    tiny label-merge mapping, appended to the ``relabel`` chain.
+    Readers flatten the chain (driver-side dict over the cumulative
+    merge history) and apply it in one broadcast join —
+    :func:`components_rows`.  Per-batch-keyed subdirs make replays
+    rewrite instead of duplicate, like ``dedup_index_sink``.
+    """
+    from logsqlite_spark.operators.dedup import cc_merge_delta
+
+    _local_root(state_dir)  # fail fast on a non-local root
+
+    def on_batch(pairs_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = pairs_df.sparkSession
+        st = _read_cstate(state_dir)
+        if st is not None and batch_id <= st["batch_id"]:
+            return  # crash-replayed micro-batch: already applied
+        current = components_rows(spark, state_dir)
+        if current is None:
+            current = spark.createDataFrame(
+                [], "doc_id long, cluster_id long")
+        m, new_rows = cc_merge_delta(pairs_df, current)
+        new_rows.write.mode("overwrite").parquet(
+            os.path.join(state_dir, "assign", f"b{batch_id}"))
+        (m.filter(F.col("__old") != F.col("__new"))
+         .select(F.col("__old").alias("old"), F.col("__new").alias("new"))
+         .write.mode("overwrite").parquet(
+             os.path.join(state_dir, "relabel", f"b{batch_id}")))
+        _write_cstate(state_dir, {"batch_id": batch_id})
+
+    return on_batch
+
+
+def _write_cstate(state_dir: str, st: dict) -> None:
+    root = _local_root(state_dir)
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, _CSTATE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(st, fh)
+    os.replace(tmp, os.path.join(root, _CSTATE))
+
+
+def compact_components(spark, state_dir: str) -> dict:
+    """Squash the relabel chain into the assign base: rewrite assign
+    resolved (one consolidated ``b{pointer}`` subdir), clear the
+    relabel dirs.  ``components_rows`` is unchanged by construction;
+    run BETWEEN batches, single-writer."""
+    import glob
+    import shutil
+
+    root = _local_root(state_dir)
+    st = _read_cstate(state_dir)
+    if st is None:
+        return {"compacted": False, "reason": "no state"}
+    resolved = components_rows(spark, state_dir)
+    staged = os.path.join(root, ".compact_assign")
+    shutil.rmtree(staged, ignore_errors=True)
+    resolved.write.mode("overwrite").parquet(
+        os.path.join(staged, f"b{st['batch_id']}"))
+    adir = os.path.join(root, "assign")
+    shutil.rmtree(adir)
+    os.replace(staged, adir)
+    dropped = 0
+    for d in glob.glob(os.path.join(root, "relabel", "b*")):
+        shutil.rmtree(d, ignore_errors=True)
+        dropped += 1
+    return {"compacted": True, "relabel_dirs_dropped": dropped}
+
+
 def erase_from_artifact(spark, state_dir: str, ids: list[int],
                         id_col: str = "doc_id") -> dict:
     """Retract rows from a flat append-only artifact (the

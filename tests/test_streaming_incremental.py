@@ -394,3 +394,87 @@ def test_erase_from_flat_artifact(spark, tmp_path):
     # the sink keeps appending afterwards
     sink(spark.createDataFrame([(30, "a post-erase document")], DOCS), 2)
     assert artifact_rows(spark, state).filter("doc_id = 30").count() >= 0
+
+
+def test_components_sink_streams_edge_batches(spark, tmp_path):
+    """Streaming CC over an edge stream: the resolved table equals the
+    batch recompute over every edge ingested, cross-batch merges
+    resolve through the relabel chain, replay is idempotent, and
+    compaction squashes the chain without changing the view."""
+    from logsqlite_spark.operators.dedup import connected_components
+    from logsqlite_spark.streaming.incremental import (
+        compact_components,
+        components_rows,
+        components_sink,
+    )
+
+    EDGES = "a_id long, b_id long"
+    b1 = [(1, 2), (5, 6), (8, 9)]
+    b2 = [(2, 10), (5, 10), (20, 21)]   # bridges {1,2} and {5,6}
+    b3 = [(9, 21)]                      # merges {8,9} into {20,21}
+    state = str(tmp_path / "state")
+    sink = components_sink(state)
+    for i, rows in enumerate((b1, b2, b3)):
+        sink(spark.createDataFrame(rows, EDGES), i)
+
+    union = spark.createDataFrame(b1 + b2 + b3, EDGES)
+    got = sorted(map(tuple, components_rows(spark, state).collect()))
+    want = sorted(map(tuple, connected_components(union).collect()))
+    assert got == want and len(want) > 0
+
+    # replay of batch 2: nothing changes
+    sink(spark.createDataFrame(b3, EDGES), 2)
+    assert sorted(map(tuple,
+                      components_rows(spark, state).collect())) == want
+
+    # compaction squashes the chain, view identical, sink keeps going
+    res = compact_components(spark, state)
+    assert res["compacted"] and res["relabel_dirs_dropped"] >= 1
+    assert sorted(map(tuple,
+                      components_rows(spark, state).collect())) == want
+    sink(spark.createDataFrame([(21, 1)], EDGES), 3)  # merge everything
+    after = {r["doc_id"]: r["cluster_id"]
+             for r in components_rows(spark, state).collect()}
+    assert set(after.values()) == {1}
+
+
+def test_components_sink_composes_with_minhash_emits(spark, tmp_path):
+    """Composition: minhash_sink's per-batch pair emits feed the
+    components sink; the final view equals full CC over the full-
+    corpus minhash pairs (the pair family decomposes exactly, and
+    sequential batch-touching emits cover every union pair once)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        connected_components,
+        minhash_band_pairs,
+    )
+    from logsqlite_spark.streaming.incremental import (
+        components_rows,
+        components_sink,
+        minhash_sink,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .select("doc_id", "text")
+    batches = [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    mh_state = str(tmp_path / "mh")
+    emits = str(tmp_path / "emits")
+    cc_state = str(tmp_path / "cc")
+    mh = minhash_sink(mh_state, emit_dir=emits)
+    cc = components_sink(cc_state)
+    seen: set = set()
+    for i, b in enumerate(batches):
+        mh(b, i)
+        allp = {(r["a_id"], r["b_id"])
+                for r in spark.read.parquet(emits).collect()}
+        fresh = sorted(allp - seen)
+        seen = allp
+        cc(spark.createDataFrame(fresh, "a_id long, b_id long"), i)
+
+    got = sorted(map(tuple, components_rows(spark, cc_state).collect()))
+    want = sorted(map(tuple,
+                      connected_components(minhash_band_pairs(docs))
+                      .collect()))
+    assert got == want and len(want) > 0
