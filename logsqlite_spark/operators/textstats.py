@@ -836,6 +836,59 @@ def bpe_pair_stats(docs: DataFrame, min_count: int = 2,
     )
 
 
+def bigram_logprob(docs: DataFrame, k_smooth: float = 1.0,
+                   text_col: str = "text") -> DataFrame:
+    """Per-document average bigram log-likelihood under an add-k
+    smoothed bigram LM fit on the corpus itself — the CCNet-style
+    perplexity-filter signal (low average log-prob ⇒ unnatural text),
+    one step up from ``token_commonness``'s unigram stand-in.
+
+    ``P(y|x) = (B(x,y) + k) / (U(x) + k·V)`` with ``B`` the adjacent-
+    pair counts (exactly :func:`bpe_pair_stats`'s table at
+    min_count=1), ``U(x)`` the count of positions where ``x`` has a
+    successor, and ``V`` the vocabulary size.  Scoring joins each
+    doc's position pairs against the bigram table on (first, second)
+    — one shuffle join plus the count aggregations, all map-side
+    combinable; every observed doc pair is in ``B`` by construction
+    so the join is inner with no smoothing fallback row needed.
+    Docs with <2 tokens score NULL (no bigram evidence), kept with
+    ``n_pairs = 0`` so the filter can route them explicitly.
+
+    Output doubles are rounded to 4 decimals (the repo's oracle rule
+    for genuinely-floating results).
+    """
+    pairs = F.explode(F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+    )).alias("p")
+    base = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.expr(_tok(text_col)).alias("__t"))
+    doc_pairs = (base.filter(F.size("__t") >= 2).select("doc_id", pairs)
+                 .select("doc_id", "p.first", "p.second"))
+    bg = doc_pairs.groupBy("first", "second").agg(
+        F.count(F.lit(1)).alias("b"))
+    un = doc_pairs.groupBy("first").agg(F.count(F.lit(1)).alias("u"))
+    vocab = (base.select(F.explode("__t").alias("tok")).distinct()
+             .agg(F.count(F.lit(1)).alias("v")))
+    scored = (
+        doc_pairs.join(bg, ["first", "second"])
+        .join(un, "first")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id",
+                F.log((F.col("b") + F.lit(float(k_smooth)))
+                      / (F.col("u") + F.lit(float(k_smooth)) * F.col("v")))
+                .alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.round(F.avg("lp"), 4).alias("avg_lp"))
+    )
+    return (base.select("doc_id").distinct()
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    "avg_lp"))
+
+
 def token_commonness(docs: DataFrame) -> DataFrame:
     """Mean corpus document-frequency of each document's tokens — the
     unigram-LM-score stand-in that stays engine-exact (a true log-prob
@@ -1012,6 +1065,10 @@ def _q_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_pair_stats(table(spark, sf_dir, "documents"))
 
 
+def _q_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bigram_logprob(table(spark, sf_dir, "documents"))
+
+
 def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(table(spark, sf_dir, "documents"))
 
@@ -1077,6 +1134,7 @@ QUERIES = {
     "quality_percentile": _q_quality_pctile,
     "token_commonness": _q_token_commonness,
     "bpe_pair_stats": _q_bpe_pairs,
+    "bigram_logprob": _q_bigram_lp,
     "quality_gate": _q_quality_gate,
     "quality_gate_stats": _q_quality_gate_stats,
 }
@@ -1236,6 +1294,28 @@ ORACLES = {
         "unnest(generate_series(1, len(toks) - 1)) AS g(i) "
         "WHERE len(toks) >= 2 "
         "GROUP BY 1, 2 HAVING count(*) >= 2"
+    ),
+    # avg_lp rounded to 4 on both sides; ln/avg are IEEE doubles in
+    # both engines, and the 1e-4 quantization absorbs summation-order
+    # ULP drift
+    "bigram_logprob": (
+        f"WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "dp AS (SELECT doc_id, toks[i] AS first, toks[i + 1] AS second "
+        "  FROM base, unnest(generate_series(1, len(toks) - 1)) AS g(i) "
+        "  WHERE len(toks) >= 2), "
+        "bg AS (SELECT first, second, count(*) AS b FROM dp "
+        "  GROUP BY 1, 2), "
+        "un AS (SELECT first, count(*) AS u FROM dp GROUP BY 1), "
+        "vocab AS (SELECT count(DISTINCT tok) AS v FROM base, "
+        "  unnest(toks) AS t(tok)), "
+        "scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "  round(avg(ln((b + 1.0) / (u + 1.0 * v))), 4) AS avg_lp "
+        "  FROM dp JOIN bg USING (first, second) JOIN un USING (first), "
+        "  vocab GROUP BY doc_id) "
+        "SELECT base.doc_id, "
+        "CAST(coalesce(scored.n_pairs, 0) AS BIGINT) AS n_pairs, "
+        "scored.avg_lp FROM (SELECT DISTINCT doc_id FROM base) base "
+        "LEFT JOIN scored ON base.doc_id = scored.doc_id"
     ),
     "lang_id": _langid_oracle(),
     "repeated_ngrams": _repeated_ngrams_oracle(),

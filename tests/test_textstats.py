@@ -341,3 +341,22 @@ def test_bpe_pair_stats_position_weighted(spark):
     got2 = {(r["first"], r["second"]): r["n"]
             for r in bpe_pair_stats(docs, min_count=2).collect()}
     assert got2 == {("a", "b"): 3}
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Add-1 smoothed bigram LM on a hand-checkable corpus; sub-2-token
+    docs keep a row with n_pairs=0 and NULL score."""
+    import math
+
+    from logsqlite_spark.operators.textstats import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b"), (3, "x")], "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_pairs"], r["avg_lp"])
+           for r in bigram_logprob(docs).collect()}
+    # V=3 ({a,b,x}); U(a)=3; B(a,a)=1, B(a,b)=2
+    lp_aa = math.log((1 + 1) / (3 + 3))
+    lp_ab = math.log((2 + 1) / (3 + 3))
+    assert got[1] == (2, round((lp_aa + lp_ab) / 2, 4))
+    assert got[2] == (1, round(lp_ab, 4))
+    assert got[3] == (0, None)
