@@ -1225,6 +1225,38 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
     ).select("doc_id", "text")
 
 
+def dedup_decisions(docs: DataFrame, threshold: float = 0.6,
+                    max_df_frac: float = 0.5) -> DataFrame:
+    """The user-facing end of the dedup pipeline: one row per
+    document with the keep/drop verdict and WHY — ``representative``
+    (its component's min doc id, kept), ``near_dup`` (dropped in
+    favor of its representative), or ``unique`` (in no near-dup pair
+    at all).  Composes the certified pieces (shingle-Jaccard pairs →
+    connected components) and adds only a left join back to the docs
+    scan, so the plan cost is the components query plus one
+    broadcast-ready join.  "Drop every flagged doc" is
+    ``filter(~keep)``; audit sampling per cluster is a groupBy away.
+    """
+    pairs = shingle_jaccard_pairs(docs, threshold=threshold,
+                                  max_df_frac=max_df_frac)
+    comp = connected_components(pairs)
+    return (
+        docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("doc_id", "__cd"),
+              F.col("doc_id") == F.col("__cd"), "left")
+        .select(
+            "doc_id",
+            F.col("cluster_id").cast("long").alias("cluster_id"),
+            F.coalesce(F.col("cluster_id") == F.col("doc_id"),
+                       F.lit(True)).alias("keep"),
+            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+            .when(F.col("cluster_id") == F.col("doc_id"),
+                  F.lit("representative"))
+            .otherwise(F.lit("near_dup")).alias("reason"),
+        )
+    )
+
+
 def pair_degree_histogram(pairs: DataFrame, a_col: str = "a_id",
                           b_col: str = "b_id") -> DataFrame:
     """Degree distribution of the near-dup pair graph — the triage
@@ -1342,6 +1374,10 @@ def _q_dedup_components_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, minhash_bands_artifact(hist))
     return connected_components_incremental(
         new_pairs, connected_components(minhash_band_pairs(hist)))
+
+
+def _q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_decisions(table(spark, sf_dir, "documents"))
 
 
 def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1492,6 +1528,7 @@ QUERIES = {
     "dedup_components_inc": _q_dedup_components_inc,
     "dedup_pair_degrees": _q_pair_degrees,
     "dedup_cluster_stats": _q_dedup_cluster_stats,
+    "dedup_decisions": _q_dedup_decisions,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -1589,6 +1626,25 @@ ORACLES = {
         "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m) "
         "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
         "FROM reach GROUP BY n"
+    ),
+    "dedup_decisions": (
+        "WITH RECURSIVE pairs AS ("
+        + _jaccard_sql(max_df_frac=0.5, threshold=0.6,
+                       tok_expr=_DUCK_SHINGLES.format(c="text"))
+        + "), "
+        "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
+        "  UNION SELECT b_id, a_id FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+        "reach AS (SELECT n, n AS m FROM nodes "
+        "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m), "
+        "comp AS (SELECT n AS doc_id, min(m) AS cluster_id "
+        "FROM reach GROUP BY n) "
+        "SELECT d.doc_id, CAST(comp.cluster_id AS BIGINT) AS cluster_id, "
+        "coalesce(comp.cluster_id = d.doc_id, TRUE) AS keep, "
+        "CASE WHEN comp.doc_id IS NULL THEN 'unique' "
+        "  WHEN comp.cluster_id = d.doc_id THEN 'representative' "
+        "  ELSE 'near_dup' END AS reason "
+        "FROM documents d LEFT JOIN comp ON comp.doc_id = d.doc_id"
     ),
     "dedup_cluster_stats": (
         "WITH RECURSIVE pairs AS ("

@@ -587,3 +587,23 @@ def test_cc_incremental_empty_batch_is_identity(spark):
     got = sorted(map(tuple, connected_components_incremental(
         empty, hist).collect()))
     assert got == sorted(map(tuple, hist.collect()))
+
+
+def test_dedup_decisions_planted(spark):
+    """One row per doc with verdict + reason: min-id representative
+    kept, other members dropped as near_dup, untouched docs unique."""
+    from logsqlite_spark.operators.dedup import dedup_decisions
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely unrelated text"),
+         (3, "yet another corpus member with its own content"),
+         (4, "and one more document padding the df denominator")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+           for r in dedup_decisions(docs).collect()}
+    assert got[0] == (0, True, "representative")
+    assert got[1] == (0, False, "near_dup")
+    assert got[2] == (None, True, "unique")
+    assert got[3] == (None, True, "unique")
