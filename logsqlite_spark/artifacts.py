@@ -36,6 +36,28 @@ def artifact_path(key_parts: Sequence[str]) -> str:
     return os.path.join(_SIM._ivf_index_root(), key)
 
 
+_ISIN_MAX = 1000
+
+
+def filter_ids(df, col: str, ids: Sequence[int], keep: bool):
+    """Filter ``df`` by membership of ``col`` in ``ids`` — as an
+    ``isin`` predicate for small lists (stays in codegen, pushes to
+    the scan) and as a broadcast (semi/anti) join for large ones (a
+    100k-id takedown batch as an ``isin`` literal would build a
+    pathological expression tree).  ``keep=True`` keeps members,
+    ``False`` drops them."""
+    from pyspark.sql import functions as F
+
+    vals = [int(x) for x in ids]
+    if len(vals) <= _ISIN_MAX:
+        pred = F.col(col).isin(vals)
+        return df.filter(pred if keep else ~pred)
+    spark = df.sparkSession
+    ids_df = spark.createDataFrame([(v,) for v in vals], f"{col} long")
+    how = "leftsemi" if keep else "left_anti"
+    return df.join(F.broadcast(ids_df), col, how)
+
+
 def build_or_serve(spark: SparkSession, key_parts: Sequence[str],
                    write: Callable[[str], None]) -> tuple[str, bool]:
     """Serve the artifact dir for ``key_parts``, building it with

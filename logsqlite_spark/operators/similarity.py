@@ -1101,13 +1101,15 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
+    from logsqlite_spark.artifacts import filter_ids
+
     ids = [int(x) for x in vec_ids]
     with _IVF_BUILD_LOCK:
         if not _index_marker_exists(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
         lists = spark.read.option("basePath", f"{path}/lists") \
             .parquet(f"{path}/lists")
-        hits = (lists.filter(F.col("nid").isin(ids))
+        hits = (filter_ids(lists, "nid", ids, keep=True)
                 .groupBy("__cluster").agg(F.count(F.lit(1)).alias("c"))
                 .collect())
         n_erased = sum(r["c"] for r in hits)
@@ -1117,8 +1119,8 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
             spark._jsc.hadoopConfiguration())
         for r in hits:
             cdir = f"{path}/lists/__cluster={r['__cluster']}"
-            kept = spark.read.parquet(cdir).filter(
-                ~F.col("nid").isin(ids))
+            kept = filter_ids(spark.read.parquet(cdir), "nid", ids,
+                              keep=False)
             staged = f"{path}/.erase_tmp"
             fs.delete(hpath(staged), True)
             kept.write.mode("overwrite").parquet(staged)

@@ -588,14 +588,15 @@ def erase_from_artifact(spark, state_dir: str, ids: list[int],
     if last_appended_batch(state_dir) is None:
         return {"rows_erased": 0, "reason": "no state"}
     data = os.path.join(root, "data")
-    ids = [int(x) for x in ids]
+    from logsqlite_spark.artifacts import filter_ids
+
     df = spark.read.parquet(data)
-    rows_erased = df.filter(F.col(id_col).isin(ids)).count()
+    rows_erased = filter_ids(df, id_col, ids, keep=True).count()
     if rows_erased == 0:
         return {"rows_erased": 0}
     staged = os.path.join(root, ".erase_tmp")
     shutil.rmtree(staged, ignore_errors=True)
-    df.filter(~F.col(id_col).isin(ids)).write.mode("overwrite") \
+    filter_ids(df, id_col, ids, keep=False).write.mode("overwrite") \
         .parquet(staged)
     shutil.rmtree(data)
     os.replace(staged, data)
@@ -633,14 +634,16 @@ def erase_from_dedup_index(spark, state_dir: str,
     st = _read_dstate(state_dir)
     if st is None:
         return {"erased": 0, "reason": "no state"}
+    from logsqlite_spark.artifacts import filter_ids
+
     ids = [int(x) for x in doc_ids]
     idx = dedup_index_rows(spark, state_dir)
-    n_erased = idx.digests.filter(F.col("doc_id").isin(ids)).count()
+    n_erased = filter_ids(idx.digests, "doc_id", ids, keep=True).count()
     if n_erased == 0:
         return {"erased": 0}
 
     # exact df retraction from the erased docs' own postings
-    erased_partial = (idx.forward.filter(F.col("doc_id").isin(ids))
+    erased_partial = (filter_ids(idx.forward, "doc_id", ids, keep=True)
                       .groupBy("tok").agg(F.count(F.lit(1)).alias("e")))
     new_dfreq = (idx.dfreq.join(erased_partial, "tok", "left")
                  .select("tok", (F.col("df") - F.coalesce(F.col("e"),
@@ -656,8 +659,9 @@ def erase_from_dedup_index(spark, state_dir: str,
     # rewrite the per-doc tables without the erased docs (staged swap)
     for name in ("digests", "inverted", "forward", "sizes"):
         tdir = os.path.join(root, name)
-        df = (spark.read.option("recursiveFileLookup", "true")
-              .parquet(tdir).filter(~F.col("doc_id").isin(ids)))
+        df = filter_ids(
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(tdir), "doc_id", ids, keep=False)
         staged = os.path.join(root, f".erase_{name}")
         shutil.rmtree(staged, ignore_errors=True)
         df.write.mode("overwrite").parquet(

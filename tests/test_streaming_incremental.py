@@ -478,3 +478,22 @@ def test_components_sink_composes_with_minhash_emits(spark, tmp_path):
                       connected_components(minhash_band_pairs(docs))
                       .collect()))
     assert got == want and len(want) > 0
+
+
+def test_filter_ids_large_list_uses_join_and_matches_isin(spark):
+    """Above the isin threshold the membership filter switches to a
+    broadcast join — same result either way."""
+    from logsqlite_spark.artifacts import _ISIN_MAX, filter_ids
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    big = list(range(0, 3000, 2))          # > _ISIN_MAX entries
+    assert len(big) > _ISIN_MAX
+    small = [1, 2, 3]
+    for ids in (small, big):
+        keep = sorted(r["doc_id"] for r in
+                      filter_ids(df, "doc_id", ids, keep=True).collect())
+        drop = sorted(r["doc_id"] for r in
+                      filter_ids(df, "doc_id", ids, keep=False).collect())
+        want_keep = sorted(set(ids) & set(range(5000)))
+        assert keep == want_keep
+        assert drop == sorted(set(range(5000)) - set(ids))
