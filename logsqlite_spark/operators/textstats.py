@@ -889,6 +889,123 @@ def bigram_logprob(docs: DataFrame, k_smooth: float = 1.0,
                     "avg_lp"))
 
 
+_BIGRAM_ARTIFACT_BUILDS = 0
+
+
+def bigram_lm_artifact(docs: DataFrame, text_col: str = "text"):
+    """The corpus LM state for incremental scoring, persisted
+    build-once: ``(bigrams(first, second, b), unigrams(first, u),
+    vocab(tok))``.  All three merge by associative sum / set union
+    over disjoint doc sets — the partials idiom, so ingest appends a
+    batch's own counts instead of re-reading the corpus.  Inline
+    (lazy) fallback for literal/streaming frames."""
+    from logsqlite_spark.artifacts import build_or_serve
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _BIGRAM_ARTIFACT_BUILDS
+    spark = docs.sparkSession
+    pairs = F.explode(F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+    )).alias("p")
+    base = docs.select(F.expr(_tok(text_col)).alias("__t"))
+    dp = (base.filter(F.size("__t") >= 2).select(pairs)
+          .select("p.first", "p.second"))
+    bigrams = dp.groupBy("first", "second").agg(
+        F.count(F.lit(1)).alias("b"))
+    unigrams = dp.groupBy("first").agg(F.count(F.lit(1)).alias("u"))
+    vocab = base.select(F.explode("__t").alias("tok")).distinct()
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    if not files:
+        return bigrams, unigrams, vocab
+
+    def _write(p: str) -> None:
+        bigrams.write.mode("overwrite").parquet(f"{p}/bigrams")
+        unigrams.write.mode("overwrite").parquet(f"{p}/unigrams")
+        vocab.write.mode("overwrite").parquet(f"{p}/vocab")
+
+    path, built = build_or_serve(
+        spark, (frames_fingerprint(docs), text_col, "bigram-lm"), _write)
+    if built:
+        _BIGRAM_ARTIFACT_BUILDS += 1
+    rd = spark.read.parquet
+    return rd(f"{path}/bigrams"), rd(f"{path}/unigrams"), rd(f"{path}/vocab")
+
+
+def bigram_logprob_incremental(new_docs: DataFrame,
+                               hist_bigrams: DataFrame,
+                               hist_unigrams: DataFrame,
+                               hist_vocab: DataFrame,
+                               k_smooth: float = 1.0,
+                               text_col: str = "text") -> DataFrame:
+    """Score a new batch under the UNION corpus LM without re-reading
+    the at-rest corpus — ≡ :func:`bigram_logprob` over history ∪
+    batch restricted to batch docs (pytest-pinned; the oracled query
+    replays the full formulation).
+
+    Union counts for the BATCH's pairs are history partials + batch
+    partials (history semi-joined down to the batch's pair/first
+    keys, broadcast batch-sized builds); the union vocabulary size is
+    |hist vocab| + |batch tokens ∉ hist vocab| (a broadcast anti-join
+    count).  Per-batch cost: O(batch tokens + matched stat rows).
+    """
+    pairs = F.explode(F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+    )).alias("p")
+    base = (new_docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                            F.expr(_tok(text_col)).alias("__t"))
+            .localCheckpoint(eager=True))
+    dp = (base.filter(F.size("__t") >= 2).select("doc_id", pairs)
+          .select("doc_id", "p.first", "p.second")
+          .localCheckpoint(eager=True))
+    b_bg = dp.groupBy("first", "second").agg(
+        F.count(F.lit(1)).alias("bb"))
+    b_un = dp.groupBy("first").agg(F.count(F.lit(1)).alias("bu"))
+    b_toks = base.select(F.explode("__t").alias("tok")).distinct() \
+        .localCheckpoint(eager=True)
+
+    h_bg = hist_bigrams.join(
+        F.broadcast(b_bg.select("first", "second")),
+        ["first", "second"], "leftsemi")
+    bg = (b_bg.join(h_bg, ["first", "second"], "left")
+          .select("first", "second",
+                  (F.coalesce(F.col("b"), F.lit(0)) + F.col("bb"))
+                  .alias("b")))
+    h_un = hist_unigrams.join(F.broadcast(b_un.select("first")),
+                              "first", "leftsemi")
+    un = (b_un.join(h_un, "first", "left")
+          .select("first",
+                  (F.coalesce(F.col("u"), F.lit(0)) + F.col("bu"))
+                  .alias("u")))
+    # |union vocab| = |hist| + |batch-only| — two count aggregates
+    v_hist = hist_vocab.agg(F.count(F.lit(1)).alias("vh"))
+    v_new = (b_toks.join(hist_vocab, "tok", "left_anti")
+             .agg(F.count(F.lit(1)).alias("vn")))
+    vocab = v_hist.crossJoin(v_new).select(
+        (F.col("vh") + F.col("vn")).alias("v"))
+    scored = (
+        dp.join(bg, ["first", "second"])
+        .join(un, "first")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id",
+                F.log((F.col("b") + F.lit(float(k_smooth)))
+                      / (F.col("u") + F.lit(float(k_smooth)) * F.col("v")))
+                .alias("lp"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"),
+             F.round(F.avg("lp"), 4).alias("avg_lp"))
+    )
+    return (base.select("doc_id").distinct()
+            .join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+                    "avg_lp"))
+
+
 def token_commonness(docs: DataFrame) -> DataFrame:
     """Mean corpus document-frequency of each document's tokens — the
     unigram-LM-score stand-in that stays engine-exact (a true log-prob
@@ -1069,6 +1186,17 @@ def _q_bigram_lp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob(table(spark, sf_dir, "documents"))
 
 
+def _q_bigram_lp_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch = doc_id % 4 == 0; the history LM comes from the
+    persisted partials artifact, so repeated calls never re-read the
+    at-rest corpus."""
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    bg, un, vocab = bigram_lm_artifact(hist)
+    return bigram_logprob_incremental(batch, bg, un, vocab)
+
+
 def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(table(spark, sf_dir, "documents"))
 
@@ -1135,6 +1263,7 @@ QUERIES = {
     "token_commonness": _q_token_commonness,
     "bpe_pair_stats": _q_bpe_pairs,
     "bigram_logprob": _q_bigram_lp,
+    "bigram_logprob_inc": _q_bigram_lp_inc,
     "quality_gate": _q_quality_gate,
     "quality_gate_stats": _q_quality_gate_stats,
 }
@@ -1316,6 +1445,27 @@ ORACLES = {
         "CAST(coalesce(scored.n_pairs, 0) AS BIGINT) AS n_pairs, "
         "scored.avg_lp FROM (SELECT DISTINCT doc_id FROM base) base "
         "LEFT JOIN scored ON base.doc_id = scored.doc_id"
+    ),
+    # incremental ≡ the union-LM formulation restricted to batch docs
+    "bigram_logprob_inc": (
+        f"WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "dp AS (SELECT doc_id, toks[i] AS first, toks[i + 1] AS second "
+        "  FROM base, unnest(generate_series(1, len(toks) - 1)) AS g(i) "
+        "  WHERE len(toks) >= 2), "
+        "bg AS (SELECT first, second, count(*) AS b FROM dp "
+        "  GROUP BY 1, 2), "
+        "un AS (SELECT first, count(*) AS u FROM dp GROUP BY 1), "
+        "vocab AS (SELECT count(DISTINCT tok) AS v FROM base, "
+        "  unnest(toks) AS t(tok)), "
+        "scored AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_pairs, "
+        "  round(avg(ln((b + 1.0) / (u + 1.0 * v))), 4) AS avg_lp "
+        "  FROM dp JOIN bg USING (first, second) JOIN un USING (first), "
+        "  vocab GROUP BY doc_id) "
+        "SELECT base.doc_id, "
+        "CAST(coalesce(scored.n_pairs, 0) AS BIGINT) AS n_pairs, "
+        "scored.avg_lp FROM (SELECT DISTINCT doc_id FROM base) base "
+        "LEFT JOIN scored ON base.doc_id = scored.doc_id "
+        "WHERE base.doc_id % 4 = 0"
     ),
     "lang_id": _langid_oracle(),
     "repeated_ngrams": _repeated_ngrams_oracle(),

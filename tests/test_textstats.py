@@ -360,3 +360,52 @@ def test_bigram_logprob_hand_computed(spark):
     assert got[1] == (2, round((lp_aa + lp_ab) / 2, 4))
     assert got[2] == (1, round(lp_ab, 4))
     assert got[3] == (0, None)
+
+
+def test_bigram_incremental_equals_full_restricted(spark):
+    """bigram_logprob_incremental(batch, hist partials) ≡ the union-LM
+    recompute restricted to batch docs — union counts and the union
+    vocabulary size exactly."""
+    from logsqlite_spark.operators.textstats import (
+        bigram_lm_artifact,
+        bigram_logprob,
+        bigram_logprob_incremental,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    bg, un, vocab = bigram_lm_artifact(hist)
+    got = sorted(map(tuple, bigram_logprob_incremental(
+        batch, bg, un, vocab).collect()))
+    want = sorted(map(tuple, bigram_logprob(docs)
+                      .filter(F.col("doc_id") % 4 == 0).collect()))
+    assert got == want and len(want) > 0
+
+
+def test_bigram_incremental_batch_only_token_grows_vocab(spark):
+    """A token only the batch contains still grows V for smoothing —
+    the denominators match the union recompute, hand-checked."""
+    import math
+
+    from logsqlite_spark.operators.textstats import (
+        bigram_lm_artifact,
+        bigram_logprob,
+        bigram_logprob_incremental,
+    )
+
+    hist = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b")], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "a b z")], "doc_id long, text string")
+    bg, un, vocab = bigram_lm_artifact(hist)
+    got = {r["doc_id"]: (r["n_pairs"], r["avg_lp"]) for r in
+           bigram_logprob_incremental(batch, bg, un, vocab).collect()}
+    # union: V={a,b,z}=3, U(a)=4, U(b)=1, B(a,b)=3, B(b,z)=1
+    lp_ab = math.log((3 + 1) / (4 + 3))
+    lp_bz = math.log((1 + 1) / (1 + 3))
+    assert got[10] == (2, round((lp_ab + lp_bz) / 2, 4))
+    full = {r["doc_id"]: (r["n_pairs"], r["avg_lp"]) for r in
+            bigram_logprob(hist.unionByName(batch)).collect()}
+    assert got[10] == full[10]
