@@ -169,3 +169,84 @@ def start_streaming_ngram_partials(stream: DataFrame, snapshot_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+def snapshot_lm(spark, snapshot_root: str):
+    """The current persisted LM snapshot (bigrams, unigrams, vocab)
+    or None pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    base = os.path.join(snapshot_root, f"v{ver:08d}")
+    rd = spark.read.parquet
+    return (rd(os.path.join(base, "bigrams")),
+            rd(os.path.join(base, "unigrams")),
+            rd(os.path.join(base, "vocab")))
+
+
+def bigram_lm_sink(snapshot_root: str, text_col: str = "text",
+                   scores_dir: str | None = None,
+                   k_smooth: float = 1.0,
+                   ) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of ``bigram_lm_artifact`` + incremental scoring
+    (round 9): each micro-batch merges its bigram/unigram counts and
+    vocabulary into the versioned LM snapshot (the same exactly-once
+    pointer protocol as the gram partials — counts merge by
+    associative sum, vocab by distinct union), optionally appending
+    the batch's union-LM scores (≡ the batch API against the
+    pre-batch snapshot) to ``scores_dir``."""
+    from logsqlite_spark.operators.textstats import (
+        _tok,
+        bigram_logprob_incremental,
+    )
+
+    _local_root(snapshot_root)  # fail fast on a non-local root
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        lm = snapshot_lm(spark, snapshot_root)
+        if lm is None:
+            lm = (spark.createDataFrame(
+                      [], "first string, second string, b long"),
+                  spark.createDataFrame([], "first string, u long"),
+                  spark.createDataFrame([], "tok string"))
+        h_bg, h_un, h_vocab = lm
+        if scores_dir is not None:
+            bigram_logprob_incremental(
+                batch_df, h_bg, h_un, h_vocab, k_smooth=k_smooth,
+                text_col=text_col) \
+                .write.mode("append").parquet(scores_dir)
+        pairs = F.explode(F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+        )).alias("p")
+        base = batch_df.select(F.expr(_tok(text_col)).alias("__t"))
+        dp = (base.filter(F.size("__t") >= 2).select(pairs)
+              .select("p.first", "p.second"))
+        m_bg = (dp.groupBy("first", "second")
+                .agg(F.count(F.lit(1)).cast("long").alias("b"))
+                .unionByName(h_bg)
+                .groupBy("first", "second")
+                .agg(F.sum("b").cast("long").alias("b")))
+        m_un = (dp.groupBy("first")
+                .agg(F.count(F.lit(1)).cast("long").alias("u"))
+                .unionByName(h_un)
+                .groupBy("first").agg(F.sum("u").cast("long").alias("u")))
+        m_vocab = (base.select(F.explode("__t").alias("tok"))
+                   .unionByName(h_vocab).distinct())
+        new_ver = 1 if ver is None else ver + 1
+        out = os.path.join(snapshot_root, f"v{new_ver:08d}")
+        m_bg.write.mode("overwrite").parquet(
+            os.path.join(out, "bigrams"))
+        m_un.write.mode("overwrite").parquet(
+            os.path.join(out, "unigrams"))
+        m_vocab.write.mode("overwrite").parquet(
+            os.path.join(out, "vocab"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch

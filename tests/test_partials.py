@@ -41,3 +41,48 @@ def test_whole_lines_pass_through(logs_with_partials):
     got = {(r["container_id"], r["seq"]): r["line"] for r in out.collect()}
     assert got[("c1", 1)] == "short\n"
     assert got[("c1", 5)] == "another\n"
+
+
+def test_bigram_lm_sink_matches_one_shot_and_batch_api(spark, tmp_path):
+    """Two micro-batches through the LM sink: the snapshot equals the
+    one-shot LM tables over the union, and batch-2's emitted scores
+    equal the batch API against the batch-1 LM."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.textstats import (
+        bigram_lm_artifact,
+        bigram_logprob_incremental,
+    )
+    from logsqlite_spark.streaming.partials import (
+        bigram_lm_sink,
+        snapshot_lm,
+    )
+
+    DOCS = "doc_id long, text string"
+    b1_rows = [(1, "a a b c"), (2, "a b")]
+    b2_rows = [(10, "a b z"), (11, "q")]
+    root = str(tmp_path / "lm")
+    scores = str(tmp_path / "scores")
+    sink = bigram_lm_sink(root, scores_dir=scores)
+    b1 = spark.createDataFrame(b1_rows, DOCS)
+    b2 = spark.createDataFrame(b2_rows, DOCS)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    union = spark.createDataFrame(b1_rows + b2_rows, DOCS)
+    want = bigram_lm_artifact(union)
+    got = snapshot_lm(spark, root)
+    for g, w in zip(got, want):
+        assert sorted(map(tuple, g.collect())) == \
+            sorted(map(tuple, w.collect()))
+
+    emitted = spark.read.parquet(scores).filter(F.col("doc_id") >= 10)
+    want2 = bigram_logprob_incremental(b2, *bigram_lm_artifact(b1))
+    assert sorted(map(tuple, emitted.collect())) == \
+        sorted(map(tuple, want2.collect()))
+
+    # replay is a no-op
+    sink(b2, 1)
+    got2 = snapshot_lm(spark, root)
+    assert sorted(map(tuple, got2[0].collect())) == \
+        sorted(map(tuple, want[0].collect()))
