@@ -616,48 +616,80 @@ def erase_from_dedup_index(spark, state_dir: str,
     subtraction is exact — the ngram-partials argument run backwards),
     and after the rewrite the index is bit-equivalent to one built
     WITHOUT those docs: a later batch identical to an erased doc
-    survives dedup.  Per-doc tables rewrite via the compactor's
-    staging protocol (content-preserving minus the erased rows); the
-    new dfreq snapshot lands in an ``e``-prefixed dir that can never
-    collide with a future batch's ``v{batch_id}`` write.  Run BETWEEN
-    batches, single-writer, like compaction.  Amortize: batch many
-    doc_ids per call — each call rewrites the per-doc tables once
-    (deletion-vector storage would defer even that; this engine keeps
-    plain parquet).
+    survives dedup.
+
+    Crash-RESUMABLE, not just restartable: the erased docs' partial is
+    STAGED (with the target dfreq dir name and count) before anything
+    is rewritten, so a re-run after a crash at ANY point completes the
+    same erase exactly once — the partial is never recomputed from
+    tables that may already be clean, per-doc rewrites are no-op
+    filters when already applied, and a pointer that already names the
+    staged target skips the subtraction entirely.  digests rewrite
+    LAST so the resume trigger (ids still present in digests, or a
+    staging marker) survives every window.  Run BETWEEN batches,
+    single-writer; amortize by batching doc_ids.
     """
     import glob
     import shutil
 
     from pyspark.sql import functions as F
 
+    from logsqlite_spark.artifacts import filter_ids
+
     root = _local_root(state_dir)
     st = _read_dstate(state_dir)
     if st is None:
         return {"erased": 0, "reason": "no state"}
-    from logsqlite_spark.artifacts import filter_ids
-
     ids = [int(x) for x in doc_ids]
+    stage_root = os.path.join(root, ".erase_stage")
+    meta_path = os.path.join(stage_root, "meta.json")
     idx = dedup_index_rows(spark, state_dir)
-    n_erased = filter_ids(idx.digests, "doc_id", ids, keep=True).count()
-    if n_erased == 0:
+    n_now = filter_ids(idx.digests, "doc_id", ids, keep=True).count()
+
+    meta = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if sorted(meta["ids"]) != sorted(ids):
+            raise RuntimeError(
+                "a different erase is staged; finish it first by "
+                f"re-running with ids={meta['ids']}")
+    if n_now == 0 and meta is None:
         return {"erased": 0}
 
-    # exact df retraction from the erased docs' own postings
-    erased_partial = (filter_ids(idx.forward, "doc_id", ids, keep=True)
-                      .groupBy("tok").agg(F.count(F.lit(1)).alias("e")))
-    new_dfreq = (idx.dfreq.join(erased_partial, "tok", "left")
-                 .select("tok", (F.col("df") - F.coalesce(F.col("e"),
-                                                          F.lit(0)))
-                         .alias("df"))
-                 .filter(F.col("df") > 0))
     live = st.get("dfreq_dir", f"v{st['batch_id']}")
-    seq = len(glob.glob(os.path.join(root, "dfreq", "e*")))
-    new_dir = f"e{st['batch_id']}_{seq}"
-    new_dfreq.write.mode("overwrite").parquet(
-        os.path.join(root, "dfreq", new_dir))
+    if meta is None:
+        # stage the retraction partial + target BEFORE any rewrite
+        seq = len(glob.glob(os.path.join(root, "dfreq", "e*")))
+        new_dir = f"e{st['batch_id']}_{seq}"
+        (filter_ids(idx.forward, "doc_id", ids, keep=True)
+         .groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("e"))
+         .write.mode("overwrite").parquet(
+             os.path.join(stage_root, "partial")))
+        tmp = meta_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"ids": ids, "n_erased": n_now,
+                       "target": new_dir}, fh)
+        os.replace(tmp, meta_path)
+        meta = {"ids": ids, "n_erased": n_now, "target": new_dir}
+    new_dir = meta["target"]
+    n_erased = meta["n_erased"]
 
-    # rewrite the per-doc tables without the erased docs (staged swap)
-    for name in ("digests", "inverted", "forward", "sizes"):
+    if live != new_dir:
+        # subtraction not yet applied (pointer still names the old dir)
+        partial = spark.read.parquet(os.path.join(stage_root, "partial"))
+        new_dfreq = (idx.dfreq.join(partial, "tok", "left")
+                     .select("tok",
+                             (F.col("df") - F.coalesce(F.col("e"),
+                                                       F.lit(0)))
+                             .alias("df"))
+                     .filter(F.col("df") > 0))
+        new_dfreq.write.mode("overwrite").parquet(
+            os.path.join(root, "dfreq", new_dir))
+
+    # rewrite the per-doc tables without the erased docs (staged swap);
+    # already-clean tables filter to themselves — no-ops on resume
+    for name in ("inverted", "forward", "sizes", "digests"):
         tdir = os.path.join(root, name)
         df = filter_ids(
             spark.read.option("recursiveFileLookup", "true")
@@ -669,8 +701,11 @@ def erase_from_dedup_index(spark, state_dir: str,
         shutil.rmtree(tdir)
         os.replace(staged, tdir)
 
-    _write_dstate(state_dir, {"batch_id": st["batch_id"],
-                              "n_docs": st["n_docs"] - n_erased,
-                              "dfreq_dir": new_dir})
-    shutil.rmtree(os.path.join(root, "dfreq", live), ignore_errors=True)
+    if live != new_dir:
+        _write_dstate(state_dir, {"batch_id": st["batch_id"],
+                                  "n_docs": st["n_docs"] - n_erased,
+                                  "dfreq_dir": new_dir})
+        shutil.rmtree(os.path.join(root, "dfreq", live),
+                      ignore_errors=True)
+    shutil.rmtree(stage_root, ignore_errors=True)
     return {"erased": n_erased, "dfreq_dir": new_dir}

@@ -497,3 +497,90 @@ def test_filter_ids_large_list_uses_join_and_matches_isin(spark):
         want_keep = sorted(set(ids) & set(range(5000)))
         assert keep == want_keep
         assert drop == sorted(set(range(5000)) - set(ids))
+
+
+def test_erase_dedup_index_rerun_completes_partial_crash(spark, tmp_path):
+    """Crash-recovery: if a crash leaves some per-doc tables rewritten
+    but digests intact (digests rewrite LAST), re-running the same
+    erase re-counts > 0 and completes — no residual postings."""
+    import os
+    import shutil
+
+    from logsqlite_spark.operators.dedup import dedup_index_tables
+    from logsqlite_spark.streaming.incremental import (
+        dedup_index_rows,
+        dedup_index_sink,
+        erase_from_dedup_index,
+    )
+
+    rows = [(1, "alpha beta gamma delta unique one"),
+            (2, "zeta eta theta iota unique two")]
+    state = str(tmp_path / "state")
+    sink = dedup_index_sink(state)
+    sink(spark.createDataFrame(rows, DOCS), 0)
+
+    # simulate the crash window: inverted already filtered, digests not
+    idx = dedup_index_rows(spark, state)
+    filtered = idx.inverted.filter("doc_id != 2")
+    staged = os.path.join(state, ".crash_sim")
+    filtered.write.mode("overwrite").parquet(
+        os.path.join(staged, "b0"))
+    shutil.rmtree(os.path.join(state, "inverted"))
+    os.replace(staged, os.path.join(state, "inverted"))
+
+    res = erase_from_dedup_index(spark, state, [2])
+    assert res["erased"] == 1  # digests still held doc 2
+    idx2 = dedup_index_rows(spark, state)
+    inline = dedup_index_tables(
+        spark.createDataFrame([rows[0]], DOCS))
+    for f in ("digests", "inverted", "forward", "sizes", "dfreq"):
+        assert sorted(map(tuple, getattr(idx2, f).collect())) == \
+            sorted(map(tuple, getattr(inline, f).collect())), f
+
+
+def test_erase_dedup_index_resumes_after_forward_rewritten(spark,
+                                                           tmp_path):
+    """The worst crash window: the staged partial was written and the
+    forward table already rewritten (the subtraction's source rows are
+    gone) — resume still applies the exact dfreq retraction from the
+    stage, because it is never recomputed from live tables."""
+    import json
+    import os
+    import shutil
+
+    from logsqlite_spark.operators.dedup import dedup_index_tables
+    from logsqlite_spark.streaming.incremental import (
+        dedup_index_rows,
+        dedup_index_sink,
+        erase_from_dedup_index,
+    )
+
+    rows = [(1, "alpha beta gamma delta unique one"),
+            (2, "zeta eta theta iota unique two")]
+    state = str(tmp_path / "state")
+    sink = dedup_index_sink(state)
+    sink(spark.createDataFrame(rows, DOCS), 0)
+    idx = dedup_index_rows(spark, state)
+
+    # simulate: stage written (partial + meta), forward rewritten,
+    # dfreq/pointer untouched, digests intact
+    stage = os.path.join(state, ".erase_stage")
+    (idx.forward.filter("doc_id = 2").groupBy("tok")
+     .count().withColumnRenamed("count", "e")
+     .write.mode("overwrite").parquet(os.path.join(stage, "partial")))
+    with open(os.path.join(stage, "meta.json"), "w") as fh:
+        json.dump({"ids": [2], "n_erased": 1, "target": "e0_0"}, fh)
+    fwd_clean = idx.forward.filter("doc_id != 2")
+    staged = os.path.join(state, ".crash_fwd")
+    fwd_clean.write.mode("overwrite").parquet(os.path.join(staged, "b0"))
+    shutil.rmtree(os.path.join(state, "forward"))
+    os.replace(staged, os.path.join(state, "forward"))
+
+    res = erase_from_dedup_index(spark, state, [2])
+    assert res["erased"] == 1 and res["dfreq_dir"] == "e0_0"
+    idx2 = dedup_index_rows(spark, state)
+    inline = dedup_index_tables(spark.createDataFrame([rows[0]], DOCS))
+    for f in ("digests", "inverted", "forward", "sizes", "dfreq"):
+        assert sorted(map(tuple, getattr(idx2, f).collect())) == \
+            sorted(map(tuple, getattr(inline, f).collect())), f
+    assert not os.path.exists(stage)  # stage cleaned up
