@@ -1095,26 +1095,61 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
     (centroids, SQ scales) stays frozen, exactly like the append
     path, and the drift baseline keeps its accumulated mean while
     ``n`` drops by the erased count (conservative: an erase never
-    masks drift that the erased vectors contributed to).  Runs under
-    the build locks; single-writer, amortize by batching ids."""
+    masks drift that the erased vectors contributed to).
+
+    Crash-resumable like the dedup-index erase: the erased count and
+    the target ``stats.n`` are staged (local roots) before any list
+    rewrite, so a re-run finishes remaining clusters and applies the
+    stats decrement exactly once (skipped when ``stats.n`` already
+    equals the staged target).  Runs under the build locks;
+    single-writer, amortize by batching ids."""
+    import contextlib
+    import json as _json
+    import os as _os
+
     from pyspark.sql import functions as F
+
+    from logsqlite_spark.artifacts import filter_ids
 
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
-    from logsqlite_spark.artifacts import filter_ids
-
     ids = [int(x) for x in vec_ids]
     with _IVF_BUILD_LOCK:
         if not _index_marker_exists(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
+        local = _local_fs_path(path)
+        meta_path = (_os.path.join(local, ".erase_stage.json")
+                     if local is not None else None)
+        meta = None
+        if meta_path is not None and _os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                meta = _json.load(fh)
+            if sorted(meta["ids"]) != sorted(ids):
+                raise RuntimeError(
+                    "a different IVF erase is staged; re-run with "
+                    f"ids={meta['ids']} to finish it first")
         lists = spark.read.option("basePath", f"{path}/lists") \
             .parquet(f"{path}/lists")
         hits = (filter_ids(lists, "nid", ids, keep=True)
                 .groupBy("__cluster").agg(F.count(F.lit(1)).alias("c"))
                 .collect())
-        n_erased = sum(r["c"] for r in hits)
-        if n_erased == 0:
+        n_now = sum(r["c"] for r in hits)
+        if n_now == 0 and meta is None:
             return {"erased": 0, "clusters_rewritten": 0}
+        try:
+            st = spark.read.parquet(f"{path}/stats").collect()[0]
+            stats_n, stats_m = int(st["n"]), float(st["mean_d2"])
+        except Exception:  # noqa: BLE001 — pre-stats index
+            stats_n = stats_m = None
+        if meta is None and meta_path is not None:
+            meta = {"ids": ids, "n_erased": n_now,
+                    "stats_target": (None if stats_n is None
+                                     else stats_n - n_now)}
+            tmp = meta_path + ".tmp"
+            with open(tmp, "w") as fh:
+                _json.dump(meta, fh)
+            _os.replace(tmp, meta_path)
+        n_erased = meta["n_erased"] if meta is not None else n_now
         fs = hpath(f"{path}/lists").getFileSystem(
             spark._jsc.hadoopConfiguration())
         for r in hits:
@@ -1128,12 +1163,14 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
             fs.delete(hpath(cdir), True)
             if not fs.rename(hpath(staged), hpath(cdir)):
                 raise OSError(f"failed to swap erased lists into {cdir}")
-        try:
-            st = spark.read.parquet(f"{path}/stats").collect()[0]
-            _write_ivf_stats(spark, path, max(0, st["n"] - n_erased),
-                             float(st["mean_d2"]))
-        except Exception:  # noqa: BLE001 — pre-stats index (back-compat)
-            pass
+        if stats_n is not None:
+            target = (meta["stats_target"] if meta is not None
+                      else stats_n - n_now)
+            if target is not None and stats_n != target:
+                _write_ivf_stats(spark, path, max(0, target), stats_m)
+        if meta_path is not None:
+            with contextlib.suppress(OSError):
+                _os.remove(meta_path)
         return {"erased": n_erased, "clusters_rewritten": len(hits)}
 
 

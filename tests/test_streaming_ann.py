@@ -161,3 +161,53 @@ def test_erase_noop_for_absent_ids(spark, base_index):
     before = _lists_rows(spark, path)
     assert erase_from_ivf_index(spark, path, [10**9])["erased"] == 0
     assert _lists_rows(spark, path) == before
+
+
+def test_ivf_erase_resumes_after_partial_cluster_rewrite(spark, tmp_path,
+                                                         base_index):
+    """Crash window: stage written, some clusters already rewritten,
+    stats untouched — a re-run finishes the remaining clusters and
+    decrements stats.n by the STAGED count exactly once."""
+    import json
+    import os
+
+    from logsqlite_spark.operators.similarity import (
+        _local_fs_path,
+        erase_from_ivf_index,
+    )
+
+    emb, path = base_index
+    base_ids = [r["vec_id"] for r in
+                emb.filter(F.col("vec_id") % 4 != 0).limit(4).collect()]
+    n_before = spark.read.parquet(f"{path}/stats").collect()[0]["n"]
+
+    # simulate the crash: stage the meta, pre-erase ONE holding
+    # cluster by running a real single-id erase, then restore the
+    # stage file as if the multi-id erase had crashed midway
+    one = erase_from_ivf_index(spark, path, [base_ids[0]])
+    assert one["erased"] == 1
+    meta = {"ids": base_ids, "n_erased": 4,
+            "stats_target": int(n_before) - 4}
+    mp = os.path.join(_local_fs_path(path), ".erase_stage.json")
+    with open(mp, "w") as fh:
+        json.dump(meta, fh)
+    # undo the single erase's stats decrement to model "stats untouched"
+    from logsqlite_spark.operators.similarity import _write_ivf_stats
+    st = spark.read.parquet(f"{path}/stats").collect()[0]
+    _write_ivf_stats(spark, path, int(n_before), float(st["mean_d2"]))
+
+    res = erase_from_ivf_index(spark, path, base_ids)
+    assert res["erased"] == 4
+    assert spark.read.parquet(f"{path}/stats").collect()[0]["n"] \
+        == n_before - 4
+    assert not os.path.exists(mp)
+    # no erased id remains in the lists
+    lists = spark.read.option("basePath", f"{path}/lists") \
+        .parquet(f"{path}/lists")
+    assert lists.filter(F.col("nid").isin(base_ids)).count() == 0
+
+    # a replay of the SAME call after success is a no-op
+    res2 = erase_from_ivf_index(spark, path, base_ids)
+    assert res2["erased"] == 0
+    assert spark.read.parquet(f"{path}/stats").collect()[0]["n"] \
+        == n_before - 4
