@@ -41,7 +41,8 @@ def _bound_persisted(df: DataFrame) -> None:
 
 
 def with_global_rank(df: DataFrame, order_cols: list[str],
-                     rank_col: str = "rn", n_col: str = "n") -> DataFrame:
+                     rank_col: str = "rn", n_col: str = "n",
+                     n_parts: int | None = None) -> DataFrame:
     """Add ``rank_col`` (1-based exact global row_number over
     ``order_cols``) and ``n_col`` (total row count) to ``df``.
 
@@ -58,11 +59,26 @@ def with_global_rank(df: DataFrame, order_cols: list[str],
     exchange-reuse can never resample boundaries and diverge
     ``spark_partition_id()`` between the branches (ADVICE r4 #1). The
     persisted footprint is one pass of the caller's (narrow) frame.
+
+    The local rank costs NO window: a ``partitionBy(_pid)`` window
+    would demand hashpartitioning(_pid) — a second full-data exchange
+    right after the range exchange (measured on the r9 plan). Instead
+    the cached partitions are sorted in place and
+    ``monotonically_increasing_id`` is projected on top: its lower 33
+    bits are exactly the row's offset in sort order within the task's
+    partition, so ``_lrn`` is a narrow expression. (The id's upper
+    bits are the task partition index — identical to ``_pid`` from
+    the materialization because a cache scan preserves partition
+    indices — but the join keeps using the persisted ``_pid``
+    column.) Partitions beyond 2^33 rows would wrap — a partition
+    that large is already unusable, and the range partitioner exists
+    to prevent it.
     """
     from pyspark.storagelevel import StorageLevel
 
-    n_parts = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions",
-                                           "200"))
+    if n_parts is None:
+        n_parts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions", "200"))
     parts = (df.repartitionByRange(n_parts, *order_cols)
              .withColumn("_pid", F.spark_partition_id())
              .persist(StorageLevel.MEMORY_AND_DISK))
@@ -74,10 +90,14 @@ def with_global_rank(df: DataFrame, order_cols: list[str],
         (F.sum("_c").over(Window.orderBy("_pid")) - F.col("_c"))
         .alias("_off"),
         F.sum("_c").over(Window.partitionBy()).alias(n_col))
-    local = parts.withColumn(
-        "_lrn",
-        F.row_number().over(
-            Window.partitionBy("_pid").orderBy(*order_cols)))
+    local = (
+        parts.sortWithinPartitions(*order_cols)
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .withColumn("_lrn", (F.col("_mid")
+                             .bitwiseAND(F.lit((1 << 33) - 1)) + F.lit(1))
+                    .cast("int"))
+        .drop("_mid"))
     return (local.join(F.broadcast(offsets), "_pid")
-            .withColumn(rank_col, F.col("_lrn") + F.col("_off"))
+            .withColumn(rank_col,
+                        F.col("_lrn").cast("long") + F.col("_off"))
             .drop("_pid", "_lrn", "_off"))

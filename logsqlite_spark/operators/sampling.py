@@ -34,6 +34,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logsqlite_spark.functions.rank import with_global_rank
 from logsqlite_spark.tables import table
 
 N_BUCKETS = 100
@@ -150,6 +151,38 @@ def mixture_sample(docs: DataFrame, quotas: dict[str, int],
     )
 
 
+def corpus_shuffle(docs: DataFrame, seed: str = "shuffle-v1",
+                   id_col: str = "doc_id",
+                   n_ranges: int | None = None) -> DataFrame:
+    """Deterministic global training-order permutation: every document
+    gets a position ``pos`` in a seeded pseudo-random total order —
+    the epoch shuffle a training pipeline materializes before packing
+    examples into batches. Changing ``seed`` yields an independent
+    permutation; the same seed is reproducible across reruns, engines,
+    and file layouts (unlike ``df.orderBy(rand())``).
+
+    The order key is (salted md5, id) — uniform and total. The naive
+    spelling ``row_number() OVER (ORDER BY key)`` is a single-
+    partition window: one task sorts the planet. The rank instead
+    comes from the distributed two-pass construction
+    (``functions/rank.py::with_global_rank``): range-partition on the
+    key, narrow in-partition offsets, per-partition counts →
+    broadcast cumulative offsets. Correctness does not depend on
+    where the sampled range boundaries fall (partition i sorts wholly
+    before i+1, so offset+local ≡ global), pinned by the
+    boundary-invariance test. At 100 TB this is one wide exchange
+    plus a per-partition sort — the minimum any total order costs —
+    and writing the output with ``repartitionByRange(pos)`` yields
+    epoch files in shuffled order for the trainer to stream.
+    """
+    h = _bucket_col(id_col, seed, 1_000_000_007)
+    keyed = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                        h.alias("h"))
+    ranked = with_global_rank(keyed, ["h", "doc_id"], rank_col="pos",
+                              n_parts=n_ranges)
+    return ranked.select("doc_id", F.col("pos").cast("long").alias("pos"))
+
+
 MIX_QUOTAS = {"src0": 12, "src1": 3, "src2": 20, "src3": 7}
 
 
@@ -169,11 +202,16 @@ def _q_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(table(spark, sf_dir, "documents"), MIX_QUOTAS)
 
 
+def _q_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return corpus_shuffle(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "split_assign": _q_split_assign,
     "split_counts": _q_split_counts,
     "stratified_sample": _q_stratified,
     "mixture_sample": _q_mixture,
+    "corpus_shuffle": _q_shuffle,
 }
 
 _SQL_BUCKET = (
@@ -202,6 +240,11 @@ ORACLES = {
         "FROM documents) "
         f"SELECT doc_id, stratum, CAST(rn AS INT) AS rn FROM r "
         f"WHERE rn <= {STRATUM_K}"
+    ),
+    "corpus_shuffle": (
+        "SELECT doc_id, row_number() OVER (ORDER BY "
+        + _SQL_BUCKET.format(salt="shuffle-v1", id="doc_id", n=1_000_000_007)
+        + " ASC, doc_id ASC) AS pos FROM documents"
     ),
     "mixture_sample": (
         "WITH q(src, quota) AS (VALUES "

@@ -354,10 +354,14 @@ def test_conversion_times_distributed_rank(no_auto_broadcast):
     # broadcast) is the hinted per-partition offsets lookup
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastExchange") == 1, plan.count("BroadcastExchange")
-    # converter ranking runs per range-partition, not in one task:
-    # every window over dt_us must be partitioned by _pid
-    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
-        assert "_pid" in m.group(0), m.group(0)
+    # converter ranking is the narrow monotonic-id decomposition (r9):
+    # no row_number window over converter data at all — a window would
+    # demand a second full-data hashpartitioning(_pid) exchange
+    assert not re.search(r"Window \[row_number\(\)", plan), plan
+    # the only _pid structures left are bounded (per-partition count
+    # agg + offsets sort); the window's full-data multi-key sort
+    # `Sort [_pid, <order cols>]` is gone
+    assert not re.search(r"Sort \[_pid[^\]]*,", plan), plan
 
 
 def _plan_initial(df):
@@ -376,8 +380,13 @@ def test_quality_percentile_distributed_rank(no_auto_broadcast):
     from logsqlite_spark import registry
     df = registry.queries()["quality_percentile"](spark, SF)
     plan = _plan_initial(df)
-    for m in re.finditer(r"Window \[row_number\(\)[^\n]*", plan):
-        assert "_pid" in m.group(0), m.group(0)
+    # r9: local ranks come from the narrow monotonic-id decomposition;
+    # a row_number window here would mean the extra _pid exchange came back
+    assert not re.search(r"Window \[row_number\(\)", plan), plan
+    # the only _pid structures left are bounded (per-partition count
+    # agg + offsets sort); the window's full-data multi-key sort
+    # `Sort [_pid, <order cols>]` is gone
+    assert not re.search(r"Sort \[_pid[^\]]*,", plan), plan
     assert plan.count("BroadcastExchange") == 1
 
 

@@ -87,3 +87,47 @@ def test_mixture_sample_quotas_shortfall_and_salts(spark, sf_dir):
     assert again == sorted(map(tuple, rows))
     other = mixture_sample(docs, {"src0": 3}, salt="mix-v2").collect()
     assert {r["doc_id"] for r in other} != set(per["src0"])
+
+
+def test_corpus_shuffle_is_a_permutation(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    rows = SP.corpus_shuffle(docs).collect()
+    n = docs.count()
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+
+
+def test_corpus_shuffle_matches_driver_side_rank(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    out = {r.doc_id: r.pos for r in SP.corpus_shuffle(docs).collect()}
+    keyed = docs.select(
+        "doc_id",
+        SP._bucket_col("doc_id", "shuffle-v1", 1_000_000_007).alias("h"),
+    ).collect()
+    expect = {
+        d: i + 1
+        for i, (h, d) in enumerate(
+            sorted((r.h, r.doc_id) for r in keyed))
+    }
+    assert out == expect
+
+
+def test_corpus_shuffle_boundary_and_layout_invariance(spark, sf_dir):
+    # the global rank must not depend on the sampled range boundaries
+    # (n_ranges) or the physical input layout
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.pos for r in SP.corpus_shuffle(docs).collect()}
+    b = {r.doc_id: r.pos
+         for r in SP.corpus_shuffle(docs.repartition(7), n_ranges=3).collect()}
+    c = {r.doc_id: r.pos
+         for r in SP.corpus_shuffle(docs, n_ranges=11).collect()}
+    assert a == b == c
+
+
+def test_corpus_shuffle_seed_gives_independent_order(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    a = {r.doc_id: r.pos for r in SP.corpus_shuffle(docs).collect()}
+    b = {r.doc_id: r.pos
+         for r in SP.corpus_shuffle(docs, seed="epoch-2").collect()}
+    assert a != b
+    assert sorted(a.values()) == sorted(b.values())
