@@ -1006,6 +1006,44 @@ def bigram_logprob_incremental(new_docs: DataFrame,
                     "avg_lp"))
 
 
+TFIDF_K = 5
+
+
+def tfidf_topk(docs: DataFrame, k: int = TFIDF_K,
+               text_col: str = "text") -> DataFrame:
+    """Top-k characteristic terms per document by a rarity-weighted
+    term score — the keyword-extraction / doc-routing primitive
+    (tf-idf family). The score is ``tf·1e6 div df`` (term frequency
+    over document frequency, ppm-quantized): a LINEAR idf rather than
+    the log variant, chosen deliberately — the ranking then compares
+    exact integers, so the per-document top-k is bit-identical across
+    engines (platform ``ln`` divergence in the last ulp could flip a
+    rank tie; integer div cannot). Ties break on the token itself.
+
+    Shape at 100 TB: explode → (doc, tok) count is one map-side-
+    combinable shuffle; the df table derives from it with a second,
+    vocabulary-sized aggregation; the join back is tok-keyed with a
+    vocab-sized build side (AQE broadcasts it); the per-doc top-k is
+    a WindowGroupLimit — each task keeps k rows per doc before the
+    exchange. No all-pairs, no driver contact.
+    """
+    inst = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.explode(F.expr(_tok(text_col))).alias("tok"))
+    tf = (inst.groupBy("doc_id", "tok")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    df_tbl = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(df_tbl, "tok")
+              .withColumn("score_ppm",
+                          F.expr("tf * 1000000L div df").cast("long")))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_ppm").desc(), F.col("tok").asc())
+    return (scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("doc_id", "tok", F.col("tf").cast("long"),
+                    F.col("df").cast("long"), "score_ppm",
+                    F.col("rnk").cast("int").alias("rnk")))
+
+
 def token_commonness(docs: DataFrame) -> DataFrame:
     """Mean corpus document-frequency of each document's tokens — the
     unigram-LM-score stand-in that stays engine-exact (a true log-prob
@@ -1200,6 +1238,9 @@ def _q_bigram_lp_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_commonness(table(spark, sf_dir, "documents"))
 
+def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return tfidf_topk(table(spark, sf_dir, "documents"))
+
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(table(spark, sf_dir, "documents"))
 
@@ -1261,6 +1302,7 @@ QUERIES = {
     "token_freq_histogram": _q_token_freq_hist,
     "quality_percentile": _q_quality_pctile,
     "token_commonness": _q_token_commonness,
+    "tfidf_topk": _q_tfidf_topk,
     "bpe_pair_stats": _q_bpe_pairs,
     "bigram_logprob": _q_bigram_lp,
     "bigram_logprob_inc": _q_bigram_lp_inc,
@@ -1555,6 +1597,20 @@ ORACLES = {
         "round(CAST(sum(df) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
         "  AS mean_df "
         "FROM inst JOIN dfr USING (tok) GROUP BY doc_id"
+    ),
+    "tfidf_topk": (
+        f"WITH inst AS (SELECT doc_id, t.tok AS tok FROM documents, "
+        f"unnest({_TOKS}) AS t(tok)), "
+        "tf AS (SELECT doc_id, tok, count(*) AS tf FROM inst "
+        "GROUP BY doc_id, tok), "
+        "dfr AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok), "
+        "s AS (SELECT doc_id, tok, tf, df, "
+        "CAST((tf * 1000000) // df AS BIGINT) AS score_ppm "
+        "FROM tf JOIN dfr USING (tok)), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY score_ppm DESC, tok ASC) AS rnk FROM s) "
+        f"SELECT doc_id, tok, tf, df, score_ppm, CAST(rnk AS INT) AS rnk "
+        f"FROM r WHERE rnk <= {TFIDF_K}"
     ),
 }
 

@@ -409,3 +409,27 @@ def test_bigram_incremental_batch_only_token_grows_vocab(spark):
     full = {r["doc_id"]: (r["n_pairs"], r["avg_lp"]) for r in
             bigram_logprob(hist.unionByName(batch)).collect()}
     assert got[10] == full[10]
+
+
+def test_tfidf_topk_hand_computed(spark):
+    from logsqlite_spark.operators.textstats import tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(1, "apple apple banana common"),
+         (2, "banana common common"),
+         (3, "cherry common")],
+        "doc_id long, text string")
+    rows = tfidf_topk(docs, k=2).collect()
+    got = {(r["doc_id"], r["rnk"]): (r["tok"], r["tf"], r["df"],
+                                     r["score_ppm"]) for r in rows}
+    # df: apple=1 banana=2 common=3 cherry=1
+    # doc1: apple 2/1=2000000, banana 1/2=500000, common 1/3=333333
+    assert got[(1, 1)] == ("apple", 2, 1, 2_000_000)
+    assert got[(1, 2)] == ("banana", 1, 2, 500_000)
+    # doc2: common 2/3=666666, banana 1/2=500000
+    assert got[(2, 1)] == ("common", 2, 3, 666_666)
+    assert got[(2, 2)] == ("banana", 1, 2, 500_000)
+    # doc3: cherry 1/1=1000000, common 1/3=333333
+    assert got[(3, 1)] == ("cherry", 1, 1, 1_000_000)
+    assert got[(3, 2)] == ("common", 1, 3, 333_333)
+    assert len(rows) == 6
