@@ -836,6 +836,142 @@ def bpe_pair_stats(docs: DataFrame, min_count: int = 2,
     )
 
 
+BPE_END = "</w>"
+
+
+def _sql_str(s: str) -> str:
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pass_expr(syms_col: str, first: str, second: str) -> str:
+    """One left-to-right non-overlapping merge pass of the pair
+    (first, second) over a symbol array, as a pure codegen fold:
+    append each symbol, but when the accumulator ends in ``first``
+    and the incoming symbol is ``second``, replace the tail with the
+    merged symbol.  This is exactly the classic single-pair replace
+    scan (a merged symbol is first+second and so can never equal
+    ``first`` again, which is what makes the fold ≡ the textbook
+    left-to-right pass — 'aaa' under (a,a) gives [aa, a])."""
+    f, s, m = _sql_str(first), _sql_str(second), _sql_str(first + second)
+    return (
+        f"aggregate({syms_col}, cast(array() as array<string>), "
+        f"(acc, s) -> CASE WHEN size(acc) > 0 "
+        f"AND element_at(acc, -1) = {f} AND s = {s} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({m})) "
+        f"ELSE concat(acc, array(s)) END)"
+    )
+
+
+def _bpe_word_table(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, freq, syms) — the distinct-word frequency table with
+    initial character symbols + end-of-word marker. The ONE corpus
+    scan of BPE training; everything after iterates on this table."""
+    return (
+        docs.select(F.explode(F.expr(_tok(text_col))).alias("word"))
+        .groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+        .withColumn(
+            "syms",
+            F.expr(f"concat(filter(split(word, ''), c -> c != ''), "
+                   f"array({_sql_str(BPE_END)}))"))
+    )
+
+
+def bpe_train(docs: DataFrame, n_merges: int = 20,
+              min_pair_count: int = 2,
+              text_col: str = "text") -> DataFrame:
+    """Learn a BPE merge table from the corpus (Sennrich et al. 2016,
+    the tokenizer-training loop that :func:`bpe_pair_stats` is step 1
+    of). Returns (rank, first, second, merged, pair_count).
+
+    Scale shape — the textbook trick makes this tractable at 100 TB:
+    the corpus is scanned ONCE into the distinct-word frequency table
+    (vocabulary-sized, orders of magnitude smaller than the corpus);
+    every training iteration then runs on that table only. Per
+    iteration: one freq-weighted adjacent-pair aggregation (map-side
+    combinable; the shuffle carries (pair, partial-count) rows), an
+    argmax of ONE row collected to the driver (control-plane, the
+    KMeans-loop idiom, not a data collect), and a narrow codegen fold
+    rewriting the symbol arrays. ``localCheckpoint`` truncates the
+    per-iteration lineage so the plan stays bounded (the connected-
+    components loop's idiom, ``dedup.py``). Ties on count break
+    lexicographically on the pair so training is deterministic.
+    """
+    spark = docs.sparkSession
+    words = _bpe_word_table(docs, text_col).localCheckpoint(eager=True)
+    merges: list[tuple] = []
+    try:
+        for rank in range(1, n_merges + 1):
+            pairs = F.explode(F.expr(
+                "transform(sequence(1, size(syms) - 1), "
+                "i -> struct(syms[i - 1] AS first, syms[i] AS second))"
+            )).alias("p")
+            best = (
+                words.filter(F.size("syms") >= 2)
+                .select("freq", pairs)
+                .groupBy("p.first", "p.second")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("first").asc(),
+                         F.col("second").asc())
+                .limit(1).collect()
+            )
+            if not best or best[0]["n"] < min_pair_count:
+                break
+            first, second, n = (best[0]["first"], best[0]["second"],
+                                int(best[0]["n"]))
+            merges.append((rank, first, second, first + second, n))
+            nxt = words.withColumn(
+                "syms", F.expr(_merge_pass_expr("syms", first, second))
+            ).localCheckpoint(eager=True)
+            words.unpersist(blocking=False)
+            words = nxt
+    finally:
+        words.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges,
+        "rank int, first string, second string, merged string, "
+        "pair_count long")
+
+
+def bpe_segment(docs: DataFrame, merges: list[tuple] | None = None,
+                n_merges: int = 20,
+                text_col: str = "text") -> DataFrame:
+    """Subword token counts per document under a learned BPE merge
+    table — the 'how many tokens is my corpus under this tokenizer'
+    question every training-data budget starts with.
+
+    The merges replay over the DISTINCT-WORD table (each pass is the
+    same narrow codegen fold as training — no argmax, no collect),
+    giving a (word, n_subtokens) mapping that joins back onto the
+    corpus' word instances; at 100 TB the mapping is vocabulary-sized
+    (AQE broadcasts it) and the corpus sees one explode + one join +
+    one per-doc aggregation.
+    """
+    if merges is None:
+        merges = [(r["first"], r["second"])
+                  for r in bpe_train(docs, n_merges=n_merges,
+                                     text_col=text_col)
+                  .orderBy("rank").collect()]
+    else:
+        merges = [(m[1], m[2]) if len(m) >= 3 and isinstance(m[0], int)
+                  else (m[0], m[1]) for m in merges]
+    vocab = _bpe_word_table(docs, text_col)
+    for i, (first, second) in enumerate(merges, start=1):
+        vocab = vocab.withColumn(
+            "syms", F.expr(_merge_pass_expr("syms", first, second)))
+        if i % 8 == 0:
+            vocab = vocab.localCheckpoint(eager=True)
+    mapping = vocab.select(
+        "word", F.size("syms").cast("long").alias("n_sub"))
+    inst = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                       F.explode(F.expr(_tok(text_col))).alias("word"))
+    return (
+        inst.join(mapping, "word")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_words"),
+             F.sum("n_sub").cast("long").alias("n_bpe_tokens"))
+    )
+
+
 def bigram_logprob(docs: DataFrame, k_smooth: float = 1.0,
                    text_col: str = "text") -> DataFrame:
     """Per-document average bigram log-likelihood under an add-k
@@ -1241,6 +1377,16 @@ def _q_token_commonness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(table(spark, sf_dir, "documents"))
 
+def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the merge loop is iterative (argmax per round), not
+    # SQL-expressible; pinned in pytest against a pure-Python
+    # reference BPE implementation
+    return bpe_train(table(spark, sf_dir, "documents"), n_merges=12)
+
+def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only (depends on the learned merge table); pytest-pinned
+    return bpe_segment(table(spark, sf_dir, "documents"), n_merges=12)
+
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_gate(table(spark, sf_dir, "documents"))
 
@@ -1304,6 +1450,8 @@ QUERIES = {
     "token_commonness": _q_token_commonness,
     "tfidf_topk": _q_tfidf_topk,
     "bpe_pair_stats": _q_bpe_pairs,
+    "bpe_train_merges": _q_bpe_train,
+    "bpe_segment_counts": _q_bpe_segment,
     "bigram_logprob": _q_bigram_lp,
     "bigram_logprob_inc": _q_bigram_lp_inc,
     "quality_gate": _q_quality_gate,

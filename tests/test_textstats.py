@@ -433,3 +433,86 @@ def test_tfidf_topk_hand_computed(spark):
     assert got[(3, 1)] == ("cherry", 1, 1, 1_000_000)
     assert got[(3, 2)] == ("common", 1, 3, 333_333)
     assert len(rows) == 6
+
+
+def _ref_bpe(word_freqs, n_merges, min_count=2):
+    """Pure-Python reference BPE (Sennrich-style, greedy argmax with
+    count-desc then lexicographic tie-break, left-to-right
+    non-overlapping replace)."""
+    vocab = {w: list(w) + ["</w>"] for w in word_freqs}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for w, f in word_freqs.items():
+            syms = vocab[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        maxc = max(counts.values())
+        if maxc < min_count:
+            break
+        first, second = min(p for p, c in counts.items() if c == maxc)
+        merges.append((rank, first, second, first + second, maxc))
+        merged = first + second
+        for w, syms in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == first and s == second:
+                    out[-1] = merged
+                else:
+                    out.append(s)
+            vocab[w] = out
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    from logsqlite_spark.operators.textstats import bpe_segment, bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low low low lower lower newest newest"),
+         (2, "newest newest newest newest widest widest"),
+         (3, "widest aaa aaa")],
+        "doc_id long, text string")
+    wf = {}
+    for _, text in [(1, "low low low lower lower newest newest"),
+                    (2, "newest newest newest newest widest widest"),
+                    (3, "widest aaa aaa")]:
+        for w in text.split():
+            wf[w] = wf.get(w, 0) + 1
+    exp_merges, exp_vocab = _ref_bpe(wf, 10)
+
+    got = [(r["rank"], r["first"], r["second"], r["merged"],
+            r["pair_count"])
+           for r in bpe_train(docs, n_merges=10).orderBy("rank").collect()]
+    assert got == exp_merges
+
+    seg = {r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+           for r in bpe_segment(docs, merges=exp_merges).collect()}
+    def doc_tokens(text):
+        ws = text.split()
+        return (len(ws), sum(len(exp_vocab[w]) for w in ws))
+    assert seg[1] == doc_tokens("low low low lower lower newest newest")
+    assert seg[2] == doc_tokens("newest newest newest newest widest widest")
+    assert seg[3] == doc_tokens("widest aaa aaa")
+
+
+def test_bpe_merge_pass_nonoverlapping(spark):
+    # 'aaaa' under (a,a) must become [aa, aa, </w>] — left-to-right
+    # non-overlap, the classic trap for fold-based implementations
+    from logsqlite_spark.operators.textstats import bpe_train
+
+    docs = spark.createDataFrame([(1, "aaaa aaaa")],
+                                 "doc_id long, text string")
+    rows = bpe_train(docs, n_merges=3).orderBy("rank").collect()
+    got = [(r["rank"], r["first"], r["second"], r["merged"],
+            r["pair_count"]) for r in rows]
+    exp, _ = _ref_bpe({"aaaa": 2}, 3)
+    assert got == exp
+    # merge 1: (a,a) count 6 — NOT 4: the fold must see aaaa as three
+    # overlapping bigram positions weighted by freq 2
+    assert got[0][1:] == ("a", "a", "aa", 6)
+    # pass 1 must produce [aa, aa, </w>] (non-overlapping replace):
+    # the round-2 candidate set is {(aa,aa): 2, (aa,</w>): 2}, and the
+    # lexicographic tie-break picks (aa, </w>)
+    assert got[1][1:] == ("aa", "</w>", "aa</w>", 2)
