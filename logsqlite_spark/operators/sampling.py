@@ -151,6 +151,61 @@ def mixture_sample(docs: DataFrame, quotas: dict[str, int],
     )
 
 
+MIXT_TOTAL = 200
+
+
+def temperature_mixture_sample(docs: DataFrame, total: int = MIXT_TOTAL,
+                               stratum_col: str = "source",
+                               id_col: str = "doc_id",
+                               salt: str = "mixT-v1") -> DataFrame:
+    """Temperature-flattened corpus mixture at τ=2 (α=1/2): each
+    stratum's quota is proportional to √n_s — the standard
+    multilingual-LLM rebalancing (upsample the tail, downsample the
+    head) with the temperature fixed at the one exponent that stays
+    engine-exact: IEEE sqrt is correctly rounded (every libm agrees
+    bit-for-bit), unlike pow(x, α) for general α. The weight is
+    ``floor(sqrt(n_s)·1000)`` — one exact int→double conversion, one
+    correctly-rounded sqrt, one correctly-rounded multiply, a floor —
+    then quotas are pure integer arithmetic:
+    ``quota_s = total·w_s div Σw_s``.
+
+    Plan: the stratum-count aggregation is map-side combinable and
+    stratum-cardinality sized; quotas broadcast back onto the
+    stratified rank (same salted-md5 order as ``mixture_sample``).
+    The literal ``rn <= total`` conjunct keeps the WindowGroupLimit
+    map-side prune (the quota itself is a joined column, which cannot
+    trigger it); the quota conjunct then trims exactly. Integer
+    floor-division under-allocates by at most one doc per stratum —
+    deterministic, and documented rather than redistributed (the
+    remainder rule would need a second pass for no modeling benefit).
+    """
+    h = _bucket_col(id_col, salt, 1_000_000_007)
+    counts = (docs.groupBy(F.col(stratum_col).alias("stratum"))
+              .agg(F.count(F.lit(1)).alias("n_s"))
+              .withColumn(
+                  "w",
+                  F.expr("cast(floor(sqrt(cast(n_s as double)) * 1000) "
+                         "as bigint)")))
+    quotas = (counts
+              .withColumn("w_sum", F.sum("w").over(Window.partitionBy()))
+              .withColumn("quota",
+                          F.expr(f"cast({int(total)} * w div w_sum "
+                                 "as bigint)"))
+              .select("stratum", "n_s", "quota"))
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(),
+                                                F.col(id_col).asc())
+    ranked = (docs.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= F.lit(int(total))))
+    return (
+        ranked.join(F.broadcast(quotas),
+                    ranked[stratum_col] == quotas["stratum"])
+        .filter(F.col("rn") <= F.col("quota"))
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.col("stratum"), F.col("quota").cast("long"),
+                F.col("rn").cast("int").alias("rn"))
+    )
+
+
 def corpus_shuffle(docs: DataFrame, seed: str = "shuffle-v1",
                    id_col: str = "doc_id",
                    n_ranges: int | None = None) -> DataFrame:
@@ -206,12 +261,17 @@ def _q_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_shuffle(table(spark, sf_dir, "documents"))
 
 
+def _q_mixture_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return temperature_mixture_sample(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "split_assign": _q_split_assign,
     "split_counts": _q_split_counts,
     "stratified_sample": _q_stratified,
     "mixture_sample": _q_mixture,
     "corpus_shuffle": _q_shuffle,
+    "mixture_temperature": _q_mixture_temp,
 }
 
 _SQL_BUCKET = (
@@ -245,6 +305,21 @@ ORACLES = {
         "SELECT doc_id, row_number() OVER (ORDER BY "
         + _SQL_BUCKET.format(salt="shuffle-v1", id="doc_id", n=1_000_000_007)
         + " ASC, doc_id ASC) AS pos FROM documents"
+    ),
+    "mixture_temperature": (
+        "WITH c AS (SELECT source AS stratum, count(*) AS n_s "
+        "FROM documents GROUP BY source), "
+        "w AS (SELECT stratum, n_s, "
+        "CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 1000) AS BIGINT) AS w "
+        "FROM c), "
+        f"q AS (SELECT stratum, CAST(({MIXT_TOTAL} * w) // "
+        "(SELECT sum(w) FROM w) AS BIGINT) AS quota FROM w), "
+        "r AS (SELECT doc_id, source AS stratum, row_number() OVER ("
+        "PARTITION BY source ORDER BY "
+        + _SQL_BUCKET.format(salt="mixT-v1", id="doc_id", n=1_000_000_007)
+        + " ASC, doc_id ASC) AS rn FROM documents) "
+        "SELECT doc_id, stratum, quota, CAST(rn AS INT) AS rn "
+        "FROM r JOIN q USING (stratum) WHERE rn <= quota"
     ),
     "mixture_sample": (
         "WITH q(src, quota) AS (VALUES "

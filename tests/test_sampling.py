@@ -131,3 +131,37 @@ def test_corpus_shuffle_seed_gives_independent_order(spark, sf_dir):
          for r in SP.corpus_shuffle(docs, seed="epoch-2").collect()}
     assert a != b
     assert sorted(a.values()) == sorted(b.values())
+
+
+def test_temperature_mixture_flattens_toward_tail(spark, sf_dir):
+    import math
+
+    docs = _docs(spark, sf_dir)
+    rows = SP.temperature_mixture_sample(docs, total=100).collect()
+    per = {}
+    quota = {}
+    for r in rows:
+        per[r["stratum"]] = per.get(r["stratum"], 0) + 1
+        quota[r["stratum"]] = r["quota"]
+    n_s = {r["source"]: r["count"]
+           for r in docs.groupBy("source").count().collect()}
+    # each stratum delivers exactly its quota (corpus is large enough)
+    assert per == {s: q for s, q in quota.items()}
+    # quotas follow total*w_s div sum(w): recompute driver-side
+    w = {s: math.floor(math.sqrt(n) * 1000) for s, n in n_s.items()}
+    wsum = sum(w.values())
+    assert quota == {s: (100 * ws) // wsum for s, ws in w.items()
+                     if (100 * ws) // wsum >= 1}
+    # τ=2 flattening on a skewed corpus: the tail stratum's sampled
+    # share must exceed its corpus share (testdata sources are near-
+    # uniform, so plant real skew)
+    skewed = spark.createDataFrame(
+        [(i, "head") for i in range(900)] + [(1000 + i, "tail")
+                                             for i in range(100)],
+        "doc_id long, source string")
+    srows = SP.temperature_mixture_sample(skewed, total=50).collect()
+    sper = {}
+    for r in srows:
+        sper[r["stratum"]] = sper.get(r["stratum"], 0) + 1
+    sample_share = sper["tail"] / sum(sper.values())
+    assert sample_share > 100 / 1000
