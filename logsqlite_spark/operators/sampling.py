@@ -238,6 +238,48 @@ def corpus_shuffle(docs: DataFrame, seed: str = "shuffle-v1",
     return ranked.select("doc_id", F.col("pos").cast("long").alias("pos"))
 
 
+def write_training_shards(docs: DataFrame, path: str,
+                          rows_per_shard: int = 1000,
+                          seed: str = "shuffle-v1",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Materialize the corpus as fixed-size training shards in seeded
+    shuffle order — the export step after :func:`corpus_shuffle`:
+    shard k holds positions ``[k·R+1, (k+1)·R]`` of the permutation,
+    one parquet file per shard, rows inside each file in position
+    order, so a trainer streams ``shard=0,1,2,…`` and sees the exact
+    epoch order without any further sort.
+
+    Scale: the permutation is the one wide exchange of
+    ``corpus_shuffle``; the shard assignment is a narrow projection
+    on ``pos``; ``repartition(shard)`` hash-routes each shard wholly
+    into one task (collisions co-locate whole shards, never split
+    one), and the per-task ``sortWithinPartitions`` orders at most a
+    few shards of rows. Shard size is the knob that bounds task
+    memory — R rows per file regardless of corpus size.
+
+    Returns the shard manifest (shard, n_rows, min_pos, max_pos) read
+    back from the written files.
+    """
+    ranked = corpus_shuffle(docs, seed=seed, id_col=id_col)
+    out = (
+        docs.withColumn("doc_id", F.col(id_col).cast("long"))
+        .join(ranked, "doc_id")
+        .withColumn("shard", F.expr(
+            f"cast((pos - 1) div {int(rows_per_shard)} as int)"))
+    )
+    (out.repartition("shard")
+     .sortWithinPartitions("shard", "pos")
+     .write.partitionBy("shard").mode("overwrite").parquet(path))
+    spark = docs.sparkSession
+    return (
+        spark.read.option("basePath", path).parquet(path)
+        .groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"),
+             F.min("pos").cast("long").alias("min_pos"),
+             F.max("pos").cast("long").alias("max_pos"))
+    )
+
+
 MIX_QUOTAS = {"src0": 12, "src1": 3, "src2": 20, "src3": 7}
 
 

@@ -165,3 +165,33 @@ def test_temperature_mixture_flattens_toward_tail(spark, sf_dir):
         sper[r["stratum"]] = sper.get(r["stratum"], 0) + 1
     sample_share = sper["tail"] / sum(sper.values())
     assert sample_share > 100 / 1000
+
+
+def test_write_training_shards_layout_and_order(spark, sf_dir, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    docs = _docs(spark, sf_dir)
+    n = docs.count()
+    path = str(tmp_path / "shards")
+    manifest = {r["shard"]: (r["n_rows"], r["min_pos"], r["max_pos"])
+                for r in SP.write_training_shards(
+                    docs, path, rows_per_shard=100).collect()}
+    n_shards = -(-n // 100)
+    assert set(manifest) == set(range(n_shards))
+    for k, (rows, lo, hi) in manifest.items():
+        exp_rows = min(100, n - k * 100)
+        assert (rows, lo, hi) == (exp_rows, k * 100 + 1, k * 100 + exp_rows)
+    # one file per shard; rows inside the file are in position order
+    # (the trainer streams files without sorting)
+    expected = {r.pos: r.doc_id
+                for r in SP.corpus_shuffle(docs).collect()}
+    for k in range(n_shards):
+        files = [f for f in glob.glob(f"{path}/shard={k}/*.parquet")]
+        assert len(files) == 1, files
+        t = pq.read_table(files[0], columns=["pos", "doc_id"])
+        pos = t.column("pos").to_pylist()
+        assert pos == sorted(pos)
+        for p, d in zip(pos, t.column("doc_id").to_pylist()):
+            assert expected[p] == d
