@@ -85,6 +85,9 @@ BENCH_QUERIES = [
     "quality_checks_events",
     "tpch_q2_min_cost_supplier",
     "chunk_documents",
+    # r9 second half: the global-sort shape (seeded epoch shuffle) —
+    # the one wide-exchange+rank plan no other headline query exercises
+    "corpus_shuffle",
 ]
 
 def main() -> None:

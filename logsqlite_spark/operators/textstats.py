@@ -1031,10 +1031,15 @@ _BIGRAM_ARTIFACT_BUILDS = 0
 def bigram_lm_artifact(docs: DataFrame, text_col: str = "text"):
     """The corpus LM state for incremental scoring, persisted
     build-once: ``(bigrams(first, second, b), unigrams(first, u),
-    vocab(tok))``.  All three merge by associative sum / set union
-    over disjoint doc sets — the partials idiom, so ingest appends a
-    batch's own counts instead of re-reading the corpus.  Inline
-    (lazy) fallback for literal/streaming frames."""
+    vocab(tok, c))``.  All three merge by associative SUM over
+    disjoint doc sets — the partials idiom, so ingest appends a
+    batch's own counts instead of re-reading the corpus.  The vocab
+    carries occurrence counts (not a bare distinct set) so the merge
+    runs BACKWARDS too: retraction subtracts a doc's counts and a
+    token vanishes exactly when its count reaches zero
+    (``streaming/partials.erase_from_lm_snapshot``); |vocab| is still
+    its row count for every reader.  Inline (lazy) fallback for
+    literal/streaming frames."""
     from logsqlite_spark.artifacts import build_or_serve
     from logsqlite_spark.tables import frames_fingerprint
 
@@ -1050,7 +1055,9 @@ def bigram_lm_artifact(docs: DataFrame, text_col: str = "text"):
     bigrams = dp.groupBy("first", "second").agg(
         F.count(F.lit(1)).alias("b"))
     unigrams = dp.groupBy("first").agg(F.count(F.lit(1)).alias("u"))
-    vocab = base.select(F.explode("__t").alias("tok")).distinct()
+    vocab = (base.select(F.explode("__t").alias("tok"))
+             .groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                 .alias("c")))
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001

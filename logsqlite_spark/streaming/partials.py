@@ -192,7 +192,8 @@ def bigram_lm_sink(snapshot_root: str, text_col: str = "text",
     (round 9): each micro-batch merges its bigram/unigram counts and
     vocabulary into the versioned LM snapshot (the same exactly-once
     pointer protocol as the gram partials — counts merge by
-    associative sum, vocab by distinct union), optionally appending
+    associative sum, the vocab by occurrence-count sum), optionally
+    appending
     the batch's union-LM scores (≡ the batch API against the
     pre-batch snapshot) to ``scores_dir``."""
     from logsqlite_spark.operators.textstats import (
@@ -213,7 +214,7 @@ def bigram_lm_sink(snapshot_root: str, text_col: str = "text",
             lm = (spark.createDataFrame(
                       [], "first string, second string, b long"),
                   spark.createDataFrame([], "first string, u long"),
-                  spark.createDataFrame([], "tok string"))
+                  spark.createDataFrame([], "tok string, c long"))
         h_bg, h_un, h_vocab = lm
         if scores_dir is not None:
             bigram_logprob_incremental(
@@ -237,7 +238,10 @@ def bigram_lm_sink(snapshot_root: str, text_col: str = "text",
                 .unionByName(h_un)
                 .groupBy("first").agg(F.sum("u").cast("long").alias("u")))
         m_vocab = (base.select(F.explode("__t").alias("tok"))
-                   .unionByName(h_vocab).distinct())
+                   .groupBy("tok")
+                   .agg(F.count(F.lit(1)).cast("long").alias("c"))
+                   .unionByName(h_vocab)
+                   .groupBy("tok").agg(F.sum("c").cast("long").alias("c")))
         new_ver = 1 if ver is None else ver + 1
         out = os.path.join(snapshot_root, f"v{new_ver:08d}")
         m_bg.write.mode("overwrite").parquet(
@@ -250,3 +254,84 @@ def bigram_lm_sink(snapshot_root: str, text_col: str = "text",
         _gc_versions(snapshot_root, new_ver)
 
     return on_batch
+
+
+def erase_from_lm_snapshot(spark, snapshot_root: str, docs: DataFrame,
+                           text_col: str = "text") -> dict:
+    """Retract previously-ingested documents from the LM snapshot —
+    the erase leg of the LM lifecycle (append via
+    :func:`bigram_lm_sink`, compact is inherent to the re-merged
+    snapshot, erase here).  All three tables are associative SUMS
+    over disjoint doc sets, so the merge runs backwards: subtract the
+    docs' own bigram/unigram/vocab counts, drop rows that reach zero,
+    and the snapshot is value-identical to one built WITHOUT those
+    docs.
+
+    Unlike the dedup-index erase this NEEDS the retracted text (the
+    snapshot keeps aggregates, not per-doc rows — the usual takedown
+    request carries the document).  The contract that the docs were
+    actually ingested is CHECKED, not assumed: any count that would
+    go negative proves the claim false and raises before the pointer
+    moves (a wrong retraction must not silently corrupt the LM).
+
+    Crash-safety is the snapshot protocol itself: the new version is
+    fully written, then the pointer flips by atomic rename — a crash
+    at any point leaves the old complete version serving.  Run
+    BETWEEN batches, single-writer.
+    """
+    from logsqlite_spark.operators.textstats import _tok
+
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("erase_from_lm_snapshot: no LM snapshot at "
+                         f"{snapshot_root}")
+    h_bg, h_un, h_vocab = snapshot_lm(spark, snapshot_root)
+
+    pairs = F.explode(F.expr(
+        "transform(sequence(1, size(__t) - 1), "
+        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+    )).alias("p")
+    base = docs.select(F.expr(_tok(text_col)).alias("__t"))
+    dp = (base.filter(F.size("__t") >= 2).select(pairs)
+          .select("p.first", "p.second"))
+    e_bg = (dp.groupBy("first", "second")
+            .agg((-F.count(F.lit(1))).cast("long").alias("b")))
+    e_un = (dp.groupBy("first")
+            .agg((-F.count(F.lit(1))).cast("long").alias("u")))
+    e_vocab = (base.select(F.explode("__t").alias("tok"))
+               .groupBy("tok")
+               .agg((-F.count(F.lit(1))).cast("long").alias("c")))
+
+    m_bg = (h_bg.unionByName(e_bg).groupBy("first", "second")
+            .agg(F.sum("b").cast("long").alias("b")))
+    m_un = (h_un.unionByName(e_un).groupBy("first")
+            .agg(F.sum("u").cast("long").alias("u")))
+    m_vocab = (h_vocab.unionByName(e_vocab).groupBy("tok")
+               .agg(F.sum("c").cast("long").alias("c")))
+
+    new_ver = ver + 1
+    out = os.path.join(snapshot_root, f"v{new_ver:08d}")
+    m_bg.filter(F.col("b") != 0).write.mode("overwrite").parquet(
+        os.path.join(out, "bigrams"))
+    m_un.filter(F.col("u") != 0).write.mode("overwrite").parquet(
+        os.path.join(out, "unigrams"))
+    m_vocab.filter(F.col("c") != 0).write.mode("overwrite").parquet(
+        os.path.join(out, "vocab"))
+
+    # verify the ingestion contract from the STAGED tables before the
+    # pointer moves: a negative survivor means the docs were not (all)
+    # part of the corpus — refuse the erase, keep serving the old
+    # version, and leave the staged dir for inspection
+    rd = spark.read.parquet
+    neg = (rd(os.path.join(out, "bigrams")).filter(F.col("b") < 0).count()
+           + rd(os.path.join(out, "unigrams")).filter(F.col("u") < 0)
+           .count()
+           + rd(os.path.join(out, "vocab")).filter(F.col("c") < 0).count())
+    if neg:
+        raise ValueError(
+            "erase_from_lm_snapshot: retraction would drive "
+            f"{neg} count rows negative — the supplied docs were not "
+            "part of the ingested corpus; snapshot unchanged")
+    _write_pointer(snapshot_root, new_ver, batch_id)
+    _gc_versions(snapshot_root, new_ver)
+    return {"erased": True, "version": new_ver}

@@ -86,3 +86,46 @@ def test_bigram_lm_sink_matches_one_shot_and_batch_api(spark, tmp_path):
     got2 = snapshot_lm(spark, root)
     assert sorted(map(tuple, got2[0].collect())) == \
         sorted(map(tuple, want[0].collect()))
+
+
+def test_lm_snapshot_erase_equals_built_without(spark, tmp_path):
+    """Erase leg of the LM lifecycle: retracting batch-1's texts
+    leaves the snapshot value-identical to an LM built from batch 2
+    alone; retracting never-ingested text is detected (negative
+    counts) and refused without moving the pointer."""
+    import pytest
+
+    from logsqlite_spark.operators.textstats import bigram_lm_artifact
+    from logsqlite_spark.streaming.partials import (
+        bigram_lm_sink,
+        erase_from_lm_snapshot,
+        read_pointer,
+        snapshot_lm,
+    )
+
+    DOCS = "doc_id long, text string"
+    b1_rows = [(1, "a a b c"), (2, "a b")]
+    b2_rows = [(10, "a b z"), (11, "q")]
+    root = str(tmp_path / "lm")
+    sink = bigram_lm_sink(root)
+    b1 = spark.createDataFrame(b1_rows, DOCS)
+    b2 = spark.createDataFrame(b2_rows, DOCS)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    erase_from_lm_snapshot(spark, root, b1)
+    want = bigram_lm_artifact(b2)  # inline tables (no inputFiles)
+    got = snapshot_lm(spark, root)
+    for g, w in zip(got, want):
+        assert sorted(map(tuple, g.collect())) == \
+            sorted(map(tuple, w.collect()))
+
+    ver_before = read_pointer(root)
+    bogus = spark.createDataFrame([(99, "zzz zzz")], DOCS)
+    with pytest.raises(ValueError, match="negative"):
+        erase_from_lm_snapshot(spark, root, bogus)
+    assert read_pointer(root) == ver_before
+    got2 = snapshot_lm(spark, root)
+    for g, w in zip(got2, want):
+        assert sorted(map(tuple, g.collect())) == \
+            sorted(map(tuple, w.collect()))

@@ -516,3 +516,42 @@ def test_bpe_merge_pass_nonoverlapping(spark):
     # the round-2 candidate set is {(aa,aa): 2, (aa,</w>): 2}, and the
     # lexicographic tie-break picks (aa, </w>)
     assert got[1][1:] == ("aa", "</w>", "aa</w>", 2)
+
+
+def test_bpe_merge_fold_property(spark):
+    # the codegen fold must equal the textbook left-to-right
+    # non-overlapping replace on adversarial symbol sequences
+    # (overlapping runs, pair-at-ends, merged-equals-neighbor)
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from pyspark.sql import functions as F
+    from logsqlite_spark.operators.textstats import _merge_pass_expr
+
+    syms_strat = st.lists(st.sampled_from(["a", "b", "ab", "</w>"]),
+                          min_size=0, max_size=12)
+    pair_strat = st.tuples(st.sampled_from(["a", "b", "ab"]),
+                           st.sampled_from(["a", "b", "</w>"]))
+
+    def ref_pass(syms, first, second):
+        out = []
+        for s in syms:
+            if out and out[-1] == first and s == second:
+                out[-1] = first + second
+            else:
+                out.append(s)
+        return out
+
+    @settings(max_examples=30, deadline=None,
+              suppress_health_check=[HealthCheck.too_slow])
+    @given(st.lists(syms_strat, min_size=1, max_size=4), pair_strat)
+    def check(words, pair):
+        first, second = pair
+        df = spark.createDataFrame([(w,) for w in words],
+                                   "syms array<string>")
+        got = [r["m"] for r in df.select(
+            F.expr(_merge_pass_expr("syms", first, second)).alias("m")
+        ).collect()]
+        assert got == [ref_pass(w, first, second) for w in words]
+
+    check()
