@@ -1240,21 +1240,75 @@ def dedup_decisions(docs: DataFrame, threshold: float = 0.6,
     pairs = shingle_jaccard_pairs(docs, threshold=threshold,
                                   max_df_frac=max_df_frac)
     comp = connected_components(pairs)
-    return (
+    return _verdict_rows(
         docs.select(F.col("doc_id").cast("long").alias("doc_id"))
         .join(comp.withColumnRenamed("doc_id", "__cd"),
               F.col("doc_id") == F.col("__cd"), "left")
-        .select(
-            "doc_id",
-            F.col("cluster_id").cast("long").alias("cluster_id"),
-            F.coalesce(F.col("cluster_id") == F.col("doc_id"),
-                       F.lit(True)).alias("keep"),
-            F.when(F.col("cluster_id").isNull(), F.lit("unique"))
-            .when(F.col("cluster_id") == F.col("doc_id"),
-                  F.lit("representative"))
-            .otherwise(F.lit("near_dup")).alias("reason"),
-        )
+        .select("doc_id", "cluster_id")
     )
+
+
+def _verdict_rows(assigned: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) → the decisions projection (cluster_id
+    NULL ⇒ unique)."""
+    return assigned.select(
+        "doc_id",
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.coalesce(F.col("cluster_id") == F.col("doc_id"),
+                   F.lit(True)).alias("keep"),
+        F.when(F.col("cluster_id").isNull(), F.lit("unique"))
+        .when(F.col("cluster_id") == F.col("doc_id"),
+              F.lit("representative"))
+        .otherwise(F.lit("near_dup")).alias("reason"),
+    )
+
+
+def dedup_decisions_incremental(batch_docs: DataFrame,
+                                new_pairs: DataFrame,
+                                history_components: DataFrame,
+                                id_col: str = "doc_id") -> DataFrame:
+    """The decisions DELTA a new batch applies to the verdict table —
+    the user-facing end of the dedup pipeline kept current without
+    recomputing a corpus-sized row set: one row per batch document
+    plus one row per HISTORY document whose verdict changed (its
+    component absorbed a smaller label, or a new pair pulled a
+    previously-unique doc into a cluster). Upserting the delta over
+    the old decisions table ≡ :func:`dedup_decisions`-style verdicts
+    over history ∪ batch (pytest-pinned; the oracled registry query
+    replays the union and diffs it against the history verdicts in
+    SQL).
+
+    Decomposition (all pieces already certified): ``cc_merge_delta``
+    yields the label rewrites and the assignments for nodes history
+    never saw; changed history rows are exactly the members of
+    rewritten labels (reason flips — rep → near_dup — only ever ride
+    a cluster_id change, and unique → clustered arrives via the new
+    assignments, since a unique doc is absent from the components
+    table); batch docs in no pair are emitted as ``unique``. Per-
+    batch cost is O(new pairs + touched component rows + batch),
+    never O(corpus): untouched components never enter any join — the
+    history side is pruned by the (broadcast, size-gated) rewrite
+    mapping.
+    """
+    hist = history_components.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"))
+    m, new_rows = cc_merge_delta(new_pairs, hist)
+    m_real = m.filter(F.col("__old") != F.col("__new"))
+    m_real = m_real.localCheckpoint(eager=True)
+    if m_real.count() <= 5_000_000:
+        m_real = F.broadcast(m_real)
+    changed_hist = (
+        hist.join(m_real, hist["cluster_id"] == F.col("__old"))
+        .select("doc_id", F.col("__new").alias("cluster_id")))
+    members = changed_hist.unionByName(
+        new_rows.select("doc_id", "cluster_id"))
+    batch_ids = batch_docs.select(
+        F.col(id_col).cast("long").alias("doc_id"))
+    uniq = (batch_ids.join(members, "doc_id", "left_anti")
+            .select("doc_id",
+                    F.lit(None).cast("long").alias("cluster_id")))
+    return _verdict_rows(members.unionByName(uniq))
 
 
 def pair_degree_histogram(pairs: DataFrame, a_col: str = "a_id",
@@ -1378,6 +1432,21 @@ def _q_dedup_components_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_decisions(table(spark, sf_dir, "documents"))
+
+
+def _q_dedup_decisions_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decisions delta over the minhash pair family (generation
+    decomposes exactly): history verdicts come from history-only
+    pairs; the oracle recomputes union and history verdicts in SQL
+    and diffs them."""
+    docs = table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    new_pairs = minhash_band_pairs_incremental(
+        batch, minhash_bands_artifact(hist))
+    return dedup_decisions_incremental(
+        batch, new_pairs,
+        connected_components(minhash_band_pairs(hist)))
 
 
 def _q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1529,6 +1598,7 @@ QUERIES = {
     "dedup_pair_degrees": _q_pair_degrees,
     "dedup_cluster_stats": _q_dedup_cluster_stats,
     "dedup_decisions": _q_dedup_decisions,
+    "dedup_decisions_inc": _q_dedup_decisions_inc,
     "dedup_minhash_lsh": _q_dedup_minhash_lsh,  # rows-only (ml LSH)
     "dedup_simhash": _q_dedup_simhash,
     "dedup_simhash_pairs": _q_dedup_simhash_pairs,
@@ -1626,6 +1696,42 @@ ORACLES = {
         "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m) "
         "SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS cluster_id "
         "FROM reach GROUP BY n"
+    ),
+    # decisions delta ≡ union verdicts diffed against history verdicts
+    # (minhash pair family — generation decomposes across the split)
+    "dedup_decisions_inc": (
+        "WITH RECURSIVE pairs AS ("
+        + _minhash_pairs_sql()
+        + "), "
+        "sym AS (SELECT a_id AS a, b_id AS b FROM pairs "
+        "  UNION SELECT b_id, a_id FROM pairs), "
+        "nodes AS (SELECT DISTINCT a AS n FROM sym), "
+        "reach AS (SELECT n, n AS m FROM nodes "
+        "  UNION SELECT r.n, s.b FROM reach r JOIN sym s ON s.a = r.m), "
+        "comp AS (SELECT n AS doc_id, min(m) AS cluster_id "
+        "FROM reach GROUP BY n), "
+        "hpairs AS (SELECT * FROM pairs "
+        "WHERE a_id % 4 != 0 AND b_id % 4 != 0), "
+        "hsym AS (SELECT a_id AS a, b_id AS b FROM hpairs "
+        "  UNION SELECT b_id, a_id FROM hpairs), "
+        "hnodes AS (SELECT DISTINCT a AS n FROM hsym), "
+        "hreach AS (SELECT n, n AS m FROM hnodes "
+        "  UNION SELECT r.n, s.b FROM hreach r JOIN hsym s ON s.a = r.m), "
+        "hcomp AS (SELECT n AS doc_id, min(m) AS cluster_id "
+        "FROM hreach GROUP BY n), "
+        "u AS (SELECT d.doc_id, comp.cluster_id FROM documents d "
+        "LEFT JOIN comp ON comp.doc_id = d.doc_id), "
+        "h AS (SELECT d.doc_id, hcomp.cluster_id FROM documents d "
+        "LEFT JOIN hcomp ON hcomp.doc_id = d.doc_id "
+        "WHERE d.doc_id % 4 != 0) "
+        "SELECT u.doc_id, CAST(u.cluster_id AS BIGINT) AS cluster_id, "
+        "coalesce(u.cluster_id = u.doc_id, TRUE) AS keep, "
+        "CASE WHEN u.cluster_id IS NULL THEN 'unique' "
+        "  WHEN u.cluster_id = u.doc_id THEN 'representative' "
+        "  ELSE 'near_dup' END AS reason "
+        "FROM u LEFT JOIN h ON u.doc_id = h.doc_id "
+        "WHERE u.doc_id % 4 = 0 "
+        "  OR u.cluster_id IS DISTINCT FROM h.cluster_id"
     ),
     "dedup_decisions": (
         "WITH RECURSIVE pairs AS ("

@@ -607,3 +607,64 @@ def test_dedup_decisions_planted(spark):
     assert got[1] == (0, False, "near_dup")
     assert got[2] == (None, True, "unique")
     assert got[3] == (None, True, "unique")
+
+
+def test_decisions_incremental_delta_planted(spark):
+    """The delta covers exactly: every batch doc, history members of
+    merged components (rep demotion rides the cluster change), and
+    previously-unique history docs pulled into clusters; untouched
+    components and still-unique history docs emit nothing. Upserting
+    the delta over old verdicts ≡ verdicts over the union."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        _verdict_rows,
+        connected_components,
+        dedup_decisions_incremental,
+    )
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6), (8, 9)], "a_id long, b_id long")
+    hist_docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 6, 8, 9, 15)], "doc_id long")
+    hist_comp = connected_components(old_pairs)
+    # batch: 10 bridges {1,2}+{5,6}; 20/21 pair up; 30 unique;
+    # 15 (history-unique) joins 21
+    batch_docs = spark.createDataFrame(
+        [(i,) for i in (10, 20, 21, 30)], "doc_id long")
+    new_pairs = spark.createDataFrame(
+        [(2, 10), (5, 10), (20, 21), (15, 21)], "a_id long, b_id long")
+    delta = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+             for r in dedup_decisions_incremental(
+                 batch_docs, new_pairs, hist_comp).collect()}
+    # {5,6} merged into cluster 1 (rep 5 demoted); {8,9} untouched;
+    # 15 pulled in; 30 unique
+    assert delta == {
+        5: (1, False, "near_dup"),
+        6: (1, False, "near_dup"),
+        10: (1, False, "near_dup"),
+        15: (15, True, "representative"),
+        20: (15, False, "near_dup"),
+        21: (15, False, "near_dup"),
+        30: (None, True, "unique"),
+    }
+    assert 8 not in delta and 1 not in delta and 2 not in delta
+
+    # upsert ≡ union verdicts
+    old = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+           for r in _verdict_rows(
+               hist_docs.join(
+                   hist_comp.withColumnRenamed("doc_id", "__cd"),
+                   hist_docs["doc_id"] == F.col("__cd"), "left")
+               .select("doc_id", "cluster_id")).collect()}
+    upserted = {**old, **delta}
+    union_docs = hist_docs.unionByName(batch_docs)
+    union_comp = connected_components(
+        old_pairs.unionByName(new_pairs))
+    want = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+            for r in _verdict_rows(
+                union_docs.join(
+                    union_comp.withColumnRenamed("doc_id", "__cd"),
+                    union_docs["doc_id"] == F.col("__cd"), "left")
+                .select("doc_id", "cluster_id")).collect()}
+    assert upserted == want
