@@ -492,6 +492,29 @@ def components_rows(spark, state_dir: str) -> DataFrame | None:
                     F.coalesce("new", "cluster_id").alias("cluster_id")))
 
 
+def decisions_rows(spark, state_dir: str, docs: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame | None:
+    """The user-facing keep/drop verdict table served straight from
+    the streamed components state: ``docs`` (the corpus id scan)
+    left-joined through :func:`components_rows`, projected with the
+    batch API's verdict rule — the streaming end of the
+    ``dedup_decisions`` story (pairs stream in via any dedup sink →
+    ``components_sink`` → verdicts here, no batch recompute ever).
+    None pre-bootstrap."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import _verdict_rows
+
+    comp = components_rows(spark, state_dir)
+    if comp is None:
+        return None
+    return _verdict_rows(
+        docs.select(F.col(id_col).cast("long").alias("doc_id"))
+        .join(comp.withColumnRenamed("doc_id", "__cd"),
+              F.col("doc_id") == F.col("__cd"), "left")
+        .select("doc_id", "cluster_id"))
+
+
 def components_sink(state_dir: str) -> Callable[[DataFrame, int], None]:
     """Streaming connected components over an EDGE stream — feed it
     any dedup sink's per-batch candidate-pair emits (``a_id, b_id``

@@ -584,3 +584,43 @@ def test_erase_dedup_index_resumes_after_forward_rewritten(spark,
         assert sorted(map(tuple, getattr(idx2, f).collect())) == \
             sorted(map(tuple, getattr(inline, f).collect())), f
     assert not os.path.exists(stage)  # stage cleaned up
+
+
+def test_decisions_rows_served_from_streamed_components(spark, tmp_path):
+    """Verdicts straight off the streamed CC state equal the batch
+    verdict projection over the same edges; docs outside any pair
+    read as unique."""
+    from logsqlite_spark.operators.dedup import (
+        _verdict_rows,
+        connected_components,
+    )
+    from logsqlite_spark.streaming.incremental import (
+        components_sink,
+        decisions_rows,
+    )
+
+    EDGES = "a_id long, b_id long"
+    b1 = [(1, 2), (5, 6)]
+    b2 = [(2, 10)]
+    state = str(tmp_path / "state")
+    assert decisions_rows(
+        spark, state,
+        spark.createDataFrame([(1,)], "doc_id long")) is None
+    sink = components_sink(state)
+    for i, rows in enumerate((b1, b2)):
+        sink(spark.createDataFrame(rows, EDGES), i)
+
+    docs = spark.createDataFrame(
+        [(i,) for i in (1, 2, 5, 6, 10, 99)], "doc_id long")
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+           for r in decisions_rows(spark, state, docs).collect()}
+    union = spark.createDataFrame(b1 + b2, EDGES)
+    want = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+            for r in _verdict_rows(
+                docs.join(connected_components(union)
+                          .withColumnRenamed("doc_id", "__cd"),
+                          docs["doc_id"] == F.col("__cd"), "left")
+                .select("doc_id", "cluster_id")).collect()}
+    assert got == want
+    assert got[99] == (None, True, "unique")
+    assert got[1] == (1, True, "representative")
