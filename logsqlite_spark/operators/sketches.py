@@ -14,6 +14,12 @@ log/metrics pipeline needs (both Datasketches builtins in Spark 4.x):
   shuffle of every row per grain served; this is one scan total.
 - **Theta sketches** (`theta_sketch_agg`): distinct-count sketches
   that support INTERSECTION and DIFFERENCE, which HLL cannot.
+- **Frequent-items sketches** (`approx_top_k_accumulate/combine/
+  estimate`, Datasketches ItemsSketch — round 9): WHICH values
+  dominate, per day and overall, from one scan; daily sketches merge
+  into any grain. Below tracking capacity the sketch never evicts and
+  every count is exact (the Theta exactness policy), so the registry
+  query carries a full oracle.
   Day-over-day retention ("how many of yesterday's users returned
   today?") and audience overlap between event-type segments become
   pairwise operations over a tiny daily-sketch table — the raw events
@@ -254,6 +260,60 @@ def segment_overlap(events: DataFrame, lg_k: int = 12) -> DataFrame:
     )
 
 
+TOPK_MAX_TRACKED = 64
+TOPK_K = 32
+
+
+def daily_type_topk_sketches(events: DataFrame,
+                             max_tracked: int = TOPK_MAX_TRACKED
+                             ) -> DataFrame:
+    """Per-day frequent-items sketches over the event-type column —
+    the materialized daily table any coarser grain merges from
+    without re-reading events (the `daily_user_sketches` pattern,
+    fourth sketch family)."""
+    return events.groupBy("day").agg(
+        F.expr(f"approx_top_k_accumulate(event_type, {max_tracked})")
+        .alias("sk"))
+
+
+def type_topk_rollup(events: DataFrame, k: int = TOPK_K,
+                     max_tracked: int = TOPK_MAX_TRACKED) -> DataFrame:
+    """Heavy hitters per day AND overall from ONE scan — the fourth
+    Datasketches family (frequent-items / ItemsSketch, Spark 4.1's
+    ``approx_top_k_accumulate/combine/estimate``), completing the
+    mergeable tier: HLL answers "how many distinct", KLL "what
+    distribution", Theta "which sets overlap", and this one "WHICH
+    values dominate" — the skew monitor that tells you what to salt.
+
+    The raw events aggregate once into per-day sketches (map-side
+    combinable, fixed-size state); the overall row merges those
+    sketches (KBs, never a re-scan). Exactness: an ItemsSketch
+    tracking ``max_tracked`` items with a smaller actual domain
+    never evicts, so every count is the TRUE count — the event-type
+    domain is a handful of values, so the registry query carries a
+    FULL DuckDB oracle (the Theta-exactness policy); above capacity
+    the same plan degrades to the documented count-error bound,
+    pinned in ``test_sketches.py``.
+    """
+    daily = daily_type_topk_sketches(events, max_tracked)
+    per_day = (
+        daily.select(
+            F.col("day").cast("string").alias("day"),
+            F.explode(F.expr(f"approx_top_k_estimate(sk, {k})"))
+            .alias("e"))
+        .select("day", F.col("e.item").alias("item"),
+                F.col("e.count").cast("long").alias("n")))
+    overall = (
+        daily.agg(F.expr(f"approx_top_k_combine(sk, {max_tracked})")
+                  .alias("csk"))
+        .select(F.explode(F.expr(f"approx_top_k_estimate(csk, {k})"))
+                .alias("e"))
+        .select(F.lit("ALL").alias("day"),
+                F.col("e.item").alias("item"),
+                F.col("e.count").cast("long").alias("n")))
+    return per_day.unionByName(overall)
+
+
 # ---------------------------------------------------------------------------
 # registry surface
 
@@ -274,6 +334,10 @@ def _q_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weekly_active_theta(_events(spark, sf_dir))
 
 
+def _q_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return type_topk_rollup(_events(spark, sf_dir))
+
+
 QUERIES = {
     # rows-only by design: KLL compaction is randomized (no DuckDB twin);
     # error-bounded vs exact quantiles in test_sketches.py
@@ -283,9 +347,21 @@ QUERIES = {
     "events_retention_overlap": _q_retention,
     "events_segment_overlap": _q_segments,
     "events_weekly_active": _q_weekly,
+    # full oracle: ItemsSketch below tracking capacity never evicts,
+    # so every count is exact (event-type domain ≪ max_tracked)
+    "events_type_topk": _q_type_topk,
 }
 
 ORACLES = {
+    "events_type_topk": (
+        "WITH e AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) "
+        "AS VARCHAR) AS day, event_type AS item FROM events), "
+        "d AS (SELECT day, item, count(*) AS n FROM e GROUP BY day, item) "
+        "SELECT day, item, n FROM d "
+        "UNION ALL "
+        "SELECT 'ALL' AS day, item, CAST(sum(n) AS BIGINT) AS n "
+        "FROM d GROUP BY item"
+    ),
     "events_retention_overlap": (
         "WITH act AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id "
         "  FROM events), "

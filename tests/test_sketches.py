@@ -165,3 +165,37 @@ def test_kll_incremental_update_rank_error(spark, sf_dir):
     for q in (0.5, 0.9, 0.99):
         est = merged[f"p{int(q * 100)}_c"]
         assert abs(_rank_of(vals, est) - q) <= _RANK_EPS, (q, est)
+
+
+def test_type_topk_exact_below_capacity_and_bounded_above(spark):
+    """Below max_tracked the frequent-items sketch never evicts —
+    counts are exact and complete; above capacity the dominant item
+    still surfaces with estimate >= true count (ItemsSketch
+    guarantee) and <= true count + stream length of evicted mass."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.sketches import type_topk_rollup
+
+    rows = ([("a",)] * 50 + [("b",)] * 30 + [("c",)] * 5)
+    events = spark.createDataFrame(rows, "event_type string") \
+        .select(F.lit("2024-01-01").cast("date").alias("day"),
+                "event_type")
+    got = {(r["day"], r["item"]): r["n"]
+           for r in type_topk_rollup(events).collect()}
+    assert got == {("2024-01-01", "a"): 50, ("2024-01-01", "b"): 30,
+                   ("2024-01-01", "c"): 5,
+                   ("ALL", "a"): 50, ("ALL", "b"): 30, ("ALL", "c"): 5}
+
+    # above capacity: 40 long-tail singletons force eviction at
+    # max_tracked=8; the heavy hitter must survive with
+    # true <= est <= true + evicted mass
+    tail = [(f"t{i}",) for i in range(40)]
+    skew = spark.createDataFrame([("hot",)] * 100 + tail,
+                                 "event_type string") \
+        .select(F.lit("2024-01-02").cast("date").alias("day"),
+                "event_type")
+    est = {r["item"]: r["n"]
+           for r in type_topk_rollup(skew, k=3, max_tracked=8)
+           .filter(F.col("day") == "ALL").collect()}
+    assert "hot" in est
+    assert 100 <= est["hot"] <= 140
