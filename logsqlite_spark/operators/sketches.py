@@ -303,9 +303,16 @@ def type_topk_rollup(events: DataFrame, k: int = TOPK_K,
             .alias("e"))
         .select("day", F.col("e.item").alias("item"),
                 F.col("e.count").cast("long").alias("n")))
+    # repartition(1) before combine: approx_top_k_combine's partial
+    # buffer cannot serialize from an EMPTY partition (Spark 4.1
+    # genSketchSerDe MatchError on the null item type — probed, and
+    # the daily table behind a 32-partition shuffle has mostly-empty
+    # partitions). The sketch table is O(days) rows, so one partition
+    # IS the right physical shape for its grand total anyway.
     overall = (
-        daily.agg(F.expr(f"approx_top_k_combine(sk, {max_tracked})")
-                  .alias("csk"))
+        daily.repartition(1)
+        .agg(F.expr(f"approx_top_k_combine(sk, {max_tracked})")
+             .alias("csk"))
         .select(F.explode(F.expr(f"approx_top_k_estimate(csk, {k})"))
                 .alias("e"))
         .select(F.lit("ALL").alias("day"),

@@ -182,6 +182,45 @@ def windowed_value_quantile_sketch(stream: DataFrame,
     )
 
 
+def windowed_topk_sketch(stream: DataFrame,
+                         item_col: str = "event_type",
+                         window: str = "5 minutes",
+                         watermark: str = "10 minutes",
+                         ts_col: str = "ts",
+                         k: int = 32,
+                         max_tracked: int = 64) -> DataFrame:
+    """Heavy hitters per event-time window via frequent-items
+    sketches — the streaming twin of
+    ``operators.sketches.type_topk_rollup``, completing the streaming
+    side of the four-family tier.
+
+    An exact streaming per-window top-k keeps one counter per
+    DISTINCT value in the state store (``streaming_window_topk`` does
+    exactly that, fine for bounded key domains); this keeps a fixed
+    ``max_tracked``-slot sketch per live window instead, the shape
+    that survives unbounded item domains. Below capacity the sketch
+    never evicts, so emitted counts are identical to a batch pass
+    over the same rows regardless of micro-batch boundaries (the
+    register-max argument HLL uses — pinned in
+    ``test_streaming_topk.py``); above capacity estimates carry the
+    ItemsSketch error bound. The emitted sketch column stays
+    mergeable downstream via ``approx_top_k_combine`` (repartition(1)
+    the tiny sketch table first — combine's partial buffer cannot
+    serialize from an empty partition; see ``type_topk_rollup``).
+    """
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window).alias("w"))
+        .agg(F.expr(f"approx_top_k_accumulate({item_col}, {max_tracked})")
+             .alias("sketch"))
+    )
+    return agg.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        "sketch",
+        F.expr(f"approx_top_k_estimate(sketch, {k})").alias("topk"))
+
+
 def windowed_quality_metrics(stream: DataFrame,
                              id_col: str = "user_id",
                              check_cols: tuple[str, ...] = ("value",),

@@ -97,3 +97,57 @@ def test_unfinalized_window_not_emitted(spark, tmp_path):
     import os
     emitted = [f for f in os.listdir(out)] if os.path.isdir(out) else []
     assert not any(f.endswith(".parquet") for f in emitted)
+
+
+def test_windowed_topk_sketch_matches_batch(spark, tmp_path):
+    """Frequent-items streaming twin: per-window sketch counts over
+    micro-batched input equal a batch pass over the same rows (below
+    tracking capacity the sketch never evicts), and the emitted
+    sketch column merges across windows via approx_top_k_combine."""
+    from logsqlite_spark.streaming.windows import windowed_topk_sketch
+
+    src = str(tmp_path / "in_fi")
+    out = str(tmp_path / "out_fi")
+    ckpt = str(tmp_path / "ckpt_fi")
+    w1 = [("a", (BASE + s) * M) for s in (10, 20, 30)] + \
+         [("b", (BASE + s) * M) for s in (40, 50)]
+    w2 = [("b", (BASE + 310) * M), ("c", (BASE + 320) * M)]
+    _write(spark, src, w1)
+    _write(spark, src, w2)
+    _write(spark, src, [("z", (BASE + 1800) * M)])
+
+    stream = (
+        spark.readStream
+        .schema("event_type string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (windowed_topk_sketch(stream, window="5 minutes",
+                              watermark="1 minute")
+         .writeStream.outputMode("append")
+         .option("checkpointLocation", ckpt)
+         .format("parquet").option("path", out).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.read.parquet(out).collect()
+    got = {
+        r["window_start"].strftime("%H:%M"):
+            {e["item"]: e["count"] for e in r["topk"]}
+        for r in rows
+    }
+    assert got["00:00"] == {"a": 3, "b": 2}
+    assert got["00:05"] == {"b": 1, "c": 1}
+
+    # downstream merge of the emitted sketches: overall counts
+    # repartition(1): combine's partial buffer cannot serialize from
+    # an empty partition (see type_topk_rollup) — the sketch table is
+    # a handful of rows
+    merged = (spark.read.parquet(out).repartition(1)
+              .agg(F.expr("approx_top_k_estimate("
+                          "approx_top_k_combine(sketch, 64), 32)")
+                   .alias("e")).collect()[0]["e"])
+    assert {x["item"]: x["count"] for x in merged} == \
+        {"a": 3, "b": 3, "c": 1}
