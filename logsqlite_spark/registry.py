@@ -40,6 +40,7 @@ from logsqlite_spark.operators import skew as SK
 from logsqlite_spark.operators import sampling as SP
 from logsqlite_spark.operators import packing as PK
 from logsqlite_spark.operators import anomaly as AM
+from logsqlite_spark.operators import bucketing as BU
 from logsqlite_spark.operators import pipeline as PL
 from logsqlite_spark.operators import contamination as CT
 from logsqlite_spark.operators import sketches as SKT
@@ -383,6 +384,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(SP.QUERIES)
     out.update(PK.QUERIES)
     out.update(AM.QUERIES)
+    out.update(BU.QUERIES)
     out.update(PL.QUERIES)
     out.update(CT.QUERIES)
     out.update(SKT.QUERIES)
@@ -404,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(SP.ORACLES)
     out.update(PK.ORACLES)
     out.update(AM.ORACLES)
+    out.update(BU.ORACLES)
     out.update(PL.ORACLES)
     out.update(CT.ORACLES)
     out.update(SKT.ORACLES)

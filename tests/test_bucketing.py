@@ -66,3 +66,52 @@ def test_aqe_coalesces_small_shuffle(spark):
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The layout claim itself: under a linear (user, minute) sort a
+    minute-range predicate overlaps EVERY file's min/max; under the
+    Z-order curve each file covers a rectangle, so both dimensions
+    prune. Footer min/max is exactly what the parquet reader uses."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.bucketing import write_zordered
+    from logsqlite_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.expr("(ts - 1704067200000000000) div 60000000000")
+        .alias("minute"))
+    lin = str(tmp_path / "linear")
+    zo = str(tmp_path / "zorder")
+    (ev.repartitionByRange(8, "user_id", "minute")
+     .sortWithinPartitions("user_id", "minute")
+     .write.parquet(lin))
+    write_zordered(ev, zo, "user_id", "minute", n_files=8)
+
+    def candidates(path, col, lo, hi):
+        rows = (spark.read.parquet(path)
+                .groupBy(F.input_file_name().alias("f"))
+                .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+                .collect())
+        cand = sum(1 for r in rows if r["hi"] >= lo and r["lo"] <= hi)
+        return cand, len(rows)
+
+    stats = ev.agg(F.min("minute"), F.max("minute"),
+                   F.min("user_id"), F.max("user_id")).collect()[0]
+    m0, m1, u0, u1 = stats
+    span = m1 - m0
+    mlo, mhi = m0 + int(span * 0.45), m0 + int(span * 0.50)
+
+    c_lin, n_lin = candidates(lin, "minute", mlo, mhi)
+    c_zo, n_zo = candidates(zo, "minute", mlo, mhi)
+    assert n_lin == n_zo == 8
+    # linear user-first sort: every file spans ~the full minute range
+    assert c_lin == n_lin
+    # z-order: a 5% minute band touches a strict subset of files
+    assert c_zo < n_zo
+
+    # and the first dimension still prunes under z-order
+    uspan = u1 - u0
+    c_zo_u, _ = candidates(zo, "user_id", u0, u0 + max(uspan // 8, 0))
+    assert c_zo_u < n_zo
