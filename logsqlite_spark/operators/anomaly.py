@@ -152,6 +152,53 @@ def _ewma_sql() -> str:
     )
 
 
+SEASONAL_FACTOR = 2
+
+
+def seasonal_volume_anomaly(events: DataFrame,
+                            factor: int = SEASONAL_FACTOR) -> DataFrame:
+    """Hourly log-volume anomalies against a day-of-week × hour
+    seasonal baseline — the monitor that catches the Saturday-3am
+    burst a global z-score dilutes away (weekday mornings and weekend
+    nights have different normals).
+
+    Two map-side-combinable aggregations: hourly counts (one row per
+    observed hour), then the (dow, hour) baseline over that tiny
+    table; the flag comparison is INTEGER cross-multiplication
+    (``n·cells > factor·total`` for a spike, ``n·cells·factor <
+    total`` for a drop), so the verdict is engine-exact with no
+    float division anywhere. The expected rate is exposed
+    milli-quantized for the same reason. At 100 TB the corpus scan
+    is the only data-sized stage — everything after is calendar-
+    sized.
+    """
+    hourly = (
+        events.select(
+            F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+            .alias("day"),
+            F.expr("dayofweek(timestamp_micros(ts div 1000))")
+            .alias("dow"),
+            F.expr("hour(timestamp_micros(ts div 1000))").alias("hour"))
+        .groupBy("day", "dow", "hour")
+        .agg(F.count(F.lit(1)).alias("n")))
+    base = (hourly.groupBy("dow", "hour")
+            .agg(F.sum("n").alias("total"),
+                 F.count(F.lit(1)).alias("cells")))
+    f = int(factor)
+    return (
+        hourly.join(F.broadcast(base), ["dow", "hour"])
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("hour").cast("int").alias("hour"),
+            F.col("n").cast("long").alias("n"),
+            F.expr("total * 1000 div cells").cast("long")
+            .alias("expected_milli"),
+            F.when(F.expr(f"n * cells > {f} * total"), F.lit("spike"))
+            .when(F.expr(f"n * cells * {f} < total"), F.lit("drop"))
+            .otherwise(F.lit("normal")).alias("flag"))
+    )
+
+
 def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers(table(spark, sf_dir, "events"))
 
@@ -163,15 +210,36 @@ def _q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(table(spark, sf_dir, "events"))
 
 
+def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return seasonal_volume_anomaly(table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_ewma": _q_ewma,
     "value_outliers": _q_outliers,
     "value_histogram": _q_histogram,
+    "events_seasonal_anomaly": _q_seasonal,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
 
 ORACLES = {
+    # dow spellings differ across engines (Spark 1-7 vs DuckDB 0-6)
+    # but dow is only a JOIN key with identical equivalence classes,
+    # never an output column
+    "events_seasonal_anomaly": (
+        "WITH h AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        "dayofweek(ts) AS dow, hour(ts) AS hour, count(*) AS n "
+        "FROM events GROUP BY 1, 2, 3), "
+        "b AS (SELECT dow, hour, sum(n) AS total, count(*) AS cells "
+        "FROM h GROUP BY dow, hour) "
+        "SELECT day, CAST(hour AS INT) AS hour, CAST(n AS BIGINT) AS n, "
+        "CAST((total * 1000) // cells AS BIGINT) AS expected_milli, "
+        f"CASE WHEN n * cells > {SEASONAL_FACTOR} * total THEN 'spike' "
+        f"WHEN n * cells * {SEASONAL_FACTOR} < total THEN 'drop' "
+        "ELSE 'normal' END AS flag "
+        "FROM h JOIN b USING (dow, hour)"
+    ),
     "events_ewma": _ewma_sql(),
     "value_outliers": (
         f"WITH ev AS (SELECT event_id, user_id, {_CENTS_SQL} AS v FROM events), "

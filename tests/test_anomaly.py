@@ -36,3 +36,32 @@ def test_histogram_bins(spark):
     assert got[0] == (0, 3)       # $0-10
     assert got[1] == (1000, 1)    # $10-20
     assert got[2] == (2000, 1)    # $20-30
+
+
+def test_seasonal_anomaly_planted_spike_and_drop(spark):
+    """Five Mondays at 09:00 with counts 10,10,10,10,30 → the 30 is a
+    spike (30·5 > 2·70) and the 10s stay normal (10·5·2 ≥ 70); at
+    10:00 counts 10,10,10,10,1 → the 1 is a drop (1·5·2 < 41). The
+    spike inflating its own baseline is part of the semantics — a
+    too-small cell count cannot hold a 2x spike without dragging its
+    peers under the drop line (the first planted version proved it)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.anomaly import seasonal_volume_anomaly
+
+    mondays = ("2024-01-01", "2024-01-08", "2024-01-15",
+               "2024-01-22", "2024-01-29")
+    rows = []
+    for day, n9 in zip(mondays, (10, 10, 10, 10, 30)):
+        rows += [(day + " 09:30:00",)] * n9
+    for day, n10 in zip(mondays, (10, 10, 10, 10, 1)):
+        rows += [(day + " 10:30:00",)] * n10
+    ev = (spark.createDataFrame(rows, "t string")
+          .select((F.unix_timestamp("t") * F.lit(1_000_000_000))
+                  .alias("ts")))
+    got = {(r["day"], r["hour"]): (r["n"], r["expected_milli"], r["flag"])
+           for r in seasonal_volume_anomaly(ev).collect()}
+    assert got[("2024-01-29", 9)] == (30, 14000, "spike")
+    assert got[("2024-01-01", 9)] == (10, 14000, "normal")
+    assert got[("2024-01-29", 10)] == (1, 8200, "drop")
+    assert got[("2024-01-01", 10)] == (10, 8200, "normal")
