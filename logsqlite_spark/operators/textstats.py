@@ -772,6 +772,60 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         )
     )
 
+def doc_entropy(docs: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution Shannon entropy (bits) plus the
+    exact distinct-token count — the information-density counterpart to
+    :func:`repetition_signals` (low entropy flags template/boilerplate
+    text that plain length or stopword filters miss).
+
+    ZERO-shuffle, same shape as ``repetition_signals``: sort the token
+    array in-row and fold it once with a run-length accumulator —
+    ``Σ c·ln(c)`` accumulates run-by-run, the distinct count and
+    ``n = size(tokens)`` are exact integers, and
+    ``H = (ln n − Σ c·ln(c)/n) / ln 2`` needs just those. The whole
+    operator is a pure projection running at scan speed. The single
+    ``round(…, 4)`` on the one genuinely-floating output follows the
+    ``bigram_logprob`` oracle rule (1e-4 quantization absorbs
+    summation-order ULP drift between engines). Empty documents score
+    NULL entropy with ``n_tokens = 0`` so a filter can route them
+    explicitly; single-token documents score exactly 0.0.
+    """
+    # run-length fold over the sorted tokens: on each run boundary add
+    # the finished run's c·ln(c) (guarded: the initial run = 0 would
+    # make 0·ln(0) = NaN, and ln(1) = 0 makes 1-runs free)
+    close_run = ("IF(a.run = 0L, a.sl, "
+                 "a.sl + a.run * ln(cast(a.run AS double)))")
+    fold = (
+        "aggregate(array_sort(__t), "
+        "named_struct('prev', cast(null as string), 'run', 0L, "
+        "  'sl', cast(0.0 as double), 'nd', 0L), "
+        "(a, x) -> IF(a.prev IS NOT NULL AND x = a.prev, "
+        "  named_struct('prev', x, 'run', a.run + 1L, 'sl', a.sl, "
+        "    'nd', a.nd), "
+        f"  named_struct('prev', x, 'run', 1L, 'sl', {close_run}, "
+        "    'nd', a.nd + 1L)), "
+        f"a -> named_struct('sl', {close_run}, 'nd', a.nd))"
+    )
+    return (
+        docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                    F.expr(_tok(text_col)).alias("__t"))
+        .select("doc_id", F.size("__t").cast("long").alias("n_tokens"),
+                F.expr(fold).alias("__r"))
+        .select(
+            "doc_id", "n_tokens",
+            F.col("__r.nd").cast("long").alias("n_unique"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.round(
+                    (F.log(F.col("n_tokens").cast("double"))
+                     - F.col("__r.sl") / F.col("n_tokens"))
+                    / F.log(F.lit(2.0)), 4),
+            ).alias("entropy_bits"),
+        )
+    )
+
+
 def token_freq_per_lang(docs: DataFrame, k: int = 5,
                         min_count: int = 5) -> DataFrame:
     """Top-k tokens per language — grouped top-k over the exploded
@@ -1353,6 +1407,9 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_token_freq_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_freq_per_lang(table(spark, sf_dir, "documents"))
 
+def _q_doc_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_entropy(table(spark, sf_dir, "documents"))
+
 def _q_token_freq_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_freq_histogram(table(spark, sf_dir, "documents"))
 
@@ -1451,6 +1508,7 @@ QUERIES = {
     "length_quantiles": _q_length_quantiles,
     "clean_text": _q_clean_text,
     "repetition_signals": _q_repetition,
+    "doc_entropy": _q_doc_entropy,
     "token_freq_per_lang": _q_token_freq_per_lang,
     "token_freq_histogram": _q_token_freq_hist,
     "quality_percentile": _q_quality_pctile,
@@ -1663,6 +1721,20 @@ ORACLES = {
         "scored.avg_lp FROM (SELECT DISTINCT doc_id FROM base) base "
         "LEFT JOIN scored ON base.doc_id = scored.doc_id "
         "WHERE base.doc_id % 4 = 0"
+    ),
+    # entropy rounded to 4 on both sides (the bigram_logprob rule);
+    # n/n_unique are exact integers, NULL entropy for empty docs
+    "doc_entropy": (
+        f"WITH base AS (SELECT doc_id, {_TOKS} AS toks FROM documents), "
+        "c AS (SELECT doc_id, tok, count(*) AS c FROM base, "
+        "  unnest(toks) AS t(tok) GROUP BY 1, 2), "
+        "agg AS (SELECT doc_id, sum(c) AS n, count(*) AS nd, "
+        "  sum(c * ln(c)) AS sl FROM c GROUP BY 1) "
+        "SELECT CAST(base.doc_id AS BIGINT) AS doc_id, "
+        "CAST(coalesce(agg.n, 0) AS BIGINT) AS n_tokens, "
+        "CAST(coalesce(agg.nd, 0) AS BIGINT) AS n_unique, "
+        "round((ln(agg.n) - agg.sl / agg.n) / ln(2), 4) AS entropy_bits "
+        "FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id"
     ),
     "lang_id": _langid_oracle(),
     "repeated_ngrams": _repeated_ngrams_oracle(),

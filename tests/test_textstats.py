@@ -555,3 +555,34 @@ def test_bpe_merge_fold_property(spark):
         assert got == [ref_pass(w, first, second) for w in words]
 
     check()
+
+
+def test_doc_entropy_hand_computed(spark):
+    """Entropy = (ln n − Σ c·ln(c)/n)/ln 2, hand-checked, plus the
+    empty-doc NULL route and the single-token exact-zero route."""
+    import math
+
+    from logsqlite_spark.operators.textstats import doc_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "x"), (3, ""), (4, "a a a a")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["n_unique"], r["entropy_bits"])
+           for r in doc_entropy(docs).collect()}
+    # doc 1: two tokens x2 each -> exactly 1 bit
+    h1 = round((math.log(4) - (2 * math.log(2) + 2 * math.log(2)) / 4)
+               / math.log(2), 4)
+    assert got[1] == (4, 2, h1) and h1 == 1.0
+    assert got[2] == (1, 1, 0.0)     # single token: zero entropy
+    assert got[3] == (0, 0, None)    # empty: routed explicitly
+    assert got[4] == (4, 1, 0.0)     # one run of 4: ln cancels exactly
+
+
+def test_doc_entropy_zero_shuffle(spark):
+    """The fold formulation is a pure projection — no Exchange."""
+    from logsqlite_spark.operators.textstats import doc_entropy
+    from logsqlite_spark.tables import table as t
+
+    df = doc_entropy(t(spark, "/root/testdata/sf0.001", "documents"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
