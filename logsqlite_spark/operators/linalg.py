@@ -1,0 +1,265 @@
+"""Distributed linear algebra over the embeddings table (SURVEY.md
+§2.8 extension surface): per-dimension moment statistics and PCA via
+the one-pass Gramian pattern.
+
+This is the missing reduction tier between the per-vector operators
+(similarity.py: norms, quantized dots) and the clustering tier — the
+whitening / dimensionality-reduction step a training-data pipeline runs
+before ANN indexing or semantic clustering.
+
+Scale design (the RowMatrix.computeGramian shape, DataFrame-native):
+
+- ``embedding_dim_stats`` is ONE aggregation scan: ``d`` per-dimension
+  integer sums evaluated inside whole-stage codegen (no explode — an
+  ``n·d``-row explode pays row expansion through the whole pipeline;
+  the d-expression agg keeps the scan row-shaped and the shuffle
+  carries one partial row per map task). Quantized integers per the
+  module-wide oracle rule, so DuckDB agrees bit-for-bit.
+- The PCA fit scans the corpus ONCE: each Arrow batch emits its
+  ``d×d`` Gramian + column sums + count as ``d² + d + 1`` tiny
+  ``(idx, val)`` rows — per BATCH, not per row — and a
+  map-side-combinable sum reduces them; the driver ever holds one
+  ``d×d`` float matrix (d = 64 → 33 KB) for the eigendecomposition.
+  At 100 TB the shuffle moves O(partitions · d²) doubles and the
+  collect is 4,161 rows, independent of corpus size.
+- The fitted model (μ, components, eigenvalues) persists through the
+  shared fingerprint-keyed artifact protocol (``artifacts.py``), so
+  serving projections never re-fits: the projection pass is a single
+  vectorized Arrow matmul with the k×d matrix shipped in the closure.
+- Eigenvector sign is pinned (largest-|coordinate| positive) so the
+  model is deterministic given the Gramian; the registry query is
+  rows-only by design (eigendecomposition is iterative, not
+  SQL-expressible) with the quantitative bar in pytest: model ≡ numpy
+  PCA of the collected corpus, orthonormal components, descending
+  eigenvalues.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logsqlite_spark.operators.similarity import QUANT, _quantized
+from logsqlite_spark.tables import table
+
+_PCA_ARTIFACT_BUILDS = 0
+
+
+def _dim_of(emb: DataFrame, vec_col: str) -> int:
+    # control-plane read: one row, drives the static expression width
+    row = emb.select(F.size(vec_col).alias("d")).first()
+    if row is None or row["d"] is None or row["d"] <= 0:
+        raise ValueError(f"cannot infer dimension of {vec_col!r}")
+    return int(row["d"])
+
+
+def embedding_dim_stats(emb: DataFrame, vec_col: str = "embedding"
+                        ) -> DataFrame:
+    """Per-dimension (n, Σq, Σq²) over the QUANT-quantized embedding —
+    the feature-scaling / drift-monitor statistics, integer-exact.
+
+    One aggregation scan with ``2d + 1`` codegen aggregate expressions;
+    the single output row unpivots driver-side via ``stack`` (d rows —
+    control-plane sized). Mean/variance derive exactly as rationals of
+    the returned integers, so no float leaves the engine.
+    """
+    d = _dim_of(emb, vec_col)
+    q = _quantized(emb, vec_col, "__qi")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(d):
+        v = F.col("__qi")[i]
+        aggs.append(F.sum(v).cast("long").alias(f"s_{i}"))
+        aggs.append(F.sum(v * v).cast("long").alias(f"ss_{i}"))
+    row = q.agg(*aggs)
+    stacked = ", ".join(f"{i}, n, s_{i}, ss_{i}" for i in range(d))
+    return row.selectExpr(
+        f"stack({d}, {stacked}) AS (dim, n, sum_q, sum_sq)"
+    ).select(
+        F.col("dim").cast("int").alias("dim"),
+        F.col("n").cast("long").alias("n"),
+        F.col("sum_q").cast("long").alias("sum_q"),
+        F.col("sum_sq").cast("long").alias("sum_sq"),
+    )
+
+
+def _gramian_sums(emb: DataFrame, vec_col: str, d: int):
+    """One corpus scan → (G = Σ v·vᵀ, s = Σ v, n) on the driver.
+
+    Per-Arrow-batch numpy partials keyed by a flat index, reduced by a
+    map-side-combinable sum; the collect is d² + d + 1 rows regardless
+    of corpus size.
+    """
+    n_idx = d * d + d + 1
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vals = np.concatenate(
+                [(X.T @ X).ravel(), X.sum(axis=0), [float(len(X))]])
+            yield pd.DataFrame(
+                {"idx": np.arange(n_idx, dtype=np.int64), "val": vals})
+
+    rows = (emb.select(vec_col)
+            .mapInPandas(partials, "idx long, val double")
+            .groupBy("idx").agg(F.sum("val").alias("val"))
+            .collect())
+    flat = np.zeros(n_idx)
+    for r in rows:
+        flat[r["idx"]] = r["val"]
+    G = flat[: d * d].reshape(d, d)
+    s = flat[d * d: d * d + d]
+    n = flat[-1]
+    return G, s, n
+
+
+def fit_pca(emb: DataFrame, k: int = 8, vec_col: str = "embedding"):
+    """Fit PCA from the one-pass Gramian: covariance
+    ``C = (G − n·μμᵀ)/(n−1)``, driver-side ``eigh`` on the d×d matrix,
+    top-k by descending eigenvalue, each component's sign pinned so its
+    largest-|coordinate| entry is positive.
+
+    Returns ``(mu[d], W[d,k], eigvals[k], n)`` as numpy arrays — a few
+    KB of model state whatever the corpus size.
+    """
+    d = _dim_of(emb, vec_col)
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} out of range for d={d}")
+    G, s, n = _gramian_sums(emb, vec_col, d)
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    mu = s / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1.0)
+    eigvals, eigvecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(eigvals)[::-1][:k]
+    W = eigvecs[:, order]
+    ev = eigvals[order]
+    for j in range(W.shape[1]):                      # deterministic sign
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    return mu, W, ev, n
+
+
+def pca_model_artifact(emb: DataFrame, k: int = 8,
+                       vec_col: str = "embedding"):
+    """The fitted model persisted build-once under the shared
+    fingerprint-keyed artifact protocol: serving projections (or a
+    monitoring job reading explained variance) never re-scans the
+    corpus. Inline (lazy) fallback for literal frames, like the other
+    artifact families."""
+    from logsqlite_spark.artifacts import build_or_serve
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _PCA_ARTIFACT_BUILDS
+    spark = emb.sparkSession
+    try:
+        files = emb.inputFiles()
+    except Exception:  # noqa: BLE001
+        files = []
+    if not files:
+        return fit_pca(emb, k, vec_col)
+
+    def _write(p: str) -> None:
+        mu, W, ev, n = fit_pca(emb, k, vec_col)
+        dims = [(i, float(mu[i]), [float(x) for x in W[i]])
+                for i in range(len(mu))]
+        spark.createDataFrame(
+            dims, "i int, mu double, w array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{p}/dims")
+        spark.createDataFrame(
+            [(float(n), [float(x) for x in ev])],
+            "n double, eigvals array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(f"{p}/meta")
+
+    path, built = build_or_serve(
+        spark, (frames_fingerprint(emb), vec_col, str(k), "pca-v1"),
+        _write)
+    if built:
+        _PCA_ARTIFACT_BUILDS += 1
+    dims = sorted(spark.read.parquet(f"{path}/dims").collect(),
+                  key=lambda r: r["i"])
+    meta = spark.read.parquet(f"{path}/meta").first()
+    mu = np.array([r["mu"] for r in dims])
+    W = np.array([r["w"] for r in dims])
+    return mu, W, np.array(meta["eigvals"]), meta["n"]
+
+
+def pca_project(emb: DataFrame, k: int = 8, vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """Project every vector onto the top-k fitted components:
+    ``(X − μ) @ W`` as one vectorized Arrow matmul over a second corpus
+    scan — the model rides the closure (k·d doubles), no join, no
+    shuffle. Rows-only in the driver gate (the fit is iterative); the
+    quantitative bar is the pytest pin against numpy PCA."""
+    mu, W, _ev, _n = pca_model_artifact(emb, k, vec_col)
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        P = (X - mu) @ W
+        return pd.Series(list(P))
+
+    return emb.select(F.col(id_col).cast("long").alias(id_col),
+                      _proj(F.col(vec_col)).alias("pc"))
+
+
+def pca_explained_variance(emb: DataFrame, k: int = 8,
+                           vec_col: str = "embedding") -> DataFrame:
+    """Per-component eigenvalue share of total variance — the
+    how-many-components-do-I-need report, k control-plane rows served
+    from the persisted model (denominator = full trace via
+    ``embedding_dim_stats``'s exact integers de-quantized). Rows-only
+    by design."""
+    mu, W, ev, n = pca_model_artifact(emb, k, vec_col)
+    stats = embedding_dim_stats(emb, vec_col).collect()
+    # exact integer moments -> total variance of the quantized scale,
+    # de-quantized; matches cov trace up to quantization
+    tot = sum((r["sum_sq"] - r["sum_q"] ** 2 / r["n"]) / (r["n"] - 1)
+              for r in stats) / (QUANT * QUANT)
+    spark = emb.sparkSession
+    rows = [(j, float(ev[j]), round(float(ev[j] / tot), 4))
+            for j in range(len(ev))]
+    return spark.createDataFrame(
+        rows, "component int, eigval double, var_share double")
+
+
+# ---------------------------------------------------------------------------
+# registry wiring
+
+def _q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_dim_stats(table(spark, sf_dir, "embeddings"))
+
+
+def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: the fit is a driver-side eigendecomposition of the
+    # one-pass Gramian; pytest pins model ≡ numpy PCA of the collected
+    # corpus (sign-aligned), orthonormality, and descending eigenvalues
+    return pca_project(table(spark, sf_dir, "embeddings"))
+
+
+QUERIES = {
+    "embedding_dim_stats": _q_dim_stats,
+    "embedding_pca": _q_pca_project,
+}
+
+ORACLES = {
+    # quantization (floor(x·1e4)) is IEEE-identical in both engines;
+    # all outputs are exact integers
+    "embedding_dim_stats": (
+        "WITH q AS (SELECT list_transform(embedding, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT)) AS qi "
+        "FROM embeddings), "
+        "e AS (SELECT CAST(i - 1 AS INT) AS dim, qi[i] AS v "
+        "  FROM q, unnest(generate_series(1, len(qi))) AS g(i)) "
+        "SELECT dim, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(v) AS BIGINT) AS sum_q, "
+        "CAST(sum(v * v) AS BIGINT) AS sum_sq "
+        "FROM e GROUP BY 1"
+    ),
+}

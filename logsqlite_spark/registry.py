@@ -47,6 +47,7 @@ from logsqlite_spark.operators import sketches as SKT
 from logsqlite_spark.operators import clustering as CL
 from logsqlite_spark.operators import checks as CK
 from logsqlite_spark.operators import profile as PF
+from logsqlite_spark.operators import linalg as LA
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -391,6 +392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CL.QUERIES)
     out.update(CK.QUERIES)
     out.update(PF.QUERIES)
+    out.update(LA.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -413,6 +415,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CL.ORACLES)
     out.update(CK.ORACLES)
     out.update(PF.ORACLES)
+    out.update(LA.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:
