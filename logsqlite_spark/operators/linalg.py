@@ -230,6 +230,78 @@ def pca_explained_variance(emb: DataFrame, k: int = 8,
 
 
 # ---------------------------------------------------------------------------
+# incremental sufficient statistics (the streaming/erase state)
+#
+# The float Gramian above is the right fit path for a one-shot model,
+# but float sums are not exactly associative — a merged-per-batch state
+# would drift from the one-shot recompute and an erase would leave
+# residues. The INCREMENTAL state therefore lives on the quantized
+# integers (floor(x·QUANT), the module-wide oracle rule) accumulated in
+# DECIMAL(38,0): sums are exact, so batch-merge ≡ one-shot and
+# erase ≡ built-without BIT-IDENTICALLY, like the LM counts. The model
+# fitted from the quantized state differs from the float fit only by
+# the 1e-4 quantization (pinned with a tolerance in pytest).
+
+def gramian_stats_df(emb: DataFrame, vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """The PCA sufficient statistics over the QUANT-quantized vectors
+    as an exact ``(idx, val DECIMAL(38,0))`` table — flat layout
+    ``[G row-major | s | n]`` (d² + d + 1 rows). Per-Arrow-batch int64
+    partials (≤ rows·QUANT² per entry, safe for any batch size Arrow
+    ships) reduce under a decimal sum, exact to 1e38."""
+    d = _dim_of(emb, vec_col)
+    n_idx = d * d + d + 1
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            Q = np.floor(X * QUANT).astype(np.int64)
+            vals = np.concatenate(
+                [(Q.T @ Q).ravel(), Q.sum(axis=0), [len(Q)]])
+            yield pd.DataFrame(
+                {"idx": np.arange(n_idx, dtype=np.int64), "val": vals})
+
+    return (emb.select(vec_col)
+            .mapInPandas(partials, "idx long, val long")
+            .groupBy("idx")
+            .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val")))
+
+
+def fit_pca_from_stats(stats: DataFrame, k: int = 8):
+    """Fit the model from a persisted quantized-stats table (the
+    incremental/streaming state): dequantize, then the same
+    covariance → eigh → sign-pin path as :func:`fit_pca`."""
+    rows = stats.collect()
+    n_idx = len(rows)
+    d = int((math.isqrt(4 * n_idx - 3) - 1) // 2)  # d² + d + 1 = n_idx
+    if d * d + d + 1 != n_idx:
+        raise ValueError(f"stats table has {n_idx} rows — not d²+d+1")
+    if not 1 <= k <= d:
+        raise ValueError(f"k={k} out of range for d={d}")
+    flat = np.zeros(n_idx)
+    for r in rows:
+        flat[r["idx"]] = float(r["val"])
+    n = flat[-1]
+    if n < 2:
+        raise ValueError("PCA needs at least 2 vectors")
+    G = flat[: d * d].reshape(d, d) / (QUANT * QUANT)
+    s = flat[d * d: d * d + d] / QUANT
+    mu = s / n
+    cov = (G - n * np.outer(mu, mu)) / (n - 1.0)
+    eigvals, eigvecs = np.linalg.eigh(cov)
+    order = np.argsort(eigvals)[::-1][:k]
+    W = eigvecs[:, order]
+    ev = eigvals[order]
+    for j in range(W.shape[1]):
+        i = int(np.argmax(np.abs(W[:, j])))
+        if W[i, j] < 0:
+            W[:, j] = -W[:, j]
+    return mu, W, ev, n
+
+
+# ---------------------------------------------------------------------------
 # registry wiring
 
 def _q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -38,6 +38,7 @@ a non-local root raises loudly instead of corrupting silently
 from __future__ import annotations
 
 import json
+import math
 import os
 from typing import Callable
 from urllib.parse import urlparse
@@ -332,6 +333,117 @@ def erase_from_lm_snapshot(spark, snapshot_root: str, docs: DataFrame,
             "erase_from_lm_snapshot: retraction would drive "
             f"{neg} count rows negative — the supplied docs were not "
             "part of the ingested corpus; snapshot unchanged")
+    _write_pointer(snapshot_root, new_ver, batch_id)
+    _gc_versions(snapshot_root, new_ver)
+    return {"erased": True, "version": new_ver}
+
+
+# ---------------------------------------------------------------------------
+# PCA sufficient statistics (round 9 — the linalg tier's incremental
+# state). The persisted snapshot is operators/linalg.gramian_stats_df's
+# exact quantized-integer table, so merge ≡ one-shot and
+# erase ≡ built-without bit-identically; only the FIT dequantizes.
+
+
+def snapshot_pca_stats(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (idx, val) stats table, or None
+    pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "stats"))
+
+
+def _merged_pca_stats(hist: DataFrame | None, delta: DataFrame,
+                      what: str) -> DataFrame:
+    if hist is None:
+        return delta
+    # a dimension change between batches would silently union two flat
+    # layouts of different widths — refuse instead
+    h_n, d_n = hist.count(), delta.count()
+    if h_n != d_n:
+        raise ValueError(
+            f"{what}: stats width changed ({h_n} -> {d_n} rows) — "
+            "embedding dimension differs from the ingested corpus")
+    return (hist.unionByName(delta).groupBy("idx")
+            .agg(F.sum("val").cast("decimal(38,0)").alias("val")))
+
+
+def pca_stats_sink(snapshot_root: str, vec_col: str = "embedding",
+                   ) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the PCA fit: each micro-batch's quantized
+    Gramian/sum/count partials merge into the versioned snapshot under
+    the exactly-once pointer protocol; ``fit_pca_from_stats`` serves a
+    model from any version without ever re-scanning ingested vectors.
+
+    At 100 TB the snapshot is d² + d + 1 rows — constant-size state —
+    and each merge costs one batch scan plus a constant-size shuffle.
+    """
+    from logsqlite_spark.operators.linalg import gramian_stats_df
+
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        merged = _merged_pca_stats(
+            snapshot_pca_stats(spark, snapshot_root),
+            gramian_stats_df(batch_df, vec_col), "pca_stats_sink")
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "stats"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def erase_from_pca_snapshot(spark, snapshot_root: str,
+                            vectors: DataFrame,
+                            vec_col: str = "embedding") -> dict:
+    """Retract previously-ingested vectors from the PCA state — the
+    erase leg of the linalg lifecycle. The stats are exact integer
+    sums, so subtraction is bit-identical to built-without (like the
+    LM counts; pytest-pinned). Needs the retracted vectors themselves
+    (the snapshot keeps aggregates, not per-row state).
+
+    The ingested-contract check is the necessary condition the state
+    can express: the count and every Gramian diagonal (Σ qᵢ² per
+    dimension) must stay ≥ 0 — a violation proves the vectors were
+    not (all) ingested and the erase refuses before the pointer
+    flips. (Off-diagonals and sums are legitimately signed, so a
+    crafted false retraction passing this check remains possible —
+    unlike the LM, whose every entry is a count.)
+    """
+    from logsqlite_spark.operators.linalg import gramian_stats_df
+
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("erase_from_pca_snapshot: no snapshot at "
+                         f"{snapshot_root}")
+    hist = snapshot_pca_stats(spark, snapshot_root)
+    delta = gramian_stats_df(vectors, vec_col) \
+        .select("idx", (-F.col("val")).cast("decimal(38,0)").alias("val"))
+    merged = _merged_pca_stats(hist, delta, "erase_from_pca_snapshot")
+    new_ver = ver + 1
+    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "stats")
+    merged.write.mode("overwrite").parquet(out)
+
+    staged = spark.read.parquet(out)
+    n_idx = staged.count()
+    d = int((math.isqrt(4 * n_idx - 3) - 1) // 2)
+    diag = [i * (d + 1) for i in range(d)] + [n_idx - 1]
+    neg = staged.filter(F.col("idx").isin(diag) & (F.col("val") < 0)) \
+        .count()
+    if neg:
+        raise ValueError(
+            "erase_from_pca_snapshot: retraction would drive "
+            f"{neg} non-negative stats negative — the supplied vectors "
+            "were not part of the ingested corpus; snapshot unchanged")
     _write_pointer(snapshot_root, new_ver, batch_id)
     _gc_versions(snapshot_root, new_ver)
     return {"erased": True, "version": new_ver}

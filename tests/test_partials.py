@@ -129,3 +129,110 @@ def test_lm_snapshot_erase_equals_built_without(spark, tmp_path):
     for g, w in zip(got2, want):
         assert sorted(map(tuple, g.collect())) == \
             sorted(map(tuple, w.collect()))
+
+
+def _pca_rows(vals):
+    return [(i, list(map(float, v))) for i, v in enumerate(vals)]
+
+
+_PCA_SCHEMA = "vec_id long, embedding array<double>"
+_B1 = [[0.11, -0.42, 0.30], [0.95, 0.27, -0.18], [-0.33, 0.64, 0.52]]
+_B2 = [[0.48, -0.05, 0.77], [-0.81, 0.12, 0.09]]
+
+
+def test_pca_stats_sink_exact_merge_and_replay(spark, tmp_path):
+    """Two micro-batches through the PCA stats sink: the snapshot
+    equals the one-shot quantized stats over the union BIT-IDENTICALLY
+    (exact decimal sums), replay is a no-op, and the model fitted from
+    the snapshot matches numpy PCA of the quantized union."""
+    import numpy as np
+
+    from logsqlite_spark.operators.linalg import (
+        QUANT,
+        fit_pca_from_stats,
+        gramian_stats_df,
+    )
+    from logsqlite_spark.streaming.partials import (
+        pca_stats_sink,
+        snapshot_pca_stats,
+    )
+
+    root = str(tmp_path / "pca")
+    sink = pca_stats_sink(root)
+    b1 = spark.createDataFrame(_pca_rows(_B1), _PCA_SCHEMA)
+    b2 = spark.createDataFrame(
+        [(i + 10, v) for i, v in _pca_rows(_B2)], _PCA_SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    union = spark.createDataFrame(
+        _pca_rows(_B1) + [(i + 10, v) for i, v in _pca_rows(_B2)],
+        _PCA_SCHEMA)
+    want = sorted(map(tuple, gramian_stats_df(union).collect()))
+    got = sorted(map(tuple,
+                     snapshot_pca_stats(spark, root).collect()))
+    assert got == want
+
+    sink(b2, 1)  # crash-replayed micro-batch: already merged
+    assert sorted(map(tuple, snapshot_pca_stats(spark, root)
+                      .collect())) == want
+
+    # fit from the snapshot ≡ numpy PCA of the quantized union
+    mu, W, ev, n = fit_pca_from_stats(
+        snapshot_pca_stats(spark, root), k=2)
+    X = np.floor(np.array(_B1 + _B2) * QUANT) / QUANT
+    rmu = X.mean(axis=0)
+    vals, vecs = np.linalg.eigh(np.cov(X.T))
+    order = np.argsort(vals)[::-1][:2]
+    rW, rev = vecs[:, order], vals[order]
+    for j in range(2):
+        i = int(np.argmax(np.abs(rW[:, j])))
+        if rW[i, j] < 0:
+            rW[:, j] = -rW[:, j]
+    assert n == len(X)
+    assert np.allclose(mu, rmu, atol=1e-9)
+    assert np.allclose(ev, rev, atol=1e-9)
+    assert np.allclose(W, rW, atol=1e-7)
+
+
+def test_pca_snapshot_erase_equals_built_without(spark, tmp_path):
+    """Erase leg: retracting batch 1 leaves the stats bit-identical to
+    batch 2 alone; a never-ingested retraction drives a Gramian
+    diagonal negative and is refused without moving the pointer; a
+    dimension change is refused loudly."""
+    import pytest
+
+    from logsqlite_spark.operators.linalg import gramian_stats_df
+    from logsqlite_spark.streaming.partials import (
+        erase_from_pca_snapshot,
+        pca_stats_sink,
+        read_pointer,
+        snapshot_pca_stats,
+    )
+
+    root = str(tmp_path / "pca")
+    sink = pca_stats_sink(root)
+    b1 = spark.createDataFrame(_pca_rows(_B1), _PCA_SCHEMA)
+    b2 = spark.createDataFrame(
+        [(i + 10, v) for i, v in _pca_rows(_B2)], _PCA_SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    erase_from_pca_snapshot(spark, root, b1)
+    want = sorted(map(tuple, gramian_stats_df(b2).collect()))
+    assert sorted(map(tuple, snapshot_pca_stats(spark, root)
+                      .collect())) == want
+
+    ver_before = read_pointer(root)
+    bogus = spark.createDataFrame(
+        [(99, [9.0, 9.0, 9.0])], _PCA_SCHEMA)
+    with pytest.raises(ValueError, match="negative"):
+        erase_from_pca_snapshot(spark, root, bogus)
+    assert read_pointer(root) == ver_before
+    assert sorted(map(tuple, snapshot_pca_stats(spark, root)
+                      .collect())) == want
+
+    wrong_d = spark.createDataFrame(
+        [(100, [0.1, 0.2])], _PCA_SCHEMA)
+    with pytest.raises(ValueError, match="dimension"):
+        erase_from_pca_snapshot(spark, root, wrong_d)
