@@ -116,3 +116,43 @@ def test_dim_stats_single_aggregation_scan(spark):
     # side, top-down in the plan string); the corpus is never exploded
     assert plan.index("Generate") < plan.index("HashAggregate")
     assert plan.count("Exchange") == 1     # partial -> final agg only
+
+
+def test_gramian_stats_merge_associative_property(spark):
+    """The exactness claim behind the PCA lifecycle: quantized-integer
+    stats merged from ANY split of the corpus equal the one-shot table
+    bit-for-bit (hypothesis over random vectors and split points)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from logsqlite_spark.operators.linalg import gramian_stats_df
+
+    vecs = st.lists(
+        st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                           allow_nan=False, width=32),
+                 min_size=3, max_size=3),
+        min_size=2, max_size=10)
+
+    @settings(max_examples=6, deadline=None,
+              suppress_health_check=list(HealthCheck))
+    @given(vals=vecs, cut=st.integers(min_value=0, max_value=10))
+    def check(vals, cut):
+        cut = min(cut, len(vals))
+        schema = "vec_id long, embedding array<double>"
+        rows = [(i, [float(x) for x in v]) for i, v in enumerate(vals)]
+        full = sorted(map(tuple,
+                          gramian_stats_df(
+                              spark.createDataFrame(rows, schema))
+                          .collect()))
+        parts = [rows[:cut], rows[cut:]]
+        merged = {}
+        for part in parts:
+            if not part:
+                continue
+            for idx, val in gramian_stats_df(
+                    spark.createDataFrame(part, schema)).collect():
+                merged[idx] = merged.get(idx, 0) + int(val)
+        assert sorted((i, v) for i, v in merged.items()) == \
+            [(i, int(v)) for i, v in full]
+
+    check()
