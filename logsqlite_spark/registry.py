@@ -205,6 +205,13 @@ def q_logparse_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").cast("long"),
         F.regexp_extract("props", '"k": (\\d+)', 1).cast("int").alias("k"))
 
+def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # X6: Drain-lite template mining — mask variable parts, group by
+    # the constant skeleton
+    from logsqlite_spark.operators.logparse import log_templates
+
+    return log_templates(_events(spark, sf_dir))
+
 def q_wire_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S3/S8 wire-parity path over the events-as-logs mapping; rows-only
     # (frame bytes aren't SQL-expressible) — pytest round-trips them.
@@ -318,6 +325,15 @@ _ORACLES_PARITY = {
     "logparse_regex": (
         "SELECT event_id, CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS INT) AS k FROM events"
     ),
+    "log_templates": (
+        "SELECT CAST(event_type AS VARCHAR) AS event_type, "
+        "regexp_replace(regexp_replace(props, '[0-9a-f]{16,}', '<HEX>', 'g'), "
+        "'\\d+', '<N>', 'g') AS template, "
+        "CAST(count(*) AS BIGINT) AS n, "
+        "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, "
+        "CAST(min(event_id) AS BIGINT) AS first_event "
+        "FROM events GROUP BY 1, 2"
+    ),
     "events_window_agg": (
         "SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type, "
         "count(*) AS n, round(sum(value), 4) AS sum_value "
@@ -353,6 +369,7 @@ _QUERIES_PARITY: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logparse_json": q_logparse_json,
     "logparse_typed": q_logparse_typed,
     "logparse_regex": q_logparse_regex,
+    "log_templates": q_log_templates,
     "events_window_agg": q_events_window_agg,
     "wire_frames": q_wire_frames,  # rows-only (binary emit path)
     "reassemble_partials": q_reassemble_partials,
