@@ -311,8 +311,17 @@ def _q_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only: the fit is a driver-side eigendecomposition of the
     # one-pass Gramian; pytest pins model ≡ numpy PCA of the collected
-    # corpus (sign-aligned), orthonormality, and descending eigenvalues
-    return pca_project(table(spark, sf_dir, "embeddings"))
+    # corpus (sign-aligned), orthonormality, and descending eigenvalues.
+    # SCALAR columns only — the driver's canonicalizer (pandas sort over
+    # all columns) cannot hash array cells (r9 red row), so the
+    # projection is posexploded to one (vec_id, component, value) row
+    # per coordinate, value rounded per the module float rule.
+    return (pca_project(table(spark, sf_dir, "embeddings"))
+            .select("vec_id",
+                    F.posexplode("pc").alias("component", "__v"))
+            .select(F.col("vec_id").cast("long").alias("vec_id"),
+                    F.col("component").cast("int").alias("component"),
+                    F.round("__v", 6).alias("value")))
 
 
 QUERIES = {

@@ -172,16 +172,23 @@ def audit(window: int = 50) -> dict:
             }
         )
 
-    order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 3}
-    # Tie-breaks within a (status, stamp_round) bucket: queries whose
-    # callable lives in registry.py last — registry.py churns every round
-    # for reasons unrelated to those lambdas (module wiring), so their
-    # "stale" is the weakest signal — then higher post-stamp churn first.
+    order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 2}
+    # stale and fresh share a bucket ranked by STAMP AGE first: an r4
+    # stamp on unchanged code is older correctness evidence than an r8
+    # stamp on churned code, and all-stale-first let a large churn set
+    # starve the oldest stamps out of the window indefinitely (r9's
+    # twelve r4-stamped queries ranked 61-72 behind r8-stamped stale).
+    # Within a round, stale before fresh.  Remaining tie-breaks: queries
+    # whose callable lives in registry.py last — registry.py churns
+    # every round for reasons unrelated to those lambdas (module
+    # wiring), so their "stale" is the weakest signal — then higher
+    # post-stamp churn first.
     suggested = sorted(
         rows,
         key=lambda r: (
             order[r["status"]],
             r["stamp_round"] if r["stamp_round"] is not None else -1,
+            r["status"] == "fresh",
             r["file"] == REGISTRY_FILE,
             -len(r["changes_since_stamp"]),
             r["query"],
@@ -202,11 +209,11 @@ Regenerate with:  python tools/stamp_freshness.py --write
 The round driver oracle-stamps only the FIRST 50 entries of
 ``__spark_entry__.queries()``; stamps persist across rounds.  This
 ordering front-loads queries that most need a fresh stamp:
-never-stamped first, then failed-at-latest-stamp, then queries whose
-defining file changed after their latest stamp (oldest stamp first,
-registry.py-defined lambdas last within a bucket since that file churns
-for unrelated wiring), then fresh queries oldest-stamp-first so
-long-standing stamps eventually rotate back through the window.
+never-stamped first, then failed-at-latest-stamp, then everything else
+by stamp age (oldest stamp first — an r4 stamp on unchanged code is
+older evidence than an r8 stamp on churned code), stale before fresh
+within a round, registry.py-defined lambdas last within a bucket since
+that file churns for unrelated wiring.
 
 Living in its own module keeps window rotation from dirtying
 registry.py and poisoning the very freshness signal used to rotate.
