@@ -894,6 +894,7 @@ def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
 def incremental_dedup(new_docs: DataFrame, history: DataFrame,
                       threshold: float = 0.6, n: int = 5,
                       max_df_frac: float = 0.5,
+                      max_df: int | None = None,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
     """Dedup an incoming batch against the at-rest corpus — the shape
@@ -942,9 +943,15 @@ def incremental_dedup(new_docs: DataFrame, history: DataFrame,
             .filter(F.col("tok") != "").distinct())
     total = all_docs.select(F.count(F.lit(1)).alias("__total"))
     dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("__df"))
+    # threshold mirrors incremental_dedup_indexed: the relative cap
+    # tightened by the optional ABSOLUTE max_df (the deployment knob —
+    # a token with df ∝ corpus under frac·n is O(corpus) pair work
+    # per batch occurrence; see the indexed twin's docstring)
+    cap = F.floor(F.lit(float(max_df_frac)) * F.col("__total"))
+    if max_df is not None:
+        cap = F.least(cap, F.lit(int(max_df)))
     hot = (dfreq.crossJoin(F.broadcast(total))
-           .filter(F.col("__df") > F.floor(F.lit(float(max_df_frac))
-                                           * F.col("__total")))
+           .filter(F.col("__df") > cap)
            .select("tok"))
     toks = toks.join(F.broadcast(hot), "tok", "left_anti")
     sizes = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
@@ -1092,6 +1099,7 @@ def dedup_index_artifact(history: DataFrame, n: int = 5,
 def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
                               threshold: float = 0.6, n: int = 5,
                               max_df_frac: float = 0.5,
+                              max_df: int | None = None,
                               text_col: str = "text",
                               id_col: str = "doc_id") -> DataFrame:
     """:func:`incremental_dedup` served from the persisted
@@ -1119,9 +1127,20 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
       fallback is a plain join, the ivf winner-broadcast rule).
 
     The per-batch cost is O(batch tokens + matched postings +
-    candidate docs' postings) — independent of corpus size for a
-    fixed batch and match rate.  ``n`` must equal the index's shingle
-    length (the artifact key pins it; hand-built tables must match).
+    candidate docs' postings).  With only the RELATIVE cap
+    (``max_df_frac``) that is NOT independent of corpus size: a token
+    whose df grows proportionally with the corpus but stays under
+    frac·n contributes O(corpus) matched postings per batch
+    occurrence (measured: 0.67 time exponent across a 2k -> 20k
+    history decade).  ``max_df`` is the deployment answer — the same
+    absolute-cap trade as ``shingle_jaccard_pairs``'s
+    ``max_doc_freq`` / minhash's ``max_band_freq``: tokens with union
+    df above it are treated as hot (dropped from pairing, subtracted
+    from sizes), bounding matched postings at ``max_df`` per distinct
+    batch token — genuinely O(batch) whatever the corpus.  Default
+    ``None`` keeps the exact-oracle semantics (``dedup_incremental``'s
+    SQL verbatim).  ``n`` must equal the index's shingle length (the
+    artifact key pins it; hand-built tables must match).
     """
     import math
 
@@ -1147,6 +1166,8 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
     n_hist = index.stats.collect()[0]["n_docs"]
     total = n_hist + after_exact.count()
     thr = math.floor(float(max_df_frac) * float(total))
+    if max_df is not None:
+        thr = min(thr, int(max_df))
 
     bdf = btoks.groupBy("tok").agg(F.count(F.lit(1)).alias("bdf"))
     hdf = index.dfreq.join(F.broadcast(bdf.select("tok")),

@@ -448,6 +448,41 @@ def test_incremental_indexed_equals_original(spark):
     assert got == want and len(want) > 0
 
 
+def test_incremental_indexed_equals_original_capped(spark):
+    """The absolute df cap (max_df — the 100 TB deployment knob; a
+    token with df ∝ corpus under frac·n is O(corpus) matched postings
+    per batch without it) must keep the twins row-identical, and must
+    actually bind: a tight cap changes the result vs uncapped."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        dedup_index_tables,
+        incremental_dedup,
+        incremental_dedup_indexed,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    idx = dedup_index_tables(hist)
+    uncapped = sorted(map(tuple, incremental_dedup_indexed(
+        new, idx).collect()))
+    for cap in (3, 16):
+        got = sorted(map(tuple, incremental_dedup_indexed(
+            new, idx, max_df=cap).collect()))
+        want = sorted(map(tuple, incremental_dedup(
+            new, hist, max_df=cap).collect()))
+        assert got == want and len(want) > 0
+    # the tightest cap must bind on this corpus — otherwise the knob
+    # was a no-op and the pin vacuous.  (Not monotone in either
+    # direction: dropping hot tokens shrinks SIZES too, which can push
+    # a surviving pair's jaccard over the threshold.)
+    got3 = sorted(map(tuple, incremental_dedup_indexed(
+        new, idx, max_df=3).collect()))
+    assert got3 != uncapped
+
+
 def test_incremental_indexed_history_only_hot_token(spark):
     """A hot token present only in history still reduces candidate
     sizes exactly as the full recompute sees it: with char shingles

@@ -197,3 +197,115 @@ def test_plugin_activate_handshake(spark, engine, server):
                  {"Info": {"ContainerID": "hs1"}, "Config": {}})
     assert [e.line for e in decode_frames(frames)] == [b"hi\n"]
     conn.close()
+
+
+def test_decisions_served_while_following(spark, engine, server):
+    """End-to-end composition (VERDICT r9 #6): engine ingest → per-
+    batch minhash pair emits → streamed components state → the user-
+    facing keep/drop verdict table served from that state WHILE a
+    follow stream on the same engine is live — the pipeline a user
+    actually runs (continuous log ingest with dedup verdicts on tap),
+    not the pieces in isolation.  Verdicts must equal the batch API
+    over the full corpus, and the follow reader must have streamed the
+    second burst concurrently (proof the decisions read never blocked
+    or drained the follow seam)."""
+    import threading
+
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        _verdict_rows,
+        connected_components,
+        minhash_band_pairs,
+    )
+    from logsqlite_spark.streaming.incremental import (
+        components_sink,
+        decisions_rows,
+        minhash_sink,
+    )
+
+    resp = _post(server, "/LogDriver.StartLogging",
+                 {"File": "/run/fdup.fifo",
+                  "Info": {"ContainerID": "cdup", "Config": {}}})
+    assert json.loads(resp.read())["Err"] == ""
+
+    # doc texts with real shingle mass; 0≡3 exact dups, burst 2 dups 1
+    mk = "the quick brown fox jumps over the lazy dog number {} end".format
+    burst1 = [mk(0), mk(1), mk(2), mk(0)]
+    burst2 = [mk(1), mk(9)]
+
+    w = SpoolWriter(engine.config.spool_dir, "cdup")
+    w.write_burst([
+        LogEntry(source="stdout", time_nano=BASE_TS + i * 10**9,
+                 line=t.encode())
+        for i, t in enumerate(burst1)])
+    engine.ingest_once("cdup")
+
+    def docs_batch(lo: int):
+        return (engine.logs_df()
+                .filter(F.col("container_id") == "cdup")
+                .filter(F.col("seq") > lo)
+                .select(F.col("seq").alias("doc_id"),
+                        F.col("line").alias("text")))
+
+    mh_state = str(engine.config.warehouse_dir) + "/mh"
+    emits = str(engine.config.warehouse_dir) + "/emits"
+    cc_state = str(engine.config.warehouse_dir) + "/cc"
+    mh = minhash_sink(mh_state, emit_dir=emits)
+    cc = components_sink(cc_state)
+
+    def feed(batch_id: int, lo: int, seen: set) -> set:
+        mh(docs_batch(lo), batch_id)
+        allp = {(r["a_id"], r["b_id"])
+                for r in spark.read.parquet(emits).collect()}
+        cc(spark.createDataFrame(sorted(allp - seen),
+                                 "a_id long, b_id long"), batch_id)
+        return allp
+
+    seen = feed(0, 0, set())
+
+    # live follow on the same engine, reading while decisions serve
+    stop = threading.Event()
+    followed: list[str] = []
+
+    def _follow():
+        for rows in engine.follow("cdup", poll_interval_s=0.2,
+                                  max_idle_polls=50, stop=stop.is_set):
+            followed.extend(r["line"].rstrip("\n") for r in rows)
+            if len(followed) >= len(burst1) + len(burst2):
+                break
+
+    th = threading.Thread(target=_follow, daemon=True)
+    th.start()
+
+    w.write_burst([
+        LogEntry(source="stdout", time_nano=BASE_TS + (10 + i) * 10**9,
+                 line=t.encode())
+        for i, t in enumerate(burst2)])
+    engine.ingest_once("cdup")
+    feed(1, len(burst1), seen)
+
+    all_docs = docs_batch(0)
+    got = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+           for r in decisions_rows(spark, cc_state, all_docs).collect()}
+    want = {r["doc_id"]: (r["cluster_id"], r["keep"], r["reason"])
+            for r in _verdict_rows(
+                all_docs.select("doc_id")
+                .join(connected_components(minhash_band_pairs(all_docs))
+                      .withColumnRenamed("doc_id", "__cd"),
+                      F.col("doc_id") == F.col("__cd"), "left")
+                .select("doc_id", "cluster_id")).collect()}
+    assert got == want and len(got) == len(burst1) + len(burst2)
+    # the cross-burst dup resolved against history: burst2's copy of
+    # mk(1) (seq 5) is an exact dup of burst1's seq 2, so it lands in
+    # a cluster whose representative precedes it and is dropped (the
+    # single-token-differing texts may legitimately band into one
+    # minhash cluster — the exact rep id comes from `want`)
+    dup_row = got[5]
+    assert dup_row[1] is False and dup_row[2] == "near_dup"
+    assert dup_row[0] is not None and dup_row[0] < 5
+
+    th.join(timeout=30)
+    stop.set()
+    assert followed[:len(burst1)] == burst1
+    assert followed[len(burst1):] == burst2

@@ -211,6 +211,102 @@ def measure_emb_xl(spark, d: Path, ivf_index_dir: Path) -> dict:
     return out
 
 
+def measure_inc(spark, root: Path, lo: int, hi: int,
+                batch_n: int = 500, reps: int = 3) -> dict:
+    """Per-batch WALL-TIME curve for the round-9 incremental family
+    (VERDICT r9 #5): fixed ``batch_n``-doc batch, at-rest history
+    growing a decade (lo -> hi docs), artifacts pre-built untimed —
+    exactly the continuous-ingest deployment shape.  The claim under
+    test is "per batch, only the batch is tokenized/hashed; history
+    contributes columnar index scans": an O(corpus)-per-batch path
+    (e.g. re-tokenizing history) measures a time exponent near 1.0
+    across the decade, an O(batch) path near 0 (plus the bounded
+    history-columnar-scan term).  min-of-``reps`` per point — wall
+    time is noisier than the candidate counts the batch paths gate
+    on, so the inc gate is looser (INC_GATE) while still excluding
+    any linear-in-history path by a wide margin.
+
+    One corpus of ``hi + batch_n`` docs; histories are id-prefix
+    subsets written to their own parquet dirs (at-rest files, so the
+    dedup-index artifact takes its persisted path), the batch is the
+    disjoint id-suffix.
+    """
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        cc_merge_delta, connected_components, dedup_index_artifact,
+        incremental_dedup_indexed, minhash_band_pairs,
+        minhash_band_pairs_incremental, minhash_bands,
+        simhash_dedup, simhash_groups_incremental)
+
+    d = root / "inc"
+    d.mkdir()
+    gen_documents(hi + batch_n, d)
+    full = spark.read.parquet(str(d / "documents.parquet"))
+    batch_dir = d / "batch"
+    full.filter(F.col("doc_id") >= hi).write.parquet(str(batch_dir))
+    batch = spark.read.parquet(str(batch_dir))
+
+    def timed(thunk) -> tuple[float, int]:
+        thunk()  # untimed warmup: JIT/codegen must not land in the
+        # lo point only (it inflated lo and measured NEGATIVE
+        # exponents on the genuinely-flat paths)
+        best, out = math.inf, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = thunk()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), out
+
+    out: dict = {"batch_docs": batch.count()}
+    for tag, n in (("lo", lo), ("hi", hi)):
+        hd = d / f"hist_{tag}"
+        full.filter(F.col("doc_id") < n).write.parquet(str(hd))
+        hist = spark.read.parquet(str(hd))
+        # ---- untimed artifact builds (build-once/serve-many) ----
+        minhash_bands(hist, band_size=8).write.parquet(
+            str(d / f"bands_{tag}"))
+        bands = spark.read.parquet(str(d / f"bands_{tag}"))
+        simhash_dedup(hist).write.parquet(str(d / f"fps_{tag}"))
+        fps = spark.read.parquet(str(d / f"fps_{tag}"))
+        index = dedup_index_artifact(hist)
+        index.inverted.count()  # force build outside the timed reps
+        connected_components(
+            minhash_band_pairs(hist, band_size=8)
+        ).write.parquet(str(d / f"comp_{tag}"))
+        comp = spark.read.parquet(str(d / f"comp_{tag}"))
+        # the cc delta's input edges: the batch's inc pairs,
+        # materialized untimed so cc timing isn't pair generation
+        inc_pairs = minhash_band_pairs_incremental(
+            batch, bands, band_size=8).localCheckpoint(eager=True)
+
+        r: dict = {"hist_docs": hist.count()}
+        r["minhash_inc_s"], r["minhash_inc_rows"] = timed(
+            lambda: minhash_band_pairs_incremental(
+                batch, bands, band_size=8).count())
+        r["simhash_inc_s"], r["simhash_inc_rows"] = timed(
+            lambda: simhash_groups_incremental(batch, fps).count())
+        # deployment config: the absolute df cap (same knob class as
+        # jaccard_cand's max_doc_freq=64 above) — without it a token
+        # with df ∝ corpus under frac·n contributes O(corpus) matched
+        # postings per batch (measured 0.67 time exponent uncapped)
+        r["idx_inc_s"], r["idx_inc_rows"] = timed(
+            lambda: incremental_dedup_indexed(
+                batch, index, max_df=64).count())
+
+        def cc_once():
+            m, new_rows = cc_merge_delta(inc_pairs, comp)
+            return m.count() + new_rows.count()
+
+        r["cc_inc_s"], r["cc_inc_rows"] = timed(cc_once)
+        out[tag] = r
+        print(f"# inc/{tag} ({n} hist docs): {r}", file=sys.stderr)
+    return out
+
+
+INC_PATHS = ("minhash_inc", "simhash_inc", "idx_inc", "cc_inc")
+INC_GATE = 0.5
+
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",
                     "winnow_matches", "minhash_inc_cand",
                     "winnow_inc_matches", "ann_lsh_cand", "semdedup_cand",
@@ -231,6 +327,13 @@ def main() -> int:
                          "--hi (hi -> 10*hi docs-equivalent, i.e. "
                          "2*hi/5 -> 4*hi vectors) for the SemDeDup "
                          "and IVF candidate paths")
+    ap.add_argument("--inc", action="store_true",
+                    help="also measure fixed-batch per-batch wall time "
+                         "vs a decade of history growth for the "
+                         "round-9 incremental family")
+    ap.add_argument("--inc-only", action="store_true",
+                    help="run ONLY the --inc legs (skips the candidate"
+                         "-growth decade)")
     args = ap.parse_args()
 
     from logsqlite_spark.session import get_spark
@@ -238,8 +341,12 @@ def main() -> int:
 
     root = Path(tempfile.mkdtemp(prefix="scale_evidence_"))
     res: dict = {"lo_docs": args.lo, "hi_docs": args.hi}
+    skip_decade = args.inc_only
+    if args.inc_only:
+        args.inc = True
     try:
-        for tag, n in (("lo", args.lo), ("hi", args.hi)):
+        for tag, n in (() if skip_decade
+                       else (("lo", args.lo), ("hi", args.hi))):
             d = root / tag
             d.mkdir()
             gen_documents(n, d)
@@ -249,6 +356,8 @@ def main() -> int:
             print(f"# {tag} ({n} docs) measured in "
                   f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
                   file=sys.stderr)
+        if args.inc:
+            res["inc"] = measure_inc(spark, root, args.lo, args.hi)
         if args.xl:
             # the xl decade reuses hi's vector count as its LO so the
             # exponent spans exactly one decade of corpus growth
@@ -267,7 +376,7 @@ def main() -> int:
             shutil.rmtree(root, ignore_errors=True)
 
     bad = []
-    for key in DEPLOYMENT_PATHS + AUDIT_PATHS:
+    for key in () if skip_decade else DEPLOYMENT_PATHS + AUDIT_PATHS:
         axis = ("n_vecs" if key in ("ann_lsh_cand", "semdedup_cand")
                 else "n_docs")
         d_ratio = res["hi"][axis] / res["lo"][axis]
@@ -295,6 +404,16 @@ def main() -> int:
             res[key + "_xl_growth_exp"] = exp
             if exp > GATE:
                 bad.append((key + "_xl", exp))
+    if args.inc:
+        inc = res["inc"]
+        h_ratio = inc["hi"]["hist_docs"] / inc["lo"]["hist_docs"]
+        for key in INC_PATHS:
+            t_lo, t_hi = inc["lo"][key + "_s"], inc["hi"][key + "_s"]
+            exp = round(math.log(t_hi / t_lo) / math.log(h_ratio), 3)
+            inc[key + "_time_exp"] = exp
+            if exp > INC_GATE:
+                bad.append((key + "_inc_time", exp))
+        inc["gate"] = INC_GATE
     res["gate"] = GATE
     res["deployment_ok"] = not bad
     print(json.dumps(res))
