@@ -82,6 +82,71 @@ def value_histogram(events: DataFrame,
     )
 
 
+PSI_SPLIT_US = 1705363200000000  # 2024-01-16T00:00:00Z (mid-corpus)
+PSI_BINS = 20
+PSI_BIN_W = 25.0
+
+
+def value_psi(events: DataFrame, split_us: int = PSI_SPLIT_US,
+              n_bins: int = PSI_BINS, bin_w: float = PSI_BIN_W
+              ) -> DataFrame:
+    """Population Stability Index of the value distribution per event
+    type: reference window (before ``split_us``) vs current window —
+    the DISTRIBUTION face of drift monitoring (``metric_drift`` sees
+    volume and mix; a payment processor whose amounts silently shift
+    from $10 to $100 keeps identical volume and fails only here).
+
+    PSI = Σ_bins (p_i − q_i)·ln(p_i/q_i) over fixed-width value bins
+    (clamped to ``n_bins``), Laplace-smoothed (+1 per bin) so empty
+    bins are defined.  Conventional gates: <0.1 stable, 0.1–0.25
+    drifting, >0.25 shifted.
+
+    Scale shape: ONE scan into a map-side-combinable
+    (type, period, bin) count — the shuffle carries ≤ 2·n_bins rows
+    per type per map task; the PSI reduction runs over that
+    control-plane-sized table (dense bin grid via a broadcast
+    sequence cross-join, so both engines see identical smoothing).
+    Deterministic: counts are exact integers; the single ln/division
+    per bin is IEEE-identical, rounded to 6.
+    """
+    e = (events
+         .filter(F.col("value").isNotNull())
+         .select("event_type",
+                 (F.expr("ts div 1000") >= F.lit(int(split_us)))
+                 .alias("cur"),
+                 F.greatest(
+                     F.lit(0),
+                     F.least(F.floor(F.col("value") / F.lit(float(bin_w))),
+                             F.lit(n_bins - 1))).cast("int").alias("bin")))
+    counts = (e.groupBy("event_type", "cur", "bin")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    grid = (counts.select("event_type").distinct()
+            .crossJoin(counts.sparkSession.range(n_bins)
+                       .select(F.col("id").cast("int").alias("bin"))))
+    ref = counts.filter(~F.col("cur")).select(
+        "event_type", "bin", F.col("n").alias("n_ref"))
+    cur = counts.filter(F.col("cur")).select(
+        "event_type", "bin", F.col("n").alias("n_cur"))
+    cells = (grid.join(ref, ["event_type", "bin"], "left")
+             .join(cur, ["event_type", "bin"], "left")
+             .select("event_type", "bin",
+                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                     F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p = (F.col("n_ref") + 1).cast("double") / \
+        (F.col("t_ref") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / \
+        (F.col("t_cur") + n_bins).cast("double")
+    return (cells.join(F.broadcast(tot), "event_type")
+            .select("event_type", "t_ref", "t_cur",
+                    ((p - q) * F.log(p / q)).alias("__term"))
+            .groupBy("event_type")
+            .agg(F.max("t_ref").cast("long").alias("n_ref"),
+                 F.max("t_cur").cast("long").alias("n_cur"),
+                 F.round(F.sum("__term"), 6).alias("psi")))
+
+
 def ewma_smooth(events: DataFrame, key_col: str = "user_id") -> DataFrame:
     """Per-key exponentially weighted moving average of the event value
     (α = 1/2) — the classic online smoother behind spike detection.
@@ -214,16 +279,50 @@ def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_volume_anomaly(table(spark, sf_dir, "events"))
 
 
+def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return value_psi(table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_ewma": _q_ewma,
     "value_outliers": _q_outliers,
     "value_histogram": _q_histogram,
     "events_seasonal_anomaly": _q_seasonal,
+    "events_value_psi": _q_psi,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
 
 ORACLES = {
+    "events_value_psi": (
+        "WITH e AS (SELECT event_type, "
+        f"  epoch_us(ts) >= {PSI_SPLIT_US} AS cur, "
+        "  CAST(greatest(0, least(floor(CAST(value AS DOUBLE) / "
+        f"{PSI_BIN_W}), {PSI_BINS - 1})) AS INT) AS bin "
+        "  FROM events WHERE value IS NOT NULL), "
+        "c AS (SELECT event_type, cur, bin, count(*) AS n "
+        "  FROM e GROUP BY 1, 2, 3), "
+        "grid AS (SELECT DISTINCT event_type, g.i AS bin FROM c, "
+        f"  (SELECT unnest(generate_series(0, {PSI_BINS - 1})) AS i) g), "
+        "cells AS (SELECT grid.event_type, grid.bin, "
+        "  COALESCE(r.n, 0) AS n_ref, COALESCE(u.n, 0) AS n_cur "
+        "  FROM grid "
+        "  LEFT JOIN c r ON r.event_type = grid.event_type "
+        "    AND r.bin = grid.bin AND NOT r.cur "
+        "  LEFT JOIN c u ON u.event_type = grid.event_type "
+        "    AND u.bin = grid.bin AND u.cur), "
+        "tot AS (SELECT event_type, sum(n_ref) AS t_ref, "
+        "  sum(n_cur) AS t_cur FROM cells GROUP BY 1) "
+        "SELECT cells.event_type, "
+        "CAST(max(t_ref) AS BIGINT) AS n_ref, "
+        "CAST(max(t_cur) AS BIGINT) AS n_cur, "
+        "round(sum(((n_ref + 1) / CAST(t_ref + "
+        f"{PSI_BINS} AS DOUBLE) - (n_cur + 1) / CAST(t_cur + "
+        f"{PSI_BINS} AS DOUBLE)) * ln(((n_ref + 1) / CAST(t_ref + "
+        f"{PSI_BINS} AS DOUBLE)) / ((n_cur + 1) / CAST(t_cur + "
+        f"{PSI_BINS} AS DOUBLE)))), 6) AS psi "
+        "FROM cells JOIN tot USING (event_type) GROUP BY 1"
+    ),
     # dow spellings differ across engines (Spark 1-7 vs DuckDB 0-6)
     # but dow is only a JOIN key with identical equivalence classes,
     # never an output column

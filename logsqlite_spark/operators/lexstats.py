@@ -1,0 +1,183 @@
+"""Lexical distribution statistics over the documents corpus:
+Zipf-law fit and pointwise-mutual-information pairs.
+
+The corpus-health dashboard a training-data pipeline runs after
+token-frequency extraction (``textstats.token_freq``): does the token
+distribution LOOK like natural language (Zipf slope ≈ −1; a scraped
+corpus full of boilerplate or generated spam bends the curve), and
+which token pairs co-occur far above chance (collocations — also the
+cheap detector for templated/injected content, whose PMI pairs are
+near-deterministic).
+
+Scale design:
+
+- ``token_zipf_slope`` aggregates the CORPUS to one (lang, token)
+  frequency row each — map-side-combinable, one shuffle — then ranks
+  within language and fits ``ln f = a + s·ln r`` by least squares on
+  the top ``top_v`` ranks via ``regr_slope`` (head-rank fitting is
+  the standard practice; the tail is where Zipf breaks anyway, and it
+  caps the per-lang window at ``top_v``).  The ranking window runs
+  over the VOCABULARY (≤ millions of rows per lang at web scale, not
+  the corpus) — the same bounded-window argument as
+  ``textstats.quality_percentile``'s docstring, with ``top_v`` as the
+  hard bound on what the fit consumes.
+- ``token_pmi_pairs`` restricts to the ``top_v`` highest-df tokens
+  (deterministic tie-break df desc, token asc), so the per-document
+  pair explosion is bounded by (tokens ∩ top_v choose 2) and the
+  aggregate by top_v² — never vocabulary².  One distinct-postings
+  scan, one bounded self-join on doc_id, broadcast df lookups.
+
+Both emit exact integer counts plus one ln/regression over them,
+rounded to 6 — the module float rule, IEEE-identical in DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from logsqlite_spark.tables import table
+
+ZIPF_TOP_V = 10_000
+PMI_TOP_V = 1_000
+PMI_TOP_K = 50
+PMI_MIN_PAIR = 5
+
+
+def token_zipf_slope(docs: DataFrame, top_v: int = ZIPF_TOP_V,
+                     text_col: str = "text",
+                     lang_col: str = "lang") -> DataFrame:
+    """Per-language Zipf fit over whitespace tokens: OLS slope and r²
+    of ``ln(freq)`` against ``ln(rank)`` for the ``top_v`` head
+    ranks, plus the distinct-vocabulary and token-mass counts the
+    slope normalizes over.  Natural text sits near −1; strong
+    deviation flags boilerplate floods or synthetic spam."""
+    toks = (docs.select(F.col(lang_col).alias("lang"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != ""))
+    freq = toks.groupBy("lang", "tok").agg(
+        F.count(F.lit(1)).cast("long").alias("f"))
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.col("tok"))
+    head = (freq.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top_v))
+    lf, lr = F.log(F.col("f").cast("double")), \
+        F.log(F.col("r").cast("double"))
+    return (head.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ranks"),
+                 F.sum("f").cast("long").alias("token_mass"),
+                 F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+                 F.round(F.regr_r2(lf, lr), 6).alias("r2")))
+
+
+def token_pmi_pairs(docs: DataFrame, top_v: int = PMI_TOP_V,
+                    k: int = PMI_TOP_K, min_pair: int = PMI_MIN_PAIR,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k token pairs by document-level PMI among the ``top_v``
+    highest-df tokens: ``pmi = ln(n_ab · N / (df_a · df_b))`` with N
+    the doc count — the collocation / template-content detector.
+    ``min_pair`` drops rare accidental co-occurrences (PMI's classic
+    low-count instability).  Fully deterministic: df ties break on
+    token, the final top-k orders on (rounded pmi desc, a, b).
+
+    Plan shape (first cut audited bad): ``topv`` feeds FOUR consumers
+    (the postings semi-join and both df lookups), and lazily it
+    re-scanned + re-exploded + re-distincted the corpus per consumer
+    — so the ≤ ``top_v``-row table is eagerly checkpointed once (the
+    control-plane materialization rule).  Pairing is groups-to-pairs
+    (sorted per-doc token set → in-row combination explode), never a
+    postings self-join: one shuffle to the doc grouping, per-doc cost
+    bounded by (tokens ∩ top_v)², and the collect_set buffer bounded
+    by min(doc length, top_v) tokens."""
+    post = (docs.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != "").distinct())
+    dfreq = post.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("df"))
+    topv = (dfreq.orderBy(F.desc("df"), F.col("tok")).limit(top_v)
+            .select("tok", "df")
+            .localCheckpoint(eager=True))
+    p = post.join(F.broadcast(topv.select("tok")), "tok", "leftsemi")
+    sets = p.groupBy("doc_id").agg(
+        F.sort_array(F.collect_set("tok")).alias("ts"))
+    pairs = (sets.select(F.explode(F.expr(
+        "flatten(transform(ts, (x, i) -> "
+        "transform(slice(ts, i + 2, size(ts)), "
+        "y -> struct(x AS a, y AS b))))")).alias("pr"))
+        .select("pr.a", "pr.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= min_pair))
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("double").alias("__n"))
+    da = topv.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))
+    db = topv.select(F.col("tok").alias("b"), F.col("df").alias("df_b"))
+    scored = (pairs.join(F.broadcast(da), "a").join(F.broadcast(db), "b")
+              .crossJoin(F.broadcast(n_docs))
+              .select("a", "b", "n_ab", "df_a", "df_b",
+                      F.round(F.log(F.col("n_ab").cast("double")
+                                    * F.col("__n")
+                                    / (F.col("df_a").cast("double")
+                                       * F.col("df_b").cast("double"))),
+                              6).alias("pmi")))
+    return (scored.orderBy(F.desc("pmi"), "a", "b").limit(k)
+            .select("a", "b", "n_ab", "df_a", "df_b", "pmi"))
+
+
+# ---------------------------------------------------------------------------
+# registry wiring
+
+def _q_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_zipf_slope(table(spark, sf_dir, "documents"))
+
+
+def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return token_pmi_pairs(table(spark, sf_dir, "documents"))
+
+
+QUERIES = {
+    "token_zipf_slope": _q_zipf,
+    "token_pmi_pairs": _q_pmi,
+}
+
+ORACLES = {
+    "token_zipf_slope": (
+        "WITH t AS (SELECT lang, unnest(string_split(text, ' ')) AS tok "
+        "  FROM documents), "
+        "f AS (SELECT lang, tok, CAST(count(*) AS BIGINT) AS f FROM t "
+        "  WHERE tok <> '' GROUP BY 1, 2), "
+        "h AS (SELECT lang, f, row_number() OVER "
+        "  (PARTITION BY lang ORDER BY f DESC, tok) AS r FROM f) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks, "
+        "CAST(sum(f) AS BIGINT) AS token_mass, "
+        "round(regr_slope(ln(CAST(f AS DOUBLE)), "
+        "  ln(CAST(r AS DOUBLE))), 6) AS zipf_slope, "
+        "round(regr_r2(ln(CAST(f AS DOUBLE)), "
+        "  ln(CAST(r AS DOUBLE))), 6) AS r2 "
+        f"FROM h WHERE r <= {ZIPF_TOP_V} GROUP BY lang"
+    ),
+    "token_pmi_pairs": (
+        "WITH post AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "
+        "  unnest(string_split(text, ' ')) AS tok FROM documents) "
+        "  WHERE tok <> ''), "
+        "dfreq AS (SELECT tok, CAST(count(*) AS BIGINT) AS df "
+        "  FROM post GROUP BY tok), "
+        f"topv AS (SELECT tok, df FROM dfreq "
+        f"  ORDER BY df DESC, tok LIMIT {PMI_TOP_V}), "
+        "p AS (SELECT post.doc_id, post.tok FROM post "
+        "  JOIN topv USING (tok)), "
+        "pairs AS (SELECT x.tok AS a, y.tok AS b, "
+        "  CAST(count(*) AS BIGINT) AS n_ab "
+        "  FROM p x JOIN p y ON x.doc_id = y.doc_id AND x.tok < y.tok "
+        f"  GROUP BY 1, 2 HAVING count(*) >= {PMI_MIN_PAIR}), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents) "
+        "SELECT a, b, n_ab, da.df AS df_a, db.df AS df_b, "
+        "round(ln(CAST(n_ab AS DOUBLE) * n_docs / "
+        "  (CAST(da.df AS DOUBLE) * CAST(db.df AS DOUBLE))), 6) AS pmi "
+        "FROM pairs, n "
+        "JOIN topv da ON da.tok = a JOIN topv db ON db.tok = b "
+        f"ORDER BY pmi DESC, a, b LIMIT {PMI_TOP_K}"
+    ),
+}

@@ -324,9 +324,54 @@ def _q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.round("__v", 6).alias("value")))
 
 
+def _q_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: eigenvalues come from the driver-side eigh; pytest
+    # pins shares in (0,1], descending, and consistency with the
+    # fitted eigenvalues.  Scalar columns per the harness contract.
+    return (pca_explained_variance(table(spark, sf_dir, "embeddings"))
+            .select("component", F.round("eigval", 6).alias("eigval"),
+                    "var_share"))
+
+
+def _q_pca_project_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection served from the INCREMENTAL sufficient-statistics
+    path: the corpus' quantized Gramian stats accumulated as two
+    batch partials merged by decimal sum (exactly the
+    ``pca_stats_sink`` state), model fitted via
+    :func:`fit_pca_from_stats` — never a full-corpus float fit.  The
+    decimal sums are exact, so the merged state is bit-identical to a
+    one-shot ``gramian_stats_df`` over the union (pytest-pinned
+    property), making this the streaming/erase-lifecycle serving
+    query.  Rows-only by design (eigendecomposition is iterative);
+    differs from ``embedding_pca`` only by the 1e-4 quantization of
+    the fit, pinned with tolerance in pytest."""
+    emb = table(spark, sf_dir, "embeddings")
+    b0 = emb.filter(F.col("vec_id") % 2 == 0)
+    b1 = emb.filter(F.col("vec_id") % 2 == 1)
+    stats = (gramian_stats_df(b0).unionByName(gramian_stats_df(b1))
+             .groupBy("idx")
+             .agg(F.sum(F.col("val").cast("decimal(38,0)")).alias("val")))
+    mu, W, _ev, _n = fit_pca_from_stats(stats, k=8)
+
+    @F.pandas_udf("array<double>")
+    def _proj(v: pd.Series) -> pd.Series:
+        X = np.stack(v.to_numpy()).astype(np.float64)
+        return pd.Series(list((X - mu) @ W))
+
+    return (emb.select(F.col("vec_id").cast("long").alias("vec_id"),
+                       _proj(F.col("embedding")).alias("pc"))
+            .select("vec_id",
+                    F.posexplode("pc").alias("component", "__v"))
+            .select("vec_id",
+                    F.col("component").cast("int").alias("component"),
+                    F.round("__v", 6).alias("value")))
+
+
 QUERIES = {
     "embedding_dim_stats": _q_dim_stats,
     "embedding_pca": _q_pca_project,
+    "embedding_pca_var": _q_pca_variance,
+    "embedding_pca_inc": _q_pca_project_inc,
 }
 
 ORACLES = {

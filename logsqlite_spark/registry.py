@@ -48,6 +48,7 @@ from logsqlite_spark.operators import clustering as CL
 from logsqlite_spark.operators import checks as CK
 from logsqlite_spark.operators import profile as PF
 from logsqlite_spark.operators import linalg as LA
+from logsqlite_spark.operators import lexstats as LX
 from logsqlite_spark.session import ensure_engine_confs
 from logsqlite_spark.tables import table
 
@@ -410,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(CK.QUERIES)
     out.update(PF.QUERIES)
     out.update(LA.QUERIES)
+    out.update(LX.QUERIES)
     return _cert_order(out)
 
 def oracle_sql() -> dict[str, str]:
@@ -433,6 +435,7 @@ def oracle_sql() -> dict[str, str]:
     out.update(CK.ORACLES)
     out.update(PF.ORACLES)
     out.update(LA.ORACLES)
+    out.update(LX.ORACLES)
     return _cert_order(out)
 
 def flagship(spark: SparkSession) -> DataFrame:

@@ -65,3 +65,43 @@ def test_seasonal_anomaly_planted_spike_and_drop(spark):
     assert got[("2024-01-01", 9)] == (10, 14000, "normal")
     assert got[("2024-01-29", 10)] == (1, 8200, "drop")
     assert got[("2024-01-01", 10)] == (10, 8200, "normal")
+
+
+def test_value_psi_zero_on_identical_distribution(spark):
+    """Identical ref/cur value distributions measure PSI 0 exactly
+    (every p_i == q_i, each term 0); a gross shift crosses the 0.25
+    'shifted' gate."""
+    from logsqlite_spark.operators.anomaly import value_psi
+
+    split = 1705363200000000
+    before = (split - 10) * 1000
+    after = (split + 10) * 1000
+    same = [(before, "t", float(v)) for v in (10, 60, 110, 160)] + \
+           [(after, "t", float(v)) for v in (10, 60, 110, 160)]
+    df = spark.createDataFrame(
+        same, "ts long, event_type string, value double")
+    rows = value_psi(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["psi"] == 0.0
+    assert rows[0]["n_ref"] == 4 and rows[0]["n_cur"] == 4
+
+    shifted = [(before, "t", 10.0)] * 50 + [(after, "t", 510.0)] * 50
+    df2 = spark.createDataFrame(
+        shifted, "ts long, event_type string, value double")
+    assert value_psi(df2).collect()[0]["psi"] > 0.25
+
+
+def test_value_psi_clamps_out_of_range_values(spark):
+    """Values beyond the bin grid (negative / above the top bin) fold
+    into the edge bins instead of dropping or erroring."""
+    from logsqlite_spark.operators.anomaly import value_psi
+
+    split = 1705363200000000
+    rows = [((split - 10) * 1000, "t", -5.0),
+            ((split - 10) * 1000, "t", 9e9),
+            ((split + 10) * 1000, "t", -5.0),
+            ((split + 10) * 1000, "t", 9e9)]
+    df = spark.createDataFrame(
+        rows, "ts long, event_type string, value double")
+    out = value_psi(df).collect()[0]
+    assert out["n_ref"] == 2 and out["n_cur"] == 2 and out["psi"] == 0.0

@@ -1,0 +1,76 @@
+"""Lexical-statistics tier: Zipf fit and PMI pairs.
+
+The registry queries are value-checked by the DuckDB oracle; here we
+pin the SEMANTICS on constructed corpora where the right answer is
+computable by hand (or by numpy OLS)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from logsqlite_spark.operators.lexstats import (
+    token_pmi_pairs,
+    token_zipf_slope,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        [(i, t, "en") for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string")
+
+
+def test_zipf_slope_matches_numpy_ols(spark):
+    # token i repeated ceil(100/rank) times -> an exact Zipf corpus
+    toks = []
+    for rank in range(1, 9):
+        toks += [f"w{rank:02d}"] * math.ceil(100 / rank)
+    docs = _docs(spark, [" ".join(toks)])
+    row = token_zipf_slope(docs).collect()[0]
+    freqs = sorted((toks.count(f"w{r:02d}") for r in range(1, 9)),
+                   reverse=True)
+    lr = np.log(np.arange(1, 9, dtype=float))
+    lf = np.log(np.array(freqs, dtype=float))
+    slope, _icpt = np.polyfit(lr, lf, 1)
+    assert row["n_ranks"] == 8
+    assert row["token_mass"] == len(toks)
+    assert abs(row["zipf_slope"] - slope) < 1e-6
+    assert row["r2"] > 0.99  # near-perfect power law by construction
+
+
+def test_zipf_top_v_caps_the_fit(spark):
+    docs = _docs(spark, ["a a a a b b c d e f g h"])
+    full = token_zipf_slope(docs).collect()[0]
+    head = token_zipf_slope(docs, top_v=3).collect()[0]
+    assert full["n_ranks"] == 8 and head["n_ranks"] == 3
+    assert head["token_mass"] == 4 + 2 + 1  # a, b, then 'c' by tie-break
+
+
+def test_pmi_hand_computed(spark):
+    # x and y co-occur in 5/8 docs; x alone in 2; y alone in 1
+    rows = (["x y pad"] * 5) + (["x pad pad"] * 2) + ["y pad pad"]
+    got = {(r["a"], r["b"]): r for r in
+           token_pmi_pairs(_docs(spark, rows), min_pair=1).collect()}
+    r = got[("x", "y")]
+    assert (r["n_ab"], r["df_a"], r["df_b"]) == (5, 7, 6)
+    assert abs(r["pmi"] - round(math.log(5 * 8 / (7 * 6)), 6)) < 1e-9
+    # pad co-occurs with everything at chance-ish rates but is present
+    assert ("pad", "x") in got or ("x", "pad") in got
+
+
+def test_pmi_min_pair_and_top_v_bound_output(spark):
+    rows = (["x y pad"] * 5) + (["x pad pad"] * 2) + ["y pad pad"]
+    docs = _docs(spark, rows)
+    assert token_pmi_pairs(docs, min_pair=6).count() == 2  # pad-x 7, pad-y 6
+    # top_v=2 keeps only the two highest-df tokens (pad df=8, x df=7)
+    only = token_pmi_pairs(docs, top_v=2, min_pair=1).collect()
+    assert [(r["a"], r["b"]) for r in only] == [("pad", "x")]
+
+
+def test_pmi_deterministic_topk_ordering(spark):
+    rows = (["x y pad"] * 5) + (["x pad pad"] * 2) + ["y pad pad"]
+    out = token_pmi_pairs(_docs(spark, rows), min_pair=1).collect()
+    key = [(-r["pmi"], r["a"], r["b"]) for r in out]
+    assert key == sorted(key)

@@ -156,3 +156,35 @@ def test_gramian_stats_merge_associative_property(spark):
             [(i, int(v)) for i, v in full]
 
     check()
+
+
+def test_pca_inc_registry_query_matches_batch(spark):
+    """The incremental-stats serving query (embedding_pca_inc) differs
+    from the float-fit batch query only by the 1e-4 quantization of
+    its sufficient statistics: per-coordinate projections agree within
+    a loose tolerance, and the output shape is the scalar exploded
+    (vec_id, component, value) harness contract."""
+    from logsqlite_spark import registry
+
+    SF = "/root/testdata/sf0.001"
+    qs = registry.queries()
+    batch = {(r["vec_id"], r["component"]): r["value"]
+             for r in qs["embedding_pca"](spark, SF).collect()}
+    inc = {(r["vec_id"], r["component"]): r["value"]
+           for r in qs["embedding_pca_inc"](spark, SF).collect()}
+    assert set(batch) == set(inc) and len(batch) > 0
+    worst = max(abs(batch[k] - inc[k]) for k in batch)
+    assert worst < 5e-3, f"quantized fit drifted {worst} from float fit"
+
+
+def test_pca_var_registry_query_shares(spark):
+    from logsqlite_spark import registry
+
+    rows = registry.queries()["embedding_pca_var"](
+        spark, "/root/testdata/sf0.001").collect()
+    assert [r["component"] for r in rows] == list(range(len(rows)))
+    shares = [r["var_share"] for r in rows]
+    assert all(0 < s <= 1 for s in shares)
+    assert shares == sorted(shares, reverse=True)
+    evs = [r["eigval"] for r in rows]
+    assert evs == sorted(evs, reverse=True) and evs[-1] > 0
