@@ -109,42 +109,8 @@ def value_psi(events: DataFrame, split_us: int = PSI_SPLIT_US,
     Deterministic: counts are exact integers; the single ln/division
     per bin is IEEE-identical, rounded to 6.
     """
-    e = (events
-         .filter(F.col("value").isNotNull())
-         .select("event_type",
-                 (F.expr("ts div 1000") >= F.lit(int(split_us)))
-                 .alias("cur"),
-                 F.greatest(
-                     F.lit(0),
-                     F.least(F.floor(F.col("value") / F.lit(float(bin_w))),
-                             F.lit(n_bins - 1))).cast("int").alias("bin")))
-    counts = (e.groupBy("event_type", "cur", "bin")
-              .agg(F.count(F.lit(1)).cast("long").alias("n")))
-    grid = (counts.select("event_type").distinct()
-            .crossJoin(counts.sparkSession.range(n_bins)
-                       .select(F.col("id").cast("int").alias("bin"))))
-    ref = counts.filter(~F.col("cur")).select(
-        "event_type", "bin", F.col("n").alias("n_ref"))
-    cur = counts.filter(F.col("cur")).select(
-        "event_type", "bin", F.col("n").alias("n_cur"))
-    cells = (grid.join(ref, ["event_type", "bin"], "left")
-             .join(cur, ["event_type", "bin"], "left")
-             .select("event_type", "bin",
-                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
-                     F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
-    tot = cells.groupBy("event_type").agg(
-        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
-    p = (F.col("n_ref") + 1).cast("double") / \
-        (F.col("t_ref") + n_bins).cast("double")
-    q = (F.col("n_cur") + 1).cast("double") / \
-        (F.col("t_cur") + n_bins).cast("double")
-    return (cells.join(F.broadcast(tot), "event_type")
-            .select("event_type", "t_ref", "t_cur",
-                    ((p - q) * F.log(p / q)).alias("__term"))
-            .groupBy("event_type")
-            .agg(F.max("t_ref").cast("long").alias("n_ref"),
-                 F.max("t_cur").cast("long").alias("n_cur"),
-                 F.round(F.sum("__term"), 6).alias("psi")))
+    return value_psi_from_counts(
+        psi_bin_counts(events, split_us, n_bins, bin_w), n_bins)
 
 
 def ewma_smooth(events: DataFrame, key_col: str = "user_id") -> DataFrame:
@@ -279,8 +245,75 @@ def _q_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seasonal_volume_anomaly(table(spark, sf_dir, "events"))
 
 
+def psi_bin_counts(events: DataFrame, split_us: int = PSI_SPLIT_US,
+                   n_bins: int = PSI_BINS, bin_w: float = PSI_BIN_W
+                   ) -> DataFrame:
+    """The PSI sufficient statistics — exact integer
+    ``(event_type, cur, bin, n)`` counts.  They merge by associative
+    sum, so the streaming/incremental state is this table and nothing
+    else (the ngram-partials idiom); :func:`value_psi_from_counts`
+    serves the report from any merged snapshot."""
+    return (events
+            .filter(F.col("value").isNotNull())
+            .select("event_type",
+                    (F.expr("ts div 1000") >= F.lit(int(split_us)))
+                    .alias("cur"),
+                    F.greatest(
+                        F.lit(0),
+                        F.least(F.floor(F.col("value")
+                                        / F.lit(float(bin_w))),
+                                F.lit(n_bins - 1))).cast("int")
+                    .alias("bin"))
+            .groupBy("event_type", "cur", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def value_psi_from_counts(counts: DataFrame,
+                          n_bins: int = PSI_BINS) -> DataFrame:
+    """The PSI report served from (possibly merged) bin counts —
+    identical math to :func:`value_psi` from the dense grid down."""
+    grid = (counts.select("event_type").distinct()
+            .crossJoin(counts.sparkSession.range(n_bins)
+                       .select(F.col("id").cast("int").alias("bin"))))
+    ref = counts.filter(~F.col("cur")).select(
+        "event_type", "bin", F.col("n").alias("n_ref"))
+    cur = counts.filter(F.col("cur")).select(
+        "event_type", "bin", F.col("n").alias("n_cur"))
+    cells = (grid.join(ref, ["event_type", "bin"], "left")
+             .join(cur, ["event_type", "bin"], "left")
+             .select("event_type", "bin",
+                     F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+                     F.coalesce("n_cur", F.lit(0)).alias("n_cur")))
+    tot = cells.groupBy("event_type").agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur"))
+    p = (F.col("n_ref") + 1).cast("double") / \
+        (F.col("t_ref") + n_bins).cast("double")
+    q = (F.col("n_cur") + 1).cast("double") / \
+        (F.col("t_cur") + n_bins).cast("double")
+    return (cells.join(F.broadcast(tot), "event_type")
+            .select("event_type", "t_ref", "t_cur",
+                    ((p - q) * F.log(p / q)).alias("__term"))
+            .groupBy("event_type")
+            .agg(F.max("t_ref").cast("long").alias("n_ref"),
+                 F.max("t_cur").cast("long").alias("n_cur"),
+                 F.round(F.sum("__term"), 6).alias("psi")))
+
+
 def _q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_psi(table(spark, sf_dir, "events"))
+
+
+def _q_psi_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin: bin-count partials from two event_id-split
+    batches merged by sum — exact integers, so the report is
+    BIT-IDENTICAL to the one-shot query (oracle shared verbatim with
+    events_value_psi, the dedup_incremental_idx pattern)."""
+    ev = table(spark, sf_dir, "events")
+    parts = psi_bin_counts(ev.filter(F.col("event_id") % 2 == 0)) \
+        .unionByName(psi_bin_counts(ev.filter(F.col("event_id") % 2 == 1)))
+    merged = (parts.groupBy("event_type", "cur", "bin")
+              .agg(F.sum("n").cast("long").alias("n")))
+    return value_psi_from_counts(merged)
 
 
 QUERIES = {
@@ -289,6 +322,7 @@ QUERIES = {
     "value_histogram": _q_histogram,
     "events_seasonal_anomaly": _q_seasonal,
     "events_value_psi": _q_psi,
+    "events_value_psi_inc": _q_psi_inc,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -359,3 +393,8 @@ ORACLES = {
         "count(*) AS n FROM ev GROUP BY event_type, bin"
     ),
 }
+
+# the incremental twin's counts merge by exact integer sum, so its
+# report is bit-identical to the one-shot query — oracle shared
+# verbatim (the dedup_incremental_idx pattern)
+ORACLES["events_value_psi_inc"] = ORACLES["events_value_psi"]

@@ -1606,7 +1606,24 @@ def _q_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, minhash_bands_artifact(history))
 
 
+def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication rate — the corpus-quality rollup a
+    pipeline owner reads before deciding which source to re-crawl or
+    down-weight.  One map-side-combinable aggregation over md5 digests
+    (count + approx-free exact distinct per source); rate rounded 6."""
+    docs = table(spark, sf_dir, "documents")
+    return (docs.select("source", F.md5("text").alias("__h"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.countDistinct("__h").cast("long").alias("n_unique"))
+            .select("source", "n_docs", "n_unique",
+                    F.round(1.0 - F.col("n_unique").cast("double")
+                            / F.col("n_docs").cast("double"), 6)
+                    .alias("dup_rate")))
+
+
 QUERIES = {
+    "dedup_rate_by_source": _q_dedup_rate_by_source,
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
     "dedup_jaccard_pairs": _q_dedup_jaccard,
@@ -1633,6 +1650,13 @@ QUERIES = {
 }
 
 ORACLES = {
+    "dedup_rate_by_source": (
+        "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique, "
+        "round(1.0 - CAST(count(DISTINCT md5(text)) AS DOUBLE) "
+        "/ CAST(count(*) AS DOUBLE), 6) AS dup_rate "
+        "FROM documents GROUP BY source"
+    ),
     "dedup_exact_groups": (
         "SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS dup_count "
         "FROM documents GROUP BY md5(text)"

@@ -105,3 +105,27 @@ def test_value_psi_clamps_out_of_range_values(spark):
         rows, "ts long, event_type string, value double")
     out = value_psi(df).collect()[0]
     assert out["n_ref"] == 2 and out["n_cur"] == 2 and out["psi"] == 0.0
+
+
+def test_psi_bin_counts_merge_bit_identical(spark):
+    """PSI sufficient statistics merge by exact integer sum: partials
+    from any split, summed, serve a report bit-identical to one-shot
+    (the streaming/incremental state contract)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.anomaly import (
+        psi_bin_counts,
+        value_psi,
+        value_psi_from_counts,
+    )
+    from logsqlite_spark.tables import table
+
+    ev = table(spark, "/root/testdata/sf0.001", "events")
+    parts = psi_bin_counts(ev.filter(F.col("event_id") % 3 == 0)) \
+        .unionByName(psi_bin_counts(ev.filter(F.col("event_id") % 3 == 1))) \
+        .unionByName(psi_bin_counts(ev.filter(F.col("event_id") % 3 == 2)))
+    merged = (parts.groupBy("event_type", "cur", "bin")
+              .agg(F.sum("n").cast("long").alias("n")))
+    got = sorted(map(tuple, value_psi_from_counts(merged).collect()))
+    want = sorted(map(tuple, value_psi(ev).collect()))
+    assert got == want and len(want) > 0
