@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     # r9 second half: the global-sort shape (seeded epoch shuffle) —
     # the one wide-exchange+rank plan no other headline query exercises
     "corpus_shuffle",
+    # r10: lexical statistics (vocab-bounded window + regression agg;
+    # groups-to-pairs collocation join) and PSI distribution drift
+    "token_zipf_slope",
+    "token_pmi_pairs",
+    "events_value_psi",
 ]
 
 def main() -> None:

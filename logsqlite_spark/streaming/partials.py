@@ -447,3 +447,95 @@ def erase_from_pca_snapshot(spark, snapshot_root: str,
     _write_pointer(snapshot_root, new_ver, batch_id)
     _gc_versions(snapshot_root, new_ver)
     return {"erased": True, "version": new_ver}
+
+
+# ---------------------------------------------------------------------------
+# PSI bin counts (round 10 — the drift monitor's incremental state).
+# The persisted snapshot is operators/anomaly.psi_bin_counts' exact
+# integer (event_type, cur, bin, n) table; counts merge by sum, so
+# merge ≡ one-shot and erase ≡ built-without bit-identically, and
+# every entry is a COUNT — the LM-grade ingested-contract check
+# (no negative cell survives a legitimate retraction).
+
+
+def snapshot_psi_counts(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted PSI bin-count table, or None
+    pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "counts"))
+
+
+def _merged_psi_counts(hist: DataFrame | None,
+                       delta: DataFrame) -> DataFrame:
+    if hist is None:
+        return delta
+    return (hist.unionByName(delta)
+            .groupBy("event_type", "cur", "bin")
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
+def psi_counts_sink(snapshot_root: str) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the PSI drift monitor: each micro-batch's
+    bin counts merge into the versioned snapshot under the
+    exactly-once pointer protocol;
+    ``anomaly.value_psi_from_counts`` serves the report from any
+    version without re-scanning ingested events.
+
+    At 100 TB the snapshot is ≤ 2·n_bins rows per event type —
+    constant-size state — and each merge costs one batch scan plus a
+    control-plane shuffle."""
+    from logsqlite_spark.operators.anomaly import psi_bin_counts
+
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        merged = _merged_psi_counts(
+            snapshot_psi_counts(spark, snapshot_root),
+            psi_bin_counts(batch_df))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "counts"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def erase_from_psi_snapshot(spark, snapshot_root: str,
+                            events: DataFrame) -> dict:
+    """Retract previously-ingested events from the PSI state. Every
+    snapshot entry is a count, so the ingested contract is fully
+    checkable: any cell a retraction would drive negative proves the
+    events were not (all) ingested, and the erase refuses before the
+    pointer flips — the strong (LM-counts) variant of the check, with
+    no signed-entry caveat."""
+    from logsqlite_spark.operators.anomaly import psi_bin_counts
+
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("erase_from_psi_snapshot: no snapshot at "
+                         f"{snapshot_root}")
+    hist = snapshot_psi_counts(spark, snapshot_root)
+    delta = psi_bin_counts(events).select(
+        "event_type", "cur", "bin", (-F.col("n")).alias("n"))
+    merged = _merged_psi_counts(hist, delta).filter(F.col("n") != 0)
+    new_ver = ver + 1
+    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "counts")
+    merged.write.mode("overwrite").parquet(out)
+    neg = spark.read.parquet(out).filter(F.col("n") < 0).count()
+    if neg:
+        raise ValueError(
+            "erase_from_psi_snapshot: retraction would drive "
+            f"{neg} bin counts negative — the supplied events were "
+            "not part of the ingested corpus; snapshot unchanged")
+    _write_pointer(snapshot_root, new_ver, batch_id)
+    _gc_versions(snapshot_root, new_ver)
+    return {"erased": True, "version": new_ver}

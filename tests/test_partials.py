@@ -236,3 +236,78 @@ def test_pca_snapshot_erase_equals_built_without(spark, tmp_path):
         [(100, [0.1, 0.2])], _PCA_SCHEMA)
     with pytest.raises(ValueError, match="dimension"):
         erase_from_pca_snapshot(spark, root, wrong_d)
+
+
+_PSI_SCHEMA = "event_id long, ts long, event_type string, value double"
+_PSI_SPLIT = 1705363200000000
+
+
+def _psi_rows(vals, start_id=0, cur=False):
+    ts = (_PSI_SPLIT + (10 if cur else -10)) * 1000
+    return [(start_id + i, ts, "t", float(v)) for i, v in enumerate(vals)]
+
+
+def test_psi_counts_sink_exact_merge_and_replay(spark, tmp_path):
+    """Two micro-batches through the PSI sink: the snapshot serves a
+    report bit-identical to one-shot value_psi over the union; a
+    replayed batch id is a no-op."""
+    from logsqlite_spark.operators.anomaly import (
+        value_psi,
+        value_psi_from_counts,
+    )
+    from logsqlite_spark.streaming.partials import (
+        psi_counts_sink,
+        snapshot_psi_counts,
+    )
+
+    root = str(tmp_path / "psi")
+    sink = psi_counts_sink(root)
+    r1 = _psi_rows([10, 60, 110], 0) + _psi_rows([10, 210], 100, cur=True)
+    r2 = _psi_rows([60, 310], 200) + _psi_rows([410], 300, cur=True)
+    b1 = spark.createDataFrame(r1, _PSI_SCHEMA)
+    b2 = spark.createDataFrame(r2, _PSI_SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # crash replay: already merged, must not double-count
+
+    union = spark.createDataFrame(r1 + r2, _PSI_SCHEMA)
+    got = sorted(map(tuple, value_psi_from_counts(
+        snapshot_psi_counts(spark, root)).collect()))
+    want = sorted(map(tuple, value_psi(union).collect()))
+    assert got == want and len(want) == 1
+
+
+def test_erase_from_psi_snapshot_bit_identical_and_refuses(spark, tmp_path):
+    """Erasing batch 1 leaves the snapshot equal to built-without;
+    retracting never-ingested events refuses and leaves the pointer
+    on the pre-erase version."""
+    import pytest as _pytest
+
+    from logsqlite_spark.operators.anomaly import psi_bin_counts
+    from logsqlite_spark.streaming.partials import (
+        erase_from_psi_snapshot,
+        psi_counts_sink,
+        snapshot_psi_counts,
+    )
+
+    root = str(tmp_path / "psi")
+    sink = psi_counts_sink(root)
+    r1 = _psi_rows([10, 60], 0) + _psi_rows([210], 100, cur=True)
+    r2 = _psi_rows([310, 310], 200)
+    b1 = spark.createDataFrame(r1, _PSI_SCHEMA)
+    b2 = spark.createDataFrame(r2, _PSI_SCHEMA)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    erase_from_psi_snapshot(spark, root, b1)
+    got = sorted(map(tuple, snapshot_psi_counts(spark, root).collect()))
+    want = sorted(map(tuple, psi_bin_counts(b2).collect()))
+    assert got == want
+
+    bogus = spark.createDataFrame(
+        _psi_rows([10, 10, 10], 900), _PSI_SCHEMA)
+    before = sorted(map(tuple, snapshot_psi_counts(spark, root).collect()))
+    with _pytest.raises(ValueError, match="negative"):
+        erase_from_psi_snapshot(spark, root, bogus)
+    after = sorted(map(tuple, snapshot_psi_counts(spark, root).collect()))
+    assert after == before

@@ -51,6 +51,20 @@ def test_oracle_keys_subset_of_queries():
     assert not extra, f"oracle_sql keys with no queries() entry: {extra}"
 
 
+def test_coverage_doc_names_every_query():
+    """COVERAGE.md is the judge-facing SURVEY §2 → implementation map;
+    it silently went stale for round 9's second half.  Every registry
+    query key must appear (backtick-quoted) somewhere in it."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    with open(path) as fh:
+        cov = fh.read()
+    missing = [q for q in registry.queries() if f"`{q}`" not in cov]
+    assert not missing, f"queries undocumented in COVERAGE.md: {missing}"
+
+
 def test_cert_window_names_registered():
     from logsqlite_spark.cert_window import CERT_FIRST
 
