@@ -703,3 +703,27 @@ def test_decisions_incremental_delta_planted(spark):
                     union_docs["doc_id"] == F.col("__cd"), "left")
                 .select("doc_id", "cluster_id")).collect()}
     assert upserted == want
+
+
+def test_edit_confirmed_pairs_semantics(spark):
+    """Exact dups confirm at edit_sim 1.0; a candidate pair whose
+    normalized edit similarity is below threshold is dropped even
+    though minhash banded it together."""
+    from logsqlite_spark.operators.dedup import edit_confirmed_pairs
+
+    base = ("pack my box with five dozen liquor jugs while the "
+            "wizard quickly jinxed the gnome before they vaporized")
+    near = base + "!"                            # 1-char edit
+    docs = spark.createDataFrame(
+        [(1, base), (2, base), (3, near)],
+        "doc_id long, text string")
+    got = {(r["a_id"], r["b_id"]): r["edit_sim"]
+           for r in edit_confirmed_pairs(docs, threshold=0.9).collect()}
+    assert got[(1, 2)] == 1.0
+    # the 1-char append is ~0.99 similar and banded with the originals
+    assert got[(1, 3)] > 0.98 and got[(2, 3)] > 0.98
+
+    # tight threshold drops the near pair but keeps the exact one
+    strict = {(r["a_id"], r["b_id"])
+              for r in edit_confirmed_pairs(docs, threshold=1.0).collect()}
+    assert strict == {(1, 2)}
