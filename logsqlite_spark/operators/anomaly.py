@@ -271,7 +271,14 @@ def psi_bin_counts(events: DataFrame, split_us: int = PSI_SPLIT_US,
 def value_psi_from_counts(counts: DataFrame,
                           n_bins: int = PSI_BINS) -> DataFrame:
     """The PSI report served from (possibly merged) bin counts —
-    identical math to :func:`value_psi` from the dense grid down."""
+    identical math to :func:`value_psi` from the dense grid down.
+
+    ``counts`` feeds FOUR consumers (the type grid, the ref and cur
+    splits, the totals); evaluated lazily each re-derives it from the
+    corpus scan (the first-cut plan read the events parquet 7×).  It
+    is control-plane-sized (≤ 2·n_bins rows per event type), so it is
+    materialized once — the topv/centroid checkpoint rule."""
+    counts = counts.localCheckpoint(eager=True)
     grid = (counts.select("event_type").distinct()
             .crossJoin(counts.sparkSession.range(n_bins)
                        .select(F.col("id").cast("int").alias("bin"))))

@@ -585,3 +585,38 @@ def test_indexed_incremental_serving_never_scans_history_text(spark):
     locs = _re.findall(r"Location: \S*InMemoryFileIndex\[?([^\],]*)", plan)
     doc_scans = [x for x in locs if "documents.parquet" in x]
     assert not doc_scans, plan
+
+
+def test_psi_reads_events_once(spark):
+    """events_value_psi's bin-count table feeds four consumers; the
+    checkpoint must keep the corpus scan at ONE (the first cut read
+    the events parquet 7x through lazy re-derivation)."""
+    df = registry.queries()["events_value_psi"](spark, SF)
+    plan = explain_str(df)
+    assert plan.count("Scan parquet") == 0  # all from the checkpoint
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan
+
+
+def test_zipf_two_exchanges_and_pruned_scan(spark):
+    """token_zipf_slope: one data shuffle (the (lang, tok) partial
+    agg) + the vocab-sized lang window; the final regression agg must
+    REUSE the window's hash partitioning — and the scan reads only
+    (text, lang)."""
+    df = registry.queries()["token_zipf_slope"](spark, SF)
+    plan = explain_str(df)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2
+    assert set(read_schema_columns(df)) <= {"text", "lang"}
+
+
+def test_pmi_no_postings_self_join_and_bounded_scans(spark):
+    """token_pmi_pairs: groups-to-pairs (no SortMergeJoin of postings
+    against postings) and at most 3 corpus scans (df build feeding the
+    checkpointed topv, the pairing pass, the doc count)."""
+    df = registry.queries()["token_pmi_pairs"](spark, SF)
+    plan = explain_str(df)
+    assert "SortMergeJoin" not in plan
+    # formatted plans list each node twice (tree + detail): count the
+    # detail headers = actual scan nodes (pairing pass + doc count;
+    # the topv build scans once more but is checkpointed away)
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+    assert has_take_ordered(df)  # the global top-k never one-sorts
