@@ -8,17 +8,21 @@ functions over ``mapInPandas``. Three tiers, by codec dependency:
 1. ``codec="bytestat"`` (default) — REAL for any payload: exact
    byte-stripe statistics (a blob fingerprint for near-dup triage),
    vectorized numpy, fully oracle-checked by the driver.
-2. ``codec="native"`` — REAL decode of uncompressed formats with pure
-   numpy: 24bpp BI_RGB BMP rasters and PCM16 RIFF WAV (header + raster/
-   sample math from the public specs). Real nearest-neighbor resize +
-   BMP re-encode on the same path.
-3. Compressed formats (JPEG/PNG/GIF/WEBP/MP4/MP3) — genuinely need an
-   external codec. Payloads are dispatched on magic bytes; when Pillow
-   is importable the image formats decode/resize through it, otherwise
-   they raise ``NotImplementedError`` at that clearly-marked
-   integration point (this container ships no media libraries). Video
-   frame DECODE likewise needs ffmpeg/pyav; frame-index sampling from
-   metadata is real.
+2. ``codec="native"`` — REAL decode without external libraries:
+   24bpp BI_RGB BMP rasters and PCM16 RIFF WAV with pure numpy, and
+   (round 10) 8-bit non-interlaced PNG — all five color types — via
+   stdlib ``zlib`` inflate + the spec's per-row unfilter
+   (None/Sub/Up/Average/Paeth), palette resolved, alpha dropped. Real
+   nearest-neighbor resize + BMP/PNG re-encode on the same path
+   (encoder: filter-0 truecolor, stdlib crc32).
+3. Formats that genuinely need an external codec: JPEG/GIF/WEBP
+   (entropy coders), 16-bit/Adam7 PNG, MP4/MP3. Payloads are
+   dispatched on magic bytes; when Pillow is importable the image
+   formats decode/resize through it, otherwise they raise
+   ``NotImplementedError`` at that clearly-marked integration point
+   (this container ships no media libraries). Video frame DECODE
+   likewise needs ffmpeg/pyav; frame-index sampling from metadata is
+   real.
 
 Design rules at scale:
 - media rows are large -> keep ``maxRecordsPerFile`` low on write and
@@ -210,6 +214,127 @@ def _decode_wav(payload: bytes):
     return samples.reshape(-1, n_ch), rate
 
 
+def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
+    """Reverse the per-row PNG filters (spec §9: None/Sub/Up/Average/
+    Paeth). Rows are sequential by construction (each depends on the
+    fully-reconstructed previous row); the per-byte loops are the
+    honest cost of a stdlib-only codec — production-rate decode still
+    wants a native library at the Pillow integration point."""
+    out = bytearray(h * stride)
+    pos = 0
+    for y in range(h):
+        f = raw[pos]
+        pos += 1
+        row = bytearray(raw[pos:pos + stride])
+        pos += stride
+        off = y * stride
+        prev = out[off - stride:off] if y else bytes(stride)
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            for i in range(bpp, stride):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else \
+                    (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {f}")
+        out[off:off + stride] = row
+    return bytes(out)
+
+
+def _decode_png(payload: bytes):
+    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array, pure
+    stdlib zlib + numpy (the PNG spec is public; inflate is the only
+    compression involved). Supports color types 0 (gray), 2 (RGB),
+    3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha dropped, palette
+    resolved. 16-bit and Adam7-interlaced files stay behind the
+    Pillow integration point."""
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    ihdr, plte, idat = None, None, []
+    pos = 8
+    while pos + 8 <= len(payload):
+        ln = int.from_bytes(payload[pos:pos + 4], "big")
+        typ = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + ln]
+        if typ == b"IHDR":
+            ihdr = body
+        elif typ == b"PLTE":
+            plte = body
+        elif typ == b"IDAT":
+            idat.append(body)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln  # length + type + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"only 8-bit non-interlaced PNG decodes natively "
+            f"(depth={depth}, interlace={interlace}) — 16-bit/Adam7 "
+            f"stay behind the Pillow integration point")
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
+    if nch is None or (ctype == 3 and plte is None):
+        raise NotImplementedError(f"unsupported PNG color type {ctype}")
+    stride = w * nch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) < (stride + 1) * h:
+        raise ValueError("PNG raster truncated")
+    data = np.frombuffer(
+        _png_unfilter(raw, h, stride, nch), np.uint8).reshape(h, w, nch)
+    if ctype == 2:
+        return data.copy()
+    if ctype == 6:
+        return data[:, :, :3].copy()
+    if ctype == 0:
+        return np.repeat(data, 3, axis=2)
+    if ctype == 4:
+        return np.repeat(data[:, :, :1], 3, axis=2)
+    pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
+    return pal[data[:, :, 0]]
+
+
+def _encode_png(arr) -> bytes:
+    """(H, W, 3) uint8 RGB -> 8-bit truecolor PNG bytes (filter 0
+    rows, one zlib stream, CRC via stdlib crc32)."""
+    import zlib
+
+    h, w = arr.shape[:2]
+
+    def chunk(typ: bytes, body: bytes) -> bytes:
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    raster = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raster))
+            + chunk(b"IEND", b""))
+
+
 _COMPRESSED_IMAGE_KINDS = ("png", "jpeg", "gif", "webp")
 
 
@@ -284,6 +409,12 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
             if len(x) > 1 else 0.0
         f = [2.0, float(rate), float(len(samples)),
              float(samples.shape[1]), rms, zc]
+    elif kind == "png":
+        try:
+            f = _image_stats(_decode_png(payload))
+        except NotImplementedError:  # 16-bit / Adam7 → Pillow point
+            f = _image_stats(np.asarray(_pil_image(payload, kind),
+                                        dtype=np.uint8))
     elif kind in _COMPRESSED_IMAGE_KINDS:
         f = _image_stats(np.asarray(_pil_image(payload, kind),
                                     dtype=np.uint8))
@@ -366,6 +497,14 @@ def resize_images(media: DataFrame, width: int, height: int,
                 ys = (np.arange(height) * img.shape[0]) // height
                 xs = (np.arange(width) * img.shape[1]) // width
                 return _encode_bmp(img[ys][:, xs])
+            if kind == "png":
+                try:
+                    img = _decode_png(raw)
+                except NotImplementedError:
+                    img = np.asarray(_pil_image(raw, kind), np.uint8)
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                return _encode_png(img[ys][:, xs])
             if kind in _COMPRESSED_IMAGE_KINDS:
                 import io
 

@@ -234,14 +234,25 @@ def test_magic_dispatch_names_detected_format():
 
 
 def test_resize_compressed_dispatches_not_bmp_error(spark):
-    """A PNG payload under real resize must hit the Pillow integration
-    point (NotImplementedError naming the conditional import when
-    Pillow is absent), never the BMP codec's 'not a BMP' error; an
-    mp4 payload must raise naming the detected format."""
-    png = b"\x89PNG\r\n\x1a\n" + b"\x00" * 32
+    """A 16-BIT PNG payload under real resize must hit the Pillow
+    integration point (8-bit PNG now decodes natively; 16-bit stays
+    behind the conditional import), never the BMP codec's 'not a BMP'
+    error; an mp4 payload must raise naming the detected format."""
+    import zlib
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF)
+                .to_bytes(4, "big"))
+
+    png16 = (b"\x89PNG\r\n\x1a\n"
+             + chunk(b"IHDR", (2).to_bytes(4, "big")
+                     + (2).to_bytes(4, "big") + bytes([16, 2, 0, 0, 0]))
+             + chunk(b"IDAT", zlib.compress(b"\x00" * 26))
+             + chunk(b"IEND", b""))
     mp4 = b"\x00\x00\x00\x18ftypisom" + b"\x00" * 16
     media = spark.createDataFrame(
-        [(1, 10, png, None), (2, 20, mp4, None)],
+        [(1, 10, png16, None), (2, 20, mp4, None)],
         "media_id long, doc_id long, payload binary, "
         "meta map<string,string>")
 
@@ -284,3 +295,136 @@ def test_pillow_backed_resize_roundtrip(spark):
     dec = decode_media(media, codec="native").collect()[0]
     assert dec["media_type"] == "image"
     assert dec["feature"][1] == 8.0
+
+
+def _filtered_png(img, filters):
+    """Hand-build a PNG whose row y uses filter type filters[y] —
+    exercises every unfilter branch against the reference encode."""
+    import zlib
+
+    import numpy as np
+
+    h, w, _ = img.shape
+    bpp = 3
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    rows = []
+    prev = np.zeros(w * bpp, np.int32)
+    for y in range(h):
+        cur = img[y].reshape(-1).astype(np.int32)
+        f = filters[y]
+        left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+        upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+        if f == 0:
+            enc = cur
+        elif f == 1:
+            enc = cur - left
+        elif f == 2:
+            enc = cur - prev
+        elif f == 3:
+            enc = cur - ((left + prev) >> 1)
+        else:  # Paeth
+            p = left + prev - upleft
+            pa, pb, pc = (np.abs(p - left), np.abs(p - prev),
+                          np.abs(p - upleft))
+            pr = np.where((pa <= pb) & (pa <= pc), left,
+                          np.where(pb <= pc, prev, upleft))
+            enc = cur - pr
+        rows.append(bytes([f]) + (enc & 0xFF).astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 2, 0, 0, 0]))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"".join(rows)))
+            + chunk(b"IEND", b""))
+
+
+def test_png_roundtrip_and_all_filters():
+    """The stdlib PNG codec: encode->decode is pixel-exact, and a
+    hand-filtered file exercising every filter type (None/Sub/Up/
+    Average/Paeth) reconstructs the same raster."""
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import (
+        _decode_png, _encode_png, _native_features)
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    assert (_decode_png(_encode_png(img)) == img).all()
+
+    hand = _filtered_png(img, [0, 1, 2, 3, 4])
+    assert (_decode_png(hand) == img).all()
+
+    kind, f = _native_features(_encode_png(
+        np.full((4, 6, 3), (10, 200, 30), np.uint8)))
+    assert kind == "image"
+    assert f[0] == 1.0 and f[1] == 4.0 and f[2] == 6.0
+    assert f[3:6] == [10.0, 200.0, 30.0]
+    assert f[6:9] == [0.0, 0.0, 0.0]
+
+
+def test_png_color_types_resolve_to_rgb():
+    """Gray, palette, gray+alpha and RGBA variants all decode to the
+    same RGB raster the truecolor file carries."""
+    import zlib
+
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import _decode_png
+
+    def chunk(typ, body):
+        return (len(body).to_bytes(4, "big") + typ + body
+                + (zlib.crc32(typ + body) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    def build(ctype, raster_rows, plte=None):
+        ihdr = ((3).to_bytes(4, "big") + (2).to_bytes(4, "big")
+                + bytes([8, ctype, 0, 0, 0]))
+        body = b"".join(b"\x00" + r for r in raster_rows)
+        out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(body)) + chunk(b"IEND", b"")
+
+    gray = build(0, [bytes([1, 2, 3]), bytes([4, 5, 6])])
+    assert (_decode_png(gray)[:, :, 0] == [[1, 2, 3], [4, 5, 6]]).all()
+    assert (_decode_png(gray)[:, :, 1] == _decode_png(gray)[:, :, 2]).all()
+
+    ga = build(4, [bytes([1, 9, 2, 9, 3, 9]), bytes([4, 9, 5, 9, 6, 9])])
+    assert (_decode_png(ga) == _decode_png(gray)).all()
+
+    rgba = build(6, [bytes([1, 1, 1, 9, 2, 2, 2, 9, 3, 3, 3, 9]),
+                     bytes([4, 4, 4, 9, 5, 5, 5, 9, 6, 6, 6, 9])])
+    want = np.repeat(np.array([[1, 2, 3], [4, 5, 6]], np.uint8)
+                     [:, :, None], 3, axis=2)
+    assert (_decode_png(rgba) == want).all()
+
+    pal = build(3, [bytes([0, 1, 2]), bytes([2, 1, 0])],
+                plte=bytes([10, 11, 12, 20, 21, 22, 30, 31, 32]))
+    out = _decode_png(pal)
+    assert tuple(out[0, 0]) == (10, 11, 12) and tuple(out[1, 0]) == (30, 31, 32)
+
+
+def test_png_native_resize_through_spark(spark):
+    """Real resize of a PNG payload runs the stdlib codec end-to-end
+    through mapInPandas and re-emits a decodable PNG of the target
+    geometry."""
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import (
+        _decode_png, _encode_png, resize_images)
+
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[:4] = (255, 0, 0)
+    img[4:] = (0, 0, 255)
+    media = spark.createDataFrame(
+        [(1, 10, _encode_png(img), None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = resize_images(media, 4, 4, fake=False).collect()[0]
+    small = _decode_png(bytes(out["payload"]))
+    assert small.shape == (4, 4, 3)
+    assert tuple(small[0, 0]) == (255, 0, 0)
+    assert tuple(small[3, 3]) == (0, 0, 255)
