@@ -335,6 +335,176 @@ def _encode_png(arr) -> bytes:
             + chunk(b"IEND", b""))
 
 
+def _lzw_decode(data: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW (LSB-first bitstream, 12-bit cap, clear/end
+    codes) — the spec's decoder, public since GIF87a."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    init = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(init)
+    code_size = min_code + 1
+    out = bytearray()
+    prev = None
+    acc = bits = 0
+    for byte in data:
+        acc |= byte << bits
+        bits += 8
+        while bits >= code_size:
+            code = acc & ((1 << code_size) - 1)
+            acc >>= code_size
+            bits -= code_size
+            if code == clear:
+                table = list(init)
+                code_size = min_code + 1
+                prev = None
+                continue
+            if code == end:
+                return bytes(out)
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise ValueError(f"LZW code {code} beyond table")
+            out += entry
+            prev = entry
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+    return bytes(out)
+
+
+def _lzw_encode_literals(indices, min_code: int) -> bytes:
+    """Valid-but-uncompressed GIF LZW: every pixel emitted as a
+    literal code, a CLEAR inserted before the decoder's table would
+    force a code-width bump — the classic 'uncompressed GIF' trick,
+    so the encoder needs no string table at all."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    code_size = min_code + 1
+    acc = bits = 0
+    out = bytearray()
+
+    def emit(c: int) -> None:
+        nonlocal acc, bits
+        acc |= c << bits
+        bits += code_size
+        while bits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            bits -= 8
+
+    emit(clear)
+    count = 0
+    for i in indices:
+        emit(int(i))
+        count += 1
+        if count >= clear - 2:
+            emit(clear)
+            count = 0
+    emit(end)
+    if bits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif_indexed(payload: bytes):
+    """First frame of a GIF87a/89a -> (index raster (H, W) uint8,
+    palette (N, 3) uint8). Pure stdlib: block parse + LZW inflate;
+    Adam-style 4-pass interlace deinterleaved."""
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    gw = int.from_bytes(payload[6:8], "little")   # noqa: F841 — screen
+    gh = int.from_bytes(payload[8:10], "little")  # noqa: F841
+    packed = payload[10]
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(
+            payload, np.uint8, count=3 * n, offset=pos).reshape(-1, 3)
+        pos += 3 * n
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b == 0x2C:  # image descriptor — take the first frame
+            w = int.from_bytes(payload[pos + 5:pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7:pos + 9], "little")
+            ipack = payload[pos + 9]
+            pos += 10
+            if ipack & 0x80:  # local color table wins
+                n = 2 << (ipack & 0x07)
+                palette = np.frombuffer(
+                    payload, np.uint8, count=3 * n,
+                    offset=pos).reshape(-1, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF frame without any color table")
+            min_code = payload[pos]
+            pos += 1
+            chunks = []
+            while payload[pos] != 0:
+                ln = payload[pos]
+                chunks.append(payload[pos + 1:pos + 1 + ln])
+                pos += 1 + ln
+            idx = np.frombuffer(
+                _lzw_decode(b"".join(chunks), min_code), np.uint8,
+                count=w * h).reshape(h, w)
+            if ipack & 0x40:  # interlaced: reorder the 4 passes
+                order = np.concatenate([np.arange(0, h, 8),
+                                        np.arange(4, h, 8),
+                                        np.arange(2, h, 4),
+                                        np.arange(1, h, 2)])
+                un = np.empty_like(idx)
+                un[order] = idx
+                idx = un
+            return idx.copy(), palette.copy()
+        elif b == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{b:02x}")
+    raise ValueError("GIF has no image frame")
+
+
+def _decode_gif(payload: bytes):
+    """GIF -> (H, W, 3) uint8 RGB (first frame, palette resolved)."""
+    idx, palette = _decode_gif_indexed(payload)
+    return palette[idx]
+
+
+def _encode_gif(idx, palette) -> bytes:
+    """(H, W) uint8 index raster + (N, 3) palette -> GIF87a bytes
+    (global color table padded to a power of two, uncompressed-LZW
+    data sub-blocks)."""
+    import numpy as np
+
+    h, w = idx.shape
+    n = max(2, 1 << (int(len(palette) - 1).bit_length()))
+    pal = np.zeros((n, 3), np.uint8)
+    pal[:len(palette)] = palette
+    min_code = max(2, n.bit_length() - 1)
+    lzw = _lzw_encode_literals(idx.reshape(-1), min_code)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        part = lzw[i:i + 255]
+        blocks += bytes([len(part)]) + part
+    blocks += b"\x00"
+    packed = 0x80 | (n.bit_length() - 2)
+    return (b"GIF87a"
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + bytes([packed, 0, 0]) + pal.tobytes()
+            + b"\x2c" + b"\x00" * 4
+            + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+            + b"\x00" + bytes([min_code]) + bytes(blocks) + b"\x3b")
+
+
 _COMPRESSED_IMAGE_KINDS = ("png", "jpeg", "gif", "webp")
 
 
@@ -415,6 +585,8 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
         except NotImplementedError:  # 16-bit / Adam7 → Pillow point
             f = _image_stats(np.asarray(_pil_image(payload, kind),
                                         dtype=np.uint8))
+    elif kind == "gif":
+        f = _image_stats(_decode_gif(payload))
     elif kind in _COMPRESSED_IMAGE_KINDS:
         f = _image_stats(np.asarray(_pil_image(payload, kind),
                                     dtype=np.uint8))
@@ -505,6 +677,14 @@ def resize_images(media: DataFrame, width: int, height: int,
                 ys = (np.arange(height) * img.shape[0]) // height
                 xs = (np.arange(width) * img.shape[1]) // width
                 return _encode_png(img[ys][:, xs])
+            if kind == "gif":
+                # nearest-neighbor on the INDEX raster: the resized
+                # frame reuses the original palette verbatim, so no
+                # color quantization is ever needed
+                idx, pal = _decode_gif_indexed(raw)
+                ys = (np.arange(height) * idx.shape[0]) // height
+                xs = (np.arange(width) * idx.shape[1]) // width
+                return _encode_gif(idx[ys][:, xs], pal)
             if kind in _COMPRESSED_IMAGE_KINDS:
                 import io
 
