@@ -587,6 +587,14 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
                                         dtype=np.uint8))
     elif kind == "gif":
         f = _image_stats(_decode_gif(payload))
+    elif kind == "jpeg":
+        from logsqlite_spark.operators.jpeg import decode_jpeg
+
+        try:
+            f = _image_stats(decode_jpeg(payload))
+        except NotImplementedError:  # progressive/12-bit → Pillow
+            f = _image_stats(np.asarray(_pil_image(payload, kind),
+                                        dtype=np.uint8))
     elif kind in _COMPRESSED_IMAGE_KINDS:
         f = _image_stats(np.asarray(_pil_image(payload, kind),
                                     dtype=np.uint8))
@@ -685,6 +693,17 @@ def resize_images(media: DataFrame, width: int, height: int,
                 ys = (np.arange(height) * idx.shape[0]) // height
                 xs = (np.arange(width) * idx.shape[1]) // width
                 return _encode_gif(idx[ys][:, xs], pal)
+            if kind == "jpeg":
+                from logsqlite_spark.operators.jpeg import (
+                    decode_jpeg, encode_jpeg)
+
+                try:
+                    img = decode_jpeg(raw)
+                except NotImplementedError:
+                    img = np.asarray(_pil_image(raw, kind), np.uint8)
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                return encode_jpeg(img[ys][:, xs])
             if kind in _COMPRESSED_IMAGE_KINDS:
                 import io
 

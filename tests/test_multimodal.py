@@ -189,12 +189,19 @@ def test_native_decode_and_real_resize_through_spark(spark):
     assert arr.shape == (2, 4, 3)
     assert (arr == (255, 0, 0)).all()
 
-    # compressed formats still raise at the integration point
-    junk = spark.createDataFrame(
-        [(3, 30, b"\xff\xd8\xff\xe0JFIF-not-really", None)],
+    # entropy-coded formats without a native codec (WEBP) still raise
+    # at the integration point; a malformed JPEG now hits the NATIVE
+    # parser's error, not the Pillow fallback
+    webp = spark.createDataFrame(
+        [(3, 30, b"RIFF\x10\x00\x00\x00WEBPVP8 junk", None)],
         "media_id long, doc_id long, payload binary, meta map<string,string>")
     import pytest as _pytest
-    with _pytest.raises(Exception, match="integration point"):
+    with _pytest.raises(Exception, match="integration point|Pillow"):
+        decode_media(webp, codec="native").collect()
+    junk = spark.createDataFrame(
+        [(4, 40, b"\xff\xd8\xff\xe0JFIF-not-really", None)],
+        "media_id long, doc_id long, payload binary, meta map<string,string>")
+    with _pytest.raises(Exception, match="JPEG"):
         decode_media(junk, codec="native").collect()
 
 
@@ -564,3 +571,62 @@ def test_lzw_decode_against_real_compressor():
             + bytes([3, 4, 5] * 300)
             + bytes(rng.integers(0, 8, 500, dtype=np.uint8).tolist()))
     assert _lzw_decode(compress(data, 3), 3) == data
+
+
+def test_jpeg_codec_roundtrip_and_spec_pieces():
+    """The numpy baseline-JPEG codec: DCT/IDCT inverse pair, zigzag is
+    the spec permutation, encode->decode within the flat quant table's
+    error bound on smooth and solid images, 4:2:0 path included."""
+    import numpy as np
+
+    from logsqlite_spark.operators.jpeg import (
+        ZIGZAG, dct2, decode_jpeg, encode_jpeg, idct2)
+
+    rng = np.random.default_rng(5)
+    blk = rng.normal(0, 50, (8, 8))
+    assert np.allclose(idct2(dct2(blk)), blk, atol=1e-9)
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]  # spec head
+
+    solid = np.full((16, 16, 3), (200, 30, 90), np.uint8)
+    assert np.abs(decode_jpeg(encode_jpeg(solid)).astype(int)
+                  - solid.astype(int)).max() <= 3
+
+    yy, xx = np.mgrid[0:24, 0:20]
+    grad = np.stack([np.clip(yy * 5, 0, 255), np.clip(xx * 6, 0, 255),
+                     np.clip(yy * 2 + xx * 2, 0, 255)],
+                    axis=2).astype(np.uint8)
+    for sub in ("444", "420"):
+        out = decode_jpeg(encode_jpeg(grad, subsample=sub))
+        err = np.abs(out.astype(int) - grad.astype(int))
+        assert err.mean() < 5 and err.max() <= 16, sub
+
+
+def test_jpeg_native_feature_and_resize_through_spark(spark):
+    """JPEG payloads flow through native feature extraction and real
+    resize end-to-end (decode -> nearest-neighbor -> re-encode),
+    emitting a decodable baseline JPEG of the target geometry."""
+    import numpy as np
+
+    from logsqlite_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from logsqlite_spark.operators.multimodal import (
+        _native_features, resize_images)
+
+    img = np.zeros((16, 16, 3), np.uint8)
+    img[:8] = (250, 10, 10)
+    img[8:] = (10, 10, 250)
+    payload = encode_jpeg(img)
+    assert payload[:3] == b"\xff\xd8\xff"
+
+    kind, f = _native_features(payload)
+    assert kind == "image" and f[1] == 16.0 and f[2] == 16.0
+
+    media = spark.createDataFrame(
+        [(1, 10, payload, None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = resize_images(media, 8, 8, fake=False).collect()[0]
+    small = decode_jpeg(bytes(out["payload"]))
+    assert small.shape == (8, 8, 3)
+    assert small[0, 0, 0] > 200 and small[0, 0, 2] < 60
+    assert small[7, 7, 2] > 200 and small[7, 7, 0] < 60
