@@ -9,14 +9,21 @@ functions over ``mapInPandas``. Three tiers, by codec dependency:
    byte-stripe statistics (a blob fingerprint for near-dup triage),
    vectorized numpy, fully oracle-checked by the driver.
 2. ``codec="native"`` — REAL decode without external libraries:
-   24bpp BI_RGB BMP rasters and PCM16 RIFF WAV with pure numpy, and
-   (round 10) 8-bit non-interlaced PNG — all five color types — via
-   stdlib ``zlib`` inflate + the spec's per-row unfilter
-   (None/Sub/Up/Average/Paeth), palette resolved, alpha dropped. Real
-   nearest-neighbor resize + BMP/PNG re-encode on the same path
-   (encoder: filter-0 truecolor, stdlib crc32).
-3. Formats that genuinely need an external codec: JPEG/GIF/WEBP
-   (entropy coders), 16-bit/Adam7 PNG, MP4/MP3. Payloads are
+   24bpp BI_RGB BMP rasters and PCM16 RIFF WAV with pure numpy; 8-bit
+   non-interlaced PNG (all five color types) via stdlib ``zlib``
+   inflate + the spec's per-row unfilter; GIF87a/89a via a stdlib LZW
+   decoder (12-bit cap, KwKwK corner, 4-pass interlace); and baseline
+   JPEG via the pure-numpy ITU T.81 codec in ``operators/jpeg.py``
+   (general DQT/DHT canonical Huffman, 8×8 DCT, 4:2:0). Real
+   nearest-neighbor resize + format-preserving re-encode on the same
+   path (BMP raster, PNG filter-0 truecolor, GIF palette-preserving
+   index raster, JPEG flat-quant baseline). The
+   ``media_native_roundtrip`` registry query drives the lossless
+   encode->decode loop under the DRIVER's oracle gate: its output
+   scalars are pure integer functions of doc_id that DuckDB predicts
+   without decoding.
+3. Formats that genuinely need an external codec: WEBP (VP8),
+   progressive/12-bit JPEG, 16-bit/Adam7 PNG, MP4/MP3. Payloads are
    dispatched on magic bytes; when Pillow is importable the image
    formats decode/resize through it, otherwise they raise
    ``NotImplementedError`` at that clearly-marked integration point
@@ -133,11 +140,11 @@ def _bytestat_features(payload: bytes) -> list[float]:
     return [float(v) / _BYTESTAT_MOD for v in acc]
 
 # ---------------------------------------------------------------------------
-# Real numpy-only codecs for UNCOMPRESSED formats. Compressed formats
-# (JPEG/PNG/MP3/MP4) genuinely need external libraries and stay behind
-# the NotImplementedError integration point below; uncompressed BMP
-# and PCM WAV are just header + raster/sample math, so the "native"
-# path decodes them for real with nothing but numpy.
+# Real stdlib/numpy codecs. BMP and PCM WAV are header + raster/sample
+# math; PNG is zlib inflate + unfilter; GIF is LZW (below); baseline
+# JPEG lives in operators/jpeg.py. Only WEBP/MP4/MP3 and the exotic
+# PNG/JPEG variants stay behind the NotImplementedError integration
+# point.
 
 
 def _decode_bmp(payload: bytes):
@@ -849,10 +856,85 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_type", F.col("n_bytes").cast("long"),
         acc(0), acc(7), acc(15))
 
+def media_native_roundtrip(docs: DataFrame) -> DataFrame:
+    """Encode→decode round-trip through the REAL native codecs, as a
+    driver-checkable query: per document, a payload is built
+    executor-side in the format ``doc_id % 4`` selects (solid-color
+    BMP / PNG / palette GIF / constant-amplitude PCM16 WAV) with
+    dimensions, color, and amplitude that are pure integer functions
+    of ``doc_id`` — then decoded back via :func:`_native_features`.
+    The emitted scalars (kind tag, dims/rate, channel means/RMS) are
+    predictable in ANSI SQL WITHOUT decoding, so the DuckDB oracle
+    hash-match proves the full codec loop is bit-exact for every
+    lossless format. (JPEG is lossy by design and is pinned with
+    error bounds in pytest instead.)
+    """
+    import pandas as pd
+
+    def batches(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                fmt = ("bmp", "png", "gif", "wav")[did % 4]
+                if fmt == "wav":
+                    rate = 16000
+                    n = 16 + did % 16
+                    amp = did % 1000 - 500
+                    payload = _make_pcm16(rate, [amp] * n)
+                else:
+                    h = 4 + did % 5
+                    w = 4 + did % 7
+                    color = (did % 256, (did * 7) % 256, (did * 13) % 256)
+                    img = np.zeros((h, w, 3), np.uint8)
+                    img[:, :] = color
+                    if fmt == "bmp":
+                        payload = _encode_bmp(img)
+                    elif fmt == "png":
+                        payload = _encode_png(img)
+                    else:
+                        pal = np.array([color], np.uint8)
+                        payload = _encode_gif(
+                            np.zeros((h, w), np.uint8), pal)
+                kind, f = _native_features(payload)
+                rows.append((did, fmt, kind, f[1], f[2], f[3], f[4], f[5]))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "fmt", "kind", "d1", "d2", "f3", "f4", "f5"])
+
+    return (docs.select(F.col("doc_id").cast("long"))
+            .mapInPandas(batches,
+                         "media_id long, fmt string, kind string, "
+                         "d1 double, d2 double, f3 double, f4 double, "
+                         "f5 double")
+            .select("media_id", "fmt", "kind", "d1", "d2",
+                    F.round("f3", 6).alias("f3"),
+                    F.round("f4", 6).alias("f4"),
+                    F.round("f5", 6).alias("f5")))
+
+
+def _make_pcm16(rate: int, samples) -> bytes:
+    import struct
+
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def _q_media_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from logsqlite_spark.tables import table
+
+    return media_native_roundtrip(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "media_stats": _q_media_stats,
     "media_frames": _q_media_frames,
     "media_decode_features": _q_media_decode,
+    "media_native_roundtrip": _q_media_native,
 }
 
 def _stripe_sql(k: int) -> str:
@@ -896,3 +978,24 @@ ORACLES = {
         "FROM media JOIN documents ON media.doc_id = documents.doc_id"
     ),
 }
+
+# the native-codec round-trip query's scalars are pure integer
+# functions of doc_id — the oracle PREDICTS them without decoding, so
+# a hash-match certifies the encode->decode loop end to end
+ORACLES["media_native_roundtrip"] = (
+    "SELECT doc_id AS media_id, "
+    "['bmp', 'png', 'gif', 'wav'][CAST(doc_id % 4 AS INT) + 1] AS fmt, "
+    "CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS kind, "
+    "CASE WHEN doc_id % 4 = 3 THEN 16000.0 "
+    "  ELSE CAST(4 + doc_id % 5 AS DOUBLE) END AS d1, "
+    "CASE WHEN doc_id % 4 = 3 THEN CAST(16 + doc_id % 16 AS DOUBLE) "
+    "  ELSE CAST(4 + doc_id % 7 AS DOUBLE) END AS d2, "
+    "CASE WHEN doc_id % 4 = 3 THEN 1.0 "
+    "  ELSE CAST(doc_id % 256 AS DOUBLE) END AS f3, "
+    "round(CASE WHEN doc_id % 4 = 3 "
+    "  THEN CAST(abs(doc_id % 1000 - 500) AS DOUBLE) "
+    "  ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END, 6) AS f4, "
+    "CASE WHEN doc_id % 4 = 3 THEN 0.0 "
+    "  ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS f5 "
+    "FROM documents"
+)
