@@ -1606,6 +1606,63 @@ def _q_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, minhash_bands_artifact(history))
 
 
+def minhash_estimate_pairs(docs: DataFrame, band_size: int = 4,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Banded candidates scored by the MinHash Jaccard ESTIMATE —
+    fraction of agreeing signature components (Broder's estimator):
+    the similarity ranking you get for free from state the LSH join
+    already computed, no shingle-set re-intersection.  ``n_agree`` of
+    K=8 components; pairs agree on ≥ one band by construction.
+
+    Scale shape: the signature frame is materialized ONCE
+    (localCheckpoint — K longs per doc, ~64 B/doc, far smaller than
+    the text it derives from) and feeds all three consumers (band
+    grouping + both lookup sides); lazily each would re-run the
+    md5-shingle pipeline — the exact double-compute the r8 minhash
+    audit caught.  The pair join probes are bounded by the banded
+    candidate set.
+    """
+    sig = minhash_signatures(docs, text_col, id_col) \
+        .localCheckpoint(eager=True)
+    bands = _bands_from_sigs(sig, band_size)
+    groups = (bands.groupBy("band", "key")
+              .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+              .filter(F.size("ids") >= 2))
+    cand = (groups.select(F.explode(F.expr(
+        "flatten(transform(ids, (x, i) -> "
+        "transform(slice(ids, i + 2, size(ids)), "
+        "y -> struct(x AS a_id, y AS b_id))))")).alias("p"))
+        .select("p.a_id", "p.b_id").distinct())
+    k = MINHASH_K
+    agree = sum(
+        (F.col(f"sa.m{j}") == F.col(f"sb.m{j}")).cast("int")
+        for j in range(k))
+    return (cand.join(sig.alias("sa"),
+                      F.col("a_id") == F.col("sa.doc_id"))
+            .join(sig.alias("sb"), F.col("b_id") == F.col("sb.doc_id"))
+            .select("a_id", "b_id",
+                    agree.cast("int").alias("n_agree"))
+            .select("a_id", "b_id", "n_agree",
+                    F.round(F.col("n_agree").cast("double") / k, 6)
+                    .alias("est_sim")))
+
+
+def _bands_from_sigs(sig: DataFrame, band_size: int) -> DataFrame:
+    n_bands = MINHASH_K // band_size
+    rows = []
+    for bi in range(n_bands):
+        key = F.concat_ws(
+            ",", *[F.col(f"m{bi * band_size + j}").cast("string")
+                   for j in range(band_size)])
+        rows.append(sig.select("doc_id", F.lit(bi).alias("band"),
+                               key.alias("key")))
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
 def edit_confirmed_pairs(docs: DataFrame, threshold: float = 0.8,
                          band_size: int = 8,
                          max_band_freq: int | None = None,
@@ -1666,8 +1723,13 @@ def _q_edit_confirm(spark: SparkSession, sf_dir: str) -> DataFrame:
                                 threshold=0.5)
 
 
+def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_estimate_pairs(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_edit_confirm": _q_edit_confirm,
+    "dedup_minhash_estimate": _q_minhash_estimate,
     "dedup_rate_by_source": _q_dedup_rate_by_source,
     "dedup_exact_groups": _q_dedup_exact_groups,
     "dedup_exact_kept": _q_dedup_exact_kept,
@@ -1903,4 +1965,17 @@ ORACLES["dedup_edit_confirm"] = (
     "WHERE 1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) "
     "/ CAST(greatest(length(da.text), length(db.text)) AS DOUBLE) "
     ">= 0.5"
+)
+# Broder estimate over the banded candidates: candidate SQL verbatim,
+# signature CTE joined to both sides, agreement summed per component
+_AGREE_SQL = " + ".join(
+    f"CASE WHEN sa.m{j} = sb.m{j} THEN 1 ELSE 0 END"
+    for j in range(MINHASH_K))
+ORACLES["dedup_minhash_estimate"] = (
+    f"WITH sig AS ({_minhash_sig_sql()}), "
+    f"cand AS ({_minhash_pairs_sql(band_size=4)}) "
+    f"SELECT a_id, b_id, CAST({_AGREE_SQL} AS INT) AS n_agree, "
+    f"round(CAST({_AGREE_SQL} AS DOUBLE) / {MINHASH_K}, 6) AS est_sim "
+    "FROM cand JOIN sig sa ON sa.doc_id = a_id "
+    "JOIN sig sb ON sb.doc_id = b_id"
 )

@@ -727,3 +727,20 @@ def test_edit_confirmed_pairs_semantics(spark):
     strict = {(r["a_id"], r["b_id"])
               for r in edit_confirmed_pairs(docs, threshold=1.0).collect()}
     assert strict == {(1, 2)}
+
+
+def test_minhash_estimate_semantics(spark, docs):
+    """Exact dups estimate 1.0 (all components agree); every banded
+    candidate agrees on at least band_size components; the estimate
+    tracks true similarity ordering on the planted corpus."""
+    from logsqlite_spark.operators.dedup import (
+        MINHASH_K,
+        minhash_estimate_pairs,
+    )
+
+    got = {(r["a_id"], r["b_id"]): (r["n_agree"], r["est_sim"])
+           for r in minhash_estimate_pairs(docs).collect()}
+    assert got[(0, 1)] == (MINHASH_K, 1.0)
+    assert got[(0, 4)] == (MINHASH_K, 1.0)
+    assert all(n >= 4 for n, _ in got.values())  # band_size=4 floor
+    assert not any(3 in p for p in got)          # unrelated never bands
