@@ -353,7 +353,37 @@ def _q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_users_hll_rollup(_events(spark, sf_dir))
 
 
+def user_activity_entropy(events: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix (nats) — the
+    behavioral-diversity signal: bots and scripted traffic hammer one
+    type (entropy ≈ 0), organic users spread across the catalog.
+
+    One map-side-combinable (user, type) count, then an entropy
+    reduction over the per-user handful of type rows — the shuffle
+    carries counts, never events.  Exact integer counts; the single
+    ln per type row is IEEE-identical, rounded to 6.
+    """
+    counts = (events.groupBy("user_id", "event_type")
+              .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    tot = counts.groupBy("user_id").agg(
+        F.sum("n").alias("tot"),
+        F.count(F.lit(1)).cast("int").alias("n_types"))
+    p = F.col("n").cast("double") / F.col("tot").cast("double")
+    return (counts.join(tot, "user_id")
+            .select("user_id", "n_types", "tot", (-p * F.log(p))
+                    .alias("__term"))
+            .groupBy("user_id")
+            .agg(F.max("n_types").alias("n_types"),
+                 F.max("tot").cast("long").alias("n_events"),
+                 F.round(F.sum("__term"), 6).alias("entropy")))
+
+
+def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_activity_entropy(_events(spark, sf_dir))
+
+
 QUERIES = {
+    "user_activity_entropy": _q_user_entropy,
     "events_running_value": _q_running,
     "events_lag_delta": _q_lag,
     "events_topk_per_user": _q_topk,
@@ -372,6 +402,17 @@ _EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
        "FROM events")
 
 ORACLES = {
+    "user_activity_entropy": (
+        "WITH c AS (SELECT user_id, event_type, "
+        "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "
+        "t AS (SELECT user_id, sum(n) AS tot, "
+        "  CAST(count(*) AS INT) AS n_types FROM c GROUP BY 1) "
+        "SELECT c.user_id, max(n_types) AS n_types, "
+        "CAST(max(tot) AS BIGINT) AS n_events, "
+        "round(sum(-(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) "
+        "  * ln(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE))), 6) AS entropy "
+        "FROM c JOIN t USING (user_id) GROUP BY 1"
+    ),
     "events_running_value": (
         f"WITH ev AS ({_EV}) "
         "SELECT event_id, user_id, ts_us, "

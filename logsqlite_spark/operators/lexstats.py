@@ -126,6 +126,41 @@ def token_pmi_pairs(docs: DataFrame, top_v: int = PMI_TOP_V,
             .select("a", "b", "n_ab", "df_a", "df_b", "pmi"))
 
 
+NOVELTY_N = 5
+
+
+def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty: the fraction of its distinct character
+    n-grams that NO earlier document (by arrival id) contains — the
+    curriculum / freshness-decay curve of a growing corpus.  A feed
+    that keeps re-crawling the same content shows novelty collapsing
+    toward 0; a doc at ~1.0 is genuinely new material.
+
+    One distinct-postings scan, a ``min(doc_id)`` per gram (the
+    first-occurrence index — map-side-combinable, the vocabulary is
+    the shuffle, never the corpus), joined back to the postings and
+    reduced per document.  Exact integers + one division, rounded 6.
+    """
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
+        "i -> substring({c}, i, {n}))".format(c=text_col, m=n - 1, n=n)
+    )).alias("g")
+    post = (docs.select(F.col(id_col).alias("doc_id"), sh)
+            .filter(F.col("g") != "").distinct())
+    first = post.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (post.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).cast("long").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("novelty")))
+
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -137,9 +172,14 @@ def _q_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_pmi_pairs(table(spark, sf_dir, "documents"))
 
 
+def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_novelty(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "token_zipf_slope": _q_zipf,
     "token_pmi_pairs": _q_pmi,
+    "doc_ngram_novelty": _q_novelty,
 }
 
 ORACLES = {
@@ -157,6 +197,20 @@ ORACLES = {
         "round(regr_r2(ln(CAST(f AS DOUBLE)), "
         "  ln(CAST(r AS DOUBLE))), 6) AS r2 "
         f"FROM h WHERE r <= {ZIPF_TOP_V} GROUP BY lang"
+    ),
+    "doc_ngram_novelty": (
+        "WITH post AS (SELECT DISTINCT doc_id, g FROM (SELECT doc_id, "
+        "  unnest(list_transform(generate_series(1, "
+        f"    greatest(length(text) - {NOVELTY_N - 1}, 1)), "
+        f"    i -> substr(text, i, {NOVELTY_N}))) AS g FROM documents) "
+        "  WHERE g <> ''), "
+        "f AS (SELECT g, min(doc_id) AS first_doc FROM post GROUP BY g) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams, "
+        "CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+        "  AS BIGINT) AS n_novel, "
+        "round(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) "
+        "  AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) AS novelty "
+        "FROM post JOIN f USING (g) GROUP BY doc_id"
     ),
     "token_pmi_pairs": (
         "WITH post AS (SELECT DISTINCT doc_id, tok FROM (SELECT doc_id, "

@@ -739,6 +739,76 @@ def resize_images(media: DataFrame, width: int, height: int,
 
     return media.mapInPandas(resize_batches, MEDIA_SCHEMA)
 
+def _encode_wav(samples, rate: int) -> bytes:
+    """(n, ch) int16 array + rate -> PCM16 RIFF WAV bytes."""
+    import numpy as np
+
+    samples = np.asarray(samples, np.int16)
+    n_ch = samples.shape[1]
+    data = samples.astype("<i2").tobytes()
+    block = n_ch * 2
+    return (b"RIFF" + (36 + len(data)).to_bytes(4, "little") + b"WAVE"
+            + b"fmt " + (16).to_bytes(4, "little")
+            + (1).to_bytes(2, "little") + n_ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + (16).to_bytes(2, "little")
+            + b"data" + len(data).to_bytes(4, "little") + data)
+
+
+def resample_audio(media: DataFrame, rate: int,
+                   mono: bool = False) -> DataFrame:
+    """Resample WAV payloads to ``rate`` (and optionally mix to mono)
+    — the audio twin of :func:`resize_images`, the normalize-before-
+    featurize step every speech pipeline runs.  Pure numpy: linear
+    interpolation on the time axis (output sample t maps to source
+    position ``t·src/dst``; integer positions are copied EXACTLY, so
+    up/down-sampling by 1× is the identity and constant signals stay
+    bit-exact), channel mean for the mono mix (round-half-even via
+    ``np.rint``).  Executor-side over mapInPandas like every payload
+    transformation; non-WAV payloads raise with the detected format
+    named.
+    """
+
+    def batches(it: Iterator) -> Iterator:
+        import numpy as np
+
+        def one(p) -> bytes:
+            raw = bytes(p) if p is not None else b""
+            kind = _magic_kind(raw)
+            if kind != "wav":
+                raise NotImplementedError(
+                    f"resample of {kind} payload is not an audio "
+                    f"operation")
+            samples, src = _decode_wav(raw)
+            x = samples.astype(np.float64)
+            if mono and x.shape[1] > 1:
+                x = x.mean(axis=1, keepdims=True)
+            if src != rate:
+                n_out = max(1, int(round(x.shape[0] * rate / src)))
+                pos = np.arange(n_out) * (src / rate)
+                i0 = np.minimum(pos.astype(np.int64), x.shape[0] - 1)
+                i1 = np.minimum(i0 + 1, x.shape[0] - 1)
+                frac = (pos - i0)[:, None]
+                x = x[i0] * (1 - frac) + x[i1] * frac
+            out = np.clip(np.rint(x), -32768, 32767).astype(np.int16)
+            return _encode_wav(out, rate)
+
+        for pdf in it:
+            metas, payloads = [], []
+            for m, p in zip(pdf["meta"], pdf["payload"]):
+                m = dict(m) if m is not None else {}
+                m["sample_rate"] = rate
+                metas.append(m)
+                payloads.append(one(p))
+            pdf = pdf.copy()
+            pdf["meta"] = metas
+            pdf["payload"] = payloads
+            yield pdf
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Video -> frame rows (1:N explode), stubbed: emits frame indexes

@@ -129,3 +129,21 @@ def test_psi_bin_counts_merge_bit_identical(spark):
     got = sorted(map(tuple, value_psi_from_counts(merged).collect()))
     want = sorted(map(tuple, value_psi(ev).collect()))
     assert got == want and len(want) > 0
+
+
+def test_user_activity_entropy_semantics(spark):
+    """Single-type user reads entropy 0; a uniform two-type user reads
+    ln 2; counts and type cardinalities are exact."""
+    import math
+
+    from logsqlite_spark.operators.analytics import user_activity_entropy
+
+    rows = [(1, "click")] * 5 + [(2, "click"), (2, "view")] * 3
+    ev = spark.createDataFrame(
+        [(i, u, t) for i, (u, t) in enumerate(rows)],
+        "event_id long, user_id long, event_type string")
+    got = {r["user_id"]: r for r in user_activity_entropy(ev).collect()}
+    assert got[1]["entropy"] == 0.0 and got[1]["n_types"] == 1
+    assert got[1]["n_events"] == 5
+    assert abs(got[2]["entropy"] - round(math.log(2), 6)) < 1e-9
+    assert got[2]["n_types"] == 2 and got[2]["n_events"] == 6

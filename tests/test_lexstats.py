@@ -74,3 +74,20 @@ def test_pmi_deterministic_topk_ordering(spark):
     out = token_pmi_pairs(_docs(spark, rows), min_pair=1).collect()
     key = [(-r["pmi"], r["a"], r["b"]) for r in out]
     assert key == sorted(key)
+
+
+def test_ngram_novelty_semantics(spark):
+    """The first doc is 100% novel; an exact repeat is 0% novel; a
+    doc sharing half its grams lands in between."""
+    from logsqlite_spark.operators.lexstats import ngram_novelty
+
+    docs = spark.createDataFrame(
+        [(0, "abcdefgh"), (1, "abcdefgh"), (2, "efghijkl"), (3, "zzzzzzz")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_novelty(docs, n=4).collect()}
+    assert got[0]["novelty"] == 1.0 and got[0]["n_grams"] == 5
+    assert got[1]["novelty"] == 0.0       # exact repeat of doc 0
+    # doc 2's grams: efgh (seen in doc 0) + 4 new -> 4/5
+    assert got[2]["n_novel"] == 4 and abs(got[2]["novelty"] - 0.8) < 1e-9
+    assert got[3]["novelty"] == 1.0       # n_grams=1: 'zzzz' deduped
+    assert got[3]["n_grams"] == 1

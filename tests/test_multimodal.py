@@ -630,3 +630,65 @@ def test_jpeg_native_feature_and_resize_through_spark(spark):
     assert small.shape == (8, 8, 3)
     assert small[0, 0, 0] > 200 and small[0, 0, 2] < 60
     assert small[7, 7, 2] > 200 and small[7, 7, 0] < 60
+
+
+def test_resample_audio_identity_mono_and_rates(spark):
+    """Audio normalization twin: same-rate resample is bit-identical;
+    mono mix averages channels exactly; 2x upsample of a constant
+    signal stays constant and doubles the sample count; downsample
+    halves it; non-WAV payloads raise naming the format."""
+    import numpy as np
+    import pytest as _pytest
+
+    from logsqlite_spark.operators.multimodal import (
+        _decode_wav, _encode_wav, resample_audio)
+
+    stereo = np.stack([np.full(100, 1000, np.int16),
+                       np.full(100, 3000, np.int16)], axis=1)
+    payload = _encode_wav(stereo, 8000)
+    mk = lambda p: spark.createDataFrame(  # noqa: E731
+        [(1, 10, p, None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+
+    same = resample_audio(mk(payload), 8000).collect()[0]
+    s, r = _decode_wav(bytes(same["payload"]))
+    assert r == 8000 and (s == stereo).all()
+    assert same["meta"]["sample_rate"] == 8000
+
+    mono = resample_audio(mk(payload), 8000, mono=True).collect()[0]
+    s, _ = _decode_wav(bytes(mono["payload"]))
+    assert s.shape == (100, 1) and (s == 2000).all()
+
+    up = resample_audio(mk(payload), 16000).collect()[0]
+    s, r = _decode_wav(bytes(up["payload"]))
+    assert r == 16000 and s.shape == (200, 2)
+    assert (s[:, 0] == 1000).all() and (s[:, 1] == 3000).all()
+
+    down = resample_audio(mk(payload), 4000).collect()[0]
+    s, r = _decode_wav(bytes(down["payload"]))
+    assert r == 4000 and s.shape == (50, 2) and (s[:, 0] == 1000).all()
+
+    bad = mk(b"BM" + b"\x00" * 60)
+    with _pytest.raises(Exception, match="bmp"):
+        resample_audio(bad, 8000).collect()
+
+
+def test_resample_audio_linear_interpolation_exact(spark):
+    """A linear ramp resamples onto the same line (linear interp is
+    exact for affine signals, away from the clamped tail)."""
+    import numpy as np
+
+    from logsqlite_spark.operators.multimodal import (
+        _decode_wav, _encode_wav, resample_audio)
+
+    ramp = (np.arange(64, dtype=np.int16) * 100).reshape(-1, 1)
+    media = spark.createDataFrame(
+        [(1, 10, _encode_wav(ramp, 8000), None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = resample_audio(media, 16000).collect()[0]
+    s, r = _decode_wav(bytes(out["payload"]))
+    assert r == 16000 and len(s) == 128
+    want = np.rint(np.arange(126) * 50).astype(int)
+    assert (s[:126, 0].astype(int) == want).all()
