@@ -52,22 +52,8 @@ def token_zipf_slope(docs: DataFrame, top_v: int = ZIPF_TOP_V,
     ranks, plus the distinct-vocabulary and token-mass counts the
     slope normalizes over.  Natural text sits near −1; strong
     deviation flags boilerplate floods or synthetic spam."""
-    toks = (docs.select(F.col(lang_col).alias("lang"),
-                        F.explode(F.split(F.col(text_col), " "))
-                        .alias("tok"))
-            .filter(F.col("tok") != ""))
-    freq = toks.groupBy("lang", "tok").agg(
-        F.count(F.lit(1)).cast("long").alias("f"))
-    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.col("tok"))
-    head = (freq.withColumn("r", F.row_number().over(w))
-            .filter(F.col("r") <= top_v))
-    lf, lr = F.log(F.col("f").cast("double")), \
-        F.log(F.col("r").cast("double"))
-    return (head.groupBy("lang")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_ranks"),
-                 F.sum("f").cast("long").alias("token_mass"),
-                 F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
-                 F.round(F.regr_r2(lf, lr), 6).alias("r2")))
+    return zipf_slope_from_counts(
+        lang_token_counts(docs, text_col, lang_col), top_v)
 
 
 def token_pmi_pairs(docs: DataFrame, top_v: int = PMI_TOP_V,
@@ -176,10 +162,53 @@ def _q_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_novelty(table(spark, sf_dir, "documents"))
 
 
+def lang_token_counts(docs: DataFrame, text_col: str = "text",
+                      lang_col: str = "lang") -> DataFrame:
+    """The Zipf fit's sufficient statistics — exact (lang, tok, f)
+    counts, mergeable by associative sum (the ngram-partials idiom):
+    the incremental/streaming state for lexical monitoring."""
+    return (docs.select(F.col(lang_col).alias("lang"),
+                        F.explode(F.split(F.col(text_col), " "))
+                        .alias("tok"))
+            .filter(F.col("tok") != "")
+            .groupBy("lang", "tok")
+            .agg(F.count(F.lit(1)).cast("long").alias("f")))
+
+
+def zipf_slope_from_counts(counts: DataFrame,
+                           top_v: int = ZIPF_TOP_V) -> DataFrame:
+    """The Zipf report served from (possibly merged) token counts —
+    identical math to :func:`token_zipf_slope` from the ranking down."""
+    w = Window.partitionBy("lang").orderBy(F.desc("f"), F.col("tok"))
+    head = (counts.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top_v))
+    lf, lr = F.log(F.col("f").cast("double")), \
+        F.log(F.col("r").cast("double"))
+    return (head.groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_ranks"),
+                 F.sum("f").cast("long").alias("token_mass"),
+                 F.round(F.regr_slope(lf, lr), 6).alias("zipf_slope"),
+                 F.round(F.regr_r2(lf, lr), 6).alias("r2")))
+
+
+def _q_zipf_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin: token-count partials from two doc_id-split
+    batches merged by exact integer sum — bit-identical to one-shot
+    (oracle shared verbatim, the events_value_psi_inc pattern)."""
+    docs = table(spark, sf_dir, "documents")
+    parts = lang_token_counts(docs.filter(F.col("doc_id") % 2 == 0)) \
+        .unionByName(
+            lang_token_counts(docs.filter(F.col("doc_id") % 2 == 1)))
+    merged = (parts.groupBy("lang", "tok")
+              .agg(F.sum("f").cast("long").alias("f")))
+    return zipf_slope_from_counts(merged)
+
+
 QUERIES = {
     "token_zipf_slope": _q_zipf,
     "token_pmi_pairs": _q_pmi,
     "doc_ngram_novelty": _q_novelty,
+    "token_zipf_slope_inc": _q_zipf_inc,
 }
 
 ORACLES = {
@@ -235,3 +264,7 @@ ORACLES = {
         f"ORDER BY pmi DESC, a, b LIMIT {PMI_TOP_K}"
     ),
 }
+
+# the inc twin's counts merge by exact integer sum: report is
+# bit-identical, oracle shared verbatim
+ORACLES["token_zipf_slope_inc"] = ORACLES["token_zipf_slope"]
