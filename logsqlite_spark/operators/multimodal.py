@@ -809,22 +809,87 @@ def resample_audio(media: DataFrame, rate: int,
     return media.mapInPandas(batches, MEDIA_SCHEMA)
 
 
+def parse_mp4_meta(payload: bytes) -> dict:
+    """ISO BMFF (MP4) box walk — duration and track dimensions from
+    the moov/mvhd + trak/tkhd boxes, pure byte math from the public
+    ISO 14496-12 layout.  This is CONTAINER parsing (what a pipeline
+    needs to schedule frame sampling and bucket by duration/aspect);
+    pixel DECODE of the coded samples still needs a codec and stays at
+    the ffmpeg integration point."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos:pos + 4], "big")
+            typ = data[pos + 4:pos + 8]
+            body_off = pos + 8
+            if size == 1:  # 64-bit largesize
+                size = int.from_bytes(data[pos + 8:pos + 16], "big")
+                body_off = pos + 16
+            if size == 0:
+                size = end - pos
+            yield typ, body_off, pos + size
+            pos += size
+
+    out: dict = {"duration_ms": None, "width": None, "height": None}
+    for typ, off, box_end in walk(payload, 0, len(payload)):
+        if typ != b"moov":
+            continue
+        for t2, o2, e2 in walk(payload, off, box_end):
+            if t2 == b"mvhd":
+                ver = payload[o2]
+                if ver == 1:
+                    scale = int.from_bytes(payload[o2 + 20:o2 + 24], "big")
+                    dur = int.from_bytes(payload[o2 + 24:o2 + 32], "big")
+                else:
+                    scale = int.from_bytes(payload[o2 + 12:o2 + 16], "big")
+                    dur = int.from_bytes(payload[o2 + 16:o2 + 20], "big")
+                if scale:
+                    out["duration_ms"] = dur * 1000 // scale
+            elif t2 == b"trak":
+                for t3, o3, _e3 in walk(payload, o2, e2):
+                    if t3 != b"tkhd":
+                        continue
+                    ver = payload[o3]
+                    base = o3 + (96 if ver == 1 else 84)
+                    w = int.from_bytes(payload[base - 8:base - 4],
+                                       "big") >> 16  # 16.16 fixed
+                    h = int.from_bytes(payload[base - 4:base], "big") >> 16
+                    if w and h:
+                        out["width"], out["height"] = w, h
+    if out["duration_ms"] is None:
+        raise ValueError("MP4 missing moov/mvhd")
+    return out
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
-    """Video -> frame rows (1:N explode), stubbed: emits frame indexes
-    at the requested cadence from meta.duration_ms without decoding."""
+    """Video -> frame rows (1:N explode) at the requested cadence.
+
+    ``fake=True`` (legacy default) trusts ``meta.duration_ms``.
+    ``fake=False`` PARSES the payload's MP4 container for the real
+    mvhd duration (pure box walk, no codec) and samples from that —
+    pixel decode of the sampled frames is the part that still needs
+    ffmpeg/pyav."""
 
     def sample_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real frame sampling needs ffmpeg/pyav")
             rows = []
-            for mid, doc, meta in zip(pdf["media_id"], pdf["doc_id"], pdf["meta"]):
-                if meta is None or meta.get("media_type") != "video":
-                    continue
-                duration = meta.get("duration_ms") or 0
+            for mid, doc, meta, p in zip(pdf["media_id"], pdf["doc_id"],
+                                         pdf["meta"], pdf["payload"]):
+                if fake:
+                    if meta is None or meta.get("media_type") != "video":
+                        continue
+                    duration = meta.get("duration_ms") or 0
+                else:
+                    raw = bytes(p) if p is not None else b""
+                    if _magic_kind(raw) != "mp4":
+                        continue
+                    duration = parse_mp4_meta(raw)["duration_ms"]
                 for t in range(0, int(duration), every_ms):
                     rows.append((mid, doc, t))
             yield pd.DataFrame(rows, columns=["media_id", "doc_id", "frame_ts_ms"])

@@ -692,3 +692,54 @@ def test_resample_audio_linear_interpolation_exact(spark):
     assert r == 16000 and len(s) == 128
     want = np.rint(np.arange(126) * 50).astype(int)
     assert (s[:126, 0].astype(int) == want).all()
+
+
+def _make_mp4(duration_ms, timescale=1000, w=0, h=0, version=0):
+    """Minimal ISO BMFF: ftyp + moov(mvhd [+ trak(tkhd)])."""
+    def box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    dur = duration_ms * timescale // 1000
+    if version == 1:
+        mvhd = (bytes([1, 0, 0, 0]) + b"\x00" * 16
+                + timescale.to_bytes(4, "big") + dur.to_bytes(8, "big")
+                + b"\x00" * 80)
+    else:
+        mvhd = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+                + timescale.to_bytes(4, "big") + dur.to_bytes(4, "big")
+                + b"\x00" * 80)
+    moov_body = box(b"mvhd", mvhd)
+    if w and h:
+        tkhd = (bytes([0, 0, 0, 0]) + b"\x00" * 72
+                + (w << 16).to_bytes(4, "big")
+                + (h << 16).to_bytes(4, "big"))
+        moov_body += box(b"trak", box(b"tkhd", tkhd))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", moov_body)
+
+
+def test_mp4_container_parse_and_real_frame_sampling(spark):
+    """The ISO BMFF box walk reads real duration/dimensions (both mvhd
+    versions, 16.16 fixed-point tkhd geometry); sample_frames
+    fake=False samples from the PARSED duration, ignoring meta."""
+    from logsqlite_spark.operators.multimodal import (
+        parse_mp4_meta, sample_frames)
+
+    p = _make_mp4(3500, timescale=600, w=1920, h=1080)
+    got = parse_mp4_meta(p)
+    assert got["duration_ms"] == 3500
+    assert (got["width"], got["height"]) == (1920, 1080)
+    assert parse_mp4_meta(_make_mp4(2000, version=1))["duration_ms"] == 2000
+
+    # meta LIES (10s); the parser's 3.5s wins under fake=False
+    media = spark.createDataFrame(
+        [(1, 10, p, {"media_type": "video", "duration_ms": "10000"}),
+         (2, 20, b"not video at all", {"media_type": "video"})],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = sample_frames(media, every_ms=1000, fake=False).collect()
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 1000, 2000, 3000]
+    assert {r["media_id"] for r in out} == {1}
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mvhd"):
+        parse_mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
