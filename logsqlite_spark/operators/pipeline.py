@@ -392,3 +392,49 @@ ORACLES = {
     "corpus_prepare_full_stats": _corpus_full_sql(),
     "split_leakage": _split_leakage_sql(),
 }
+
+
+def corpus_report(docs: DataFrame) -> dict[str, DataFrame]:
+    """One-call corpus health dashboard — the report a pipeline owner
+    reads before training: per-source duplication rates, lexical shape
+    (Zipf fit), freshness decay (first-occurrence n-gram novelty),
+    quality-gate drop rates, and the Deequ-style constraint verdicts.
+    Each value is a lazy DataFrame over the SAME docs scan lineage —
+    collect the ones you want; nothing runs until you do.  Every
+    entry is an individually driver-oracled registry query, so the
+    composition adds no new semantics to certify."""
+    from logsqlite_spark.operators.checks import (
+        DOCUMENTS_CHECKS,
+        run_checks,
+    )
+    from logsqlite_spark.operators.lexstats import (
+        ngram_novelty,
+        token_zipf_slope,
+    )
+    from logsqlite_spark.operators.textstats import quality_gate
+
+    dup = (docs.select("source", F.md5("text").alias("__h"))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.countDistinct("__h").cast("long").alias("n_unique"))
+           .select("source", "n_docs", "n_unique",
+                   F.round(1.0 - F.col("n_unique").cast("double")
+                           / F.col("n_docs").cast("double"), 6)
+                   .alias("dup_rate")))
+    g = quality_gate(docs)
+    bit = lambda m: F.sum(  # noqa: E731 — matches the registry twin
+        ((F.col("fail_mask").bitwiseAND(m)) / m).cast("long")).cast("long")
+    drop_rates = g.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.col("kept").cast("long")).cast("long").alias("n_kept"),
+        bit(1).alias("n_short"),
+        bit(2).alias("n_repetitive"),
+        bit(4).alias("n_stopwordy"),
+    )
+    return {
+        "dup_rate_by_source": dup,
+        "zipf": token_zipf_slope(docs),
+        "novelty": ngram_novelty(docs),
+        "quality_drop_rates": drop_rates,
+        "checks": run_checks(docs, DOCUMENTS_CHECKS),
+    }

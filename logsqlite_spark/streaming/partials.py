@@ -539,3 +539,17 @@ def erase_from_psi_snapshot(spark, snapshot_root: str,
     _write_pointer(snapshot_root, new_ver, batch_id)
     _gc_versions(snapshot_root, new_ver)
     return {"erased": True, "version": new_ver}
+
+
+def start_streaming_psi_counts(stream: DataFrame, snapshot_root: str,
+                               checkpoint_dir: str):
+    """Wire the PSI sink into an event stream: each micro-batch's bin
+    counts merge into the snapshot under the exactly-once pointer
+    protocol; `anomaly.value_psi_from_counts` serves the live drift
+    report from any version."""
+    return (
+        stream.writeStream
+        .foreachBatch(psi_counts_sink(snapshot_root))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

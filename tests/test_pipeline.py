@@ -70,3 +70,25 @@ def test_write_prepared_corpus_via_manifest(spark, tmp_path):
     assert df.count() == res["rows"]
     import os
     assert any(d.startswith("split=") for d in os.listdir(out))
+
+
+def test_corpus_report_composes_certified_pieces(spark):
+    """One-call dashboard: every entry matches its standalone operator
+    (the registry-certified semantics) on the same corpus."""
+    from logsqlite_spark import registry
+    from logsqlite_spark.operators.pipeline import corpus_report
+    from logsqlite_spark.tables import table
+
+    SF = "/root/testdata/sf0.001"
+    rep = corpus_report(table(spark, SF, "documents"))
+    assert set(rep) == {"dup_rate_by_source", "zipf", "novelty",
+                        "quality_drop_rates", "checks"}
+    qs = registry.queries()
+    for key, qname in (("dup_rate_by_source", "dedup_rate_by_source"),
+                       ("zipf", "token_zipf_slope"),
+                       ("novelty", "doc_ngram_novelty"),
+                       ("quality_drop_rates", "quality_gate_stats"),
+                       ("checks", "quality_checks_documents")):
+        got = sorted(map(tuple, rep[key].collect()))
+        want = sorted(map(tuple, qs[qname](spark, SF).collect()))
+        assert got == want, key

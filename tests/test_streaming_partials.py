@@ -103,3 +103,45 @@ def test_streaming_end_to_end(spark, tmp_path):
 def test_remote_root_raises(spark):
     with pytest.raises(ValueError, match="atomic-rename local root"):
         ngram_partials_sink("s3a://bucket/snap")
+
+
+def test_streaming_psi_end_to_end(spark, tmp_path):
+    """Real readStream → PSI sink: files arrive one per trigger, the
+    served drift report equals one-shot value_psi over the union."""
+    from logsqlite_spark.operators.anomaly import (
+        value_psi,
+        value_psi_from_counts,
+    )
+    from logsqlite_spark.streaming.partials import (
+        snapshot_psi_counts,
+        start_streaming_psi_counts,
+    )
+
+    EV = "event_id long, ts long, event_type string, value double"
+    split = 1705363200000000
+    r1 = [(i, (split - 10) * 1000, "t", float(v))
+          for i, v in enumerate((10, 60, 110))] + \
+         [(100, (split + 10) * 1000, "t", 210.0)]
+    r2 = [(200, (split - 10) * 1000, "t", 310.0),
+          (300, (split + 10) * 1000, "u", 40.0)]
+    src = str(tmp_path / "in")
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(r1, EV).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(r2, EV).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(EV)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_streaming_psi_counts(stream, snap, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, value_psi_from_counts(
+        snapshot_psi_counts(spark, snap)).collect()))
+    want = sorted(map(tuple, value_psi(
+        spark.createDataFrame(r1 + r2, EV)).collect()))
+    assert got == want and len(want) == 2
