@@ -382,8 +382,46 @@ def _q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return user_activity_entropy(_events(spark, sf_dir))
 
 
+def user_activity_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user event counts — the one-number
+    load-skew summary (0 = perfectly even, → 1 = one user dominates).
+    The quantitative companion to the salting tier (`operators/
+    skew.py`): a pipeline owner reads this to decide whether hot-key
+    mitigation is worth wiring in.
+
+    Exact rank formula on ascending counts: ``G = 2·Σ(i·xᵢ)/(n·Σx)
+    − (n+1)/n`` — all integer sums, one final division.  Ranking over
+    USERS (one count row each — the aggregate of the corpus, not the
+    corpus) still must not be a single-partition ``Window.orderBy``
+    at 1e9 users, so it goes through the distributed two-pass rank
+    (``functions/rank.py``), ties broken by user_id; any tie order
+    yields the same G (tied x's swap freely in Σi·xᵢ)."""
+    from logsqlite_spark.functions.rank import with_global_rank
+
+    per_user = (events.groupBy("user_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("x")))
+    ranked = with_global_rank(per_user, ["x", "user_id"],
+                              rank_col="i", n_col="__n")
+    return (ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("n_events"),
+        F.sum(F.col("i") * F.col("x")).cast("long").alias("__ix"))
+        .select("n_users", "n_events",
+                F.round(2.0 * F.col("__ix").cast("double")
+                        / (F.col("n_users") * F.col("n_events"))
+                        .cast("double")
+                        - (F.col("n_users") + 1).cast("double")
+                        / F.col("n_users").cast("double"), 6)
+                .alias("gini")))
+
+
+def _q_user_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return user_activity_gini(_events(spark, sf_dir))
+
+
 QUERIES = {
     "user_activity_entropy": _q_user_entropy,
+    "user_activity_gini": _q_user_gini,
     "events_running_value": _q_running,
     "events_lag_delta": _q_lag,
     "events_topk_per_user": _q_topk,
@@ -402,6 +440,18 @@ _EV = ("SELECT event_id, user_id, epoch_us(ts) AS ts_us, "
        "FROM events")
 
 ORACLES = {
+    "user_activity_gini": (
+        "WITH pu AS (SELECT user_id, CAST(count(*) AS BIGINT) AS x "
+        "  FROM events GROUP BY 1), "
+        "r AS (SELECT x, row_number() OVER (ORDER BY x, user_id) AS i "
+        "  FROM pu) "
+        "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+        "CAST(sum(x) AS BIGINT) AS n_events, "
+        "round(2.0 * CAST(sum(i * x) AS DOUBLE) "
+        "  / (count(*) * CAST(sum(x) AS DOUBLE)) "
+        "  - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini "
+        "FROM r"
+    ),
     "user_activity_entropy": (
         "WITH c AS (SELECT user_id, event_type, "
         "  CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), "

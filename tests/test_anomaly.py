@@ -147,3 +147,30 @@ def test_user_activity_entropy_semantics(spark):
     assert got[1]["n_events"] == 5
     assert abs(got[2]["entropy"] - round(math.log(2), 6)) < 1e-9
     assert got[2]["n_types"] == 2 and got[2]["n_events"] == 6
+
+
+def test_user_activity_gini_semantics(spark):
+    """Uniform counts read Gini 0; extreme concentration approaches
+    (n-1)/n; the rank formula matches the classic mean-absolute-
+    difference definition on a small case."""
+    from logsqlite_spark.operators.analytics import user_activity_gini
+
+    def ev(counts):
+        rows = []
+        eid = 0
+        for u, c in enumerate(counts):
+            for _ in range(c):
+                rows.append((eid, u, "t"))
+                eid += 1
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string")
+
+    assert user_activity_gini(ev([5, 5, 5, 5])).collect()[0]["gini"] == 0.0
+
+    xs = [1, 2, 3, 94]
+    row = user_activity_gini(ev(xs)).collect()[0]
+    n, s = len(xs), sum(xs)
+    mad = sum(abs(a - b) for a in xs for b in xs) / (n * n)
+    want = round(mad / (2 * s / n), 6)
+    assert row["gini"] == want
+    assert row["n_users"] == 4 and row["n_events"] == 100
