@@ -304,6 +304,78 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
     return out
 
 
+def gen_events(n: int, out_dir: Path, seed: int = 21) -> None:
+    """Synthetic events in the driver corpus's shape (Jan 2024 span,
+    5 types, positive values) for the drift/behavior decade legs."""
+    rng = np.random.default_rng(seed)
+    base = 1_704_067_200_000_000  # 2024-01-01 in µs
+    span = 30 * 86_400_000_000
+    types = np.array(["view", "click", "purchase", "signup", "error"])
+    tbl = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        # epoch-NANOS long — the engine's normalized ts representation
+        "ts": pa.array((base + rng.integers(0, span, n)) * 1000,
+                       pa.int64()),
+        "user_id": pa.array(rng.integers(0, max(10, n // 40), n),
+                            pa.int64()),
+        "event_type": pa.array(types[rng.integers(0, 5, n)]),
+        "value": pa.array(np.round(rng.lognormal(3, 1, n), 2)),
+    })
+    pq.write_table(tbl, out_dir / "events.parquet")
+
+
+def measure_lex(spark, root: Path, lo: int, hi: int,
+                reps: int = 3) -> dict:
+    """Decade time-exponents for the round-10 tier: zipf / PMI /
+    novelty over documents, PSI / entropy / gini over events — each is
+    a one-scan (or vocab-bounded) shape that must stay ~linear
+    (LEX_GATE on the wall-time exponent; output sizes are bounded by
+    construction: per-lang / top-k / per-doc / per-type / per-user /
+    one row)."""
+    from logsqlite_spark.operators.anomaly import value_psi
+    from logsqlite_spark.operators.analytics import (
+        user_activity_entropy, user_activity_gini)
+    from logsqlite_spark.operators.lexstats import (
+        ngram_novelty, token_pmi_pairs, token_zipf_slope)
+
+    def timed(thunk) -> tuple[float, int]:
+        thunk()
+        best, out = math.inf, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = thunk()
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3), out
+
+    out: dict = {}
+    for tag, n in (("lo", lo), ("hi", hi)):
+        d = root / f"lex_{tag}"
+        d.mkdir()
+        gen_documents(n, d)
+        gen_events(n * 2, d)
+        docs = spark.read.parquet(str(d / "documents.parquet"))
+        ev = spark.read.parquet(str(d / "events.parquet"))
+        r: dict = {"n_docs": n, "n_events": n * 2}
+        r["zipf_s"], r["zipf_rows"] = timed(
+            lambda: token_zipf_slope(docs).count())
+        r["pmi_s"], r["pmi_rows"] = timed(
+            lambda: token_pmi_pairs(docs).count())
+        r["novelty_s"], r["novelty_rows"] = timed(
+            lambda: ngram_novelty(docs).count())
+        r["psi_s"], r["psi_rows"] = timed(
+            lambda: value_psi(ev).count())
+        r["entropy_s"], r["entropy_rows"] = timed(
+            lambda: user_activity_entropy(ev).count())
+        r["gini_s"], r["gini_rows"] = timed(
+            lambda: user_activity_gini(ev).count())
+        out[tag] = r
+        print(f"# lex/{tag} ({n} docs): {r}", file=sys.stderr)
+    return out
+
+
+LEX_PATHS = ("zipf", "pmi", "novelty", "psi", "entropy", "gini")
+LEX_GATE = 1.3
+
 INC_PATHS = ("minhash_inc", "simhash_inc", "idx_inc", "cc_inc")
 INC_GATE = 0.5
 
@@ -334,6 +406,12 @@ def main() -> int:
     ap.add_argument("--inc-only", action="store_true",
                     help="run ONLY the --inc legs (skips the candidate"
                          "-growth decade)")
+    ap.add_argument("--lex", action="store_true",
+                    help="also measure decade time exponents for the "
+                         "round-10 tier (zipf/PMI/novelty over docs, "
+                         "PSI/entropy/gini over events)")
+    ap.add_argument("--lex-only", action="store_true",
+                    help="run ONLY the --lex legs")
     args = ap.parse_args()
 
     from logsqlite_spark.session import get_spark
@@ -341,9 +419,11 @@ def main() -> int:
 
     root = Path(tempfile.mkdtemp(prefix="scale_evidence_"))
     res: dict = {"lo_docs": args.lo, "hi_docs": args.hi}
-    skip_decade = args.inc_only
+    skip_decade = args.inc_only or args.lex_only
     if args.inc_only:
         args.inc = True
+    if args.lex_only:
+        args.lex = True
     try:
         for tag, n in (() if skip_decade
                        else (("lo", args.lo), ("hi", args.hi))):
@@ -356,8 +436,10 @@ def main() -> int:
             print(f"# {tag} ({n} docs) measured in "
                   f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
                   file=sys.stderr)
-        if args.inc:
+        if args.inc and not args.lex_only:
             res["inc"] = measure_inc(spark, root, args.lo, args.hi)
+        if args.lex:
+            res["lex"] = measure_lex(spark, root, args.lo, args.hi)
         if args.xl:
             # the xl decade reuses hi's vector count as its LO so the
             # exponent spans exactly one decade of corpus growth
@@ -404,7 +486,17 @@ def main() -> int:
             res[key + "_xl_growth_exp"] = exp
             if exp > GATE:
                 bad.append((key + "_xl", exp))
-    if args.inc:
+    if args.lex:
+        lex = res["lex"]
+        d_ratio = lex["hi"]["n_docs"] / lex["lo"]["n_docs"]
+        for key in LEX_PATHS:
+            t_lo, t_hi = lex["lo"][key + "_s"], lex["hi"][key + "_s"]
+            exp = round(math.log(t_hi / t_lo) / math.log(d_ratio), 3)
+            lex[key + "_time_exp"] = exp
+            if exp > LEX_GATE:
+                bad.append((key + "_lex_time", exp))
+        lex["gate"] = LEX_GATE
+    if args.inc and "inc" in res:
         inc = res["inc"]
         h_ratio = inc["hi"]["hist_docs"] / inc["lo"]["hist_docs"]
         for key in INC_PATHS:
