@@ -76,16 +76,19 @@ def token_pmi_pairs(docs: DataFrame, top_v: int = PMI_TOP_V,
     postings self-join: one shuffle to the doc grouping, per-doc cost
     bounded by (tokens ∩ top_v)², and the collect_set buffer bounded
     by min(doc length, top_v) tokens."""
-    post = (docs.select(F.col(id_col).alias("doc_id"),
-                        F.explode(F.split(F.col(text_col), " "))
-                        .alias("tok"))
-            .filter(F.col("tok") != "").distinct())
-    dfreq = post.groupBy("tok").agg(
+    raw = (docs.select(F.col(id_col).alias("doc_id"),
+                       F.explode(F.split(F.col(text_col), " "))
+                       .alias("tok"))
+           .filter(F.col("tok") != ""))
+    dfreq = raw.distinct().groupBy("tok").agg(
         F.count(F.lit(1)).cast("long").alias("df"))
     topv = (dfreq.orderBy(F.desc("df"), F.col("tok")).limit(top_v)
             .select("tok", "df")
             .localCheckpoint(eager=True))
-    p = post.join(F.broadcast(topv.select("tok")), "tok", "leftsemi")
+    # the pairing arm feeds collect_set, which dedups per doc anyway —
+    # a (doc_id, tok) distinct here would add a full-data exchange for
+    # nothing (result pinned identical either way)
+    p = raw.join(F.broadcast(topv.select("tok")), "tok", "leftsemi")
     sets = p.groupBy("doc_id").agg(
         F.sort_array(F.collect_set("tok")).alias("ts"))
     pairs = (sets.select(F.explode(F.expr(
