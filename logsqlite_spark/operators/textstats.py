@@ -1392,6 +1392,23 @@ def _q_repeated_ngrams_incremental(spark: SparkSession,
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lang_id(table(spark, sf_dir, "documents"))
 
+
+def lang_confusion(docs: DataFrame) -> DataFrame:
+    """Confusion matrix of the lang-id heuristic against the labeled
+    ``lang`` column — the evaluation every classifier-shaped cleanup
+    step needs before its output gates anything.  One columnar join of
+    two doc-keyed projections, then a tiny (lang × pred) rollup."""
+    pred = lang_id(docs).select("doc_id", "pred_lang")
+    lab = docs.select(F.col("doc_id").cast("long").alias("doc_id"),
+                      "lang")
+    return (lab.join(pred, "doc_id")
+            .groupBy("lang", "pred_lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lang_confusion(table(spark, sf_dir, "documents"))
+
 def _q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_stats(table(spark, sf_dir, "documents"))
 
@@ -1501,6 +1518,7 @@ QUERIES = {
     "text_winnow_matches": _q_winnow_matches,
     "text_winnow_matches_inc": _q_winnow_matches_inc,
     "lang_id": _q_lang_id,
+    "lang_id_confusion": _q_lang_confusion,
     "repeated_ngrams": _q_repeated_ngrams,
     "repeated_ngrams_incremental": _q_repeated_ngrams_incremental,
     "dedup_span_clean": _q_span_clean,
@@ -1737,6 +1755,11 @@ ORACLES = {
         "FROM base LEFT JOIN agg ON base.doc_id = agg.doc_id"
     ),
     "lang_id": _langid_oracle(),
+    "lang_id_confusion": (
+        f"WITH p AS ({_langid_oracle()}) "
+        "SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n "
+        "FROM documents d JOIN p USING (doc_id) GROUP BY 1, 2"
+    ),
     "repeated_ngrams": _repeated_ngrams_oracle(),
     # incremental ≡ full recompute restricted to the batch (df over
     # history ∪ batch is what the merge reproduces exactly)
