@@ -836,7 +836,10 @@ def connected_components_incremental(new_pairs: DataFrame,
     hist = history_components.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"))
-    m, new_rows = cc_merge_delta(new_pairs, hist, a_col, b_col, max_iter)
+    # pass the ORIGINAL frame so a bucketed layout's ``bkt`` partition
+    # column reaches the delta's pruned endpoint lookup
+    m, new_rows = cc_merge_delta(new_pairs, history_components,
+                                 a_col, b_col, max_iter)
     # the mapping is bounded by the batch's distinct endpoints; it is
     # already materialized (the CC loop checkpoints its labels), so
     # the size gate is a cheap action — the ivf winner-broadcast rule
@@ -847,6 +850,119 @@ def connected_components_incremental(new_pairs: DataFrame,
                        F.coalesce("__new", "cluster_id")
                        .alias("cluster_id")))
     return hist_re.unionByName(new_rows)
+
+
+#: Fixed modulus of the bucketed at-rest components layout
+#: (``write_components_bucketed``): ``bkt = doc_id % CC_N_BUCKETS`` is
+#: a directory-level partition column, so an endpoint lookup prunes to
+#: the touched buckets' FILES before any row is read.  Part of the
+#: layout contract — change it only with a new directory version.
+CC_N_BUCKETS = 64
+
+#: Endpoint sets up to this size are collected driver-side to drive
+#: the pruned label lookup (a batch of B pairs has <= 2B endpoints —
+#: control-plane by the incremental contract); above it the lookup
+#: falls back to the plain join (the ivf winner-broadcast rule).
+CC_ENDPOINT_PRUNE_CAP = 100_000
+
+
+def write_components_bucketed(components: DataFrame, path: str) -> None:
+    """Persist a components table in the at-rest deployment layout:
+    hash-bucketed on ``doc_id`` (``bkt = doc_id % CC_N_BUCKETS`` as a
+    partition directory) and sorted by ``doc_id`` within buckets.
+
+    Why: ``cc_merge_delta``'s per-batch cost was the label-lookup
+    joins scanning the corpus-sized components table (measured 0.382
+    time exponent across a 10x history decade — the one deployment
+    path that degraded with corpus size).  With this layout the
+    batch's endpoint set selects ``bkt`` partitions at file-listing
+    time and ``doc_id`` row groups via min/max stats, so each batch
+    reads O(touched buckets) files instead of the corpus.
+    """
+    (components.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.pmod(F.col("doc_id"), F.lit(CC_N_BUCKETS))
+        .cast("int").alias("bkt"))
+     .repartition("bkt")
+     .sortWithinPartitions("doc_id")
+     .write.mode("overwrite").partitionBy("bkt").parquet(path))
+
+
+def read_components_bucketed(spark: SparkSession, path: str) -> DataFrame:
+    """Open a :func:`write_components_bucketed` layout; the ``bkt``
+    partition column rides along so ``cc_merge_delta`` can prune."""
+    return spark.read.parquet(path)
+
+
+#: Batches with at most this many candidate edges run the label-graph
+#: min-label propagation DRIVER-SIDE (exact union-find over the
+#: collected, control-plane-sized label graph).  The distributed CC
+#: loop costs ~6 Spark jobs PER ROUND even on a 2-edge graph — pure
+#: fixed overhead when the graph fits in a list; above the cap the
+#: distributed loop takes over unchanged.
+CC_EDGE_COLLECT_CAP = 1_000_000
+
+
+def _cc_delta_driver_side(spark: SparkSession, pair_rows, hist_rows,
+                          endpoints: list[int],
+                          ) -> tuple[DataFrame, DataFrame]:
+    """Exact min-label merge over the collected label graph.  The
+    inputs are control-plane by construction: ``hist_rows`` is the
+    endpoint-pruned history (<= |endpoints| rows), ``pair_rows`` the
+    batch's candidate edges (<= CC_EDGE_COLLECT_CAP).  Union-find
+    attaching the larger root under the smaller yields, per component,
+    exactly the min doc id over every member — the same fixpoint the
+    distributed min-label loop converges to, with zero iterative
+    Spark jobs."""
+    lbl = {r["doc_id"]: r["cluster_id"] for r in hist_rows}
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    nodes: set[int] = set()
+    for r in pair_rows:
+        la = lbl.get(r["a"], r["a"])
+        lb = lbl.get(r["b"], r["b"])
+        nodes.add(la)
+        nodes.add(lb)
+        ra, rb = find(la), find(lb)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    m = spark.createDataFrame(
+        [(int(n), int(find(n))) for n in sorted(nodes)],
+        "__old long, __new long")
+    new_rows = spark.createDataFrame(
+        [(int(e), int(find(e))) for e in sorted(endpoints)
+         if e not in lbl],
+        "doc_id long, cluster_id long")
+    return m, new_rows
+
+
+def _endpoint_pruned_history(history_components: DataFrame,
+                             endpoints: list[int]) -> DataFrame:
+    """The history rows a batch's endpoint set can possibly need:
+    ``doc_id IN (endpoints)`` (a pushed-down parquet predicate; row-
+    group min/max prunes when the layout is doc_id-sorted) plus — on a
+    :func:`write_components_bucketed` layout — ``bkt IN (touched)``,
+    a PARTITION filter that drops untouched buckets' files at listing
+    time.  Exact by the bucket invariant ``bkt = doc_id %
+    CC_N_BUCKETS``: an endpoint's row, if present, is in its bucket.
+    """
+    cond = F.col("doc_id").isin(endpoints)
+    if "bkt" in history_components.columns:
+        touched = sorted({e % CC_N_BUCKETS for e in endpoints})
+        cond = F.col("bkt").isin(touched) & cond
+    return (history_components.filter(cond)
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.col("cluster_id").cast("long").alias("cluster_id")))
 
 
 def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
@@ -860,12 +976,38 @@ def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
     appends ``new_rows`` and the non-identity part of ``mapping``
     instead of rewriting the corpus-sized labels table
     (:mod:`logsqlite_spark.streaming.incremental`).
+
+    Scale: the history table is consulted ONLY at the batch's
+    endpoint doc_ids (label lookup + never-seen anti-join), so when
+    the endpoint set is control-plane-sized (<=
+    ``CC_ENDPOINT_PRUNE_CAP``; a batch of B pairs has <= 2B) it is
+    collected and the history side becomes ``doc_id IN (endpoints)``
+    — a pushed-down parquet predicate — plus, when the history
+    carries the ``bkt`` partition column
+    (:func:`write_components_bucketed`), a ``bkt IN (touched)``
+    partition filter that prunes whole files before any row is read.
+    Exactness is unconditional: every label the delta needs is the
+    label OF an endpoint (each touched component is touched via one),
+    and an endpoint's history row — if any — lies in its own bucket,
+    so the anti-join over the pruned table equals the full one.
     """
     hist = history_components.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"))
     pairs = new_pairs.select(F.col(a_col).cast("long").alias("a"),
                              F.col(b_col).cast("long").alias("b"))
+    ep_rows = (pairs.select(F.col("a").alias("node"))
+               .unionByName(pairs.select(F.col("b").alias("node")))
+               .distinct().take(CC_ENDPOINT_PRUNE_CAP + 1))
+    if len(ep_rows) <= CC_ENDPOINT_PRUNE_CAP:
+        endpoints = [r["node"] for r in ep_rows]
+        pruned = _endpoint_pruned_history(history_components, endpoints)
+        n_edges = pairs.count()
+        if n_edges <= CC_EDGE_COLLECT_CAP:
+            return _cc_delta_driver_side(
+                new_pairs.sparkSession, pairs.collect(),
+                pruned.collect(), endpoints)
+        hist = pruned
     la = hist.select(F.col("doc_id").alias("a"),
                      F.col("cluster_id").alias("la"))
     lb = hist.select(F.col("doc_id").alias("b"),
@@ -1697,9 +1839,13 @@ def edit_confirmed_pairs(docs: DataFrame, threshold: float = 0.8,
            - F.levenshtein("__ta", "__tb").cast("double")
            / F.greatest(F.length("__ta"), F.length("__tb"))
            .cast("double"))
+    # filter on the UNROUNDED expression, round only in the projection
+    # (ADVICE r10: the oracle's WHERE uses the raw expression, so a
+    # sim a hair under threshold must be dropped on both sides; the
+    # rounded filter kept it Spark-side only)
     return (cand.join(a, "a_id").join(b, "b_id")
-            .select("a_id", "b_id", F.round(sim, 6).alias("edit_sim"))
-            .filter(F.col("edit_sim") >= threshold))
+            .filter(sim >= threshold)
+            .select("a_id", "b_id", F.round(sim, 6).alias("edit_sim")))
 
 
 def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -145,10 +145,14 @@ def encode_jpeg(arr, subsample: str = "444") -> bytes:
         pad[:h, :w] = cb
         pad[h:, :w] = cb[-1:, :]
         pad[:h, w:] = pad[:h, w - 1:w]
+        # odd-h x odd-w corner cell: edge-replicate, not zero (ADVICE
+        # r10 — a zero mixed into the corner 2x2 chroma average)
+        pad[h:, w:] = pad[h - 1, w - 1]
         cb_s = pad.reshape(ph, 2, pw, 2).mean(axis=(1, 3))
         pad[:h, :w] = cr
         pad[h:, :w] = cr[-1:, :]
         pad[:h, w:] = pad[:h, w - 1:w]
+        pad[h:, w:] = pad[h - 1, w - 1]
         cr_s = pad.reshape(ph, 2, pw, 2).mean(axis=(1, 3))
     elif subsample == "444":
         hs = vs = 1
@@ -354,6 +358,10 @@ def decode_jpeg(payload: bytes):
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("bad JPEG marker alignment")
+        # spec-legal 0xFF fill bytes before a marker (T.81 B.1.1.2):
+        # skip repeats so they don't misparse as a length segment
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
@@ -413,6 +421,14 @@ def decode_jpeg(payload: bytes):
             for i in range(ns):
                 cs, tt = body[1 + 2 * i:3 + 2 * i]
                 scan.append((cs, tt >> 4, tt & 0x0F))
+            if len(scan) != len(frame[2]):
+                # a multi-scan non-interleaved baseline file: decoding
+                # the first scan as an all-components interleave would
+                # silently mis-decode with wrong MCU geometry — route
+                # to the Pillow point like progressive does
+                raise NotImplementedError(
+                    "non-interleaved (multi-scan) baseline JPEG routes"
+                    " to the Pillow integration point")
             return _decode_scan(payload, pos, frame, scan, qt,
                                 huff_dc, huff_ac, restart)
     raise ValueError("JPEG has no scan")

@@ -40,6 +40,7 @@ from __future__ import annotations
 import json
 import math
 import os
+import shutil
 from typing import Callable
 from urllib.parse import urlparse
 
@@ -430,20 +431,30 @@ def erase_from_pca_snapshot(spark, snapshot_root: str,
         .select("idx", (-F.col("val")).cast("decimal(38,0)").alias("val"))
     merged = _merged_pca_stats(hist, delta, "erase_from_pca_snapshot")
     new_ver = ver + 1
-    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "stats")
-    merged.write.mode("overwrite").parquet(out)
+    # stage outside the version namespace, validate, THEN rename into
+    # place (ADVICE r10: a rejected retraction used to leave an orphan
+    # v{N+1}/ dir the pointer never references and gc skips)
+    root = _local_root(snapshot_root)
+    staging = os.path.join(root, ".erase_stage")
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(staging, "stats"))
 
-    staged = spark.read.parquet(out)
+    staged = spark.read.parquet(os.path.join(staging, "stats"))
     n_idx = staged.count()
     d = int((math.isqrt(4 * n_idx - 3) - 1) // 2)
     diag = [i * (d + 1) for i in range(d)] + [n_idx - 1]
     neg = staged.filter(F.col("idx").isin(diag) & (F.col("val") < 0)) \
         .count()
     if neg:
+        shutil.rmtree(staging, ignore_errors=True)
         raise ValueError(
             "erase_from_pca_snapshot: retraction would drive "
             f"{neg} non-negative stats negative — the supplied vectors "
             "were not part of the ingested corpus; snapshot unchanged")
+    vdir = os.path.join(root, f"v{new_ver:08d}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.replace(staging, vdir)
     _write_pointer(snapshot_root, new_ver, batch_id)
     _gc_versions(snapshot_root, new_ver)
     return {"erased": True, "version": new_ver}
@@ -528,14 +539,24 @@ def erase_from_psi_snapshot(spark, snapshot_root: str,
         "event_type", "cur", "bin", (-F.col("n")).alias("n"))
     merged = _merged_psi_counts(hist, delta).filter(F.col("n") != 0)
     new_ver = ver + 1
-    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "counts")
-    merged.write.mode("overwrite").parquet(out)
-    neg = spark.read.parquet(out).filter(F.col("n") < 0).count()
+    # stage → validate → rename, so a rejected retraction leaves no
+    # orphan version dir (ADVICE r10; same fix as the PCA erase)
+    root = _local_root(snapshot_root)
+    staging = os.path.join(root, ".erase_stage")
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(staging, "counts"))
+    neg = spark.read.parquet(os.path.join(staging, "counts")) \
+        .filter(F.col("n") < 0).count()
     if neg:
+        shutil.rmtree(staging, ignore_errors=True)
         raise ValueError(
             "erase_from_psi_snapshot: retraction would drive "
             f"{neg} bin counts negative — the supplied events were "
             "not part of the ingested corpus; snapshot unchanged")
+    vdir = os.path.join(root, f"v{new_ver:08d}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.replace(staging, vdir)
     _write_pointer(snapshot_root, new_ver, batch_id)
     _gc_versions(snapshot_root, new_ver)
     return {"erased": True, "version": new_ver}
@@ -550,6 +571,118 @@ def start_streaming_psi_counts(stream: DataFrame, snapshot_root: str,
     return (
         stream.writeStream
         .foreachBatch(psi_counts_sink(snapshot_root))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical token counts (round 11 — X11's streaming/erase legs, closing
+# the family's inc/streaming/erase symmetry with PSI/LM/PCA).  The
+# persisted snapshot is operators/lexstats.lang_token_counts' exact
+# integer (lang, tok, f) table; counts merge by associative sum, so
+# merge ≡ one-shot and erase ≡ built-without bit-identically, and
+# every entry is a COUNT — the LM-grade ingested-contract check.
+
+
+def snapshot_lex_counts(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (lang, tok, f) token-count table, or
+    None pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "counts"))
+
+
+def _merged_lex_counts(hist: DataFrame | None,
+                       delta: DataFrame) -> DataFrame:
+    if hist is None:
+        return delta
+    return (hist.unionByName(delta)
+            .groupBy("lang", "tok")
+            .agg(F.sum("f").cast("long").alias("f")))
+
+
+def lex_counts_sink(snapshot_root: str) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the lexical monitor: each micro-batch of
+    DOCUMENTS folds its (lang, tok, f) counts into the versioned
+    snapshot under the exactly-once pointer protocol;
+    ``lexstats.zipf_slope_from_counts`` serves the Zipf report from
+    any version.  Per batch only the batch is tokenized — the at-rest
+    state contributes one vocabulary-sized merge, never a corpus
+    re-scan (the psi_counts_sink shape)."""
+    from logsqlite_spark.operators.lexstats import lang_token_counts
+
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        merged = _merged_lex_counts(
+            snapshot_lex_counts(spark, snapshot_root),
+            lang_token_counts(batch_df))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "counts"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def erase_from_lex_snapshot(spark, snapshot_root: str,
+                            docs: DataFrame) -> dict:
+    """Retract previously-ingested documents from the lexical state.
+    Every snapshot entry is a count, so the ingested contract is fully
+    checkable: any (lang, tok) cell a retraction would drive negative
+    proves the docs were not (all) ingested, and the erase refuses
+    with the snapshot unchanged — stage → validate → rename, so a
+    rejected retraction leaves no orphan version dir."""
+    from logsqlite_spark.operators.lexstats import lang_token_counts
+
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("erase_from_lex_snapshot: no snapshot at "
+                         f"{snapshot_root}")
+    hist = snapshot_lex_counts(spark, snapshot_root)
+    delta = lang_token_counts(docs).select(
+        "lang", "tok", (-F.col("f")).alias("f"))
+    merged = _merged_lex_counts(hist, delta).filter(F.col("f") != 0)
+    new_ver = ver + 1
+    root = _local_root(snapshot_root)
+    staging = os.path.join(root, ".erase_stage")
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(staging, "counts"))
+    neg = spark.read.parquet(os.path.join(staging, "counts")) \
+        .filter(F.col("f") < 0).count()
+    if neg:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            "erase_from_lex_snapshot: retraction would drive "
+            f"{neg} token counts negative — the supplied docs were "
+            "not part of the ingested corpus; snapshot unchanged")
+    vdir = os.path.join(root, f"v{new_ver:08d}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.replace(staging, vdir)
+    _write_pointer(snapshot_root, new_ver, batch_id)
+    _gc_versions(snapshot_root, new_ver)
+    return {"erased": True, "version": new_ver}
+
+
+def start_streaming_lex_counts(stream: DataFrame, snapshot_root: str,
+                               checkpoint_dir: str):
+    """Wire the lexical sink into a document stream: each
+    micro-batch's token counts merge into the snapshot under the
+    exactly-once pointer protocol; ``lexstats.zipf_slope_from_counts``
+    serves the live Zipf report from any version."""
+    return (
+        stream.writeStream
+        .foreachBatch(lex_counts_sink(snapshot_root))
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )

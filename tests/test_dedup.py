@@ -610,6 +610,77 @@ def test_cc_incremental_equals_full_on_minhash_pairs(spark):
     assert got == want and len(want) > 0
 
 
+def test_cc_merge_delta_bucketed_equals_plain(spark, tmp_path):
+    """The bucketed at-rest components layout is a pure storage
+    optimization: cc_merge_delta over it yields the same (mapping,
+    new_rows) as over the plain table, and the incremental update
+    still equals the full recompute."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        connected_components,
+        connected_components_incremental,
+        minhash_band_pairs,
+        minhash_band_pairs_incremental,
+        minhash_bands,
+        read_components_bucketed,
+        write_components_bucketed,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    hist_docs = docs.filter(F.col("doc_id") % 4 != 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    new_pairs = minhash_band_pairs_incremental(
+        batch, minhash_bands(hist_docs))
+    plain = connected_components(minhash_band_pairs(hist_docs))
+    path = str(tmp_path / "comp")
+    write_components_bucketed(plain, path)
+    bucketed = read_components_bucketed(spark, path)
+    assert "bkt" in bucketed.columns
+
+    got = sorted(map(tuple, connected_components_incremental(
+        new_pairs, bucketed).collect()))
+    want = sorted(map(tuple,
+                      connected_components(minhash_band_pairs(docs))
+                      .collect()))
+    assert got == want and len(want) > 0
+
+
+def test_cc_merge_delta_driver_side_equals_distributed(spark):
+    """The control-plane fast path (collected label graph + exact
+    union-find) returns the same (mapping, new_rows) as the
+    distributed min-label loop, and its outputs are local relations
+    (no parquet scan, no iterative jobs)."""
+    import logsqlite_spark.operators.dedup as _dd
+    from logsqlite_spark.operators.dedup import (
+        cc_merge_delta,
+        connected_components,
+    )
+    from logsqlite_spark.plans import explain_str
+
+    old_pairs = spark.createDataFrame(
+        [(1, 2), (5, 6), (8, 9), (30, 31)], "a_id long, b_id long")
+    hist = connected_components(old_pairs).localCheckpoint(eager=True)
+    new_pairs = spark.createDataFrame(
+        [(2, 10), (5, 10), (20, 21), (9, 30)], "a_id long, b_id long")
+
+    m_fast, nr_fast = cc_merge_delta(new_pairs, hist)
+    assert "LocalTableScan" in explain_str(m_fast) \
+        or "ExistingRDD" in explain_str(m_fast)
+    orig = _dd.CC_EDGE_COLLECT_CAP
+    _dd.CC_EDGE_COLLECT_CAP = 0
+    try:
+        m_slow, nr_slow = cc_merge_delta(new_pairs, hist)
+        got_m = sorted(map(tuple, m_slow.collect()))
+        got_nr = sorted(map(tuple, nr_slow.collect()))
+    finally:
+        _dd.CC_EDGE_COLLECT_CAP = orig
+    assert sorted(map(tuple, m_fast.collect())) == got_m
+    assert sorted(map(tuple, nr_fast.collect())) == got_nr
+    assert len(got_m) > 0 and len(got_nr) > 0
+
+
 def test_cc_incremental_empty_batch_is_identity(spark):
     from logsqlite_spark.operators.dedup import (
         connected_components,

@@ -311,3 +311,94 @@ def test_erase_from_psi_snapshot_bit_identical_and_refuses(spark, tmp_path):
         erase_from_psi_snapshot(spark, root, bogus)
     after = sorted(map(tuple, snapshot_psi_counts(spark, root).collect()))
     assert after == before
+
+    # ADVICE r10: a rejected retraction must leave NO orphan version
+    # dir (or staging residue) — only the pointer's version exists
+    import os
+
+    from logsqlite_spark.streaming.partials import read_pointer
+    ver, _ = read_pointer(root)
+    on_disk = {n for n in os.listdir(root)
+               if n.startswith("v") and n[1:].isdigit()}
+    assert on_disk <= {f"v{v:08d}" for v in range(1, ver + 1)}
+    assert f"v{ver + 1:08d}" not in on_disk
+    assert ".erase_stage" not in os.listdir(root)
+
+
+_LEX_SCHEMA = "doc_id long, text string, lang string"
+
+
+def _lex_docs(spark, rows):
+    return spark.createDataFrame(rows, _LEX_SCHEMA)
+
+
+def test_lex_counts_sink_exact_merge_and_replay(spark, tmp_path):
+    """Two micro-batches through the lexical sink: the snapshot serves
+    a Zipf report bit-identical to one-shot token_zipf_slope over the
+    union; a replayed batch id is a no-op."""
+    from logsqlite_spark.operators.lexstats import (
+        token_zipf_slope,
+        zipf_slope_from_counts,
+    )
+    from logsqlite_spark.streaming.partials import (
+        lex_counts_sink,
+        snapshot_lex_counts,
+    )
+
+    root = str(tmp_path / "lex")
+    sink = lex_counts_sink(root)
+    r1 = [(0, "the quick brown fox the fox", "en"),
+          (1, "le renard brun le le", "fr")]
+    r2 = [(2, "the lazy dog the dog and the fox", "en"),
+          (3, "quick quick brown", "en")]
+    sink(_lex_docs(spark, r1), 0)
+    sink(_lex_docs(spark, r2), 1)
+    sink(_lex_docs(spark, r1), 0)  # crash replay: must not double-count
+
+    got = sorted(map(tuple, zipf_slope_from_counts(
+        snapshot_lex_counts(spark, root)).collect()))
+    want = sorted(map(tuple, token_zipf_slope(
+        _lex_docs(spark, r1 + r2)).collect()))
+    assert got == want and len(want) == 2
+
+
+def test_erase_from_lex_snapshot_bit_identical_and_refuses(spark, tmp_path):
+    """Erasing batch 1 leaves the snapshot equal to built-without;
+    retracting never-ingested docs refuses, leaves the pointer on the
+    pre-erase version, and leaves no orphan version dir."""
+    import os
+
+    import pytest as _pytest
+
+    from logsqlite_spark.operators.lexstats import lang_token_counts
+    from logsqlite_spark.streaming.partials import (
+        erase_from_lex_snapshot,
+        lex_counts_sink,
+        read_pointer,
+        snapshot_lex_counts,
+    )
+
+    root = str(tmp_path / "lex")
+    sink = lex_counts_sink(root)
+    r1 = [(0, "alpha beta alpha", "en")]
+    r2 = [(1, "beta gamma", "en"), (2, "delta delta", "de")]
+    sink(_lex_docs(spark, r1), 0)
+    sink(_lex_docs(spark, r2), 1)
+
+    erase_from_lex_snapshot(spark, root, _lex_docs(spark, r1))
+    got = sorted(map(tuple, snapshot_lex_counts(spark, root).collect()))
+    want = sorted(map(tuple, lang_token_counts(
+        _lex_docs(spark, r2)).collect()))
+    assert got == want
+
+    bogus = _lex_docs(spark, [(9, "alpha alpha alpha alpha", "en")])
+    before = sorted(map(tuple, snapshot_lex_counts(spark, root).collect()))
+    with _pytest.raises(ValueError, match="negative"):
+        erase_from_lex_snapshot(spark, root, bogus)
+    after = sorted(map(tuple, snapshot_lex_counts(spark, root).collect()))
+    assert after == before
+    ver, _ = read_pointer(root)
+    on_disk = {n for n in os.listdir(root)
+               if n.startswith("v") and n[1:].isdigit()}
+    assert f"v{ver + 1:08d}" not in on_disk
+    assert ".erase_stage" not in os.listdir(root)

@@ -587,6 +587,57 @@ def test_indexed_incremental_serving_never_scans_history_text(spark):
     assert not doc_scans, plan
 
 
+def test_cc_bucketed_lookup_reads_only_touched_bucket_files(spark,
+                                                            tmp_path):
+    """cc_merge_delta's 100 TB contract (round 11; closes the 0.382
+    exponent): with the components table in the bucketed layout, the
+    batch-endpoint label lookup reads files ONLY from the endpoints'
+    ``bkt=`` partitions — untouched buckets' files never open.
+    Reader-level gate via input_file_name over the pruned frame, plus
+    the PartitionFilters plan pin on the delta's own output."""
+    import os
+
+    from logsqlite_spark.operators.dedup import (
+        CC_N_BUCKETS, _endpoint_pruned_history, cc_merge_delta,
+        connected_components, read_components_bucketed,
+        write_components_bucketed)
+
+    comp = connected_components(spark.createDataFrame(
+        [(i, i + 100_000) for i in range(0, 3000, 3)],
+        "a_id long, b_id long"))
+    path = str(tmp_path / "comp")
+    write_components_bucketed(comp, path)
+    bucketed = read_components_bucketed(spark, path)
+    total_files = {f for f in bucketed.inputFiles()}
+    assert len(total_files) >= CC_N_BUCKETS // 2  # layout is multi-file
+
+    endpoints = [0, 3, 64, 67]  # touches buckets {0, 3}
+    pruned = _endpoint_pruned_history(bucketed, endpoints)
+    read = {r[0] for r in
+            pruned.select(F.input_file_name()).distinct().collect()}
+    touched = {f"bkt={e % CC_N_BUCKETS}" for e in endpoints}
+    assert read, "pruned lookup read nothing"
+    assert len(read) < len(total_files)
+    for f in read:
+        part = os.path.basename(os.path.dirname(f))
+        assert part in touched, (part, touched)
+
+    # the distributed fallback (big batches) must carry the partition
+    # filter end-to-end: force it by zeroing the driver-side edge cap
+    import logsqlite_spark.operators.dedup as _dd
+
+    pairs = spark.createDataFrame([(0, 3), (64, 67)],
+                                  "a_id long, b_id long")
+    orig_cap = _dd.CC_EDGE_COLLECT_CAP
+    _dd.CC_EDGE_COLLECT_CAP = 0
+    try:
+        _, new_rows = cc_merge_delta(pairs, bucketed)
+        plan = explain_str(new_rows)
+    finally:
+        _dd.CC_EDGE_COLLECT_CAP = orig_cap
+    assert "PartitionFilters" in plan and "bkt" in plan
+
+
 def test_psi_reads_events_once(spark):
     """events_value_psi's bin-count table feeds four consumers; the
     checkpoint must keep the corpus scan at ONE (the first cut read

@@ -145,3 +145,43 @@ def test_streaming_psi_end_to_end(spark, tmp_path):
     want = sorted(map(tuple, value_psi(
         spark.createDataFrame(r1 + r2, EV)).collect()))
     assert got == want and len(want) == 2
+
+
+def test_streaming_lex_end_to_end(spark, tmp_path):
+    """Real readStream → lexical sink: files arrive one per trigger,
+    the served Zipf report equals one-shot token_zipf_slope over the
+    union."""
+    from logsqlite_spark.operators.lexstats import (
+        token_zipf_slope,
+        zipf_slope_from_counts,
+    )
+    from logsqlite_spark.streaming.partials import (
+        snapshot_lex_counts,
+        start_streaming_lex_counts,
+    )
+
+    DOC = "doc_id long, text string, lang string"
+    r1 = [(0, "the quick brown fox the fox", "en"),
+          (1, "le renard brun le le", "fr")]
+    r2 = [(2, "the lazy dog the dog and the fox", "en")]
+    src = str(tmp_path / "in")
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck")
+    spark.createDataFrame(r1, DOC).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(r2, DOC).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(DOC)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_streaming_lex_counts(stream, snap, ck)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = sorted(map(tuple, zipf_slope_from_counts(
+        snapshot_lex_counts(spark, snap)).collect()))
+    want = sorted(map(tuple, token_zipf_slope(
+        spark.createDataFrame(r1 + r2, DOC)).collect()))
+    assert got == want and len(want) == 2

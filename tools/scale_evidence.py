@@ -237,7 +237,8 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
         cc_merge_delta, connected_components, dedup_index_artifact,
         incremental_dedup_indexed, minhash_band_pairs,
         minhash_band_pairs_incremental, minhash_bands,
-        simhash_dedup, simhash_groups_incremental)
+        read_components_bucketed, simhash_dedup,
+        simhash_groups_incremental, write_components_bucketed)
 
     d = root / "inc"
     d.mkdir()
@@ -259,6 +260,17 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
         return round(best, 3), out
 
     out: dict = {"batch_docs": batch.count()}
+    # cc's edge input is FIXED across the decade (round 11): the
+    # generated corpus yields 0 batch pairs at lo and 2 at hi, so the
+    # real-pairs leg compared an empty CC against a non-empty one and
+    # measured the loop's fixed overhead as a bogus history exponent.
+    # Synthetic edges referencing only ids < lo exist in BOTH
+    # histories: 250 batch->history merges + 100 never-seen pairs —
+    # per-batch cost vs history size at constant batch work.
+    cc_edges = spark.createDataFrame(
+        [(hi + i, (i * 7) % lo) for i in range(250)]
+        + [(hi + 250 + i, hi + 300 + i) for i in range(100)],
+        "a_id long, b_id long").localCheckpoint(eager=True)
     for tag, n in (("lo", lo), ("hi", hi)):
         hd = d / f"hist_{tag}"
         full.filter(F.col("doc_id") < n).write.parquet(str(hd))
@@ -271,10 +283,14 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
         fps = spark.read.parquet(str(d / f"fps_{tag}"))
         index = dedup_index_artifact(hist)
         index.inverted.count()  # force build outside the timed reps
-        connected_components(
-            minhash_band_pairs(hist, band_size=8)
-        ).write.parquet(str(d / f"comp_{tag}"))
-        comp = spark.read.parquet(str(d / f"comp_{tag}"))
+        # deployment layout: bucketed on doc_id so the batch-endpoint
+        # label lookup prunes files (the unbucketed table measured a
+        # 0.382 per-batch time exponent — a full 2-column history
+        # scan per batch)
+        write_components_bucketed(
+            connected_components(minhash_band_pairs(hist, band_size=8)),
+            str(d / f"comp_{tag}"))
+        comp = read_components_bucketed(spark, str(d / f"comp_{tag}"))
         # the cc delta's input edges: the batch's inc pairs,
         # materialized untimed so cc timing isn't pair generation
         inc_pairs = minhash_band_pairs_incremental(
@@ -295,7 +311,7 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
                 batch, index, max_df=64).count())
 
         def cc_once():
-            m, new_rows = cc_merge_delta(inc_pairs, comp)
+            m, new_rows = cc_merge_delta(cc_edges, comp)
             return m.count() + new_rows.count()
 
         r["cc_inc_s"], r["cc_inc_rows"] = timed(cc_once)
