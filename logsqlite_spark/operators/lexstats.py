@@ -207,11 +207,31 @@ def _q_zipf_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope_from_counts(merged)
 
 
+def _q_zipf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin under the driver's oracle: two doc_id-split
+    micro-batches fold through ``lex_counts_sink``'s exactly-once
+    pointer protocol into a fresh snapshot, and the Zipf report is
+    served FROM the snapshot — bit-identical to one-shot (counts
+    merge by exact integer sum), oracle shared verbatim."""
+    import tempfile
+
+    from logsqlite_spark.streaming.partials import (
+        lex_counts_sink, snapshot_lex_counts)
+
+    docs = table(spark, sf_dir, "documents")
+    root = tempfile.mkdtemp(prefix="lex-stream-q-")
+    sink = lex_counts_sink(root)
+    sink(docs.filter(F.col("doc_id") % 2 == 0), 0)
+    sink(docs.filter(F.col("doc_id") % 2 == 1), 1)
+    return zipf_slope_from_counts(snapshot_lex_counts(spark, root))
+
+
 QUERIES = {
     "token_zipf_slope": _q_zipf,
     "token_pmi_pairs": _q_pmi,
     "doc_ngram_novelty": _q_novelty,
     "token_zipf_slope_inc": _q_zipf_inc,
+    "token_zipf_slope_stream": _q_zipf_stream,
 }
 
 ORACLES = {
@@ -268,6 +288,7 @@ ORACLES = {
     ),
 }
 
-# the inc twin's counts merge by exact integer sum: report is
+# the inc/stream twins' counts merge by exact integer sum: report is
 # bit-identical, oracle shared verbatim
 ORACLES["token_zipf_slope_inc"] = ORACLES["token_zipf_slope"]
+ORACLES["token_zipf_slope_stream"] = ORACLES["token_zipf_slope"]
