@@ -22,8 +22,10 @@ functions over ``mapInPandas``. Three tiers, by codec dependency:
    encode->decode loop under the DRIVER's oracle gate: its output
    scalars are pure integer functions of doc_id that DuckDB predicts
    without decoding.
-3. Formats that genuinely need an external codec: WEBP (VP8),
-   progressive/12-bit JPEG, 16-bit/Adam7 PNG, MP4/MP3. Payloads are
+3. Formats that genuinely need an external codec: LOSSY WEBP (VP8 —
+   lossless VP8L decodes natively via operators/webp.py since round
+   11), progressive/12-bit JPEG, 16-bit/Adam7 PNG, MP4/MP3.
+   Payloads are
    dispatched on magic bytes; when Pillow is importable the image
    formats decode/resize through it, otherwise they raise
    ``NotImplementedError`` at that clearly-marked integration point
@@ -142,9 +144,10 @@ def _bytestat_features(payload: bytes) -> list[float]:
 # ---------------------------------------------------------------------------
 # Real stdlib/numpy codecs. BMP and PCM WAV are header + raster/sample
 # math; PNG is zlib inflate + unfilter; GIF is LZW (below); baseline
-# JPEG lives in operators/jpeg.py. Only WEBP/MP4/MP3 and the exotic
-# PNG/JPEG variants stay behind the NotImplementedError integration
-# point.
+# JPEG lives in operators/jpeg.py; VP8L (lossless WEBP) in
+# operators/webp.py. Only lossy WEBP (VP8), MP4 pixels, MP3, and the
+# exotic PNG/JPEG variants stay behind the NotImplementedError
+# integration point.
 
 
 def _decode_bmp(payload: bytes):
@@ -602,6 +605,14 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
         except NotImplementedError:  # progressive/12-bit → Pillow
             f = _image_stats(np.asarray(_pil_image(payload, kind),
                                         dtype=np.uint8))
+    elif kind == "webp":
+        from logsqlite_spark.operators.webp import decode_webp
+
+        try:
+            f = _image_stats(decode_webp(payload))
+        except NotImplementedError:  # VP8 lossy → Pillow point
+            f = _image_stats(np.asarray(_pil_image(payload, kind),
+                                        dtype=np.uint8))
     elif kind in _COMPRESSED_IMAGE_KINDS:
         f = _image_stats(np.asarray(_pil_image(payload, kind),
                                     dtype=np.uint8))
@@ -711,6 +722,17 @@ def resize_images(media: DataFrame, width: int, height: int,
                 ys = (np.arange(height) * img.shape[0]) // height
                 xs = (np.arange(width) * img.shape[1]) // width
                 return encode_jpeg(img[ys][:, xs])
+            if kind == "webp":
+                from logsqlite_spark.operators.webp import (
+                    decode_webp, encode_webp_lossless)
+
+                try:
+                    img = decode_webp(raw)
+                except NotImplementedError:  # VP8 lossy → Pillow
+                    img = np.asarray(_pil_image(raw, kind), np.uint8)
+                ys = (np.arange(height) * img.shape[0]) // height
+                xs = (np.arange(width) * img.shape[1]) // width
+                return encode_webp_lossless(img[ys][:, xs])
             if kind in _COMPRESSED_IMAGE_KINDS:
                 import io
 
@@ -994,10 +1016,11 @@ def _q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def media_native_roundtrip(docs: DataFrame) -> DataFrame:
     """Encode→decode round-trip through the REAL native codecs, as a
     driver-checkable query: per document, a payload is built
-    executor-side in the format ``doc_id % 4`` selects (solid-color
-    BMP / PNG / palette GIF / constant-amplitude PCM16 WAV) with
-    dimensions, color, and amplitude that are pure integer functions
-    of ``doc_id`` — then decoded back via :func:`_native_features`.
+    executor-side in the format ``doc_id % 5`` selects (solid-color
+    BMP / PNG / palette GIF / constant-amplitude PCM16 WAV / VP8L
+    lossless WEBP — the round-11 addition) with dimensions, color,
+    and amplitude that are pure integer functions of ``doc_id`` —
+    then decoded back via :func:`_native_features`.
     The emitted scalars (kind tag, dims/rate, channel means/RMS) are
     predictable in ANSI SQL WITHOUT decoding, so the DuckDB oracle
     hash-match proves the full codec loop is bit-exact for every
@@ -1013,7 +1036,7 @@ def media_native_roundtrip(docs: DataFrame) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                fmt = ("bmp", "png", "gif", "wav")[did % 4]
+                fmt = ("bmp", "png", "gif", "wav", "webp")[did % 5]
                 if fmt == "wav":
                     rate = 16000
                     n = 16 + did % 16
@@ -1029,6 +1052,11 @@ def media_native_roundtrip(docs: DataFrame) -> DataFrame:
                         payload = _encode_bmp(img)
                     elif fmt == "png":
                         payload = _encode_png(img)
+                    elif fmt == "webp":
+                        from logsqlite_spark.operators.webp import (
+                            encode_webp_lossless)
+
+                        payload = encode_webp_lossless(img)
                     else:
                         pal = np.array([color], np.uint8)
                         payload = _encode_gif(
@@ -1119,18 +1147,19 @@ ORACLES = {
 # a hash-match certifies the encode->decode loop end to end
 ORACLES["media_native_roundtrip"] = (
     "SELECT doc_id AS media_id, "
-    "['bmp', 'png', 'gif', 'wav'][CAST(doc_id % 4 AS INT) + 1] AS fmt, "
-    "CASE WHEN doc_id % 4 = 3 THEN 'audio' ELSE 'image' END AS kind, "
-    "CASE WHEN doc_id % 4 = 3 THEN 16000.0 "
+    "['bmp', 'png', 'gif', 'wav', 'webp']"
+    "[CAST(doc_id % 5 AS INT) + 1] AS fmt, "
+    "CASE WHEN doc_id % 5 = 3 THEN 'audio' ELSE 'image' END AS kind, "
+    "CASE WHEN doc_id % 5 = 3 THEN 16000.0 "
     "  ELSE CAST(4 + doc_id % 5 AS DOUBLE) END AS d1, "
-    "CASE WHEN doc_id % 4 = 3 THEN CAST(16 + doc_id % 16 AS DOUBLE) "
+    "CASE WHEN doc_id % 5 = 3 THEN CAST(16 + doc_id % 16 AS DOUBLE) "
     "  ELSE CAST(4 + doc_id % 7 AS DOUBLE) END AS d2, "
-    "CASE WHEN doc_id % 4 = 3 THEN 1.0 "
+    "CASE WHEN doc_id % 5 = 3 THEN 1.0 "
     "  ELSE CAST(doc_id % 256 AS DOUBLE) END AS f3, "
-    "round(CASE WHEN doc_id % 4 = 3 "
+    "round(CASE WHEN doc_id % 5 = 3 "
     "  THEN CAST(abs(doc_id % 1000 - 500) AS DOUBLE) "
     "  ELSE CAST((doc_id * 7) % 256 AS DOUBLE) END, 6) AS f4, "
-    "CASE WHEN doc_id % 4 = 3 THEN 0.0 "
+    "CASE WHEN doc_id % 5 = 3 THEN 0.0 "
     "  ELSE CAST((doc_id * 13) % 256 AS DOUBLE) END AS f5 "
     "FROM documents"
 )

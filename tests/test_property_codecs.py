@@ -109,3 +109,32 @@ def test_wav_roundtrip_any_signal(seed, n, ch):
     s = rng.integers(-32768, 32767, (n, ch)).astype(np.int16)
     got, rate = _decode_wav(_encode_wav(s, 8000))
     assert rate == 8000 and (got == s).all()
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(0, 2**31), _dims, st.booleans())
+def test_webp_vp8l_roundtrip_any_raster(seed, dims, lz77):
+    from logsqlite_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    img = _raster(seed, *dims)
+    got = decode_webp(encode_webp_lossless(img, use_lz77=lz77))
+    assert (got == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(0, 2**31), st.integers(1, 16), st.integers(2, 20))
+def test_webp_vp8l_lz77_on_tiled_rasters(seed, w, reps):
+    """Vertical tilings exercise the backward-reference emitter; the
+    decode must be identical whichever path encoded each pixel."""
+    from logsqlite_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    row = np.random.default_rng(seed).integers(
+        0, 256, (1, w, 3), dtype=np.uint8)
+    img = np.tile(row, (reps, 1, 1))
+    assert (decode_webp(encode_webp_lossless(img)) == img).all()
