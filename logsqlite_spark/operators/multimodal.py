@@ -886,17 +886,104 @@ def parse_mp4_meta(payload: bytes) -> dict:
     return out
 
 
+def parse_mp4_sample_table(payload: bytes) -> dict | None:
+    """The first track's sample table from the stbl boxes (ISO
+    14496-12 §8.6/§8.7): per-sample decode timestamps in ms (stts
+    run-length deltas against the mdhd timescale), per-sample sizes
+    (stsz), and chunk offsets (stco/co64).  Returns None when the
+    container carries no stts (then only mvhd duration is known and
+    frame sampling falls back to duration-derived spacing).  Still
+    container-only byte math — sample PIXELS remain at the ffmpeg
+    integration point."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an MP4 payload")
+
+    def walk(data: bytes, start: int, end: int):
+        pos = start
+        while pos + 8 <= end:
+            size = int.from_bytes(data[pos:pos + 4], "big")
+            typ = data[pos + 4:pos + 8]
+            body_off = pos + 8
+            if size == 1:
+                size = int.from_bytes(data[pos + 8:pos + 16], "big")
+                body_off = pos + 16
+            if size == 0:
+                size = end - pos
+            yield typ, body_off, pos + size
+            pos += size
+
+    def find(start: int, end: int, *path: bytes):
+        if not path:
+            yield start, end
+            return
+        for typ, off, box_end in walk(payload, start, end):
+            if typ == path[0]:
+                yield from find(off, box_end, *path[1:])
+
+    for moov_o, moov_e in find(0, len(payload), b"moov"):
+        for trak_o, trak_e in find(moov_o, moov_e, b"trak"):
+            mdhd_scale = None
+            for o, _e in find(trak_o, trak_e, b"mdia", b"mdhd"):
+                ver = payload[o]
+                mdhd_scale = int.from_bytes(
+                    payload[o + (20 if ver == 1 else 12):
+                            o + (24 if ver == 1 else 16)], "big")
+            stbl = list(find(trak_o, trak_e, b"mdia", b"minf", b"stbl"))
+            if not stbl or not mdhd_scale:
+                continue
+            so, se = stbl[0]
+            times_ms: list[int] | None = None
+            sizes: list[int] = []
+            offsets: list[int] = []
+            for typ, o, _e in walk(payload, so, se):
+                if typ == b"stts":
+                    n = int.from_bytes(payload[o + 4:o + 8], "big")
+                    t, times_ms = 0, []
+                    for i in range(n):
+                        cnt = int.from_bytes(
+                            payload[o + 8 + 8 * i:o + 12 + 8 * i], "big")
+                        delta = int.from_bytes(
+                            payload[o + 12 + 8 * i:o + 16 + 8 * i], "big")
+                        for _ in range(cnt):
+                            times_ms.append(t * 1000 // mdhd_scale)
+                            t += delta
+                elif typ == b"stsz":
+                    uniform = int.from_bytes(payload[o + 4:o + 8], "big")
+                    cnt = int.from_bytes(payload[o + 8:o + 12], "big")
+                    sizes = ([uniform] * cnt if uniform else
+                             [int.from_bytes(
+                                 payload[o + 12 + 4 * i:o + 16 + 4 * i],
+                                 "big") for i in range(cnt)])
+                elif typ in (b"stco", b"co64"):
+                    w = 4 if typ == b"stco" else 8
+                    cnt = int.from_bytes(payload[o + 4:o + 8], "big")
+                    offsets = [int.from_bytes(
+                        payload[o + 8 + w * i:o + 8 + w * (i + 1)],
+                        "big") for i in range(cnt)]
+            if times_ms is not None:
+                return {"timescale": mdhd_scale,
+                        "sample_times_ms": times_ms,
+                        "sample_sizes": sizes,
+                        "chunk_offsets": offsets}
+    return None
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000,
                   fake: bool = True) -> DataFrame:
     """Video -> frame rows (1:N explode) at the requested cadence.
 
     ``fake=True`` (legacy default) trusts ``meta.duration_ms``.
-    ``fake=False`` PARSES the payload's MP4 container for the real
-    mvhd duration (pure box walk, no codec) and samples from that —
-    pixel decode of the sampled frames is the part that still needs
-    ffmpeg/pyav."""
+    ``fake=False`` PARSES the payload's MP4 container: when the moov
+    carries a sample table (stts), each cadence tick emits the TRUE
+    decode timestamp of the latest sample at-or-before it (round 11 —
+    irregular sample durations land on real frame times, not
+    invented ones); containers without an stts fall back to
+    mvhd-duration-derived spacing.  Pixel decode of the sampled
+    frames is the part that still needs ffmpeg/pyav."""
 
     def sample_batches(batches: Iterator) -> Iterator:
+        import bisect
+
         import pandas as pd
 
         for pdf in batches:
@@ -912,6 +999,17 @@ def sample_frames(media: DataFrame, every_ms: int = 1000,
                     if _magic_kind(raw) != "mp4":
                         continue
                     duration = parse_mp4_meta(raw)["duration_ms"]
+                    st = parse_mp4_sample_table(raw)
+                    if st and st["sample_times_ms"]:
+                        times = st["sample_times_ms"]
+                        picked = set()
+                        for t in range(0, int(duration), every_ms):
+                            i = bisect.bisect_right(times, t) - 1
+                            if i >= 0:
+                                picked.add(times[i])
+                        rows.extend((mid, doc, ts)
+                                    for ts in sorted(picked))
+                        continue
                 for t in range(0, int(duration), every_ms):
                     rows.append((mid, doc, t))
             yield pd.DataFrame(rows, columns=["media_id", "doc_id", "frame_ts_ms"])

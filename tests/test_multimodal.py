@@ -743,3 +743,98 @@ def test_mp4_container_parse_and_real_frame_sampling(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="mvhd"):
         parse_mp4_meta(b"\x00\x00\x00\x10ftypisom\x00\x00\x02\x00")
+
+
+def _make_mp4_with_samples(deltas, timescale=1000, sizes=None,
+                           offsets=None, mvhd_duration_ms=None):
+    """ISO BMFF with a full sample table: ftyp + moov(mvhd +
+    trak(mdia(mdhd + minf(stbl(stts + stsz + stco))))).  ``deltas``
+    are per-sample durations in mdhd timescale units (run-length
+    collapsed into stts entries)."""
+    def box(typ, body):
+        return (len(body) + 8).to_bytes(4, "big") + typ + body
+
+    total = sum(deltas)
+    dur_ms = mvhd_duration_ms if mvhd_duration_ms is not None \
+        else total * 1000 // timescale
+    mvhd_dur = dur_ms * timescale // 1000
+    mvhd = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + mvhd_dur.to_bytes(4, "big")
+            + b"\x00" * 80)
+    mdhd = (bytes([0, 0, 0, 0]) + b"\x00" * 8
+            + timescale.to_bytes(4, "big") + total.to_bytes(4, "big")
+            + b"\x00" * 4)
+    # run-length collapse the deltas into stts (count, delta) entries
+    entries = []
+    for d in deltas:
+        if entries and entries[-1][1] == d:
+            entries[-1][0] += 1
+        else:
+            entries.append([1, d])
+    stts = (b"\x00" * 4 + len(entries).to_bytes(4, "big")
+            + b"".join(c.to_bytes(4, "big") + d.to_bytes(4, "big")
+                       for c, d in entries))
+    sizes = sizes or [100] * len(deltas)
+    stsz = (b"\x00" * 4 + (0).to_bytes(4, "big")
+            + len(sizes).to_bytes(4, "big")
+            + b"".join(s.to_bytes(4, "big") for s in sizes))
+    offsets = offsets or [4096]
+    stco = (b"\x00" * 4 + len(offsets).to_bytes(4, "big")
+            + b"".join(o.to_bytes(4, "big") for o in offsets))
+    stbl = box(b"stbl", box(b"stts", stts) + box(b"stsz", stsz)
+               + box(b"stco", stco))
+    mdia = box(b"mdia", box(b"mdhd", mdhd) + box(b"minf", stbl))
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", mdia))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+
+
+def test_mp4_sample_table_parse():
+    """stts run-length deltas cumulate to per-sample ms timestamps
+    against the mdhd timescale; stsz and stco come along."""
+    from logsqlite_spark.operators.multimodal import (
+        parse_mp4_sample_table)
+
+    # irregular durations: 0.3s, 0.3s, 1.1s, 0.25s @ timescale 600
+    p = _make_mp4_with_samples([180, 180, 660, 150], timescale=600,
+                               sizes=[11, 22, 33, 44],
+                               offsets=[64, 2048])
+    st = parse_mp4_sample_table(p)
+    assert st is not None
+    assert st["timescale"] == 600
+    assert st["sample_times_ms"] == [0, 300, 600, 1700]
+    assert st["sample_sizes"] == [11, 22, 33, 44]
+    assert st["chunk_offsets"] == [64, 2048]
+
+    # a container with no stbl parses as None (fallback contract)
+    assert parse_mp4_sample_table(_make_mp4(2000)) is None
+
+
+def test_mp4_frame_sampling_uses_true_sample_times(spark):
+    """With an stts present, fake=False emits the TRUE decode
+    timestamp of the latest sample at-or-before each cadence tick —
+    irregular durations land on real frame times (deduped), never
+    invented round numbers."""
+    from logsqlite_spark.operators.multimodal import sample_frames
+
+    # samples at 0, 300, 600, 1700 ms; duration 1950 ms
+    p = _make_mp4_with_samples([180, 180, 660, 150], timescale=600)
+    media = spark.createDataFrame(
+        [(1, 10, p, {"media_type": "video", "duration_ms": "9999"})],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = sample_frames(media, every_ms=500, fake=False).collect()
+    # ticks 0, 500, 1000, 1500 -> samples 0, 300, 600, 600 (dedup)
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 300, 600]
+
+    # tighter cadence reaches the late sample too
+    out = sample_frames(media, every_ms=100, fake=False).collect()
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 300, 600, 1700]
+
+    # no sample table -> duration-derived spacing (old behavior)
+    plain = _make_mp4(1950, timescale=600)
+    media2 = spark.createDataFrame(
+        [(2, 20, plain, {"media_type": "video"})],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = sample_frames(media2, every_ms=500, fake=False).collect()
+    assert sorted(r["frame_ts_ms"] for r in out) == [0, 500, 1000, 1500]
