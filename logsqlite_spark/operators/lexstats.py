@@ -150,6 +150,73 @@ def ngram_novelty(docs: DataFrame, n: int = NOVELTY_N,
                     .alias("novelty")))
 
 
+def ngram_first_seen(docs: DataFrame, n: int = NOVELTY_N,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """The novelty report's sufficient statistic: ``(g, first_doc)``
+    — min(doc_id) per distinct character n-gram.  Mergeable by MIN
+    (associative), so it is the incremental/streaming state for
+    novelty monitoring: vocabulary-sized, never corpus-sized."""
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
+        "i -> substring({c}, i, {n}))".format(c=text_col, m=n - 1, n=n)
+    )).alias("g")
+    return (docs.select(F.col(id_col).alias("doc_id"), sh)
+            .filter(F.col("g") != "").distinct()
+            .groupBy("g").agg(F.min("doc_id").alias("first_doc")))
+
+
+def ngram_novelty_incremental(new_docs: DataFrame,
+                              history_first_seen: DataFrame,
+                              n: int = NOVELTY_N,
+                              text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Per-document novelty for an incoming batch served from the
+    at-rest :func:`ngram_first_seen` state — the 100 TB shape
+    (VERDICT r10 #8: ``doc_ngram_novelty``'s dedicated full-corpus
+    scan was the heaviest linear constant in the r10 tier; a batch's
+    report needs only the batch's postings plus a vocabulary-sized
+    lookup).
+
+    Exact for ANY corpus split: min(doc_id) over the union
+    decomposes as min(history min, batch min) per gram, and an
+    at-rest document's novelty never changes when later documents
+    arrive (first occurrences are stable) — so
+    ``novelty(hist) ∪ inc(batch, first_seen(hist))`` over an id-prefix
+    split reproduces the one-shot report row-identically
+    (pytest-pinned; the registry twin shares the one-shot oracle
+    verbatim).
+
+    Scale: only the batch is tokenized; the history state joins in
+    pruned to the batch's gram set via a broadcast left-semi (the
+    winnow-incremental pattern), so the at-rest side contributes a
+    semi-joined columnar scan, never a shuffle of the vocabulary.
+    """
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
+        "i -> substring({c}, i, {n}))".format(c=text_col, m=n - 1, n=n)
+    )).alias("g")
+    post = (new_docs.select(F.col(id_col).alias("doc_id"), sh)
+            .filter(F.col("g") != "").distinct())
+    bfirst = post.groupBy("g").agg(F.min("doc_id").alias("__bf"))
+    hist = (history_first_seen
+            .select("g", F.col("first_doc").alias("__hf"))
+            .join(F.broadcast(bfirst.select("g")), "g", "leftsemi"))
+    first = (bfirst.join(hist, "g", "left")
+             .select("g", F.least(
+                 F.col("__bf"),
+                 F.coalesce("__hf", F.col("__bf"))).alias("first_doc")))
+    return (post.join(first, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).cast("long").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("novelty")))
+
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -226,12 +293,26 @@ def _q_zipf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zipf_slope_from_counts(snapshot_lex_counts(spark, root))
 
 
+def _q_novelty_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin over an id-prefix split: the at-rest half's
+    one-shot report (unchanged by later arrivals) unioned with the
+    batch half served from the history's (g, first_doc) partials —
+    row-identical to one-shot, oracle shared verbatim."""
+    docs = table(spark, sf_dir, "documents")
+    cutoff = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    hist = docs.filter(F.col("doc_id") <= cutoff)
+    batch = docs.filter(F.col("doc_id") > cutoff)
+    return ngram_novelty(hist).unionByName(
+        ngram_novelty_incremental(batch, ngram_first_seen(hist)))
+
+
 QUERIES = {
     "token_zipf_slope": _q_zipf,
     "token_pmi_pairs": _q_pmi,
     "doc_ngram_novelty": _q_novelty,
     "token_zipf_slope_inc": _q_zipf_inc,
     "token_zipf_slope_stream": _q_zipf_stream,
+    "doc_ngram_novelty_inc": _q_novelty_inc,
 }
 
 ORACLES = {
@@ -292,3 +373,6 @@ ORACLES = {
 # bit-identical, oracle shared verbatim
 ORACLES["token_zipf_slope_inc"] = ORACLES["token_zipf_slope"]
 ORACLES["token_zipf_slope_stream"] = ORACLES["token_zipf_slope"]
+# first occurrences are stable under later arrivals and min() merges
+# exactly, so the inc twin is row-identical: oracle shared verbatim
+ORACLES["doc_ngram_novelty_inc"] = ORACLES["doc_ngram_novelty"]

@@ -91,3 +91,57 @@ def test_ngram_novelty_semantics(spark):
     assert got[2]["n_novel"] == 4 and abs(got[2]["novelty"] - 0.8) < 1e-9
     assert got[3]["novelty"] == 1.0       # n_grams=1: 'zzzz' deduped
     assert got[3]["n_grams"] == 1
+
+
+def test_ngram_novelty_incremental_equals_one_shot(spark):
+    """hist one-shot ∪ inc(batch, first_seen(hist)) reproduces the
+    one-shot union report row-identically for an id-prefix split —
+    and min-merge makes the BATCH rows exact under any split."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.lexstats import (
+        ngram_first_seen,
+        ngram_novelty,
+        ngram_novelty_incremental,
+    )
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    cutoff = docs.agg(F.max("doc_id")).collect()[0][0] // 2
+    hist = docs.filter(F.col("doc_id") <= cutoff)
+    batch = docs.filter(F.col("doc_id") > cutoff)
+    got = sorted(map(tuple, ngram_novelty(hist).unionByName(
+        ngram_novelty_incremental(batch, ngram_first_seen(hist)))
+        .collect()))
+    want = sorted(map(tuple, ngram_novelty(docs).collect()))
+    assert got == want and len(want) > 0
+
+    # batch rows are exact under a NON-prefix split too (min-merge)
+    hist2 = docs.filter(F.col("doc_id") % 3 != 0)
+    batch2 = docs.filter(F.col("doc_id") % 3 == 0)
+    got2 = sorted(map(tuple, ngram_novelty_incremental(
+        batch2, ngram_first_seen(hist2)).collect()))
+    want2 = sorted(map(tuple, ngram_novelty(docs).filter(
+        F.col("doc_id") % 3 == 0).collect()))
+    assert got2 == want2 and len(want2) > 0
+
+
+def test_ngram_novelty_incremental_history_semi_broadcast(spark):
+    """Scale pin: the at-rest first-seen state enters the batch
+    report through a BROADCAST LEFT-SEMI on the batch's gram set —
+    the vocabulary table is pruned, never shuffled in full, and the
+    history text is never re-tokenized."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.lexstats import (
+        ngram_first_seen,
+        ngram_novelty_incremental,
+    )
+    from logsqlite_spark.plans import explain_str
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.filter(F.col("doc_id") % 4 == 0)
+    fs = ngram_first_seen(docs.filter(F.col("doc_id") % 4 != 0))
+    plan = explain_str(ngram_novelty_incremental(batch, fs))
+    assert "BroadcastHashJoin LeftSemi" in plan, plan
