@@ -994,8 +994,12 @@ def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
     hist = history_components.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"))
-    pairs = new_pairs.select(F.col(a_col).cast("long").alias("a"),
-                             F.col(b_col).cast("long").alias("b"))
+    pairs = (new_pairs.select(F.col(a_col).cast("long").alias("a"),
+                              F.col(b_col).cast("long").alias("b"))
+             # null endpoints can't label or assign — the join paths
+             # dropped them implicitly; drop them explicitly so the
+             # driver-side fast path never sees None
+             .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
     ep_rows = (pairs.select(F.col("a").alias("node"))
                .unionByName(pairs.select(F.col("b").alias("node")))
                .distinct().take(CC_ENDPOINT_PRUNE_CAP + 1))

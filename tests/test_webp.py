@@ -295,3 +295,46 @@ def test_meta_prefix_groups():
     got = decode_webp(_riff(bytes(bw.out)))
     assert (got[0, :4] == (0xAA, 0x11, 0x22)).all()
     assert (got[0, 4:] == (0x33, 0x44, 0x55)).all()
+
+
+def test_lz77_linear_distance_beyond_map():
+    """Distance codes above 120 are linear distances (code - 120):
+    hand-craft a copy with distance 130 on a 1x200 image."""
+    from logsqlite_spark.operators.webp import (
+        _prefix_encode_value,
+        _write_flat_code,
+    )
+
+    w, h = 200, 1
+    rng = np.random.default_rng(4)
+    first = rng.integers(0, 256, (130, 3))
+    bw = _BitWriter()
+    _header(bw, w, h)
+    bw.write(0, 1)  # no transforms
+    bw.write(0, 1)  # no cache
+    bw.write(0, 1)  # no meta
+    _write_flat_code(bw, [8 if s < 232 else 9 for s in range(280)],
+                     (8, 9))
+    for _ in range(3):
+        _write_flat_code(bw, [8] * 256, (0, 8))
+    # distance: flat complete 40-symbol code (24@5 bits + 16@6)
+    _write_flat_code(bw, [5 if s < 24 else 6 for s in range(40)],
+                     (5, 6))
+    dist_canon = _canonical({s: (5 if s < 24 else 6)
+                             for s in range(40)})
+    for r, g, b in first:
+        _emit_literal(bw, 255, int(r), int(g), int(b))
+    # copy 70 px from distance 130 (code 250 -> linear 130)
+    lcode, lbits, lextra = _prefix_encode_value(70)
+    gc, gn = _ENC_GREEN[256 + lcode]
+    bw.write_code(gc, gn)
+    if lbits:
+        bw.write(lextra, lbits)
+    dcode, dbits, dextra = _prefix_encode_value(250)
+    c, n = dist_canon[dcode]
+    bw.write_code(c, n)
+    if dbits:
+        bw.write(dextra, dbits)
+    got = decode_webp(_riff(bytes(bw.out)))
+    assert (got[0, :130] == first).all()
+    assert (got[0, 130:] == first[:70]).all()
