@@ -217,6 +217,66 @@ def ngram_novelty_incremental(new_docs: DataFrame,
                     .alias("novelty")))
 
 
+VOCAB_CHECKPOINTS = 10
+
+
+def vocab_growth(docs: DataFrame, k: int = VOCAB_CHECKPOINTS,
+                 text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Heaps-law curve: cumulative distinct vocabulary at ``k``
+    arrival checkpoints (doc_id deciles) plus the fitted growth
+    exponent ``heaps_beta`` (OLS of ln vocab vs ln token mass —
+    natural corpora sit at β ≈ 0.4-0.6; a feed of re-crawled or
+    templated content flattens the curve, synthetic token soup pushes
+    it toward 1).  The X11 corpus-health companion to the Zipf fit.
+
+    Scale shape: ONE corpus scan builds per-doc token counts (for the
+    cumulative doc/mass columns) and ONE vocabulary-sized aggregate
+    over the word first-occurrence index (min(doc_id) per token — the
+    same sufficient statistic family as :func:`ngram_first_seen`);
+    each checkpoint is a conditional sum inside those two aggregates,
+    so the checkpoint count multiplies single-row agg columns, never
+    rows.  Everything after the two aggregations is control-plane
+    (k rows).  Exact integers + one regression, rounded 6.
+    """
+    max_id = int(docs.agg(F.max(F.col(id_col))).collect()[0][0])
+    cps = [(i, max_id * i // k) for i in range(1, k + 1)]
+    tok_arr = F.filter(F.split(F.col(text_col), " "),
+                       lambda x: x != "")
+    per_doc = docs.select(F.col(id_col).alias("doc_id"),
+                          F.size(tok_arr).cast("long").alias("ntok"))
+    doc_aggs = per_doc.agg(*(
+        [F.sum(F.when(F.col("doc_id") <= cp, 1).otherwise(0))
+         .cast("long").alias(f"nd{i}") for i, cp in cps]
+        + [F.sum(F.when(F.col("doc_id") <= cp, F.col("ntok"))
+                 .otherwise(0)).cast("long").alias(f"ms{i}")
+           for i, cp in cps]))
+    first = (docs.select(F.col(id_col).alias("doc_id"),
+                         F.explode(F.split(F.col(text_col), " "))
+                         .alias("tok"))
+             .filter(F.col("tok") != "")
+             .groupBy("tok").agg(F.min("doc_id").alias("fd")))
+    voc_aggs = first.agg(*[
+        F.sum(F.when(F.col("fd") <= cp, 1).otherwise(0))
+        .cast("long").alias(f"vc{i}") for i, cp in cps])
+    # one row, 3k columns — two consumers below (the checkpoint rule:
+    # lazily it would re-run BOTH corpus aggregates per consumer)
+    wide = doc_aggs.crossJoin(voc_aggs).localCheckpoint(eager=True)
+    rows = wide.select(F.explode(F.array(*[
+        F.struct(F.lit(i).cast("long").alias("ck"),
+                 F.lit(cp).cast("long").alias("cp"),
+                 F.col(f"nd{i}").alias("n_docs"),
+                 F.col(f"ms{i}").alias("token_mass"),
+                 F.col(f"vc{i}").alias("vocab"))
+        for i, cp in cps])).alias("r")).select("r.*")
+    beta = rows.agg(F.round(F.regr_slope(
+        F.log(F.col("vocab").cast("double")),
+        F.log(F.col("token_mass").cast("double"))), 6).alias("__b"))
+    return (rows.crossJoin(F.broadcast(beta))
+            .select("ck", "cp", "n_docs", "token_mass", "vocab",
+                    F.col("__b").alias("heaps_beta")))
+
+
 # ---------------------------------------------------------------------------
 # registry wiring
 
@@ -306,6 +366,10 @@ def _q_novelty_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_novelty_incremental(batch, ngram_first_seen(hist)))
 
 
+def _q_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return vocab_growth(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "token_zipf_slope": _q_zipf,
     "token_pmi_pairs": _q_pmi,
@@ -313,6 +377,7 @@ QUERIES = {
     "token_zipf_slope_inc": _q_zipf_inc,
     "token_zipf_slope_stream": _q_zipf_stream,
     "doc_ngram_novelty_inc": _q_novelty_inc,
+    "vocab_growth": _q_vocab_growth,
 }
 
 ORACLES = {
@@ -376,3 +441,27 @@ ORACLES["token_zipf_slope_stream"] = ORACLES["token_zipf_slope"]
 # first occurrences are stable under later arrivals and min() merges
 # exactly, so the inc twin is row-identical: oracle shared verbatim
 ORACLES["doc_ngram_novelty_inc"] = ORACLES["doc_ngram_novelty"]
+
+ORACLES["vocab_growth"] = (
+    "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+    f"cps AS (SELECT k AS ck, (SELECT m FROM mx) * k // "
+    f"{VOCAB_CHECKPOINTS} AS cp "
+    f"  FROM generate_series(1, {VOCAB_CHECKPOINTS}) t(k)), "
+    "toks AS (SELECT doc_id, tok FROM (SELECT doc_id, "
+    "  unnest(string_split(text, ' ')) AS tok FROM documents) "
+    "  WHERE tok <> ''), "
+    "first AS (SELECT tok, min(doc_id) AS fd FROM toks GROUP BY tok), "
+    "stats AS (SELECT ck, cp, "
+    "  (SELECT CAST(count(*) AS BIGINT) FROM documents d "
+    "     WHERE d.doc_id <= cp) AS n_docs, "
+    "  (SELECT CAST(count(*) AS BIGINT) FROM toks t "
+    "     WHERE t.doc_id <= cp) AS token_mass, "
+    "  (SELECT CAST(count(*) AS BIGINT) FROM first f "
+    "     WHERE f.fd <= cp) AS vocab "
+    "  FROM cps), "
+    "beta AS (SELECT round(regr_slope(ln(CAST(vocab AS DOUBLE)), "
+    "  ln(CAST(token_mass AS DOUBLE))), 6) AS b FROM stats) "
+    "SELECT CAST(ck AS BIGINT) AS ck, CAST(cp AS BIGINT) AS cp, "
+    "n_docs, token_mass, vocab, (SELECT b FROM beta) AS heaps_beta "
+    "FROM stats"
+)

@@ -145,3 +145,42 @@ def test_ngram_novelty_incremental_history_semi_broadcast(spark):
     fs = ngram_first_seen(docs.filter(F.col("doc_id") % 4 != 0))
     plan = explain_str(ngram_novelty_incremental(batch, fs))
     assert "BroadcastHashJoin LeftSemi" in plan, plan
+
+
+def test_vocab_growth_hand_computed(spark):
+    """Two checkpoints over a 4-doc corpus where cumulative vocab and
+    mass are countable by hand; beta matches numpy OLS."""
+    from logsqlite_spark.operators.lexstats import vocab_growth
+
+    docs = _docs(spark, [
+        "a b",          # doc 0: vocab {a,b}, mass 2
+        "a c c",        # doc 1: +{c}, mass 3
+        "d",            # doc 2: +{d}, mass 1
+        "a b d e",      # doc 3: +{e}, mass 4
+    ])
+    rows = {r["ck"]: r for r in vocab_growth(docs, k=2).collect()}
+    # cp_1 = 3*1//2 = 1 (docs 0-1), cp_2 = 3
+    assert rows[1]["cp"] == 1 and rows[2]["cp"] == 3
+    assert (rows[1]["n_docs"], rows[1]["token_mass"],
+            rows[1]["vocab"]) == (2, 5, 3)
+    assert (rows[2]["n_docs"], rows[2]["token_mass"],
+            rows[2]["vocab"]) == (4, 10, 5)
+    lv = np.log([3, 5])
+    lm = np.log([5, 10])
+    beta = np.polyfit(lm, lv, 1)[0]
+    assert abs(rows[1]["heaps_beta"] - round(beta, 6)) < 1e-9
+    assert rows[1]["heaps_beta"] == rows[2]["heaps_beta"]
+
+
+def test_vocab_growth_two_scans_only(spark):
+    """The checkpoint count multiplies agg COLUMNS, not scans: the
+    plan reads the documents parquet at most twice (per-doc counts +
+    the first-occurrence index)."""
+    import re as _re
+
+    from logsqlite_spark import registry
+    from logsqlite_spark.plans import explain_str
+
+    df = registry.queries()["vocab_growth"](spark, "/root/testdata/sf0.001")
+    plan = explain_str(df)
+    assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
