@@ -1852,6 +1852,50 @@ def edit_confirmed_pairs(docs: DataFrame, threshold: float = 0.8,
             .select("a_id", "b_id", F.round(sim, 6).alias("edit_sim")))
 
 
+def lsh_precision(docs: DataFrame,
+                  threshold: float = JACCARD_THRESHOLD,
+                  band_size: int = 8, text_col: str = "text",
+                  id_col: str = "doc_id",
+                  max_band_freq: int | None = None) -> DataFrame:
+    """The LSH configuration's quality gate (round 11): exact shingle
+    Jaccard computed over the BANDED CANDIDATES ONLY, rolled up to a
+    one-row precision report — ``n_candidates``, ``n_true`` (exact
+    jaccard >= threshold), ``precision``, ``mean_jaccard``.  This is
+    the number a pipeline owner reads before trusting a band
+    configuration at scale: precision near 1 means the bands emit
+    almost only true near-dups; low precision means wasted verify
+    work (or a threshold/band mismatch).
+
+    Scale shape: the exact-Jaccard cost — in-row
+    ``array_intersect`` over the two shingle sets — is paid per
+    CANDIDATE pair, never per corpus pair (the ``edit_confirm``
+    pattern); recall against non-candidates is intentionally out of
+    scope (measuring it requires the quadratic ground truth the LSH
+    exists to avoid).  Oracle: the minhash SQL composed with
+    DuckDB's list_intersect, shingle expression shared verbatim.
+    """
+    cand = minhash_band_pairs(docs, band_size, text_col, id_col,
+                              max_band_freq)
+    sh = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(_SHINGLES.format(c=text_col)).alias("s"))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.size("sa").cast("double")
+                   + F.size("sb").cast("double") - inter)
+    j = (cand.join(a, "a_id").join(b, "b_id")
+         .select(jac.alias("jac")))
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidates"),
+        F.sum((F.col("jac") >= threshold).cast("long"))
+        .cast("long").alias("n_true"),
+        F.round(F.sum((F.col("jac") >= threshold).cast("long"))
+                .cast("double") / F.count(F.lit(1)).cast("double"),
+                6).alias("precision"),
+        F.round(F.avg("jac"), 6).alias("mean_jaccard"))
+
+
 def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication rate — the corpus-quality rollup a
     pipeline owner reads before deciding which source to re-crawl or
@@ -1877,7 +1921,12 @@ def _q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_estimate_pairs(table(spark, sf_dir, "documents"))
 
 
+def _q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return lsh_precision(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "dedup_lsh_precision": _q_lsh_precision,
     "dedup_edit_confirm": _q_edit_confirm,
     "dedup_minhash_estimate": _q_minhash_estimate,
     "dedup_rate_by_source": _q_dedup_rate_by_source,
@@ -2105,6 +2154,26 @@ ORACLES = {
 ORACLES["dedup_incremental_idx"] = ORACLES["dedup_incremental"]
 # edit-distance confirm stage: the minhash candidate SQL composed with
 # DuckDB's character-level levenshtein (same semantics as Spark's)
+# exact jaccard over the banded candidates -> one-row precision
+# report; candidate SQL and shingle expression shared verbatim
+ORACLES["dedup_lsh_precision"] = (
+    f"WITH cand AS ({_minhash_pairs_sql(band_size=8)}), "
+    "sh AS (SELECT doc_id, "
+    f"{_DUCK_SHINGLES.format(c='text')} AS s FROM documents), "
+    "j AS (SELECT CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+    "  / CAST(len(sa.s) + len(sb.s) "
+    "         - len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS jac "
+    "  FROM cand JOIN sh sa ON sa.doc_id = a_id "
+    "  JOIN sh sb ON sb.doc_id = b_id) "
+    "SELECT CAST(count(*) AS BIGINT) AS n_candidates, "
+    f"CAST(sum(CASE WHEN jac >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 "
+    "END) AS BIGINT) AS n_true, "
+    f"round(CAST(sum(CASE WHEN jac >= {JACCARD_THRESHOLD} THEN 1 "
+    "ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE), 6) "
+    "AS precision, "
+    "round(avg(jac), 6) AS mean_jaccard FROM j"
+)
+
 ORACLES["dedup_edit_confirm"] = (
     f"WITH cand AS ({_minhash_pairs_sql(band_size=8)}) "
     "SELECT a_id, b_id, round(1.0 - CAST(levenshtein(da.text, db.text) "

@@ -815,3 +815,27 @@ def test_minhash_estimate_semantics(spark, docs):
     assert got[(0, 4)] == (MINHASH_K, 1.0)
     assert all(n >= 4 for n, _ in got.values())  # band_size=4 floor
     assert not any(3 in p for p in got)          # unrelated never bands
+
+
+def test_lsh_precision_planted(spark):
+    """Two exact dups (jaccard 1.0) + unrelated docs: every banded
+    candidate is the planted pair, so precision is 1.0 and
+    mean_jaccard 1.0; with an impostor sharing bands but low true
+    jaccard the report must count it as a false candidate."""
+    from logsqlite_spark.operators.dedup import (
+        lsh_precision,
+        minhash_band_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog"),
+         (1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different content with other words"),
+         (3, "unrelated text about something else entirely")],
+        "doc_id long, text string")
+    row = lsh_precision(docs, threshold=0.5).collect()[0]
+    n_cand = minhash_band_pairs(docs, band_size=8).count()
+    assert row["n_candidates"] == n_cand >= 1
+    assert row["n_true"] == row["n_candidates"]
+    assert row["precision"] == 1.0
+    assert row["mean_jaccard"] == 1.0
