@@ -686,3 +686,79 @@ def start_streaming_lex_counts(stream: DataFrame, snapshot_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram first-occurrence index (round 11 — the novelty monitor's
+# incremental state).  The persisted snapshot is
+# operators/lexstats.ngram_first_seen's (g, first_doc) table; MIN is
+# associative, so merge ≡ one-shot bit-identically.  NO ERASE LEG BY
+# DESIGN: a min-partial cannot retract its own minimum without the
+# second-smallest occurrence, which only the corpus-sized postings
+# know — retraction here means rebuild, documented rather than faked.
+
+
+def snapshot_first_seen(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (g, first_doc) table, or None
+    pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "first"))
+
+
+def first_seen_sink(snapshot_root: str,
+                    novelty_dir: str | None = None,
+                    ) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the novelty monitor: each micro-batch of
+    DOCUMENTS merges its (g, first_doc) mins into the versioned
+    snapshot under the exactly-once pointer protocol, optionally
+    emitting the batch's novelty report against the PRE-batch history
+    to ``novelty_dir`` (exactly what
+    ``lexstats.ngram_novelty_incremental`` reports).  The SNAPSHOT is
+    arrival-order-independent (min merges commute); the EMITTED
+    per-batch reports concatenate into the one-shot table only when
+    batches arrive in doc_id order (the ingest path's natural order —
+    same contract as ``ngram_partials_sink``'s doc-disjointness).
+    Per batch only the batch is tokenized."""
+    from logsqlite_spark.operators.lexstats import (
+        ngram_first_seen, ngram_novelty_incremental)
+
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        hist = snapshot_first_seen(spark, snapshot_root)
+        if novelty_dir is not None:
+            h = hist if hist is not None else spark.createDataFrame(
+                [], "g string, first_doc long")
+            ngram_novelty_incremental(batch_df, h).write.mode(
+                "append").parquet(novelty_dir)
+        delta = ngram_first_seen(batch_df)
+        merged = delta if hist is None else (
+            hist.unionByName(delta).groupBy("g")
+            .agg(F.min("first_doc").alias("first_doc")))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "first"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def start_streaming_first_seen(stream: DataFrame, snapshot_root: str,
+                               checkpoint_dir: str,
+                               novelty_dir: str | None = None):
+    """Wire the first-seen sink into a document stream."""
+    return (
+        stream.writeStream
+        .foreachBatch(first_seen_sink(snapshot_root, novelty_dir))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

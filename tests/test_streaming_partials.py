@@ -185,3 +185,48 @@ def test_streaming_lex_end_to_end(spark, tmp_path):
     want = sorted(map(tuple, token_zipf_slope(
         spark.createDataFrame(r1 + r2, DOC)).collect()))
     assert got == want and len(want) == 2
+
+
+def test_streaming_first_seen_end_to_end(spark, tmp_path):
+    """Real readStream → first-seen sink: the merged snapshot equals
+    one-shot ngram_first_seen over the union, and the per-batch
+    novelty emits concatenate into the one-shot novelty table (first
+    occurrences are stable under later arrivals)."""
+    from logsqlite_spark.operators.lexstats import (
+        ngram_first_seen,
+        ngram_novelty,
+    )
+    from logsqlite_spark.streaming.partials import (
+        snapshot_first_seen,
+        start_streaming_first_seen,
+    )
+
+    DOC = "doc_id long, text string"
+    r1 = [(0, "abcdefgh"), (1, "abcdxyzw")]
+    r2 = [(2, "abcdefgh"), (3, "qrstuvab")]
+    src = str(tmp_path / "in")
+    snap = str(tmp_path / "snap")
+    ck = str(tmp_path / "ck")
+    nov = str(tmp_path / "nov")
+    spark.createDataFrame(r1, DOC).coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(r2, DOC).coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(DOC)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    q = start_streaming_first_seen(stream, snap, ck, novelty_dir=nov)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    union = spark.createDataFrame(r1 + r2, DOC)
+    got = sorted(map(tuple,
+                     snapshot_first_seen(spark, snap).collect()))
+    want = sorted(map(tuple, ngram_first_seen(union).collect()))
+    assert got == want and len(want) > 0
+
+    got_nov = sorted(map(tuple, spark.read.parquet(nov).collect()))
+    want_nov = sorted(map(tuple, ngram_novelty(union).collect()))
+    assert got_nov == want_nov
