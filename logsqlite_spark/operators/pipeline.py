@@ -431,10 +431,16 @@ def corpus_report(docs: DataFrame) -> dict[str, DataFrame]:
         bit(2).alias("n_repetitive"),
         bit(4).alias("n_stopwordy"),
     )
+    from logsqlite_spark.operators.dedup import lsh_precision
+    from logsqlite_spark.operators.lexstats import vocab_growth
+
     return {
         "dup_rate_by_source": dup,
         "zipf": token_zipf_slope(docs),
         "novelty": ngram_novelty(docs),
         "quality_drop_rates": drop_rates,
         "checks": run_checks(docs, DOCUMENTS_CHECKS),
+        # round 11: Heaps growth curve + the LSH band quality gate
+        "vocab_growth": vocab_growth(docs),
+        "lsh_precision": lsh_precision(docs),
     }

@@ -82,13 +82,16 @@ def test_corpus_report_composes_certified_pieces(spark):
     SF = "/root/testdata/sf0.001"
     rep = corpus_report(table(spark, SF, "documents"))
     assert set(rep) == {"dup_rate_by_source", "zipf", "novelty",
-                        "quality_drop_rates", "checks"}
+                        "quality_drop_rates", "checks",
+                        "vocab_growth", "lsh_precision"}
     qs = registry.queries()
     for key, qname in (("dup_rate_by_source", "dedup_rate_by_source"),
                        ("zipf", "token_zipf_slope"),
                        ("novelty", "doc_ngram_novelty"),
                        ("quality_drop_rates", "quality_gate_stats"),
-                       ("checks", "quality_checks_documents")):
+                       ("checks", "quality_checks_documents"),
+                       ("vocab_growth", "vocab_growth"),
+                       ("lsh_precision", "dedup_lsh_precision")):
         got = sorted(map(tuple, rep[key].collect()))
         want = sorted(map(tuple, qs[qname](spark, SF).collect()))
         assert got == want, key
