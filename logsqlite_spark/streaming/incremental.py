@@ -569,7 +569,15 @@ def compact_components(spark, state_dir: str) -> dict:
     """Squash the relabel chain into the assign base: rewrite assign
     resolved (one consolidated ``b{pointer}`` subdir), clear the
     relabel dirs.  ``components_rows`` is unchanged by construction;
-    run BETWEEN batches, single-writer."""
+    run BETWEEN batches, single-writer.
+
+    Layout (round 11): the consolidated base is range-partitioned and
+    sorted on ``doc_id``, so files cover disjoint id ranges —
+    ``cc_merge_delta``'s endpoint lookup pushes its ``doc_id IN``
+    predicate through the relabel join into this scan, and the
+    min/max footer stats prune whole files (the
+    ``write_components_bucketed`` story applied to the streamed
+    state; plan-pinned in test_plans)."""
     import glob
     import shutil
 
@@ -580,8 +588,10 @@ def compact_components(spark, state_dir: str) -> dict:
     resolved = components_rows(spark, state_dir)
     staged = os.path.join(root, ".compact_assign")
     shutil.rmtree(staged, ignore_errors=True)
-    resolved.write.mode("overwrite").parquet(
-        os.path.join(staged, f"b{st['batch_id']}"))
+    (resolved.repartitionByRange(16, "doc_id")
+     .sortWithinPartitions("doc_id")
+     .write.mode("overwrite").parquet(
+         os.path.join(staged, f"b{st['batch_id']}")))
     adir = os.path.join(root, "assign")
     shutil.rmtree(adir)
     os.replace(staged, adir)

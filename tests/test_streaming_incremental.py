@@ -624,3 +624,37 @@ def test_decisions_rows_served_from_streamed_components(spark, tmp_path):
     assert got == want
     assert got[99] == (None, True, "unique")
     assert got[1] == (1, True, "representative")
+
+
+def test_compacted_components_lookup_pushes_doc_id_filter(spark, tmp_path):
+    """compact_components' range-partitioned, doc_id-sorted base: the
+    endpoint lookup's IN predicate pushes through the relabel join
+    into the parquet scan (footer min/max then prunes files — the
+    bucketed-components story applied to the streamed state)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import _endpoint_pruned_history
+    from logsqlite_spark.plans import explain_str
+    from logsqlite_spark.streaming.incremental import (
+        compact_components,
+        components_rows,
+        components_sink,
+    )
+
+    state = str(tmp_path / "cc")
+    sink = components_sink(state)
+    sink(spark.createDataFrame([(i, i + 1000) for i in range(0, 400, 2)],
+                               "a_id long, b_id long"), 0)
+    sink(spark.createDataFrame([(1000, 1001), (7, 9)],
+                               "a_id long, b_id long"), 1)
+    out = compact_components(spark, state)
+    assert out["compacted"]
+
+    comp = components_rows(spark, state)
+    endpoints = list(range(0, 30, 2))  # > InSet threshold -> In filter
+    plan = explain_str(_endpoint_pruned_history(comp, endpoints))
+    assert "PushedFilters" in plan and "In(doc_id" in plan, plan
+
+    # and the compacted state still serves the exact table
+    got = {r["doc_id"]: r["cluster_id"] for r in comp.collect()}
+    assert got[1001] == got[1000] and got[7] == got[9] == 7
