@@ -230,6 +230,56 @@ def seasonal_volume_anomaly(events: DataFrame,
     )
 
 
+BURST_LOOKBACK = 7
+BURST_CUTOFF = 2.5
+
+
+def daily_burst_zscore(events: DataFrame,
+                       lookback: int = BURST_LOOKBACK,
+                       cutoff: float = BURST_CUTOFF) -> DataFrame:
+    """Per-type daily-count burst detector: each day's event count
+    z-scored against its type's TRAILING ``lookback``-day window —
+    the temporal complement of :func:`seasonal_volume_anomaly` (that
+    one asks "is this hour abnormal for a Saturday 3am", this one
+    asks "did type X suddenly spike vs its own recent history").
+
+    Exactness: the module's integer z formulation — with window
+    count n, sum S, sum-of-squares SS over the trailing days (all
+    exact int64), ``z = (v·n − S) / sqrt(n·SS − S²)`` is one double
+    division of exact integers and one sqrt of an exact integer,
+    IEEE-identical in DuckDB.  Days with fewer than 3 prior days or
+    zero variance emit no row (disc > 0 guard, the value_outliers
+    rule).
+
+    Scale: one map-side-combinable (type, day) count — the only
+    data-sized stage — then a per-type window over CALENDAR DAYS
+    (bounded rows), never over events.
+    """
+    daily = (events.select(
+        F.col("event_type"),
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        .alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("v")))
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-lookback, -1))
+    stats = daily.select(
+        "event_type", "day", "v",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("v").over(w).alias("s"),
+        F.sum(F.col("v") * F.col("v")).over(w).alias("ss"))
+    disc = F.col("n") * F.col("ss") - F.col("s") * F.col("s")
+    z = ((F.col("v") * F.col("n") - F.col("s")).cast("double")
+         / F.sqrt(disc.cast("double")))
+    return (stats.filter((F.col("n") >= 3) & (disc > 0))
+            .select("event_type",
+                    F.col("day").cast("string").alias("day"),
+                    F.col("v").alias("n_events"),
+                    F.round(z, 6).alias("z"),
+                    F.when(F.abs(z) >= cutoff, F.lit("burst"))
+                    .otherwise(F.lit("normal")).alias("flag")))
+
+
 def _q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers(table(spark, sf_dir, "events"))
 
@@ -323,6 +373,10 @@ def _q_psi_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_psi_from_counts(merged)
 
 
+def _q_daily_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return daily_burst_zscore(table(spark, sf_dir, "events"))
+
+
 QUERIES = {
     "events_ewma": _q_ewma,
     "value_outliers": _q_outliers,
@@ -330,6 +384,7 @@ QUERIES = {
     "events_seasonal_anomaly": _q_seasonal,
     "events_value_psi": _q_psi,
     "events_value_psi_inc": _q_psi_inc,
+    "events_daily_burst": _q_daily_burst,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -405,3 +460,22 @@ ORACLES = {
 # report is bit-identical to the one-shot query — oracle shared
 # verbatim (the dedup_incremental_idx pattern)
 ORACLES["events_value_psi_inc"] = ORACLES["events_value_psi"]
+
+ORACLES["events_daily_burst"] = (
+    "WITH daily AS (SELECT event_type, "
+    "  CAST(epoch_ms(epoch_us(ts) // 1000) AS DATE) AS day, "
+    "  CAST(count(*) AS BIGINT) AS v "
+    "  FROM events GROUP BY 1, 2), "
+    "st AS (SELECT event_type, day, v, "
+    f"  count(*) OVER w AS n, sum(v) OVER w AS s, "
+    f"  sum(v * v) OVER w AS ss FROM daily "
+    f"  WINDOW w AS (PARTITION BY event_type ORDER BY day "
+    f"    ROWS BETWEEN {BURST_LOOKBACK} PRECEDING AND 1 PRECEDING)) "
+    "SELECT event_type, CAST(day AS VARCHAR) AS day, v AS n_events, "
+    "round(CAST(v * n - s AS DOUBLE) "
+    "  / sqrt(CAST(n * ss - s * s AS DOUBLE)), 6) AS z, "
+    f"CASE WHEN abs(CAST(v * n - s AS DOUBLE) "
+    f"  / sqrt(CAST(n * ss - s * s AS DOUBLE))) >= {BURST_CUTOFF} "
+    "  THEN 'burst' ELSE 'normal' END AS flag "
+    "FROM st WHERE n >= 3 AND n * ss - s * s > 0"
+)

@@ -174,3 +174,32 @@ def test_user_activity_gini_semantics(spark):
     want = round(mad / (2 * s / n), 6)
     assert row["gini"] == want
     assert row["n_users"] == 4 and row["n_events"] == 100
+
+
+def test_daily_burst_zscore_planted(spark):
+    """Seven quiet days (counts 10±1) then a 60-event day: the spike
+    day flags as burst with a large positive z; quiet days with a
+    full window stay normal; the first 3 days emit no row."""
+    from logsqlite_spark.operators.anomaly import daily_burst_zscore
+
+    base = 1_704_067_200_000_000_000  # 2024-01-01 in ns
+    day_ns = 86_400_000_000_000
+    rows = []
+    eid = 0
+    counts = [10, 11, 10, 9, 10, 11, 10, 60]
+    for d, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + d * day_ns + eid, 1, "view", 1.0))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, "
+        "event_type string, value double")
+    out = {r["day"]: r for r in daily_burst_zscore(ev).collect()}
+    assert "2024-01-01" not in out  # no trailing window yet
+    assert out["2024-01-08"]["flag"] == "burst"
+    assert out["2024-01-08"]["z"] > 10
+    # quiet days with a richer window read normal (the 3-day-window
+    # early days are legitimately twitchy — that's what the n>=3
+    # floor bounds, not eliminates)
+    assert out["2024-01-06"]["flag"] == "normal"
+    assert out["2024-01-07"]["flag"] == "normal"
