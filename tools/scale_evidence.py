@@ -320,6 +320,40 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
     return out
 
 
+def measure_cand2(spark, root: Path, lo: int, hi: int) -> dict:
+    """Second-decade candidate-OUTPUT counts for the two deployment
+    near-dup paths (minhash band pairs at the deployment band_size,
+    simhash exact-fingerprint groups).  The default candidate decade
+    caps at ~50k docs because it also measures the quarantined audit
+    lenses (simhash radius pairs ~n^1.6) and the exact-jaccard
+    blocking join; this leg two-point-verifies output linearity for
+    the paths that actually deploy at 100 TB."""
+    from logsqlite_spark.operators.dedup import (
+        minhash_band_pairs, simhash_dup_groups)
+
+    out: dict = {}
+    for tag, n in (("lo", lo), ("hi", hi)):
+        d = root / f"cand2_{tag}"
+        d.mkdir()
+        gen_documents(n, d)
+        docs = spark.read.parquet(str(d / "documents.parquet"))
+        r: dict = {"n_docs": n}
+        t0 = time.perf_counter()
+        r["minhash_cand"] = minhash_band_pairs(docs, band_size=8).count()
+        r["minhash_cand_s"] = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        r["simhash_groups"] = simhash_dup_groups(docs).count()
+        r["simhash_groups_s"] = round(time.perf_counter() - t0, 3)
+        out[tag] = r
+        print(f"# cand2/{tag}: {r}", file=sys.stderr)
+    d_ratio = hi / lo
+    for key in ("minhash_cand", "simhash_groups"):
+        p_ratio = out["hi"][key] / max(out["lo"][key], 1)
+        out[key + "_growth_exp"] = round(
+            math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
+    return out
+
+
 def gen_events(n: int, out_dir: Path, seed: int = 21) -> None:
     """Synthetic events in the driver corpus's shape (Jan 2024 span,
     5 types, positive values) for the drift/behavior decade legs."""
@@ -428,6 +462,13 @@ def main() -> int:
                          "PSI/entropy/gini over events)")
     ap.add_argument("--lex-only", action="store_true",
                     help="run ONLY the --lex legs")
+    ap.add_argument("--cand2", action="store_true",
+                    help="run ONLY the second-decade candidate-output "
+                         "leg for the two deployment near-dup paths "
+                         "(minhash bands, simhash groups) — the full "
+                         "candidate decade includes audit lenses that "
+                         "are intentionally super-linear and "
+                         "prohibitively large past ~100k docs")
     args = ap.parse_args()
 
     from logsqlite_spark.session import get_spark
@@ -435,7 +476,7 @@ def main() -> int:
 
     root = Path(tempfile.mkdtemp(prefix="scale_evidence_"))
     res: dict = {"lo_docs": args.lo, "hi_docs": args.hi}
-    skip_decade = args.inc_only or args.lex_only
+    skip_decade = args.inc_only or args.lex_only or args.cand2
     if args.inc_only:
         args.inc = True
     if args.lex_only:
@@ -452,6 +493,8 @@ def main() -> int:
             print(f"# {tag} ({n} docs) measured in "
                   f"{time.perf_counter() - t0:.1f}s: {res[tag]}",
                   file=sys.stderr)
+        if args.cand2:
+            res["cand2"] = measure_cand2(spark, root, args.lo, args.hi)
         if args.inc and not args.lex_only:
             res["inc"] = measure_inc(spark, root, args.lo, args.hi)
         if args.lex:
