@@ -1910,6 +1910,42 @@ def lsh_precision(docs: DataFrame,
         F.round(F.avg("jac"), 6).alias("mean_jaccard"))
 
 
+def cross_source_dup_matrix(docs: DataFrame, band_size: int = 8,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            source_col: str = "source",
+                            max_band_freq: int | None = None
+                            ) -> DataFrame:
+    """Provenance lens (round 11): near-dup candidate pairs rolled up
+    BY SOURCE PAIR — "which feeds copy from each other".  A
+    within-source cell means a self-duplicating feed (re-crawls,
+    mirrors); a hot off-diagonal cell means two feeds syndicating the
+    same content, which double-weights it in training unless one side
+    is dropped.  Source pair is ordered lexicographically so (a, b)
+    and (b, a) land in one cell.
+
+    Scale: the pair generation IS :func:`minhash_band_pairs` (banded
+    candidates, never all-pairs); the rollup adds two broadcast-sized
+    joins against the (doc_id, source) projection and one
+    map-side-combinable count on the source-pair key (a handful of
+    feeds squared — control-plane).  Oracle composes the minhash SQL
+    verbatim.
+    """
+    cand = minhash_band_pairs(docs, band_size, text_col, id_col,
+                              max_band_freq)
+    src = docs.select(F.col(id_col).alias("doc_id"),
+                      F.col(source_col).alias("__s"))
+    a = src.select(F.col("doc_id").alias("a_id"),
+                   F.col("__s").alias("__sa"))
+    b = src.select(F.col("doc_id").alias("b_id"),
+                   F.col("__s").alias("__sb"))
+    return (cand.join(a, "a_id").join(b, "b_id")
+            .select(F.least("__sa", "__sb").alias("source_a"),
+                    F.greatest("__sa", "__sb").alias("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")))
+
+
 def _q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source exact-duplication rate — the corpus-quality rollup a
     pipeline owner reads before deciding which source to re-crawl or
@@ -1939,7 +1975,12 @@ def _q_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_precision(table(spark, sf_dir, "documents"))
 
 
+def _q_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_source_dup_matrix(table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
+    "dedup_cross_source": _q_cross_source,
     "dedup_lsh_precision": _q_lsh_precision,
     "dedup_edit_confirm": _q_edit_confirm,
     "dedup_minhash_estimate": _q_minhash_estimate,
@@ -2168,6 +2209,18 @@ ORACLES = {
 ORACLES["dedup_incremental_idx"] = ORACLES["dedup_incremental"]
 # edit-distance confirm stage: the minhash candidate SQL composed with
 # DuckDB's character-level levenshtein (same semantics as Spark's)
+# near-dup candidates rolled up by (lexicographically ordered)
+# source pair; candidate SQL shared verbatim
+ORACLES["dedup_cross_source"] = (
+    f"WITH cand AS ({_minhash_pairs_sql(band_size=8)}) "
+    "SELECT least(da.source, db.source) AS source_a, "
+    "greatest(da.source, db.source) AS source_b, "
+    "CAST(count(*) AS BIGINT) AS n_pairs "
+    "FROM cand JOIN documents da ON da.doc_id = a_id "
+    "JOIN documents db ON db.doc_id = b_id "
+    "GROUP BY 1, 2"
+)
+
 # exact jaccard over the banded candidates -> one-row precision
 # report; candidate SQL and shingle expression shared verbatim
 ORACLES["dedup_lsh_precision"] = (

@@ -839,3 +839,22 @@ def test_lsh_precision_planted(spark):
     assert row["n_true"] == row["n_candidates"]
     assert row["precision"] == 1.0
     assert row["mean_jaccard"] == 1.0
+
+
+def test_cross_source_dup_matrix_planted(spark):
+    """Planted dups across two sources: the (cc, web) off-diagonal
+    cell counts the cross-feed pair, the (web, web) diagonal counts
+    the within-feed pair, ordering is lexicographic."""
+    from logsqlite_spark.operators.dedup import cross_source_dup_matrix
+
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog", "web"),
+         (1, "the quick brown fox jumps over the lazy dog", "cc"),
+         (2, "the quick brown fox jumps over the lazy dog", "web"),
+         (3, "totally different content with other words", "cc")],
+        "doc_id long, text string, source string")
+    got = {(r["source_a"], r["source_b"]): r["n_pairs"]
+           for r in cross_source_dup_matrix(docs).collect()}
+    assert got[("cc", "web")] == 2   # (0,1) and (1,2)
+    assert got[("web", "web")] == 1  # (0,2)
+    assert ("cc", "cc") not in got
