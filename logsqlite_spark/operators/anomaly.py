@@ -373,8 +373,45 @@ def _q_psi_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_psi_from_counts(merged)
 
 
+DOC_PSI_BINS = 20
+DOC_PSI_BIN_W = 100.0
+
+
+def doc_length_psi(docs: DataFrame, n_bins: int = DOC_PSI_BINS,
+                   bin_w: float = DOC_PSI_BIN_W) -> DataFrame:
+    """Distribution drift of DOCUMENT LENGTH per language between the
+    first and second half of arrivals (doc_id split) — the documents-
+    table face of PSI (the events face is :func:`value_psi`).  A feed
+    that starts emitting boilerplate stubs or concatenated pages
+    moves this number long before quality gates flip.
+
+    Same exact-integer sufficient statistics as the events PSI
+    ((lang, cur, bin) counts, merge-by-sum) and the same dense-grid
+    Laplace-smoothed reduction — :func:`value_psi_from_counts` is
+    reused verbatim with lang standing in the type slot.  One corpus
+    scan; everything after is (languages × bins)-sized.
+    """
+    cutoff = int(docs.agg(F.max("doc_id")).collect()[0][0]) // 2
+    counts = (docs.select(
+        F.col("lang").alias("event_type"),
+        (F.col("doc_id") > cutoff).alias("cur"),
+        F.greatest(
+            F.lit(0),
+            F.least(F.floor(F.col("n_chars").cast("double")
+                            / F.lit(float(bin_w))),
+                    F.lit(n_bins - 1))).cast("int").alias("bin"))
+        .groupBy("event_type", "cur", "bin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return (value_psi_from_counts(counts, n_bins)
+            .withColumnRenamed("event_type", "lang"))
+
+
 def _q_daily_burst(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily_burst_zscore(table(spark, sf_dir, "events"))
+
+
+def _q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return doc_length_psi(table(spark, sf_dir, "documents"))
 
 
 QUERIES = {
@@ -385,6 +422,7 @@ QUERIES = {
     "events_value_psi": _q_psi,
     "events_value_psi_inc": _q_psi_inc,
     "events_daily_burst": _q_daily_burst,
+    "doc_length_psi": _q_doc_length_psi,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -460,6 +498,33 @@ ORACLES = {
 # report is bit-identical to the one-shot query — oracle shared
 # verbatim (the dedup_incremental_idx pattern)
 ORACLES["events_value_psi_inc"] = ORACLES["events_value_psi"]
+
+_DOC_P = f"(CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref + {DOC_PSI_BINS} AS DOUBLE))"
+_DOC_Q = f"(CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {DOC_PSI_BINS} AS DOUBLE))"
+ORACLES["doc_length_psi"] = (
+    "WITH mx AS (SELECT max(doc_id) // 2 AS cut FROM documents), "
+    "c AS (SELECT lang, doc_id > (SELECT cut FROM mx) AS cur, "
+    "  CAST(greatest(0, least(floor(CAST(n_chars AS DOUBLE) / "
+    f"{DOC_PSI_BIN_W}), {DOC_PSI_BINS - 1})) AS INT) AS bin, "
+    "  CAST(count(*) AS BIGINT) AS n "
+    "  FROM documents GROUP BY 1, 2, 3), "
+    "grid AS (SELECT DISTINCT lang FROM c), "
+    f"bins AS (SELECT CAST(k AS INT) AS bin "
+    f"  FROM generate_series(0, {DOC_PSI_BINS - 1}) t(k)), "
+    "cells AS (SELECT g.lang, b.bin, "
+    "  coalesce(r.n, 0) AS n_ref, coalesce(u.n, 0) AS n_cur "
+    "  FROM grid g CROSS JOIN bins b "
+    "  LEFT JOIN c r ON r.lang = g.lang AND r.bin = b.bin "
+    "    AND NOT r.cur "
+    "  LEFT JOIN c u ON u.lang = g.lang AND u.bin = b.bin AND u.cur), "
+    "tot AS (SELECT lang, sum(n_ref) AS t_ref, sum(n_cur) AS t_cur "
+    "  FROM cells GROUP BY 1) "
+    "SELECT cells.lang, CAST(max(t_ref) AS BIGINT) AS n_ref, "
+    "CAST(max(t_cur) AS BIGINT) AS n_cur, "
+    f"round(sum(({_DOC_P} - {_DOC_Q}) * ln({_DOC_P} / {_DOC_Q})), 6) "
+    "AS psi "
+    "FROM cells JOIN tot USING (lang) GROUP BY cells.lang"
+)
 
 ORACLES["events_daily_burst"] = (
     "WITH daily AS (SELECT event_type, "

@@ -203,3 +203,22 @@ def test_daily_burst_zscore_planted(spark):
     # floor bounds, not eliminates)
     assert out["2024-01-06"]["flag"] == "normal"
     assert out["2024-01-07"]["flag"] == "normal"
+
+
+def test_doc_length_psi_detects_planted_drift(spark):
+    """First-half docs short, second-half docs long in lang 'xx':
+    PSI large for xx; a stable lang stays near 0."""
+    from logsqlite_spark.operators.anomaly import doc_length_psi
+
+    # interleaved ids so the doc_id-half split divides BOTH langs
+    rows = []
+    for i in range(200):
+        rows.append((2 * i, "xx", 50 if i < 100 else 1500))
+        rows.append((2 * i + 1, "yy", 400 + (i % 5)))
+    docs = spark.createDataFrame(
+        [(i, "t", lang, n) for (i, lang, n) in rows],
+        "doc_id long, text string, lang string, n_chars long")
+    got = {r["lang"]: r for r in doc_length_psi(docs).collect()}
+    assert got["xx"]["psi"] > 1.0
+    assert got["yy"]["psi"] < 0.1
+    assert got["xx"]["n_ref"] == got["xx"]["n_cur"] == 100
