@@ -260,7 +260,20 @@ def daily_burst_zscore(events: DataFrame,
         F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
         .alias("day"))
         .groupBy("event_type", "day")
-        .agg(F.count(F.lit(1)).cast("long").alias("v")))
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+    return daily_burst_from_counts(daily, lookback, cutoff)
+
+
+def daily_burst_from_counts(counts: DataFrame,
+                            lookback: int = BURST_LOOKBACK,
+                            cutoff: float = BURST_CUTOFF) -> DataFrame:
+    """The burst report served from (possibly merged) daily counts —
+    identical math to :func:`daily_burst_zscore` from the window
+    down.  ``counts`` is ``(event_type, day, n)`` with exact integer
+    n, mergeable by sum: the streaming state
+    (``streaming.partials.daily_counts_sink``)."""
+    daily = counts.select("event_type", "day",
+                          F.col("n").cast("long").alias("v"))
     w = (Window.partitionBy("event_type").orderBy("day")
          .rowsBetween(-lookback, -1))
     stats = daily.select(

@@ -762,3 +762,113 @@ def start_streaming_first_seen(stream: DataFrame, snapshot_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Daily event-type counts (round 11 — the burst monitor's incremental
+# state).  The persisted snapshot is the (event_type, day, n) table
+# behind anomaly.daily_burst_zscore; counts merge by associative sum,
+# so merge ≡ one-shot and erase ≡ built-without bit-identically —
+# every entry a COUNT (the LM-grade ingested contract).
+
+
+def snapshot_daily_counts(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (event_type, day, n) table, or None
+    pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "counts"))
+
+
+def _daily_counts(events: DataFrame) -> DataFrame:
+    return (events.select(
+        F.col("event_type"),
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        .alias("day"))
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def _merged_daily_counts(hist: DataFrame | None,
+                         delta: DataFrame) -> DataFrame:
+    if hist is None:
+        return delta
+    return (hist.unionByName(delta)
+            .groupBy("event_type", "day")
+            .agg(F.sum("n").cast("long").alias("n")))
+
+
+def daily_counts_sink(snapshot_root: str) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of the daily burst monitor: each micro-batch of
+    EVENTS folds its (event_type, day) counts into the versioned
+    snapshot under the exactly-once pointer protocol;
+    ``anomaly.daily_burst_from_counts`` serves the z-score report from
+    any version.  State is calendar-sized (types × days), never
+    event-sized."""
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        merged = _merged_daily_counts(
+            snapshot_daily_counts(spark, snapshot_root),
+            _daily_counts(batch_df))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "counts"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def erase_from_daily_counts(spark, snapshot_root: str,
+                            events: DataFrame) -> dict:
+    """Retract previously-ingested events from the burst-monitor
+    state; any cell a retraction would drive negative proves the
+    events were not (all) ingested and the erase refuses — stage →
+    validate → rename, no orphan version dir."""
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("erase_from_daily_counts: no snapshot at "
+                         f"{snapshot_root}")
+    hist = snapshot_daily_counts(spark, snapshot_root)
+    delta = _daily_counts(events).select(
+        "event_type", "day", (-F.col("n")).alias("n"))
+    merged = _merged_daily_counts(hist, delta).filter(F.col("n") != 0)
+    new_ver = ver + 1
+    root = _local_root(snapshot_root)
+    staging = os.path.join(root, ".erase_stage")
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").parquet(
+        os.path.join(staging, "counts"))
+    neg = spark.read.parquet(os.path.join(staging, "counts")) \
+        .filter(F.col("n") < 0).count()
+    if neg:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise ValueError(
+            "erase_from_daily_counts: retraction would drive "
+            f"{neg} day counts negative — the supplied events were "
+            "not part of the ingested corpus; snapshot unchanged")
+    vdir = os.path.join(root, f"v{new_ver:08d}")
+    shutil.rmtree(vdir, ignore_errors=True)
+    os.replace(staging, vdir)
+    _write_pointer(snapshot_root, new_ver, batch_id)
+    _gc_versions(snapshot_root, new_ver)
+    return {"erased": True, "version": new_ver}
+
+
+def start_streaming_daily_counts(stream: DataFrame, snapshot_root: str,
+                                 checkpoint_dir: str):
+    """Wire the daily-counts sink into an event stream."""
+    return (
+        stream.writeStream
+        .foreachBatch(daily_counts_sink(snapshot_root))
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )

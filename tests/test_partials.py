@@ -402,3 +402,87 @@ def test_erase_from_lex_snapshot_bit_identical_and_refuses(spark, tmp_path):
                if n.startswith("v") and n[1:].isdigit()}
     assert f"v{ver + 1:08d}" not in on_disk
     assert ".erase_stage" not in os.listdir(root)
+
+
+_DC_SCHEMA = "event_id long, ts long, event_type string, value double"
+_DC_BASE = 1_704_067_200_000_000_000
+_DC_DAY = 86_400_000_000_000
+
+
+def _dc_events(spark, day_counts, start_id=0, etype="view"):
+    rows = []
+    eid = start_id
+    for d, c in day_counts:
+        for _ in range(c):
+            rows.append((eid, _DC_BASE + d * _DC_DAY + eid, etype, 1.0))
+            eid += 1
+    return spark.createDataFrame(rows, _DC_SCHEMA)
+
+
+def test_daily_counts_sink_exact_merge_replay_and_serving(spark, tmp_path):
+    """Two micro-batches through the daily-counts sink: the burst
+    report served from the snapshot is bit-identical to one-shot
+    daily_burst_zscore over the union; replay is a no-op."""
+    from logsqlite_spark.operators.anomaly import (
+        daily_burst_from_counts,
+        daily_burst_zscore,
+    )
+    from logsqlite_spark.streaming.partials import (
+        daily_counts_sink,
+        snapshot_daily_counts,
+    )
+
+    root = str(tmp_path / "dc")
+    sink = daily_counts_sink(root)
+    b1 = _dc_events(spark, [(0, 10), (1, 11), (2, 10), (3, 9)])
+    b2 = _dc_events(spark, [(3, 2), (4, 10), (5, 60)], start_id=1000)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b1, 0)  # crash replay: must not double-count
+
+    got = sorted(map(tuple, daily_burst_from_counts(
+        snapshot_daily_counts(spark, root)).collect()))
+    union = _dc_events(spark, [(0, 10), (1, 11), (2, 10), (3, 11),
+                               (4, 10), (5, 60)])
+    want = sorted(map(tuple, daily_burst_zscore(union).collect()))
+    assert got == want and len(want) > 0
+    assert any(r[4] == "burst" for r in got)
+
+
+def test_erase_from_daily_counts_bit_identical_and_refuses(spark, tmp_path):
+    """Erasing batch 1 leaves the snapshot equal to built-without;
+    retracting never-ingested events refuses with no orphan dir."""
+    import os
+
+    import pytest as _pytest
+
+    from logsqlite_spark.streaming.partials import (
+        daily_counts_sink,
+        erase_from_daily_counts,
+        read_pointer,
+        snapshot_daily_counts,
+    )
+
+    root = str(tmp_path / "dc")
+    sink = daily_counts_sink(root)
+    b1 = _dc_events(spark, [(0, 5), (1, 3)])
+    b2 = _dc_events(spark, [(1, 2), (2, 7)], start_id=500)
+    sink(b1, 0)
+    sink(b2, 1)
+
+    erase_from_daily_counts(spark, root, b1)
+    got = sorted(map(tuple,
+                     snapshot_daily_counts(spark, root).collect()))
+    assert got == [("view", __import__("datetime").date(2024, 1, 2), 2),
+                   ("view", __import__("datetime").date(2024, 1, 3), 7)]
+
+    bogus = _dc_events(spark, [(2, 50)], start_id=900)
+    before = got
+    with _pytest.raises(ValueError, match="negative"):
+        erase_from_daily_counts(spark, root, bogus)
+    after = sorted(map(tuple,
+                       snapshot_daily_counts(spark, root).collect()))
+    assert after == before
+    ver, _ = read_pointer(root)
+    assert f"v{ver + 1:08d}" not in os.listdir(root)
+    assert ".erase_stage" not in os.listdir(root)
