@@ -427,6 +427,25 @@ def _q_doc_length_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return doc_length_psi(table(spark, sf_dir, "documents"))
 
 
+def _q_daily_burst_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin under the driver's oracle: two event_id-split
+    micro-batches fold through ``daily_counts_sink``'s exactly-once
+    pointer protocol and the burst report is served FROM the snapshot
+    — bit-identical to one-shot (counts merge by exact integer sum),
+    oracle shared verbatim."""
+    import tempfile
+
+    from logsqlite_spark.streaming.partials import (
+        daily_counts_sink, snapshot_daily_counts)
+
+    ev = table(spark, sf_dir, "events")
+    root = tempfile.mkdtemp(prefix="burst-stream-q-")
+    sink = daily_counts_sink(root)
+    sink(ev.filter(F.col("event_id") % 2 == 0), 0)
+    sink(ev.filter(F.col("event_id") % 2 == 1), 1)
+    return daily_burst_from_counts(snapshot_daily_counts(spark, root))
+
+
 QUERIES = {
     "events_ewma": _q_ewma,
     "value_outliers": _q_outliers,
@@ -436,6 +455,7 @@ QUERIES = {
     "events_value_psi_inc": _q_psi_inc,
     "events_daily_burst": _q_daily_burst,
     "doc_length_psi": _q_doc_length_psi,
+    "events_daily_burst_stream": _q_daily_burst_stream,
 }
 
 _CENTS_SQL = "CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) AS BIGINT)"
@@ -557,3 +577,7 @@ ORACLES["events_daily_burst"] = (
     "  THEN 'burst' ELSE 'normal' END AS flag "
     "FROM st WHERE n >= 3 AND n * ss - s * s > 0"
 )
+
+# the stream twin's counts merge by exact integer sum: report is
+# bit-identical, oracle shared verbatim
+ORACLES["events_daily_burst_stream"] = ORACLES["events_daily_burst"]
