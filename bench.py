@@ -93,6 +93,12 @@ BENCH_QUERIES = [
     "token_zipf_slope",
     "token_pmi_pairs",
     "events_value_psi",
+    # r11: Heaps curve (one scan + one vocab agg), the LSH precision
+    # gate (exact jaccard over banded candidates only), and the
+    # trailing-window burst detector (calendar-sized window)
+    "vocab_growth",
+    "dedup_lsh_precision",
+    "events_daily_burst",
 ]
 
 def main() -> None:
