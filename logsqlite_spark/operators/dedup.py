@@ -715,7 +715,7 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
         .distinct()
     )
 
-def _minhash_sig_sql() -> str:
+def _minhash_sig_sql(src: str = "documents") -> str:
     sh = _DUCK_SHINGLES.format(c="text")
     cols = []
     for k, (a, b) in enumerate(_MINHASH_COEFFS):
@@ -724,18 +724,21 @@ def _minhash_sig_sql() -> str:
             f"(({a} * (CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4294967296) "
             f"+ {b}) % {_P32})), 'min') AS m{k}"
         )
-    return "SELECT doc_id, " + ", ".join(cols) + " FROM documents"
+    return "SELECT doc_id, " + ", ".join(cols) + f" FROM {src}"
 
-def _minhash_pairs_sql(band_size: int = 4,
-                       max_band_freq: int | None = None) -> str:
+def _minhash_band_rows_sql(band_size: int = 4, sig: str = "sig") -> str:
     n_bands = MINHASH_K // band_size
-    band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {bi} AS band, concat_ws(',', {ks}) AS key FROM sig".format(
-            bi=bi,
+    return " UNION ALL ".join(
+        "SELECT doc_id, {bi} AS band, concat_ws(',', {ks}) AS key FROM {sig}".format(
+            bi=bi, sig=sig,
             ks=", ".join(f"m{bi * band_size + j}" for j in range(band_size)),
         )
         for bi in range(n_bands)
     )
+
+def _minhash_pairs_sql(band_size: int = 4,
+                       max_band_freq: int | None = None) -> str:
+    band_rows = _minhash_band_rows_sql(band_size)
     cap = (", capped AS (SELECT * FROM (SELECT bands.*, count(*) OVER "
            "(PARTITION BY band, key) AS bf FROM bands) "
            f"WHERE bf <= {max_band_freq})" if max_band_freq is not None
@@ -1406,6 +1409,171 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
     ).select("doc_id", "text")
 
 
+_DOC_DIGESTS_BUILDS = 0
+
+
+def doc_digests_artifact(docs: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """The corpus-side exact-dedup state ``(doc_id, h)`` as a
+    PERSISTED artifact — 1 row/doc, 16-byte digest: the md5 pass over
+    the at-rest text runs ONCE, ever; every later batch's exact stage
+    is an anti-join against this columnar table (the
+    ``minhash_bands_artifact`` idiom at 1 row/doc instead of 2).
+    Maintenance is append-per-batch (digests are per-doc);
+    ``doc_id``-linked so erase can retract rows.  Literal/streaming
+    corpora (no backing files) compute inline."""
+    from logsqlite_spark.artifacts import build_or_serve
+    from logsqlite_spark.tables import frames_fingerprint
+
+    global _DOC_DIGESTS_BUILDS
+    spark = docs.sparkSession
+    inline = docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                         F.md5(F.col(text_col)).alias("h"))
+    try:
+        files = docs.inputFiles()
+    except Exception:  # noqa: BLE001 — e.g. streaming frames
+        files = []
+    if not files:
+        return inline
+    path, built = build_or_serve(
+        spark,
+        (frames_fingerprint(docs), text_col, id_col, "doc-digests"),
+        lambda p: inline.write.mode("overwrite").parquet(f"{p}/digests"))
+    if built:
+        _DOC_DIGESTS_BUILDS += 1
+    return spark.read.parquet(f"{path}/digests")
+
+
+# candidate-id sets above this are fetched via a plain semi-join
+# instead of a collected id filter (the cc endpoint-cap rule,
+# dedup.py::_cc_delta_driver_side)
+_BANDED_CAND_ID_CAP = 100_000
+
+
+def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
+                             threshold: float = JACCARD_THRESHOLD,
+                             band_size: int = 4,
+                             text_col: str = "text",
+                             id_col: str = "doc_id",
+                             history_bands: DataFrame | None = None,
+                             history_digests: DataFrame | None = None,
+                             max_band_freq: int | None = None
+                             ) -> DataFrame:
+    """Incremental near-dedup with O(batch) per-batch work (round 12,
+    VERDICT r11 #1): candidates come from the persisted minhash bands
+    artifact (2 rows/doc — the corpus-side table whose per-batch scan
+    measured a FLAT −0.066/−0.122 decade exponent), and the exact
+    shingle-Jaccard confirm runs on CANDIDATES ONLY (the
+    ``lsh_precision`` confirm stage re-used as a dedup verdict).  This
+    replaces :func:`incremental_dedup_indexed`'s O(corpus)
+    postings-scan term (measured 0.407 second-decade exponent: the
+    inverted table is ~200 rows/doc and a batch's shingles spread
+    uniformly, so no layout can file-prune the read) as the 100 TB
+    deployment path; the indexed twin remains the bounded-corpus
+    exact-recall lens.
+
+    Semantics — ``incremental_dedup``'s two stages with LSH-candidate
+    pairing and an UNCAPPED exact-Jaccard confirm:
+
+    1. exact: batch docs whose md5 digest exists in history (or in an
+       earlier-id batch doc) are dropped — anti-join against the
+       persisted :func:`doc_digests_artifact` (1 row/doc columnar).
+    2. near: candidate pairs touching the batch from
+       :func:`minhash_band_pairs_incremental` (batch banded fresh,
+       history served from :func:`minhash_bands_artifact`); each
+       candidate confirmed by exact 5-gram-shingle Jaccard ≥
+       ``threshold`` computed in-row over the two shingle sets.  A
+       confirmed pair drops its batch doc (vs a history partner) or
+       its later-id doc (vs an earlier batch partner) — the
+       first-arrival rule.
+
+    Banding can only MISS pairs (never invent: the confirm is exact),
+    so kept ⊇ ``incremental_dedup(…, max_df_frac=1.0)``'s kept set at
+    the same threshold, and the delta IS the banding miss rate —
+    measured per-configuration by :func:`lsh_precision`
+    (pytest-pinned superset + delta on the driver corpus).
+
+    Scale shape per batch: batch banding + shingling O(batch); history
+    contributes the bands semi-scan (2 rows/doc columnar, flat) and
+    the digest anti-scan (1 row/doc); candidate history TEXTS are
+    fetched by a collected-id pushdown filter (``artifacts.filter_ids``
+    — an ``In(doc_id)`` predicate that row-group-prunes an id-sorted
+    layout) when the candidate set is control-plane-sized
+    (≤ ``_BANDED_CAND_ID_CAP``), falling back to a plain semi-join —
+    never an unpruned full-text scan in the deployment regime.
+    """
+    if history_bands is None:
+        history_bands = minhash_bands_artifact(history, band_size,
+                                               text_col, id_col)
+    if history_digests is None:
+        history_digests = doc_digests_artifact(history, text_col, id_col)
+
+    nd = new_docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                         F.col(text_col).alias("text"))
+    hd = history.select(F.col(id_col).cast("long").alias("doc_id"),
+                        F.col(text_col).alias("text"))
+
+    # stage 1: first arrival within the batch, then anti vs history
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    first_new = (nd.withColumn("__rn", F.row_number().over(w))
+                 .filter(F.col("__rn") == 1).drop("__rn"))
+    after_exact = first_new.join(
+        history_digests.select(F.col("h").alias("__h")),
+        F.md5(first_new["text"]) == F.col("__h"),
+        "left_anti").localCheckpoint(eager=True)
+
+    # stage 2: banded candidates touching the batch (a_id < b_id by
+    # the generator's sorted-group construction)
+    cand = minhash_band_pairs_incremental(
+        after_exact, history_bands, band_size, "text", "doc_id",
+        max_band_freq).localCheckpoint(eager=True)  # feeds the
+    # id-side split below and the confirm join
+
+    flags = after_exact.select("doc_id", F.lit(True).alias("__new"))
+    cand = (cand
+            .join(F.broadcast(flags.select(
+                F.col("doc_id").alias("a_id"),
+                F.col("__new").alias("a_new"))), "a_id", "left")
+            .join(F.broadcast(flags.select(
+                F.col("doc_id").alias("b_id"),
+                F.col("__new").alias("b_new"))), "b_id", "left")
+            .fillna(False, ["a_new", "b_new"]))
+
+    # candidate history texts: collected-id pushdown when control-
+    # plane-sized, plain semi-join fallback (never isin above the cap)
+    from logsqlite_spark.artifacts import filter_ids
+
+    hist_ids = (cand.filter(~F.col("a_new"))
+                .select(F.col("a_id").alias("doc_id"))
+                .unionByName(cand.filter(~F.col("b_new"))
+                             .select(F.col("b_id").alias("doc_id")))
+                .distinct().localCheckpoint(eager=True))
+    if hist_ids.count() <= _BANDED_CAND_ID_CAP:
+        ids = [r["doc_id"] for r in hist_ids.collect()]
+        hist_cand = filter_ids(hd, "doc_id", ids, keep=True) if ids \
+            else hd.limit(0)
+    else:
+        hist_cand = hd.join(hist_ids, "doc_id", "leftsemi")
+
+    sh_expr = F.expr(_SHINGLES.format(c="text")).alias("s")
+    sh = (after_exact.select("doc_id", sh_expr)
+          .unionByName(hist_cand.select("doc_id", sh_expr)))
+    a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = F.size(F.array_intersect("sa", "sb")).cast("double")
+    jac = inter / (F.size("sa").cast("double")
+                   + F.size("sb").cast("double") - inter)
+    conf = (cand.join(a, "a_id").join(b, "b_id")
+            .filter(jac >= threshold))
+    victim = (F.when(F.col("a_new") & F.col("b_new"), F.col("b_id"))
+              .when(F.col("a_new"), F.col("a_id"))
+              .otherwise(F.col("b_id")))
+    flagged = conf.select(victim.alias("__bad")).distinct()
+    return after_exact.join(
+        flagged, after_exact["doc_id"] == flagged["__bad"], "left_anti"
+    ).select("doc_id", "text")
+
+
 def dedup_decisions(docs: DataFrame, threshold: float = 0.6,
                     max_df_frac: float = 0.5) -> DataFrame:
     """The user-facing end of the dedup pipeline: one row per
@@ -1583,6 +1751,21 @@ def _q_incremental_idx(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = docs.filter(F.col("doc_id") % 5 == 0)
     hist = docs.filter(F.col("doc_id") % 5 != 0)
     kept = incremental_dedup_indexed(new, dedup_index_artifact(hist))
+    return kept.select("doc_id",
+                       F.length("text").cast("int").alias("n_chars"))
+
+
+def _q_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same %5 split as dedup_incremental, candidates from the
+    persisted minhash bands artifact, exact-Jaccard confirm on
+    candidates only — the O(batch) deployment path (VERDICT r11 #1).
+    The oracle replays the full formulation in flat SQL: md5 exact
+    stage, banding over (survivors ∪ history), confirm, first-arrival
+    victim rule."""
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = incremental_dedup_banded(new, hist, threshold=0.6)
     return kept.select("doc_id",
                        F.length("text").cast("int").alias("n_chars"))
 
@@ -1992,6 +2175,7 @@ QUERIES = {
     "dedup_shingle_pairs": _q_dedup_shingle,
     "dedup_incremental": _q_incremental,
     "dedup_incremental_idx": _q_incremental_idx,
+    "dedup_incremental_banded": _q_incremental_banded,
     "dedup_components": _q_dedup_components,
     "dedup_components_inc": _q_dedup_components_inc,
     "dedup_pair_degrees": _q_pair_degrees,
@@ -2207,6 +2391,39 @@ ORACLES = {
     "dedup_two_stage": _two_stage_sql(),
 }
 ORACLES["dedup_incremental_idx"] = ORACLES["dedup_incremental"]
+# banded incremental: md5 exact stage, minhash banding over
+# (survivors ∪ history), exact-Jaccard confirm on candidates only,
+# first-arrival victim rule — flat WITH chain, expressions shared
+# verbatim with the sig/band/shingle builders
+ORACLES["dedup_incremental_banded"] = (
+    "WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+    "hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), "
+    "firstnew AS (SELECT doc_id, text FROM ("
+    "  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) "
+    "  ORDER BY doc_id) AS rn FROM nd) WHERE rn = 1), "
+    "ae AS (SELECT doc_id, text FROM firstnew "
+    "  WHERE md5(text) NOT IN (SELECT md5(text) FROM hd)), "
+    "uni AS (SELECT doc_id, text FROM ae "
+    "  UNION ALL SELECT doc_id, text FROM hd), "
+    f"sig AS ({_minhash_sig_sql('uni')}), "
+    f"bands AS ({_minhash_band_rows_sql(4)}), "
+    "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+    "  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+    "  AND a.doc_id < b.doc_id "
+    "  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0), "
+    "sh AS (SELECT doc_id, "
+    f"{_DUCK_SHINGLES.format(c='text')} AS s FROM uni), "
+    "conf AS (SELECT a_id, b_id FROM cand "
+    "  JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id "
+    "  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+    "  / CAST(len(sa.s) + len(sb.s) "
+    "         - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.6), "
+    "flagged AS (SELECT DISTINCT CASE "
+    "  WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN b_id "
+    "  WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS v FROM conf) "
+    "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM ae "
+    "WHERE doc_id NOT IN (SELECT v FROM flagged)"
+)
 # edit-distance confirm stage: the minhash candidate SQL composed with
 # DuckDB's character-level levenshtein (same semantics as Spark's)
 # near-dup candidates rolled up by (lexicographically ordered)

@@ -91,3 +91,68 @@ def test_round_with_no_commits_is_absent(freshness, monkeypatch):
     )
     rounds = freshness.round_commits()
     assert 1 in rounds and 2 not in rounds
+
+
+_MOD_V1 = '''
+X = 5
+
+def helper(n):
+    return n + X
+
+def q_a(spark, sf):
+    # a comment
+    return helper(1)
+
+def q_b(spark, sf):
+    return 2
+
+QUERIES = {"a": q_a, "b": q_b}
+ORACLES = {"a": "SELECT 1", "b": "SELECT 2"}
+'''
+
+
+def test_relevant_dump_ignores_comments_and_other_queries(freshness):
+    # comment edits and churn in OTHER queries' code must not change
+    # query a's closure dump
+    v2 = _MOD_V1.replace("# a comment", "# a different comment")
+    v3 = _MOD_V1.replace("return 2", "return 3")  # q_b only
+    v4 = _MOD_V1 + '\ndef q_c(spark, sf):\n    return 9\nQUERIES["c"] = q_c\n'
+    base = freshness._relevant_dump(_MOD_V1, "a")
+    assert base is not None
+    assert freshness._relevant_dump(v2, "a") == base
+    assert freshness._relevant_dump(v3, "a") == base
+    assert freshness._relevant_dump(v4, "a") == base
+
+
+def test_relevant_dump_sees_body_helper_and_oracle_changes(freshness):
+    base = freshness._relevant_dump(_MOD_V1, "a")
+    # the query's own body
+    assert freshness._relevant_dump(
+        _MOD_V1.replace("helper(1)", "helper(2)"), "a") != base
+    # a helper in its transitive closure
+    assert freshness._relevant_dump(
+        _MOD_V1.replace("n + X", "n - X"), "a") != base
+    # a module constant the helper reads
+    assert freshness._relevant_dump(
+        _MOD_V1.replace("X = 5", "X = 6"), "a") != base
+    # its oracle SQL
+    assert freshness._relevant_dump(
+        _MOD_V1.replace('"a": "SELECT 1"', '"a": "SELECT 11"'), "a") != base
+
+
+def test_relevant_dump_none_for_unbound_or_dynamic(freshness):
+    # a query the module doesn't key statically -> None (caller falls
+    # back to file-level staleness, never silently fresh)
+    assert freshness._relevant_dump(_MOD_V1, "zzz") is None
+    dyn = 'QUERIES = dict((k, k) for k in ["a"])\n'
+    assert freshness._relevant_dump(dyn, "a") is None
+    assert freshness._relevant_dump("def broken(:", "a") is None
+
+
+def test_subscript_oracle_assign_tracked(freshness):
+    # ORACLES["a"] = ... subscript-assign form (the dedup.py idiom)
+    mod = 'ORACLES = {}\nORACLES["a"] = "SELECT 1"\nQUERIES = {"a": 1}\n'
+    base = freshness._relevant_dump(mod, "a")
+    assert base is not None
+    assert freshness._relevant_dump(
+        mod.replace("SELECT 1", "SELECT 2"), "a") != base

@@ -204,3 +204,34 @@ def test_t4_quarantine_policy_never_restarts(spark, tmp_path):
         assert eng._queries["cq4"].runId == run_id0
     finally:
         eng.stop_all()
+
+
+def test_follow_seam_catchup_to_live_no_gap_no_dup(engine):
+    """The tail-catch-up -> live-stream handoff seam (VERDICT r11 #4,
+    SURVEY §7.2): rows landing BETWEEN iterator creation and the
+    first (history) poll must appear exactly once — either inside the
+    tail window or as the first live batch — and the cursor must hand
+    off at the seq high-water with no gap and no re-emission."""
+    engine.start_logging("cs", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cs", 3)          # seqs 1..3
+    engine.ingest_once()
+
+    it = engine.follow("cs", tail=2, poll_interval_s=0.05,
+                       max_idle_polls=3)
+    # land new rows before the first poll reads: they are part of the
+    # table the history poll sees, so the tail window shifts onto them
+    _burst(engine.config.spool_dir, "cs", 2, ts=BASE_TS + 10**11)  # 4,5
+    engine.ingest_once()
+    first = [r["seq"] for r in next(it)]
+    assert first == [4, 5]  # tail=2 of the CURRENT high-water
+
+    # live rows strictly past the handoff cursor: exactly once, no gap
+    _burst(engine.config.spool_dir, "cs", 2, ts=BASE_TS + 2 * 10**11)  # 6,7
+    engine.ingest_once()
+    second = [r["seq"] for r in next(it)]
+    assert second == [6, 7]
+
+    emitted = first + second
+    assert len(emitted) == len(set(emitted))          # no dup
+    assert emitted == list(range(min(emitted), max(emitted) + 1))  # no gap
+    assert list(it) == []                             # idle timeout

@@ -235,6 +235,7 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
 
     from logsqlite_spark.operators.dedup import (
         cc_merge_delta, connected_components, dedup_index_artifact,
+        doc_digests_artifact, incremental_dedup_banded,
         incremental_dedup_indexed, minhash_band_pairs,
         minhash_band_pairs_incremental, minhash_bands,
         read_components_bucketed, simhash_dedup,
@@ -283,6 +284,8 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
         fps = spark.read.parquet(str(d / f"fps_{tag}"))
         index = dedup_index_artifact(hist)
         index.inverted.count()  # force build outside the timed reps
+        digests = doc_digests_artifact(hist)
+        digests.count()  # force build outside the timed reps
         # deployment layout: bucketed on doc_id so the batch-endpoint
         # label lookup prunes files (the unbucketed table measured a
         # 0.382 per-batch time exponent — a full 2-column history
@@ -309,6 +312,12 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
         r["idx_inc_s"], r["idx_inc_rows"] = timed(
             lambda: incremental_dedup_indexed(
                 batch, index, max_df=64).count())
+        # round 12: the O(batch) deployment path — candidates from the
+        # persisted bands artifact, exact-Jaccard confirm on candidates
+        r["banded_inc_s"], r["banded_inc_rows"] = timed(
+            lambda: incremental_dedup_banded(
+                batch, hist, band_size=8, history_bands=bands,
+                history_digests=digests).count())
 
         def cc_once():
             m, new_rows = cc_merge_delta(cc_edges, comp)
@@ -426,7 +435,8 @@ def measure_lex(spark, root: Path, lo: int, hi: int,
 LEX_PATHS = ("zipf", "pmi", "novelty", "psi", "entropy", "gini")
 LEX_GATE = 1.3
 
-INC_PATHS = ("minhash_inc", "simhash_inc", "idx_inc", "cc_inc")
+INC_PATHS = ("minhash_inc", "simhash_inc", "idx_inc", "cc_inc",
+             "banded_inc")
 INC_GATE = 0.5
 
 DEPLOYMENT_PATHS = ("jaccard_cand", "minhash_cand", "simhash_groups",

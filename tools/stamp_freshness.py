@@ -117,6 +117,139 @@ def commits_since(sha: str, path: str) -> list[str]:
     return [l for l in log.splitlines() if l.strip()]
 
 
+# ---------------------------------------------------------------------------
+# AST-level relevance (VERDICT r11 #3): a post-stamp commit to the
+# defining file only makes a stamp stale if it changed code the query
+# can SEE — its wiring entry (the QUERIES/ORACLES dict values for its
+# name), plus the transitive closure of module-top-level defs/assigns
+# those reference.  Comment edits, unrelated operators landing in the
+# same file, and dict entries for OTHER queries no longer rotate the
+# whole file's stamps.
+
+
+def _top_level_map(tree):
+    """module-top-level name -> list of defining nodes (functions,
+    classes, plain/annotated assigns; augmented + subscript assigns
+    attach to the base name so ``ORACLES[...] = ...`` counts as part
+    of ``ORACLES``)."""
+    import ast
+
+    out: dict[str, list] = {}
+    for node in tree.body:
+        names = []
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
+                             ast.ClassDef)):
+            names = [node.name]
+        elif isinstance(node, ast.Assign):
+            for t in node.targets:
+                if isinstance(t, ast.Name):
+                    names.append(t.id)
+                elif isinstance(t, ast.Subscript) and \
+                        isinstance(t.value, ast.Name):
+                    names.append(t.value.id)
+                elif isinstance(t, ast.Tuple):
+                    names.extend(e.id for e in t.elts
+                                 if isinstance(e, ast.Name))
+        elif isinstance(node, (ast.AnnAssign, ast.AugAssign)):
+            t = node.target
+            if isinstance(t, ast.Name):
+                names.append(t.id)
+            elif isinstance(t, ast.Subscript) and \
+                    isinstance(t.value, ast.Name):
+                names.append(t.value.id)
+        for n in names:
+            out.setdefault(n, []).append(node)
+    return out
+
+
+def _query_root_exprs(tree, query: str):
+    """The AST expressions that BIND ``query`` in this module: values
+    under its key in any top-level dict assigned to a *QUERIES*/
+    *ORACLES*-named target, and the RHS of ``X["query"] = ...``
+    subscript assigns.  Empty list when the module doesn't key this
+    query statically (caller falls back to file-level staleness)."""
+    import ast
+
+    roots = []
+    for node in tree.body:
+        if not isinstance(node, ast.Assign):
+            continue
+        for t in node.targets:
+            base = t.value.id if (isinstance(t, ast.Subscript)
+                                  and isinstance(t.value, ast.Name)) \
+                else (t.id if isinstance(t, ast.Name) else None)
+            if base is None or not ("QUERIES" in base or "ORACLES" in base):
+                continue
+            if isinstance(t, ast.Subscript):
+                idx = t.slice
+                if isinstance(idx, ast.Constant) and idx.value == query:
+                    roots.append(node.value)
+            elif isinstance(node.value, ast.Dict):
+                for k, v in zip(node.value.keys, node.value.values):
+                    if isinstance(k, ast.Constant) and k.value == query:
+                        roots.append(v)
+    return roots
+
+
+def _relevant_dump(source: str, query: str) -> str | None:
+    """Normalized dump of everything ``query`` can see in its defining
+    module: its binding expressions plus the transitive top-level
+    name closure.  None when the module can't be parsed or doesn't
+    bind the query statically."""
+    import ast
+
+    try:
+        tree = ast.parse(source)
+    except SyntaxError:
+        return None
+    roots = _query_root_exprs(tree, query)
+    if not roots:
+        return None
+    top = _top_level_map(tree)
+    seen: set[str] = set()
+    frontier = list(roots)
+    parts = [ast.dump(r) for r in roots]
+    while frontier:
+        node = frontier.pop()
+        for sub in ast.walk(node):
+            if isinstance(sub, ast.Name) and sub.id in top \
+                    and sub.id not in seen:
+                seen.add(sub.id)
+                frontier.extend(top[sub.id])
+    for name in sorted(seen):
+        parts.append(f"### {name}")
+        parts.extend(ast.dump(n) for n in top[name])
+    return "\n".join(parts)
+
+
+def ast_relevant_unchanged(sha: str, path: str, query: str) -> bool:
+    """True iff the query-visible AST closure is identical between the
+    stamp commit and HEAD — i.e. the post-stamp commits could not have
+    changed what this query computes or what its oracle asserts.  The
+    stamp-era closure is read from ``path`` at ``sha``, falling back
+    to registry.py at ``sha`` for queries that MOVED module (the r12
+    parity-query extraction): a verbatim move must not read as churn.
+    Any failure to prove equality (parse error, dynamic wiring, git
+    error) returns False (conservative: stays stale)."""
+    try:
+        with open(os.path.join(REPO, path)) as fh:
+            new = fh.read()
+    except OSError:
+        return False
+    d_new = _relevant_dump(new, query)
+    if d_new is None:
+        return False
+    for old_path in (path, REGISTRY_FILE):
+        try:
+            old = _git("show", f"{sha}:{old_path}")
+        except Exception:  # noqa: BLE001 — file absent at stamp sha
+            continue
+        d_old = _relevant_dump(old, query)
+        if d_old is not None:
+            return d_old == d_new
+    return False
+
+
 REGISTRY_FILE = "logsqlite_spark/registry.py"
 
 
@@ -150,7 +283,13 @@ def audit(window: int = 50) -> dict:
                        f"treating stamp as stale)"]
         else:
             changes = commits_since(sha, path)
-        status = "stale" if changes else "fresh"
+        ast_fresh = False
+        if changes and sha is not None:
+            # file churned post-stamp — but only the query-visible AST
+            # closure matters; comment edits and other queries' code
+            # landing in the same file must not rotate this stamp
+            ast_fresh = ast_relevant_unchanged(sha, path, name)
+        status = "stale" if (changes and not ast_fresh) else "fresh"
         # err == "no_oracle" is the driver's rows-only marker for queries
         # that deliberately omit an oracle_sql() entry — a design property,
         # not a failure.  Real failures: hash/rows mismatch or another err.
@@ -169,6 +308,7 @@ def audit(window: int = 50) -> dict:
                 "rows_match": stamp["rows_match"],
                 "status": status,
                 "changes_since_stamp": changes,
+                "ast_fresh": ast_fresh,
             }
         )
 
