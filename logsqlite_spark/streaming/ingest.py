@@ -88,7 +88,8 @@ def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
 def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
                  scope: str, batch_id: int | None,
                  max_records_per_file: int,
-                 on_stale: str = "quarantine") -> dict:
+                 on_stale: str = "quarantine",
+                 single_container: str | None = None) -> dict:
     """Assign seq and append one (micro-)batch; returns progress info.
 
     The append is exactly-once: rows land in the table's staging dir,
@@ -96,6 +97,17 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     manifest commit together with the seq high-water, spool watermark,
     and batch id. Replays abort inside the commit's critical section,
     so a crash at any point here never duplicates rows.
+
+    ``single_container``: the container a SCOPED stream is pinned to
+    (start_ingest_stream(container_id=...)).  The per-container stats
+    the commit needs (file watermark, good/error/stale counts) then
+    degenerate to GLOBAL aggregates, so they ride the write job as
+    ``Observation`` metrics instead of a separate aggregation job —
+    one Spark job per micro-batch instead of two.  Halving per-batch
+    fixed cost is what bounds ingest→follow-visible latency (the
+    reference's 1 s poll design point, logger.rs:287-288), and at
+    cluster scale it halves driver job-scheduling load per trigger.
+    The multiplexed stream keeps the grouped-stats path.
     """
     table = ManifestTable(logs_dir)
     st = table.import_existing()  # no-op once the manifest exists
@@ -131,6 +143,12 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
         not_stale = ~F.col("__stale")
     else:
         not_stale = F.lit(True)
+
+    if single_container is not None:
+        return _write_batch_observed(
+            batch_df, table, st, state_dir, scope, batch_id,
+            max_records_per_file, on_stale, single_container,
+            track_stale, not_stale)
 
     batch_df = batch_df.persist()
     try:
@@ -211,6 +229,94 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     finally:
         batch_df.unpersist()
 
+
+def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
+                          st: dict, state_dir: str, scope: str,
+                          batch_id: int | None,
+                          max_records_per_file: int, on_stale: str,
+                          cid: str, track_stale, not_stale) -> dict:
+    """ONE-JOB commit for a single-container-scoped batch: the
+    per-container stats `_write_batch` needs are global aggregates
+    here, so they ride the write job as ``Observation`` metrics — the
+    decode runs exactly once, inside the write.  The rare quarantine
+    paths (decode errors / stale files) re-scan the batch instead of
+    keeping it persisted: the happy path owes them nothing.
+    Semantics are pinned identical to the grouped path in
+    ``tests/test_ingest.py`` (same manifest commit shape, same
+    watermark/counter math, exactly-once replay skip)."""
+    import shutil
+
+    from pyspark.sql import Observation
+
+    good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+    if track_stale:
+        live = not_stale.cast("long")
+        aggs = [
+            F.max(F.when(not_stale, F.col("path"))).alias("f"),
+            F.sum(live - good * live).alias("e"),
+            F.sum(good * live).alias("n"),
+            F.sum(1 - live).alias("st"),
+        ]
+    else:
+        aggs = [
+            F.max("path").alias("f"),
+            F.sum(1 - good).alias("e"),
+            F.sum(good).alias("n"),
+            F.sum(F.lit(0)).alias("st"),
+        ]
+    obs = Observation()
+    observed = batch_df.observe(obs, *aggs)
+    live_df = observed.filter(not_stale) if track_stale else observed
+    staging = table.new_staging_dir()
+    (
+        assign_seq(live_df, st["high_water"])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("container_id", "date")
+        .parquet(str(staging))
+    )
+    row = obs.get
+    top_file = row["f"]
+    n_errors = int(row["e"] or 0)
+    n_rows = int(row["n"] or 0)
+    n_stale = int(row["st"] or 0)
+    if top_file is None and not (n_rows or n_errors or n_stale):
+        # empty batch: mirror the grouped path's early return — no
+        # commit, no batch-id consumption, no orphan staging dir
+        shutil.rmtree(staging, ignore_errors=True)
+        return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
+    if n_stale and on_stale == "quarantine":
+        (
+            batch_df.filter(F.col("__stale"))
+            .select("path", "container_id", "frame_no", "source",
+                    "time_nano", "line")
+            .write.mode("append")
+            .parquet(str(Path(state_dir) / "out_of_order"))
+        )
+    if n_errors:
+        (
+            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
+                            & not_stale)
+            .select("path", "container_id", "line")
+            .write.mode("append")
+            .parquet(str(Path(state_dir) / "decode_errors"))
+        )
+    new_files = table.adopt_staged(staging)
+    increments = {cid: n_rows} if n_rows else {}
+    top_files = {cid: top_file} if top_file is not None else {}
+    committed = table.commit_append(new_files, scope, batch_id,
+                                    increments, top_files)
+    if committed is None:  # concurrent replay won the commit
+        return {"skipped_replay": True, "batch_id": batch_id}
+    return {
+        "rows": int(n_rows),
+        "decode_errors": int(n_errors),
+        "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
+        "batch_id": batch_id,
+        "high_water": dict(committed["high_water"]),
+    }
+
+
 def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
                       state_dir: str, container_id: str | None = None,
                       max_records_per_file: int = 1_000_000,
@@ -248,7 +354,8 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     # re-reads consumed files by design -> silently drop the replays.
     result = _write_batch(decoded, logs_dir, state_dir, "__pull__", None,
                           max_records_per_file,
-                          on_stale="quarantine" if consume else "drop")
+                          on_stale="quarantine" if consume else "drop",
+                          single_container=container_id)
     if consume:
         for fp in files:
             if os.path.exists(fp):
@@ -297,7 +404,8 @@ def start_ingest_stream(
     def on_batch(batch_df: DataFrame, batch_id: int) -> None:
         res = _write_batch(batch_df, logs_dir, state_dir, query_name,
                            batch_id,
-                           max_records_per_file=max(conf.max_lines_per_tx, 1))
+                           max_records_per_file=max(conf.max_lines_per_tx, 1),
+                           single_container=container_id)
         # Observed AFTER the manifest commit, so a policy hook (e.g.
         # T4 restart-on-decode-error) never sees an uncommitted batch.
         if on_batch_result is not None:

@@ -197,3 +197,43 @@ def test_streaming_restart_resumes_from_checkpoint(spark, warehouse):
     logs = spark.read.parquet(warehouse.logs_dir).filter("container_id='cr'")
     seqs = sorted(r["seq"] for r in logs.select("seq").collect())
     assert seqs == [1, 2, 3, 4, 5]  # no dups, no gaps across restart
+
+
+def test_observed_commit_equals_grouped_commit(spark, tmp_path):
+    """The single-container ONE-JOB commit path (round 12:
+    Observation-fused stats riding the write job) must be
+    semantically identical to the grouped-stats path — same rows,
+    same seqs, same manifest high-water/watermark state — including
+    with decode errors in the batch (the rare re-scan path)."""
+    from pathlib import Path
+
+    results = {}
+    for tag in ("grouped", "observed"):
+        cfg = EngineConfig(warehouse_dir=str(tmp_path / tag))
+        w = SpoolWriter(cfg.spool_dir, "c0")
+        w.write_burst(_entries(BASE_TS, 4))
+        # corrupt second file: good frame then garbage tail
+        good = encode_frame(LogEntry(source="stdout",
+                                     time_nano=BASE_TS + 10**10,
+                                     line=b"ok"))
+        bad_name = w.write_burst([])
+        Path(bad_name).write_bytes(good + b"\xff\xff\xff\xff garbage")
+        w.write_burst(_entries(BASE_TS + 2 * 10**10, 2))
+        res = ingest_spool_once(
+            spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir,
+            container_id="c0" if tag == "observed" else None)
+        rows = sorted(
+            (r["seq"], r["line"], r["ts_nanos"]) for r in
+            spark.read.parquet(cfg.logs_dir).collect())
+        from logsqlite_spark.table import ManifestTable
+        manifest = ManifestTable(cfg.logs_dir).manifest()
+        # spool names embed wall-clock ns — only the monotonic
+        # per-writer counter suffix is comparable across the two runs
+        wm = manifest.get("last_file", {}).get("c0", "")
+        results[tag] = (res["rows"], res["decode_errors"], rows,
+                        manifest.get("high_water"),
+                        wm.rsplit("-", 1)[-1])
+    g, o = results["grouped"], results["observed"]
+    # compare every component; file watermark compared by basename
+    assert o[:4] == g[:4]
+    assert o[4] == g[4]
