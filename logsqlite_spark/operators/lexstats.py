@@ -217,6 +217,39 @@ def ngram_novelty_incremental(new_docs: DataFrame,
                     .alias("novelty")))
 
 
+def ngram_novelty_from_state(docs: DataFrame,
+                             first_seen: DataFrame,
+                             n: int = NOVELTY_N,
+                             text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The per-document novelty report served from a MAINTAINED
+    ``(g, first_doc)`` state table (``ngram_first_seen`` /
+    ``streaming.partials.first_seen_sink``) instead of re-deriving
+    first occurrences from a full corpus scan — the 100 TB serving
+    shape for ``corpus_report``: the docs are tokenized, but the
+    corpus-wide min-aggregation is replaced by a join against the
+    vocabulary-sized state.  Contract: ``first_seen`` covers every
+    doc in ``docs`` (it was built over a corpus ⊇ docs); then the
+    output is row-identical to ``ngram_novelty(docs)`` when docs IS
+    that corpus (pytest-pinned).
+    """
+    sh = F.explode(F.expr(
+        "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
+        "i -> substring({c}, i, {n}))".format(c=text_col, m=n - 1, n=n)
+    )).alias("g")
+    post = (docs.select(F.col(id_col).alias("doc_id"), sh)
+            .filter(F.col("g") != "").distinct())
+    return (post.join(first_seen, "g")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
+                 F.sum((F.col("first_doc") == F.col("doc_id"))
+                       .cast("long")).cast("long").alias("n_novel"))
+            .select("doc_id", "n_grams", "n_novel",
+                    F.round(F.col("n_novel").cast("double")
+                            / F.col("n_grams").cast("double"), 6)
+                    .alias("novelty")))
+
+
 VOCAB_CHECKPOINTS = 10
 
 

@@ -394,7 +394,9 @@ ORACLES = {
 }
 
 
-def corpus_report(docs: DataFrame) -> dict[str, DataFrame]:
+def corpus_report(docs: DataFrame,
+                  first_seen_root: str | None = None
+                  ) -> dict[str, DataFrame]:
     """One-call corpus health dashboard — the report a pipeline owner
     reads before training: per-source duplication rates, lexical shape
     (Zipf fit), freshness decay (first-occurrence n-gram novelty),
@@ -402,7 +404,17 @@ def corpus_report(docs: DataFrame) -> dict[str, DataFrame]:
     Each value is a lazy DataFrame over the SAME docs scan lineage —
     collect the ones you want; nothing runs until you do.  Every
     entry is an individually driver-oracled registry query, so the
-    composition adds no new semantics to certify."""
+    composition adds no new semantics to certify.
+
+    ``first_seen_root`` (round 12): when the corpus's first-occurrence
+    snapshot is MAINTAINED (``streaming.partials.first_seen_sink``;
+    retraction via ``rebuild_first_seen``), pass its root and the
+    novelty entry is served from that state —
+    ``lexstats.ngram_novelty_from_state`` replaces the corpus-wide
+    min-aggregation (the report's heaviest linear constant) with a
+    vocabulary-sized state join, and the report reads the SAME state
+    the takedown path maintains (state-served ≡ re-derived is
+    pytest-pinned)."""
     from logsqlite_spark.operators.checks import (
         DOCUMENTS_CHECKS,
         run_checks,
@@ -434,10 +446,20 @@ def corpus_report(docs: DataFrame) -> dict[str, DataFrame]:
     from logsqlite_spark.operators.dedup import lsh_precision
     from logsqlite_spark.operators.lexstats import vocab_growth
 
+    novelty = ngram_novelty(docs)
+    if first_seen_root is not None:
+        from logsqlite_spark.operators.lexstats import (
+            ngram_novelty_from_state)
+        from logsqlite_spark.streaming.partials import snapshot_first_seen
+
+        state = snapshot_first_seen(docs.sparkSession, first_seen_root)
+        if state is not None:
+            novelty = ngram_novelty_from_state(docs, state)
+
     return {
         "dup_rate_by_source": dup,
         "zipf": token_zipf_slope(docs),
-        "novelty": ngram_novelty(docs),
+        "novelty": novelty,
         "quality_drop_rates": drop_rates,
         "checks": run_checks(docs, DOCUMENTS_CHECKS),
         # round 11: Heaps growth curve + the LSH band quality gate

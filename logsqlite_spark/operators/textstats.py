@@ -1459,13 +1459,15 @@ def _q_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(table(spark, sf_dir, "documents"))
 
 def _q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only: the merge loop is iterative (argmax per round), not
-    # SQL-expressible; pinned in pytest against a pure-Python
-    # reference BPE implementation
+    # oracled since round 12 (was rows-only): the Sennrich loop is
+    # seeded and tie-broken, so the 12 iterations UNROLL into a flat
+    # CTE chain (_bpe_ctes_sql) — argmax per round as a LIMIT 1 CTE,
+    # the merge pass as a positional gaps-and-islands rewrite
     return bpe_train(table(spark, sf_dir, "documents"), n_merges=12)
 
 def _q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only (depends on the learned merge table); pytest-pinned
+    # oracled since round 12: replays the same unrolled chain, maps
+    # word -> len(syms), joins instances
     return bpe_segment(table(spark, sf_dir, "documents"), n_merges=12)
 
 def _q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1545,80 @@ QUERIES = {
 
 _STOP = _sql_list(STOPWORDS)
 _TOKS = "list_filter(string_split(text, ' '), t -> t <> '')"
+
+def _bpe_ctes_sql(n_merges: int = 12, min_count: int = 2) -> list[str]:
+    """The DuckDB twin of :func:`bpe_train`'s loop, UNROLLED: the
+    iteration count is a fixed literal and every step is
+    deterministic (count-desc, then lexicographic pair tie-break), so
+    round ``i`` is four CTEs — pair counts ``c{i}``, the argmax
+    ``b{i}`` (empty once the best pair drops under ``min_count``,
+    which freezes every later round: the NULL scalar matches
+    nothing), the positional pair-hit table, and the rewritten word
+    table ``w{i+1}``.  The merge pass replicates the left-to-right
+    non-overlapping fold via gaps-and-islands: consecutive hit
+    positions form an island, every even-ranked hit is ACTIVE, an
+    active hit rewrites ``sym -> sym || second`` and drops its
+    successor ('aaa' under (a,a) -> [aa, a], exactly the Spark
+    fold's semantics).  MATERIALIZED keeps DuckDB from re-inlining
+    the chain exponentially."""
+    parts = [
+        "w0 AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS freq, "
+        "list_append(list_transform(generate_series(1, length(word)), "
+        "i -> substr(word, i, 1)), '</w>') AS syms "
+        f"FROM documents, unnest({_TOKS}) AS t(word) GROUP BY word)"
+    ]
+    for i in range(n_merges):
+        parts += [
+            f"c{i} AS MATERIALIZED (SELECT syms[j] AS f, syms[j+1] AS s, "
+            "CAST(sum(freq) AS BIGINT) AS n "
+            f"FROM w{i}, unnest(generate_series(1, len(syms) - 1)) AS g(j) "
+            "WHERE len(syms) >= 2 GROUP BY 1, 2)",
+            f"b{i} AS MATERIALIZED (SELECT f, s, n FROM c{i} "
+            f"WHERE n >= {min_count} "
+            "ORDER BY n DESC, f ASC, s ASC LIMIT 1)",
+            f"u{i} AS MATERIALIZED (SELECT word, freq, syms[j] AS sym, "
+            "j AS ord, syms[j + 1] AS nxt "
+            f"FROM w{i}, unnest(generate_series(1, len(syms))) AS g(j))",
+            f"m{i} AS MATERIALIZED (SELECT word, freq, sym, ord, "
+            f"coalesce(sym = (SELECT f FROM b{i}) "
+            f"AND nxt = (SELECT s FROM b{i}), FALSE) AS hit FROM u{i})",
+            f"i{i} AS MATERIALIZED (SELECT word, freq, sym, ord, hit, "
+            "CASE WHEN hit THEN ord - row_number() OVER "
+            f"(PARTITION BY word, hit ORDER BY ord) END AS isl FROM m{i})",
+            f"a{i} AS MATERIALIZED (SELECT word, freq, sym, ord, hit, isl, "
+            "CASE WHEN hit THEN (row_number() OVER "
+            "(PARTITION BY word, isl ORDER BY ord) - 1) % 2 = 0 "
+            f"ELSE FALSE END AS act FROM i{i})",
+            f"d{i} AS MATERIALIZED (SELECT word, freq, sym, ord, act, "
+            "coalesce(lag(act) OVER (PARTITION BY word ORDER BY ord), "
+            f"FALSE) AS prev_act FROM a{i})",
+            f"w{i + 1} AS MATERIALIZED (SELECT word, freq, "
+            f"list(CASE WHEN act THEN sym || (SELECT s FROM b{i}) "
+            f"ELSE sym END ORDER BY ord) AS syms FROM d{i} "
+            "WHERE NOT prev_act GROUP BY word, freq)",
+        ]
+    return parts
+
+
+def _bpe_train_sql(n_merges: int = 12) -> str:
+    union = " UNION ALL ".join(
+        f"SELECT CAST({i + 1} AS INT) AS rank, f AS first, s AS second, "
+        f"f || s AS merged, n AS pair_count FROM b{i}"
+        for i in range(n_merges))
+    return "WITH " + ", ".join(_bpe_ctes_sql(n_merges)) + " " + union
+
+
+def _bpe_segment_sql(n_merges: int = 12) -> str:
+    return (
+        "WITH " + ", ".join(_bpe_ctes_sql(n_merges))
+        + ", mapping AS MATERIALIZED (SELECT word, "
+        f"CAST(len(syms) AS BIGINT) AS n_sub FROM w{n_merges}), "
+        f"inst AS (SELECT doc_id, word FROM documents, "
+        f"unnest({_TOKS}) AS t(word)) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, "
+        "CAST(sum(n_sub) AS BIGINT) AS n_bpe_tokens "
+        "FROM inst JOIN mapping USING (word) GROUP BY doc_id")
+
 
 def _langid_oracle() -> str:
     scores = ", ".join(
@@ -1689,6 +1765,8 @@ ORACLES = {
         "WHERE a.doc_id % 4 = 0 OR b.doc_id % 4 = 0 "
         "GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 8"
     ),
+    "bpe_train_merges": _bpe_train_sql(),
+    "bpe_segment_counts": _bpe_segment_sql(),
     "bpe_pair_stats": (
         f"WITH t AS (SELECT {_TOKS} AS toks FROM documents) "
         "SELECT toks[i] AS first, toks[i + 1] AS second, "

@@ -752,6 +752,64 @@ def first_seen_sink(snapshot_root: str,
     return on_batch
 
 
+def rebuild_first_seen(spark, snapshot_root: str, corpus: DataFrame,
+                       retract_ids=None, n: int | None = None,
+                       text_col: str = "text",
+                       id_col: str = "doc_id") -> dict:
+    """Erase-by-REBUILD for the min-partial family (VERDICT r11 #5 —
+    closes the documented erase asymmetry): a min-partial cannot
+    retract its own minimum (the second-smallest occurrence lives
+    only in the corpus-sized postings), so retraction re-derives the
+    ``(g, first_doc)`` snapshot from the surviving corpus.
+
+    ``corpus`` is the at-rest document table the snapshot was built
+    over; ``retract_ids`` the doc ids to exclude (None = plain
+    re-derivation, e.g. after corpus compaction).  Same commit
+    protocol as every snapshot leg: the new version is fully written
+    and VALIDATED before the pointer flips — a crash or a failed
+    validation leaves the old complete version serving.  Refusal
+    semantics are N/A by construction (the rebuild never subtracts,
+    so no count can go negative); validation instead pins the
+    retraction's own contract: no retracted id may survive as a
+    ``first_doc``.
+
+    Cost is one corpus scan — the honest price of erasing from a
+    min-partial, paid per takedown batch instead of per ingest batch
+    (the sink's per-batch work stays O(batch)).
+    """
+    from logsqlite_spark.artifacts import filter_ids
+    from logsqlite_spark.operators.lexstats import (
+        NOVELTY_N, ngram_first_seen)
+
+    if n is None:
+        n = NOVELTY_N
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("rebuild_first_seen: no snapshot at "
+                         f"{snapshot_root}")
+    ids = [int(x) for x in retract_ids] if retract_ids is not None else []
+    survivors = filter_ids(corpus, id_col, ids, keep=False) if ids \
+        else corpus
+    rebuilt = ngram_first_seen(survivors, n, text_col, id_col)
+    new_ver = ver + 1
+    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "first")
+    rebuilt.write.mode("overwrite").parquet(out)
+    # validate the STAGED version before the pointer moves
+    staged = spark.read.parquet(out)
+    if ids:
+        bad = filter_ids(staged, "first_doc", ids, keep=True).count()
+        if bad:
+            raise AssertionError(
+                f"rebuild_first_seen: {bad} retracted ids survive as "
+                "first_doc in the staged rebuild — snapshot unchanged")
+    n_grams = staged.count()
+    _write_pointer(snapshot_root, new_ver,
+                   batch_id if batch_id is not None else -1)
+    _gc_versions(snapshot_root, new_ver)
+    return {"rebuilt": True, "version": new_ver, "grams": int(n_grams),
+            "retracted": len(ids)}
+
+
 def start_streaming_first_seen(stream: DataFrame, snapshot_root: str,
                                checkpoint_dir: str,
                                novelty_dir: str | None = None):

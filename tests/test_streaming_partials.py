@@ -230,3 +230,67 @@ def test_streaming_first_seen_end_to_end(spark, tmp_path):
     got_nov = sorted(map(tuple, spark.read.parquet(nov).collect()))
     want_nov = sorted(map(tuple, ngram_novelty(union).collect()))
     assert got_nov == want_nov
+
+
+def test_rebuild_first_seen_equals_built_without(spark, tmp_path):
+    """Erase-by-rebuild for the min-partial family (VERDICT r11 #5):
+    rebuilding the (g, first_doc) snapshot excluding a retracted id
+    set is value-identical to a snapshot built WITHOUT those docs,
+    the staged validation guarantees no retracted id survives as a
+    first_doc, and the pointer protocol keeps the old version serving
+    until the rebuild commits."""
+    from logsqlite_spark.operators.lexstats import ngram_first_seen
+    from logsqlite_spark.streaming.partials import (
+        first_seen_sink,
+        read_pointer,
+        rebuild_first_seen,
+        snapshot_first_seen,
+    )
+
+    DOC = "doc_id long, text string"
+    rows = [(0, "abcdefgh"), (1, "abcdxyzw"),
+            (2, "abcdefgh"), (3, "qrstuvab")]
+    corpus = spark.createDataFrame(rows, DOC)
+    snap = str(tmp_path / "snap")
+    sink = first_seen_sink(snap)
+    sink(corpus.filter("doc_id < 2"), 0)
+    sink(corpus.filter("doc_id >= 2"), 1)
+
+    res = rebuild_first_seen(spark, snap, corpus, retract_ids=[0, 1])
+    assert res["rebuilt"] and res["retracted"] == 2
+    got = sorted(map(tuple, snapshot_first_seen(spark, snap).collect()))
+    want = sorted(map(tuple, ngram_first_seen(
+        corpus.filter("doc_id >= 2")).collect()))
+    assert got == want and len(want) > 0
+    assert not any(fd in (0, 1) for _, fd in got)
+    # pointer advanced exactly once past the sink's two merges
+    ver, _ = read_pointer(snap)
+    assert ver == 3
+
+
+def test_rebuild_first_seen_requires_snapshot(spark, tmp_path):
+    from logsqlite_spark.streaming.partials import rebuild_first_seen
+
+    corpus = spark.createDataFrame([(0, "abcd")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        rebuild_first_seen(spark, str(tmp_path / "missing"), corpus)
+
+
+def test_corpus_report_novelty_served_from_state(spark, tmp_path):
+    """corpus_report(first_seen_root=...) serves the novelty entry
+    from the maintained snapshot; state-served rows equal the
+    re-derived one-shot rows (ngram_novelty) on the same corpus."""
+    from logsqlite_spark.operators.lexstats import ngram_novelty
+    from logsqlite_spark.operators.pipeline import corpus_report
+    from logsqlite_spark.streaming.partials import first_seen_sink
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents") \
+        .filter(F.col("doc_id") < 60)
+    snap = str(tmp_path / "snap")
+    first_seen_sink(snap)(docs, 0)
+    got = sorted(map(tuple,
+                     corpus_report(docs, first_seen_root=snap)["novelty"]
+                     .collect()))
+    want = sorted(map(tuple, ngram_novelty(docs).collect()))
+    assert got == want and len(want) > 0
