@@ -185,6 +185,75 @@ def simhash_sink(state_dir: str, emit_dir: str | None = None,
         emit_dir=emit_dir)
 
 
+def banded_state_rows(spark, state_dir: str):
+    """The banded-dedup sink's two state tables — corpus ``(doc_id,
+    band, key)`` bands and ``(doc_id, h)`` digests — or ``(None,
+    None)`` pre-bootstrap."""
+    if last_appended_batch(state_dir) is None:
+        return None, None
+    rd = (spark.read.option("recursiveFileLookup", "true").parquet)
+    return (rd(os.path.join(state_dir, "bands")),
+            rd(os.path.join(state_dir, "digests")))
+
+
+def banded_dedup_sink(state_dir: str,
+                      docs_table: Callable[[], DataFrame],
+                      emit_dir: str,
+                      threshold: float = 0.6,
+                      band_size: int = 4,
+                      max_band_freq: int | None = None,
+                      ) -> Callable[[DataFrame, int], None]:
+    """Streaming twin of ``incremental_dedup_banded`` (round 12) —
+    the deployment near-dedup as a document sink: per micro-batch the
+    KEPT survivors (exact-md5 + banded-candidate exact-Jaccard
+    confirm against everything ingested before) land in ``emit_dir``,
+    and the FULL batch's bands + digests append to the state (dropped
+    docs still partner later arrivals, exactly the batch operator's
+    earlier-id rule — so sequential emits reproduce the batch API
+    applied cumulatively, pytest-pinned).
+
+    ``docs_table`` re-reads the at-rest corpus (the ingest sink's own
+    output table) — the confirm stage fetches candidate partner TEXTS
+    from it by id-pruned lookup; state itself stays 3 columns/doc.
+    Per-batch-keyed subdirs make crash replays rewrite instead of
+    duplicate (the ``components_sink`` idiom).
+    """
+    from logsqlite_spark.operators.dedup import (
+        incremental_dedup_banded,
+        minhash_bands,
+    )
+
+    _local_root(state_dir)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        spark = batch_df.sparkSession
+        last = last_appended_batch(state_dir)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already applied
+        bands, digests = banded_state_rows(spark, state_dir)
+        if bands is None:
+            bands = spark.createDataFrame(
+                [], "doc_id long, band int, key string")
+            digests = spark.createDataFrame([], "doc_id long, h string")
+        kept = incremental_dedup_banded(
+            batch_df, docs_table(), threshold=threshold,
+            band_size=band_size, history_bands=bands,
+            history_digests=digests, max_band_freq=max_band_freq)
+        kept.write.mode("overwrite").parquet(
+            os.path.join(emit_dir, f"b{batch_id}"))
+        minhash_bands(batch_df, band_size).write.mode("overwrite") \
+            .parquet(os.path.join(state_dir, "bands", f"b{batch_id}"))
+        (batch_df.select(F.col("doc_id").cast("long").alias("doc_id"),
+                         F.md5("text").alias("h"))
+         .write.mode("overwrite")
+         .parquet(os.path.join(state_dir, "digests", f"b{batch_id}")))
+        _write_state(state_dir, batch_id)
+
+    return on_batch
+
+
 def semantic_sink(state_dir: str, centroids: DataFrame,
                   emit_dir: str | None = None, tau: float | None = None,
                   ) -> Callable[[DataFrame, int], None]:

@@ -706,3 +706,57 @@ def test_components_sink_compacts_on_cadence(spark, tmp_path):
     # the never-compacted twin kept its full chain — the cadence is
     # what bounded the state, not the workload
     assert len(glob.glob(os.path.join(plain, "relabel", "b*"))) >= 3
+
+
+def test_banded_dedup_sink_matches_batch_api(spark, tmp_path):
+    """Streaming twin of incremental_dedup_banded (round 12): feeding
+    id-ordered document batches through the sink, each batch's emit
+    equals the batch API run against the union of earlier batches,
+    the state keeps EVERY ingested doc's bands/digests (dropped docs
+    still partner later arrivals — the earlier-id rule), and replay
+    is idempotent."""
+    import os
+
+    from logsqlite_spark.operators.dedup import incremental_dedup_banded
+    from logsqlite_spark.streaming.incremental import banded_dedup_sink
+
+    DOC = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    batches = [
+        [(0, base * 4), (1, "unrelated totally different content here " * 4)],
+        [(10, base * 4),                 # exact dup of 0 -> dropped
+         (12, base * 4 + "x"),          # near dup of 0 -> dropped
+         (14, "fresh unique content with its own words " * 4)],
+        [(20, "fresh unique content with its own words " * 4 + "y"),
+         # near dup of 14 -> dropped; ALSO near dup of 12's text? no —
+         # distinct base. 22 pairs with the DROPPED 12 via 0's base:
+         (22, base * 4 + "xz")],        # near dup of 0/10/12 -> dropped
+    ]
+    state = str(tmp_path / "bstate")
+    emit = str(tmp_path / "bemit")
+    all_rows: list = []
+    union_df = lambda: spark.createDataFrame(all_rows, DOC)  # noqa: E731
+    sink = banded_dedup_sink(state, union_df, emit)
+    for i, rows in enumerate(batches):
+        all_rows += rows  # docs_table = at-rest corpus incl. batch
+        df = spark.createDataFrame(rows, DOC)
+        sink(df, i)
+        hist = spark.createDataFrame(
+            [r for r in all_rows if r not in rows], DOC) if i else \
+            spark.createDataFrame([], DOC)
+        want = sorted(r["doc_id"] for r in incremental_dedup_banded(
+            df, hist).collect())
+        got = sorted(r["doc_id"] for r in spark.read.parquet(
+            os.path.join(emit, f"b{i}")).collect())
+        assert got == want, (i, got, want)
+    # the planted outcome end-to-end
+    kept = sorted(r["doc_id"] for r in
+                  spark.read.option("recursiveFileLookup", "true")
+                  .parquet(emit).collect())
+    assert kept == [0, 1, 14]
+    # replay: nothing duplicated
+    sink(spark.createDataFrame(batches[-1], DOC), 2)
+    kept2 = sorted(r["doc_id"] for r in
+                   spark.read.option("recursiveFileLookup", "true")
+                   .parquet(emit).collect())
+    assert kept2 == kept
