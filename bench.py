@@ -99,6 +99,10 @@ BENCH_QUERIES = [
     "vocab_growth",
     "dedup_lsh_precision",
     "events_daily_burst",
+    # r12: the O(batch) deployment near-dedup — candidates from the
+    # persisted bands artifact, exact-Jaccard confirm on candidates
+    # only (artifact builds land in the untimed rep0)
+    "dedup_incremental_banded",
 ]
 
 def main() -> None:
@@ -315,8 +319,9 @@ def main() -> None:
                 source="stdout",
                 time_nano=base_ts + (i + 100) * 10**9,
                 line=key.encode())])
-            time.sleep(0.25)  # steady log cadence — appends slower
-            # than the per-batch commit, so no artificial backlog
+            time.sleep(0.35)  # steady log cadence — appends slower
+            # than the per-batch commit, so the measurement reflects
+            # pipeline latency, not self-inflicted queueing
         deadline = time.time() + 180
         while sum(1 for k in writes if k in arrivals) < n \
                 and time.time() < deadline:

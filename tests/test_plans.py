@@ -671,3 +671,20 @@ def test_pmi_no_postings_self_join_and_bounded_scans(spark):
     # the topv build scans once more but is checkpointed away)
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
     assert has_take_ordered(df)  # the global top-k never one-sorts
+
+
+def test_banded_inc_candidate_fetch_pushes_id_filter(spark):
+    """incremental_dedup_banded's candidate-partner text fetch must
+    reach the parquet scan as an In(doc_id) pushed filter when the
+    candidate set is control-plane-sized (artifacts.filter_ids isin
+    path) — the row-group-pruning read the 100 TB story depends on —
+    and degrade to a broadcast semi-join above the isin cap, never an
+    unpruned full scan."""
+    from logsqlite_spark.artifacts import filter_ids
+
+    hd = table(spark, SF, "documents").select("doc_id", "text")
+    small = filter_ids(hd, "doc_id", [3, 7, 11], keep=True)
+    assert has_pushed_filters(small, "In(doc_id")
+    big = filter_ids(hd, "doc_id", list(range(2000)), keep=True)
+    plan = explain_str(big)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
