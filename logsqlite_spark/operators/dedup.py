@@ -1770,6 +1770,24 @@ def _q_incremental_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.length("text").cast("int").alias("n_chars"))
 
 
+def _q_incremental_banded_capped(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The banded incremental path under the deployment band-freq cap
+    (the `dedup_minhash_capped` knob applied to the incremental
+    formulation): degenerate (band, key) buckets above the cap are
+    dropped BEFORE any doc list exists, bounding candidate work under
+    ANY dup-cluster growth.  cap=2 BINDS on the driver corpus (its
+    planted exact-dup groups exceed it), so this row certifies the
+    cap's semantics, not a no-op."""
+    docs = table(spark, sf_dir, "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    kept = incremental_dedup_banded(new, hist, threshold=0.6,
+                                    max_band_freq=2)
+    return kept.select("doc_id",
+                       F.length("text").cast("int").alias("n_chars"))
+
+
 def _q_pair_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shingle_jaccard_pairs(table(spark, sf_dir, "documents"),
                                   threshold=0.6, max_df_frac=0.5)
@@ -2176,6 +2194,7 @@ QUERIES = {
     "dedup_incremental": _q_incremental,
     "dedup_incremental_idx": _q_incremental_idx,
     "dedup_incremental_banded": _q_incremental_banded,
+    "dedup_incremental_banded_capped": _q_incremental_banded_capped,
     "dedup_components": _q_dedup_components,
     "dedup_components_inc": _q_dedup_components_inc,
     "dedup_pair_degrees": _q_pair_degrees,
@@ -2395,35 +2414,52 @@ ORACLES["dedup_incremental_idx"] = ORACLES["dedup_incremental"]
 # (survivors ∪ history), exact-Jaccard confirm on candidates only,
 # first-arrival victim rule — flat WITH chain, expressions shared
 # verbatim with the sig/band/shingle builders
-ORACLES["dedup_incremental_banded"] = (
-    "WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
-    "hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), "
-    "firstnew AS (SELECT doc_id, text FROM ("
-    "  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) "
-    "  ORDER BY doc_id) AS rn FROM nd) WHERE rn = 1), "
-    "ae AS (SELECT doc_id, text FROM firstnew "
-    "  WHERE md5(text) NOT IN (SELECT md5(text) FROM hd)), "
-    "uni AS (SELECT doc_id, text FROM ae "
-    "  UNION ALL SELECT doc_id, text FROM hd), "
-    f"sig AS ({_minhash_sig_sql('uni')}), "
-    f"bands AS ({_minhash_band_rows_sql(4)}), "
-    "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
-    "  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
-    "  AND a.doc_id < b.doc_id "
-    "  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0), "
-    "sh AS (SELECT doc_id, "
-    f"{_DUCK_SHINGLES.format(c='text')} AS s FROM uni), "
-    "conf AS (SELECT a_id, b_id FROM cand "
-    "  JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id "
-    "  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
-    "  / CAST(len(sa.s) + len(sb.s) "
-    "         - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.6), "
-    "flagged AS (SELECT DISTINCT CASE "
-    "  WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN b_id "
-    "  WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS v FROM conf) "
-    "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM ae "
-    "WHERE doc_id NOT IN (SELECT v FROM flagged)"
-)
+
+
+def _banded_inc_sql(max_band_freq: int | None = None) -> str:
+    cap = ("capped AS (SELECT * FROM (SELECT bands.*, count(*) OVER "
+           "(PARTITION BY band, key) AS bf FROM bands) "
+           f"WHERE bf <= {max_band_freq}), " if max_band_freq is not None
+           else "")
+    src = "capped" if max_band_freq is not None else "bands"
+    return (
+        "WITH nd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0), "
+        "hd AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0), "
+        "firstnew AS (SELECT doc_id, text FROM ("
+        "  SELECT doc_id, text, row_number() OVER (PARTITION BY md5(text) "
+        "  ORDER BY doc_id) AS rn FROM nd) WHERE rn = 1), "
+        "ae AS (SELECT doc_id, text FROM firstnew "
+        "  WHERE md5(text) NOT IN (SELECT md5(text) FROM hd)), "
+        "uni AS (SELECT doc_id, text FROM ae "
+        "  UNION ALL SELECT doc_id, text FROM hd), "
+        f"sig AS ({_minhash_sig_sql('uni')}), "
+        f"bands AS ({_minhash_band_rows_sql(4)}), "
+        f"{cap}"
+        "cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id "
+        f"  FROM {src} a JOIN {src} b ON a.band = b.band AND a.key = b.key "
+        "  AND a.doc_id < b.doc_id "
+        "  WHERE a.doc_id % 5 = 0 OR b.doc_id % 5 = 0), "
+        "sh AS (SELECT doc_id, "
+        f"{_DUCK_SHINGLES.format(c='text')} AS s FROM uni), "
+        "conf AS (SELECT a_id, b_id FROM cand "
+        "  JOIN sh sa ON sa.doc_id = a_id JOIN sh sb ON sb.doc_id = b_id "
+        "  WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) "
+        "  / CAST(len(sa.s) + len(sb.s) "
+        "         - len(list_intersect(sa.s, sb.s)) AS DOUBLE) >= 0.6), "
+        "flagged AS (SELECT DISTINCT CASE "
+        "  WHEN a_id % 5 = 0 AND b_id % 5 = 0 THEN b_id "
+        "  WHEN a_id % 5 = 0 THEN a_id ELSE b_id END AS v FROM conf) "
+        "SELECT doc_id, CAST(length(text) AS INT) AS n_chars FROM ae "
+        "WHERE doc_id NOT IN (SELECT v FROM flagged)"
+    )
+
+
+ORACLES["dedup_incremental_banded"] = _banded_inc_sql()
+# capped twin: the deployment band-freq knob certified on the
+# incremental formulation (cap computed over survivors ∪ history —
+# the incremental generator reproduces every batch bucket's window
+# count exactly, per its docstring contract)
+ORACLES["dedup_incremental_banded_capped"] = _banded_inc_sql(2)
 # edit-distance confirm stage: the minhash candidate SQL composed with
 # DuckDB's character-level levenshtein (same semantics as Spark's)
 # near-dup candidates rolled up by (lexicographically ordered)

@@ -936,3 +936,24 @@ def test_doc_digests_artifact_built_once(spark):
                          F.md5("text").alias("h"))
     assert sorted(map(tuple, a.collect())) == \
         sorted(map(tuple, inline.collect()))
+
+
+def test_incremental_banded_cap_binds_and_only_loosens(spark):
+    """The band-freq cap can only DROP candidate buckets, so the
+    capped kept set is a superset of the uncapped one — and cap=2
+    must actually bind on the driver corpus (planted exact-dup groups
+    exceed it), otherwise the capped registry row is a no-op."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import incremental_dedup_banded
+    from logsqlite_spark.tables import table as t
+
+    docs = t(spark, "/root/testdata/sf0.001", "documents")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    uncapped = {r["doc_id"] for r in incremental_dedup_banded(
+        new, hist, threshold=0.6).collect()}
+    capped = {r["doc_id"] for r in incremental_dedup_banded(
+        new, hist, threshold=0.6, max_band_freq=2).collect()}
+    assert capped >= uncapped
+    assert capped != uncapped  # the cap binds
