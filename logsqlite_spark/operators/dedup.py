@@ -1547,9 +1547,13 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
                 .select(F.col("a_id").alias("doc_id"))
                 .unionByName(cand.filter(~F.col("b_new"))
                              .select(F.col("b_id").alias("doc_id")))
-                .distinct().localCheckpoint(eager=True))
-    if hist_ids.count() <= _BANDED_CAND_ID_CAP:
-        ids = [r["doc_id"] for r in hist_ids.collect()]
+                .distinct())
+    # ONE control-plane job decides the fetch strategy AND yields the
+    # ids: collect capped at cap+1 rows off the checkpointed cand (a
+    # count + a second collect would each be their own job)
+    probe = hist_ids.limit(_BANDED_CAND_ID_CAP + 1).collect()
+    if len(probe) <= _BANDED_CAND_ID_CAP:
+        ids = [r["doc_id"] for r in probe]
         hist_cand = filter_ids(hd, "doc_id", ids, keep=True) if ids \
             else hd.limit(0)
     else:

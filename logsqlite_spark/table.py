@@ -49,11 +49,22 @@ Invariants:
   explicit file list. A torn commit is impossible to observe (rename
   is atomic; a crashed commit leaves only unreferenced staging files).
 
-Scale note (100 TB): one JSON manifest listing ~10^6 files is the real
-bottleneck this design hits at cluster scale — the production answer
-is Delta/Iceberg (chunked manifests + log compaction), which this
-module's API maps onto 1:1 (commit_append → AddFile txn,
-commit_replace → OPTIMIZE/DELETE txn, gc → VACUUM).
+Scale note (100 TB): since round 12 the file list is CHUNKED — the
+Delta/Iceberg answer (manifest lists + log compaction) applied to this
+protocol. The head manifest stores ``file_chunks`` (names of immutable
+chunk JSONs under ``_manifests/chunks/``) instead of the inline list;
+a pure append WRITES one new chunk (the batch's files) plus an
+O(#chunks)-sized head, never re-serializing the table's full file
+list, and a replace rewrites only the chunks it touches. When the
+chunk count passes ``_CHUNK_COMPACT_AT`` the commit squashes them to
+``_CHUNK_TARGET``-sized chunks — amortized log compaction. Chunks are
+immutable and content-cached; ``gc`` deletes chunks no kept head
+references. Pre-round-12 heads (inline ``files``) read and upgrade
+transparently on their next commit. The public surface is unchanged:
+``manifest()`` returns the MATERIALIZED dict (with ``files``), and
+``commit(change_fn)`` still hands change_fn the full list — only the
+persistence is chunked (commit_append → AddFile txn, commit_replace →
+OPTIMIZE/DELETE txn, gc → VACUUM).
 """
 
 from __future__ import annotations
@@ -70,6 +81,16 @@ from pyspark.sql import DataFrame, SparkSession
 from logsqlite_spark.schema import LOGS_SCHEMA
 
 _LOCK_STALE_S = 300.0
+
+# chunked-manifest knobs: squash when a head references more than
+# _CHUNK_COMPACT_AT chunks, into _CHUNK_TARGET-file chunks.  Chunk
+# JSONs are immutable, so a small process-wide content cache makes
+# repeated manifest() materialization cheap (ingest reads the
+# manifest at every micro-batch).
+_CHUNK_COMPACT_AT = 64
+_CHUNK_TARGET = 10_000
+_CHUNK_CACHE: dict[str, list[str]] = {}
+_CHUNK_CACHE_MAX = 512
 
 
 class CommitConflict(RuntimeError):
@@ -89,13 +110,55 @@ class ManifestTable:
     def exists(self) -> bool:
         return self.current_ptr.exists()
 
+    def _chunks_dir(self) -> Path:
+        return self.manifests / "chunks"
+
+    def _load_chunk(self, name: str) -> list[str]:
+        path = self._chunks_dir() / name
+        key = str(path)
+        cached = _CHUNK_CACHE.get(key)
+        if cached is not None:
+            return cached
+        files = json.loads(path.read_text())
+        if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
+        _CHUNK_CACHE[key] = files
+        return files
+
+    def _write_chunk(self, files: list[str], generation: int) -> str:
+        self._chunks_dir().mkdir(parents=True, exist_ok=True)
+        name = f"c{generation:08d}-{uuid.uuid4().hex[:8]}.json"
+        target = self._chunks_dir() / name
+        tmp = target.with_suffix(".tmp")
+        tmp.write_text(json.dumps(files))
+        os.rename(tmp, target)
+        _CHUNK_CACHE[str(target)] = list(files)
+        return name
+
+    def _materialize(self, head: dict) -> dict:
+        """A head dict -> the public manifest shape (inline ``files``).
+        Pre-round-12 heads already carry the inline list."""
+        if "file_chunks" not in head:
+            return head
+        files: list[str] = []
+        for name in head["file_chunks"]:
+            files.extend(self._load_chunk(name))
+        out = dict(head)
+        out["files"] = files
+        return out
+
+    def _read_head(self, generation: int | None = None) -> dict:
+        if generation is None:
+            if not self.current_ptr.exists():
+                return {"generation": 0, "files": [], "batch_ids": {},
+                        "high_water": {}, "last_file": {}}
+            generation = int(self.current_ptr.read_text().strip())
+        return json.loads(
+            (self.manifests / f"{generation:08d}.json").read_text())
+
     def manifest(self) -> dict:
         """Latest committed snapshot (empty table if none)."""
-        if not self.current_ptr.exists():
-            return {"generation": 0, "files": [], "batch_ids": {},
-                    "high_water": {}, "last_file": {}}
-        gen = int(self.current_ptr.read_text().strip())
-        return json.loads((self.manifests / f"{gen:08d}.json").read_text())
+        return self._materialize(self._read_head())
 
     def import_existing(self) -> dict:
         """Adopt a plain partitioned-parquet tree written out-of-band:
@@ -134,8 +197,7 @@ class ManifestTable:
         (``FileNotFoundError`` after); note the compliance corollary:
         an erasure (``erase_matching``) is only physically complete
         once ``gc`` has aged the pre-erasure snapshots out."""
-        p = self.manifests / f"{generation:08d}.json"
-        return json.loads(p.read_text())
+        return self._materialize(self._read_head(generation))
 
     def data_files(self, manifest: dict | None = None) -> list[str]:
         m = manifest or self.manifest()
@@ -190,17 +252,67 @@ class ManifestTable:
         self.manifests.mkdir(exist_ok=True)
         self._acquire_lock()
         try:
-            cur = self.manifest()
+            cur_head = self._read_head()
+            cur = self._materialize(cur_head)
             new = change_fn(dict(cur))
             new["generation"] = cur["generation"] + 1
             new["committed_at"] = time.time()
-            target = self.manifests / f"{new['generation']:08d}.json"
+            gen = new["generation"]
+
+            # --- chunked persistence: re-serialize ONLY what changed.
+            # Old chunks whose membership is intact are referenced
+            # by name; a legacy inline head reads as one unnamed chunk
+            # that rewrites once (transparent upgrade).  Appended
+            # files (present in the new list, absent from every old
+            # chunk) become one fresh chunk — the pure-append commit
+            # writes O(batch + #chunks) bytes, never the table's full
+            # file list.
+            new_files = new.pop("files")
+            new_set = set(new_files)
+            if "file_chunks" in cur_head:
+                old_entries = [(n, self._load_chunk(n))
+                               for n in cur_head["file_chunks"]]
+            elif cur_head.get("files"):
+                old_entries = [(None, list(cur_head["files"]))]
+            else:
+                old_entries = []
+            chunk_names: list[str] = []
+            covered: set[str] = set()
+            for name, lst in old_entries:
+                kept = [f for f in lst if f in new_set]
+                covered.update(kept)
+                if not kept:
+                    continue
+                if name is not None and len(kept) == len(lst):
+                    chunk_names.append(name)
+                else:
+                    chunk_names.append(self._write_chunk(kept, gen))
+            appended = [f for f in new_files if f not in covered]
+            if appended:
+                chunk_names.append(self._write_chunk(appended, gen))
+            if len(chunk_names) > _CHUNK_COMPACT_AT:
+                # amortized log compaction: squash to target-size
+                # chunks; old chunk files stay for older generations
+                # until gc ages them out
+                allf: list[str] = []
+                for n in chunk_names:
+                    allf.extend(self._load_chunk(n))
+                chunk_names = [
+                    self._write_chunk(allf[i:i + _CHUNK_TARGET], gen)
+                    for i in range(0, len(allf), _CHUNK_TARGET)
+                ] or []
+            head = dict(new)
+            head["file_chunks"] = chunk_names
+            head["n_files"] = len(new_files)
+
+            target = self.manifests / f"{gen:08d}.json"
             tmp = target.with_suffix(".tmp")
-            tmp.write_text(json.dumps(new))
+            tmp.write_text(json.dumps(head))
             os.rename(tmp, target)
             ptr_tmp = self.current_ptr.with_suffix(".tmp")
-            ptr_tmp.write_text(str(new["generation"]))
+            ptr_tmp.write_text(str(gen))
             os.rename(ptr_tmp, self.current_ptr)  # THE commit point
+            new["files"] = new_files  # callers see the public shape
             return new
         finally:
             self._release_lock()
@@ -298,14 +410,30 @@ class ManifestTable:
         gen = int(self.current_ptr.read_text().strip())
         keep_from = max(1, gen - keep_generations + 1)
         referenced: set[str] = set()
+        live_chunks: set[str] = set()
         deleted_manifests = 0
         for mf in sorted(self.manifests.glob("*.json")):
             g = int(mf.stem)
             if g >= keep_from:
-                referenced.update(json.loads(mf.read_text())["files"])
+                head = json.loads(mf.read_text())
+                live_chunks.update(head.get("file_chunks", []))
+                referenced.update(self._materialize(head)["files"])
             else:
                 mf.unlink()
                 deleted_manifests += 1
+        # chunk files no kept head references (immutable, so any
+        # referenced one is still byte-identical); grace_s spares
+        # chunks an in-flight commit wrote but hasn't published yet —
+        # the same rule adopted-but-unreferenced data files get
+        if self._chunks_dir().exists():
+            now0 = time.time()
+            for cf in self._chunks_dir().glob("*.json"):
+                if cf.name in live_chunks:
+                    continue
+                if now0 - cf.stat().st_mtime < grace_s:
+                    continue
+                _CHUNK_CACHE.pop(str(cf), None)
+                cf.unlink()
         now = time.time()
         deleted = 0
         for f in self.dir.rglob("*.parquet"):

@@ -159,3 +159,116 @@ def test_lock_contention_times_out_not_corrupts(tmp_path):
     t.lock_path.unlink()
     # manifest unharmed
     assert t.manifest()["files"] == [f1]
+
+
+# ---------------------------------------------------------------------------
+# Round 12: chunked manifests — the commit's write cost is
+# O(batch + #chunks), never the table's full file list.
+
+
+def _chunk_files(t: ManifestTable) -> dict[str, bytes]:
+    d = t.manifests / "chunks"
+    if not d.exists():
+        return {}
+    return {p.name: p.read_bytes() for p in d.glob("*.json")}
+
+
+def test_append_writes_one_chunk_and_never_rewrites_old(tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    files = []
+    snapshots = []
+    for i in range(5):
+        f = _touch(t, f"container_id=c/date=2024-01-0{i + 1}/a{i}.parquet")
+        files.append(f)
+        t.commit_append([f], "s", i, {"c": 1}, {})
+        snapshots.append(_chunk_files(t))
+    # one new chunk per append commit; every previously-written chunk
+    # file is byte-identical afterwards (immutability = the scale
+    # property: a commit never re-serializes the table's file list)
+    for prev, cur in zip(snapshots, snapshots[1:]):
+        assert len(cur) == len(prev) + 1
+        for name, blob in prev.items():
+            assert cur[name] == blob
+    m = t.manifest()
+    assert m["files"] == files  # order preserved across chunks
+    head = json.loads((t.manifests / f"{m['generation']:08d}.json")
+                      .read_text())
+    assert "files" not in head and len(head["file_chunks"]) == 5
+    assert head["n_files"] == 5
+
+
+def test_replace_rewrites_only_touched_chunks(tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _touch(t, "container_id=c/date=2024-01-01/a.parquet")
+    b = _touch(t, "container_id=c/date=2024-01-02/b.parquet")
+    t.commit_append([a], "s", 0, {"c": 1}, {})
+    t.commit_append([b], "s", 1, {"c": 1}, {})
+    before = _chunk_files(t)
+    c = _touch(t, "container_id=c/date=2024-01-03/c.parquet")
+    t.commit_replace([b], [c])  # drop b's chunk member, add c
+    after = _chunk_files(t)
+    # a's chunk survives untouched; b's chunk is no longer referenced
+    # (it still exists on disk for the older generation until gc)
+    head = json.loads(
+        (t.manifests / f"{t.manifest()['generation']:08d}.json")
+        .read_text())
+    surviving = [n for n in head["file_chunks"] if n in before]
+    assert len(surviving) == 1
+    assert after[surviving[0]] == before[surviving[0]]
+    assert sorted(t.manifest()["files"]) == sorted([a, c])
+
+
+def test_chunk_compaction_bounds_head_size(tmp_path):
+    from logsqlite_spark import table as T
+
+    t = ManifestTable(str(tmp_path / "t"))
+    n = T._CHUNK_COMPACT_AT + 3
+    files = []
+    for i in range(n):
+        f = _touch(t, f"container_id=c/date=2024-01-01/f{i:03d}.parquet")
+        files.append(f)
+        t.commit_append([f], "s", i, {"c": 1}, {})
+    head = json.loads(
+        (t.manifests / f"{t.manifest()['generation']:08d}.json")
+        .read_text())
+    # the squash fired at the threshold: far fewer chunks than commits
+    assert len(head["file_chunks"]) < T._CHUNK_COMPACT_AT
+    assert t.manifest()["files"] == files
+
+
+def test_legacy_inline_manifest_upgrades_on_commit(tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _touch(t, "container_id=c/date=2024-01-01/a.parquet")
+    # hand-write a pre-round-12 head with the inline file list
+    t.manifests.mkdir(parents=True, exist_ok=True)
+    (t.manifests / "00000001.json").write_text(json.dumps(
+        {"generation": 1, "files": [a], "batch_ids": {},
+         "high_water": {"c": 1}, "last_file": {}}))
+    t.current_ptr.write_text("1")
+    assert t.manifest()["files"] == [a]  # legacy read path
+    b = _touch(t, "container_id=c/date=2024-01-02/b.parquet")
+    t.commit_append([b], "s", 0, {"c": 1}, {})
+    m = t.manifest()
+    assert m["files"] == [a, b]
+    head = json.loads((t.manifests / f"{m['generation']:08d}.json")
+                      .read_text())
+    assert "files" not in head and len(head["file_chunks"]) == 2
+
+
+def test_gc_deletes_unreferenced_chunks(tmp_path):
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _touch(t, "container_id=c/date=2024-01-01/a.parquet")
+    b = _touch(t, "container_id=c/date=2024-01-02/b.parquet")
+    t.commit_append([a], "s", 0, {"c": 1}, {})
+    t.commit_append([b], "s", 1, {"c": 1}, {})
+    t.commit_replace([a], [])   # a's chunk now referenced only by old gens
+    for i in range(3):          # age the old generations out
+        t.update_state(last_file={"c": f"w{i}"})
+    res = t.gc(keep_generations=2)
+    assert res["deleted_files"] == 1  # a.parquet physically gone
+    live = _chunk_files(t)
+    head = json.loads(
+        (t.manifests / f"{t.manifest()['generation']:08d}.json")
+        .read_text())
+    assert set(live) == set(head["file_chunks"])  # no orphan chunks
+    assert t.manifest()["files"] == [b]
