@@ -228,10 +228,15 @@ def ngram_novelty_from_state(docs: DataFrame,
     first occurrences from a full corpus scan — the 100 TB serving
     shape for ``corpus_report``: the docs are tokenized, but the
     corpus-wide min-aggregation is replaced by a join against the
-    vocabulary-sized state.  Contract: ``first_seen`` covers every
-    doc in ``docs`` (it was built over a corpus ⊇ docs); then the
-    output is row-identical to ``ngram_novelty(docs)`` when docs IS
-    that corpus (pytest-pinned).
+    vocabulary-sized state.  When ``first_seen`` covers every doc in
+    ``docs`` (it was built over a corpus ⊇ docs) the output is
+    row-identical to ``ngram_novelty(docs)`` when docs IS that corpus
+    (pytest-pinned).  A LAGGING snapshot (docs ingested after the
+    last first_seen batch) degrades safely: grams absent from the
+    state are NOVEL by definition — left-join + coalesce(first_doc,
+    doc_id) keeps them in n_grams and scores them 1.0, instead of the
+    inner join silently dropping them (and, for a doc whose grams are
+    all unseen, dropping the doc from the report entirely).
     """
     sh = F.explode(F.expr(
         "transform(sequence(1, greatest(length({c}) - {m}, 1)), "
@@ -239,7 +244,9 @@ def ngram_novelty_from_state(docs: DataFrame,
     )).alias("g")
     post = (docs.select(F.col(id_col).alias("doc_id"), sh)
             .filter(F.col("g") != "").distinct())
-    return (post.join(first_seen, "g")
+    first_seen = first_seen.withColumnRenamed("first_doc", "__fd")
+    return (post.join(first_seen, "g", "left")
+            .withColumn("first_doc", F.coalesce("__fd", F.col("doc_id")))
             .groupBy("doc_id")
             .agg(F.count(F.lit(1)).cast("long").alias("n_grams"),
                  F.sum((F.col("first_doc") == F.col("doc_id"))

@@ -185,15 +185,33 @@ def simhash_sink(state_dir: str, emit_dir: str | None = None,
         emit_dir=emit_dir)
 
 
+def _committed_subdirs(state_dir: str, sub: str, last: int) -> list[str]:
+    """Per-batch subdirs ``b<i>`` with ``i <= last`` — a crashed
+    attempt may have written ``b<last+1>`` before dying short of the
+    pointer flip; its replay must NOT see that partial dir as
+    history (it would self-match every doc in the batch and emit an
+    empty kept set — silent data loss)."""
+    root = os.path.join(_local_root(state_dir), sub)
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("b") and name[1:].isdigit() \
+                and int(name[1:]) <= last:
+            out.append(os.path.join(root, name))
+    return out
+
+
 def banded_state_rows(spark, state_dir: str):
     """The banded-dedup sink's two state tables — corpus ``(doc_id,
     band, key)`` bands and ``(doc_id, h)`` digests — or ``(None,
-    None)`` pre-bootstrap."""
-    if last_appended_batch(state_dir) is None:
+    None)`` pre-bootstrap.  Reads only COMMITTED per-batch subdirs
+    (``b<i>`` with ``i <= last_appended_batch``) so a crash-replayed
+    batch never reads its own crashed attempt's rows as history."""
+    last = last_appended_batch(state_dir)
+    if last is None:
         return None, None
     rd = (spark.read.option("recursiveFileLookup", "true").parquet)
-    return (rd(os.path.join(state_dir, "bands")),
-            rd(os.path.join(state_dir, "digests")))
+    return (rd(*_committed_subdirs(state_dir, "bands", last)),
+            rd(*_committed_subdirs(state_dir, "digests", last)))
 
 
 def banded_dedup_sink(state_dir: str,

@@ -156,3 +156,29 @@ def test_subscript_oracle_assign_tracked(freshness):
     assert base is not None
     assert freshness._relevant_dump(
         mod.replace("SELECT 1", "SELECT 2"), "a") != base
+
+
+def test_relevant_dump_tracks_import_rebinds(freshness):
+    """Round-13 ADVICE(medium): rebinding an imported alias the
+    query's code uses changes semantics — the import node must be in
+    the compared closure, so the stamp reads stale."""
+    mod = (
+        'from operators import dedup as DD\n'
+        'import os\n'
+        'import os.path as osp\n'
+        'def q_a(spark, sf):\n'
+        '    return DD.run(osp.join(sf, "x"))\n'
+        'QUERIES = {"a": q_a}\n'
+    )
+    base = freshness._relevant_dump(mod, "a")
+    assert base is not None
+    # rebinding the alias to another module -> different closure
+    assert freshness._relevant_dump(
+        mod.replace("from operators import dedup as DD",
+                    "from operators import dedup_v2 as DD"), "a") != base
+    assert freshness._relevant_dump(
+        mod.replace("import os.path as osp",
+                    "import posixpath as osp"), "a") != base
+    # an import the query does NOT reference stays out of the closure
+    assert freshness._relevant_dump(
+        mod.replace("import os\n", "import sys\n"), "a") == base

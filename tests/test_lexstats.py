@@ -184,3 +184,39 @@ def test_vocab_growth_two_scans_only(spark):
     df = registry.queries()["vocab_growth"](spark, "/root/testdata/sf0.001")
     plan = explain_str(df)
     assert len(_re.findall(r"\(\d+\) Scan parquet", plan)) <= 2, plan
+
+
+def test_ngram_novelty_from_state_lagging_snapshot_safe(spark):
+    """Round-13 ADVICE(medium) regression: a first_seen snapshot that
+    LAGS the docs (docs ingested after the last state batch) must not
+    silently drop unseen grams — they are novel by definition.  A doc
+    whose grams are ALL absent from the state must still appear in
+    the report (novelty 1.0), and covered docs keep exact counts."""
+    from logsqlite_spark.operators.lexstats import (
+        ngram_first_seen,
+        ngram_novelty,
+        ngram_novelty_from_state,
+    )
+
+    docs = _docs(spark, [
+        "abcdefghij" * 3,          # doc 0
+        "abcdefghij" * 2 + "KLMNO",  # doc 1: shares 0's grams + new
+        "zzzzyyyyxxxxwwww",        # doc 2: entirely unseen grams
+    ])
+    covered = docs.filter("doc_id <= 1")
+    state = ngram_first_seen(covered)           # snapshot lags doc 2
+    got = {r["doc_id"]: r for r in
+           ngram_novelty_from_state(docs, state).collect()}
+    full = {r["doc_id"]: r for r in ngram_novelty(docs).collect()}
+    assert set(got) == {0, 1, 2}, f"doc dropped from report: {set(got)}"
+    # covered docs: identical to the full-corpus derivation
+    for d in (0, 1):
+        assert (got[d]["n_grams"], got[d]["n_novel"]) == \
+            (full[d]["n_grams"], full[d]["n_novel"])
+    # the lagging doc: all grams kept, all scored novel
+    assert got[2]["n_grams"] == full[2]["n_grams"]
+    assert got[2]["novelty"] == 1.0
+    # covering snapshot ≡ full derivation (the original contract)
+    got_all = sorted(map(tuple, ngram_novelty_from_state(
+        docs, ngram_first_seen(docs)).collect()))
+    assert got_all == sorted(map(tuple, ngram_novelty(docs).collect()))

@@ -760,3 +760,46 @@ def test_banded_dedup_sink_matches_batch_api(spark, tmp_path):
                    spark.read.option("recursiveFileLookup", "true")
                    .parquet(emit).collect())
     assert kept2 == kept
+
+
+def test_banded_dedup_sink_crash_replay_ignores_partial_state(
+        spark, tmp_path):
+    """Round-13 ADVICE(high) regression: a crash AFTER the bands/
+    digests subdir for batch N is written but BEFORE the pointer flip
+    must not let the replay read its own crashed-attempt rows as
+    history — that would self-match every doc (md5 identity / Jaccard
+    1.0) and overwrite emit/bN with an empty kept set."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import minhash_bands
+    from logsqlite_spark.streaming.incremental import banded_dedup_sink
+
+    DOC = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    b0 = [(0, base * 4),
+          (1, "unrelated totally different content here " * 4)]
+    b1 = [(10, base * 4),                       # exact dup of 0
+          (14, "fresh unique content with its own words " * 4)]  # kept
+    state = str(tmp_path / "bstate")
+    emit = str(tmp_path / "bemit")
+    all_rows: list = []
+    union_df = lambda: spark.createDataFrame(all_rows, DOC)  # noqa: E731
+    sink = banded_dedup_sink(state, union_df, emit)
+    all_rows += b0
+    sink(spark.createDataFrame(b0, DOC), 0)
+    # --- simulate batch 1's CRASHED attempt: state subdirs written,
+    # pointer NOT flipped (exactly the sink's own write shapes) ---
+    all_rows += b1
+    df1 = spark.createDataFrame(b1, DOC)
+    minhash_bands(df1, 4).write.mode("overwrite").parquet(
+        os.path.join(state, "bands", "b1"))
+    (df1.select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.md5("text").alias("h"))
+     .write.mode("overwrite").parquet(os.path.join(state, "digests", "b1")))
+    # --- foreachBatch replays batch 1 ---
+    sink(df1, 1)
+    got = sorted(r["doc_id"] for r in spark.read.parquet(
+        os.path.join(emit, "b1")).collect())
+    assert got == [14], f"replay read its own partial state: {got}"

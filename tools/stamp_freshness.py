@@ -129,9 +129,13 @@ def commits_since(sha: str, path: str) -> list[str]:
 
 def _top_level_map(tree):
     """module-top-level name -> list of defining nodes (functions,
-    classes, plain/annotated assigns; augmented + subscript assigns
-    attach to the base name so ``ORACLES[...] = ...`` counts as part
-    of ``ORACLES``)."""
+    classes, plain/annotated assigns, IMPORTS; augmented + subscript
+    assigns attach to the base name so ``ORACLES[...] = ...`` counts
+    as part of ``ORACLES``).  Imports matter (round-13 ADVICE): a
+    post-stamp commit that rebinds an imported alias the query's code
+    uses (``from operators import dedup as DD`` → another module)
+    changes semantics, so the import node must be part of the
+    compared closure dump."""
     import ast
 
     out: dict[str, list] = {}
@@ -140,6 +144,13 @@ def _top_level_map(tree):
         if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef,
                              ast.ClassDef)):
             names = [node.name]
+        elif isinstance(node, ast.Import):
+            # ``import a.b.c`` binds ``a``; ``import a.b as m`` binds m
+            names = [(a.asname or a.name.split(".")[0])
+                     for a in node.names]
+        elif isinstance(node, ast.ImportFrom):
+            names = [(a.asname or a.name) for a in node.names
+                     if a.name != "*"]
         elif isinstance(node, ast.Assign):
             for t in node.targets:
                 if isinstance(t, ast.Name):
