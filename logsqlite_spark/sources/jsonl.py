@@ -98,7 +98,9 @@ def _to_entry_shape(raw: DataFrame) -> DataFrame:
     as corrupt protobuf frames (T4 policy, one place downstream)."""
     corrupt = F.col("_corrupt").isNotNull()
     return raw.select(
-        "path",
+        # plain-filesystem path form, matching sources/spool
+        # (_finish_decoded) — see the watermark-portability note there
+        F.regexp_replace("path", r"^file:/+", "/").alias("path"),
         F.element_at(F.split(F.col("path"), "/"), -2).alias("container_id"),
         F.when(corrupt, F.lit("__decode_error__"))
         .otherwise(F.coalesce(F.col("source"), F.lit(""))).alias("source"),

@@ -115,10 +115,19 @@ def _decode_arrow(batches: Iterator) -> Iterator:
 def _finish_decoded(raw: DataFrame) -> DataFrame:
     """JVM-side tail of every decode path: container_id from the spool
     path, UTF-8 cast (Java replaces malformed sequences, like the
-    Python codec's errors='replace'), and S2 canonicalization."""
+    Python codec's errors='replace'), and S2 canonicalization.
+
+    ``path`` is normalized to the PLAIN filesystem form (round 13):
+    binaryFile yields ``file:/x``, ``input_file_name()`` yields
+    ``file:///x`` — two URI spellings that compare inconsistently
+    with each other and with driver-side listings, which the
+    last_file watermark relies on (``path <= watermark`` string
+    compare).  One canonical form makes the watermark portable across
+    the plog/jsonl sources and lets the batch-pull path derive it
+    from its own listing without a stats job."""
     line_s = F.col("line").cast("string")
     return raw.select(
-        "path",
+        F.regexp_replace("path", r"^file:/+", "/").alias("path"),
         F.regexp_extract("path", r"([^/]+)/[^/]+$", 1).alias("container_id"),
         F.col("source").cast("string").alias("source"),
         "time_nano",

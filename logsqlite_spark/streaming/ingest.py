@@ -85,11 +85,45 @@ def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
                 "partial_meta", "container_id", "date")
     )
 
+def _obs_or_agg(obs, df: DataFrame, aggs: list) -> dict:
+    """Ride-along ``Observation`` metrics, with an exact fallback.
+
+    Spark's CollectMetrics delivery on a FileFormatWriter action is
+    not guaranteed: ``ObservationManager.tryComplete`` completes the
+    observation with ``Row.empty`` whenever an execution's logical
+    plan contains the CollectMetrics node but its runtime
+    ``observedMetrics`` map came back without the entry (reproduced
+    deterministically in this Spark build after an unrelated append
+    on the same lineage).  When that happens, recompute the SAME
+    aggregate expressions as one explicit tiny job — correct always,
+    one job in the common case."""
+    try:
+        jrow = obs._jo.getRow()
+        empty = jrow.length() == 0
+    except Exception:  # noqa: BLE001 — any delivery failure: recompute
+        empty = True
+    if not empty:
+        return obs.get
+    return df.agg(*aggs).first().asDict()
+
+
+def _norm_path(p: str) -> str:
+    """Plain filesystem form of a spool path — pre-round-13 manifests
+    stored the watermark in whatever URI spelling the source produced
+    (binaryFile ``file:/x``, input_file_name ``file:///x``); the
+    decode now emits plain paths, so stored watermarks normalize on
+    read and the string compare stays consistent across upgrades."""
+    import re
+
+    return re.sub(r"^file:/+", "/", p)
+
+
 def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
                  scope: str, batch_id: int | None,
                  max_records_per_file: int,
                  on_stale: str = "quarantine",
-                 single_container: str | None = None) -> dict:
+                 single_container: str | None = None,
+                 listing: list[str] | None = None) -> dict:
     """Assign seq and append one (micro-)batch; returns progress info.
 
     The append is exactly-once: rows land in the table's staging dir,
@@ -107,7 +141,15 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     fixed cost is what bounds ingest→follow-visible latency (the
     reference's 1 s poll design point, logger.rs:287-288), and at
     cluster scale it halves driver job-scheduling load per trigger.
-    The multiplexed stream keeps the grouped-stats path.
+
+    ``listing`` (round 13): the exact spool file list a BATCH pull
+    read (``ingest_spool_once`` lists the spool on the driver anyway).
+    With it, the multi-container pull also commits in ONE job: the
+    per-container file watermark comes from the listing itself and
+    the per-container row counts from the staged parquet footers, so
+    the separate per-container stats aggregation (and the 100k-row
+    cache it required) disappears.  The multiplexed STREAM keeps the
+    grouped-stats path — its micro-batch has no driver listing.
     """
     table = ManifestTable(logs_dir)
     st = table.import_existing()  # no-op once the manifest exists
@@ -131,7 +173,8 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     # aggregate, and the live-row filters never enter the plan. The
     # quarantine machinery only costs when there is a watermark to
     # violate.
-    last_file = st.get("last_file", {})
+    last_file = {cid: _norm_path(v)
+                 for cid, v in st.get("last_file", {}).items()}
     track_stale = bool(last_file)
     if track_stale:
         pairs = []
@@ -149,7 +192,24 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
             batch_df, table, st, state_dir, scope, batch_id,
             max_records_per_file, on_stale, single_container,
             track_stale, not_stale)
+    if listing is not None:
+        return _write_batch_listed(
+            batch_df, table, st, state_dir, scope, batch_id,
+            max_records_per_file, on_stale, listing, last_file,
+            track_stale, not_stale)
+    return _write_batch_grouped(
+        batch_df, table, st, state_dir, scope, batch_id,
+        max_records_per_file, on_stale, track_stale, not_stale)
 
+
+def _write_batch_grouped(batch_df: DataFrame, table: ManifestTable,
+                         st: dict, state_dir: str, scope: str,
+                         batch_id: int | None,
+                         max_records_per_file: int, on_stale: str,
+                         track_stale, not_stale) -> dict:
+    """TWO-JOB commit for a multiplexed STREAMING micro-batch (no
+    driver listing exists): one per-container stats aggregation over
+    the persisted decode, then the write from cache."""
     batch_df = batch_df.persist()
     try:
         # ONE stats job over the raw batch: per-container file watermark
@@ -249,6 +309,12 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
     from pyspark.sql import Observation
 
     good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+    # contract guard (round-13 ADVICE): a scoped stream must only see
+    # its own container's rows — a mis-scoped spool dir would silently
+    # corrupt ANOTHER container's high_water/last_file here, so count
+    # foreign rows in the same ride-along and fall back to the grouped
+    # per-container path when any appear.
+    foreign = (F.col("container_id") != F.lit(cid)).cast("long")
     if track_stale:
         live = not_stale.cast("long")
         aggs = [
@@ -256,6 +322,7 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(live - good * live).alias("e"),
             F.sum(good * live).alias("n"),
             F.sum(1 - live).alias("st"),
+            F.sum(foreign).alias("x"),
         ]
     else:
         aggs = [
@@ -263,6 +330,7 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(1 - good).alias("e"),
             F.sum(good).alias("n"),
             F.sum(F.lit(0)).alias("st"),
+            F.sum(foreign).alias("x"),
         ]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
@@ -275,7 +343,15 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
         .partitionBy("container_id", "date")
         .parquet(str(staging))
     )
-    row = obs.get
+    row = _obs_or_agg(obs, batch_df, aggs)
+    if int(row["x"] or 0):
+        # foreign-container rows: the single-container contract is
+        # broken — discard this attempt's staging and recompute with
+        # exact per-container stats (correct, just two jobs)
+        shutil.rmtree(staging, ignore_errors=True)
+        return _write_batch_grouped(
+            batch_df, table, st, state_dir, scope, batch_id,
+            max_records_per_file, on_stale, track_stale, not_stale)
     top_file = row["f"]
     n_errors = int(row["e"] or 0)
     n_rows = int(row["n"] or 0)
@@ -317,6 +393,117 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
     }
 
 
+def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
+                        st: dict, state_dir: str, scope: str,
+                        batch_id: int | None,
+                        max_records_per_file: int, on_stale: str,
+                        listing: list[str], last_file: dict[str, str],
+                        track_stale, not_stale) -> dict:
+    """ONE-JOB commit for a multi-container BATCH pull (round 13).
+
+    The grouped path's per-container stats job existed to learn three
+    things the commit needs; with the driver's own spool listing in
+    hand, none of them needs a Spark aggregation:
+
+    - per-container FILE WATERMARK: the max live (non-stale, nonempty)
+      listed path per container — pure driver arithmetic (a nonempty
+      spool file always decodes to >= 1 row, counting the error
+      sentinel, so this matches the grouped path's max-over-rows);
+    - per-container ROW COUNTS (seq increments): the staged parquet
+      FOOTERS, read driver-side after the write — exact by
+      construction (they count precisely the rows the commit
+      publishes, immune to task-retry double counting);
+    - global error/stale counts: ``Observation`` metrics riding the
+      write job, used only to gate the rare quarantine re-scans.
+
+    Net: decode → seq → write → commit is one Spark job with no
+    batch-sized cache; at cluster scale that removes a full
+    batch-size persist and a scheduling round-trip per pull.
+    """
+    from pyspark.sql import Observation
+
+    good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+    if track_stale:
+        live = not_stale.cast("long")
+        aggs = [F.sum(live - good * live).alias("e"),
+                F.sum(1 - live).alias("st")]
+    else:
+        aggs = [F.sum(1 - good).alias("e"),
+                F.sum(F.lit(0)).alias("st")]
+    obs = Observation()
+    observed = batch_df.observe(obs, *aggs)
+    live_df = observed.filter(not_stale) if track_stale else observed
+    staging = table.new_staging_dir()
+    (
+        assign_seq(live_df, st["high_water"])
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("container_id", "date")
+        .parquet(str(staging))
+    )
+    row = _obs_or_agg(obs, batch_df, aggs)
+    n_errors = int(row["e"] or 0)
+    n_stale = int(row["st"] or 0)
+    if n_stale and on_stale == "quarantine":
+        (
+            batch_df.filter(F.col("__stale"))
+            .select("path", "container_id", "frame_no", "source",
+                    "time_nano", "line")
+            .write.mode("append")
+            .parquet(str(Path(state_dir) / "out_of_order"))
+        )
+    if n_errors:
+        (
+            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
+                            & not_stale)
+            .select("path", "container_id", "line")
+            .write.mode("append")
+            .parquet(str(Path(state_dir) / "decode_errors"))
+        )
+    new_files = table.adopt_staged(staging)
+    increments: dict[str, int] = {}
+    for f in new_files:
+        cid = f.split("/", 1)[0].split("=", 1)[1]
+        n = _parquet_num_rows(str(table.dir / f))
+        increments[cid] = increments.get(cid, 0) + n
+    increments = {c: n for c, n in increments.items() if n}
+    n_rows = sum(increments.values())
+    top_files: dict[str, str] = {}
+    for p in listing:
+        cid = os.path.basename(os.path.dirname(p))
+        if track_stale:
+            lf = last_file.get(cid)
+            if lf is not None and p <= lf:
+                continue  # stale file: never advances the watermark
+        try:
+            if os.path.getsize(p) == 0:
+                continue  # zero rows decoded: grouped path wouldn't see it
+        except OSError:
+            continue
+        if cid not in top_files or p > top_files[cid]:
+            top_files[cid] = p
+    if not (n_rows or n_errors or n_stale):
+        return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
+    committed = table.commit_append(new_files, scope, batch_id,
+                                    increments, top_files)
+    if committed is None:  # concurrent replay won the commit
+        return {"skipped_replay": True, "batch_id": batch_id}
+    return {
+        "rows": int(n_rows),
+        "decode_errors": int(n_errors),
+        "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
+        "batch_id": batch_id,
+        "high_water": dict(committed["high_water"]),
+    }
+
+
+def _parquet_num_rows(path: str) -> int:
+    """Footer-only row count (no column data read)."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
 def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
                       state_dir: str, container_id: str | None = None,
                       max_records_per_file: int = 1_000_000,
@@ -355,7 +542,8 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     result = _write_batch(decoded, logs_dir, state_dir, "__pull__", None,
                           max_records_per_file,
                           on_stale="quarantine" if consume else "drop",
-                          single_container=container_id)
+                          single_container=container_id,
+                          listing=files if container_id is None else None)
     if consume:
         for fp in files:
             if os.path.exists(fp):

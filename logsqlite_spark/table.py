@@ -132,8 +132,24 @@ class ManifestTable:
         tmp = target.with_suffix(".tmp")
         tmp.write_text(json.dumps(files))
         os.rename(tmp, target)
+        if len(_CHUNK_CACHE) >= _CHUNK_CACHE_MAX:
+            _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))
         _CHUNK_CACHE[str(target)] = list(files)
         return name
+
+    @staticmethod
+    def _stats_of(files: list[str]) -> dict:
+        """Head-resident chunk summary: file count + the set of
+        partition DIRS the chunk's files live in.  ``commit_replace``
+        and ``drop_container`` prune on these — a chunk whose dirs
+        are disjoint from the dirs of the files being removed cannot
+        contain any of them, so its body is never loaded (the
+        round-13 'commits touch only the chunks they change in
+        MEMORY too' fix; min/max-style pruning as in Iceberg manifest
+        lists)."""
+        return {"n": len(files),
+                "pfx": sorted({f.rsplit("/", 1)[0] if "/" in f else ""
+                               for f in files})}
 
     def _materialize(self, head: dict) -> dict:
         """A head dict -> the public manifest shape (inline ``files``).
@@ -241,18 +257,71 @@ class ManifestTable:
     def _release_lock(self) -> None:
         self.lock_path.unlink(missing_ok=True)
 
-    def commit(self, change_fn: Callable[[dict], dict]) -> dict:
-        """Serialize: lock → re-read latest → change_fn → publish.
+    def _publish(self, head: dict) -> dict:
+        gen = head["generation"]
+        target = self.manifests / f"{gen:08d}.json"
+        tmp = target.with_suffix(".tmp")
+        tmp.write_text(json.dumps(head))
+        os.rename(tmp, target)
+        ptr_tmp = self.current_ptr.with_suffix(".tmp")
+        ptr_tmp.write_text(str(gen))
+        os.rename(ptr_tmp, self.current_ptr)  # THE commit point
+        return head
 
-        ``change_fn`` receives the freshest manifest (NOT the caller's
-        snapshot) and returns the next one; raise :class:`CommitConflict`
-        inside it to abort (e.g. batch already committed by a replay).
-        """
+    def _begin(self) -> dict:
+        """Lock + freshest head (call under try/finally release)."""
         self.dir.mkdir(parents=True, exist_ok=True)
         self.manifests.mkdir(exist_ok=True)
         self._acquire_lock()
+        return self._read_head()
+
+    def _head_chunks(self, head: dict, gen: int):
+        """(chunk_names, chunk_stats, n_files) for ``head``, upgrading
+        a legacy inline head (its file list becomes one chunk, written
+        once at ``gen``)."""
+        if "file_chunks" in head:
+            names = list(head["file_chunks"])
+            stats = dict(head.get("chunk_stats", {}))
+            n = head.get("n_files")
+            if n is None:
+                n = sum(len(self._load_chunk(c)) for c in names)
+            return names, stats, n
+        inline = list(head.get("files", []))
+        if not inline:
+            return [], {}, 0
+        nm = self._write_chunk(inline, gen)
+        return [nm], {nm: self._stats_of(inline)}, len(inline)
+
+    def _maybe_squash(self, chunk_names: list[str], stats: dict,
+                      gen: int):
+        """Amortized log compaction past _CHUNK_COMPACT_AT chunks —
+        the ONE commit in ~64 that pays an O(table-files) chunk
+        reload; old chunk files stay for older generations until gc
+        ages them out."""
+        if len(chunk_names) <= _CHUNK_COMPACT_AT:
+            return chunk_names, stats
+        allf: list[str] = []
+        for n in chunk_names:
+            allf.extend(self._load_chunk(n))
+        names = [self._write_chunk(allf[i:i + _CHUNK_TARGET], gen)
+                 for i in range(0, len(allf), _CHUNK_TARGET)] or []
+        return names, {n: self._stats_of(self._load_chunk(n))
+                       for n in names}
+
+    def commit(self, change_fn: Callable[[dict], dict]) -> dict:
+        """Serialize: lock → re-read latest → change_fn → publish.
+
+        ``change_fn`` receives the freshest MATERIALIZED manifest (NOT
+        the caller's snapshot) and returns the next one; raise
+        :class:`CommitConflict` inside it to abort.  This generic path
+        costs O(table files) per commit by construction (change_fn
+        sees the full list); the hot callers — :meth:`commit_append`,
+        :meth:`update_state`, :meth:`commit_replace`,
+        :meth:`drop_container` — have chunk-aware paths below that
+        never materialize untouched chunks.
+        """
+        cur_head = self._begin()
         try:
-            cur_head = self._read_head()
             cur = self._materialize(cur_head)
             new = change_fn(dict(cur))
             new["generation"] = cur["generation"] + 1
@@ -264,9 +333,7 @@ class ManifestTable:
             # by name; a legacy inline head reads as one unnamed chunk
             # that rewrites once (transparent upgrade).  Appended
             # files (present in the new list, absent from every old
-            # chunk) become one fresh chunk — the pure-append commit
-            # writes O(batch + #chunks) bytes, never the table's full
-            # file list.
+            # chunk) become one fresh chunk.
             new_files = new.pop("files")
             new_set = set(new_files)
             if "file_chunks" in cur_head:
@@ -276,7 +343,10 @@ class ManifestTable:
                 old_entries = [(None, list(cur_head["files"]))]
             else:
                 old_entries = []
+            cur_stats = cur_head.get("chunk_stats", {})
             chunk_names: list[str] = []
+            stats: dict = {}
+            ordered: list[str] = []
             covered: set[str] = set()
             for name, lst in old_entries:
                 kept = [f for f in lst if f in new_set]
@@ -285,33 +355,36 @@ class ManifestTable:
                     continue
                 if name is not None and len(kept) == len(lst):
                     chunk_names.append(name)
+                    stats[name] = cur_stats.get(name) or self._stats_of(kept)
                 else:
-                    chunk_names.append(self._write_chunk(kept, gen))
+                    nn = self._write_chunk(kept, gen)
+                    chunk_names.append(nn)
+                    stats[nn] = self._stats_of(kept)
+                ordered.extend(kept)
             appended = [f for f in new_files if f not in covered]
             if appended:
-                chunk_names.append(self._write_chunk(appended, gen))
-            if len(chunk_names) > _CHUNK_COMPACT_AT:
-                # amortized log compaction: squash to target-size
-                # chunks; old chunk files stay for older generations
-                # until gc ages them out
-                allf: list[str] = []
-                for n in chunk_names:
-                    allf.extend(self._load_chunk(n))
+                nn = self._write_chunk(appended, gen)
+                chunk_names.append(nn)
+                stats[nn] = self._stats_of(appended)
+                ordered.extend(appended)
+            if ordered != new_files:
+                # change_fn REORDERED the list (not just drop/append):
+                # persist in its order so a later manifest() returns
+                # exactly what this caller observed (round-13 ADVICE)
                 chunk_names = [
-                    self._write_chunk(allf[i:i + _CHUNK_TARGET], gen)
-                    for i in range(0, len(allf), _CHUNK_TARGET)
+                    self._write_chunk(new_files[i:i + _CHUNK_TARGET], gen)
+                    for i in range(0, len(new_files), _CHUNK_TARGET)
                 ] or []
+                stats = {n: self._stats_of(self._load_chunk(n))
+                         for n in chunk_names}
+            else:
+                chunk_names, stats = self._maybe_squash(
+                    chunk_names, stats, gen)
             head = dict(new)
             head["file_chunks"] = chunk_names
+            head["chunk_stats"] = stats
             head["n_files"] = len(new_files)
-
-            target = self.manifests / f"{gen:08d}.json"
-            tmp = target.with_suffix(".tmp")
-            tmp.write_text(json.dumps(head))
-            os.rename(tmp, target)
-            ptr_tmp = self.current_ptr.with_suffix(".tmp")
-            ptr_tmp.write_text(str(gen))
-            os.rename(ptr_tmp, self.current_ptr)  # THE commit point
+            self._publish(head)
             new["files"] = new_files  # callers see the public shape
             return new
         finally:
@@ -350,25 +423,103 @@ class ManifestTable:
         """Exactly-once append: data files + seq/batch state in ONE
         atomic commit (the transactionality the reference gets from
         SQLite transactions). Returns None when the batch was already
-        committed (crash replay)."""
+        committed (crash replay).
 
-        def change(m: dict) -> dict:
-            if batch_id is not None and batch_id <= m["batch_ids"].get(scope, -1):
-                raise CommitConflict(f"batch {batch_id} already committed")
-            m["files"] = m["files"] + new_files
+        O(batch + #chunks) in TIME AND MEMORY (round-13: the r12
+        chunked persistence had already made the BYTES O(batch), but
+        every commit still materialized the full file list in memory):
+        a pure append reads no chunk bodies at all — the head's
+        ``file_chunks``/``chunk_stats``/``n_files`` carry everything
+        it needs — and writes one new chunk plus the new head.  The
+        returned dict is the new HEAD (state keys + ``n_files``; no
+        materialized ``files`` list — no caller wants the table's
+        file list back from an append)."""
+        head = self._begin()
+        try:
+            if batch_id is not None and \
+                    batch_id <= head.get("batch_ids", {}).get(scope, -1):
+                return None
+            gen = head["generation"] + 1
+            chunk_names, stats, n_files = self._head_chunks(head, gen)
+            if new_files:
+                nm = self._write_chunk(list(new_files), gen)
+                chunk_names.append(nm)
+                stats[nm] = self._stats_of(new_files)
+                n_files += len(new_files)
+            chunk_names, stats = self._maybe_squash(chunk_names, stats, gen)
+            new_head = {k: v for k, v in head.items() if k != "files"}
+            new_head.update(
+                generation=gen, committed_at=time.time(),
+                file_chunks=chunk_names, chunk_stats=stats,
+                n_files=n_files)
             if batch_id is not None:
-                m["batch_ids"] = {**m["batch_ids"], scope: batch_id}
-            hw = dict(m["high_water"])
+                new_head["batch_ids"] = {**head.get("batch_ids", {}),
+                                         scope: batch_id}
+            hw = dict(head.get("high_water", {}))
             for cid, inc in seq_increments.items():
                 hw[cid] = hw.get(cid, 0) + inc
-            m["high_water"] = hw
-            m["last_file"] = {**m["last_file"], **last_files}
-            return m
+            new_head["high_water"] = hw
+            new_head["last_file"] = {**head.get("last_file", {}),
+                                     **last_files}
+            return self._publish(new_head)
+        finally:
+            self._release_lock()
 
+    def _commit_filtered(self, touched_dirs: set[str],
+                         drop: Callable[[str], bool],
+                         new_files: list[str],
+                         extra_head_fn: Callable[[dict], None] | None = None,
+                         ) -> tuple[dict, int]:
+        """Shared chunk-pruned replace: drop files matching ``drop``
+        from chunks whose stats intersect ``touched_dirs``, append
+        ``new_files``.  Chunks provably disjoint (their ``pfx`` dir
+        summary misses every touched dir) pass through BY NAME — body
+        never loaded; the commit materializes only the chunks it
+        touches.  Returns (new_head, n_removed)."""
+        head = self._begin()
         try:
-            return self.commit(change)
-        except CommitConflict:
-            return None
+            gen = head["generation"] + 1
+            names, cur_stats, _ = self._head_chunks(head, gen)
+            chunk_names: list[str] = []
+            stats: dict = {}
+            n_files = 0
+            n_removed = 0
+            for name in names:
+                st = cur_stats.get(name)
+                if st is not None and touched_dirs.isdisjoint(st["pfx"]):
+                    chunk_names.append(name)
+                    stats[name] = st
+                    n_files += st["n"]
+                    continue
+                lst = self._load_chunk(name)
+                kept = [f for f in lst if not drop(f)]
+                n_removed += len(lst) - len(kept)
+                if not kept:
+                    continue
+                if len(kept) == len(lst):
+                    chunk_names.append(name)
+                    stats[name] = st or self._stats_of(kept)
+                else:
+                    nn = self._write_chunk(kept, gen)
+                    chunk_names.append(nn)
+                    stats[nn] = self._stats_of(kept)
+                n_files += len(kept)
+            if new_files:
+                nm = self._write_chunk(list(new_files), gen)
+                chunk_names.append(nm)
+                stats[nm] = self._stats_of(new_files)
+                n_files += len(new_files)
+            chunk_names, stats = self._maybe_squash(chunk_names, stats, gen)
+            new_head = {k: v for k, v in head.items() if k != "files"}
+            new_head.update(
+                generation=gen, committed_at=time.time(),
+                file_chunks=chunk_names, chunk_stats=stats,
+                n_files=n_files)
+            if extra_head_fn is not None:
+                extra_head_fn(new_head)
+            return self._publish(new_head), n_removed
+        finally:
+            self._release_lock()
 
     def commit_replace(self, remove_files: list[str],
                        new_files: list[str]) -> dict:
@@ -376,24 +527,30 @@ class ManifestTable:
         file set. Applied against the freshest manifest, so files
         appended between the writer's snapshot and this commit are
         preserved — the round-1 compaction lost-append race is
-        structurally impossible."""
+        structurally impossible.  Chunk-pruned: only chunks whose
+        partition dirs intersect the removed files' dirs are loaded;
+        the rest pass through by name.  Returns the new HEAD (no
+        materialized ``files``)."""
         remove = set(remove_files)
-
-        def change(m: dict) -> dict:
-            m["files"] = [f for f in m["files"] if f not in remove] + new_files
-            return m
-
-        return self.commit(change)
+        touched = {f.rsplit("/", 1)[0] if "/" in f else ""
+                   for f in remove_files}
+        new_head, _ = self._commit_filtered(
+            touched, lambda f: f in remove, new_files)
+        return new_head
 
     def update_state(self, **updates) -> dict:
-        """State-only commit (e.g. spool watermark bump with no rows)."""
-
-        def change(m: dict) -> dict:
+        """State-only commit (e.g. spool watermark bump with no rows).
+        Never touches chunks — reads and writes the head only."""
+        head = self._begin()
+        try:
+            new_head = dict(head)
+            new_head["generation"] = head["generation"] + 1
+            new_head["committed_at"] = time.time()
             for key, val in updates.items():
-                m[key] = {**m.get(key, {}), **val}
-            return m
-
-        return self.commit(change)
+                new_head[key] = {**head.get(key, {}), **val}
+            return self._publish(new_head)
+        finally:
+            self._release_lock()
 
     # -- maintenance ----------------------------------------------------------
 
@@ -465,17 +622,31 @@ class ManifestTable:
     def drop_container(self, container_id: str) -> int:
         """delete_when_stopped parity (statehandler.rs:176-181): drop
         every reference to the container's files; space returns on the
-        next :meth:`gc`."""
+        next :meth:`gc`.  Chunk-pruned like :meth:`commit_replace`:
+        chunks whose dir summary has no dir under the container's
+        partition prefix pass through by name."""
         prefix = f"container_id={container_id}/"
+        bare = f"container_id={container_id}"
 
-        def change(m: dict) -> dict:
-            m["files"] = [f for f in m["files"] if not f.startswith(prefix)]
-            m["high_water"] = {k: v for k, v in m["high_water"].items()
-                               if k != container_id}
-            m["last_file"] = {k: v for k, v in m["last_file"].items()
-                              if k != container_id}
-            return m
+        def in_container(f: str) -> bool:
+            return f.startswith(prefix)
 
-        before = len(self.manifest()["files"])
-        after = len(self.commit(change)["files"])
-        return before - after
+        def scrub_state(head: dict) -> None:
+            head["high_water"] = {k: v for k, v in
+                                  head.get("high_water", {}).items()
+                                  if k != container_id}
+            head["last_file"] = {k: v for k, v in
+                                 head.get("last_file", {}).items()
+                                 if k != container_id}
+
+        # a chunk is touched iff any of its dirs belongs to the
+        # container — encode that as the touched-dirs test by matching
+        # on dir prefix instead of equality
+        class _PrefixDirs:
+            def isdisjoint(self, dirs):
+                return not any(d == bare or d.startswith(prefix)
+                               for d in dirs)
+
+        _, n_removed = self._commit_filtered(
+            _PrefixDirs(), in_container, [], extra_head_fn=scrub_state)
+        return n_removed

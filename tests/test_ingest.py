@@ -237,3 +237,94 @@ def test_observed_commit_equals_grouped_commit(spark, tmp_path):
     # compare every component; file watermark compared by basename
     assert o[:4] == g[:4]
     assert o[4] == g[4]
+
+def test_listed_commit_equals_grouped_commit(spark, tmp_path):
+    """Round-13: the LISTED one-job multi-container pull (watermark
+    from the driver listing, per-container counts from staged parquet
+    footers) must be semantically identical to the grouped-stats path
+    — same rows/seqs, same manifest state, same quarantine behavior —
+    including decode errors and a stale (watermark-violating) file in
+    a later pull."""
+    import glob as _glob
+    from pathlib import Path
+
+    from logsqlite_spark.sources.spool import read_spool_batch
+    from logsqlite_spark.streaming.ingest import _write_batch
+    from logsqlite_spark.table import ManifestTable
+
+    def pull(cfg, mode):
+        files = sorted(_glob.glob(f"{cfg.spool_dir}/*/*.plog"))
+        if not files:
+            return {"rows": 0}
+        decoded = read_spool_batch(spark, cfg.spool_dir, None, paths=files)
+        res = _write_batch(decoded, cfg.logs_dir, cfg.state_dir,
+                           "__pull__", None, 1_000_000,
+                           on_stale="quarantine",
+                           listing=files if mode == "listed" else None)
+        for fp in files:
+            import os as _os
+            if _os.path.exists(fp):
+                _os.remove(fp)
+        return res
+
+    results = {}
+    for mode in ("grouped", "listed"):
+        cfg = EngineConfig(warehouse_dir=str(tmp_path / mode))
+        wa = SpoolWriter(cfg.spool_dir, "ca")
+        wb = SpoolWriter(cfg.spool_dir, "cb")
+        wa.write_burst(_entries(BASE_TS, 4))
+        good = encode_frame(LogEntry(source="stdout",
+                                     time_nano=BASE_TS + 10**10,
+                                     line=b"ok"))
+        bad_name = wb.write_burst([])
+        Path(bad_name).write_bytes(good + b"\xff\xff\xff\xff garbage")
+        wb.write_burst(_entries(BASE_TS + 2 * 10**10, 2))
+        r1 = pull(cfg, mode)
+        # second pull: fresh rows for ca + a misnamed (stale) file
+        wa.write_burst(_entries(BASE_TS + 3 * 10**10, 3))
+        stale = Path(cfg.spool_dir) / "ca" / "00000000000000000000_0.plog"
+        stale.write_bytes(encode_frame(LogEntry(
+            source="stdout", time_nano=BASE_TS, line=b"misnamed")))
+        r2 = pull(cfg, mode)
+        rows = sorted(
+            (r["container_id"], r["seq"], r["line"], r["ts_nanos"])
+            for r in spark.read.parquet(cfg.logs_dir).collect())
+        ooo = sorted(
+            r["line"] for r in spark.read.parquet(
+                f"{cfg.state_dir}/out_of_order").collect())
+        m = ManifestTable(cfg.logs_dir).manifest()
+        wm = {c: v.rsplit("-", 1)[-1]
+              for c, v in m.get("last_file", {}).items()}
+        results[mode] = (
+            (r1["rows"], r1["decode_errors"], r1["out_of_order_rows"]),
+            (r2["rows"], r2["decode_errors"], r2["out_of_order_rows"]),
+            rows, ooo, m.get("high_water"), wm)
+    assert results["listed"] == results["grouped"]
+    assert results["listed"][4] == {"ca": 7, "cb": 3}
+    assert results["listed"][3] == ["misnamed\n"]
+
+
+def test_path_column_is_plain_filesystem_form(spark, warehouse):
+    """Round-13: both decode sources emit ``path`` in the PLAIN
+    filesystem form (no ``file:``/``file://`` URI spelling), matching
+    the driver's own listing — the listed pull derives the last_file
+    watermark from that listing, so the forms must be identical."""
+    import glob as _glob
+
+    from logsqlite_spark.sources.jsonl import (
+        JsonlSpoolWriter,
+        read_jsonl_spool_batch,
+    )
+    from logsqlite_spark.sources.spool import read_spool_batch
+
+    SpoolWriter(warehouse.spool_dir, "c1").write_burst(_entries(BASE_TS, 1))
+    JsonlSpoolWriter(warehouse.spool_dir, "c1").write_burst(
+        [{"source": "stdout", "time_nano": BASE_TS, "line": "x"}])
+    pf = sorted(_glob.glob(f"{warehouse.spool_dir}/*/*.plog"))
+    jf = sorted(_glob.glob(f"{warehouse.spool_dir}/*/*.jsonl"))
+    got_p = read_spool_batch(spark, warehouse.spool_dir, None,
+                             paths=pf).select("path").first()[0]
+    got_j = read_jsonl_spool_batch(spark, warehouse.spool_dir, None,
+                                   paths=jf).select("path").first()[0]
+    assert got_p == pf[0], (got_p, pf[0])
+    assert got_j == jf[0], (got_j, jf[0])

@@ -272,3 +272,86 @@ def test_gc_deletes_unreferenced_chunks(tmp_path):
         .read_text())
     assert set(live) == set(head["file_chunks"])  # no orphan chunks
     assert t.manifest()["files"] == [b]
+
+
+def test_pure_append_commit_reads_no_chunk_bodies(tmp_path, monkeypatch):
+    """Round-13 (VERDICT #3): commit cost is O(batch) in MEMORY, not
+    just bytes — a pure append (and a state-only commit) never loads
+    a chunk body; the head alone carries what it needs."""
+    import logsqlite_spark.table as T
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(5):
+        f = _touch(t, f"container_id=c/date=d/f{i}.parquet")
+        t.commit_append([f], "s", i, {"c": 1}, {})
+
+    def boom(self, name):  # noqa: ANN001
+        raise AssertionError(f"chunk body {name} read on a pure append")
+
+    monkeypatch.setattr(T.ManifestTable, "_load_chunk", boom)
+    f = _touch(t, "container_id=c/date=d/f99.parquet")
+    assert t.commit_append([f], "s", 99, {"c": 1}, {}) is not None
+    t.update_state(last_file={"c": "w9"})
+    monkeypatch.undo()
+    m = t.manifest()
+    assert len(m["files"]) == 6 and m["last_file"] == {"c": "w9"}
+    assert m["high_water"] == {"c": 6}
+
+
+def test_replace_loads_only_intersecting_chunks(tmp_path, monkeypatch):
+    """Round-13: commit_replace prunes on the head's per-chunk dir
+    summary — a chunk whose partition dirs are disjoint from the
+    removed files' dirs passes through BY NAME, body never loaded."""
+    import json as _json
+
+    import logsqlite_spark.table as T
+
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _touch(t, "container_id=c1/date=d1/a.parquet")
+    t.commit_append([a], "s", 0, {"c1": 1}, {})
+    b = _touch(t, "container_id=c2/date=d2/b.parquet")
+    t.commit_append([b], "s", 1, {"c2": 1}, {})
+    head = _json.loads(
+        (t.manifests / "00000002.json").read_text())
+    ca, cb = head["file_chunks"]
+
+    loaded: list = []
+    orig = T.ManifestTable._load_chunk
+    monkeypatch.setattr(
+        T.ManifestTable, "_load_chunk",
+        lambda self, name: (loaded.append(name), orig(self, name))[1])
+    c = _touch(t, "container_id=c2/date=d2/c.parquet")
+    t.commit_replace([b], [c])
+    monkeypatch.undo()
+    assert loaded == [cb], (loaded, ca, cb)
+    m = t.manifest()
+    assert sorted(m["files"]) == sorted([a, c])
+    # same pruning for drop_container
+    loaded.clear()
+    monkeypatch.setattr(
+        T.ManifestTable, "_load_chunk",
+        lambda self, name: (loaded.append(name), orig(self, name))[1])
+    n = t.drop_container("c2")
+    monkeypatch.undo()
+    assert n == 1 and ca not in loaded
+    assert t.manifest()["files"] == [a]
+    assert t.manifest()["high_water"] == {"c1": 1}
+
+
+def test_reordering_commit_persists_change_fn_order(tmp_path):
+    """Round-13 ADVICE(low): when change_fn REORDERS the file list
+    (not just drop/append), the persisted chunk order must match what
+    the committing caller observed, so a later manifest() returns the
+    same order."""
+    t = ManifestTable(str(tmp_path / "t"))
+    fs = [_touch(t, f"container_id=c/date=d/f{i}.parquet")
+          for i in range(4)]
+    t.commit_append(fs, "s", 0, {"c": 4}, {})
+
+    def reorder(m: dict) -> dict:
+        m["files"] = list(reversed(m["files"]))
+        return m
+
+    got = t.commit(reorder)["files"]
+    assert got == list(reversed(fs))
+    assert t.manifest()["files"] == got
