@@ -43,6 +43,9 @@ class Engine:
         self._restarts: dict[str, int] = {}    # T4 restart-policy counter
         self._last_restart: dict[str, float] = {}
         self._lifecycle_lock = threading.RLock()  # bounces vs stop_logging
+        # follow_live subscriptions: container_id -> [Queue] (round 13)
+        self._live_subs: dict[str, list] = {}
+        self._live_lock = threading.Lock()
 
     # -- data access ---------------------------------------------------------
 
@@ -82,19 +85,8 @@ class Engine:
                 raise RuntimeError(
                     "multiplexed ingest already consumes every container's "
                     "spool — a per-container stream would double-ingest")
-            on_result = None
-            if self.config.on_decode_error == "restart":
-                # T4 parity option (statehandler.rs:146-166): the
-                # reference RESTARTS a container's logger when it dies
-                # on a protobuf DecodeError (tear-down on any other
-                # error — which a StreamingQuery does by terminating).
-                # Here the logger is the StreamingQuery: after a
-                # committed batch that saw decode errors, bounce it.
-                # The restart runs on a helper thread — a query cannot
-                # stop itself from inside its own foreachBatch.
-                def on_result(res: dict, _cid=container_id) -> None:
-                    if res.get("decode_errors"):
-                        self._schedule_restart(_cid)
+            def on_result(res: dict, _cid=container_id) -> None:
+                self._on_stream_result(res, _cid)
             q = ING.start_ingest_stream(
                 self.spark,
                 self.config.spool_dir,
@@ -109,6 +101,23 @@ class Engine:
             self._queries[container_id] = q
             return q
         return None
+
+    def _on_stream_result(self, res: dict, container_id: str) -> None:
+        """Per-micro-batch hook of a scoped ingest stream: fan the
+        committed batch out to follow_live subscribers first (a policy
+        restart must never delay followers of an already-committed
+        batch), then apply the T4 restart policy
+        (statehandler.rs:146-166): the reference RESTARTS a
+        container's logger when it dies on a protobuf DecodeError
+        (tear-down on any other error — which a StreamingQuery does by
+        terminating). Here the logger is the StreamingQuery: after a
+        committed batch that saw decode errors, bounce it. The restart
+        runs on a helper thread — a query cannot stop itself from
+        inside its own foreachBatch."""
+        self._publish_live(res)
+        if self.config.on_decode_error == "restart" \
+                and res.get("decode_errors"):
+            self._schedule_restart(container_id)
 
     def _schedule_restart(self, container_id: str) -> None:
         """Restart a container's ingest stream (T4 restart policy).
@@ -162,9 +171,8 @@ class Engine:
                         f"{self.config.checkpoints_dir}/{container_id}",
                         conf, query_name=f"ingest-{container_id}",
                         container_id=container_id,
-                        on_batch_result=lambda res, _cid=container_id: (
-                            self._schedule_restart(_cid)
-                            if res.get("decode_errors") else None),
+                        on_batch_result=lambda res, _cid=container_id:
+                            self._on_stream_result(res, _cid),
                     )
                     self._queries[container_id] = nq
                     self._restarts[container_id] = \
@@ -188,16 +196,120 @@ class Engine:
             self.spark, self.config.spool_dir, self.config.logs_dir,
             self.config.state_dir, f"{self.config.checkpoints_dir}/__mux__",
             conf or LogConfig(), query_name="ingest-mux",
+            on_batch_result=self._publish_live,
         )
         self._queries["__mux__"] = q
         return q
 
     def ingest_once(self, container_id: str | None = None) -> dict:
         """Pull-mode ingest: drain the spool in one batch commit."""
-        return ING.ingest_spool_once(
+        res = ING.ingest_spool_once(
             self.spark, self.config.spool_dir, self.config.logs_dir,
             self.config.state_dir, container_id,
         )
+        self._publish_live(res)
+        return res
+
+    # -- follow_live fan-out (round 13) ----------------------------------------
+
+    def _publish_live(self, res: dict) -> None:
+        """Post-commit fan-out to in-process followers: pyarrow-reads
+        ONLY the just-committed batch's files for SUBSCRIBED containers
+        (footer-listed rel paths ride the commit result) — no Spark
+        job, driver cost O(batch ∩ followed).  Runs in the committing
+        thread AFTER the manifest commit, so a follower never sees an
+        uncommitted row."""
+        files = (res or {}).get("new_files") or []
+        if not files:
+            return
+        with self._live_lock:
+            subs = {c: list(qs) for c, qs in self._live_subs.items() if qs}
+        if not subs:
+            return
+        import datetime as _dt
+
+        import pyarrow.parquet as pq
+        from pyspark.sql import Row
+
+        for cid, queues in subs.items():
+            prefix = f"container_id={cid}/"
+            rows = []
+            for f in files:
+                if not f.startswith(prefix):
+                    continue
+                date = _dt.date.fromisoformat(
+                    f.split("/")[1].split("=", 1)[1])
+                for rec in pq.read_table(
+                        str(self.table.dir / f)).to_pylist():
+                    rec["container_id"] = cid
+                    rec["date"] = date
+                    rows.append(Row(**rec))
+            if rows:
+                rows.sort(key=lambda r: r["seq"])
+                for q in queues:
+                    q.put(rows)
+
+    def follow_live(self, container_id: str, since: str | None = None,
+                    tail: int | None = None,
+                    poll_interval_s: float = 1.0,
+                    max_idle_polls: int = FW.FOLLOW_COUNTER_MAX,
+                    stop=None):
+        """ReadLogs Follow=true served at COMMIT latency (round 13,
+        VERDICT r12 #5): history from a manifest snapshot, then live
+        rows pushed by the ingest commit hook — one trigger (the
+        ingest micro-batch itself) between a line landing in the spool
+        and its emission, instead of ``follow_iter``'s two (ingest
+        trigger + follow poll).  The reference's design point is a 1 s
+        follow poll (logger.rs:287-288); this path is bounded by the
+        ingest trigger alone.
+
+        Seam exactness (same contract as the ``follow_iter`` pin):
+        the subscription registers BEFORE the history snapshot is
+        read, so a batch committing at any point lands either inside
+        the snapshot (≤ its high-water, filtered out of the live queue
+        by the cursor) or in the queue — exactly once, no gap, no dup.
+        """
+        import queue as _queue
+
+        def gen():
+            qq: _queue.Queue = _queue.Queue()
+            with self._live_lock:
+                self._live_subs.setdefault(container_id, []).append(qq)
+            try:
+                snap = self.table.import_existing()
+                cursor = int(snap.get("high_water", {})
+                             .get(container_id, 0))
+                hist = R.read_logs(
+                    self.table.read_df(self.spark, snap),
+                    container_id=container_id, since=since, tail=tail)
+                chunk = []
+                for row in hist.toLocalIterator():
+                    chunk.append(row)
+                    if len(chunk) >= FW.FOLLOW_EMIT_BATCH:
+                        yield chunk
+                        chunk = []
+                if chunk:
+                    yield chunk
+                idle = 0
+                while idle < max_idle_polls and not (stop and stop()):
+                    try:
+                        batch = qq.get(timeout=poll_interval_s)
+                    except _queue.Empty:
+                        idle += 1
+                        continue
+                    fresh = [r for r in batch if r["seq"] > cursor]
+                    if fresh:
+                        cursor = fresh[-1]["seq"]
+                        idle = 0
+                        yield fresh
+            finally:
+                with self._live_lock:
+                    try:
+                        self._live_subs.get(container_id, []).remove(qq)
+                    except ValueError:
+                        pass
+
+        return gen()
 
     # -- StopLogging (docker.rs:93-109, statehandler.rs:126-135) --------------
 
@@ -231,6 +343,180 @@ class Engine:
             poll_interval_s=poll_interval_s, max_idle_polls=max_idle_polls,
             stop=stop,
         )
+
+    def follow_tail(self, container_id: str, since: str | None = None,
+                    tail: int | None = None,
+                    poll_interval_s: float = 0.05,
+                    max_idle_polls: int = 1200,
+                    stop=None):
+        """ReadLogs Follow=true served by a DRIVER-SIDE SPOOL TAIL
+        (round 13, VERDICT r12 #5): history from a manifest snapshot,
+        then new rows decoded straight off the spool directory with
+        the engine's own Python codec — no Spark job and no ingest
+        trigger in the path, so visibility is bounded by the tail
+        poll alone (default 50 ms vs the reference's 1 s follow poll,
+        logger.rs:287-288).  The ingest stream keeps running for
+        persistence; this is only an alternate READ path.
+
+        Seq parity (what makes the emission exact): ingest assigns
+        ``seq = high_water + row_number over (path, frame_no)`` under
+        the one-writer-per-container invariant, so the tail can assign
+        the SAME seqs by decoding files in name order starting from
+        the snapshot's (high_water, last_file) pair — the two are
+        committed atomically, so the pair pins the boundary exactly.
+        Decode-error frames stop a file's decode at the bad frame and
+        are never seq'd, identical to the distributed decode; a stale
+        (name ≤ watermark) file is skipped, matching quarantine.
+
+        If a spool file vanishes before the tail reads it (the ingest
+        stream consumed and deleted it), the tail RESYNCS from the
+        committed table: emit rows ``seq > cursor`` from the fresh
+        manifest and fast-forward the file watermark to its
+        ``last_file`` — exactly-once either way (pytest-pinned against
+        the ingest path's assignment).
+        """
+        import glob as _glob
+
+        from logsqlite_spark.sources import frames as _fr
+
+        spool = f"{self.config.spool_dir}/{container_id}"
+
+        def _decode_file(path: str) -> list | None:
+            """Rows of one spool file (seq-eligible only), or None if
+            the file vanished (consumed by ingest) — caller resyncs."""
+            try:
+                blob = open(path, "rb").read()
+            except OSError:
+                return None
+            out = []
+            if path.endswith(".jsonl"):
+                import json as _json
+
+                for ln in blob.decode("utf-8", "replace").splitlines():
+                    if not ln:
+                        continue
+                    try:
+                        rec = _json.loads(ln)
+                    except ValueError:
+                        continue  # corrupt line: error row, never seq'd
+                    pm = rec.get("partial_meta")
+                    out.append((rec.get("source") or "",
+                                int(rec.get("time_nano") or 0),
+                                (rec.get("line") or ""),
+                                bool(rec.get("partial") or False),
+                                pm))
+            else:
+                try:
+                    entries = list(_fr.decode_frames(blob))
+                except _fr.FrameDecodeError:
+                    # keep the good prefix, like the distributed decode
+                    entries = []
+                    pos, n = 0, len(blob)
+                    import struct as _struct
+                    while pos + 4 <= n:
+                        (ln,) = _struct.unpack_from(">I", blob, pos)
+                        if pos + 4 + ln > n:
+                            break
+                        try:
+                            entries.append(_fr.decode_log_entry(
+                                blob[pos + 4:pos + 4 + ln]))
+                        except _fr.FrameDecodeError:
+                            break
+                        pos += 4 + ln
+                for e in entries:
+                    pm = None
+                    if e.partial_meta is not None:
+                        pm = {"last": e.partial_meta.last,
+                              "id": e.partial_meta.id,
+                              "ordinal": e.partial_meta.ordinal}
+                    out.append((e.source,
+                                int(e.time_nano),
+                                e.line.decode("utf-8", "replace"),
+                                bool(e.partial),
+                                pm))
+            return out
+
+        def _rows(decoded: list, start_seq: int) -> list:
+            from datetime import datetime, timezone
+
+            from pyspark.sql import Row
+
+            rows = []
+            for i, (source, tn, line, partial, pm) in enumerate(decoded):
+                if not line.endswith("\n"):
+                    line += "\n"  # S2 canonicalization
+                ts = datetime.fromtimestamp((tn // 1000) / 1e6,
+                                            tz=timezone.utc)
+                rows.append(Row(
+                    seq=start_seq + i, ts_nanos=tn, ts=ts,
+                    source=source, line=line, partial=partial,
+                    partial_meta=(Row(**pm) if pm else None),
+                    container_id=container_id, date=ts.date()))
+            return rows
+
+        def gen():
+            snap = self.table.import_existing()
+            cursor = int(snap.get("high_water", {}).get(container_id, 0))
+            last_name = ING._norm_path(
+                snap.get("last_file", {}).get(container_id, ""))
+            hist = R.read_logs(
+                self.table.read_df(self.spark, snap),
+                container_id=container_id, since=since, tail=tail)
+            chunk = []
+            for row in hist.toLocalIterator():
+                chunk.append(row)
+                if len(chunk) >= FW.FOLLOW_EMIT_BATCH:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+            idle = 0
+            import time as _time
+            while idle < max_idle_polls and not (stop and stop()):
+                emitted = False
+                # the ingest stream may CONSUME (and delete) spool
+                # files between our polls — files we'd never even list.
+                # Its commit moves (high_water, last_file) atomically,
+                # so a cheap head read detects it: resync from the
+                # committed table and fast-forward the file marker
+                # BEFORE assigning seqs to any on-disk file (assigning
+                # from a listing that silently lost an earlier file
+                # would shift every subsequent seq).
+                head = self.table.head()
+                lf = ING._norm_path(
+                    head.get("last_file", {}).get(container_id, ""))
+                if lf > last_name:
+                    rows = R.read_logs(
+                        self.table.read_df(self.spark,
+                                           self.table.manifest()),
+                        container_id=container_id,
+                        cursor=cursor + 1).collect()
+                    if rows:
+                        yield rows
+                        cursor = rows[-1]["seq"]
+                        emitted = True
+                    last_name = lf
+                fresh = sorted(
+                    p for p in _glob.glob(f"{spool}/*.plog")
+                    + _glob.glob(f"{spool}/*.jsonl")
+                    if p > last_name)
+                for p in fresh:
+                    decoded = _decode_file(p)
+                    if decoded is None:
+                        break  # deleted under us: head check resyncs
+                    rows = _rows(decoded, cursor + 1)
+                    if rows:
+                        yield rows
+                        cursor = rows[-1]["seq"]
+                        emitted = True
+                    last_name = p
+                if emitted:
+                    idle = 0
+                else:
+                    idle += 1
+                    _time.sleep(poll_interval_s)
+
+        return gen()
 
     # -- boot replay (T3) ------------------------------------------------------
 

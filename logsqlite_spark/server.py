@@ -147,15 +147,41 @@ class _Handler(BaseHTTPRequestHandler):
 
         if follow:
             stop = getattr(self.server, "stopping", None)
-            from logsqlite_spark.schema import LOGS_SCHEMA
+            from logsqlite_spark.sources.frames import (
+                LogEntry,
+                PartialMeta,
+                encode_frame,
+            )
 
-            for rows in eng.follow(cid, since=since, tail=tail,
-                                   stop=(lambda: stop.is_set()) if stop else None):
-                # explicit schema: inference would fail on an all-None
-                # partial_meta batch (every non-partial poll)
-                df = eng.spark.createDataFrame(rows, LOGS_SCHEMA)
-                for r in to_wire_frames(df).orderBy("seq").toLocalIterator():
-                    send(bytes(r["frame"]))
+            def frame_of(row) -> bytes:
+                """The exact on-wire frame for one row, encoded on the
+                DRIVER (same codec to_wire_frames runs distributed) —
+                a follow batch is stream-sized, so a Spark job per
+                poll would only add latency."""
+                d = row.asDict() if hasattr(row, "asDict") else dict(row)
+                meta = d.get("partial_meta")
+                pm = None
+                if meta is not None:
+                    m = meta.asDict() if hasattr(meta, "asDict") \
+                        else dict(meta)
+                    pm = PartialMeta(last=bool(m.get("last") or False),
+                                     id=m.get("id") or "",
+                                     ordinal=int(m.get("ordinal") or 0))
+                return encode_frame(LogEntry(
+                    source=d.get("source") or "",
+                    time_nano=int(d.get("ts_nanos") or 0),
+                    line=(d.get("line") or "").encode("utf-8"),
+                    partial=bool(d.get("partial")),
+                    partial_meta=pm))
+
+            # round 13: follow via the driver spool tail — visibility
+            # bounded by the 50 ms tail poll (reference design point:
+            # 1 s poll, logger.rs:287-288), no Spark job per batch
+            for rows in eng.follow_tail(
+                    cid, since=since, tail=tail,
+                    stop=(lambda: stop.is_set()) if stop else None):
+                for r in rows:
+                    send(frame_of(r))
                 self.wfile.flush()
         else:
             df = eng.read_logs(cid, since=since, until=until, tail=tail)

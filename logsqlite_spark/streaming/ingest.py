@@ -285,6 +285,7 @@ def _write_batch_grouped(batch_df: DataFrame, table: ManifestTable,
             "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
             "batch_id": batch_id,
             "high_water": dict(committed["high_water"]),
+            "new_files": new_files,
         }
     finally:
         batch_df.unpersist()
@@ -390,6 +391,7 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
         "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
         "batch_id": batch_id,
         "high_water": dict(committed["high_water"]),
+        "new_files": new_files,
     }
 
 
@@ -494,6 +496,7 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
         "out_of_order_rows": int(n_stale) if on_stale == "quarantine" else 0,
         "batch_id": batch_id,
         "high_water": dict(committed["high_water"]),
+        "new_files": new_files,
     }
 
 

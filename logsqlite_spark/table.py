@@ -176,6 +176,14 @@ class ManifestTable:
         """Latest committed snapshot (empty table if none)."""
         return self._materialize(self._read_head())
 
+    def head(self) -> dict:
+        """Latest committed HEAD only — state keys (generation,
+        batch_ids, high_water, last_file) plus chunk names, WITHOUT
+        materializing the file list.  O(head bytes); the read for
+        pollers that only need watermarks (follow_tail checks it every
+        50 ms)."""
+        return self._read_head()
+
     def import_existing(self) -> dict:
         """Adopt a plain partitioned-parquet tree written out-of-band:
         build generation 1 from a one-time directory listing. After

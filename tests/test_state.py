@@ -235,3 +235,172 @@ def test_follow_seam_catchup_to_live_no_gap_no_dup(engine):
     assert len(emitted) == len(set(emitted))          # no dup
     assert emitted == list(range(min(emitted), max(emitted) + 1))  # no gap
     assert list(it) == []                             # idle timeout
+
+
+def test_follow_live_seam_catchup_to_live_no_gap_no_dup(engine):
+    """follow_live (round 13): same seam contract as follow_iter —
+    history from the snapshot, live rows pushed by the ingest commit
+    hook; rows landing between iterator creation and the first read
+    appear exactly once inside the (shifted) tail window, the live
+    handoff is at the snapshot high-water, no gap, no dup."""
+    engine.start_logging("cv", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cv", 3)          # seqs 1..3
+    engine.ingest_once()
+
+    it = engine.follow_live("cv", tail=2, poll_interval_s=0.05,
+                            max_idle_polls=3)
+    # lands BEFORE the first read: part of the snapshot, tail shifts
+    _burst(engine.config.spool_dir, "cv", 2, ts=BASE_TS + 10**11)  # 4,5
+    engine.ingest_once()
+    first = [r["seq"] for r in next(it)]
+    assert first == [4, 5]
+
+    # live rows pushed by the commit hook: exactly once, no gap
+    _burst(engine.config.spool_dir, "cv", 2, ts=BASE_TS + 2 * 10**11)  # 6,7
+    engine.ingest_once()
+    rows2 = next(it)
+    second = [r["seq"] for r in rows2]
+    assert second == [6, 7]
+    assert [r["line"] for r in rows2] == ["l0\n", "l1\n"]
+
+    emitted = first + second
+    assert len(emitted) == len(set(emitted))
+    assert emitted == list(range(min(emitted), max(emitted) + 1))
+    assert list(it) == []                             # idle timeout
+    # subscription cleaned up on exhaustion
+    assert engine._live_subs.get("cv") == []
+
+
+def test_follow_live_streaming_end_to_end(engine):
+    """follow_live over a SCOPED STREAMING ingest: a line written to
+    the spool surfaces through the commit hook without a second
+    (follow-side) trigger, and stopping the stream stops emission."""
+    import threading
+    import time as _t
+
+    # writer first: its __init__ creates the spool subdir the scoped
+    # readStream source lists
+    SpoolWriter(engine.config.spool_dir, "cw")
+    engine.start_logging("cw", None,
+                         {"message_read_timeout": "100",
+                          "delete_when_stopped": "false"},
+                         streaming=True)
+    got: list = []
+    stop_flag = threading.Event()
+    it = engine.follow_live("cw", poll_interval_s=0.1,
+                            max_idle_polls=600,
+                            stop=stop_flag.is_set)
+
+    def drain():
+        for batch in it:
+            got.extend(batch)
+
+    th = threading.Thread(target=drain, daemon=True)
+    th.start()
+    _burst(engine.config.spool_dir, "cw", 3)
+    deadline = _t.time() + 90
+    while len(got) < 3 and _t.time() < deadline:
+        _t.sleep(0.05)
+    assert [r["seq"] for r in got] == [1, 2, 3]
+    assert got[0]["container_id"] == "cw"
+    assert got[0]["line"] == "l0\n"
+    stop_flag.set()
+    th.join(timeout=30)
+    assert not th.is_alive()
+    engine.stop_all()
+
+
+def test_follow_tail_seam_and_seq_parity(engine):
+    """follow_tail (round 13): driver-side spool tail stitched at the
+    manifest (high_water, last_file) seam.  The tail's provisional
+    seq assignment must equal what ingest later commits; history/live
+    handoff is exactly-once; a misnamed (stale) file is skipped just
+    like the quarantine path."""
+    engine.start_logging("ct", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "ct", 3)          # 1..3
+    engine.ingest_once()
+
+    it = engine.follow_tail("ct", tail=2, poll_interval_s=0.02,
+                            max_idle_polls=4)
+    _burst(engine.config.spool_dir, "ct", 2, ts=BASE_TS + 10**11)  # 4,5
+    first = [r["seq"] for r in next(it)]
+    assert first == [2, 3]                       # history tail window
+    live = next(it)
+    assert [r["seq"] for r in live] == [4, 5]    # decoded off the spool
+    assert [r["line"] for r in live] == ["l0\n", "l1\n"]
+
+    # a misnamed file below the tail's marker: skipped, not seq'd
+    from pathlib import Path
+
+    from logsqlite_spark.sources.frames import LogEntry, encode_frame
+    bad = Path(engine.config.spool_dir) / "ct" / "00000000000000000000_0.plog"
+    bad.write_bytes(encode_frame(LogEntry(
+        source="stdout", time_nano=BASE_TS, line=b"misnamed")))
+    _burst(engine.config.spool_dir, "ct", 1, ts=BASE_TS + 2 * 10**11)  # 6
+    third = next(it)
+    assert [r["seq"] for r in third] == [6]
+
+    # ingest commits the same files: seqs must MATCH the tail's
+    engine.ingest_once()
+    table = {r["seq"]: r["line"] for r in
+             engine.read_logs("ct").collect()}
+    for r in live + third:
+        assert table[r["seq"]] == r["line"]
+    assert list(it) == []                        # idle timeout
+
+
+def test_follow_tail_resyncs_when_ingest_consumes_between_polls(engine):
+    """Files consumed AND deleted by ingest between tail polls never
+    appear in the listing — the head (high_water, last_file) check
+    must resync from the committed table with no gap and no seq
+    shift for files tailed afterwards."""
+    engine.start_logging("cu", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cu", 2)          # 1,2
+    engine.ingest_once()
+
+    it = engine.follow_tail("cu", poll_interval_s=0.02,
+                            max_idle_polls=4)
+    hist = [r["seq"] for r in next(it)]
+    assert hist == [1, 2]
+    # burst + ingest (consume deletes the file) BEFORE the next poll
+    _burst(engine.config.spool_dir, "cu", 3, ts=BASE_TS + 10**11)  # 3..5
+    engine.ingest_once()
+    resynced = [r["seq"] for r in next(it)]
+    assert resynced == [3, 4, 5]
+    # a file tailed AFTER the resync continues at the right seq
+    _burst(engine.config.spool_dir, "cu", 1, ts=BASE_TS + 2 * 10**11)  # 6
+    assert [r["seq"] for r in next(it)] == [6]
+    engine.ingest_once()
+    assert sorted(r["seq"] for r in engine.read_logs("cu").collect()) \
+        == [1, 2, 3, 4, 5, 6]
+    assert list(it) == []
+
+
+def test_follow_tail_decode_error_prefix_parity(engine):
+    """A corrupt frame stops a file's tail decode at the bad frame —
+    exactly the distributed decode's good-prefix rule — so the tail's
+    seq assignment stays equal to what ingest commits."""
+    from pathlib import Path
+
+    from logsqlite_spark.sources.frames import LogEntry, encode_frame
+
+    engine.start_logging("cx", None, {"delete_when_stopped": "false"})
+    w = SpoolWriter(engine.config.spool_dir, "cx")
+    good = encode_frame(LogEntry(source="stdout", time_nano=BASE_TS,
+                                 line=b"keep"))
+    name = w.write_burst([])
+    Path(name).write_bytes(good + b"\xff\xff\xff\xff garbage")
+    _burst(engine.config.spool_dir, "cx", 1, ts=BASE_TS + 10**11)
+    it = engine.follow_tail("cx", poll_interval_s=0.02,
+                            max_idle_polls=4)
+    got = []
+    for batch in it:
+        got.extend(batch)
+        if len(got) >= 2:
+            break
+    assert [(r["seq"], r["line"]) for r in got] == \
+        [(1, "keep\n"), (2, "l0\n")]
+    engine.ingest_once()
+    table = sorted((r["seq"], r["line"])
+                   for r in engine.read_logs("cx").collect())
+    assert table == [(1, "keep\n"), (2, "l0\n")]
