@@ -595,10 +595,16 @@ def _ivf_auto_path(corpus_df: DataFrame, id_col: str, vec_col: str,
     # column in the lists (the SQ∘IVF serving path); the SQ dim is part
     # of the key so an ivf_sq_topk(dim=...) caller gets an index whose
     # scales/codes actually cover that many dimensions instead of
-    # silently zero-coding the tail (ADVICE r7)
+    # silently zero-coding the tail (ADVICE r7).
+    # "v4" (round 13): integral deterministic geometry — centroids are
+    # quantized-space bigints from the seed+Lloyd fit, so indexes built
+    # by the old ml-KMeans code are not aliased; the Lloyd iteration
+    # count is part of the key because it IS the geometry (an index
+    # built at a different count must not be served).
     key = hashlib.sha256("|".join(
         (frames_fingerprint(corpus_df), id_col, vec_col,
-         str(n_clusters), f"v3:sq{sq_dim}")).encode()).hexdigest()[:16]
+         str(n_clusters),
+         f"v4:sq{sq_dim}:li{IVF_LLOYD_ITERS}")).encode()).hexdigest()[:16]
     return os.path.join(_ivf_index_root(), key)
 
 
@@ -749,30 +755,62 @@ def ivf_topk(
                                 n_probe=n_probe, id_col=id_col,
                                 vec_col=vec_col)
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    corpus_vec = corpus_df.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__v"),
-    )
-    km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
-                predictionCol="__cluster")
-    model = km.fit(corpus_vec)
-    assigned = model.transform(corpus_vec).select("nid", "nv", "__cluster")
-
-    # centroid table: n_clusters rows -> broadcast to score per query
-    centers = model.clusterCenters()
+    # literal/streaming corpus (unit tests): fit + assign inline, the
+    # same deterministic integral geometry as the persisted build
+    centers = _fit_centers(corpus_df, n_clusters, id_col, vec_col)
+    assigned = _frozen_assign_encode(
+        corpus_df, centers,
+        _compute_sq_scales(corpus_df, SQ_DIM, vec_col),
+        id_col, vec_col).select("nid", "nv", "__cluster")
     centers_df = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-        "cid int, center array<double>",
+        [(i, [int(x) for x in c]) for i, c in enumerate(centers)],
+        "cid int, center array<bigint>",
     )
     return _ivf_probe(assigned, centers_df, queries_df, k, n_probe,
                       id_col, vec_col)
 
 
+# exact int64 squared L2 distance between quantized vectors — the
+# same expression clustering.py assigns with, so IVF geometry and the
+# semantic-clustering tier share one distance definition
+_L2SQ_INT = ("aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+             "0L, (acc, d) -> acc + d)")
+
+
+IVF_LLOYD_ITERS = 3
+
+
+def _fit_centers(corpus_df: DataFrame, n_clusters: int,
+                 id_col: str, vec_col: str,
+                 n_iters: int = IVF_LLOYD_ITERS) -> list[list[int]]:
+    """Deterministic INTEGRAL centroids for the IVF geometry (round
+    13): the salted-md5 seed draw + ``n_iters`` Lloyd iterations in
+    QUANTIZED space — clustering.py's engine-portable k-means.
+    Integral centers make every assignment and probe distance an
+    exact int64, so the whole IVF pipeline (fit → assign → probe →
+    rerank) replays bit-for-bit in the DuckDB oracle (one CTE block
+    per iteration); the previous pyspark.ml KMeans fit (k-means||
+    init) was the single non-replayable step that kept the IVF
+    queries rows-only in the driver gate."""
+    from logsqlite_spark.operators.clustering import (
+        assign_clusters,
+        refine_centroids,
+        seed_centroids,
+    )
+
+    ctr = seed_centroids(corpus_df, k=n_clusters, id_col=id_col,
+                         vec_col=vec_col)
+    for _ in range(n_iters):
+        ctr = refine_centroids(
+            assign_clusters(corpus_df, ctr, id_col=id_col,
+                            vec_col=vec_col),
+            ctr)
+    return [[int(x) for x in r["cv"]]
+            for r in ctr.orderBy("cluster_id").collect()]
+
+
 def _frozen_assign_encode(batch_df: DataFrame,
-                          centers: list[list[float]],
+                          centers: list[list[int]],
                           scales: list[float],
                           id_col: str, vec_col: str) -> DataFrame:
     """Assign each row to its nearest FROZEN centroid and int8-encode
@@ -780,26 +818,28 @@ def _frozen_assign_encode(batch_df: DataFrame,
 
     The 100 TB shape for index maintenance: centroids are a literal
     expression (a few KB), so assignment is an argmin evaluated inside
-    the batch's own scan — no join, no shuffle, no window.  The argmin
+    the batch's own scan — no join, no shuffle, no window.  Distances
+    are exact int64 in quantized space (integral centers); the argmin
     tie-breaks to the lowest cid via struct ordering, the same (d2,
     cid) ordering the probe side (:func:`_probe_lists`) uses.
     """
     ctr = F.array(*[
         F.struct(F.lit(i).alias("cid"),
-                 F.array(*[F.lit(float(x)) for x in c]).alias("center"))
+                 F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+                 .alias("center"))
         for i, c in enumerate(centers)])
     sc = F.array(*[F.lit(s) for s in scales])
     return (
         batch_df.select(F.col(id_col).cast("long").alias("nid"),
                         F.col(vec_col).alias("nv"))
+        .withColumn("__qi", F.expr(_QUANTIZE.format(c="nv", q=QUANT)))
         .withColumn("__ctr", ctr)
         .withColumn(
             "__best",
             F.array_min(F.expr(
                 "transform(__ctr, c -> struct("
-                "aggregate(zip_with(cast(nv as array<double>), c.center, "
-                "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v) as d2, "
-                "c.cid as cid))")))
+                + _L2SQ_INT.format(a="__qi", b="c.center")
+                + " as d2, c.cid as cid))")))
         .withColumn("__sc", sc)
         .withColumn(
             "code",
@@ -852,43 +892,14 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     """
     spark = corpus_df.sparkSession
     if centers is None:
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        corpus_vec = corpus_df.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-            array_to_vector(
-                F.col(vec_col).cast("array<double>")).alias("__v"),
-        )
-        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
-                    predictionCol="__cluster")
-        model = km.fit(corpus_vec)
+        centers = _fit_centers(corpus_df, n_clusters, id_col, vec_col)
+    if scales is None:
         scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
-        centers = [[float(x) for x in c] for c in model.clusterCenters()]
-        sc = F.array(*[F.lit(s) for s in scales])
-        ctr = F.array(*[
-            F.array(*[F.lit(float(x)) for x in c]) for c in centers])
-        assigned = (
-            model.transform(corpus_vec)
-            .withColumn("__sc", sc)
-            .withColumn(
-                "code",
-                F.expr(_SQ_ENCODE.format(v="nv", sc="__sc", lv=SQ_LEVELS))
-                .cast("array<tinyint>"))
-            .withColumn("__ctr_at", F.element_at(ctr, F.col("__cluster") + 1))
-            .withColumn("__d2", F.expr(
-                "aggregate(zip_with(cast(nv as array<double>), __ctr_at, "
-                "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
-            .select("nid", "nv", "code", "__cluster", "__d2")
-        )
-    else:
-        if scales is None:
-            scales = _compute_sq_scales(corpus_df, sq_dim, vec_col)
-        assigned = _frozen_assign_encode(corpus_df, centers, scales,
-                                         id_col, vec_col)
+    assigned = _frozen_assign_encode(corpus_df, centers, scales,
+                                     id_col, vec_col)
     centers_df = spark.createDataFrame(
-        [(i, list(c)) for i, c in enumerate(centers)],
-        "cid int, center array<double>",
+        [(i, [int(x) for x in c]) for i, c in enumerate(centers)],
+        "cid int, center array<bigint>",
     )
     centers_df.coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     spark.createDataFrame([(scales,)], "scales array<double>") \
@@ -901,12 +912,14 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     written = spark.read.option("basePath", f"{path}/lists") \
         .parquet(f"{path}/lists")
     ctr_arr = F.array(*[
-        F.array(*[F.lit(float(x)) for x in c]) for c in centers])
-    st = (written.withColumn("__ctr_at",
-                             F.element_at(ctr_arr, F.col("__cluster") + 1))
+        F.array(*[F.lit(int(x)).cast("bigint") for x in c])
+        for c in centers])
+    st = (written.withColumn("__qi",
+                             F.expr(_QUANTIZE.format(c="nv", q=QUANT)))
+          .withColumn("__ctr_at",
+                      F.element_at(ctr_arr, F.col("__cluster") + 1))
           .withColumn("__d2", F.expr(
-              "aggregate(zip_with(cast(nv as array<double>), __ctr_at, "
-              "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"))
+              _L2SQ_INT.format(a="__qi", b="__ctr_at")))
           .agg(F.count("*").alias("n"), F.avg("__d2").alias("m"))
           .collect()[0])
     _write_ivf_stats(spark, path, st["n"], float(st["m"] or 0.0))
@@ -963,7 +976,7 @@ def append_to_ivf_index(batch_df: DataFrame, path: str,
             raise ValueError(f"no completed IVF index at {path}")
         centers_rows = spark.read.parquet(f"{path}/centroids") \
             .orderBy("cid").collect()
-        centers = [[float(x) for x in r["center"]] for r in centers_rows]
+        centers = [[int(x) for x in r["center"]] for r in centers_rows]
         scales = [float(x) for x in spark.read.parquet(
             f"{path}/scales").collect()[0]["scales"]]
         try:
@@ -1203,10 +1216,10 @@ def _probe_lists(queries_df: DataFrame, centers_df: DataFrame,
                           F.col(vec_col).alias("qv"))
     qc = (
         q.crossJoin(F.broadcast(centers_df))
+        .withColumn("__qi", F.expr(_QUANTIZE.format(c="qv", q=QUANT)))
         .withColumn(
             "d2",
-            F.expr("aggregate(zip_with(cast(qv as array<double>), center, "
-                   "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+            F.expr(_L2SQ_INT.format(a="__qi", b="center")),
         )
     )
     w_probe = Window.partitionBy("qid").orderBy(F.col("d2"), F.col("cid"))
@@ -1273,9 +1286,10 @@ def ivf_sq_topk(
     probed set; the int8 prefilter's top-32 covers the fp top-5 —
     same local-rank-flip argument, and the same measured bound, as
     :func:`sq_rerank_topk`); the whole pipeline is integer-scored and
-    deterministic, but approximate BY DESIGN via list pruning, so the
-    driver gate is rows-only and the quantitative bar is the pytest
-    recall gate alongside the IVF one.
+    deterministic — approximate BY DESIGN via list pruning, yet fully
+    DuckDB-oracled since round 13 (the deterministic integral geometry
+    replays exactly); the pytest recall gate alongside the IVF one
+    stays the quantitative bar.
     """
     spark = corpus_df.sparkSession
     path = _ensure_ivf_index(corpus_df, n_clusters, id_col, vec_col,
@@ -1300,34 +1314,16 @@ def ivf_sq_topk(
         vecs_df = lists.select("nid", "nv", "__cluster")
     else:
         # literal/streaming corpus (unit tests): fit + encode inline,
-        # same seed and math as the persisted build
-        from pyspark.ml.clustering import KMeans
-        from pyspark.ml.functions import array_to_vector
-
-        corpus_vec = corpus_df.select(
-            F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"),
-            array_to_vector(
-                F.col(vec_col).cast("array<double>")).alias("__v"),
-        )
-        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
-                    predictionCol="__cluster")
-        model = km.fit(corpus_vec)
+        # same deterministic integral geometry as the persisted build
+        centers = _fit_centers(corpus_df, n_clusters, id_col, vec_col)
         scales = _compute_sq_scales(corpus_df, dim, vec_col)
-        sc_b = F.array(*[F.lit(s) for s in scales])
-        assigned = (
-            model.transform(corpus_vec)
-            .withColumn("__sc", sc_b)
-            .withColumn(
-                "code",
-                F.expr(_SQ_ENCODE.format(v="nv", sc="__sc",
-                                         lv=SQ_LEVELS))
-                .cast("array<tinyint>"))
-            .select("nid", "nv", "code", "__cluster")
-        )
+        assigned = _frozen_assign_encode(
+            corpus_df, centers, scales, id_col, vec_col
+        ).select("nid", "nv", "code", "__cluster")
         centers_df = spark.createDataFrame(
-            [(i, [float(x) for x in ctr])
-             for i, ctr in enumerate(model.clusterCenters())],
-            "cid int, center array<double>",
+            [(i, [int(x) for x in ctr])
+             for i, ctr in enumerate(centers)],
+            "cid int, center array<bigint>",
         )
         codes_df = assigned.select("nid", "code", "__cluster")
         vecs_df = assigned.select("nid", "nv", "__cluster")
@@ -1576,10 +1572,9 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_ann_ivf_sq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the composed serving path: probed lists scanned on int8 codes,
-    # fp rerank. rows-only in the driver gate (list pruning is
-    # approximate by design, like ann_ivf_topk); the quantitative bar
-    # is the pytest recall gate (>= the plain-IVF floor at equal
-    # probes).
+    # fp rerank.  Fully oracled since round 13 (deterministic integral
+    # geometry replayed in DuckDB); the pytest recall gate remains the
+    # quantitative bar (>= the plain-IVF floor at equal probes).
     emb = table(spark, sf_dir, "embeddings")
     return ivf_sq_topk(emb.filter(F.col("vec_id") < N_QUERIES), emb)
 
@@ -1725,10 +1720,11 @@ def _q_ann_ivf_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     append both complete so re-runs serve instead of re-appending
     (idempotence — a crash between build and append leaves no demo
     marker and the next run rebuilds from scratch, the static
-    partition-overwrite dropping any half-appended lists).  Rows-only
-    in the driver gate (approximate by design, like ann_ivf_topk); the
-    quantitative bar is the pytest pin that an appended index equals a
-    frozen-geometry rebuild exactly."""
+    partition-overwrite dropping any half-appended lists).  Fully oracled
+    since round 13: the DuckDB twin fits the geometry on the base
+    subset and assigns every row against the frozen result — exactly
+    what build+append produce (the pytest pin that an appended index
+    equals a frozen-geometry rebuild exactly remains alongside)."""
     emb = table(spark, sf_dir, "embeddings")
     base = emb.filter(F.col("vec_id") % 10 != 7)
     batch = emb.filter(F.col("vec_id") % 10 == 7)
@@ -1776,9 +1772,9 @@ QUERIES = {
     "ann_lsh_portable": _q_ann_lsh_portable,
     "ann_sq_topk": _q_ann_sq,
     "ann_sq_rerank": _q_ann_sq_rerank,
-    "ann_ivf_topk": _q_ann_ivf,  # rows-only (approximate by design)
-    "ann_ivf_sq_topk": _q_ann_ivf_sq,  # rows-only (SQ∘IVF, approx)
-    "ann_ivf_append": _q_ann_ivf_append,  # rows-only (incremental index)
+    "ann_ivf_topk": _q_ann_ivf,
+    "ann_ivf_sq_topk": _q_ann_ivf_sq,
+    "ann_ivf_append": _q_ann_ivf_append,
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
     "dedup_embedding_ann": _q_embedding_dedup_ann,  # rows-only (ANN)
@@ -1787,6 +1783,141 @@ QUERIES = {
 _ORACLE_QUANT = (
     "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000) AS BIGINT))"
 )
+
+# DuckDB twin of clustering._HASH (the seed-draw order)
+_O_IVF_HASH = ("CAST('0x' || substr(md5('ctr-v1:' || "
+               "CAST(vec_id AS VARCHAR)), 1, 15) AS BIGINT)")
+
+
+def _ivf_geometry_ctes(fit_where: str, n_clusters: int,
+                       n_iters: int) -> str:
+    """CTE chain replaying :func:`_fit_centers` + the final corpus
+    assignment in DuckDB: salted-md5 seed draw over the FIT subset,
+    ``n_iters`` unrolled Lloyd iterations (floor-mean, empty clusters
+    keep their previous centroid — clustering.refine_centroids), then
+    nearest-centroid assignment of the FULL corpus.  All distances are
+    integer-exact (quantized vectors; vn + cn − 2·dot stays ≤ ~2e11,
+    inside double's 2^53 integer window), so every argmin/tie-break
+    matches the Spark side bit-for-bit."""
+    d2 = ("{b}.vn + {c}.cn - 2 * list_dot_product("
+          "CAST({b}.v AS DOUBLE[]), CAST({c}.cv AS DOUBLE[]))")
+    fw = f"WHERE {fit_where} " if fit_where else ""
+    parts = [
+        ("base AS (SELECT vec_id, {qv} AS v, "
+         "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') "
+         "  AS vn FROM embeddings)").format(qv=_ORACLE_QUANT),
+        f"fitbase AS (SELECT * FROM base {fw})",
+        ("ctr0 AS (SELECT CAST(row_number() OVER (ORDER BY h, vec_id) "
+         "    - 1 AS INT) AS cid, v AS cv, vn AS cn "
+         "  FROM (SELECT vec_id, v, vn, " + _O_IVF_HASH + " AS h "
+         f"  FROM fitbase ORDER BY h, vec_id LIMIT {n_clusters}))"),
+    ]
+    for i in range(1, n_iters + 1):
+        p, cur = f"ctr{i - 1}", f"ctr{i}"
+        parts.append(
+            f"asg{i} AS (SELECT vec_id, v, cid FROM ("
+            "  SELECT b.vec_id, b.v, c.cid, row_number() OVER ("
+            f"    PARTITION BY b.vec_id ORDER BY "
+            + d2.format(b="b", c="c") + ", c.cid) AS rk "
+            f"  FROM fitbase b CROSS JOIN {p} c) WHERE rk = 1)")
+        parts.append(
+            f"{cur} AS (SELECT s.cid, COALESCE(n.cv, s.cv) AS cv, "
+            "  list_aggregate(list_transform(COALESCE(n.cv, s.cv), "
+            "    x -> x * x), 'sum') AS cn "
+            f"  FROM {p} s LEFT JOIN ("
+            "    SELECT cid, list(m ORDER BY pos) AS cv FROM ("
+            "      SELECT cid, pos, CAST(floor(CAST(sum(x) AS DOUBLE) "
+            "        / count(*)) AS BIGINT) AS m "
+            "      FROM (SELECT cid, unnest(v) AS x, "
+            f"        generate_subscripts(v, 1) AS pos FROM asg{i}) "
+            "      GROUP BY cid, pos) GROUP BY cid) n "
+            "  ON n.cid = s.cid)")
+    fin = f"ctr{n_iters}"
+    parts.append(
+        "assignf AS (SELECT vec_id, v, vn, cid FROM ("
+        "  SELECT b.vec_id, b.v, b.vn, c.cid, row_number() OVER ("
+        "    PARTITION BY b.vec_id ORDER BY "
+        + d2.format(b="b", c="c") + ", c.cid) AS rk "
+        f"  FROM base b CROSS JOIN {fin} c) WHERE rk = 1)")
+    parts.append(
+        "probes AS (SELECT qid, cid FROM ("
+        "  SELECT b.vec_id AS qid, c.cid, row_number() OVER ("
+        "    PARTITION BY b.vec_id ORDER BY "
+        + d2.format(b="b", c="c") + ", c.cid) AS pr "
+        f"  FROM base b CROSS JOIN {fin} c "
+        f"  WHERE b.vec_id < {N_QUERIES}) WHERE pr <= 4)")
+    return ", ".join(parts)
+
+
+def _ivf_oracle(fit_where: str = "", k: int = TOP_K,
+                n_clusters: int = 16,
+                n_iters: int = IVF_LLOYD_ITERS) -> str:
+    """DuckDB twin of :func:`ivf_topk` (and, with ``fit_where``, of
+    the append demo — geometry fit on the base subset, every row
+    assigned against the frozen result, exactly what build+append
+    produce): probed lists + the exact quantized-int cosine rerank."""
+    return (
+        "WITH " + _ivf_geometry_ctes(fit_where, n_clusters, n_iters)
+        + ", cand AS (SELECT p.qid, a.vec_id AS nid, a.v AS nv, "
+        "    a.vn AS nn FROM probes p JOIN assignf a ON a.cid = p.cid "
+        "    WHERE a.vec_id <> p.qid), "
+        "sims AS (SELECT c.qid, c.nid, "
+        "  list_dot_product(CAST(q.v AS DOUBLE[]), CAST(c.nv AS DOUBLE[])) "
+        "    / sqrt(CAST(q.vn AS DOUBLE) * CAST(c.nn AS DOUBLE)) AS sim "
+        "  FROM cand c JOIN base q ON q.vec_id = c.qid "
+        "  WHERE q.vn > 0 AND c.nn > 0), "
+        "ranked AS (SELECT qid, nid, sim, row_number() OVER ("
+        "  PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM sims) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim "
+        f"FROM ranked WHERE rank <= {k}"
+    )
+
+
+def _ivf_sq_oracle(k: int = TOP_K, c: int = 32, dim: int = SQ_DIM,
+                   lv: int = SQ_LEVELS, n_clusters: int = 16,
+                   n_iters: int = IVF_LLOYD_ITERS) -> str:
+    """DuckDB twin of :func:`ivf_sq_topk`: the IVF geometry CTEs, the
+    probed lists scored on int8 codes (the :func:`_sq_oracle` encode,
+    full-corpus scales) to top-``c``, then the exact quantized-int fp
+    rerank to top-``k`` — same operation order as the Spark stages, so
+    the doubles agree bit-for-bit."""
+    return (
+        "WITH " + _ivf_geometry_ctes("", n_clusters, n_iters) + ", "
+        "dims AS ("
+        f"  SELECT t.i, max(abs(CAST(embedding[t.i] AS DOUBLE))) AS s "
+        f"  FROM embeddings CROSS JOIN range(1, {dim + 1}) AS t(i) "
+        "  GROUP BY t.i), "
+        "enc AS ("
+        "  SELECT vec_id AS id, "
+        "    list(COALESCE(CAST(floor(CAST(embedding[t.i] AS DOUBLE) "
+        f"      / nullif(d.s, 0) * {lv}.0 + 0.5) AS BIGINT), 0) "
+        "      ORDER BY t.i) AS code "
+        f"  FROM embeddings CROSS JOIN range(1, {dim + 1}) AS t(i) "
+        "  JOIN dims d ON d.i = t.i GROUP BY vec_id), "
+        "codes AS (SELECT id, code, "
+        "  list_aggregate(list_transform(code, x -> x * x), 'sum') AS cn "
+        "  FROM enc), "
+        "s1 AS (SELECT p.qid, a.vec_id AS nid, a.cid, "
+        "  list_dot_product(CAST(qc.code AS DOUBLE[]), "
+        "                   CAST(nc.code AS DOUBLE[])) "
+        "    / sqrt(CAST(qc.cn AS DOUBLE) * CAST(nc.cn AS DOUBLE)) AS s "
+        "  FROM probes p JOIN assignf a ON a.cid = p.cid "
+        "  JOIN codes qc ON qc.id = p.qid JOIN codes nc ON nc.id = a.vec_id "
+        "  WHERE a.vec_id <> p.qid AND qc.cn > 0 AND nc.cn > 0), "
+        "winners AS (SELECT qid, nid FROM (SELECT qid, nid, "
+        "  row_number() OVER (PARTITION BY qid ORDER BY s DESC, nid) AS r "
+        f"  FROM s1) WHERE r <= {c}), "
+        "rsims AS (SELECT w.qid, w.nid, "
+        "  list_dot_product(CAST(q.v AS DOUBLE[]), CAST(n.v AS DOUBLE[])) "
+        "    / sqrt(CAST(q.vn AS DOUBLE) * CAST(n.vn AS DOUBLE)) AS sim "
+        "  FROM winners w JOIN base q ON q.vec_id = w.qid "
+        "  JOIN base n ON n.vec_id = w.nid "
+        "  WHERE q.vn > 0 AND n.vn > 0), "
+        "ranked AS (SELECT qid, nid, sim, row_number() OVER ("
+        "  PARTITION BY qid ORDER BY sim DESC, nid) AS rank FROM rsims) "
+        "SELECT qid, nid, CAST(rank AS INT) AS rank, round(sim, 6) AS sim "
+        f"FROM ranked WHERE rank <= {k}"
+    )
 
 ORACLES = {
     "ann_sq_topk": _sq_oracle(),
@@ -1811,7 +1942,11 @@ ORACLES = {
         "CAST(sum(list_aggregate(list_transform({qv}, x -> x * x), 'sum')) AS BIGINT) AS sum_sqnorm "
         "FROM embeddings GROUP BY label"
     ).format(qv=_ORACLE_QUANT),
-    # ann_lsh_topk, ann_ivf_topk: rows-only (ml-internal hashes / KMeans)
+    # ann_lsh_topk: rows-only (ml-internal hash fns).  The IVF trio is
+    # fully oracled since round 13 (deterministic integral geometry).
+    "ann_ivf_topk": _ivf_oracle(),
+    "ann_ivf_sq_topk": _ivf_sq_oracle(),
+    "ann_ivf_append": _ivf_oracle(fit_where="vec_id % 10 <> 7"),
     "ann_lsh_portable": _lsh_portable_sql(),
     "dedup_embedding_pairs": (
         "WITH q AS (SELECT vec_id, {qv} AS v, "
