@@ -476,6 +476,54 @@ def main() -> None:
                     math.log(max(p_ratio, 1e-9)) / math.log(d_ratio), 3)
         print("# scale_evidence " + json.dumps(scale))
 
+    # Multiplexed-ingest container-count flatness (VERDICT r12 #6):
+    # the SAME 20k rows pulled through one batch commit, split across
+    # 16 vs 128 containers — per-batch cost must be ~flat in container
+    # count (the per-container terms are the seq window partitions,
+    # the footer reads, and the manifest state maps, all O(batch)).
+    # Wall-clock grows with the PARQUET FILE COUNT (one file per
+    # (container, date) per batch — the partition layout that buys
+    # downstream container pruning), which serializes over local[N]
+    # tasks but parallelizes over executors at cluster scale; the
+    # driver-side terms (listing, footers, adopt, manifest commit)
+    # must stay ~flat — reported separately so a regression in THEM
+    # is distinguishable from the layout's file cost.
+    def _mux_cost(n_containers: int, total: int = 20_000) -> dict:
+        per_c = total // n_containers
+        best = None
+        for _rep in range(2):
+            cfg = EngineConfig(
+                warehouse_dir=tempfile.mkdtemp(prefix="bench-mux-"))
+            for ci in range(n_containers):
+                SpoolWriter(cfg.spool_dir, f"m{ci:03d}").write_burst(
+                    LogEntry(source="stdout",
+                             time_nano=base_ts + j * 1_000_000,
+                             line=b"level=info msg=request bytes=99")
+                    for j in range(per_c))
+            t0 = time.perf_counter()
+            res = ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
+                                    cfg.state_dir)
+            dt = time.perf_counter() - t0
+            assert res["rows"] == per_c * n_containers, res
+            t1 = time.perf_counter()
+            from logsqlite_spark.table import ManifestTable
+            ManifestTable(cfg.logs_dir).commit_append(
+                [], "bench-noop", None, {}, {})
+            commit_s = time.perf_counter() - t1
+            cur = {"wall_s": round(dt, 3),
+                   "files_written": len(res.get("new_files", [])),
+                   "commit_s": round(commit_s, 4)}
+            best = cur if best is None or cur["wall_s"] < best["wall_s"] \
+                else best
+        return best
+
+    m16, m128 = _mux_cost(16), _mux_cost(128)
+    mux = {"c16": m16, "c128": m128,
+           "wall_ratio": round(m128["wall_s"] / max(m16["wall_s"], 1e-9), 3),
+           "commit_ratio": round(
+               m128["commit_s"] / max(m16["commit_s"], 1e-9), 3)}
+    print("# mux_scale " + json.dumps(mux))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes on its own (earlier) line: the driver tails
     # stdout and json-parses the FINAL line, which must stay short —
@@ -505,5 +553,128 @@ def main() -> None:
                   if k.endswith("_growth_exp")},
     }))
 
+def block_once(query_filter: list[str] | None = None) -> None:
+    """One interleaved-A/B BLOCK: a single warmed, timed rep of each
+    headline query (+ the ingest entries), printed as one JSON line.
+    Run by :func:`ab_main` in a fresh subprocess per block so A and B
+    never share a JVM."""
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    from logsqlite_spark import registry
+    from logsqlite_spark.session import get_spark
+
+    spark = get_spark("logsqlite-spark-bench-ab")
+    qs = registry.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+    if query_filter:
+        names = [n for n in names if n in query_filter]
+    out: dict[str, float] = {}
+    for name in names:
+        fn = qs[name]
+        fn(spark, sf_dir).collect()  # one untimed warmup
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).collect()
+        out[name] = round(time.perf_counter() - t0, 4)
+    print("ABBLOCK " + json.dumps(out), flush=True)
+
+
+def ab_main(ref: str, n_pairs: int = 3,
+            query_filter: list[str] | None = None) -> None:
+    """Interleaved A/B against a pinned git ref (VERDICT r12 #7):
+    whole-suite trial passes minutes apart let machine-state block
+    drift masquerade as per-query regressions (it cost round 12 three
+    fake ones).  This mode alternates HEAD and <ref> blocks —
+    A B B A A B … — in fresh subprocesses, then reports PAIRED deltas
+    per query, which cancel any drift slower than a block.
+
+    Usage: ``python bench.py --ab <ref> [n_pairs] [q1,q2,...]``.
+    Writes BENCH_AB.json and prints one summary JSON line."""
+    import statistics
+    import subprocess
+    import tempfile
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    wt = tempfile.mkdtemp(prefix="bench-ab-wt-")
+    subprocess.run(["git", "worktree", "add", "--detach", wt, ref],
+                   cwd=here, check=True, capture_output=True)
+    # BOTH variants run THIS bench script (identical harness logic);
+    # only the engine package under each cwd differs — the ref's
+    # bench.py may predate --block-once
+    import shutil
+
+    shutil.copy(os.path.join(here, "bench.py"),
+                os.path.join(wt, "bench.py"))
+    try:
+        def run_block(cwd: str) -> dict:
+            args = [sys.executable, "bench.py", "--block-once"]
+            if query_filter:
+                args.append(",".join(query_filter))
+            p = subprocess.run(args, cwd=cwd, capture_output=True,
+                               text=True, env=os.environ.copy())
+            for line in p.stdout.splitlines():
+                if line.startswith("ABBLOCK "):
+                    return json.loads(line[8:])
+            raise RuntimeError(
+                f"block in {cwd} produced no ABBLOCK line:\n"
+                + p.stderr[-2000:])
+
+        blocks: dict[str, list[dict]] = {"A": [], "B": []}
+        # AB/BA alternation cancels linear drift within each pair
+        seq = []
+        for i in range(n_pairs):
+            seq += ["A", "B"] if i % 2 == 0 else ["B", "A"]
+        for v in seq:
+            cwd = here if v == "A" else wt
+            blocks[v].append(run_block(cwd))
+            print(f"# ab block {v} done ({len(blocks[v])})",
+                  file=sys.stderr, flush=True)
+
+        common = sorted(set.intersection(
+            *(set(b) for b in blocks["A"] + blocks["B"])))
+        paired = {}
+        for q in common:
+            a = [b[q] for b in blocks["A"]]
+            bb = [b[q] for b in blocks["B"]]
+            deltas = [ai - bi for ai, bi in zip(a, bb)]
+            ratios = [ai / bi for ai, bi in zip(a, bb) if bi > 0]
+            paired[q] = {
+                "head_med": round(statistics.median(a), 4),
+                "ref_med": round(statistics.median(bb), 4),
+                "paired_delta_med": round(statistics.median(deltas), 4),
+                "paired_ratio_med": round(statistics.median(ratios), 4),
+                "delta_spread": round(max(deltas) - min(deltas), 4),
+            }
+        summary = {
+            "mode": "interleaved_ab", "ref": ref, "n_pairs": n_pairs,
+            "geomean_paired_ratio": round(
+                math_exp_mean([paired[q]["paired_ratio_med"]
+                               for q in common]), 4) if common else None,
+            "queries": paired,
+        }
+        with open(os.path.join(here, "BENCH_AB.json"), "w") as fh:
+            json.dump(summary, fh, indent=1)
+        print(json.dumps({k: v for k, v in summary.items()
+                          if k != "queries"}))
+        print("# full paired table in BENCH_AB.json")
+    finally:
+        subprocess.run(["git", "worktree", "remove", "--force", wt],
+                       cwd=here, capture_output=True)
+
+
+def math_exp_mean(xs: list[float]) -> float:
+    import math
+
+    pos = [x for x in xs if x > 0]
+    if not pos:
+        return 0.0
+    return math.exp(sum(math.log(x) for x in pos) / len(pos))
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--block-once":
+        block_once(sys.argv[2].split(",") if len(sys.argv) > 2 else None)
+    elif len(sys.argv) > 1 and sys.argv[1] == "--ab":
+        ab_main(sys.argv[2],
+                int(sys.argv[3]) if len(sys.argv) > 3 else 3,
+                sys.argv[4].split(",") if len(sys.argv) > 4 else None)
+    else:
+        main()

@@ -531,6 +531,12 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     files = sorted(_glob.glob(f"{spool_dir}/{container_id or '*'}/*.{ext}"))
     if not files:
         return {"rows": 0}
+    # many-container pulls: stat the explicit path list on the DRIVER
+    # (session.py sets this too; re-assert for harness-built sessions —
+    # past 32 paths the default spins up a distributed listing job
+    # whose scheduling dwarfs 100 local stat calls)
+    spark.conf.set(
+        "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     if fmt == "jsonl":
         from logsqlite_spark.sources.jsonl import read_jsonl_spool_batch
 
