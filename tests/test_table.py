@@ -355,3 +355,34 @@ def test_reordering_commit_persists_change_fn_order(tmp_path):
     got = t.commit(reorder)["files"]
     assert got == list(reversed(fs))
     assert t.manifest()["files"] == got
+
+
+def test_squash_target_scales_so_appends_stay_o_batch(tmp_path,
+                                                      monkeypatch):
+    """Round-13 fix: with a FIXED squash target, a table larger than
+    target × threshold files re-squashes on EVERY commit (appends
+    silently become O(table)).  The target scales with the table so a
+    squash always lands at ~half the threshold, and the very next
+    append is pure O(batch) again (no chunk bodies read)."""
+    import logsqlite_spark.table as T
+
+    monkeypatch.setattr(T, "_CHUNK_TARGET", 100)
+    monkeypatch.setattr(T, "_CHUNK_COMPACT_AT", 8)
+    t = ManifestTable(str(tmp_path / "t"))
+    # 20 × 100-file appends → 2000 files, repeatedly crossing the
+    # 8-chunk threshold; a fixed 100-file target would keep 20 chunks
+    for i in range(20):
+        fs = [f"container_id=c/date=d/f{i:03d}-{j}.parquet"
+              for j in range(100)]
+        t.commit_append(fs, "s", i, {"c": 100}, {})
+    head = t.head()
+    assert head["n_files"] == 2000
+    assert len(head["file_chunks"]) <= T._CHUNK_COMPACT_AT, head["file_chunks"]
+    # the next append must not touch any chunk body
+    def boom(self, name):  # noqa: ANN001
+        raise AssertionError("chunk body read on post-squash append")
+    monkeypatch.setattr(T.ManifestTable, "_load_chunk", boom)
+    f = _touch(t, "container_id=c/date=d/after.parquet")
+    assert t.commit_append([f], "s", 99, {"c": 1}, {}) is not None
+    monkeypatch.undo()
+    assert len(t.manifest()["files"]) == 2001
