@@ -1501,26 +1501,23 @@ def embedding_dedup_pairs(
                     F.col("datasetB.v").alias("bv"))
         )
     elif method == "ivf":
-        from pyspark.ml.clustering import KMeans
-
-        km = KMeans(k=n_clusters, seed=42, featuresCol="__v",
-                    predictionCol="__cluster")
-        model = km.fit(base)
-        centers = model.clusterCenters()
+        # the same deterministic integral geometry as the ANN index
+        # (round 13 — no ml KMeans anywhere in the IVF family)
+        centers = _fit_centers(emb, n_clusters, id_col, vec_col)
         spark = emb.sparkSession
         centers_df = spark.createDataFrame(
-            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
-            "cid int, center array<double>",
+            [(i, [int(x) for x in c]) for i, c in enumerate(centers)],
+            "cid int, center array<bigint>",
         )
         # each vector joins its n_assign nearest lists (multi-assign
         # covers boundary-straddling near-dup pairs a single-assign
         # IVF would split across lists)
         assigned = (
             base.crossJoin(F.broadcast(centers_df))
+            .withColumn("__qi", F.expr(_QUANTIZE.format(c="v", q=QUANT)))
             .withColumn(
                 "d2",
-                F.expr("aggregate(zip_with(cast(v as array<double>), center, "
-                       "(x, y) -> (x - y) * (x - y)), 0D, (a, v) -> a + v)"),
+                F.expr(_L2SQ_INT.format(a="__qi", b="center")),
             )
             .withColumn("pr", F.row_number().over(
                 Window.partitionBy("id").orderBy(F.col("d2"), F.col("cid"))))
