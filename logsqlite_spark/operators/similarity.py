@@ -1431,28 +1431,59 @@ def embedding_dedup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    method: str = "lsh",
+    method: str = "lsh_portable",
     num_hash_tables: int = 4,
     bucket_length: float = 0.5,
     n_clusters: int = 16,
     n_assign: int = 2,
+    dim: int = 64,
+    n_bands: int = LSH_BANDS,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the dedup flavor of X3).
 
     ``method`` picks candidate generation; scoring is always the same
     exact quantized-integer cosine (:func:`_score_candidate_pairs`):
 
-    - ``"lsh"`` (default, the 100 TB path): random-projection LSH
-      self-join on L2-normalized vectors — only bucket-mates meet.
-      The join radius is ``sqrt(2 - 2*(threshold - 0.02))`` (cosine t
-      on the unit sphere = distance sqrt(2-2t); the 0.02 slack absorbs
-      normalization/quantization drift at the boundary). Approximate:
-      recall < 1 is possible, misses are cross-bucket near-dups.
-    - ``"ivf"``: KMeans inverted lists; each vector joins its
+    - ``"lsh_portable"`` (default since round 13, the 100 TB path):
+      banded SIGN-LSH on the engine's constant integer plane matrix
+      (the :func:`ann_lsh_portable_topk` hash) — pairs agreeing on
+      every sign bit of at least one band meet.  Fully deterministic
+      and engine-portable, so the registry query is DuckDB-oracled
+      end-to-end; misses are cross-band near-dups, exactly the
+      banding trade every LSH makes.
+    - ``"lsh"``: ml random-projection LSH self-join on L2-normalized
+      vectors — only bucket-mates meet.  The join radius is
+      ``sqrt(2 - 2*(threshold - 0.02))`` (cosine t on the unit sphere
+      = distance sqrt(2-2t); the 0.02 slack absorbs normalization/
+      quantization drift at the boundary).  Kept as the ml-flavored
+      alternative; its hash internals are not replayable elsewhere.
+    - ``"ivf"``: deterministic inverted lists; each vector joins its
       ``n_assign`` nearest lists, pairs sharing a list meet.
     - ``"exact"``: all-pairs ``a_id < b_id`` — O(n²), validation and
       oracle use only; this is deliberately NOT the default.
     """
+    if method == "lsh_portable":
+        planes = _lsh_plane_matrix(dim=dim)
+        h = (_quantized(
+                emb.select(F.col(id_col).alias("id"),
+                           F.col(vec_col).alias("v")), "v", "qv")
+             .select("id", "v",
+                     *_lsh_band_chunks("qv", planes, n_bands)))
+        melted = h.select(
+            "id", "v", F.explode(F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.col(f"chunk{b}").alias("key"))
+                for b in range(n_bands)])).alias("bk")
+        ).select("id", "v", "bk.band", "bk.key")
+        x, y = melted.alias("x"), melted.alias("y")
+        cand = (
+            x.join(y, on=["band", "key"])
+            .filter(F.col("x.id") < F.col("y.id"))
+            .select(F.col("x.id").alias("a_id"), F.col("x.v").alias("av"),
+                    F.col("y.id").alias("b_id"), F.col("y.v").alias("bv"))
+            .dropDuplicates(["a_id", "b_id"])
+        )
+        return _score_candidate_pairs(cand, threshold)
     if method == "exact":
         # validation-only all-pairs; still spread the dot products over
         # every core when the corpus is a single-file scan
@@ -1757,11 +1788,52 @@ def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  threshold=0.4, method="exact")
 
 def _q_embedding_dedup_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the scale path (default method): LSH candidates + exact rescore.
-    # rows-only in the driver gate (approximate by design); pytest pins
-    # that its pairs cover the planted near-dups found by exact mode.
+    # the scale path (default method): portable sign-LSH candidates +
+    # exact rescore.  Fully oracled since round 13 (the plane matrix
+    # is a constant, so DuckDB replays banding + rescore verbatim);
+    # pytest still pins that its pairs cover the planted near-dups.
     return embedding_dedup_pairs(table(spark, sf_dir, "embeddings"),
                                  threshold=0.4)
+
+
+def _lsh_dedup_sql(threshold: float = 0.4,
+                   n_bands: int = LSH_BANDS) -> str:
+    """DuckDB twin of ``embedding_dedup_pairs(method="lsh_portable")``:
+    the same banding as :func:`_lsh_portable_sql` but as an a<b pair
+    self-join, rescored with the exact quantized-int cosine."""
+    planes = _lsh_plane_matrix()
+    width = len(planes) // n_bands
+
+    def chunk(b: int) -> str:
+        terms = []
+        for j in range(width):
+            lst = "[" + ", ".join(str(c) for c in planes[b * width + j]) + "]"
+            terms.append(
+                "(CASE WHEN list_dot_product(CAST(v AS DOUBLE[]), "
+                f"CAST({lst} AS DOUBLE[])) >= 0 THEN {1 << j} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    band_rows = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, {chunk(b)} AS chunk FROM base"
+        for b in range(n_bands)
+    )
+    return (
+        "WITH base AS (SELECT vec_id AS id, {qv} AS v, "
+        "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS nrm "
+        "  FROM embeddings), "
+        f"bands AS ({band_rows}), "
+        "cand AS (SELECT DISTINCT q.id AS a_id, c.id AS b_id "
+        "  FROM bands q JOIN bands c ON q.band = c.band "
+        "  AND q.chunk = c.chunk AND q.id < c.id) "
+        "SELECT a_id, b_id, "
+        "round(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        "  / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)), 6) AS sim "
+        "FROM cand JOIN base a ON a.id = a_id JOIN base b ON b.id = b_id "
+        "WHERE a.nrm > 0 AND b.nrm > 0 "
+        "AND list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) "
+        f"  / sqrt(CAST(a.nrm AS DOUBLE) * CAST(b.nrm AS DOUBLE)) >= {threshold}"
+    ).format(qv=_ORACLE_QUANT)
 
 QUERIES = {
     "ann_cosine_topk": _q_ann_cosine,
@@ -1774,7 +1846,7 @@ QUERIES = {
     "ann_ivf_append": _q_ann_ivf_append,
     "embedding_norms": _q_embedding_norms,
     "dedup_embedding_pairs": _q_embedding_dedup,
-    "dedup_embedding_ann": _q_embedding_dedup_ann,  # rows-only (ANN)
+    "dedup_embedding_ann": _q_embedding_dedup_ann,
 }
 
 _ORACLE_QUANT = (
@@ -1945,6 +2017,7 @@ ORACLES = {
     "ann_ivf_sq_topk": _ivf_sq_oracle(),
     "ann_ivf_append": _ivf_oracle(fit_where="vec_id % 10 <> 7"),
     "ann_lsh_portable": _lsh_portable_sql(),
+    "dedup_embedding_ann": _lsh_dedup_sql(),
     "dedup_embedding_pairs": (
         "WITH q AS (SELECT vec_id, {qv} AS v, "
         "  list_aggregate(list_transform({qv}, x -> x * x), 'sum') AS nrm "

@@ -44,8 +44,9 @@ def test_embedding_dedup_pairs_finds_planted(spark):
     emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     expected = {(0, 1), (0, 3), (1, 3)}
     # every candidate-generation method must surface the planted dups;
-    # exact is the oracle path, lsh is the default, ivf the other ANN
-    for method in ("exact", "lsh", "ivf"):
+    # exact is the oracle path, lsh_portable the default, ml-lsh and
+    # ivf the other ANN generators
+    for method in ("exact", "lsh_portable", "lsh", "ivf"):
         pairs = {(r["a_id"], r["b_id"]) for r in
                  embedding_dedup_pairs(emb, threshold=0.95,
                                        method=method, n_clusters=2).collect()}
