@@ -67,11 +67,35 @@ def _write_state(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(root, _STATE))
 
 
+def _artifact_paths(state_dir: str, sub: str, last: int) -> list[str]:
+    """Readable paths of an append-only artifact dir: COMMITTED
+    per-batch subdirs (``b<i>`` with ``i <= last``) plus any legacy
+    flat files (pre-round-13 appends / compaction output — flat means
+    a completed staged swap, so always committed).  A higher-numbered
+    partial subdir from a crashed attempt is excluded — the same
+    silent-data-loss guard as :func:`banded_state_rows`."""
+    root = os.path.join(_local_root(state_dir), sub)
+    out = []
+    for name in os.listdir(root):
+        if name.startswith("b") and name[1:].isdigit():
+            if int(name[1:]) <= last:
+                out.append(os.path.join(root, name))
+        elif not name.startswith(("_", ".")):
+            out.append(os.path.join(root, name))
+    return out
+
+
 def artifact_rows(spark, state_dir: str) -> DataFrame | None:
-    """The accumulated artifact, or None before the first batch."""
-    if last_appended_batch(state_dir) is None:
+    """The accumulated COMMITTED artifact, or None before the first
+    batch.  Reads only batch subdirs at or below the pointer, so a
+    crash-replayed batch never sees its own crashed attempt's rows as
+    history."""
+    last = last_appended_batch(state_dir)
+    if last is None:
         return None
-    return spark.read.parquet(os.path.join(state_dir, "data"))
+    paths = _artifact_paths(state_dir, "data", last)
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths))
 
 
 def append_artifact_sink(
@@ -83,9 +107,15 @@ def append_artifact_sink(
     """The ``foreachBatch`` body (a plain callable so batch tests
     drive it directly).
 
-    ``transform(batch)`` → the batch's artifact rows (appended);
+    ``transform(batch)`` → the batch's artifact rows, written to a
+    per-batch subdir ``data/b<batch_id>`` with mode OVERWRITE;
     ``emit(batch, history_or_None)`` → the batch's incremental output
-    against the PRE-batch artifact, appended to ``emit_dir``.
+    against the PRE-batch artifact, written to ``emit_dir/b<batch_id>``
+    the same way.  Per-batch-keyed overwrites (round 13, the
+    ``components_sink`` idiom) make a crash at ANY point exactly-once:
+    a replay rewrites its own subdirs instead of appending duplicates,
+    and :func:`artifact_rows` filters history to COMMITTED subdirs so
+    the replay never reads its crashed attempt's rows as history.
     """
     _local_root(state_dir)  # fail fast on a non-local root
     if (emit is None) != (emit_dir is None):
@@ -98,9 +128,10 @@ def append_artifact_sink(
             return  # crash-replayed micro-batch: already applied
         history = artifact_rows(spark, state_dir)
         if emit is not None:
-            emit(batch_df, history).write.mode("append").parquet(emit_dir)
-        transform(batch_df).write.mode("append").parquet(
-            os.path.join(state_dir, "data"))
+            emit(batch_df, history).write.mode("overwrite").parquet(
+                os.path.join(emit_dir, f"b{batch_id}"))
+        transform(batch_df).write.mode("overwrite").parquet(
+            os.path.join(state_dir, "data", f"b{batch_id}"))
         _write_state(state_dir, batch_id)
 
     return on_batch
@@ -448,11 +479,18 @@ def compact_artifact(spark, state_dir: str, min_files: int = 8,
 
     root = _local_root(state_dir)
     data = os.path.join(root, "data")
-    files = glob.glob(os.path.join(data, "*.parquet"))
+    last = last_appended_batch(state_dir)
+    if last is None:
+        return {"compacted": False, "files_before": 0, "files_after": 0}
+    files = glob.glob(os.path.join(data, "**", "*.parquet"),
+                      recursive=True)
     if len(files) < min_files:
         return {"compacted": False, "files_before": len(files),
                 "files_after": len(files)}
-    df = spark.read.parquet(data)
+    # committed rows only; the staged swap also drops any
+    # higher-numbered partial subdir a crashed attempt left (safe: a
+    # replay rewrites its own subdir in full)
+    df = artifact_rows(spark, state_dir)
     n = df.count()
     n_out = max(1, -(-n // target_records))  # ceil
     staged = os.path.join(root, ".compact_tmp")
@@ -728,7 +766,7 @@ def erase_from_artifact(spark, state_dir: str, ids: list[int],
     data = os.path.join(root, "data")
     from logsqlite_spark.artifacts import filter_ids
 
-    df = spark.read.parquet(data)
+    df = artifact_rows(spark, state_dir)  # committed rows only
     rows_erased = filter_ids(df, id_col, ids, keep=True).count()
     if rows_erased == 0:
         return {"rows_erased": 0}

@@ -44,7 +44,7 @@ def test_winnow_sink_artifact_and_emits(spark, tmp_path):
     assert got == want and len(want) > 0
 
     # batch-2 emits == the batch API against batch-1 history
-    emitted = spark.read.parquet(emits).filter(
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(emits).filter(
         (F.col("a_id") >= 10) | (F.col("b_id") >= 10))
     want2 = winnow_matches_incremental(
         b2, winnow_fingerprints(b1), min_shared=2)
@@ -52,7 +52,7 @@ def test_winnow_sink_artifact_and_emits(spark, tmp_path):
         sorted(map(tuple, want2.collect()))
     # batch-1 emitted its within-batch dup pair too
     all_pairs = {(r["a_id"], r["b_id"])
-                 for r in spark.read.parquet(emits).collect()}
+                 for r in spark.read.option("recursiveFileLookup", "true").parquet(emits).collect()}
     assert (1, 2) in all_pairs and (1, 10) in all_pairs
 
 
@@ -103,7 +103,7 @@ def test_semantic_sink_artifact_and_emits(spark, tmp_path):
     # batch-3's emits == the batch API against the pre-batch history
     hist = emb.filter(F.col("vec_id") < 100)
     want3 = semantic_dedup_incremental(b2, hist, ctr, tau=0.99)
-    emitted = spark.read.parquet(emits).filter(
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(emits).filter(
         (F.col("a_id") >= 100) | (F.col("b_id") >= 100))
     assert sorted(map(tuple, emitted.collect())) == \
         sorted(map(tuple, want3.collect()))
@@ -187,13 +187,13 @@ def test_minhash_sink_artifact_and_emits(spark, tmp_path):
     assert got == want and len(want) > 0
 
     # batch-2 emits == the batch API against batch-1 history
-    emitted = spark.read.parquet(emits).filter(
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(emits).filter(
         (F.col("a_id") >= 10) | (F.col("b_id") >= 10))
     want2 = minhash_band_pairs_incremental(b2, minhash_bands(b1))
     assert sorted(map(tuple, emitted.collect())) ==         sorted(map(tuple, want2.collect()))
     # batch-1 emitted its within-batch dup pair; cross pairs surfaced
     all_pairs = {(r["a_id"], r["b_id"])
-                 for r in spark.read.parquet(emits).collect()}
+                 for r in spark.read.option("recursiveFileLookup", "true").parquet(emits).collect()}
     assert (1, 2) in all_pairs and (1, 10) in all_pairs
 
 
@@ -224,7 +224,7 @@ def test_simhash_sink_artifact_and_emits(spark, tmp_path):
     assert got == want and len(want) > 0
 
     # batch-2 emits == the batch API against batch-1 history
-    emitted = spark.read.parquet(emits).filter(F.col("doc_id") >= 10)
+    emitted = spark.read.option("recursiveFileLookup", "true").parquet(emits).filter(F.col("doc_id") >= 10)
     want2 = simhash_groups_incremental(b2, simhash_dedup(b1, n_bits=60))
     assert sorted(map(tuple, emitted.collect())) == \
         sorted(map(tuple, want2.collect()))
@@ -468,7 +468,7 @@ def test_components_sink_composes_with_minhash_emits(spark, tmp_path):
     for i, b in enumerate(batches):
         mh(b, i)
         allp = {(r["a_id"], r["b_id"])
-                for r in spark.read.parquet(emits).collect()}
+                for r in spark.read.option("recursiveFileLookup", "true").parquet(emits).collect()}
         fresh = sorted(allp - seen)
         seen = allp
         cc(spark.createDataFrame(fresh, "a_id long, b_id long"), i)
@@ -803,3 +803,42 @@ def test_banded_dedup_sink_crash_replay_ignores_partial_state(
     got = sorted(r["doc_id"] for r in spark.read.parquet(
         os.path.join(emit, "b1")).collect())
     assert got == [14], f"replay read its own partial state: {got}"
+
+
+def test_append_artifact_sink_crash_replay_exactly_once(spark, tmp_path):
+    """Round-13: the GENERIC artifact sink gets the same crash-replay
+    guarantee as the banded one — a crash AFTER the batch's artifact
+    subdir is written but BEFORE the pointer flip must not (a) leave
+    duplicate artifact rows after the replay, nor (b) let the replay
+    read its own crashed attempt as history (winnow would then match
+    every batch doc against itself and emit it as a dup)."""
+    import os
+
+    from logsqlite_spark.operators.textstats import winnow_fingerprints
+    from logsqlite_spark.streaming.incremental import (
+        artifact_rows,
+        winnow_sink,
+    )
+
+    DOC = "doc_id long, text string"
+    b0 = [(0, "the quick brown fox jumps over the lazy dog " * 4)]
+    b1 = [(1, "completely different fresh content here now " * 4)]
+    state = str(tmp_path / "wstate")
+    emits = str(tmp_path / "wemit")
+    sink = winnow_sink(state, emit_dir=emits, min_shared=2)
+    sink(spark.createDataFrame(b0, DOC), 0)
+    # crashed attempt of batch 1: artifact subdir written, pointer NOT
+    df1 = spark.createDataFrame(b1, DOC)
+    winnow_fingerprints(df1).write.mode("overwrite").parquet(
+        os.path.join(state, "data", "b1"))
+    # replay
+    sink(df1, 1)
+    # (a) no duplicate artifact rows
+    rows = artifact_rows(spark, state).collect()
+    assert len(rows) == len({(r["doc_id"], r["fp"]) for r in rows})
+    assert {r["doc_id"] for r in rows} == {0, 1}
+    # (b) doc 1 shares nothing with doc 0: the emit must be EMPTY
+    # (with the bug, doc 1 matches its own crashed-attempt fps)
+    emitted = spark.read.option("recursiveFileLookup", "true") \
+        .parquet(emits)
+    assert emitted.filter("a_id = 1 OR b_id = 1").count() == 0
