@@ -47,7 +47,7 @@ no approximate aggregation; this is §2.8 extension surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.tables import table
@@ -322,6 +322,255 @@ def type_topk_rollup(events: DataFrame, k: int = TOPK_K,
 
 
 # ---------------------------------------------------------------------------
+# Portable sketches — same mergeable shapes, engine-independent math
+#
+# The Datasketches HLL/KLL queries above are rows-only for the driver
+# because their estimates are engine-internal (Datasketches register
+# packing / randomized KLL compaction have no DuckDB twin). These
+# portable variants close that gap the same way `ann_lsh_portable`
+# closed it for ML LSH: the sketch is defined purely in terms of md5
+# hex strings and integer arithmetic BOTH engines compute bit-for-bit,
+# so the full estimate replays in DuckDB SQL and the registry entries
+# are hash-matched end-to-end.
+#
+# - Portable HLL (Flajolet et al. 2007, HyperLogLog): register index =
+#   first 3 md5 hex chars (p=12, m=4096 registers), rho = leading-zero
+#   rank of the next 12 hex chars (w=48 bits) = 49 - bitlength. The
+#   harmonic sum is kept as the EXACT integer sum(2^(49-M_j)) (max
+#   m·2^49 = 2^61 < int64), so the only floating step is the final
+#   alpha·m²·2^49/S division (and ln() in the small-range linear-
+#   counting branch) — rounded to 4 decimals, far inside the 9-sig-fig
+#   compare window. Registers merge by max(), so the per-day register
+#   table is the mergeable artifact: ALL-grain = max-merge of daily
+#   registers, never a re-scan.
+# - Portable KMV quantiles (bottom-k / k-minimum-values): the per-day
+#   sample is the k rows with the smallest md5(event_id) — a uniform
+#   mergeable sample (bottom-k of a union == bottom-k of the unioned
+#   bottom-k's), ordered by the fixed-width hex string itself so no
+#   parse is needed. Percentiles are lower-nearest-rank over the
+#   sample with (value, event_id) tie-breaks: every output is an exact
+#   BIGINT, deterministic in both engines. Exact when a day has ≤ k
+#   rows; rank error ~1/sqrt(k) beyond (pinned in test_sketches.py).
+#
+# Scale: the HLL path is one scan + a (day, j) group-by bounded by
+# m·days rows; the KMV path's rn<=k filter compiles to Spark's
+# WindowGroupLimit (per-partition group top-k before the shuffle, the
+# same physical shape the tail-N reads pin), and the ALL-grain sample
+# sorts only days·k pre-sampled rows.
+
+_HLL_P = 12                      # 3 hex chars -> 4096 registers
+_HLL_M = 1 << _HLL_P
+_HLL_ALPHA = 0.7213 / (1.0 + 1.079 / _HLL_M)
+_HLL_RMAX = 49                   # w=48 rho bits -> rho in [1, 49]
+
+
+def hll_portable_registers(events: DataFrame,
+                           key_col: str = "user_id",
+                           day_col: str = "day") -> DataFrame:
+    """Per-(day, register) max-rho table — the mergeable HLL state.
+
+    md5 is computed on the key's canonical string form so Spark and
+    DuckDB hash identical bytes. Registers merge by ``max`` (set-union
+    semantics), so any coarser grain is served from this table.
+    """
+    h = F.md5(F.col(key_col).cast("string"))
+    j = F.conv(F.substring(h, 1, 3), 16, 10).cast("long")
+    v = F.conv(F.substring(h, 4, 12), 16, 10).cast("long")
+    # bitlength via bin(): bin(0)='0' would read as length 1, so the
+    # all-zero suffix (probability 2^-48) is pinned to rho = 49.
+    rho = (F.when(v == 0, F.lit(_HLL_RMAX))
+           .otherwise(F.lit(_HLL_RMAX) - F.length(F.bin(v))))
+    return (events
+            .select(F.col(day_col).cast("string").alias("day"),
+                    j.alias("j"), rho.alias("rho"))
+            .groupBy("day", "j")
+            .agg(F.max("rho").alias("m_j")))
+
+
+def hll_portable_estimate(regs: DataFrame,
+                          grain_col: str = "day") -> DataFrame:
+    """HLL estimate per grain from a register table.
+
+    ``s_scaled`` = sum over all m registers of 2^(49 - M_j) with empty
+    registers at M_j = 0 — an exact int64 the oracle reproduces
+    bit-for-bit. Small-range (linear counting) correction applies when
+    E_raw <= 2.5m and empty registers exist, as in the HLL paper.
+    """
+    m, rmax = _HLL_M, _HLL_RMAX
+    ag = (regs.groupBy(grain_col)
+          .agg(F.count("*").alias("regs"),
+               F.sum(F.expr(
+                   f"shiftleft(1L, cast({rmax} - m_j as int))")).alias("sp")))
+    s_scaled = (F.col("sp")
+                + (F.lit(m) - F.col("regs")) * F.lit(1 << rmax)).cast("long")
+    ag = ag.withColumn("s_scaled", s_scaled)
+    e_raw = (F.lit(_HLL_ALPHA * m * m * float(1 << rmax))
+             / F.col("s_scaled").cast("double"))
+    zeros = (F.lit(m) - F.col("regs")).cast("double")
+    est = (F.when((e_raw <= F.lit(2.5 * m)) & (F.col("regs") < m),
+                  F.lit(float(m)) * F.log(F.lit(float(m)) / zeros))
+           .otherwise(e_raw))
+    return ag.select(
+        F.col(grain_col),
+        F.col("regs").cast("long").alias("regs"),
+        F.col("s_scaled"),
+        F.round(est, 4).alias("est_r4"))
+
+
+def distinct_users_hll_portable(events: DataFrame) -> DataFrame:
+    """Per-day + overall distinct-user estimates, fully oracled.
+
+    The ALL row is a max-merge of the DAILY register table (KBs), not
+    a second scan — the same merge the nightly rollup would run.
+    """
+    daily = hll_portable_registers(events)
+    merged = (daily.groupBy("j").agg(F.max("m_j").alias("m_j"))
+              .select(F.lit("ALL").alias("day"), "j", "m_j"))
+    return hll_portable_estimate(daily.unionByName(merged))
+
+
+def _hll_portable_sql() -> str:
+    m, rmax, alpha = _HLL_M, _HLL_RMAX, _HLL_ALPHA
+    # one pre-multiplied numerator, emitted in scientific notation so
+    # DuckDB parses a DOUBLE (a plain decimal literal would become a
+    # DECIMAL and overflow when divided against the BIGINT sum)
+    num = repr(alpha * m * m * float(1 << rmax))  # exact round-trip
+    return (
+        "WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        "  md5(CAST(user_id AS VARCHAR)) AS h FROM events), "
+        "hx AS (SELECT day, "
+        "  CAST(concat('0x', substr(h, 1, 3)) AS BIGINT) AS j, "
+        "  CAST(concat('0x', substr(h, 4, 12)) AS BIGINT) AS v FROM e), "
+        f"rr AS (SELECT day, j, CASE WHEN v = 0 THEN {rmax} "
+        f"  ELSE {rmax} - length(bin(v)) END AS rho FROM hx), "
+        "dreg AS (SELECT day, j, max(rho) AS m_j FROM rr GROUP BY 1, 2), "
+        "reg AS (SELECT * FROM dreg UNION ALL "
+        "  SELECT 'ALL' AS day, j, max(m_j) AS m_j FROM dreg GROUP BY j), "
+        "ag AS (SELECT day, count(*) AS regs, "
+        f"  sum(CAST(1 AS BIGINT) << ({rmax} - m_j)) AS sp "
+        "  FROM reg GROUP BY day), "
+        "s AS (SELECT day, regs, "
+        f"  CAST(sp + ({m} - regs) * (CAST(1 AS BIGINT) << {rmax}) "
+        "  AS BIGINT) AS s_scaled FROM ag) "
+        "SELECT day, CAST(regs AS BIGINT) AS regs, s_scaled, "
+        f"round(CASE WHEN {num} / s_scaled <= {2.5 * m} AND regs < {m} "
+        f"  THEN {float(m)} * ln(CAST({m} AS DOUBLE) / ({m} - regs)) "
+        f"  ELSE {num} / s_scaled END, 4) AS est_r4 "
+        "FROM s"
+    )
+
+
+_KMV_K = 256
+
+
+def kmv_bottom_k(events: DataFrame, k: int = _KMV_K,
+                 day_col: str = "day") -> DataFrame:
+    """Per-day bottom-k hash sample: the k rows with the smallest
+    md5(event_id). The fixed-width hex string IS the sort key (lexico-
+    graphic == numeric), and ``rn <= k`` over the per-day window
+    compiles to WindowGroupLimit — partial top-k before the shuffle.
+    """
+    w = (Window.partitionBy(day_col)
+         .orderBy(F.col("hk"), F.col("event_id")))
+    return (events
+            .withColumn("hk", F.md5(F.col("event_id").cast("string")))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .drop("rn"))
+
+
+def _events_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events keyed by event_id (the KMV sample identity)."""
+    ev = table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"),
+        F.expr(_CENTS).alias("value_c"),
+    )
+
+
+def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
+                        qs: tuple[float, ...] = _QS) -> DataFrame:
+    """Per-day + overall value percentiles from bottom-k samples.
+
+    Lower-nearest-rank over the sample (rank = floor(q·(ns-1)) + 1,
+    ties broken by event_id) — every output an exact BIGINT. The ALL
+    sample is the bottom-k of the unioned daily samples (mergeability
+    of bottom-k), so the overall row never re-reads events; exact row
+    counts ride the same scan as the daily sample.
+    """
+    e = events.select(F.col("day").cast("string").alias("day"),
+                      "value_c", "event_id")
+    samp_d = kmv_bottom_k(e, k)
+    w_all = Window.orderBy(F.col("hk"), F.col("event_id"))
+    samp_a = (samp_d
+              .withColumn("rn", F.row_number().over(w_all))
+              .filter(F.col("rn") <= k).drop("rn")
+              .withColumn("day", F.lit("ALL")))
+    samp = samp_d.unionByName(samp_a)
+
+    wq = Window.partitionBy("day").orderBy("value_c", "event_id")
+    ranked = (samp
+              .withColumn("rv", F.row_number().over(wq))
+              .withColumn("ns", F.count("*").over(Window.partitionBy("day"))))
+    picks = [
+        F.max(F.when(
+            F.col("rv") == (F.floor(F.lit(q) * (F.col("ns") - 1)) + 1),
+            F.col("value_c"))).alias(f"p{int(q * 100)}_c")
+        for q in qs
+    ]
+    quant = ranked.groupBy("day").agg(*picks)
+
+    n_d = e.groupBy("day").agg(F.count("*").alias("n"))
+    n_all = n_d.agg(F.sum("n").alias("n")).select(
+        F.lit("ALL").alias("day"), F.col("n"))
+    counts = n_d.unionByName(n_all)
+    return (counts.join(quant, "day")
+            .select("day", F.col("n").cast("long").alias("n"),
+                    *[F.col(f"p{int(q * 100)}_c").cast("long")
+                      for q in qs]))
+
+
+def _kmv_quantiles_sql(k: int = _KMV_K,
+                       qs: tuple[float, ...] = _QS) -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN rv = CAST(floor({q} * (ns - 1)) AS BIGINT) + 1 "
+        f"THEN value_c END) AS p{int(q * 100)}_c"
+        for q in qs)
+    return (
+        "WITH e AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, "
+        f"  {_CENTS_DUCK} AS value_c, event_id, "
+        "  md5(CAST(event_id AS VARCHAR)) AS hk FROM events), "
+        # NOTE: sd must NOT re-expose its rn — sa's WHERE would bind to
+        # the stale column and silently skip the ALL-grain resample.
+        "sd AS (SELECT day, value_c, event_id, hk FROM "
+        "  (SELECT day, value_c, event_id, hk, "
+        "  row_number() OVER (PARTITION BY day ORDER BY hk, event_id) "
+        f"  AS rn FROM e) WHERE rn <= {k}), "
+        "sa AS (SELECT 'ALL' AS day, value_c, event_id, hk FROM "
+        "  (SELECT *, row_number() OVER (ORDER BY hk, event_id) AS rn2 "
+        f"  FROM sd) WHERE rn2 <= {k}), "
+        "samp AS (SELECT day, value_c, event_id FROM sd "
+        "  UNION ALL SELECT day, value_c, event_id FROM sa), "
+        "ranked AS (SELECT day, value_c, "
+        "  row_number() OVER (PARTITION BY day ORDER BY value_c, event_id) "
+        "  AS rv, count(*) OVER (PARTITION BY day) AS ns FROM samp), "
+        f"quant AS (SELECT day, {picks} FROM ranked GROUP BY day), "
+        "nd AS (SELECT day, count(*) AS n FROM e GROUP BY day), "
+        "cnt AS (SELECT day, n FROM nd UNION ALL "
+        "  SELECT 'ALL', sum(n) FROM nd) "
+        "SELECT c.day, CAST(c.n AS BIGINT) AS n, "
+        + ", ".join(f"CAST(q.p{int(q_ * 100)}_c AS BIGINT) "
+                    f"AS p{int(q_ * 100)}_c" for q_ in qs)
+        + " FROM cnt c JOIN quant q ON q.day = c.day"
+    )
+
+
+_CENTS_DUCK = ("CAST(floor(CAST(value AS DOUBLE) * 100 + 0.5) "
+               "AS BIGINT)")
+
+
+# ---------------------------------------------------------------------------
 # registry surface
 
 
@@ -345,10 +594,22 @@ def _q_type_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return type_topk_rollup(_events(spark, sf_dir))
 
 
+def _q_hll_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return distinct_users_hll_portable(_events(spark, sf_dir))
+
+
+def _q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmv_value_quantiles(_events_id(spark, sf_dir))
+
+
 QUERIES = {
     # rows-only by design: KLL compaction is randomized (no DuckDB twin);
     # error-bounded vs exact quantiles in test_sketches.py
     "events_value_quantiles": _q_quantile_rollup,
+    # full oracles: md5-defined sketch math both engines replay
+    # bit-for-bit (see "Portable sketches" section)
+    "events_distinct_hll_portable": _q_hll_portable,
+    "events_value_quantiles_portable": _q_kmv_quantiles,
     # full oracles: theta is exact below 2^12 distinct users per group,
     # which holds at the driver's sf0.01 gate (see module docstring)
     "events_retention_overlap": _q_retention,
@@ -360,6 +621,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_distinct_hll_portable": _hll_portable_sql(),
+    "events_value_quantiles_portable": _kmv_quantiles_sql(),
     "events_type_topk": (
         "WITH e AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) "
         "AS VARCHAR) AS day, event_type AS item FROM events), "

@@ -98,6 +98,25 @@ def artifact_rows(spark, state_dir: str) -> DataFrame | None:
             .parquet(*paths))
 
 
+def emitted_rows(spark, state_dir: str, emit_dir: str) -> DataFrame | None:
+    """Every COMMITTED incremental emit of an artifact sink, or None
+    before the first batch.  Emit subdirs commit together with their
+    state subdir (both written before the pointer advances), so the
+    same ``b<i> <= pointer`` filter as :func:`artifact_rows` keeps a
+    crashed attempt's partial emit invisible to consumers."""
+    last = last_appended_batch(state_dir)
+    if last is None:
+        return None
+    paths = [os.path.join(emit_dir, name)
+             for name in os.listdir(emit_dir)
+             if name.startswith("b") and name[1:].isdigit()
+             and int(name[1:]) <= last]
+    if not paths:
+        return None
+    return (spark.read.option("recursiveFileLookup", "true")
+            .parquet(*paths))
+
+
 def append_artifact_sink(
     state_dir: str,
     transform: Callable[[DataFrame], DataFrame],

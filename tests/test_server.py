@@ -221,6 +221,7 @@ def test_decisions_served_while_following(spark, engine, server):
     from logsqlite_spark.streaming.incremental import (
         components_sink,
         decisions_rows,
+        emitted_rows,
         minhash_sink,
     )
 
@@ -257,7 +258,7 @@ def test_decisions_served_while_following(spark, engine, server):
     def feed(batch_id: int, lo: int, seen: set) -> set:
         mh(docs_batch(lo), batch_id)
         allp = {(r["a_id"], r["b_id"])
-                for r in spark.read.parquet(emits).collect()}
+                for r in emitted_rows(spark, mh_state, emits).collect()}
         cc(spark.createDataFrame(sorted(allp - seen),
                                  "a_id long, b_id long"), batch_id)
         return allp

@@ -199,3 +199,103 @@ def test_type_topk_exact_below_capacity_and_bounded_above(spark):
            .filter(F.col("day") == "ALL").collect()}
     assert "hot" in est
     assert 100 <= est["hot"] <= 140
+
+
+# ---------------------------------------------------------------------------
+# portable sketches (events_distinct_hll_portable /
+# events_value_quantiles_portable carry full DuckDB oracles; these
+# tests pin the properties the oracle can't see: merge laws and
+# error bounds at cardinalities beyond the driver's gate)
+
+
+def test_hll_portable_registers_merge_law(spark):
+    """Registers of a union == max-merge of per-part registers, and
+    the merged estimate tracks true cardinality within the m=4096
+    error bound even above the linear-counting regime."""
+    from logsqlite_spark.operators.sketches import (
+        hll_portable_estimate, hll_portable_registers)
+
+    a = spark.range(0, 30_000).select(
+        F.lit("a").alias("day"), F.col("id").alias("user_id"))
+    b = spark.range(20_000, 50_000).select(
+        F.lit("b").alias("day"), F.col("id").alias("user_id"))
+    both = a.unionByName(b).select(F.lit("u").alias("day"), "user_id")
+
+    ra = hll_portable_registers(a)
+    rb = hll_portable_registers(b)
+    merged = (ra.unionByName(rb).groupBy("j")
+              .agg(F.max("m_j").alias("m_j"))
+              .select(F.lit("u").alias("day"), "j", "m_j"))
+    direct = hll_portable_registers(both)
+    assert (merged.exceptAll(direct).count() == 0
+            and direct.exceptAll(merged).count() == 0)
+
+    est = hll_portable_estimate(direct).collect()[0]
+    # 50k distinct >> 2.5m: raw HLL regime; 1.04/sqrt(4096) ~ 1.6%,
+    # allow 3 sigma
+    assert abs(est["est_r4"] - 50_000) / 50_000 < 0.05
+
+
+def test_hll_portable_rollup_matches_exact_at_sf(spark, sf_dir):
+    from logsqlite_spark.operators.sketches import (
+        _events, distinct_users_hll_portable)
+
+    ev = _events(spark, sf_dir)
+    got = {r["day"]: r for r in distinct_users_hll_portable(ev).collect()}
+    exact_all = ev.select("user_id").distinct().count()
+    # linear-counting regime (distinct users << m): near-exact
+    assert abs(got["ALL"]["est_r4"] - exact_all) / exact_all < 0.03
+    # register count can never exceed the distinct-key count
+    assert got["ALL"]["regs"] <= exact_all
+
+
+def test_kmv_bottom_k_merge_law_and_quantiles(spark):
+    """bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪ bottom-k(B)), and
+    sample quantiles stay within the ~1/sqrt(k) rank-error bound on a
+    stream much larger than k."""
+    from logsqlite_spark.operators.sketches import (
+        kmv_bottom_k, kmv_value_quantiles)
+
+    k = 64
+    a = spark.range(0, 5_000).select(
+        F.lit("d1").alias("day"), F.col("id").alias("event_id"),
+        (F.col("id") * 3 % 10_000).alias("value_c"))
+    b = spark.range(5_000, 12_000).select(
+        F.lit("d1").alias("day"), F.col("id").alias("event_id"),
+        (F.col("id") * 3 % 10_000).alias("value_c"))
+    both = a.unionByName(b)
+
+    merged = kmv_bottom_k(kmv_bottom_k(a, k).unionByName(
+        kmv_bottom_k(b, k)), k)
+    direct = kmv_bottom_k(both, k)
+    assert (merged.exceptAll(direct).count() == 0
+            and direct.exceptAll(merged).count() == 0)
+
+    rows = {r["day"]: r for r in kmv_value_quantiles(both, k).collect()}
+    vals = sorted(r["value_c"] for r in both.collect())
+    assert rows["d1"]["n"] == len(vals)
+    for q in (0.5, 0.9):
+        est = rows["d1"][f"p{int(q * 100)}_c"]
+        rank = sum(1 for v in vals if v <= est) / len(vals)
+        # k=64 -> rank sd ~ sqrt(q(1-q)/k) ~ 0.06; allow 3 sigma
+        assert abs(rank - q) <= 0.20, (q, est, rank)
+
+
+def test_kmv_quantiles_exact_when_day_fits_in_k(spark, sf_dir):
+    """Every sf0.001 day has <= 40 events << k=256, so per-day
+    percentiles must EQUAL the exact lower-nearest-rank values."""
+    from logsqlite_spark.operators.sketches import (
+        _events_id, kmv_value_quantiles)
+
+    ev = _events_id(spark, sf_dir)
+    exact: dict[str, list[int]] = {}
+    for r in ev.select(F.col("day").cast("string").alias("day"),
+                       "value_c", "event_id").collect():
+        exact.setdefault(r["day"], []).append((r["value_c"], r["event_id"]))
+    rows = {r["day"]: r for r in kmv_value_quantiles(ev).collect()}
+    for day, pairs in exact.items():
+        vals = [v for v, _ in sorted(pairs)]
+        assert rows[day]["n"] == len(vals)
+        for q in (0.5, 0.9, 0.99):
+            want = vals[int(q * (len(vals) - 1))]
+            assert rows[day][f"p{int(q * 100)}_c"] == want, (day, q)

@@ -842,3 +842,42 @@ def test_append_artifact_sink_crash_replay_exactly_once(spark, tmp_path):
     emitted = spark.read.option("recursiveFileLookup", "true") \
         .parquet(emits)
     assert emitted.filter("a_id = 1 OR b_id = 1").count() == 0
+
+
+def test_emitted_rows_hides_crashed_attempt(spark, tmp_path):
+    """`emitted_rows` is the consumer-facing emit reader: it must show
+    exactly the COMMITTED emits — a crashed attempt's emit subdir
+    (written before the pointer flip) stays invisible until its batch
+    commits, and the replay's rewrite is what consumers finally see."""
+    import os
+
+    from logsqlite_spark.streaming.incremental import (
+        emitted_rows,
+        minhash_sink,
+    )
+
+    DOC = "doc_id long, text string"
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    b0 = [(0, base * 4), (1, "unrelated other words entirely here " * 4)]
+    b1 = [(10, base * 4)]
+    state = str(tmp_path / "mstate")
+    emits = str(tmp_path / "memit")
+    sink = minhash_sink(state, emit_dir=emits)
+
+    assert emitted_rows(spark, state, emits) is None  # pre-first-batch
+    sink(spark.createDataFrame(b0, DOC), 0)
+    committed0 = {(r["a_id"], r["b_id"])
+                  for r in emitted_rows(spark, state, emits).collect()}
+
+    # crashed attempt of batch 1: emit subdir written with GARBAGE
+    # (what a partial attempt could leave), pointer NOT flipped
+    (spark.createDataFrame([(99, 100)], "a_id long, b_id long")
+     .write.mode("overwrite").parquet(os.path.join(emits, "b1")))
+    assert {(r["a_id"], r["b_id"])
+            for r in emitted_rows(spark, state, emits).collect()} \
+        == committed0, "uncommitted emit visible to consumers"
+
+    sink(spark.createDataFrame(b1, DOC), 1)  # replay rewrites b1
+    got = {(r["a_id"], r["b_id"])
+           for r in emitted_rows(spark, state, emits).collect()}
+    assert (0, 10) in got and (99, 100) not in got
