@@ -502,6 +502,17 @@ def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
     e = events.select(F.col("day").cast("string").alias("day"),
                       "value_c", "event_id")
     samp_d = kmv_bottom_k(e, k)
+    n_d = e.groupBy("day").agg(F.count("*").alias("n"))
+    return kmv_report(samp_d, n_d, k, qs)
+
+
+def kmv_report(samp_d: DataFrame, n_d: DataFrame, k: int = _KMV_K,
+               qs: tuple[float, ...] = _QS) -> DataFrame:
+    """The serving query over maintained KMV state: per-day bottom-k
+    samples (``day, value_c, event_id, hk``) + exact per-day counts
+    (``day, n``) → per-day + ALL percentiles. Touches only state
+    (days·k sample rows + days count rows), never raw events — the
+    incremental twin calls this on O(batch)-maintained state."""
     w_all = Window.orderBy(F.col("hk"), F.col("event_id"))
     samp_a = (samp_d
               .withColumn("rn", F.row_number().over(w_all))
@@ -521,7 +532,6 @@ def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
     ]
     quant = ranked.groupBy("day").agg(*picks)
 
-    n_d = e.groupBy("day").agg(F.count("*").alias("n"))
     n_all = n_d.agg(F.sum("n").alias("n")).select(
         F.lit("ALL").alias("day"), F.col("n"))
     counts = n_d.unionByName(n_all)
@@ -529,6 +539,30 @@ def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
             .select("day", F.col("n").cast("long").alias("n"),
                     *[F.col(f"p{int(q * 100)}_c").cast("long")
                       for q in qs]))
+
+
+def update_hll_registers(registers: DataFrame,
+                         new_events: DataFrame) -> DataFrame:
+    """O(batch) maintenance of the portable-HLL register table: sketch
+    only the new rows, max-merge per (day, register). Identical to a
+    from-scratch rebuild by max-associativity (merge law pinned in
+    ``test_sketches.py``) — history is never re-hashed."""
+    fresh = hll_portable_registers(new_events)
+    return (registers.unionByName(fresh)
+            .groupBy("day", "j").agg(F.max("m_j").alias("m_j")))
+
+
+def update_kmv_samples(samples: DataFrame, new_events: DataFrame,
+                       k: int = _KMV_K) -> DataFrame:
+    """O(batch) maintenance of the per-day bottom-k sample table:
+    bottom-k of (kept samples ∪ the batch's own bottom-k). EXACT by
+    the bottom-k merge law — the maintained sample equals the one a
+    full re-scan would draw, so the serving percentiles are identical.
+    Only the batch is hashed; the union ranks days·k + batch-k rows."""
+    fresh = kmv_bottom_k(
+        new_events.select(F.col("day").cast("string").alias("day"),
+                          "value_c", "event_id"), k)
+    return kmv_bottom_k(samples.unionByName(fresh), k)
 
 
 def _kmv_quantiles_sql(k: int = _KMV_K,
@@ -602,6 +636,40 @@ def _q_kmv_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_value_quantiles(_events_id(spark, sf_dir))
 
 
+def _q_hll_portable_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin (the registry's %4 batch convention): history
+    registers are maintained state; only the batch rows are hashed.
+    Equal to the full rollup by the register merge law, so the oracle
+    is the full-corpus SQL."""
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id",
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000"))).alias("day"))
+    hist = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0)
+    regs = update_hll_registers(hll_portable_registers(hist), batch)
+    merged = (regs.groupBy("j").agg(F.max("m_j").alias("m_j"))
+              .select(F.lit("ALL").alias("day"), "j", "m_j"))
+    return hll_portable_estimate(regs.unionByName(merged))
+
+
+def _q_kmv_quantiles_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental twin: maintained bottom-k samples + exact count
+    deltas; serving touches only state. Equal to the full rollup by
+    the bottom-k merge law (same oracle)."""
+    ev = _events_id(spark, sf_dir)
+    hist = ev.filter(F.col("event_id") % 4 != 0)
+    batch = ev.filter(F.col("event_id") % 4 == 0)
+    e_h = hist.select(F.col("day").cast("string").alias("day"),
+                      "value_c", "event_id")
+    samp = update_kmv_samples(kmv_bottom_k(e_h), batch)
+    n_h = e_h.groupBy("day").agg(F.count("*").alias("n"))
+    n_b = (batch.select(F.col("day").cast("string").alias("day"))
+           .groupBy("day").agg(F.count("*").alias("n")))
+    n_d = (n_h.unionByName(n_b).groupBy("day")
+           .agg(F.sum("n").alias("n")))
+    return kmv_report(samp, n_d)
+
+
 QUERIES = {
     # rows-only by design: KLL compaction is randomized (no DuckDB twin);
     # error-bounded vs exact quantiles in test_sketches.py
@@ -610,6 +678,8 @@ QUERIES = {
     # bit-for-bit (see "Portable sketches" section)
     "events_distinct_hll_portable": _q_hll_portable,
     "events_value_quantiles_portable": _q_kmv_quantiles,
+    "events_distinct_hll_portable_inc": _q_hll_portable_inc,
+    "events_value_quantiles_portable_inc": _q_kmv_quantiles_inc,
     # full oracles: theta is exact below 2^12 distinct users per group,
     # which holds at the driver's sf0.01 gate (see module docstring)
     "events_retention_overlap": _q_retention,
@@ -623,6 +693,11 @@ QUERIES = {
 ORACLES = {
     "events_distinct_hll_portable": _hll_portable_sql(),
     "events_value_quantiles_portable": _kmv_quantiles_sql(),
+    # inc twins equal the full rollups by the merge laws, so they
+    # carry the SAME full-corpus oracle — the hash-match certifies the
+    # O(batch) maintenance path end-to-end
+    "events_distinct_hll_portable_inc": _hll_portable_sql(),
+    "events_value_quantiles_portable_inc": _kmv_quantiles_sql(),
     "events_type_topk": (
         "WITH e AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE) "
         "AS VARCHAR) AS day, event_type AS item FROM events), "

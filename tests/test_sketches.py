@@ -299,3 +299,34 @@ def test_kmv_quantiles_exact_when_day_fits_in_k(spark, sf_dir):
         for q in (0.5, 0.9, 0.99):
             want = vals[int(q * (len(vals) - 1))]
             assert rows[day][f"p{int(q * 100)}_c"] == want, (day, q)
+
+
+def test_portable_inc_twins_equal_full(spark, sf_dir):
+    """The %4-split incremental twins must EQUAL the full rollups
+    (register max-merge / bottom-k merge laws) — the property the
+    shared oracle certifies at the driver, pinned here directly."""
+    from logsqlite_spark.operators.sketches import (
+        _q_hll_portable, _q_hll_portable_inc, _q_kmv_quantiles,
+        _q_kmv_quantiles_inc)
+
+    for full_q, inc_q in ((_q_hll_portable, _q_hll_portable_inc),
+                          (_q_kmv_quantiles, _q_kmv_quantiles_inc)):
+        full = sorted(map(tuple, full_q(spark, sf_dir).collect()))
+        inc = sorted(map(tuple, inc_q(spark, sf_dir).collect()))
+        assert full == inc and len(full) > 0
+
+
+def test_kmv_sampler_plan_uses_window_group_limit(spark, sf_dir):
+    """rn<=k over the per-day hash order must compile to
+    WindowGroupLimit with the partial limit BEFORE the exchange — each
+    map task forwards at most k rows per day, so the shuffle carries
+    O(days*k), not the full scan (the 100 TB sampling contract)."""
+    from logsqlite_spark.operators.sketches import (
+        _events_id, kmv_bottom_k)
+
+    e = _events_id(spark, sf_dir).select(
+        F.col("day").cast("string").alias("day"), "value_c", "event_id")
+    plan = (kmv_bottom_k(e)._jdf.queryExecution()
+            .executedPlan().toString())
+    assert "WindowGroupLimit" in plan
+    assert plan.index("WindowGroupLimit") < plan.index("Exchange")
