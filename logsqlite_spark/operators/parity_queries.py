@@ -187,8 +187,9 @@ def q_log_templates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return log_templates(_events(spark, sf_dir))
 
 def q_wire_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S3/S8 wire-parity path over the events-as-logs mapping; rows-only
-    # (frame bytes aren't SQL-expressible) — pytest round-trips them.
+    # S3/S8 wire-parity path over the events-as-logs mapping. The
+    # emitted n_bytes hash-matches a DuckDB varint-arithmetic oracle
+    # (round 13); the frame BYTES themselves are pytest round-tripped.
     from logsqlite_spark.operators.wire import to_wire_frames
     from logsqlite_spark.tables import events_as_logs
 
@@ -313,7 +314,27 @@ ORACLES = {
         "count(*) AS n, round(sum(value), 4) AS sum_value "
         "FROM events GROUP BY 1, 2"
     ),
-    # wire_frames: rows-only (binary frames; round-tripped in pytest)
+    # wire_frames emits (container_id, seq, n_bytes): the frame BYTES
+    # are pytest round-tripped, but the LENGTH is pure protobuf varint
+    # arithmetic DuckDB replays exactly — 4-byte BE prefix + per-field
+    # (1 tag byte + varint(len) + len) for source/line and (1 tag byte
+    # + varint(time_nano)) for ts, fields skipped when falsy exactly
+    # like encode_log_entry (sources/frames.py). varint_len(x) =
+    # ceil(bitlength(x)/7). A wrong length ⇒ a wrong frame, so this
+    # certifies the vectorized encoder's framing end-to-end.
+    "wire_frames": (
+        "WITH e AS (SELECT CAST(user_id AS VARCHAR) AS container_id, "
+        "  event_id AS seq, strlen(event_type) AS sl, "
+        "  strlen(concat(props, chr(10))) AS ll, epoch_ns(ts) AS tn "
+        "  FROM events) "
+        "SELECT container_id, CAST(seq AS BIGINT) AS seq, CAST(4 "
+        "  + CASE WHEN sl > 0 THEN 1 + floor((length(bin(sl)) + 6) / 7) "
+        "    + sl ELSE 0 END "
+        "  + CASE WHEN tn <> 0 THEN 1 + floor((length(bin(tn)) + 6) / 7) "
+        "    ELSE 0 END "
+        "  + CASE WHEN ll > 0 THEN 1 + floor((length(bin(ll)) + 6) / 7) "
+        "    + ll ELSE 0 END AS INT) AS n_bytes FROM e"
+    ),
     "reassemble_partials": (
         "SELECT CAST(user_id AS VARCHAR) AS container_id, event_id AS seq, "
         "concat(props, chr(10)) AS line FROM events"
@@ -345,7 +366,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "logparse_regex": q_logparse_regex,
     "log_templates": q_log_templates,
     "events_window_agg": q_events_window_agg,
-    "wire_frames": q_wire_frames,  # rows-only (binary emit path)
+    "wire_frames": q_wire_frames,  # length-oracled; bytes in pytest
     "reassemble_partials": q_reassemble_partials,
     "cube_counts": q_cube_counts,
 }
