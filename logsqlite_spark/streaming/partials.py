@@ -930,3 +930,157 @@ def start_streaming_daily_counts(stream: DataFrame, snapshot_root: str,
         .option("checkpointLocation", checkpoint_dir)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# portable-sketch state: HLL register table + KMV bottom-k samples
+#
+# Streaming twins of the round-13 portable sketches
+# (operators/sketches.py "Portable sketches"): each micro-batch of
+# EVENTS folds into the versioned snapshot under the same exactly-once
+# pointer protocol.  State is fixed-size per day (<= m=4096 register
+# rows / <= k=256 sample rows + one count row), so a year of 100 TB
+# ingest carries MBs of state; only the batch is ever hashed (the
+# merge laws pinned in test_sketches.py make maintained state equal a
+# full rebuild, which is what the serving reports' shared DuckDB
+# oracle certifies at the driver).
+#
+# No erase: HLL registers and evicted-sample rows are not invertible
+# retractions — erase is a REBUILD from the retained corpus (the
+# min-partials policy of rebuild_first_seen), not a delta.
+
+
+def _hll_batch_regs(events: DataFrame) -> DataFrame:
+    from logsqlite_spark.operators.sketches import hll_portable_registers
+
+    return hll_portable_registers(events.select(
+        F.col("user_id"),
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        .alias("day")))
+
+
+def snapshot_hll_registers(spark, snapshot_root: str) -> DataFrame | None:
+    """The current persisted (day, j, m_j) register table, or None
+    pre-bootstrap."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    return spark.read.parquet(
+        os.path.join(snapshot_root, f"v{ver:08d}", "regs"))
+
+
+def hll_registers_sink(snapshot_root: str) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: max-merge the batch's registers into the
+    snapshot.  Unlike the count sinks, a register merge is IDEMPOTENT
+    (max), so even a hypothetical double-merge couldn't corrupt state;
+    the batch_id guard still skips replays for cost."""
+
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        fresh = _hll_batch_regs(batch_df)
+        hist = snapshot_hll_registers(spark, snapshot_root)
+        merged = fresh if hist is None else (
+            fresh.unionByName(hist)
+            .groupBy("day", "j").agg(F.max("m_j").alias("m_j")))
+        new_ver = 1 if ver is None else ver + 1
+        merged.write.mode("overwrite").parquet(
+            os.path.join(snapshot_root, f"v{new_ver:08d}", "regs"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def distinct_report_from_snapshot(spark, snapshot_root: str) -> DataFrame:
+    """Per-day + ALL distinct estimates served from the register
+    snapshot — never re-reads events (the events_distinct_hll_portable
+    report shape, same columns)."""
+    from logsqlite_spark.operators.sketches import hll_portable_estimate
+
+    regs = snapshot_hll_registers(spark, snapshot_root)
+    if regs is None:
+        raise ValueError("distinct_report_from_snapshot: no snapshot "
+                         f"at {snapshot_root}")
+    merged = (regs.groupBy("j").agg(F.max("m_j").alias("m_j"))
+              .select(F.lit("ALL").alias("day"), "j", "m_j"))
+    return hll_portable_estimate(regs.unionByName(merged))
+
+
+def _kmv_batch_events(events: DataFrame) -> DataFrame:
+    return events.select(
+        F.col("event_id"),
+        F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
+        .cast("string").alias("day"),
+        F.expr("cast(floor(cast(value as double) * 100 + 0.5) as bigint)")
+        .alias("value_c"))
+
+
+def snapshot_kmv(spark, snapshot_root: str):
+    """(samples, counts) of the current KMV snapshot, or None."""
+    ver, _ = read_pointer(snapshot_root)
+    if ver is None:
+        return None
+    base = os.path.join(snapshot_root, f"v{ver:08d}")
+    return (spark.read.parquet(os.path.join(base, "samples")),
+            spark.read.parquet(os.path.join(base, "counts")))
+
+
+def kmv_samples_sink(snapshot_root: str,
+                     k: int | None = None) -> Callable[[DataFrame, int], None]:
+    """foreachBatch body: fold the batch's bottom-k sample and exact
+    day counts into the snapshot (bottom-k of kept ∪ batch-bottom-k —
+    exact by the merge law, so serving equals a full re-scan)."""
+    from logsqlite_spark.operators.sketches import _KMV_K, kmv_bottom_k
+
+    kk = _KMV_K if k is None else k
+    _local_root(snapshot_root)
+
+    def on_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        os.makedirs(_local_root(snapshot_root), exist_ok=True)
+        ver, last = read_pointer(snapshot_root)
+        if last is not None and batch_id <= last:
+            return  # crash-replayed micro-batch: already merged
+        e = _kmv_batch_events(batch_df)
+        fresh_s = kmv_bottom_k(e, kk)
+        fresh_n = e.groupBy("day").agg(F.count("*").cast("long").alias("n"))
+        hist = snapshot_kmv(spark, snapshot_root)
+        if hist is None:
+            merged_s, merged_n = fresh_s, fresh_n
+        else:
+            hist_s, hist_n = hist
+            merged_s = kmv_bottom_k(hist_s.unionByName(fresh_s), kk)
+            merged_n = (hist_n.unionByName(fresh_n)
+                        .groupBy("day")
+                        .agg(F.sum("n").cast("long").alias("n")))
+        new_ver = 1 if ver is None else ver + 1
+        base = os.path.join(snapshot_root, f"v{new_ver:08d}")
+        merged_s.write.mode("overwrite").parquet(
+            os.path.join(base, "samples"))
+        merged_n.write.mode("overwrite").parquet(
+            os.path.join(base, "counts"))
+        _write_pointer(snapshot_root, new_ver, batch_id)
+        _gc_versions(snapshot_root, new_ver)
+
+    return on_batch
+
+
+def quantile_report_from_snapshot(spark, snapshot_root: str,
+                                  k: int | None = None) -> DataFrame:
+    """Per-day + ALL percentiles served from the sample snapshot —
+    touches only state rows (the events_value_quantiles_portable
+    report shape, same columns)."""
+    from logsqlite_spark.operators.sketches import _KMV_K, kmv_report
+
+    hist = snapshot_kmv(spark, snapshot_root)
+    if hist is None:
+        raise ValueError("quantile_report_from_snapshot: no snapshot "
+                         f"at {snapshot_root}")
+    samples, counts = hist
+    return kmv_report(samples, counts, _KMV_K if k is None else k)

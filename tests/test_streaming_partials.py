@@ -294,3 +294,64 @@ def test_corpus_report_novelty_served_from_state(spark, tmp_path):
                      .collect()))
     want = sorted(map(tuple, ngram_novelty(docs).collect()))
     assert got == want and len(want) > 0
+
+
+# ---------------------------------------------------------------------------
+# portable-sketch snapshots (round 13): HLL register table + KMV samples
+
+
+def _split_events(spark, sf_dir):
+    from logsqlite_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    return (ev.filter(F.col("event_id") % 3 != 0),
+            ev.filter(F.col("event_id") % 3 == 0), ev)
+
+
+def test_hll_register_sink_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """Two micro-batches through the register sink must serve EXACTLY
+    the events_distinct_hll_portable report over everything ingested
+    (register max-merge law), and a replayed batch must be a no-op."""
+    from logsqlite_spark.operators.sketches import (
+        _events, distinct_users_hll_portable)
+    from logsqlite_spark.streaming.partials import (
+        distinct_report_from_snapshot, hll_registers_sink, read_pointer)
+
+    b1, b2, _ = _split_events(spark, sf_dir)
+    snap = str(tmp_path / "hll")
+    sink = hll_registers_sink(snap)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # crash replay: pointer unchanged
+    assert read_pointer(snap) == (2, 1)
+
+    got = sorted(map(tuple,
+                     distinct_report_from_snapshot(spark, snap).collect()))
+    want = sorted(map(tuple, distinct_users_hll_portable(
+        _events(spark, sf_dir)).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_kmv_sample_sink_equals_batch_rollup(spark, sf_dir, tmp_path):
+    """Same contract for the quantile snapshot: maintained bottom-k
+    samples + count deltas serve exactly the full-corpus
+    events_value_quantiles_portable report (bottom-k merge law)."""
+    from logsqlite_spark.operators.sketches import (
+        _events_id, kmv_value_quantiles)
+    from logsqlite_spark.streaming.partials import (
+        kmv_samples_sink, quantile_report_from_snapshot, read_pointer)
+
+    b1, b2, _ = _split_events(spark, sf_dir)
+    snap = str(tmp_path / "kmv")
+    sink = kmv_samples_sink(snap)
+    sink(b1, 0)
+    sink(b2, 1)
+    sink(b2, 1)  # crash replay: no double-count of day ns
+    assert read_pointer(snap) == (2, 1)
+
+    got = sorted(map(tuple,
+                     quantile_report_from_snapshot(spark, snap).collect()))
+    want = sorted(map(tuple, kmv_value_quantiles(
+        _events_id(spark, sf_dir)).collect()))
+    assert got == want and len(got) > 0
