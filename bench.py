@@ -103,6 +103,10 @@ BENCH_QUERIES = [
     # persisted bands artifact, exact-Jaccard confirm on candidates
     # only (artifact builds land in the untimed rep0)
     "dedup_incremental_banded",
+    # r13: the fully-oracled portable sketch tier (md5-register HLL
+    # rollup; KMV bottom-k sample quantiles via WindowGroupLimit)
+    "events_distinct_hll_portable",
+    "events_value_quantiles_portable",
 ]
 
 def main() -> None:

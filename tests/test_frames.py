@@ -125,3 +125,33 @@ def test_jvm_protobuf_decode_equals_arrow_decode(spark, tmp_path):
             os.environ.pop("SPARK_GRAFT_PLOG_DECODER", None)
 
     assert rows("jvm") == rows("arrow")
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    source=st.text(max_size=40),
+    time_nano=st.integers(min_value=0, max_value=2**62),
+    line=st.text(max_size=300),
+)
+def test_wire_length_oracle_formula_matches_encoder(source, time_nano, line):
+    """The wire_frames DuckDB oracle predicts n_bytes with pure varint
+    arithmetic (parity_queries.py); pin that formula against the REAL
+    encoder for arbitrary entries so oracle and encoder can't drift.
+    varint_len(x>0) = ceil(bitlength/7); falsy fields are skipped."""
+    from logsqlite_spark.sources.frames import LogEntry, encode_frame
+
+    def vlen(x: int) -> int:
+        return (x.bit_length() + 6) // 7 if x > 0 else 1
+
+    sl = len(source.encode("utf-8"))
+    ll = len(line.encode("utf-8"))
+    want = 4
+    if sl > 0:
+        want += 1 + vlen(sl) + sl
+    if time_nano != 0:
+        want += 1 + vlen(time_nano)
+    if ll > 0:
+        want += 1 + vlen(ll) + ll
+    got = len(encode_frame(LogEntry(
+        source=source, time_nano=time_nano, line=line.encode("utf-8"))))
+    assert got == want
