@@ -1084,3 +1084,80 @@ def quantile_report_from_snapshot(spark, snapshot_root: str,
                          f"at {snapshot_root}")
     samples, counts = hist
     return kmv_report(samples, counts, _KMV_K if k is None else k)
+
+
+def rebuild_hll_registers(spark, snapshot_root: str, events: DataFrame,
+                          retract_ids=None) -> dict:
+    """Erase-by-REBUILD for the HLL register snapshot: registers are
+    max-partials, so (like the min-partial family above) a retraction
+    cannot be subtracted — re-derive from the surviving corpus.
+    ``retract_ids`` are event_ids to exclude (None = plain
+    re-derivation).  Staged version validated before the pointer
+    flips: register indexes in [0, m), rho in [1, 49], ≤ m rows/day."""
+    from logsqlite_spark.artifacts import filter_ids
+    from logsqlite_spark.operators.sketches import _HLL_M, _HLL_RMAX
+
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("rebuild_hll_registers: no snapshot at "
+                         f"{snapshot_root}")
+    ids = [int(x) for x in retract_ids] if retract_ids is not None else []
+    survivors = filter_ids(events, "event_id", ids, keep=False) if ids \
+        else events
+    rebuilt = _hll_batch_regs(survivors)
+    new_ver = ver + 1
+    out = os.path.join(snapshot_root, f"v{new_ver:08d}", "regs")
+    rebuilt.write.mode("overwrite").parquet(out)
+    staged = spark.read.parquet(out)
+    bad = staged.filter(
+        (F.col("j") < 0) | (F.col("j") >= _HLL_M)
+        | (F.col("m_j") < 1) | (F.col("m_j") > _HLL_RMAX)).count()
+    over = (staged.groupBy("day").count()
+            .filter(F.col("count") > _HLL_M).count())
+    if bad or over:
+        raise AssertionError(
+            f"rebuild_hll_registers: staged rebuild invalid ({bad} "
+            f"out-of-range registers, {over} oversized days) — "
+            "snapshot unchanged")
+    _write_pointer(snapshot_root, new_ver,
+                   batch_id if batch_id is not None else -1)
+    _gc_versions(snapshot_root, new_ver)
+    return {"rebuilt": True, "version": new_ver, "retracted": len(ids)}
+
+
+def rebuild_kmv_samples(spark, snapshot_root: str, events: DataFrame,
+                        retract_ids=None, k: int | None = None) -> dict:
+    """Erase-by-REBUILD for the KMV quantile snapshot: an evicted
+    sample row is unrecoverable from state, so retraction re-draws the
+    bottom-k from the surviving corpus.  Validation pins the
+    retraction contract directly: no retracted event_id may survive in
+    the staged samples, and counts must equal the survivors'."""
+    from logsqlite_spark.artifacts import filter_ids
+    from logsqlite_spark.operators.sketches import _KMV_K, kmv_bottom_k
+
+    kk = _KMV_K if k is None else k
+    ver, batch_id = read_pointer(snapshot_root)
+    if ver is None:
+        raise ValueError("rebuild_kmv_samples: no snapshot at "
+                         f"{snapshot_root}")
+    ids = [int(x) for x in retract_ids] if retract_ids is not None else []
+    survivors = filter_ids(events, "event_id", ids, keep=False) if ids \
+        else events
+    e = _kmv_batch_events(survivors)
+    new_ver = ver + 1
+    base = os.path.join(snapshot_root, f"v{new_ver:08d}")
+    kmv_bottom_k(e, kk).write.mode("overwrite").parquet(
+        os.path.join(base, "samples"))
+    e.groupBy("day").agg(F.count("*").cast("long").alias("n")) \
+        .write.mode("overwrite").parquet(os.path.join(base, "counts"))
+    staged = spark.read.parquet(os.path.join(base, "samples"))
+    if ids:
+        bad = filter_ids(staged, "event_id", ids, keep=True).count()
+        if bad:
+            raise AssertionError(
+                f"rebuild_kmv_samples: {bad} retracted event_ids "
+                "survive in the staged samples — snapshot unchanged")
+    _write_pointer(snapshot_root, new_ver,
+                   batch_id if batch_id is not None else -1)
+    _gc_versions(snapshot_root, new_ver)
+    return {"rebuilt": True, "version": new_ver, "retracted": len(ids)}

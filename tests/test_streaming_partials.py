@@ -355,3 +355,54 @@ def test_kmv_sample_sink_equals_batch_rollup(spark, sf_dir, tmp_path):
     want = sorted(map(tuple, kmv_value_quantiles(
         _events_id(spark, sf_dir)).collect()))
     assert got == want and len(got) > 0
+
+
+def test_rebuild_sketch_snapshots_retract_and_serve(spark, sf_dir, tmp_path):
+    """Erase-by-rebuild for both sketch snapshots: after retracting a
+    batch of event_ids the served reports must equal fresh builds over
+    the survivors; a retracted id must never survive in KMV samples."""
+    from logsqlite_spark.operators.sketches import (
+        distinct_users_hll_portable, kmv_value_quantiles)
+    from logsqlite_spark.streaming.partials import (
+        distinct_report_from_snapshot, hll_registers_sink,
+        kmv_samples_sink, quantile_report_from_snapshot,
+        rebuild_hll_registers, rebuild_kmv_samples)
+    from logsqlite_spark.tables import table
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    retract = [r["event_id"] for r in
+               ev.filter(F.col("event_id") % 7 == 0)
+               .select("event_id").collect()]
+    survivors = ev.filter(F.col("event_id") % 7 != 0)
+
+    hsnap, ksnap = str(tmp_path / "hll"), str(tmp_path / "kmv")
+    hll_registers_sink(hsnap)(ev, 0)
+    kmv_samples_sink(ksnap)(ev, 0)
+
+    out_h = rebuild_hll_registers(spark, hsnap, ev, retract_ids=retract)
+    out_k = rebuild_kmv_samples(spark, ksnap, ev, retract_ids=retract)
+    assert out_h["rebuilt"] and out_k["rebuilt"]
+
+    got_h = sorted(map(tuple,
+                       distinct_report_from_snapshot(spark, hsnap).collect()))
+    # fresh build over survivors, via the same event projection
+    from pyspark.sql import functions as SF
+    surv_ev = survivors.select(
+        "user_id",
+        SF.to_date(SF.timestamp_micros(SF.expr("ts div 1000")))
+        .alias("day"))
+    want_h = sorted(map(tuple, distinct_users_hll_portable(
+        surv_ev).collect()))
+    assert got_h == want_h
+
+    got_k = sorted(map(tuple,
+                       quantile_report_from_snapshot(spark, ksnap).collect()))
+    surv_id = survivors.select(
+        "event_id",
+        SF.to_date(SF.timestamp_micros(SF.expr("ts div 1000")))
+        .alias("day"),
+        SF.expr("cast(floor(cast(value as double) * 100 + 0.5) as bigint)")
+        .alias("value_c"))
+    want_k = sorted(map(tuple, kmv_value_quantiles(surv_id).collect()))
+    assert got_k == want_k
