@@ -387,6 +387,14 @@ def hll_portable_registers(events: DataFrame,
             .agg(F.max("rho").alias("m_j")))
 
 
+def hll_merge_all_grain(regs: DataFrame) -> DataFrame:
+    """ALL-grain register rows: max-merge of the per-day registers
+    (the one merge every serving path shares — rollup, inc twin, and
+    the streaming snapshot report)."""
+    return (regs.groupBy("j").agg(F.max("m_j").alias("m_j"))
+            .select(F.lit("ALL").alias("day"), "j", "m_j"))
+
+
 def hll_portable_estimate(regs: DataFrame,
                           grain_col: str = "day") -> DataFrame:
     """HLL estimate per grain from a register table.
@@ -424,9 +432,8 @@ def distinct_users_hll_portable(events: DataFrame) -> DataFrame:
     a second scan — the same merge the nightly rollup would run.
     """
     daily = hll_portable_registers(events)
-    merged = (daily.groupBy("j").agg(F.max("m_j").alias("m_j"))
-              .select(F.lit("ALL").alias("day"), "j", "m_j"))
-    return hll_portable_estimate(daily.unionByName(merged))
+    return hll_portable_estimate(
+        daily.unionByName(hll_merge_all_grain(daily)))
 
 
 def _hll_portable_sql() -> str:
@@ -647,9 +654,8 @@ def _q_hll_portable_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
     hist = ev.filter(F.col("event_id") % 4 != 0)
     batch = ev.filter(F.col("event_id") % 4 == 0)
     regs = update_hll_registers(hll_portable_registers(hist), batch)
-    merged = (regs.groupBy("j").agg(F.max("m_j").alias("m_j"))
-              .select(F.lit("ALL").alias("day"), "j", "m_j"))
-    return hll_portable_estimate(regs.unionByName(merged))
+    return hll_portable_estimate(
+        regs.unionByName(hll_merge_all_grain(regs)))
 
 
 def _q_kmv_quantiles_inc(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -67,14 +67,13 @@ def _write_state(state_dir: str, batch_id: int) -> None:
     os.replace(tmp, os.path.join(root, _STATE))
 
 
-def _artifact_paths(state_dir: str, sub: str, last: int) -> list[str]:
-    """Readable paths of an append-only artifact dir: COMMITTED
+def _committed_paths(root: str, last: int) -> list[str]:
+    """Readable paths of an append-only artifact/emit dir: COMMITTED
     per-batch subdirs (``b<i>`` with ``i <= last``) plus any legacy
     flat files (pre-round-13 appends / compaction output — flat means
     a completed staged swap, so always committed).  A higher-numbered
     partial subdir from a crashed attempt is excluded — the same
     silent-data-loss guard as :func:`banded_state_rows`."""
-    root = os.path.join(_local_root(state_dir), sub)
     out = []
     for name in os.listdir(root):
         if name.startswith("b") and name[1:].isdigit():
@@ -83,6 +82,10 @@ def _artifact_paths(state_dir: str, sub: str, last: int) -> list[str]:
         elif not name.startswith(("_", ".")):
             out.append(os.path.join(root, name))
     return out
+
+
+def _artifact_paths(state_dir: str, sub: str, last: int) -> list[str]:
+    return _committed_paths(os.path.join(_local_root(state_dir), sub), last)
 
 
 def artifact_rows(spark, state_dir: str) -> DataFrame | None:
@@ -107,10 +110,7 @@ def emitted_rows(spark, state_dir: str, emit_dir: str) -> DataFrame | None:
     last = last_appended_batch(state_dir)
     if last is None:
         return None
-    paths = [os.path.join(emit_dir, name)
-             for name in os.listdir(emit_dir)
-             if name.startswith("b") and name[1:].isdigit()
-             and int(name[1:]) <= last]
+    paths = _committed_paths(emit_dir, last)
     if not paths:
         return None
     return (spark.read.option("recursiveFileLookup", "true")

@@ -1001,24 +1001,25 @@ def distinct_report_from_snapshot(spark, snapshot_root: str) -> DataFrame:
     """Per-day + ALL distinct estimates served from the register
     snapshot — never re-reads events (the events_distinct_hll_portable
     report shape, same columns)."""
-    from logsqlite_spark.operators.sketches import hll_portable_estimate
+    from logsqlite_spark.operators.sketches import (
+        hll_merge_all_grain, hll_portable_estimate)
 
     regs = snapshot_hll_registers(spark, snapshot_root)
     if regs is None:
         raise ValueError("distinct_report_from_snapshot: no snapshot "
                          f"at {snapshot_root}")
-    merged = (regs.groupBy("j").agg(F.max("m_j").alias("m_j"))
-              .select(F.lit("ALL").alias("day"), "j", "m_j"))
-    return hll_portable_estimate(regs.unionByName(merged))
+    return hll_portable_estimate(
+        regs.unionByName(hll_merge_all_grain(regs)))
 
 
 def _kmv_batch_events(events: DataFrame) -> DataFrame:
+    from logsqlite_spark.operators.sketches import _CENTS
+
     return events.select(
         F.col("event_id"),
         F.to_date(F.timestamp_micros(F.expr("ts div 1000")))
         .cast("string").alias("day"),
-        F.expr("cast(floor(cast(value as double) * 100 + 0.5) as bigint)")
-        .alias("value_c"))
+        F.expr(_CENTS).alias("value_c"))
 
 
 def snapshot_kmv(spark, snapshot_root: str):
@@ -1157,6 +1158,13 @@ def rebuild_kmv_samples(spark, snapshot_root: str, events: DataFrame,
             raise AssertionError(
                 f"rebuild_kmv_samples: {bad} retracted event_ids "
                 "survive in the staged samples — snapshot unchanged")
+    staged_n = (spark.read.parquet(os.path.join(base, "counts"))
+                .agg(F.sum("n")).collect()[0][0] or 0)
+    surv_n = survivors.count()
+    if staged_n != surv_n:
+        raise AssertionError(
+            f"rebuild_kmv_samples: staged counts sum to {staged_n}, "
+            f"survivors number {surv_n} — snapshot unchanged")
     _write_pointer(snapshot_root, new_ver,
                    batch_id if batch_id is not None else -1)
     _gc_versions(snapshot_root, new_ver)
