@@ -231,8 +231,10 @@ class Engine:
         import pyarrow.parquet as pq
         from pyspark.sql import Row
 
+        from logsqlite_spark.table import escape_partition_value
+
         for cid, queues in subs.items():
-            prefix = f"container_id={cid}/"
+            prefix = f"container_id={escape_partition_value(cid)}/"
             rows = []
             for f in files:
                 if not f.startswith(prefix):
@@ -437,16 +439,19 @@ class Engine:
             return out
 
         def _rows(decoded: list, start_seq: int) -> list:
-            from datetime import datetime, timezone
+            from datetime import datetime, timedelta, timezone
 
             from pyspark.sql import Row
 
+            epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
             rows = []
             for i, (source, tn, line, partial, pm) in enumerate(decoded):
                 if not line.endswith("\n"):
                     line += "\n"  # S2 canonicalization
-                ts = datetime.fromtimestamp((tn // 1000) / 1e6,
-                                            tz=timezone.utc)
+                # integer-micros arithmetic: float seconds can round a
+                # µs off the table's exact timestamp_micros, breaking
+                # row parity with the ingest path
+                ts = epoch + timedelta(microseconds=tn // 1000)
                 rows.append(Row(
                     seq=start_seq + i, ts_nanos=tn, ts=ts,
                     source=source, line=line, partial=partial,
@@ -486,20 +491,42 @@ class Engine:
                 lf = ING._norm_path(
                     head.get("last_file", {}).get(container_id, ""))
                 if lf > last_name:
+                    # ONE consistent snapshot feeds rows AND markers:
+                    # taking last_name from the (older) head while the
+                    # rows come from a fresher manifest would re-decode
+                    # files the manifest already covered — duplicate
+                    # rows, then over-advanced seqs dropping real ones
+                    snap2 = self.table.manifest()
                     rows = R.read_logs(
-                        self.table.read_df(self.spark,
-                                           self.table.manifest()),
+                        self.table.read_df(self.spark, snap2),
                         container_id=container_id,
                         cursor=cursor + 1).collect()
                     if rows:
                         yield rows
-                        cursor = rows[-1]["seq"]
                         emitted = True
-                    last_name = lf
+                    cursor = max(cursor, int(
+                        snap2.get("high_water", {})
+                        .get(container_id, 0)))
+                    last_name = max(last_name, ING._norm_path(
+                        snap2.get("last_file", {})
+                        .get(container_id, "")))
                 fresh = sorted(
                     p for p in _glob.glob(f"{spool}/*.plog")
                     + _glob.glob(f"{spool}/*.jsonl")
                     if p > last_name)
+                if fresh:
+                    # a commit landing between the head read and this
+                    # listing may have consumed (deleted) an EARLIER
+                    # file the listing never saw — assigning local
+                    # seqs now would hand that file's seq range to a
+                    # later file. Deletion only follows the commit, so
+                    # an unchanged committed watermark proves the
+                    # listing complete; otherwise resync first.
+                    lf2 = ING._norm_path(
+                        self.table.head()
+                        .get("last_file", {}).get(container_id, ""))
+                    if lf2 > last_name:
+                        continue
                 for p in fresh:
                     decoded = _decode_file(p)
                     if decoded is None:

@@ -756,11 +756,13 @@ def ivf_topk(
                                 vec_col=vec_col)
 
     # literal/streaming corpus (unit tests): fit + assign inline, the
-    # same deterministic integral geometry as the persisted build
+    # same deterministic integral geometry as the persisted build.
+    # The int8 `code` column is projected away below, so constant
+    # scales skip _compute_sq_scales' full-corpus aggregation job —
+    # the probe math touches only nid/nv/__cluster
     centers = _fit_centers(corpus_df, n_clusters, id_col, vec_col)
     assigned = _frozen_assign_encode(
-        corpus_df, centers,
-        _compute_sq_scales(corpus_df, SQ_DIM, vec_col),
+        corpus_df, centers, [1.0] * SQ_DIM,
         id_col, vec_col).select("nid", "nv", "__cluster")
     centers_df = spark.createDataFrame(
         [(i, [int(x) for x in c]) for i, c in enumerate(centers)],

@@ -18,6 +18,28 @@ from pyspark.sql import functions as F
 
 WIRE_SCHEMA = "container_id string, seq long, frame binary"
 
+
+def entry_of(source, time_nano, line, partial, meta):
+    """One row's LogEntry under the engine's coercion rules — the ONE
+    copy of the row→wire contract, shared by the distributed encoder
+    below and the server's driver-side follow encoder (a second copy
+    would silently drift when the wire contract changes)."""
+    from logsqlite_spark.sources.frames import LogEntry, PartialMeta
+
+    pm = None
+    # a pandas NULL struct arrives as NaN (float); a Spark Row or a
+    # plain dict both expose the same keys
+    if meta is not None and not isinstance(meta, float):
+        m = meta.asDict() if hasattr(meta, "asDict") else dict(meta)
+        pm = PartialMeta(last=bool(m.get("last") or False),
+                         id=m.get("id") or "",
+                         ordinal=int(m.get("ordinal") or 0))
+    return LogEntry(source=source or "",
+                    time_nano=int(time_nano or 0),
+                    line=(line or "").encode("utf-8"),
+                    partial=bool(partial or False),
+                    partial_meta=pm)
+
 def to_wire_frames(logs: DataFrame) -> DataFrame:
     """logs rows -> (container_id, seq, frame): the exact on-wire bytes
     the reference would store and serve for each row."""
@@ -25,35 +47,16 @@ def to_wire_frames(logs: DataFrame) -> DataFrame:
     def encode_batches(batches: Iterator) -> Iterator:
         import pandas as pd
 
-        from logsqlite_spark.sources.frames import (
-            LogEntry, PartialMeta, encode_frame,
-        )
+        from logsqlite_spark.sources.frames import encode_frame
 
         for pdf in batches:
-            frames = []
-            for src, line, partial, meta, tn in zip(
-                pdf["source"], pdf["line"], pdf["partial"],
-                pdf["partial_meta"], pdf["ts_nanos"],
-            ):
-                pm = None
-                if meta is not None and not isinstance(meta, float):
-                    meta = dict(meta)
-                    pm = PartialMeta(
-                        last=bool(meta.get("last") or False),
-                        id=meta.get("id") or "",
-                        ordinal=int(meta.get("ordinal") or 0),
-                    )
-                frames.append(
-                    encode_frame(
-                        LogEntry(
-                            source=src or "",
-                            time_nano=int(tn),
-                            line=(line or "").encode("utf-8"),
-                            partial=bool(partial),
-                            partial_meta=pm,
-                        )
-                    )
+            frames = [
+                encode_frame(entry_of(src, tn, line, partial, meta))
+                for src, line, partial, meta, tn in zip(
+                    pdf["source"], pdf["line"], pdf["partial"],
+                    pdf["partial_meta"], pdf["ts_nanos"],
                 )
+            ]
             yield pd.DataFrame(
                 {
                     "container_id": pdf["container_id"],

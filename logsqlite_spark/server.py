@@ -147,38 +147,36 @@ class _Handler(BaseHTTPRequestHandler):
 
         if follow:
             stop = getattr(self.server, "stopping", None)
-            from logsqlite_spark.sources.frames import (
-                LogEntry,
-                PartialMeta,
-                encode_frame,
-            )
+            from logsqlite_spark.operators.wire import entry_of
+            from logsqlite_spark.sources.frames import encode_frame
 
             def frame_of(row) -> bytes:
                 """The exact on-wire frame for one row, encoded on the
-                DRIVER (same codec to_wire_frames runs distributed) —
-                a follow batch is stream-sized, so a Spark job per
-                poll would only add latency."""
+                DRIVER (same entry_of contract to_wire_frames runs
+                distributed) — a follow batch is stream-sized, so a
+                Spark job per poll would only add latency."""
                 d = row.asDict() if hasattr(row, "asDict") else dict(row)
-                meta = d.get("partial_meta")
-                pm = None
-                if meta is not None:
-                    m = meta.asDict() if hasattr(meta, "asDict") \
-                        else dict(meta)
-                    pm = PartialMeta(last=bool(m.get("last") or False),
-                                     id=m.get("id") or "",
-                                     ordinal=int(m.get("ordinal") or 0))
-                return encode_frame(LogEntry(
-                    source=d.get("source") or "",
-                    time_nano=int(d.get("ts_nanos") or 0),
-                    line=(d.get("line") or "").encode("utf-8"),
-                    partial=bool(d.get("partial")),
-                    partial_meta=pm))
+                return encode_frame(entry_of(
+                    d.get("source"), d.get("ts_nanos"), d.get("line"),
+                    d.get("partial"), d.get("partial_meta")))
 
             # round 13: follow via the driver spool tail — visibility
             # bounded by the 50 ms tail poll (reference design point:
-            # 1 s poll, logger.rs:287-288), no Spark job per batch
+            # 1 s poll, logger.rs:287-288), no Spark job per batch.
+            # Idle budget matches the Spark follow path's wall-clock
+            # window (FOLLOW_COUNTER_MAX × 1 s), not the default 1200
+            # tail polls (60 s) — a quiet container must not have its
+            # follow stream cut 60× sooner than before.
+            from logsqlite_spark.streaming.follow import (
+                FOLLOW_COUNTER_MAX, FOLLOW_WAKETIME_S)
+
+            tail_poll_s = 0.05
+            idle_polls = int(FOLLOW_COUNTER_MAX * FOLLOW_WAKETIME_S
+                             / tail_poll_s)
             for rows in eng.follow_tail(
                     cid, since=since, tail=tail,
+                    poll_interval_s=tail_poll_s,
+                    max_idle_polls=idle_polls,
                     stop=(lambda: stop.is_set()) if stop else None):
                 for r in rows:
                     send(frame_of(r))

@@ -110,12 +110,18 @@ def _obs_or_agg(obs, df: DataFrame, aggs: list) -> dict:
 def _norm_path(p: str) -> str:
     """Plain filesystem form of a spool path — pre-round-13 manifests
     stored the watermark in whatever URI spelling the source produced
-    (binaryFile ``file:/x``, input_file_name ``file:///x``); the
-    decode now emits plain paths, so stored watermarks normalize on
-    read and the string compare stays consistent across upgrades."""
+    (binaryFile ``file:/x``, input_file_name ``file:///x``, both
+    percent-encoded); the decode now emits plain paths, so stored
+    watermarks normalize on read and the string compare stays
+    consistent across upgrades.  Percent-decoding applies ONLY to the
+    legacy URI spellings — a plain path may legitimately contain a
+    literal ``%``."""
     import re
+    import urllib.parse
 
-    return re.sub(r"^file:/+", "/", p)
+    if re.match(r"^file:/+", p):
+        return urllib.parse.unquote(re.sub(r"^file:/+", "/", p))
+    return p
 
 
 def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
@@ -463,9 +469,13 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
             .parquet(str(Path(state_dir) / "decode_errors"))
         )
     new_files = table.adopt_staged(staging)
+    from logsqlite_spark.table import unescape_partition_value
+
     increments: dict[str, int] = {}
     for f in new_files:
-        cid = f.split("/", 1)[0].split("=", 1)[1]
+        # staged dirs carry Spark's Hive-escaped cid (':' -> %3A …);
+        # watermark keys must be the RAW cid assign_seq looks up
+        cid = unescape_partition_value(f.split("/", 1)[0].split("=", 1)[1])
         n = _parquet_num_rows(str(table.dir / f))
         increments[cid] = increments.get(cid, 0) + n
     increments = {c: n for c, n in increments.items() if n}

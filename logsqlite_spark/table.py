@@ -92,6 +92,39 @@ _CHUNK_TARGET = 10_000
 _CHUNK_CACHE: dict[str, list[str]] = {}
 _CHUNK_CACHE_MAX = 512
 
+# Spark writes partition dirs through Hive's escapePathName (see
+# org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils): ASCII
+# 01-1F, the chars below, and DEL become %XX (uppercase hex). Any
+# code that BUILDS a `container_id=<cid>` dir string or PARSES a cid
+# back out of one must round-trip through these two helpers, or a cid
+# containing ':'/'%'/'=' etc. silently keys watermarks under a name
+# assign_seq will never look up.
+_ESCAPE_CHARS = frozenset(
+    [chr(c) for c in range(1, 0x20)] + list('"#%\'*/:=?\\{[]^')
+    + ["\x7f"])
+
+
+def escape_partition_value(v: str) -> str:
+    return "".join(f"%{ord(c):02X}" if c in _ESCAPE_CHARS else c
+                   for c in v)
+
+
+def unescape_partition_value(v: str) -> str:
+    """Hive unescapePathName: decode every %XX hex pair."""
+    out, i, n = [], 0, len(v)
+    while i < n:
+        c = v[i]
+        if c == "%" and i + 3 <= n:
+            try:
+                out.append(chr(int(v[i + 1:i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
 
 class CommitConflict(RuntimeError):
     """change_fn declined the commit (e.g. replayed batch id)."""
@@ -643,8 +676,8 @@ class ManifestTable:
         next :meth:`gc`.  Chunk-pruned like :meth:`commit_replace`:
         chunks whose dir summary has no dir under the container's
         partition prefix pass through by name."""
-        prefix = f"container_id={container_id}/"
-        bare = f"container_id={container_id}"
+        prefix = f"container_id={escape_partition_value(container_id)}/"
+        bare = f"container_id={escape_partition_value(container_id)}"
 
         def in_container(f: str) -> bool:
             return f.startswith(prefix)

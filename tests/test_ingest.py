@@ -401,3 +401,41 @@ def test_multiplexed_ingest_128_containers_skewed(spark, warehouse):
     assert sorted(r["seq"] for r in kept.select("seq").collect()) == \
         [hot + cold - 2, hot + cold - 1, hot + cold]
     assert live.filter("container_id = 'c001'").count() == 2 * cold
+
+
+def test_escaped_container_id_seq_and_watermark(spark, warehouse):
+    """A container id containing Hive-escaped chars (':' -> %3A in
+    the partition dir) must key watermarks under the RAW id: two
+    consecutive pulls assign contiguous seqs, and the second pull
+    must not re-ingest the first pull's (consumed=False) files."""
+    cid = "web:frontend=a"  # ':' and '=' both in Spark's escape set
+    w = SpoolWriter(warehouse.spool_dir, cid)
+    w.write_burst(_entries(BASE_TS, 3))
+    res1 = ingest_spool_once(spark, warehouse.spool_dir,
+                             warehouse.logs_dir, warehouse.state_dir,
+                             consume=False)
+    assert res1["rows"] == 3
+    assert res1["high_water"].get(cid) == 3, res1["high_water"]
+
+    w.write_burst(_entries(BASE_TS + 10**10, 2))
+    res2 = ingest_spool_once(spark, warehouse.spool_dir,
+                             warehouse.logs_dir, warehouse.state_dir,
+                             consume=False)
+    assert res2["rows"] == 2  # the first file is stale, not re-read
+    assert res2["high_water"].get(cid) == 5
+
+    logs = spark.read.parquet(warehouse.logs_dir) \
+        .filter(F.col("container_id") == cid).orderBy("seq").collect()
+    assert [r["seq"] for r in logs] == [1, 2, 3, 4, 5]
+
+
+def test_partition_value_escape_roundtrip():
+    from logsqlite_spark.table import (
+        escape_partition_value, unescape_partition_value)
+
+    for raw in ("plain", "web:1", "a=b", "p%q", "x/y", "tab\tchar",
+                "pct%3Aliteral", "brack[]{}^", "quote'\"#"):
+        esc = escape_partition_value(raw)
+        assert unescape_partition_value(esc) == raw
+        # escaped form is filesystem-safe: no separator, no '='
+        assert "/" not in esc and "=" not in esc or raw == "plain"
