@@ -404,3 +404,51 @@ def test_follow_tail_decode_error_prefix_parity(engine):
     table = sorted((r["seq"], r["line"])
                    for r in engine.read_logs("cx").collect())
     assert table == [(1, "keep\n"), (2, "l0\n")]
+
+
+def test_follow_tail_commit_between_head_and_manifest_no_duplicates(engine):
+    """The resync must take rows AND file markers from ONE manifest
+    snapshot: a commit landing between the tail's head read and its
+    manifest read (spool file left on disk, consume=False) was
+    previously emitted twice — once from the manifest rows, then
+    re-decoded off the spool with shifted seqs, over-advancing the
+    cursor so later committed rows would be dropped."""
+    import logsqlite_spark.streaming.ingest as ING
+
+    engine.start_logging("cz", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cz", 2)          # 1,2
+    engine.ingest_once()
+
+    it = engine.follow_tail("cz", poll_interval_s=0.02,
+                            max_idle_polls=4)
+    assert [r["seq"] for r in next(it)] == [1, 2]
+
+    # commit G lands before the next head read...
+    _burst(engine.config.spool_dir, "cz", 1, ts=BASE_TS + 10**11)  # 3
+    engine.ingest_once()
+
+    # ...and commit H (file left ON DISK) lands in the window between
+    # the head read and the manifest read — injected one-shot
+    orig_head = engine.table.head
+    fired = {"v": False}
+
+    def racing_head():
+        h = orig_head()
+        if not fired["v"]:
+            fired["v"] = True
+            _burst(engine.config.spool_dir, "cz", 2,
+                   ts=BASE_TS + 2 * 10**11)            # 4,5
+            ING.ingest_spool_once(
+                engine.spark, engine.config.spool_dir,
+                engine.config.logs_dir, engine.config.state_dir,
+                "cz", consume=False)
+        return h
+
+    engine.table.head = racing_head
+    try:
+        out = [r for rows in it for r in rows]
+    finally:
+        engine.table.head = orig_head
+    assert [r["seq"] for r in out] == [3, 4, 5], \
+        [r["seq"] for r in out]
+    assert [r["line"] for r in out[-2:]] == ["l0\n", "l1\n"]
