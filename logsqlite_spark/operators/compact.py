@@ -28,7 +28,8 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from logsqlite_spark.table import ManifestTable
+from logsqlite_spark.table import (ManifestTable, escape_partition_value,
+                                   unescape_partition_value)
 
 
 def compact_container(
@@ -41,7 +42,7 @@ def compact_container(
     """Compact every date partition of one container that needs it."""
     table = ManifestTable(logs_dir)
     manifest = table.import_existing()
-    prefix = f"container_id={container_id}/"
+    prefix = f"container_id={escape_partition_value(container_id)}/"
     by_date: dict[str, list[str]] = {}
     for f in manifest["files"]:
         if f.startswith(prefix):
@@ -80,7 +81,8 @@ def compact_container(
 def compact_all(spark: SparkSession, logs_dir: str, **kw) -> dict:
     table = ManifestTable(logs_dir)
     manifest = table.import_existing()
-    containers = sorted({f.split("/", 1)[0].split("=", 1)[1]
-                         for f in manifest["files"]})
+    containers = sorted({
+        unescape_partition_value(f.split("/", 1)[0].split("=", 1)[1])
+        for f in manifest["files"]})
     return {c: compact_container(spark, logs_dir, c, **kw)
             for c in containers}

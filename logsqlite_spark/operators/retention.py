@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.config import LogConfig
-from logsqlite_spark.table import ManifestTable
+from logsqlite_spark.table import (ManifestTable, escape_partition_value,
+                                   unescape_partition_value)
 
 def retention_survivors(
     logs: DataFrame,
@@ -101,7 +102,7 @@ def apply_retention(
 
     table = ManifestTable(logs_dir)
     manifest = table.import_existing()
-    prefix = f"container_id={container_id}/"
+    prefix = f"container_id={escape_partition_value(container_id)}/"
     by_date: dict[str, list[str]] = {}
     for f in manifest["files"]:
         if f.startswith(prefix):
@@ -213,7 +214,8 @@ def drop_container(logs_dir: str, container_id: str) -> bool:
     if table.exists() or Path(logs_dir).exists():
         table.import_existing()
         dropped = table.drop_container(container_id)
-    root = Path(logs_dir) / f"container_id={container_id}"
+    root = (Path(logs_dir)
+            / f"container_id={escape_partition_value(container_id)}")
     if root.exists():
         shutil.rmtree(root)
         return True
@@ -246,7 +248,6 @@ def erase_matching(
     At 100 TB the cost is: one stats-assisted scan + a rewrite of only
     the partitions that actually contain the subject's rows.
     """
-    from urllib.parse import unquote
 
     table = ManifestTable(logs_dir)
     manifest = table.import_existing()
@@ -256,8 +257,8 @@ def erase_matching(
         # partition-dir values are URI-escaped by Spark (a container id
         # "a:b" lives under container_id=a%3Ab); unescape so the keys
         # match the DataFrame values the counting pass groups by
-        c = unquote(parts[0].split("=", 1)[1])
-        d = unquote(parts[1].split("=", 1)[1])
+        c = unescape_partition_value(parts[0].split("=", 1)[1])
+        d = unescape_partition_value(parts[1].split("=", 1)[1])
         if container_id is not None and c != container_id:
             continue
         by_part.setdefault((c, d), []).append(f)

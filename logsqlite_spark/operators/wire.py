@@ -16,6 +16,8 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from logsqlite_spark.sources.frames import LogEntry, PartialMeta
+
 WIRE_SCHEMA = "container_id string, seq long, frame binary"
 
 
@@ -23,9 +25,9 @@ def entry_of(source, time_nano, line, partial, meta):
     """One row's LogEntry under the engine's coercion rules — the ONE
     copy of the row→wire contract, shared by the distributed encoder
     below and the server's driver-side follow encoder (a second copy
-    would silently drift when the wire contract changes)."""
-    from logsqlite_spark.sources.frames import LogEntry, PartialMeta
-
+    would silently drift when the wire contract changes).  Called
+    per-row on the executor hot path: the frames import is module-
+    level, not in-function."""
     pm = None
     # a pandas NULL struct arrives as NaN (float); a Spark Row or a
     # plain dict both expose the same keys

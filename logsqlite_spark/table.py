@@ -109,18 +109,21 @@ def escape_partition_value(v: str) -> str:
                    for c in v)
 
 
+_HEX = frozenset("0123456789abcdefABCDEF")
+
+
 def unescape_partition_value(v: str) -> str:
-    """Hive unescapePathName: decode every %XX hex pair."""
+    """Hive unescapePathName: decode %XX for exactly two hex digits —
+    int()'s tolerance for sign/whitespace ('%+a', '% 1') must NOT
+    decode; Hive leaves such sequences literal."""
     out, i, n = [], 0, len(v)
     while i < n:
         c = v[i]
-        if c == "%" and i + 3 <= n:
-            try:
-                out.append(chr(int(v[i + 1:i + 3], 16)))
-                i += 3
-                continue
-            except ValueError:
-                pass
+        if (c == "%" and i + 3 <= n
+                and v[i + 1] in _HEX and v[i + 2] in _HEX):
+            out.append(chr(int(v[i + 1:i + 3], 16)))
+            i += 3
+            continue
         out.append(c)
         i += 1
     return "".join(out)

@@ -438,4 +438,37 @@ def test_partition_value_escape_roundtrip():
         esc = escape_partition_value(raw)
         assert unescape_partition_value(esc) == raw
         # escaped form is filesystem-safe: no separator, no '='
-        assert "/" not in esc and "=" not in esc or raw == "plain"
+        assert "/" not in esc and "=" not in esc
+    # strict hex: int()'s sign/whitespace tolerance must not decode
+    assert unescape_partition_value("a%+ab") == "a%+ab"
+    assert unescape_partition_value("a% 1b") == "a% 1b"
+
+
+def test_escaped_container_id_retention_compact_drop(spark, warehouse):
+    """Retention, compaction, and drop must actually OPERATE on an
+    escaped-cid container (review: their partition prefixes were
+    still built from the raw id, silently no-opping for ':'-ids)."""
+    from pathlib import Path
+
+    from logsqlite_spark.config import LogConfig
+    from logsqlite_spark.operators.compact import compact_container
+    from logsqlite_spark.operators.retention import (
+        apply_retention, drop_container)
+
+    cid = "svc:worker"
+    for i in range(4):  # 4 pulls -> 4 data files in one partition
+        w = SpoolWriter(warehouse.spool_dir, cid)
+        w.write_burst(_entries(BASE_TS + i * 10**9, 1))
+        ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                          warehouse.state_dir)
+
+    out = compact_container(spark, warehouse.logs_dir, cid, min_files=4)
+    assert out["compacted_partitions"] == 1, out
+
+    conf = LogConfig(cleanup_age_s=None, cleanup_max_lines=2)
+    stats = apply_retention(spark, warehouse.logs_dir, cid, conf)
+    assert stats["deleted_rows"] == 2, stats
+
+    assert drop_container(warehouse.logs_dir, cid) is True
+    esc_dir = Path(warehouse.logs_dir) / "container_id=svc%3Aworker"
+    assert not esc_dir.exists()
