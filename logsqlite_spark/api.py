@@ -390,6 +390,18 @@ class Engine:
                 blob = open(path, "rb").read()
             except OSError:
                 return None
+            if path.endswith(".gz"):
+                import gzip
+                import zlib
+
+                try:
+                    blob = gzip.decompress(blob)
+                except (OSError, EOFError, zlib.error):
+                    # corrupt gzip: no decodable frames; parity with
+                    # the ingest path's decode-error quarantine (the
+                    # error row is never seq'd either way)
+                    blob = b""
+                path = path[:-3]
             out = []
             if path.endswith(".jsonl"):
                 import json as _json
@@ -511,8 +523,8 @@ class Engine:
                         snap2.get("last_file", {})
                         .get(container_id, "")))
                 fresh = sorted(
-                    p for p in _glob.glob(f"{spool}/*.plog")
-                    + _glob.glob(f"{spool}/*.jsonl")
+                    p for p in _glob.glob(f"{spool}/*.plog*")
+                    + _glob.glob(f"{spool}/*.jsonl*")
                     if p > last_name)
                 if fresh:
                     # a commit landing between the head read and this

@@ -43,16 +43,23 @@ class JsonlSpoolWriter:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._counter = 0
 
-    def write_burst(self, records: Iterable[dict]) -> str:
+    def write_burst(self, records: Iterable[dict],
+                    compress: bool = False) -> str:
         lines = []
         for i, rec in enumerate(records):
             rec = dict(rec)
             rec.setdefault("n", i)
             lines.append(json.dumps(rec))
+        blob = ("\n".join(lines) + "\n").encode("utf-8")
+        if compress:
+            import gzip
+
+            blob = gzip.compress(blob)
         stem = f"{time.time_ns():020d}-{self._counter:06d}"
-        name = self.dir / f"{stem}.jsonl"
-        tmp = self.dir / f".{stem}.jsonl.tmp"
-        tmp.write_text("\n".join(lines) + "\n")
+        ext = "jsonl.gz" if compress else "jsonl"
+        name = self.dir / f"{stem}.{ext}"
+        tmp = self.dir / f".{stem}.{ext}.tmp"
+        tmp.write_bytes(blob)
         os.rename(tmp, name)
         self._counter += 1
         return str(name)
@@ -64,7 +71,9 @@ def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
     yields (path, container_id, ..., frame_no) — fully JVM-side.
     ``paths``: exact file list from a driver-side listing (skips a
     second Spark directory listing and pins the read set)."""
-    src = paths or f"{spool_dir}/{container_id or '*'}/*.jsonl"
+    # *.jsonl* also matches .jsonl.gz — Spark's json reader gunzips
+    # by file extension natively, so the JVM path stays codec-free
+    src = paths or f"{spool_dir}/{container_id or '*'}/*.jsonl*"
     raw = (
         spark.read.schema(JSONL_SCHEMA)
         .option("mode", "PERMISSIVE")
@@ -79,7 +88,7 @@ def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
                             container_id: str | None = None) -> DataFrame:
     reader = (
         spark.readStream.schema(JSONL_SCHEMA)
-        .option("pathGlobFilter", "*.jsonl")
+        .option("pathGlobFilter", "*.jsonl*")
         .option("maxFileAge", "3650d")
         .option("cleanSource", "delete")
         .option("mode", "PERMISSIVE")

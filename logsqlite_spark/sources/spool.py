@@ -74,22 +74,51 @@ class SpoolWriter:
         self.dir.mkdir(parents=True, exist_ok=True)
         self._counter = 0
 
-    def write_burst(self, entries: Iterable[fr.LogEntry]) -> str:
+    def write_burst(self, entries: Iterable[fr.LogEntry],
+                    compress: bool = False) -> str:
         import time
 
         blob = b"".join(fr.encode_frame(e) for e in entries)
+        if compress:
+            # rotated-shipper output: whole-file gzip, decoded
+            # transparently by every read path (suffix-dispatched)
+            import gzip
+
+            blob = gzip.compress(blob)
         # Names must be monotonic for the container's whole lifetime —
         # even across writer restarts and after consumed files were
         # deleted (the ingest watermark is the last consumed *name*).
         # wall-clock ns + per-writer counter gives that without any
         # writer-side state file.
         stem = f"{time.time_ns():020d}-{self._counter:06d}"
-        name = self.dir / f"{stem}.plog"
-        tmp = self.dir / f".{stem}.plog.tmp"
+        ext = "plog.gz" if compress else "plog"
+        name = self.dir / f"{stem}.{ext}"
+        tmp = self.dir / f".{stem}.{ext}.tmp"
         tmp.write_bytes(blob)
         os.rename(tmp, name)  # atomic publish: readers never see partials
         self._counter += 1
         return str(name)
+
+
+_BAD_GZIP_SENTINEL = b"\xff\xff\xff\xff"  # framing error -> ONE error row
+
+
+def _gunzip_buf(path: str, buf: bytes) -> bytes:
+    """Transparent per-file gunzip for ``.gz`` spool files.  A corrupt
+    or truncated gzip stream substitutes a bad length prefix so the
+    frame walk surfaces it as a decode-error row (the quarantine
+    policy) instead of silently dropping the file."""
+    if not path.endswith(".gz"):
+        return buf
+    import gzip
+    import zlib
+
+    try:
+        return gzip.decompress(buf)
+    except (OSError, EOFError, zlib.error):
+        # BadGzipFile is OSError; truncated streams raise EOFError;
+        # corrupt deflate payloads raise zlib.error
+        return _BAD_GZIP_SENTINEL
 
 
 def _decode_arrow(batches: Iterator) -> Iterator:
@@ -97,19 +126,21 @@ def _decode_arrow(batches: Iterator) -> Iterator:
     for batch in batches:
         paths = batch.column("path").to_pylist()
         contents = batch.column("content")
-        # chunk by cumulative size so Arrow int32 offsets can't overflow
+        bufs = [_gunzip_buf(p, contents[i].as_py())
+                for i, p in enumerate(paths)]
+        # chunk by cumulative DECOMPRESSED size so Arrow int32 offsets
+        # can't overflow
         start, acc = 0, 0
         for i in range(len(paths) + 1):
             at_end = i == len(paths)
-            sz = 0 if at_end else len(contents[i].as_buffer())
+            sz = 0 if at_end else len(bufs[i])
             if i > start and (at_end or acc + sz > _MAX_DECODE_CHUNK_BYTES):
-                bufs = [contents[j].as_py() for j in range(start, i)]
-                yield from vdecode.decode_files(paths[start:i], bufs)
+                yield from vdecode.decode_files(paths[start:i],
+                                                bufs[start:i])
                 start, acc = i, 0
             acc += sz
         if start < len(paths):
-            bufs = [contents[j].as_py() for j in range(start, len(paths))]
-            yield from vdecode.decode_files(paths[start:], bufs)
+            yield from vdecode.decode_files(paths[start:], bufs[start:])
 
 
 def _finish_decoded(raw: DataFrame) -> DataFrame:
@@ -155,7 +186,7 @@ def _split_frames_arrow(batches: Iterator) -> Iterator:
         paths = batch.column("path").to_pylist()
         rows = {"path": [], "frame": [], "frame_no": [], "err": []}
         for i, scalar in enumerate(batch.column("content")):
-            buf = scalar.as_py()
+            buf = _gunzip_buf(paths[i], scalar.as_py())
             pos, n, k = 0, len(buf), 0
             while pos < n:
                 if pos + 4 > n:
@@ -256,10 +287,12 @@ def read_spool_batch(spark: SparkSession, spool_dir: str,
     """Batch decode of every spool file currently present.
     ``paths``: exact file list from a driver-side listing (skips a
     second Spark directory listing and pins the read set)."""
-    src = paths or [f"{spool_dir}/{container_id or '*'}/*.plog"]
+    # *.plog* matches both plain and .plog.gz (rotated shippers);
+    # in-flight tmp files are dot-prefixed, which binaryFile skips
+    src = paths or [f"{spool_dir}/{container_id or '*'}/*.plog*"]
     raw = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.plog")
+        .option("pathGlobFilter", "*.plog*")
         .load(src)
         .select("path", "content")
     )
@@ -283,7 +316,7 @@ def read_spool_stream(spark: SparkSession, spool_dir: str,
     reader = (
         spark.readStream.format("binaryFile")
         .schema(BINARY_FILE_SCHEMA)
-        .option("pathGlobFilter", "*.plog")
+        .option("pathGlobFilter", "*.plog*")
         .option("latestFirst", "false")
         .option("maxFileAge", "3650d")
         # FIFO semantics: a consumed burst disappears. Also keeps

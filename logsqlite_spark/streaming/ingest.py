@@ -538,7 +538,9 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
     import glob as _glob
 
     ext = "jsonl" if fmt == "jsonl" else "plog"
-    files = sorted(_glob.glob(f"{spool_dir}/{container_id or '*'}/*.{ext}"))
+    # *.{ext}* also lists rotated-shipper .gz files; in-flight tmp
+    # files are dot-prefixed and never match
+    files = sorted(_glob.glob(f"{spool_dir}/{container_id or '*'}/*.{ext}*"))
     if not files:
         return {"rows": 0}
     # many-container pulls: stat the explicit path list on the DRIVER

@@ -472,3 +472,48 @@ def test_escaped_container_id_retention_compact_drop(spark, warehouse):
     assert drop_container(warehouse.logs_dir, cid) is True
     esc_dir = Path(warehouse.logs_dir) / "container_id=svc%3Aworker"
     assert not esc_dir.exists()
+
+
+def test_gzip_spool_files_ingest_with_contiguous_seq(spark, warehouse):
+    """Rotated-shipper gzip spool files (.plog.gz) decode transparently
+    and interleave with plain files under one contiguous seq stream."""
+    w = SpoolWriter(warehouse.spool_dir, "cg")
+    w.write_burst(_entries(BASE_TS, 2))
+    w.write_burst(_entries(BASE_TS + 10**10, 3), compress=True)
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir)
+    assert res["rows"] == 5 and res["decode_errors"] == 0
+    logs = spark.read.parquet(warehouse.logs_dir) \
+        .filter("container_id = 'cg'").orderBy("seq").collect()
+    assert [r["seq"] for r in logs] == [1, 2, 3, 4, 5]
+    assert logs[2]["line"] == f"line-{BASE_TS + 10**10}\n"
+
+
+def test_corrupt_gzip_spool_file_quarantined(spark, warehouse):
+    """A truncated/corrupt .gz file surfaces as ONE decode-error row
+    (quarantine policy), never a silent drop or a crash."""
+    from pathlib import Path
+
+    d = Path(warehouse.spool_dir) / "cbadgz"
+    d.mkdir(parents=True)
+    (d / "00000000000000000001-000000.plog.gz").write_bytes(
+        b"\x1f\x8b\x08\x00garbage-not-gzip")
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir)
+    assert res.get("rows", 0) == 0
+    assert res["decode_errors"] == 1
+
+
+def test_gzip_jsonl_spool_ingest(spark, warehouse):
+    """.jsonl.gz decodes via Spark's native json codec path."""
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+
+    w = JsonlSpoolWriter(warehouse.spool_dir, "cj")
+    w.write_burst([{"source": "stdout", "time_nano": BASE_TS + i,
+                    "line": f"j{i}"} for i in range(3)], compress=True)
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir, fmt="jsonl")
+    assert res["rows"] == 3
+    logs = spark.read.parquet(warehouse.logs_dir) \
+        .filter("container_id = 'cj'").orderBy("seq").collect()
+    assert [r["line"] for r in logs] == ["j0\n", "j1\n", "j2\n"]

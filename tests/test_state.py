@@ -452,3 +452,31 @@ def test_follow_tail_commit_between_head_and_manifest_no_duplicates(engine):
     assert [r["seq"] for r in out] == [3, 4, 5], \
         [r["seq"] for r in out]
     assert [r["line"] for r in out[-2:]] == ["l0\n", "l1\n"]
+
+
+def test_follow_tail_decodes_gzip_spool(engine):
+    """A rotated-shipper .plog.gz spool file is decoded by the driver
+    tail with the same seqs ingest later commits."""
+    from logsqlite_spark.sources.frames import LogEntry
+
+    engine.start_logging("cgz", None, {"delete_when_stopped": "false"})
+    w = SpoolWriter(engine.config.spool_dir, "cgz")
+    w.write_burst([LogEntry(source="stdout", time_nano=BASE_TS,
+                            line=b"h0")])
+    engine.ingest_once()
+
+    it = engine.follow_tail("cgz", poll_interval_s=0.02,
+                            max_idle_polls=4)
+    assert [r["seq"] for r in next(it)] == [1]
+    w.write_burst([LogEntry(source="stdout",
+                            time_nano=BASE_TS + 10**11 + i,
+                            line=f"z{i}".encode()) for i in range(2)],
+                  compress=True)
+    live = next(it)
+    assert [r["seq"] for r in live] == [2, 3]
+    assert [r["line"] for r in live] == ["z0\n", "z1\n"]
+    engine.ingest_once()
+    table = {r["seq"]: r["line"]
+             for r in engine.read_logs("cgz").collect()}
+    for r in live:
+        assert table[r["seq"]] == r["line"]
