@@ -126,21 +126,32 @@ def _decode_arrow(batches: Iterator) -> Iterator:
     for batch in batches:
         paths = batch.column("path").to_pylist()
         contents = batch.column("content")
-        bufs = [_gunzip_buf(p, contents[i].as_py())
-                for i, p in enumerate(paths)]
-        # chunk by cumulative DECOMPRESSED size so Arrow int32 offsets
-        # can't overflow
+        # .gz files gunzip eagerly (their chunk accounting needs the
+        # DECOMPRESSED size); plain files stay lazy so only one chunk
+        # of python-bytes copies is alive at a time — the memory
+        # guard the chunking exists for
+        gz = {i: _gunzip_buf(p, contents[i].as_py())
+              for i, p in enumerate(paths) if p.endswith(".gz")}
+
+        def _size(i: int) -> int:
+            return len(gz[i]) if i in gz else len(contents[i].as_buffer())
+
+        def _bufs(lo: int, hi: int) -> list[bytes]:
+            return [gz[j] if j in gz else contents[j].as_py()
+                    for j in range(lo, hi)]
+
         start, acc = 0, 0
         for i in range(len(paths) + 1):
             at_end = i == len(paths)
-            sz = 0 if at_end else len(bufs[i])
+            sz = 0 if at_end else _size(i)
             if i > start and (at_end or acc + sz > _MAX_DECODE_CHUNK_BYTES):
                 yield from vdecode.decode_files(paths[start:i],
-                                                bufs[start:i])
+                                                _bufs(start, i))
                 start, acc = i, 0
             acc += sz
         if start < len(paths):
-            yield from vdecode.decode_files(paths[start:], bufs[start:])
+            yield from vdecode.decode_files(paths[start:],
+                                            _bufs(start, len(paths)))
 
 
 def _finish_decoded(raw: DataFrame) -> DataFrame:
