@@ -207,48 +207,13 @@ def main() -> None:
 
     # ingest throughput: spool -> decode -> seq -> partitioned
     # parquet (the reference's headline capability; it logs lines/s
-    # per tx). Fresh warehouse per rep.
-    n_lines, n_containers, burst = 100_000, 8, 5_000
-    base_ts = 1_704_067_200_000_000_000
-    per = n_lines // n_containers
-
-    def ingest_once(fmt: str) -> tuple[float, str]:
-        prefix = "bench-ingest-" if fmt == "plog" else "bench-jsonl-"
-        cfg = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix=prefix))
-        for ci in range(n_containers):
-            if fmt == "plog":
-                w = SpoolWriter(cfg.spool_dir, f"c{ci}")
-                for b0 in range(0, per, burst):
-                    w.write_burst(
-                        LogEntry(source="stdout",
-                                 time_nano=base_ts + (b0 + j) * 1_000_000,
-                                 line=b"level=info msg=request handled bytes=1234")
-                        for j in range(min(burst, per - b0))
-                    )
-            else:
-                w = JsonlSpoolWriter(cfg.spool_dir, f"c{ci}")
-                for b0 in range(0, per, burst):
-                    w.write_burst(
-                        {"source": "stdout",
-                         "time_nano": base_ts + (b0 + j) * 1_000_000,
-                         "line": "level=info msg=request handled bytes=1234"}
-                        for j in range(min(burst, per - b0))
-                    )
-        t0 = time.perf_counter()
-        res = ingest_spool_once(
-            spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir,
-            **({} if fmt == "plog" else {"fmt": "jsonl"}))
-        dt = time.perf_counter() - t0
-        assert res["rows"] == n_lines, res
-        return dt, f"{n_lines / dt:,.0f} lines/s"
-
-    # the spool write is setup, not engine work: ingest_once starts
-    # its timer only after the writer finishes, and each rep gets a
-    # fresh warehouse so reps stay independent
+    # per tx). Fresh warehouse per rep; the spool write is setup, not
+    # engine work — _ingest_bench_once starts its timer at the pull.
     for key, fmt in (("ingest_100k_lines", "plog"),
                      ("ingest_100k_jsonl", "jsonl")):
-        rep_times[key] = time_reps(key, lambda f=fmt: ingest_once(f),
-                                   warmup=False)
+        rep_times[key] = time_reps(
+            key, lambda f=fmt: _ingest_bench_once(spark, f),
+            warmup=False)
 
     # Ingest->follow-visible latency (VERDICT r11 #4): the reference's
     # raison d'être is `docker logs -f --since` responsiveness — a 1 s
@@ -557,6 +522,51 @@ def main() -> None:
                   if k.endswith("_growth_exp")},
     }))
 
+def _ingest_bench_once(spark, fmt: str) -> tuple[float, str]:
+    """One fresh-warehouse spool→parquet ingest rep — shared by the
+    main bench and the A/B block so both measure the identical
+    pipeline (spool write is setup; the timer starts at the pull)."""
+    import tempfile
+
+    from logsqlite_spark.config import EngineConfig
+    from logsqlite_spark.sources.frames import LogEntry
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+    from logsqlite_spark.sources.spool import SpoolWriter
+    from logsqlite_spark.streaming.ingest import ingest_spool_once
+
+    n_lines, n_containers, burst = 100_000, 8, 5_000
+    base_ts = 1_704_067_200_000_000_000
+    per = n_lines // n_containers
+    prefix = "bench-ingest-" if fmt == "plog" else "bench-jsonl-"
+    cfg = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix=prefix))
+    for ci in range(n_containers):
+        if fmt == "plog":
+            w = SpoolWriter(cfg.spool_dir, f"c{ci}")
+            for b0 in range(0, per, burst):
+                w.write_burst(
+                    LogEntry(source="stdout",
+                             time_nano=base_ts + (b0 + j) * 1_000_000,
+                             line=b"level=info msg=request handled bytes=1234")
+                    for j in range(min(burst, per - b0))
+                )
+        else:
+            w = JsonlSpoolWriter(cfg.spool_dir, f"c{ci}")
+            for b0 in range(0, per, burst):
+                w.write_burst(
+                    {"source": "stdout",
+                     "time_nano": base_ts + (b0 + j) * 1_000_000,
+                     "line": "level=info msg=request handled bytes=1234"}
+                    for j in range(min(burst, per - b0))
+                )
+    t0 = time.perf_counter()
+    res = ingest_spool_once(
+        spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir,
+        **({} if fmt == "plog" else {"fmt": "jsonl"}))
+    dt = time.perf_counter() - t0
+    assert res["rows"] == n_lines, res
+    return dt, f"{n_lines / dt:,.0f} lines/s"
+
+
 def block_once(query_filter: list[str] | None = None) -> None:
     """One interleaved-A/B BLOCK: a single warmed, timed rep of each
     headline query (+ the ingest entries), printed as one JSON line.
@@ -578,6 +588,13 @@ def block_once(query_filter: list[str] | None = None) -> None:
         t0 = time.perf_counter()
         fn(spark, sf_dir).collect()
         out[name] = round(time.perf_counter() - t0, 4)
+    for key, fmt in (("ingest_100k_lines", "plog"),
+                     ("ingest_100k_jsonl", "jsonl")):
+        if query_filter and key not in query_filter:
+            continue
+        _ingest_bench_once(spark, fmt)  # untimed warmup rep
+        dt, _ = _ingest_bench_once(spark, fmt)
+        out[key] = round(dt, 4)
     print("ABBLOCK " + json.dumps(out), flush=True)
 
 
