@@ -509,12 +509,23 @@ class Engine:
                     # files the manifest already covered — duplicate
                     # rows, then over-advanced seqs dropping real ones
                     snap2 = self.table.manifest()
-                    rows = R.read_logs(
+                    # chunked catch-up (same discipline as follow_iter
+                    # and the history emit above): a consumer stalled
+                    # for minutes resyncs over everything ingested
+                    # meanwhile — an unbounded collect() would hold
+                    # that whole backlog in one driver list
+                    catchup = R.read_logs(
                         self.table.read_df(self.spark, snap2),
-                        container_id=container_id,
-                        cursor=cursor + 1).collect()
-                    if rows:
-                        yield rows
+                        container_id=container_id, cursor=cursor + 1)
+                    rchunk = []
+                    for row in catchup.toLocalIterator():
+                        rchunk.append(row)
+                        if len(rchunk) >= FW.FOLLOW_EMIT_BATCH:
+                            yield rchunk
+                            emitted = True
+                            rchunk = []
+                    if rchunk:
+                        yield rchunk
                         emitted = True
                     cursor = max(cursor, int(
                         snap2.get("high_water", {})
@@ -538,6 +549,14 @@ class Engine:
                         self.table.head()
                         .get("last_file", {}).get(container_id, ""))
                     if lf2 > last_name:
+                        # back off before retrying: under a
+                        # continuously-committing ingest stream this
+                        # guard can trip on every poll — without the
+                        # sleep the loop spins through head reads, and
+                        # without the idle tick the max_idle_polls
+                        # budget is never charged for these iterations
+                        idle += 1
+                        _time.sleep(poll_interval_s)
                         continue
                 for p in fresh:
                     decoded = _decode_file(p)

@@ -64,41 +64,143 @@ class JsonlSpoolWriter:
         self._counter += 1
         return str(name)
 
+_GZ_SPLIT_DDL = "path string, raw string"
+
+
+def _split_jsonl_gz_arrow(batches):
+    """mapInArrow body for ``.jsonl.gz`` spool files: per-file gunzip
+    + line split (the JSON field decode stays JVM-side via
+    ``from_json``).  Spark's native json reader gunzips by extension
+    via the Hadoop codec, which THROWS on a corrupt/truncated stream
+    (ignoreCorruptFiles=false) — one bad rotated-shipper file would
+    fail the whole pull and be retried forever (the watermark never
+    advances past it).  Routing gz files through the same
+    ``_gunzip_buf`` quarantine policy as ``.plog.gz`` makes a corrupt
+    file yield ONE unparseable sentinel line instead: ``from_json``
+    marks it ``_corrupt`` and it flows into the decode-error
+    quarantine while the pull proceeds."""
+    import pyarrow as pa
+
+    from logsqlite_spark.sources.spool import _BAD_GZIP_SENTINEL, _gunzip_buf
+
+    schema = pa.schema([("path", pa.string()), ("raw", pa.string())])
+    for batch in batches:
+        contents = batch.column("content")
+        out_p: list[str] = []
+        out_r: list[str] = []
+        for i, p in enumerate(batch.column("path").to_pylist()):
+            buf = _gunzip_buf(p, contents[i].as_py())
+            if buf == _BAD_GZIP_SENTINEL:
+                out_p.append(p)
+                out_r.append("\x00 corrupt gzip stream")  # never valid JSON
+                continue
+            for ln in buf.decode("utf-8", "replace").split("\n"):
+                ln = ln.rstrip("\r")
+                if ln.strip():  # the native reader skips blank lines too
+                    out_p.append(p)
+                    out_r.append(ln)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(out_p, pa.string()), pa.array(out_r, pa.string())],
+            schema=schema)
+
+
+def _jsonl_gz_raw(binary_df: DataFrame) -> DataFrame:
+    """(path, content) of ``.jsonl.gz`` files -> the native json
+    reader's raw shape (so ``_to_entry_shape`` is shared)."""
+    rec = F.from_json(
+        "raw", JSONL_SCHEMA,
+        {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+    ).alias("rec")
+    split = binary_df.mapInArrow(_split_jsonl_gz_arrow, _GZ_SPLIT_DDL) \
+        .select("path", "raw", rec)
+    # from_json yields a NULL struct (not a populated _corrupt) on some
+    # unparseable inputs — coalesce so either form quarantines
+    corrupt = F.coalesce(
+        F.col("rec._corrupt"),
+        F.when(F.col("rec").isNull(), F.col("raw")))
+    return split.select(
+        F.col("rec.n").alias("n"),
+        F.col("rec.source").alias("source"),
+        F.col("rec.time_nano").alias("time_nano"),
+        F.col("rec.line").alias("line"),
+        F.col("rec.partial").alias("partial"),
+        F.col("rec.partial_meta").alias("partial_meta"),
+        corrupt.alias("_corrupt"),
+        "path",
+    )
+
+
 def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
                            container_id: str | None = None,
                            paths: list[str] | None = None) -> DataFrame:
     """Decode JSONL spool files to the same shape the protobuf decode
-    yields (path, container_id, ..., frame_no) — fully JVM-side.
+    yields (path, container_id, ..., frame_no).  Plain ``.jsonl``
+    files decode fully JVM-side; ``.jsonl.gz`` files gunzip through
+    the Arrow quarantine path (see ``_split_jsonl_gz_arrow`` — the
+    native codec turns one corrupt shipper file into a poison pill).
     ``paths``: exact file list from a driver-side listing (skips a
     second Spark directory listing and pins the read set)."""
-    # *.jsonl* also matches .jsonl.gz — Spark's json reader gunzips
-    # by file extension natively, so the JVM path stays codec-free
-    src = paths or f"{spool_dir}/{container_id or '*'}/*.jsonl*"
-    raw = (
-        spark.read.schema(JSONL_SCHEMA)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-        .json(src)
-        .withColumn("path", F.input_file_name())
-    )
+    if paths is None:
+        import glob as _glob
+
+        paths = sorted(
+            _glob.glob(f"{spool_dir}/{container_id or '*'}/*.jsonl*"))
+    plain = [p for p in paths if not p.endswith(".gz")]
+    gz = [p for p in paths if p.endswith(".gz")]
+    parts = []
+    if plain:
+        parts.append(
+            spark.read.schema(JSONL_SCHEMA)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt")
+            .json(plain)
+            .withColumn("path", F.input_file_name())
+        )
+    if gz:
+        parts.append(_jsonl_gz_raw(
+            spark.read.format("binaryFile").load(gz)
+            .select("path", "content")))
+    if not parts:
+        parts.append(spark.createDataFrame(
+            [], JSONL_SCHEMA + ", path string"))
+    raw = parts[0]
+    for extra in parts[1:]:
+        raw = raw.unionByName(extra)
     return _to_entry_shape(raw)
 
 def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
                             max_bytes_per_trigger: int | None = None,
                             container_id: str | None = None) -> DataFrame:
+    """Streaming decode: two file sources unioned — the native JVM
+    json reader for plain ``.jsonl`` (glob ``*.jsonl`` does NOT match
+    ``.gz``) and the Arrow gunzip-quarantine path for ``.jsonl.gz``
+    (a corrupt gz through the native codec would fail the micro-batch
+    and stall the stream forever; through the quarantine it is one
+    decode-error row, same as ``.plog.gz``)."""
+    src = f"{spool_dir}/{container_id or '*'}/"
     reader = (
         spark.readStream.schema(JSONL_SCHEMA)
-        .option("pathGlobFilter", "*.jsonl*")
+        .option("pathGlobFilter", "*.jsonl")
         .option("maxFileAge", "3650d")
         .option("cleanSource", "delete")
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
     )
+    gz_reader = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.jsonl.gz")
+        .option("maxFileAge", "3650d")
+        .option("cleanSource", "delete")
+    )
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
-    raw = reader.json(f"{spool_dir}/{container_id or '*'}/").withColumn(
-        "path", F.input_file_name())
-    return _to_entry_shape(raw)
+        gz_reader = gz_reader.option("maxBytesPerTrigger",
+                                     str(max_bytes_per_trigger))
+    raw = reader.json(src).withColumn("path", F.input_file_name())
+    gz_raw = _jsonl_gz_raw(gz_reader.load(src).select("path", "content"))
+    return _to_entry_shape(raw.unionByName(gz_raw))
 
 def _to_entry_shape(raw: DataFrame) -> DataFrame:
     """Canonicalize (S2) + derive container_id from the path, matching

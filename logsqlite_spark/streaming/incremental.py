@@ -110,6 +110,10 @@ def emitted_rows(spark, state_dir: str, emit_dir: str) -> DataFrame | None:
     last = last_appended_batch(state_dir)
     if last is None:
         return None
+    # a committed batch pointer with no emit dir (sink run without an
+    # emit fn, or a wrong path) is "nothing emitted", not an OSError
+    if not os.path.isdir(emit_dir):
+        return None
     paths = _committed_paths(emit_dir, last)
     if not paths:
         return None

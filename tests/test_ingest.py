@@ -505,7 +505,8 @@ def test_corrupt_gzip_spool_file_quarantined(spark, warehouse):
 
 
 def test_gzip_jsonl_spool_ingest(spark, warehouse):
-    """.jsonl.gz decodes via Spark's native json codec path."""
+    """.jsonl.gz decodes via the Arrow gunzip path (the JSON field
+    decode itself stays JVM-side via from_json)."""
     from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
 
     w = JsonlSpoolWriter(warehouse.spool_dir, "cj")
@@ -517,3 +518,77 @@ def test_gzip_jsonl_spool_ingest(spark, warehouse):
     logs = spark.read.parquet(warehouse.logs_dir) \
         .filter("container_id = 'cj'").orderBy("seq").collect()
     assert [r["line"] for r in logs] == ["j0\n", "j1\n", "j2\n"]
+
+
+def test_corrupt_gzip_jsonl_spool_file_quarantined(spark, warehouse):
+    """fmt=jsonl mirror of the plog pin (ADVICE r13, medium): a corrupt
+    .jsonl.gz through Spark's native json codec throws inside the
+    Hadoop gunzip and fails the WHOLE pull — retried forever because
+    the watermark never advances past it (a poison-pill stall).
+    Through the Arrow gunzip quarantine it is ONE decode-error row;
+    the good files in the same pull ingest normally and the next pull
+    starts clean."""
+    from pathlib import Path
+
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+
+    w = JsonlSpoolWriter(warehouse.spool_dir, "cjbad")
+    w.write_burst([{"source": "stdout", "time_nano": BASE_TS,
+                    "line": "ok"}])
+    d = Path(warehouse.spool_dir) / "cjbad"
+    (d / "99999999999999999999-000000.jsonl.gz").write_bytes(
+        b"\x1f\x8b\x08\x00garbage-not-gzip")
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir, fmt="jsonl")
+    assert res["rows"] == 1 and res["decode_errors"] == 1
+    logs = spark.read.parquet(warehouse.logs_dir) \
+        .filter("container_id = 'cjbad'").collect()
+    assert [r["line"] for r in logs] == ["ok\n"]
+    # the corrupt file was consumed — the next pull is empty, not a retry
+    res2 = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                             warehouse.state_dir, fmt="jsonl")
+    assert res2.get("rows", 0) == 0 and res2.get("decode_errors", 0) == 0
+
+
+def test_streaming_jsonl_ingest_mixed_plain_and_gz(spark, warehouse):
+    """The jsonl stream is a union of two file sources (native json
+    for .jsonl, Arrow gunzip for .jsonl.gz); both must flow into one
+    contiguous per-container seq stream, and a corrupt gz file must
+    quarantine (one error row) instead of failing micro-batches
+    forever."""
+    from pathlib import Path
+
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+
+    w = JsonlSpoolWriter(warehouse.spool_dir, "cjs")
+    w.write_burst([{"source": "stdout", "time_nano": BASE_TS + i,
+                    "line": f"p{i}"} for i in range(2)])
+    w.write_burst([{"source": "stdout", "time_nano": BASE_TS + 10 + i,
+                    "line": f"g{i}"} for i in range(3)], compress=True)
+    (Path(warehouse.spool_dir) / "cjs"
+     / "99999999999999999999-000000.jsonl.gz").write_bytes(
+        b"\x1f\x8b\x08\x00garbage-not-gzip")
+    q = start_ingest_stream(
+        spark, warehouse.spool_dir, warehouse.logs_dir, warehouse.state_dir,
+        warehouse.checkpoints_dir + "/jmux",
+        LogConfig(message_read_timeout_ms=100), fmt="jsonl",
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(warehouse.logs_dir).count() >= 5:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    logs = spark.read.parquet(warehouse.logs_dir) \
+        .filter("container_id = 'cjs'").orderBy("seq").collect()
+    assert [r["seq"] for r in logs] == [1, 2, 3, 4, 5]
+    assert [r["line"] for r in logs] == \
+        ["p0\n", "p1\n", "g0\n", "g1\n", "g2\n"]
+    errs = spark.read.parquet(f"{warehouse.state_dir}/decode_errors")
+    assert errs.filter("container_id = 'cjs'").count() == 1

@@ -881,3 +881,21 @@ def test_emitted_rows_hides_crashed_attempt(spark, tmp_path):
     got = {(r["a_id"], r["b_id"])
            for r in emitted_rows(spark, state, emits).collect()}
     assert (0, 10) in got and (99, 100) not in got
+
+
+def test_emitted_rows_missing_emit_dir_returns_none(spark, tmp_path):
+    """ADVICE r13 (low): a committed batch pointer with NO emit dir
+    (sink run without an emit fn, or a consumer passing a wrong path)
+    must read as "nothing emitted" (None), not FileNotFoundError from
+    os.listdir."""
+    from logsqlite_spark.streaming.incremental import (
+        emitted_rows,
+        minhash_sink,
+    )
+
+    DOC = "doc_id long, text string"
+    state = str(tmp_path / "mstate")
+    sink = minhash_sink(state)  # no emit_dir: artifact-only sink
+    sink(spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog " * 4)], DOC), 0)
+    assert emitted_rows(spark, state, str(tmp_path / "never_made")) is None
