@@ -324,21 +324,33 @@ def audit(window: int = 50) -> dict:
         )
 
     order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 2}
-    # stale and fresh share a bucket ranked by STAMP AGE first: an r4
-    # stamp on unchanged code is older correctness evidence than an r8
-    # stamp on churned code, and all-stale-first let a large churn set
-    # starve the oldest stamps out of the window indefinitely (r9's
-    # twelve r4-stamped queries ranked 61-72 behind r8-stamped stale).
-    # Within a round, stale before fresh.  Remaining tie-breaks: queries
-    # whose callable lives in registry.py last — registry.py churns
-    # every round for reasons unrelated to those lambdas (module
-    # wiring), so their "stale" is the weakest signal — then higher
-    # post-stamp churn first.
+    # stale and fresh share a bucket ranked by EFFECTIVE stamp age: a
+    # stale stamp reads STALE_AGE_PENALTY rounds older than its label,
+    # because the code under it changed since it was taken.  This
+    # blends the two failure modes seen across rounds: all-stale-first
+    # let a large churn set starve the oldest stamps out of the window
+    # indefinitely (r9's twelve r4-stamped queries ranked 61-72 behind
+    # r8-stamped stale), while pure stamp-age let freshly-converted
+    # oracles wait multiple rounds for their first hash-match stamp
+    # (r13's IVF trio, VERDICT r13 #1: r12-stamped-stale ranked behind
+    # 44 r10-stamped-fresh).  Within an effective round, stale before
+    # fresh.  Remaining tie-breaks: queries whose callable lives in
+    # registry.py last — registry.py churns every round for reasons
+    # unrelated to those lambdas (module wiring), so their "stale" is
+    # the weakest signal — then higher post-stamp churn first.
+    STALE_AGE_PENALTY = 3
+
+    def _eff_round(r: dict) -> int:
+        if r["stamp_round"] is None:
+            return -(10**9)
+        pen = STALE_AGE_PENALTY if r["status"] == "stale" else 0
+        return r["stamp_round"] - pen
+
     suggested = sorted(
         rows,
         key=lambda r: (
             order[r["status"]],
-            r["stamp_round"] if r["stamp_round"] is not None else -1,
+            _eff_round(r),
             r["status"] == "fresh",
             r["file"] == REGISTRY_FILE,
             -len(r["changes_since_stamp"]),
