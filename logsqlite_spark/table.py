@@ -25,7 +25,7 @@ Layout::
     table/
       _manifests/00000001.json ...   # versioned snapshots
       _current                        # text: latest generation number
-      _commit.lock                    # O_EXCL writer lock (single node)
+      _commit.lock                    # flock writer lock (single node)
       _staging/<uuid>/...             # writer scratch, never read
       container_id=<c>/date=<d>/*.parquet   # data files (immutable)
 
@@ -79,8 +79,6 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from logsqlite_spark.schema import LOGS_SCHEMA
-
-_LOCK_STALE_S = 300.0
 
 # chunked-manifest knobs: squash when a head references more than
 # _CHUNK_COMPACT_AT chunks, into _CHUNK_TARGET-file chunks.  Chunk
@@ -279,27 +277,44 @@ class ManifestTable:
     # -- commit protocol ------------------------------------------------------
 
     def _acquire_lock(self, timeout_s: float = 60.0) -> None:
+        """Exclusive commit lock via ``flock``: the kernel releases it
+        the instant the holder dies — including SIGKILL mid-commit —
+        so a crashed committer never blocks restart recovery.  (The
+        O_EXCL lockfile this replaces orphaned on a kill: every later
+        committer then stalled for the 300 s staleness window, raising
+        TimeoutError at 60 s along the way — exactly the restart path
+        a crash-recovering daemon needs to be fast.)  The lock file is
+        created once and never unlinked: unlink-on-release lets a
+        waiter blocked on the old inode and a creator of the new one
+        both "hold" the lock.  Single-node by design (module
+        docstring); flock on a local fs is the right primitive for
+        that scope.  Two opens of the same path — even in one process
+        — get distinct open file descriptions, so threads exclude each
+        other too."""
+        import fcntl
+
         deadline = time.monotonic() + timeout_s
+        fd = os.open(self.lock_path, os.O_CREAT | os.O_WRONLY)
         while True:
             try:
-                fd = os.open(self.lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.write(fd, str(os.getpid()).encode())
-                os.close(fd)
-                return
-            except FileExistsError:
-                try:
-                    age = time.time() - self.lock_path.stat().st_mtime
-                    if age > _LOCK_STALE_S:  # crashed holder
-                        self.lock_path.unlink(missing_ok=True)
-                        continue
-                except FileNotFoundError:
-                    continue
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                break
+            except OSError:
                 if time.monotonic() > deadline:
-                    raise TimeoutError(f"commit lock busy: {self.lock_path}")
+                    os.close(fd)
+                    raise TimeoutError(
+                        f"commit lock busy: {self.lock_path}")
                 time.sleep(0.05)
+        os.ftruncate(fd, 0)
+        os.write(fd, str(os.getpid()).encode())  # diagnostics only
+        self._lock_fd = fd
 
     def _release_lock(self) -> None:
-        self.lock_path.unlink(missing_ok=True)
+        fd = getattr(self, "_lock_fd", None)
+        if fd is None:
+            return
+        self._lock_fd = None
+        os.close(fd)  # closing the fd drops the flock
 
     def _publish(self, head: dict) -> dict:
         gen = head["generation"]

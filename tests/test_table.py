@@ -153,10 +153,16 @@ def test_lock_contention_times_out_not_corrupts(tmp_path):
     f1 = _touch(t, "container_id=c/date=d/a.parquet")
     t.commit_append([f1], "s", None, {}, {})
     t.dir.mkdir(exist_ok=True)
-    t.lock_path.write_text("held")  # someone else holds the lock
-    with pytest.raises(TimeoutError):
-        t._acquire_lock(timeout_s=0.3)
-    t.lock_path.unlink()
+    import fcntl
+    import os as _os
+
+    fd = _os.open(t.lock_path, _os.O_CREAT | _os.O_WRONLY)
+    fcntl.flock(fd, fcntl.LOCK_EX)  # someone else holds the lock
+    try:
+        with pytest.raises(TimeoutError):
+            t._acquire_lock(timeout_s=0.3)
+    finally:
+        _os.close(fd)
     # manifest unharmed
     assert t.manifest()["files"] == [f1]
 
@@ -386,3 +392,49 @@ def test_squash_target_scales_so_appends_stay_o_batch(tmp_path,
     assert t.commit_append([f], "s", 99, {"c": 1}, {}) is not None
     monkeypatch.undo()
     assert len(t.manifest()["files"]) == 2001
+
+
+def test_commit_lock_released_when_holder_is_killed(tmp_path):
+    """Crash recovery must be IMMEDIATE: a committer SIGKILLed while
+    holding the commit lock must not block the next committer (the
+    old O_EXCL lockfile orphaned on kill and stalled every commit for
+    a 300 s staleness window — flock is kernel-released on death)."""
+    import os
+    import signal
+    import subprocess
+    import sys
+    import time as _t
+
+    import logsqlite_spark
+    from logsqlite_spark.table import ManifestTable
+
+    _REPO_ROOT = os.path.dirname(os.path.dirname(logsqlite_spark.__file__))
+    table_dir = tmp_path / "logs"
+    table_dir.mkdir()
+    holder = subprocess.Popen(
+        [sys.executable, "-c", f"""
+import sys, time
+sys.path.insert(0, {str(_REPO_ROOT)!r})
+from logsqlite_spark.table import ManifestTable
+t = ManifestTable({str(table_dir)!r})
+t._acquire_lock()
+print("LOCKED", flush=True)
+time.sleep(60)
+"""],
+        stdout=subprocess.PIPE, text=True)
+    try:
+        assert holder.stdout.readline().strip() == "LOCKED"
+        t = ManifestTable(str(table_dir))
+        # lock genuinely held right now
+        with pytest.raises(TimeoutError):
+            t._acquire_lock(timeout_s=0.3)
+        holder.kill()
+        holder.wait()
+        start = _t.monotonic()
+        t._acquire_lock(timeout_s=5.0)   # must succeed fast, not in 300 s
+        t._release_lock()
+        assert _t.monotonic() - start < 5.0
+    finally:
+        if holder.poll() is None:
+            holder.send_signal(signal.SIGKILL)
+            holder.wait()
