@@ -1,0 +1,542 @@
+#!/usr/bin/env python
+"""Lifecycle soak harness with randomized kill injection (VERDICT r13 #2).
+
+Every remaining risk class in this engine is an interaction-under-crash,
+not a query: the round-13 bugs (banded-sink crash replay, artifact-sink
+data loss, follow_tail TOCTOU) were all found by review.  This harness
+hunts that class by machine:
+
+Each cycle spawns a VICTIM process that runs the full lifecycle
+concurrently — multiplexed pull ingest over 4 containers (plog plain,
+plog+gzip with injected corrupt files, jsonl+gzip with injected corrupt
+files), keep-last-N retention, small-file compaction, follow_tail and
+follow_live consumers, and a generic append_artifact_sink — then
+SIGKILLs its whole process group at a random point (sometimes during
+Spark startup, usually mid-work).  The parent then asserts the full
+invariant set against an INDEPENDENT ledger (written by the victim with
+intent-before-publish discipline, so the ledger never lies about what
+was handed to the engine):
+
+  I1  per-container seqs are contiguous with no duplicates
+  I2  no loss / no dup vs the ledger: after a drain, every container's
+      high-water equals the total ledgered lines (minus at most the
+      final intent, which a kill may have left unpublished), and every
+      surviving row's line matches the ledger's line for that seq
+  I3  retention only ever removes a prefix (rows form a suffix), and
+      only on the retention container
+  I4  follow consumers saw a contiguous, content-correct seq run
+      (no dup, no gap, no uncommitted row) up to the kill
+  I5  artifact sink: committed-only reads (artifact ids == union of
+      ledgered batches at or below the pointer), pointer monotone
+      across cycles, never behind a ledgered completion
+  I6  manifest generation monotone across cycles; no out-of-order
+      quarantine (names are monotonic by construction)
+  I7  the victim logged no exceptions while alive
+
+Usage:
+    python tools/soak.py --cycles 20 [--seed 7] [--root DIR] [--keep]
+    python tools/soak.py --victim ROOT SEED CYCLE     (internal)
+
+Exit 0 = all cycles green.  On violation: exits 1 and leaves the
+warehouse + ledger in --root for forensics.
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import random
+import signal
+import subprocess
+import sys
+import threading
+import time
+from pathlib import Path
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE_TS = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00Z
+
+CONTAINERS = {
+    # cid -> (fmt, gz_mix, corrupt_rate)
+    "c0": ("plog", 0.0, 0.0),    # retention target
+    "c1": ("plog", 0.5, 0.12),   # follow_tail consumer, gz + corrupt mix
+    "c2": ("plog", 0.0, 0.0),    # follow_live consumer
+    "c3": ("jsonl", 0.5, 0.12),  # jsonl + gz + corrupt mix
+}
+RETENTION_CID = "c0"
+RETENTION_KEEP = 40
+
+
+def _append_jsonl(fh, obj) -> None:
+    fh.write(json.dumps(obj) + "\n")
+    fh.flush()
+    os.fsync(fh.fileno())
+
+
+def _read_jsonl_tolerant(path: str) -> list[dict]:
+    """Ledger reader: a kill can truncate the FINAL line mid-write —
+    that partial record's file was never published (publish follows
+    the fsync'd append), so dropping it is exact, not lossy."""
+    out = []
+    if not os.path.exists(path):
+        return out
+    with open(path) as fh:
+        for ln in fh:
+            try:
+                out.append(json.loads(ln))
+            except ValueError:
+                break  # truncated trailing record from a kill
+    return out
+
+
+class LedgeredWriter:
+    """Spool writer with intent-before-publish ledgering.
+
+    The ledger append (fsync'd) strictly precedes the atomic rename
+    that publishes the file, and the writer is sequential per
+    container — so at most the LAST ledger record per container can
+    describe a file that never materialized, and a file can never
+    exist without its ledger record.  That asymmetry is what lets the
+    checker assert exact no-loss/no-dup without trusting the engine.
+    """
+
+    def __init__(self, root: str, spool_dir: str, cid: str,
+                 fmt: str, rnd: random.Random):
+        self.dir = Path(spool_dir) / cid
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.led = open(Path(root) / f"ledger_{cid}.jsonl", "a")
+        self.cid, self.fmt, self.rnd = cid, fmt, rnd
+        self.counter = 0
+        self.total_lines = sum(
+            len(r.get("lines", []))
+            for r in _read_jsonl_tolerant(self.led.name))
+
+    def write_burst(self, n: int, gz_mix: float, corrupt_rate: float) -> None:
+        from logsqlite_spark.sources import frames as fr
+
+        corrupt = self.rnd.random() < corrupt_rate
+        compress = corrupt or (self.rnd.random() < gz_mix)
+        lines = [] if corrupt else [
+            f"{self.cid}-{self.total_lines + i}-{self.rnd.randrange(10**9)}"
+            for i in range(n)]
+        stem = f"{time.time_ns():020d}-{self.counter:06d}"
+        ext = self.fmt + (".gz" if compress else "")
+        name = f"{stem}.{ext}"
+        _append_jsonl(self.led, {"name": name, "lines": lines,
+                                 "corrupt": corrupt})
+        if corrupt:
+            blob = b"\x1f\x8b\x08\x00this-is-not-a-gzip-stream"
+        elif self.fmt == "plog":
+            entries = [
+                fr.LogEntry(source="stdout",
+                            time_nano=BASE_TS
+                            + (self.total_lines + i) * 10**9,
+                            line=ln.encode())
+                for i, ln in enumerate(lines)]
+            blob = b"".join(fr.encode_frame(e) for e in entries)
+            if compress:
+                blob = gzip.compress(blob)
+        else:
+            blob = ("\n".join(
+                json.dumps({"n": i, "source": "stdout",
+                            "time_nano": BASE_TS
+                            + (self.total_lines + i) * 10**9,
+                            "line": ln})
+                for i, ln in enumerate(lines)) + "\n").encode()
+            if compress:
+                blob = gzip.compress(blob)
+        tmp = self.dir / f".{name}.tmp"
+        tmp.write_bytes(blob)
+        os.rename(tmp, self.dir / name)  # atomic publish
+        self.total_lines += len(lines)
+        self.counter += 1
+
+
+# --------------------------------------------------------------------------
+# victim
+# --------------------------------------------------------------------------
+
+def run_victim(root: str, seed: int, cycle: int) -> None:
+    rnd = random.Random(seed * 10_007 + cycle)
+    errlog = open(Path(root) / "victim_errors.log", "a")
+    errlock = threading.Lock()
+
+    def log_err(where: str, e: BaseException) -> None:
+        with errlock:
+            errlog.write(f"cycle={cycle} {where}: "
+                         f"{type(e).__name__}: {e}\n")
+            errlog.flush()
+            os.fsync(errlog.fileno())
+
+    from pyspark.sql import SparkSession
+
+    from logsqlite_spark.api import Engine
+    from logsqlite_spark.config import EngineConfig, LogConfig
+    from logsqlite_spark.operators.retention import apply_retention
+    from logsqlite_spark.streaming.incremental import (
+        append_artifact_sink,
+        last_appended_batch,
+    )
+
+    spark = (SparkSession.builder.master("local[4]")
+             .appName(f"soak-victim-{cycle}")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .getOrCreate())
+    cfg = EngineConfig(warehouse_dir=f"{root}/wh")
+    eng = Engine(spark, cfg)
+    for cid in CONTAINERS:
+        eng.state.upsert(cid, None, LogConfig())
+
+    writers = {
+        cid: LedgeredWriter(root, cfg.spool_dir, cid, fmt, rnd)
+        for cid, (fmt, _, _) in CONTAINERS.items()}
+
+    def writer_loop(cid: str) -> None:
+        fmt, gz_mix, corrupt_rate = CONTAINERS[cid]
+        w = writers[cid]
+        while True:
+            try:
+                w.write_burst(rnd.randint(1, 8), gz_mix, corrupt_rate)
+            except Exception as e:  # noqa: BLE001 — soak forensics
+                log_err(f"writer[{cid}]", e)
+            time.sleep(rnd.uniform(0.03, 0.25))
+
+    def ingest_loop() -> None:
+        while True:
+            for fmt in ("plog", "jsonl"):
+                try:
+                    from logsqlite_spark.streaming.ingest import (
+                        ingest_spool_once)
+                    res = ingest_spool_once(
+                        spark, cfg.spool_dir, cfg.logs_dir,
+                        cfg.state_dir, fmt=fmt)
+                    eng._publish_live(res)  # follow_live fan-out
+                except Exception as e:  # noqa: BLE001
+                    log_err(f"ingest[{fmt}]", e)
+            time.sleep(rnd.uniform(0.02, 0.15))
+
+    def retention_loop() -> None:
+        conf = LogConfig(cleanup_max_lines=RETENTION_KEEP)
+        while True:
+            time.sleep(rnd.uniform(0.5, 1.2))
+            try:
+                apply_retention(spark, cfg.logs_dir, RETENTION_CID, conf)
+            except Exception as e:  # noqa: BLE001
+                log_err("retention", e)
+
+    def compact_loop() -> None:
+        while True:
+            time.sleep(rnd.uniform(0.8, 1.6))
+            try:
+                eng.compact()
+            except Exception as e:  # noqa: BLE001
+                log_err("compact", e)
+
+    def follow_loop(kind: str, cid: str) -> None:
+        out = open(Path(root) / f"follow_{kind}_{cid}_{cycle}.jsonl", "a")
+        try:
+            gen = (eng.follow_tail(cid, poll_interval_s=0.05,
+                                   max_idle_polls=10**9)
+                   if kind == "tail" else
+                   eng.follow_live(cid, poll_interval_s=0.2,
+                                   max_idle_polls=10**9))
+            for batch in gen:
+                for r in batch:
+                    out.write(json.dumps(
+                        {"seq": r["seq"], "line": r["line"]}) + "\n")
+                out.flush()
+        except Exception as e:  # noqa: BLE001
+            log_err(f"follow_{kind}[{cid}]", e)
+
+    def sink_loop() -> None:
+        state = os.path.join(cfg.state_dir, "soak_sink")
+        sink = append_artifact_sink(
+            state, transform=lambda df: df.select("doc_id"))
+        led = open(Path(root) / "ledger_sink.jsonl", "a")
+        while True:
+            try:
+                last = last_appended_batch(state)
+                bid = 0 if last is None else last + 1
+                ids = [bid * 1000 + i for i in range(rnd.randint(1, 12))]
+                _append_jsonl(led, {"bid": bid, "ids": ids})
+                df = spark.createDataFrame(
+                    [(i, f"doc-{i}") for i in ids], "doc_id long, text string")
+                sink(df, bid)
+                _append_jsonl(led, {"done": bid})
+            except Exception as e:  # noqa: BLE001
+                log_err("sink", e)
+            time.sleep(rnd.uniform(0.2, 0.5))
+
+    threads = (
+        [threading.Thread(target=writer_loop, args=(cid,), daemon=True)
+         for cid in CONTAINERS]
+        + [threading.Thread(target=ingest_loop, daemon=True),
+           threading.Thread(target=retention_loop, daemon=True),
+           threading.Thread(target=compact_loop, daemon=True),
+           threading.Thread(target=follow_loop, args=("tail", "c1"),
+                            daemon=True),
+           threading.Thread(target=follow_loop, args=("live", "c2"),
+                            daemon=True),
+           threading.Thread(target=sink_loop, daemon=True)])
+    for t in threads:
+        t.start()
+    Path(root, f"ready_{cycle}").touch()  # parent may start the kill clock
+    while True:
+        time.sleep(1)
+
+
+# --------------------------------------------------------------------------
+# checker
+# --------------------------------------------------------------------------
+
+class SoakViolation(AssertionError):
+    pass
+
+
+def _check(cond: bool, msg: str) -> None:
+    if not cond:
+        raise SoakViolation(msg)
+
+
+def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
+    from logsqlite_spark.config import EngineConfig
+    from logsqlite_spark.streaming.incremental import (
+        artifact_rows,
+        last_appended_batch,
+    )
+    from logsqlite_spark.streaming.ingest import ingest_spool_once
+    from logsqlite_spark.table import ManifestTable
+
+    cfg = EngineConfig(warehouse_dir=f"{root}/wh")
+    # a kill can leave never-renamed .tmp partials; they were never
+    # published (no ledger materialization), so clearing them is exact
+    for p in glob.glob(f"{cfg.spool_dir}/*/.*.tmp"):
+        os.remove(p)
+
+    # I7 first: an exception the victim hit while alive is a bug even
+    # if the state checks below pass
+    errs = Path(root, "victim_errors.log")
+    _check(not errs.exists() or errs.read_text() == "",
+           f"victim logged errors:\n{errs.read_text() if errs.exists() else ''}")
+
+    # drain what the kill left in the spool
+    for _ in range(50):
+        ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
+                          cfg.state_dir, fmt="plog")
+        ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
+                          cfg.state_dir, fmt="jsonl")
+        if not glob.glob(f"{cfg.spool_dir}/*/*.*"):
+            break
+    _check(not glob.glob(f"{cfg.spool_dir}/*/*.*"), "spool failed to drain")
+
+    # read through the MANIFEST (live files only) — the raw directory
+    # still holds files retired by compaction/retention until gc, and
+    # a raw read would double-count their rows
+    table = ManifestTable(cfg.logs_dir)
+    rows = (table.read_df(spark, table.import_existing())
+            .select("container_id", "seq", "line").collect()
+            if glob.glob(f"{cfg.logs_dir}/container_id=*") else [])
+    by_cid: dict[str, dict[int, str]] = {}
+    for r in rows:
+        d = by_cid.setdefault(r["container_id"], {})
+        _check(r["seq"] not in d,
+               f"{r['container_id']}: duplicate seq {r['seq']}")
+        d[r["seq"]] = r["line"]
+
+    expected_by_cid: dict[str, list[str]] = {}
+    for cid in CONTAINERS:
+        recs = _read_jsonl_tolerant(str(Path(root, f"ledger_{cid}.jsonl")))
+        expected = [ln for rec in recs for ln in rec["lines"]]
+        expected_by_cid[cid] = expected
+        last_n = len(recs[-1]["lines"]) if recs else 0
+        seqs = sorted(by_cid.get(cid, {}))
+        hi = seqs[-1] if seqs else 0
+        lo = seqs[0] if seqs else 1
+        # I1 contiguity
+        _check(seqs == list(range(lo, hi + 1)),
+               f"{cid}: seqs not contiguous: lo={lo} hi={hi} n={len(seqs)}")
+        # I2 no loss/dup: high-water == all ledgered lines, or all minus
+        # the final intent (killed between ledger append and publish)
+        _check(hi in (len(expected), len(expected) - last_n),
+               f"{cid}: high-water {hi} vs ledgered {len(expected)} "
+               f"(last intent {last_n})")
+        for s in seqs:
+            _check(by_cid[cid][s] == expected[s - 1] + "\n",
+                   f"{cid}: seq {s} content mismatch: "
+                   f"{by_cid[cid][s]!r} != {expected[s - 1]!r}")
+        # I3 deletion is retention-only
+        if cid != RETENTION_CID:
+            _check(lo == 1 or not seqs, f"{cid}: rows deleted (lo={lo})")
+
+    # I4 follow consumers: contiguous content-correct run
+    follow_rows = 0
+    for path in glob.glob(f"{root}/follow_*_{cycle}.jsonl"):
+        cid = os.path.basename(path).split("_")[2]
+        seen = _read_jsonl_tolerant(path)
+        follow_rows += len(seen)
+        exp = expected_by_cid[cid]
+        prev_seq = None
+        for rec in seen:
+            s = rec["seq"]
+            _check(prev_seq is None or s == prev_seq + 1,
+                   f"{path}: gap/dup at seq {s} after {prev_seq}")
+            _check(s <= len(exp) and rec["line"] == exp[s - 1] + "\n",
+                   f"{path}: content mismatch at seq {s}")
+            prev_seq = s
+
+    # I5 artifact sink: committed-only, pointer monotone
+    state = os.path.join(cfg.state_dir, "soak_sink")
+    p = last_appended_batch(state)
+    sink_recs = _read_jsonl_tolerant(str(Path(root, "ledger_sink.jsonl")))
+    latest_ids = {r["bid"]: r["ids"] for r in sink_recs if "bid" in r}
+    done_max = max((r["done"] for r in sink_recs if "done" in r),
+                   default=None)
+    if done_max is not None:
+        _check(p is not None and p >= done_max,
+               f"sink pointer {p} behind ledgered completion {done_max}")
+    if prev.get("sink_p") is not None:
+        _check(p is not None and p >= prev["sink_p"],
+               f"sink pointer regressed: {p} < {prev['sink_p']}")
+    art = artifact_rows(spark, state)
+    got_ids = {r["doc_id"] for r in art.collect()} if art is not None else set()
+    exp_ids = (set().union(*(set(latest_ids[b]) for b in latest_ids
+                             if b <= p)) if p is not None and latest_ids
+               else set())
+    _check(got_ids == exp_ids,
+           f"artifact ids != committed ledger: extra={got_ids - exp_ids} "
+           f"missing={exp_ids - got_ids}")
+
+    # I6 manifest generation monotone; no out-of-order quarantine
+    gen = ManifestTable(cfg.logs_dir).manifest().get("generation", 0) \
+        if ManifestTable(cfg.logs_dir).exists() else 0
+    _check(gen >= prev.get("generation", 0),
+           f"manifest generation regressed: {gen} < "
+           f"{prev.get('generation', 0)}")
+    ooo = Path(cfg.state_dir) / "out_of_order"
+    _check(not ooo.exists()
+           or spark.read.parquet(str(ooo)).count() == 0,
+           "out-of-order quarantine is non-empty (monotonic names)")
+
+    # exercise gc on the restart path too (and bound soak disk): live
+    # snapshots must stay readable across it
+    table.gc(keep_generations=2)
+    _check(len(table.read_df(
+        spark, table.manifest()).limit(1).take(1)) in (0, 1),
+        "table unreadable after gc")
+
+    c0 = sorted(by_cid.get(RETENTION_CID, {}))
+    return {"sink_p": p, "generation": gen,
+            "rows": len(rows),
+            "ledgered": sum(len(v) for v in expected_by_cid.values()),
+            "follow_rows": follow_rows,
+            "retention_bit": bool(c0 and c0[0] > 1),
+            "corrupt_files": sum(
+                1 for cid in CONTAINERS
+                for r in _read_jsonl_tolerant(
+                    str(Path(root, f"ledger_{cid}.jsonl")))
+                if r.get("corrupt"))}
+
+
+# --------------------------------------------------------------------------
+# parent driver
+# --------------------------------------------------------------------------
+
+def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
+    os.makedirs(root, exist_ok=True)
+    rnd = random.Random(seed)
+
+    from pyspark.sql import SparkSession
+
+    spark = (SparkSession.builder.master("local[8]")
+             .appName("soak-checker")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .getOrCreate())
+
+    prev: dict = {}
+    cover = {"follow_rows": 0, "sink_commits": 0, "retention_cycles": 0}
+    t0 = time.time()
+    for cycle in range(cycles):
+        ready = Path(root, f"ready_{cycle}")
+        proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__),
+             "--victim", root, str(seed), str(cycle)],
+            start_new_session=True,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        try:
+            cold_kill = rnd.random() < 0.15
+            if cold_kill:
+                time.sleep(rnd.uniform(1.0, 9.0))
+            else:
+                deadline = time.time() + 90
+                while not ready.exists():
+                    if proc.poll() is not None:
+                        raise SoakViolation(
+                            f"victim exited on its own (rc={proc.returncode})")
+                    if time.time() > deadline:
+                        raise SoakViolation("victim never became ready")
+                    time.sleep(0.1)
+                time.sleep(rnd.uniform(2.5, 9.0))
+        finally:
+            try:
+                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+            except ProcessLookupError:
+                pass
+            proc.wait()
+
+        try:
+            prev = check_cycle(spark, root, cycle, prev)
+        except SoakViolation as e:
+            print(f"FAIL cycle {cycle} (seed={seed}): {e}")
+            print(f"state left in {root} for forensics")
+            return 1
+        cover["follow_rows"] += prev["follow_rows"]
+        cover["sink_commits"] += int(prev["sink_p"] is not None)
+        cover["retention_cycles"] += int(prev["retention_bit"])
+        print(f"ok cycle {cycle}: rows={prev['rows']} "
+              f"ledgered={prev['ledgered']} sink_p={prev['sink_p']} "
+              f"gen={prev['generation']} follow={prev['follow_rows']} "
+              f"({'cold-kill' if cold_kill else 'work-kill'})", flush=True)
+
+    # coverage gate: a green run that never drove followers, the sink,
+    # corrupt files, or retention proved much less than it claims
+    if cycles >= 10:
+        for k, v in {**cover,
+                     "corrupt_files": prev.get("corrupt_files", 0)}.items():
+            if v == 0:
+                print(f"FAIL coverage: {k} == 0 over {cycles} cycles")
+                return 1
+
+    dt = time.time() - t0
+    print(json.dumps({"metric": "soak_cycles_green", "value": cycles,
+                      "unit": "cycles", "seed": seed,
+                      "wall_s": round(dt, 1), "coverage": cover}))
+    if not keep:
+        import shutil
+
+        shutil.rmtree(root, ignore_errors=True)
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cycles", type=int, default=20)
+    ap.add_argument("--seed", type=int, default=14)
+    ap.add_argument("--root", default="/tmp/logsqlite_soak")
+    ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--victim", nargs=3, metavar=("ROOT", "SEED", "CYCLE"))
+    args = ap.parse_args()
+    if args.victim:
+        run_victim(args.victim[0], int(args.victim[1]), int(args.victim[2]))
+        return 0
+    return run_soak(args.cycles, args.seed, args.root, args.keep)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
