@@ -493,6 +493,9 @@ def main() -> None:
                m128["commit_s"] / max(m16["commit_s"], 1e-9), 3)}
     print("# mux_scale " + json.dumps(mux))
 
+    contention = _commit_contention()
+    print("# commit_contention " + json.dumps(contention))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes on its own (earlier) line: the driver tails
     # stdout and json-parses the FINAL line, which must stay short —
@@ -507,6 +510,20 @@ def main() -> None:
          for i, r in enumerate(runs)}))
     print("# spread " + json.dumps(spread))
     print("# steady " + json.dumps(steady))
+    # the driver tails stdout and records only the FINAL json line —
+    # earlier '# ...' prints get truncated out of the round artifact
+    # (VERDICT r13 #5: BENCH_r13 lost the mux decomposition) — so the
+    # round-over-round scale claims ride compactly in "scale" here
+    final_scale = {k: v for k, v in scale.items()
+                   if k.endswith("_growth_exp")}
+    final_scale.update({
+        "mux_wall_ratio": mux["wall_ratio"],
+        "mux_commit_ratio": mux["commit_ratio"],
+        "mux_files_c128": m128["files_written"],
+        "commit_p50_ms_c1": contention["c1"]["p50_ms"],
+        "commit_p50_ms_c16": contention["c16"]["p50_ms"],
+        "commit_fair_ratio": contention["fair_ratio"],
+    })
     print(json.dumps({
         "metric": "suite_wall_seconds",
         "value": total,
@@ -518,9 +535,63 @@ def main() -> None:
         "stat": "median",
         "median_rel_spread": round(statistics.median(spread.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "scale": {k: v for k, v in scale.items()
-                  if k.endswith("_growth_exp")},
+        "scale": final_scale,
     }))
+
+def _commit_contention() -> dict:
+    """VERDICT r13 #4: manifest commit latency vs concurrent committer
+    count against ONE table.  Committers serialize on the flock, so
+    per-commit p50 should grow roughly with the queue ahead of it
+    (fair_ratio ~ committer count at worst) while staying in the
+    low-millisecond class — and no increment or batch id may be lost
+    under the interleaving (asserted here, not just in pytest, so a
+    fairness regression and a lost-update regression both surface in
+    the round artifact)."""
+    import shutil
+    import tempfile
+    import threading
+
+    from logsqlite_spark.table import ManifestTable
+
+    K = 25  # commits per committer
+    out: dict = {}
+    for n in (1, 4, 16):
+        root = tempfile.mkdtemp(prefix="bench-commit-")
+        t = ManifestTable(root)
+        t.commit_append([], "boot", None, {}, {})
+        lat: list[float] = []
+        lock = threading.Lock()
+
+        def worker(i: int, t=t, lat=lat, lock=lock) -> None:
+            mine = []
+            for k in range(K):
+                rel = f"container_id=b{i}/date=2024-01-01/f{k}.parquet"
+                t0 = time.perf_counter()
+                t.commit_append([rel], f"s{i}", k, {f"b{i}": 1}, {})
+                mine.append(time.perf_counter() - t0)
+            with lock:
+                lat.extend(mine)
+
+        ths = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
+        for th in ths:
+            th.start()
+        for th in ths:
+            th.join()
+        m = t.manifest()
+        assert all(m["high_water"][f"b{i}"] == K for i in range(n)), \
+            "lost seq increments under commit contention"
+        assert len(m["files"]) == n * K, "lost files under commit contention"
+        lat.sort()
+        out[f"c{n}"] = {
+            "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
+            "p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 3),
+            "max_ms": round(lat[-1] * 1000, 3),
+        }
+        shutil.rmtree(root, ignore_errors=True)
+    out["fair_ratio"] = round(
+        out["c16"]["p50_ms"] / max(out["c1"]["p50_ms"], 1e-9), 2)
+    return out
+
 
 def _ingest_bench_once(spark, fmt: str) -> tuple[float, str]:
     """One fresh-warehouse spool→parquet ingest rep — shared by the

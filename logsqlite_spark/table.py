@@ -304,7 +304,11 @@ class ManifestTable:
                     os.close(fd)
                     raise TimeoutError(
                         f"commit lock busy: {self.lock_path}")
-                time.sleep(0.05)
+                # short poll: at 16 concurrent committers a 50 ms poll
+                # quantized every queue pass into ~50 ms per waiter
+                # (measured p95 ~52 ms, max ~0.9 s in bench
+                # commit_contention); commits themselves are ~1-2 ms
+                time.sleep(0.004)
         os.ftruncate(fd, 0)
         os.write(fd, str(os.getpid()).encode())  # diagnostics only
         self._lock_fd = fd

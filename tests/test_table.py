@@ -438,3 +438,90 @@ time.sleep(60)
         if holder.poll() is None:
             holder.send_signal(signal.SIGKILL)
             holder.wait()
+
+
+def test_concurrent_committers_no_lost_updates(tmp_path):
+    """VERDICT r13 #4: 12 concurrent append committers (one scope per
+    'stream') interleaved with compaction-style commit_replace and
+    retention-style removals against ONE table — no increment, file,
+    or batch id may be lost, resurrected, or double-applied."""
+    import random as _random
+
+    t = ManifestTable(str(tmp_path / "t"))
+    t.commit_append([], "boot", None, {}, {})
+
+    N_APPENDERS, N_COMMITS = 12, 15
+    applied_lock = threading.Lock()
+    appended: set[str] = set()
+    replaced_away: set[str] = set()
+    replace_added: set[str] = set()
+    errors: list[BaseException] = []
+
+    def appender(i: int) -> None:
+        rnd = _random.Random(i)
+        try:
+            for k in range(N_COMMITS):
+                rel = _touch(t, f"container_id=a{i}/date=2024-01-01/"
+                                f"f{i}_{k}.parquet")
+                res = t.commit_append([rel], f"s{i}", k, {f"a{i}": 3},
+                                      {f"a{i}": f"spool/{i}/{k}"})
+                assert res is not None, f"append {i}/{k} treated as replay"
+                with applied_lock:
+                    appended.add(rel)
+                time.sleep(rnd.uniform(0, 0.003))
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def maintainer(kind: str) -> None:
+        """Compaction (merge 3 files -> 1) or retention (drop 1)."""
+        rnd = _random.Random(kind)
+        try:
+            for _ in range(10):
+                time.sleep(rnd.uniform(0.002, 0.01))
+                with applied_lock:
+                    live = sorted((appended | replace_added)
+                                  - replaced_away)
+                    take = 3 if kind == "compact" else 1
+                    if len(live) < take:
+                        continue
+                    victims = rnd.sample(live, take)
+                    new = []
+                    if kind == "compact":
+                        new = [_touch(
+                            t, "container_id=zmerged/date=2024-01-01/"
+                               f"m{rnd.randrange(10**9)}.parquet")]
+                    # record intent under the same lock that selected
+                    # the victims so two maintainers can't both claim
+                    # one file (the TABLE allows it — idempotent drop —
+                    # but the test's expected-set bookkeeping can't)
+                    replaced_away.update(victims)
+                    replace_added.update(new)
+                t.commit_replace(victims, new)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    import time
+
+    threads = ([threading.Thread(target=appender, args=(i,))
+                for i in range(N_APPENDERS)]
+               + [threading.Thread(target=maintainer, args=("compact",)),
+                  threading.Thread(target=maintainer, args=("retain",))])
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=120)
+        assert not th.is_alive(), "committer deadlocked"
+    assert not errors, errors
+
+    m = t.manifest()
+    expected_live = (appended | replace_added) - replaced_away
+    assert set(m["files"]) == expected_live
+    # every scope's exactly-once cursor at its last batch
+    assert m["batch_ids"] == {**{f"s{i}": N_COMMITS - 1
+                                 for i in range(N_APPENDERS)}, "boot": -1} \
+        or all(m["batch_ids"].get(f"s{i}") == N_COMMITS - 1
+               for i in range(N_APPENDERS))
+    # no lost seq increments: 15 commits x +3 each, per container
+    for i in range(N_APPENDERS):
+        assert m["high_water"][f"a{i}"] == N_COMMITS * 3
+        assert m["last_file"][f"a{i}"] == f"spool/{i}/{N_COMMITS - 1}"
