@@ -28,7 +28,8 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-from logsqlite_spark.table import (ManifestTable, escape_partition_value,
+from logsqlite_spark.table import (CommitConflict, ManifestTable,
+                                   escape_partition_value,
                                    unescape_partition_value)
 
 
@@ -48,7 +49,7 @@ def compact_container(
         if f.startswith(prefix):
             by_date.setdefault(f.split("/")[1].split("=", 1)[1], []).append(f)
 
-    compacted = files_before = files_after = 0
+    compacted = files_before = files_after = conflicts = 0
     for d in sorted(by_date):
         files = by_date[d]
         if len(files) < min_files:
@@ -68,13 +69,24 @@ def compact_container(
             .parquet(str(staging))
         )
         new_files = table.adopt_staged(staging)
-        table.commit_replace(files, new_files)
+        try:
+            table.commit_replace(files, new_files)
+        except CommitConflict:
+            # a concurrent rewrite (retention, another compactor) took
+            # some input file after our snapshot: publishing would
+            # resurrect its deleted rows.  Skip — the next cadence pass
+            # recomputes from fresh state; the staged output is
+            # unreferenced and gc reclaims it.  (Round-14 soak finding.)
+            files_before -= len(files)
+            conflicts += 1
+            continue
         files_after += len(new_files)
         compacted += 1
     return {
         "compacted_partitions": compacted,
         "files_before": files_before,
         "files_after": files_after,
+        "conflicts": conflicts,
     }
 
 

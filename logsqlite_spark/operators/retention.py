@@ -37,7 +37,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.config import LogConfig
-from logsqlite_spark.table import (ManifestTable, escape_partition_value,
+from logsqlite_spark.table import (CommitConflict, ManifestTable,
+                                   escape_partition_value,
                                    unescape_partition_value)
 
 def retention_survivors(
@@ -97,6 +98,7 @@ def apply_retention(
     """
     empty = {"dropped_partitions": 0, "rewritten_partitions": 0,
              "deleted_rows": 0}
+    conflict = {**empty, "conflict": True}
     if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
         return empty
 
@@ -131,7 +133,15 @@ def apply_retention(
 
     if not by_date:
         if removed:
-            table.commit_replace(removed, [])
+            # even a metadata-only drop conflicts if a concurrent
+            # rewrite took one of its files: the rows it meant to
+            # delete live on in the rewrite's output, so dropping the
+            # remaining stale names would under-delete silently.
+            # Skip; the next cadence pass sees the fresh layout.
+            try:
+                table.commit_replace(removed, [])
+            except CommitConflict:
+                return conflict
         return {**empty, "dropped_partitions": dropped}
 
     remaining = [str(Path(logs_dir) / f) for fs in by_date.values() for f in fs]
@@ -175,7 +185,10 @@ def apply_retention(
     affected = {r["d"]: (r["del_n"], r["n"]) for r in per_date if r["del_n"]}
     if not affected:
         if removed:
-            table.commit_replace(removed, [])
+            try:
+                table.commit_replace(removed, [])
+            except CommitConflict:
+                return conflict
         return {**empty, "dropped_partitions": dropped}
 
     deleted_rows = int(sum(d for d, _ in affected.values()))
@@ -195,7 +208,15 @@ def apply_retention(
         new_files = table.adopt_staged(staging)
     for d in affected:
         removed += by_date[d]
-    table.commit_replace(removed, new_files)
+    try:
+        table.commit_replace(removed, new_files)
+    except CommitConflict:
+        # survivors were computed from a snapshot a concurrent rewrite
+        # (compaction, another cleaner) has invalidated — publishing
+        # would resurrect deleted rows / duplicate surviving ones
+        # (round-14 soak finding).  The staged rewrite is unreferenced
+        # (gc reclaims it); the next cadence pass recomputes.
+        return conflict
 
     return {
         "dropped_partitions": dropped,
@@ -227,6 +248,7 @@ def erase_matching(
     logs_dir: str,
     predicate_sql: str,
     container_id: str | None = None,
+    _retries: int = 3,
 ) -> dict:
     """Targeted erasure of every row matching ``predicate_sql`` — the
     right-to-be-forgotten path (delete by user/source/content, not by
@@ -305,7 +327,17 @@ def erase_matching(
         )
         new_files = table.adopt_staged(staging)
     removed = [f for k in affected for f in by_part[k]]
-    table.commit_replace(removed, new_files)
+    try:
+        table.commit_replace(removed, new_files)
+    except CommitConflict:
+        # erase is a user-invoked guarantee, not a cadence job — a
+        # concurrent rewrite invalidating our snapshot must trigger a
+        # full recompute, never a silent skip (the subject's rows may
+        # now live in the rewrite's output files)
+        if _retries <= 0:
+            raise
+        return erase_matching(spark, logs_dir, predicate_sql,
+                              container_id, _retries=_retries - 1)
     return {
         "dropped_partitions": dropped,
         "rewritten_partitions": len(rewrite),

@@ -542,13 +542,26 @@ class ManifestTable:
                          drop: Callable[[str], bool],
                          new_files: list[str],
                          extra_head_fn: Callable[[dict], None] | None = None,
+                         expect_removed: int | None = None,
                          ) -> tuple[dict, int]:
         """Shared chunk-pruned replace: drop files matching ``drop``
         from chunks whose stats intersect ``touched_dirs``, append
         ``new_files``.  Chunks provably disjoint (their ``pfx`` dir
         summary misses every touched dir) pass through BY NAME — body
         never loaded; the commit materializes only the chunks it
-        touches.  Returns (new_head, n_removed)."""
+        touches.  Returns (new_head, n_removed).
+
+        ``expect_removed``: rewrite-conflict detection (round 14, found
+        by the kill soak in 8 cycles).  A rewrite commit's ``new_files``
+        are DERIVED from the files it removes; if a concurrent commit
+        already removed any of them (retention racing compaction, two
+        cleaners), publishing would resurrect deleted rows and
+        duplicate the surviving ones — the exact Iceberg/Delta
+        validate-referenced-files rule.  When set and fewer than
+        ``expect_removed`` inputs are still live, the commit raises
+        :class:`CommitConflict` before publishing (staged chunks/files
+        stay unreferenced; gc reclaims them); the caller recomputes
+        from a fresh snapshot, typically on its next cadence pass."""
         head = self._begin()
         try:
             gen = head["generation"] + 1
@@ -582,6 +595,11 @@ class ManifestTable:
                 chunk_names.append(nm)
                 stats[nm] = self._stats_of(new_files)
                 n_files += len(new_files)
+            if expect_removed is not None and n_removed != expect_removed:
+                raise CommitConflict(
+                    f"{expect_removed - n_removed} of {expect_removed} "
+                    "files to replace are no longer live (concurrent "
+                    "rewrite); recompute from a fresh snapshot")
             chunk_names, stats = self._maybe_squash(chunk_names, stats, gen)
             new_head = {k: v for k, v in head.items() if k != "files"}
             new_head.update(
@@ -600,15 +618,20 @@ class ManifestTable:
         file set. Applied against the freshest manifest, so files
         appended between the writer's snapshot and this commit are
         preserved — the round-1 compaction lost-append race is
-        structurally impossible.  Chunk-pruned: only chunks whose
-        partition dirs intersect the removed files' dirs are loaded;
-        the rest pass through by name.  Returns the new HEAD (no
-        materialized ``files``)."""
+        structurally impossible.  Raises :class:`CommitConflict` if any
+        of ``remove_files`` is no longer live — the rewrite was derived
+        from a snapshot a concurrent rewrite has invalidated, and
+        publishing it would resurrect deleted rows / duplicate
+        surviving ones (round-14 soak finding; see _commit_filtered).
+        Chunk-pruned: only chunks whose partition dirs intersect the
+        removed files' dirs are loaded; the rest pass through by name.
+        Returns the new HEAD (no materialized ``files``)."""
         remove = set(remove_files)
         touched = {f.rsplit("/", 1)[0] if "/" in f else ""
                    for f in remove_files}
         new_head, _ = self._commit_filtered(
-            touched, lambda f: f in remove, new_files)
+            touched, lambda f: f in remove, new_files,
+            expect_removed=len(remove))
         return new_head
 
     def update_state(self, **updates) -> dict:

@@ -525,3 +525,92 @@ def test_concurrent_committers_no_lost_updates(tmp_path):
     for i in range(N_APPENDERS):
         assert m["high_water"][f"a{i}"] == N_COMMITS * 3
         assert m["last_file"][f"a{i}"] == f"spool/{i}/{N_COMMITS - 1}"
+
+
+def test_commit_replace_conflicts_when_input_concurrently_rewritten(tmp_path):
+    """Round-14 soak finding (duplicate seqs within 8 kill cycles):
+    compaction merged files A,B into M from its snapshot while
+    retention concurrently rewrote A away (deleting old rows).
+    Publishing M would RESURRECT the deleted rows and DUPLICATE the
+    survivors — the commit must abort with CommitConflict (the
+    Iceberg/Delta validate-referenced-files rule) and leave the
+    manifest exactly as the winning rewrite published it."""
+    from logsqlite_spark.table import CommitConflict
+
+    t = ManifestTable(str(tmp_path / "t"))
+    a = _touch(t, "container_id=c/date=d/a.parquet")
+    b = _touch(t, "container_id=c/date=d/b.parquet")
+    t.commit_append([a, b], "s", None, {}, {})
+    snapshot = t.manifest()["files"]           # compaction's snapshot
+
+    kept = _touch(t, "container_id=c/date=d/kept.parquet")
+    t.commit_replace([a], [kept])              # retention wins the race
+
+    merged = _touch(t, "container_id=c/date=d/merged.parquet")
+    with pytest.raises(CommitConflict):
+        t.commit_replace(snapshot, [merged])   # stale rewrite aborts
+    assert sorted(t.manifest()["files"]) == sorted([b, kept])
+    # the aborted commit's staged file is unreferenced -> gc reclaims
+    t.gc(keep_generations=1)
+    assert not (t.dir / merged).exists()
+
+
+def test_retention_and_compaction_skip_on_conflict(spark, tmp_path):
+    """Operator-level halves of the same pin: apply_retention returns
+    a conflict marker (cadence retries) and compact_container counts
+    the partition as conflicted — neither raises, neither publishes."""
+    from logsqlite_spark.config import LogConfig
+    from logsqlite_spark.operators.compact import compact_container
+    from logsqlite_spark.operators.retention import apply_retention
+
+    wh = tmp_path / "wh"
+    spool, logs, state = (str(wh / "spool"), str(wh / "logs"),
+                          str(wh / "state"))
+    w = SpoolWriter(spool, "c1")
+    for i in range(5):
+        w.write_burst([LogEntry(source="stdout",
+                                time_nano=BASE_TS + (i * 3 + j) * 10**9,
+                                line=f"l{i}-{j}".encode())
+                       for j in range(3)])
+        ingest_spool_once(spark, spool, logs, state)  # one file per pull
+    t = ManifestTable(logs)
+    before = sorted(t.manifest()["files"])
+    assert len(before) == 5
+
+    stolen: list[str] = []
+
+    def steal_one_file() -> None:
+        """A concurrent rewrite takes one live file (remove-only, so
+        the next operator pass reads real parquet only)."""
+        victim = t.manifest()["files"][0]
+        stolen.append(victim)
+        t.commit_replace([victim], [])
+
+    orig = ManifestTable.commit_replace
+    calls = {"n": 0}
+
+    def racing_commit(self, removed, new_files):
+        if calls["n"] == 0:
+            calls["n"] += 1
+            steal_one_file()  # lands between snapshot and commit
+        return orig(self, removed, new_files)
+
+    import logsqlite_spark.table as TBL
+    try:
+        TBL.ManifestTable.commit_replace = racing_commit
+        res = apply_retention(spark, logs, "c1",
+                              LogConfig(cleanup_max_lines=2))
+        assert res.get("conflict") is True and res["deleted_rows"] == 0
+    finally:
+        TBL.ManifestTable.commit_replace = orig
+    # nothing published by retention; only the race's own removal
+    live_now = set(t.manifest()["files"])
+    assert live_now == set(before) - set(stolen)
+
+    calls["n"] = 0
+    try:
+        TBL.ManifestTable.commit_replace = racing_commit
+        res = compact_container(spark, logs, "c1", min_files=2)
+        assert res["conflicts"] == 1 and res["compacted_partitions"] == 0
+    finally:
+        TBL.ManifestTable.commit_replace = orig
