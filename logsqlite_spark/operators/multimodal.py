@@ -557,6 +557,29 @@ def _pil_image(payload: bytes, kind: str):
     return Image.open(io.BytesIO(payload)).convert("RGB")
 
 
+def _av_video_stats(payload: bytes) -> list[float]:
+    """First-video-frame pixel statistics through PyAV (ffmpeg) when
+    importable — the conditional-import integration point for video
+    pixels.  MP4 SAMPLE TABLES parse natively (operators/mp4.py);
+    the pixels genuinely need a codec, same contract as Pillow for
+    compressed images.  Layout: slot 0 = 3 (video), then the image
+    stats of the first decodable frame."""
+    try:
+        import av  # noqa: PLC0415 — optional dependency
+    except ImportError as e:
+        raise NotImplementedError(
+            "decoding mp4 pixels needs PyAV/ffmpeg (unavailable in "
+            "this environment) — conditional-import integration point; "
+            "MP4 sample tables parse natively") from e
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        for frame in container.decode(container.streams.video[0]):
+            return [3.0] + _image_stats(
+                frame.to_ndarray(format="rgb24"))[1:]
+    raise NotImplementedError("mp4 contains no decodable video frame")
+
+
 def _image_stats(img) -> list[float]:
     """(H, W, 3) uint8 -> the slot-tagged image feature layout."""
     import numpy as np
@@ -613,6 +636,8 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
         except NotImplementedError:  # VP8 lossy → Pillow point
             f = _image_stats(np.asarray(_pil_image(payload, kind),
                                         dtype=np.uint8))
+    elif kind == "mp4":
+        f = _av_video_stats(payload)
     elif kind in _COMPRESSED_IMAGE_KINDS:
         f = _image_stats(np.asarray(_pil_image(payload, kind),
                                     dtype=np.uint8))
@@ -622,7 +647,7 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
             f"(Pillow for compressed images, ffmpeg/pyav for video) — "
             f"this is the marked integration point; uncompressed BMP "
             f"and PCM WAV decode natively")
-    return ("image" if f[0] == 1.0 else "audio",
+    return ({1.0: "image", 2.0: "audio", 3.0: "video"}[f[0]],
             (f + [0.0] * FEATURE_DIM)[:FEATURE_DIM])
 
 

@@ -434,10 +434,14 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
     if track_stale:
         live = not_stale.cast("long")
         aggs = [F.sum(live - good * live).alias("e"),
-                F.sum(1 - live).alias("st")]
+                F.sum(1 - live).alias("st"),
+                F.sum(good * live).alias("n"),
+                F.collect_set("path").alias("paths_seen")]
     else:
         aggs = [F.sum(1 - good).alias("e"),
-                F.sum(F.lit(0)).alias("st")]
+                F.sum(F.lit(0)).alias("st"),
+                F.sum(good).alias("n"),
+                F.collect_set("path").alias("paths_seen")]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
     live_df = observed.filter(not_stale) if track_stale else observed
@@ -452,6 +456,28 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
     row = _obs_or_agg(obs, batch_df, aggs)
     n_errors = int(row["e"] or 0)
     n_stale = int(row["st"] or 0)
+    # READ-COVERAGE GUARD (round 14, soak finding): this path derives
+    # the file watermark from the driver's own LISTING — which is only
+    # sound if the Spark read actually covered every listed file.  A
+    # nonempty spool file always decodes to >= 1 row (error sentinel
+    # included), so a listed nonempty file absent from the rows' path
+    # set means the read dropped it: advancing the watermark would
+    # turn that into SILENT PERMANENT loss (observed once under the
+    # kill soak: watermark past 2.5 files whose rows never committed).
+    # Abort loudly instead — staging is unreferenced, nothing is
+    # consumed, and the next pull retries the same files.
+    seen = set(row["paths_seen"] or [])
+    uncovered = [p for p in listing if p not in seen
+                 and os.path.exists(p) and os.path.getsize(p) > 0]
+    if uncovered:
+        import shutil
+
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            "listed spool files missing from the batch read "
+            f"({len(uncovered)}/{len(listing)}): {uncovered[:5]} — "
+            "aborting the commit so no watermark advances past "
+            "unread data; the next pull retries them")
     if n_stale and on_stale == "quarantine":
         (
             batch_df.filter(F.col("__stale"))
@@ -480,6 +506,16 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
         increments[cid] = increments.get(cid, 0) + n
     increments = {c: n for c, n in increments.items() if n}
     n_rows = sum(increments.values())
+    # WRITE-COVERAGE GUARD (same soak finding, other side): the seq
+    # increments come from the staged parquet footers; if the write
+    # persisted fewer rows than the read produced, committing would
+    # lose the difference silently.
+    if n_rows != int(row["n"] or 0):
+        # files are already adopted but UNREFERENCED (no commit) —
+        # gc reclaims them; nothing is consumed, the next pull retries
+        raise RuntimeError(
+            f"staged parquet rows ({n_rows}) != rows read "
+            f"({int(row['n'] or 0)}) — aborting the commit")
     top_files: dict[str, str] = {}
     for p in listing:
         cid = os.path.basename(os.path.dirname(p))

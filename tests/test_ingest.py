@@ -592,3 +592,36 @@ def test_streaming_jsonl_ingest_mixed_plain_and_gz(spark, warehouse):
         ["p0\n", "p1\n", "g0\n", "g1\n", "g2\n"]
     errs = spark.read.parquet(f"{warehouse.state_dir}/decode_errors")
     assert errs.filter("container_id = 'cjs'").count() == 1
+
+
+def test_listed_commit_aborts_when_read_misses_a_listed_file(spark, warehouse):
+    """Round-14 soak finding: the listed pull derives the file
+    watermark from the driver's LISTING — if the Spark read somehow
+    fails to cover a listed nonempty file, advancing the watermark
+    over it is silent permanent loss. The commit must abort loudly
+    (nothing committed, nothing consumed) instead."""
+    import pytest as _pytest
+
+    from logsqlite_spark.sources.spool import read_spool_batch
+    from logsqlite_spark.streaming.ingest import _write_batch
+    from logsqlite_spark.table import ManifestTable
+
+    w = SpoolWriter(warehouse.spool_dir, "cgap")
+    fa = w.write_burst(_entries(BASE_TS, 2))
+    fb = w.write_burst(_entries(BASE_TS + 10**10, 3))
+    # the read covers only file A, but the listing claims A and B
+    decoded = read_spool_batch(spark, warehouse.spool_dir, None, paths=[fa])
+    with _pytest.raises(RuntimeError, match="missing from the batch read"):
+        _write_batch(decoded, warehouse.logs_dir, warehouse.state_dir,
+                     "__pull__", None, 1_000_000,
+                     on_stale="quarantine", listing=[fa, fb])
+    assert not ManifestTable(warehouse.logs_dir).exists() \
+        or ManifestTable(warehouse.logs_dir).manifest().get(
+            "high_water", {}).get("cgap") is None
+    # both files still in the spool for the retry
+    import os as _os
+    assert _os.path.exists(fa) and _os.path.exists(fb)
+    # the honest pull then succeeds
+    res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
+                            warehouse.state_dir)
+    assert res["rows"] == 5
