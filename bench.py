@@ -496,6 +496,9 @@ def main() -> None:
     contention = _commit_contention()
     print("# commit_contention " + json.dumps(contention))
 
+    churn = _mux_churn(spark)
+    print("# mux_churn " + json.dumps(churn))
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # Per-run detail goes on its own (earlier) line: the driver tails
     # stdout and json-parses the FINAL line, which must stay short —
@@ -523,6 +526,8 @@ def main() -> None:
         "commit_p50_ms_c1": contention["c1"]["p50_ms"],
         "commit_p50_ms_c16": contention["c16"]["p50_ms"],
         "commit_fair_ratio": contention["fair_ratio"],
+        "churn_max_files_per_part": churn["max_files_per_part"],
+        "churn_pull_p50_s": churn["pull_p50_s"],
     })
     print(json.dumps({
         "metric": "suite_wall_seconds",
@@ -591,6 +596,55 @@ def _commit_contention() -> dict:
     out["fair_ratio"] = round(
         out["c16"]["p50_ms"] / max(out["c1"]["p50_ms"], 1e-9), 2)
     return out
+
+
+def _mux_churn(spark) -> dict:
+    """VERDICT r13 #8: sustained multiplexed pulls against compaction
+    on the cleaner cadence (compressed time).  The per-pull layout is
+    one parquet per (container, date) — the pruning-friendly layout —
+    so without compaction live files grow linearly with pull count.
+    Reports the max live files per partition seen mid-churn (bound:
+    min_files + one cadence window) and pull latency under churn."""
+    import statistics as _stats
+    import tempfile
+    import time as _time
+
+    from logsqlite_spark.config import EngineConfig
+    from logsqlite_spark.operators.compact import compact_all
+    from logsqlite_spark.sources.frames import LogEntry
+    from logsqlite_spark.sources.spool import SpoolWriter
+    from logsqlite_spark.streaming.ingest import ingest_spool_once
+    from logsqlite_spark.table import ManifestTable
+
+    base_ts = 1_704_067_200_000_000_000
+    cfg = EngineConfig(warehouse_dir=tempfile.mkdtemp(prefix="bench-churn-"))
+    cids = [f"m{i:02d}" for i in range(16)]
+    writers = {c: SpoolWriter(cfg.spool_dir, c) for c in cids}
+    total = {c: 0 for c in cids}
+    pulls, max_part = [], 0
+    t = ManifestTable(cfg.logs_dir)
+    for pull in range(12):
+        for c in cids:
+            writers[c].write_burst(
+                LogEntry(source="stdout",
+                         time_nano=base_ts + (total[c] + j) * 10**9,
+                         line=b"level=info msg=request bytes=99")
+                for j in range(25))
+            total[c] += 25
+        t0 = _time.perf_counter()
+        ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir)
+        pulls.append(_time.perf_counter() - t0)
+        if pull % 4 == 3:
+            compact_all(spark, cfg.logs_dir, min_files=4)
+            t.gc(keep_generations=2)
+        per_part: dict[str, int] = {}
+        for f in t.manifest()["files"]:
+            k = f.rsplit("/", 1)[0]
+            per_part[k] = per_part.get(k, 0) + 1
+        max_part = max(max_part, max(per_part.values()))
+    return {"max_files_per_part": max_part,
+            "pull_p50_s": round(_stats.median(pulls), 3),
+            "pulls": len(pulls), "containers": len(cids)}
 
 
 def _ingest_bench_once(spark, fmt: str) -> tuple[float, str]:

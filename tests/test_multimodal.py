@@ -838,3 +838,161 @@ def test_mp4_frame_sampling_uses_true_sample_times(spark):
         "meta map<string,string>")
     out = sample_frames(media2, every_ms=500, fake=False).collect()
     assert sorted(r["frame_ts_ms"] for r in out) == [0, 500, 1000, 1500]
+
+
+# ---------------------------------------------------------------------------
+# Round 14 (VERDICT r13 #7): native-lib parity, capability-skipped.
+# These run wherever Pillow / PyAV are deployed (skipped cleanly in
+# this container) and pin the pure-Python decoders ≡ the native ones
+# on the overlap formats, plus Pillow-fallback coverage of the lossy
+# formats the pure decoders refuse.
+
+
+def _rand_rgb(h, w, seed=14):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+
+def test_pure_decoders_match_pillow_on_overlap_formats():
+    PIL = pytest.importorskip("PIL")  # noqa: N806, F841
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from logsqlite_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from logsqlite_spark.operators.multimodal import (
+        _decode_bmp,
+        _decode_gif,
+        _decode_png,
+        _encode_png,
+    )
+    from logsqlite_spark.operators.webp import (
+        decode_webp,
+        encode_webp_lossless,
+    )
+
+    img = _rand_rgb(17, 23)
+
+    def pil_bytes(arr, fmt, **kw):
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format=fmt, **kw)
+        return buf.getvalue()
+
+    def pil_rgb(payload):
+        return np.asarray(
+            Image.open(io.BytesIO(payload)).convert("RGB"), np.uint8)
+
+    # PNG 8-bit: exact both directions
+    p = pil_bytes(img, "PNG")
+    assert np.array_equal(_decode_png(p), pil_rgb(p))
+    ours = _encode_png(img)
+    assert np.array_equal(pil_rgb(ours), img)
+
+    # BMP: exact both directions
+    b = pil_bytes(img, "BMP")
+    assert np.array_equal(_decode_bmp(b), pil_rgb(b))
+
+    # GIF (palette-quantized by PIL; both decoders see the SAME file)
+    g = pil_bytes(img, "GIF")
+    assert np.array_equal(_decode_gif(g), pil_rgb(g))
+
+    # WEBP lossless (VP8L): exact both directions
+    wl = pil_bytes(img, "WEBP", lossless=True)
+    assert np.array_equal(decode_webp(wl), pil_rgb(wl))
+    ours_w = encode_webp_lossless(img)
+    assert np.array_equal(pil_rgb(ours_w), img)
+
+    # JPEG baseline: lossy — pin both decoders within IDCT tolerance
+    for payload in (encode_jpeg(img),
+                    pil_bytes(img, "JPEG", quality=92)):
+        a = decode_jpeg(payload).astype(np.int32)
+        bb = pil_rgb(payload).astype(np.int32)
+        diff = np.abs(a - bb)
+        assert diff.mean() <= 1.5 and diff.max() <= 24, \
+            (diff.mean(), diff.max())
+
+
+def test_pillow_fallback_covers_lossy_formats(spark):
+    """media_decode_features must cover progressive JPEG, 16-bit PNG
+    and lossy-VP8 WebP through the Pillow integration point — and the
+    pure decoders must genuinely refuse them (proving the fallback is
+    what served the row)."""
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from logsqlite_spark.operators.jpeg import decode_jpeg
+    from logsqlite_spark.operators.multimodal import decode_media
+    from logsqlite_spark.operators.webp import decode_webp
+
+    img = _rand_rgb(16, 16)
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="JPEG", progressive=True)
+    prog_jpeg = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(prog_jpeg)
+
+    buf = io.BytesIO()
+    Image.fromarray((img[:, :, 0].astype(np.uint16) * 257)).save(
+        buf, format="PNG")  # 16-bit grayscale PNG
+    png16 = buf.getvalue()
+
+    buf = io.BytesIO()
+    Image.fromarray(img).save(buf, format="WEBP", lossless=False,
+                              quality=80)
+    vp8 = buf.getvalue()
+    with pytest.raises(NotImplementedError):
+        decode_webp(vp8)
+
+    media = spark.createDataFrame(
+        [(i, i, p, None) for i, p in
+         enumerate((prog_jpeg, png16, vp8))],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    out = {r["media_id"]: r for r in
+           decode_media(media, codec="native").collect()}
+    for i in range(3):
+        assert out[i]["media_type"] == "image"
+    assert out[0]["feature"][1] == 16.0  # H of the progressive JPEG
+    assert out[2]["feature"][1] == 16.0  # H of the lossy WebP
+
+
+def test_pyav_backed_mp4_pixel_decode(spark):
+    """Runs only where PyAV/ffmpeg exists: decode_media(native) serves
+    video pixel statistics from the first frame (media_type 'video'),
+    closing the marked integration point."""
+    av = pytest.importorskip("av")
+    import io
+
+    import numpy as np
+
+    buf = io.BytesIO()
+    with av.open(buf, "w", format="mp4") as container:
+        stream = container.add_stream("mpeg4", rate=4)
+        stream.width, stream.height = 32, 16
+        stream.pix_fmt = "yuv420p"
+        for k in range(4):
+            frame = av.VideoFrame.from_ndarray(
+                np.full((16, 32, 3), k * 40, np.uint8), format="rgb24")
+            for pkt in stream.encode(frame):
+                container.mux(pkt)
+        for pkt in stream.encode():
+            container.mux(pkt)
+    payload = buf.getvalue()
+
+    from logsqlite_spark.operators.multimodal import decode_media
+
+    media = spark.createDataFrame(
+        [(1, 1, payload, None)],
+        "media_id long, doc_id long, payload binary, "
+        "meta map<string,string>")
+    row = decode_media(media, codec="native").collect()[0]
+    assert row["media_type"] == "video"
+    assert row["feature"][0] == 3.0
+    assert (row["feature"][1], row["feature"][2]) == (16.0, 32.0)
