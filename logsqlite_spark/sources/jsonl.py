@@ -89,10 +89,15 @@ def _split_jsonl_gz_arrow(batches):
         out_p: list[str] = []
         out_r: list[str] = []
         for i, p in enumerate(batch.column("path").to_pylist()):
-            buf = _gunzip_buf(p, contents[i].as_py())
+            raw = contents[i].as_py()
+            buf = _gunzip_buf(p, raw)
             if buf == _BAD_GZIP_SENTINEL:
                 out_p.append(p)
-                out_r.append("\x00 corrupt gzip stream")  # never valid JSON
+                # never valid JSON; carries the COMPRESSED length the
+                # read saw, so a mismatch with the on-disk size is
+                # direct evidence of a short content read
+                out_r.append(
+                    f"\x00 corrupt gzip stream (read {len(raw)} bytes)")
                 continue
             for ln in buf.decode("utf-8", "replace").split("\n"):
                 ln = ln.rstrip("\r")

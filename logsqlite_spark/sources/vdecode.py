@@ -85,13 +85,20 @@ def _walk_frames(bufs: list[bytes]):
         chunks.append(buf)
         pos, n, k = 0, len(buf), 0
         while pos < n:
+            # the buf length rides the message: if an error row ever
+            # appears for a file whose on-disk size disagrees, that is
+            # direct evidence the READ saw short content (round-14
+            # soak mystery instrumentation)
             if pos + 4 > n:
-                file_err[i] = (k, "truncated length prefix")
+                file_err[i] = (k, f"truncated length prefix "
+                                  f"(buf={n} bytes, at {pos})")
                 break
             ln = int.from_bytes(buf[pos:pos + 4], "big")
             pos += 4
             if pos + ln > n:
-                file_err[i] = (k, "truncated frame body")
+                file_err[i] = (k, f"truncated frame body "
+                                  f"(frame len={ln}, buf={n} bytes, "
+                                  f"at {pos})")
                 break
             f_start.append(base + pos)
             f_len.append(ln)

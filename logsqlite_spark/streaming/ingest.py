@@ -281,6 +281,16 @@ def _write_batch_grouped(batch_df: DataFrame, table: ManifestTable,
                 .parquet(str(staging))
             )
             new_files = table.adopt_staged(staging)
+            staged_n = sum(_parquet_num_rows(str(table.dir / f))
+                           for f in new_files)
+            if staged_n != n_rows:
+                # stats job and write job read the persisted batch, so
+                # they can only diverge under cache eviction+recompute
+                # — abort rather than commit counts the data does not
+                # back (adopted files unreferenced; gc reclaims)
+                raise RuntimeError(
+                    f"staged parquet rows ({staged_n}) != stats rows "
+                    f"({n_rows}) — aborting the commit")
         committed = table.commit_append(new_files, scope, batch_id,
                                         increments, top_files)
         if committed is None:  # concurrent replay won the commit
@@ -315,7 +325,15 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
 
     from pyspark.sql import Observation
 
-    good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+    is_err = F.col("source") == DECODE_ERROR_SOURCE
+    good = (~is_err).cast("long")
+    # quarantine rows ride the observation — same-execution data, see
+    # _append_quarantine / _write_batch_listed (round-14 soak finding)
+    err_struct = F.when(is_err & not_stale, F.struct(
+        "path", "container_id", "line"))
+    stale_struct = (F.when(F.col("__stale"), F.struct(
+        "path", "container_id", "frame_no", "source", "time_nano",
+        "line")) if track_stale else F.lit(None))
     # contract guard (round-13 ADVICE): a scoped stream must only see
     # its own container's rows — a mis-scoped spool dir would silently
     # corrupt ANOTHER container's high_water/last_file here, so count
@@ -330,6 +348,8 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(good * live).alias("n"),
             F.sum(1 - live).alias("st"),
             F.sum(foreign).alias("x"),
+            F.collect_list(err_struct).alias("err_rows"),
+            F.collect_list(stale_struct).alias("stale_rows"),
         ]
     else:
         aggs = [
@@ -338,6 +358,7 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(good).alias("n"),
             F.sum(F.lit(0)).alias("st"),
             F.sum(foreign).alias("x"),
+            F.collect_list(err_struct).alias("err_rows"),
         ]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
@@ -369,21 +390,16 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
         shutil.rmtree(staging, ignore_errors=True)
         return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
     if n_stale and on_stale == "quarantine":
-        (
-            batch_df.filter(F.col("__stale"))
-            .select("path", "container_id", "frame_no", "source",
-                    "time_nano", "line")
-            .write.mode("append")
-            .parquet(str(Path(state_dir) / "out_of_order"))
-        )
+        _append_quarantine(
+            str(Path(state_dir) / "out_of_order"),
+            row.get("stale_rows") or [],
+            ("path", "container_id", "frame_no", "source",
+             "time_nano", "line"))
     if n_errors:
-        (
-            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
-                            & not_stale)
-            .select("path", "container_id", "line")
-            .write.mode("append")
-            .parquet(str(Path(state_dir) / "decode_errors"))
-        )
+        _append_quarantine(
+            str(Path(state_dir) / "decode_errors"),
+            row.get("err_rows") or [],
+            ("path", "container_id", "line"))
     new_files = table.adopt_staged(staging)
     increments = {cid: n_rows} if n_rows else {}
     top_files = {cid: top_file} if top_file is not None else {}
@@ -399,6 +415,34 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
         "high_water": dict(committed["high_water"]),
         "new_files": new_files,
     }
+
+
+def _append_quarantine(dirpath: str, rows: list, cols: tuple) -> None:
+    """Driver-side quarantine append.  The rows rode the write job's
+    ``Observation``, so they are the SAME data the staged write saw —
+    a quarantine produced by re-scanning the source can silently
+    diverge from the first execution (round-14 soak finding; see
+    ``_write_batch_listed``).  Quarantine rows are rare by
+    construction, so a driver-side parquet append is the cheap and
+    exact path."""
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(dirpath, exist_ok=True)
+    data: dict[str, list] = {c: [] for c in cols}
+    for r in rows:
+        d = r.asDict() if hasattr(r, "asDict") else dict(r)
+        for c in cols:
+            data[c].append(d.get(c))
+    schema = pa.schema([
+        (c, pa.int64() if c in ("frame_no", "time_nano") else pa.string())
+        for c in cols])
+    pq.write_table(
+        pa.Table.from_pydict(data, schema=schema),
+        os.path.join(dirpath, f"part-{uuid.uuid4().hex}.snappy.parquet"),
+        compression="snappy")
 
 
 def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
@@ -421,8 +465,17 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
       FOOTERS, read driver-side after the write — exact by
       construction (they count precisely the rows the commit
       publishes, immune to task-retry double counting);
-    - global error/stale counts: ``Observation`` metrics riding the
-      write job, used only to gate the rare quarantine re-scans.
+    - global error/stale counts AND the quarantine rows themselves:
+      ``Observation`` metrics riding the write job.  The rows MUST
+      come from the same execution as the staged write: the round-13
+      design re-scanned ``batch_df`` for them, and a re-execution can
+      legitimately see different data than the first pass did (the
+      round-14 soak caught a pull whose first execution misread a
+      fresh spool file into an error sentinel while the quarantine
+      re-scan read it clean — the error row vanished and the row was
+      silently lost under an advanced watermark).  Quarantine rows
+      are rare by construction (corrupt frames, misnamed files), so
+      carrying them through the observation is driver-cheap.
 
     Net: decode → seq → write → commit is one Spark job with no
     batch-sized cache; at cluster scale that removes a full
@@ -430,18 +483,27 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
     """
     from pyspark.sql import Observation
 
-    good = (F.col("source") != DECODE_ERROR_SOURCE).cast("long")
+    is_err = F.col("source") == DECODE_ERROR_SOURCE
+    good = (~is_err).cast("long")
+    err_struct = F.when(is_err & not_stale, F.struct(
+        "path", "container_id", "line"))
+    stale_struct = (F.when(F.col("__stale"), F.struct(
+        "path", "container_id", "frame_no", "source", "time_nano",
+        "line")) if track_stale else F.lit(None))
     if track_stale:
         live = not_stale.cast("long")
         aggs = [F.sum(live - good * live).alias("e"),
                 F.sum(1 - live).alias("st"),
                 F.sum(good * live).alias("n"),
-                F.collect_set("path").alias("paths_seen")]
+                F.collect_set("path").alias("paths_seen"),
+                F.collect_list(err_struct).alias("err_rows"),
+                F.collect_list(stale_struct).alias("stale_rows")]
     else:
         aggs = [F.sum(1 - good).alias("e"),
                 F.sum(F.lit(0)).alias("st"),
                 F.sum(good).alias("n"),
-                F.collect_set("path").alias("paths_seen")]
+                F.collect_set("path").alias("paths_seen"),
+                F.collect_list(err_struct).alias("err_rows")]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
     live_df = observed.filter(not_stale) if track_stale else observed
@@ -479,21 +541,16 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
             "aborting the commit so no watermark advances past "
             "unread data; the next pull retries them")
     if n_stale and on_stale == "quarantine":
-        (
-            batch_df.filter(F.col("__stale"))
-            .select("path", "container_id", "frame_no", "source",
-                    "time_nano", "line")
-            .write.mode("append")
-            .parquet(str(Path(state_dir) / "out_of_order"))
-        )
+        _append_quarantine(
+            str(Path(state_dir) / "out_of_order"),
+            row.get("stale_rows") or [],
+            ("path", "container_id", "frame_no", "source",
+             "time_nano", "line"))
     if n_errors:
-        (
-            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
-                            & not_stale)
-            .select("path", "container_id", "line")
-            .write.mode("append")
-            .parquet(str(Path(state_dir) / "decode_errors"))
-        )
+        _append_quarantine(
+            str(Path(state_dir) / "decode_errors"),
+            row.get("err_rows") or [],
+            ("path", "container_id", "line"))
     new_files = table.adopt_staged(staging)
     from logsqlite_spark.table import unescape_partition_value
 

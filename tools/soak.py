@@ -412,6 +412,25 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
            f"artifact ids != committed ledger: extra={got_ids - exp_ids} "
            f"missing={exp_ids - got_ids}")
 
+    # I8 decode-error accounting: every error row maps to a ledgered
+    # corrupt file and vice versa (modulo an unpublished final intent).
+    # An error row for a NON-corrupt file is the round-14 mystery
+    # caught in the act — its line now carries the byte count the read
+    # saw, so fail loudly with it.
+    corrupt_names = {
+        rec["name"]
+        for cid in CONTAINERS
+        for rec in _read_jsonl_tolerant(
+            str(Path(root, f"ledger_{cid}.jsonl")))
+        if rec.get("corrupt")}
+    de_dir = Path(cfg.state_dir) / "decode_errors"
+    if de_dir.exists():
+        for r in spark.read.parquet(str(de_dir)).collect():
+            name = os.path.basename(r["path"])
+            _check(name in corrupt_names,
+                   f"decode-error row for a NON-corrupt file {name}: "
+                   f"{r['line']!r}")
+
     # I6 manifest generation monotone; no out-of-order quarantine
     gen = ManifestTable(cfg.logs_dir).manifest().get("generation", 0) \
         if ManifestTable(cfg.logs_dir).exists() else 0
