@@ -327,13 +327,6 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
 
     is_err = F.col("source") == DECODE_ERROR_SOURCE
     good = (~is_err).cast("long")
-    # quarantine rows ride the observation — same-execution data, see
-    # _append_quarantine / _write_batch_listed (round-14 soak finding)
-    err_struct = F.when(is_err & not_stale, F.struct(
-        "path", "container_id", "line"))
-    stale_struct = (F.when(F.col("__stale"), F.struct(
-        "path", "container_id", "frame_no", "source", "time_nano",
-        "line")) if track_stale else F.lit(None))
     # contract guard (round-13 ADVICE): a scoped stream must only see
     # its own container's rows — a mis-scoped spool dir would silently
     # corrupt ANOTHER container's high_water/last_file here, so count
@@ -348,8 +341,6 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(good * live).alias("n"),
             F.sum(1 - live).alias("st"),
             F.sum(foreign).alias("x"),
-            F.collect_list(err_struct).alias("err_rows"),
-            F.collect_list(stale_struct).alias("stale_rows"),
         ]
     else:
         aggs = [
@@ -358,7 +349,6 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
             F.sum(good).alias("n"),
             F.sum(F.lit(0)).alias("st"),
             F.sum(foreign).alias("x"),
-            F.collect_list(err_struct).alias("err_rows"),
         ]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
@@ -390,16 +380,19 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
         shutil.rmtree(staging, ignore_errors=True)
         return {"rows": 0, "decode_errors": 0, "batch_id": batch_id}
     if n_stale and on_stale == "quarantine":
-        _append_quarantine(
-            str(Path(state_dir) / "out_of_order"),
-            row.get("stale_rows") or [],
-            ("path", "container_id", "frame_no", "source",
-             "time_nano", "line"))
+        _quarantine_write(
+            batch_df.filter(F.col("__stale"))
+            .select("path", "container_id", "frame_no", "source",
+                    "time_nano", "line"),
+            str(Path(state_dir) / "out_of_order"), n_stale,
+            "out-of-order")
     if n_errors:
-        _append_quarantine(
-            str(Path(state_dir) / "decode_errors"),
-            row.get("err_rows") or [],
-            ("path", "container_id", "line"))
+        _quarantine_write(
+            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
+                            & not_stale)
+            .select("path", "container_id", "line"),
+            str(Path(state_dir) / "decode_errors"), n_errors,
+            "decode-error")
     new_files = table.adopt_staged(staging)
     increments = {cid: n_rows} if n_rows else {}
     top_files = {cid: top_file} if top_file is not None else {}
@@ -417,32 +410,49 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
     }
 
 
-def _append_quarantine(dirpath: str, rows: list, cols: tuple) -> None:
-    """Driver-side quarantine append.  The rows rode the write job's
-    ``Observation``, so they are the SAME data the staged write saw —
-    a quarantine produced by re-scanning the source can silently
-    diverge from the first execution (round-14 soak finding; see
-    ``_write_batch_listed``).  Quarantine rows are rare by
-    construction, so a driver-side parquet append is the cheap and
-    exact path."""
+def _quarantine_write(df: DataFrame, outdir: str, expected: int,
+                      what: str) -> None:
+    """Divergence-guarded quarantine append (round-14 soak finding).
+
+    The quarantine is a RE-SCAN of the batch source, and a
+    re-execution can legitimately see different data than the write
+    job's first pass did: the soak caught a pull whose first execution
+    misread a fresh spool file into an error sentinel while the
+    quarantine re-scan read it clean — the sentinel vanished from the
+    quarantine and the row was silently lost under an advanced
+    watermark.  An ``Observation`` rides this write and the row count
+    must equal what the FIRST execution counted; a mismatch aborts the
+    whole commit (nothing consumed, no watermark moves), so the next
+    pull re-reads the file — which, in the misread direction, is
+    exactly what saves the row.  The rows land in a temp subdir and
+    move in only on a matching count, so an aborted attempt never
+    pollutes the quarantine (out_of_order rows are re-ingestable; a
+    duplicate there would mislead).  Collecting the rows through the
+    observation instead would be exact-by-construction but unbounded
+    driver memory under a corrupt-flood (one error row per garbage
+    jsonl line); this stays distributed and O(1) on the driver."""
+    import shutil
     import uuid
 
-    import pyarrow as pa
-    import pyarrow.parquet as pq
+    from pyspark.sql import Observation
 
-    os.makedirs(dirpath, exist_ok=True)
-    data: dict[str, list] = {c: [] for c in cols}
-    for r in rows:
-        d = r.asDict() if hasattr(r, "asDict") else dict(r)
-        for c in cols:
-            data[c].append(d.get(c))
-    schema = pa.schema([
-        (c, pa.int64() if c in ("frame_no", "time_nano") else pa.string())
-        for c in cols])
-    pq.write_table(
-        pa.Table.from_pydict(data, schema=schema),
-        os.path.join(dirpath, f"part-{uuid.uuid4().hex}.snappy.parquet"),
-        compression="snappy")
+    tmp = os.path.join(outdir, f"_inflight-{uuid.uuid4().hex}")
+    obs = Observation()
+    cnt = [F.count(F.lit(1)).alias("n")]
+    (df.observe(obs, *cnt).write.mode("overwrite").parquet(tmp))
+    got = int(_obs_or_agg(obs, df, cnt)["n"] or 0)
+    if got != expected:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"{what} quarantine re-scan saw {got} rows but the write "
+            f"job counted {expected} — the source read diverged "
+            "between executions; aborting the commit so nothing is "
+            "consumed and the next pull re-reads the files")
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            os.rename(os.path.join(tmp, name),
+                      os.path.join(outdir, f"{uuid.uuid4().hex}-{name}"))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
@@ -465,17 +475,12 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
       FOOTERS, read driver-side after the write — exact by
       construction (they count precisely the rows the commit
       publishes, immune to task-retry double counting);
-    - global error/stale counts AND the quarantine rows themselves:
-      ``Observation`` metrics riding the write job.  The rows MUST
-      come from the same execution as the staged write: the round-13
-      design re-scanned ``batch_df`` for them, and a re-execution can
-      legitimately see different data than the first pass did (the
-      round-14 soak caught a pull whose first execution misread a
-      fresh spool file into an error sentinel while the quarantine
-      re-scan read it clean — the error row vanished and the row was
-      silently lost under an advanced watermark).  Quarantine rows
-      are rare by construction (corrupt frames, misnamed files), so
-      carrying them through the observation is driver-cheap.
+    - global error/stale counts: ``Observation`` metrics riding the
+      write job.  The rare quarantine writes re-scan the batch, but
+      each re-scan is count-verified against the first execution and
+      any divergence aborts the commit (see ``_quarantine_write`` —
+      the round-14 soak caught executions of the same pull reading
+      different bytes from a fresh spool file).
 
     Net: decode → seq → write → commit is one Spark job with no
     batch-sized cache; at cluster scale that removes a full
@@ -485,25 +490,17 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
 
     is_err = F.col("source") == DECODE_ERROR_SOURCE
     good = (~is_err).cast("long")
-    err_struct = F.when(is_err & not_stale, F.struct(
-        "path", "container_id", "line"))
-    stale_struct = (F.when(F.col("__stale"), F.struct(
-        "path", "container_id", "frame_no", "source", "time_nano",
-        "line")) if track_stale else F.lit(None))
     if track_stale:
         live = not_stale.cast("long")
         aggs = [F.sum(live - good * live).alias("e"),
                 F.sum(1 - live).alias("st"),
                 F.sum(good * live).alias("n"),
-                F.collect_set("path").alias("paths_seen"),
-                F.collect_list(err_struct).alias("err_rows"),
-                F.collect_list(stale_struct).alias("stale_rows")]
+                F.collect_set("path").alias("paths_seen")]
     else:
         aggs = [F.sum(1 - good).alias("e"),
                 F.sum(F.lit(0)).alias("st"),
                 F.sum(good).alias("n"),
-                F.collect_set("path").alias("paths_seen"),
-                F.collect_list(err_struct).alias("err_rows")]
+                F.collect_set("path").alias("paths_seen")]
     obs = Observation()
     observed = batch_df.observe(obs, *aggs)
     live_df = observed.filter(not_stale) if track_stale else observed
@@ -541,16 +538,19 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
             "aborting the commit so no watermark advances past "
             "unread data; the next pull retries them")
     if n_stale and on_stale == "quarantine":
-        _append_quarantine(
-            str(Path(state_dir) / "out_of_order"),
-            row.get("stale_rows") or [],
-            ("path", "container_id", "frame_no", "source",
-             "time_nano", "line"))
+        _quarantine_write(
+            batch_df.filter(F.col("__stale"))
+            .select("path", "container_id", "frame_no", "source",
+                    "time_nano", "line"),
+            str(Path(state_dir) / "out_of_order"), n_stale,
+            "out-of-order")
     if n_errors:
-        _append_quarantine(
-            str(Path(state_dir) / "decode_errors"),
-            row.get("err_rows") or [],
-            ("path", "container_id", "line"))
+        _quarantine_write(
+            batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
+                            & not_stale)
+            .select("path", "container_id", "line"),
+            str(Path(state_dir) / "decode_errors"), n_errors,
+            "decode-error")
     new_files = table.adopt_staged(staging)
     from logsqlite_spark.table import unescape_partition_value
 

@@ -109,7 +109,18 @@ class LedgeredWriter:
                  fmt: str, rnd: random.Random):
         self.dir = Path(spool_dir) / cid
         self.dir.mkdir(parents=True, exist_ok=True)
-        self.led = open(Path(root) / f"ledger_{cid}.jsonl", "a")
+        led_path = Path(root) / f"ledger_{cid}.jsonl"
+        # repair before appending: a kill mid-append leaves a partial
+        # final line (its file was never published, so dropping it is
+        # exact); appending after it would weld two records into one
+        # garbage line and truncate every later record at read time
+        if led_path.exists():
+            blob = led_path.read_bytes()
+            if blob and not blob.endswith(b"\n"):
+                cut = blob.rfind(b"\n") + 1
+                with open(led_path, "r+b") as fh:
+                    fh.truncate(cut)
+        self.led = open(led_path, "a")
         self.cid, self.fmt, self.rnd = cid, fmt, rnd
         self.counter = 0
         self.total_lines = sum(
@@ -319,6 +330,20 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
     for p in glob.glob(f"{cfg.spool_dir}/*/.*.tmp"):
         os.remove(p)
 
+    # forensics snapshot BEFORE the drain: if a later invariant fails,
+    # this proves whether the bytes were complete ON DISK when the
+    # reader ran (splits writer-side truncation from reader-side
+    # misreads — the round-14 mystery)
+    import hashlib
+
+    snap = {}
+    for p in sorted(glob.glob(f"{cfg.spool_dir}/*/*.*")):
+        blob = open(p, "rb").read()
+        snap[p] = {"size": len(blob),
+                   "sha1": hashlib.sha1(blob).hexdigest()}
+    with open(Path(root, f"forensics_{cycle}.json"), "w") as fh:
+        json.dump(snap, fh, indent=1)
+
     # I7 first: an exception the victim hit while alive is a bug even
     # if the state checks below pass
     errs = Path(root, "victim_errors.log")
@@ -361,15 +386,22 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
         # I1 contiguity
         _check(seqs == list(range(lo, hi + 1)),
                f"{cid}: seqs not contiguous: lo={lo} hi={hi} n={len(seqs)}")
+        # content BEFORE the hw check: on a hw mismatch the boundary
+        # rows' content is the forensic signal (which ledger line the
+        # table actually ends at)
+        for s in seqs:
+            _check(s <= len(expected)
+                   and by_cid[cid][s] == expected[s - 1] + "\n",
+                   f"{cid}: seq {s} content mismatch: "
+                   f"{by_cid[cid][s]!r} != "
+                   f"{(expected[s - 1] if s <= len(expected) else None)!r}")
         # I2 no loss/dup: high-water == all ledgered lines, or all minus
         # the final intent (killed between ledger append and publish)
         _check(hi in (len(expected), len(expected) - last_n),
                f"{cid}: high-water {hi} vs ledgered {len(expected)} "
-               f"(last intent {last_n})")
-        for s in seqs:
-            _check(by_cid[cid][s] == expected[s - 1] + "\n",
-                   f"{cid}: seq {s} content mismatch: "
-                   f"{by_cid[cid][s]!r} != {expected[s - 1]!r}")
+               f"(last intent {last_n}); table ends at ledger line "
+               f"{hi - 1} = {expected[hi - 1] if hi else None!r}; "
+               f"see forensics_{cycle}.json")
         # I3 deletion is retention-only
         if cid != RETENTION_CID:
             _check(lo == 1 or not seqs, f"{cid}: rows deleted (lo={lo})")
