@@ -325,24 +325,25 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
     from logsqlite_spark.table import ManifestTable
 
     cfg = EngineConfig(warehouse_dir=f"{root}/wh")
-    # a kill can leave never-renamed .tmp partials; they were never
-    # published (no ledger materialization), so clearing them is exact
-    for p in glob.glob(f"{cfg.spool_dir}/*/.*.tmp"):
-        os.remove(p)
-
-    # forensics snapshot BEFORE the drain: if a later invariant fails,
-    # this proves whether the bytes were complete ON DISK when the
-    # reader ran (splits writer-side truncation from reader-side
-    # misreads — the round-14 mystery)
+    # forensics snapshot BEFORE any cleanup/drain: if a later invariant
+    # fails, this proves whether the bytes were complete ON DISK when
+    # the reader ran (splits writer-side truncation from reader-side
+    # misreads — the round-14 mystery); killed partial .tmps included
     import hashlib
 
     snap = {}
-    for p in sorted(glob.glob(f"{cfg.spool_dir}/*/*.*")):
+    for p in sorted(glob.glob(f"{cfg.spool_dir}/*/*.*")
+                    + glob.glob(f"{cfg.spool_dir}/*/.*.tmp")):
         blob = open(p, "rb").read()
         snap[p] = {"size": len(blob),
                    "sha1": hashlib.sha1(blob).hexdigest()}
     with open(Path(root, f"forensics_{cycle}.json"), "w") as fh:
         json.dump(snap, fh, indent=1)
+
+    # a kill can leave never-renamed .tmp partials; they were never
+    # published (no ledger materialization), so clearing them is exact
+    for p in glob.glob(f"{cfg.spool_dir}/*/.*.tmp"):
+        os.remove(p)
 
     # I7 first: an exception the victim hit while alive is a bug even
     # if the state checks below pass
