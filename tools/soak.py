@@ -375,12 +375,39 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
                f"{r['container_id']}: duplicate seq {r['seq']}")
         d[r["seq"]] = r["line"]
 
+    manifest = (ManifestTable(cfg.logs_dir).manifest()
+                if ManifestTable(cfg.logs_dir).exists() else {})
+    last_file = {c: os.path.basename(v)
+                 for c, v in manifest.get("last_file", {}).items()}
+    snap_names = {os.path.basename(p) for p in snap}
+
     expected_by_cid: dict[str, list[str]] = {}
     for cid in CONTAINERS:
-        recs = _read_jsonl_tolerant(str(Path(root, f"ledger_{cid}.jsonl")))
-        expected = [ln for rec in recs for ln in rec["lines"]]
+        led_path = Path(root, f"ledger_{cid}.jsonl")
+        raw = _read_jsonl_tolerant(str(led_path))
+        recs = [r for r in raw if "name" in r]
+        voids = {r["void"] for r in raw if "void" in r}
+        # VOID RESOLUTION: a victim killed between the fsync'd ledger
+        # intent and the tmp-write leaves a PERMANENT hole — the file
+        # never existed, so its lines can never appear.  At check time
+        # the victim is dead, so the final intent is decidable: in the
+        # pre-drain snapshot -> drain ingests it; consumed by the
+        # engine (last_file >= its name) -> its rows MUST be in the
+        # table (a miss there is a REAL loss, not a hole); neither ->
+        # unmaterialized, record the void so every later cycle's
+        # expectation (and the line-id shift the next writer bakes in)
+        # stays exact.
+        if recs:
+            tail = recs[-1]
+            if (tail["name"] not in voids
+                    and tail["name"] not in snap_names
+                    and last_file.get(cid, "") < tail["name"]):
+                with open(led_path, "a") as fh:
+                    fh.write(json.dumps({"void": tail["name"]}) + "\n")
+                voids.add(tail["name"])
+        expected = [ln for rec in recs if rec["name"] not in voids
+                    for ln in rec["lines"]]
         expected_by_cid[cid] = expected
-        last_n = len(recs[-1]["lines"]) if recs else 0
         seqs = sorted(by_cid.get(cid, {}))
         hi = seqs[-1] if seqs else 0
         lo = seqs[0] if seqs else 1
@@ -396,12 +423,12 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
                    f"{cid}: seq {s} content mismatch: "
                    f"{by_cid[cid][s]!r} != "
                    f"{(expected[s - 1] if s <= len(expected) else None)!r}")
-        # I2 no loss/dup: high-water == all ledgered lines, or all minus
-        # the final intent (killed between ledger append and publish)
-        _check(hi in (len(expected), len(expected) - last_n),
-               f"{cid}: high-water {hi} vs ledgered {len(expected)} "
-               f"(last intent {last_n}); table ends at ledger line "
-               f"{hi - 1} = {expected[hi - 1] if hi else None!r}; "
+        # I2 exact no-loss/no-dup: with voids resolved every cycle the
+        # high-water must equal the materialized ledger EXACTLY
+        _check(hi == len(expected),
+               f"{cid}: high-water {hi} vs materialized ledger "
+               f"{len(expected)}; table ends at "
+               f"{expected[hi - 1] if 0 < hi <= len(expected) else None!r}; "
                f"see forensics_{cycle}.json")
         # I3 deletion is retention-only
         if cid != RETENTION_CID:
