@@ -84,7 +84,10 @@ def _split_jsonl_gz_arrow(batches):
     from logsqlite_spark.sources.spool import _BAD_GZIP_SENTINEL, _gunzip_buf
 
     schema = pa.schema([("path", pa.string()), ("raw", pa.string())])
+    from logsqlite_spark.sources.spool import _verify_content_lengths
+
     for batch in batches:
+        _verify_content_lengths(batch)
         contents = batch.column("content")
         out_p: list[str] = []
         out_r: list[str] = []
@@ -164,7 +167,7 @@ def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
     if gz:
         parts.append(_jsonl_gz_raw(
             spark.read.format("binaryFile").load(gz)
-            .select("path", "content")))
+            .select("path", "length", "content")))
     if not parts:
         parts.append(spark.createDataFrame(
             [], JSONL_SCHEMA + ", path string"))
@@ -204,7 +207,8 @@ def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
         gz_reader = gz_reader.option("maxBytesPerTrigger",
                                      str(max_bytes_per_trigger))
     raw = reader.json(src).withColumn("path", F.input_file_name())
-    gz_raw = _jsonl_gz_raw(gz_reader.load(src).select("path", "content"))
+    gz_raw = _jsonl_gz_raw(
+        gz_reader.load(src).select("path", "length", "content"))
     return _to_entry_shape(raw.unionByName(gz_raw))
 
 def _to_entry_shape(raw: DataFrame) -> DataFrame:

@@ -121,9 +121,32 @@ def _gunzip_buf(path: str, buf: bytes) -> bytes:
         return _BAD_GZIP_SENTINEL
 
 
+def _verify_content_lengths(batch) -> None:
+    """Short-read trap (round 14): ``length`` is the FileStatus size
+    from the driver's listing; the content bytes the task received
+    must match it exactly — spool files are immutable once published
+    (tmp + atomic rename), so any mismatch means the read pipeline
+    served partial data.  Failing the task makes the pull retry (no
+    watermark moves, nothing consumed) instead of committing a silent
+    byte-prefix of a file."""
+    if "length" not in batch.schema.names:
+        return  # streaming schema variants without the column
+    lens = batch.column("length").to_pylist()
+    contents = batch.column("content")
+    for i, p in enumerate(batch.column("path").to_pylist()):
+        got = len(contents[i].as_buffer())
+        if got != lens[i]:
+            raise IOError(
+                f"short content read for {p}: got {got} of "
+                f"{lens[i]} bytes — spool files are immutable, so the "
+                f"read pipeline served partial data; failing the task "
+                f"so the pull retries")
+
+
 def _decode_arrow(batches: Iterator) -> Iterator:
     """mapInArrow body: (path, content) batches -> raw decoded batches."""
     for batch in batches:
+        _verify_content_lengths(batch)
         paths = batch.column("path").to_pylist()
         contents = batch.column("content")
         # .gz files gunzip eagerly (their chunk accounting needs the
@@ -194,6 +217,7 @@ def _split_frames_arrow(batches: Iterator) -> Iterator:
     schema = pa.schema([("path", pa.string()), ("frame", pa.binary()),
                         ("frame_no", pa.int64()), ("err", pa.string())])
     for batch in batches:
+        _verify_content_lengths(batch)
         paths = batch.column("path").to_pylist()
         rows = {"path": [], "frame": [], "frame_no": [], "err": []}
         for i, scalar in enumerate(batch.column("content")):
@@ -305,7 +329,7 @@ def read_spool_batch(spark: SparkSession, spool_dir: str,
         spark.read.format("binaryFile")
         .option("pathGlobFilter", "*.plog*")
         .load(src)
-        .select("path", "content")
+        .select("path", "length", "content")
     )
     return _decode(raw)
 
@@ -339,4 +363,4 @@ def read_spool_stream(spark: SparkSession, spool_dir: str,
     if max_bytes_per_trigger is not None:
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
     raw = reader.load(f"{spool_dir}/{container_id or '*'}/")
-    return _decode(raw.select("path", "content"))
+    return _decode(raw.select("path", "length", "content"))

@@ -625,3 +625,33 @@ def test_listed_commit_aborts_when_read_misses_a_listed_file(spark, warehouse):
     res = ingest_spool_once(spark, warehouse.spool_dir, warehouse.logs_dir,
                             warehouse.state_dir)
     assert res["rows"] == 5
+
+
+def test_short_content_read_fails_loudly():
+    """Round-14 instrumentation: spool files are immutable once
+    published, so content bytes shorter than the listing-time length
+    mean the read pipeline served partial data — the decode must fail
+    the task (pull retries) instead of decoding a byte-prefix."""
+    import pyarrow as pa
+    import pytest as _pytest
+
+    from logsqlite_spark.sources.spool import _verify_content_lengths
+
+    ok = pa.RecordBatch.from_arrays(
+        [pa.array(["/s/c/a.plog"]), pa.array([4], pa.int64()),
+         pa.array([b"xxxx"], pa.binary())],
+        names=["path", "length", "content"])
+    _verify_content_lengths(ok)  # exact match: fine
+
+    short = pa.RecordBatch.from_arrays(
+        [pa.array(["/s/c/a.plog"]), pa.array([9], pa.int64()),
+         pa.array([b"xxxx"], pa.binary())],
+        names=["path", "length", "content"])
+    with _pytest.raises(IOError, match="short content read"):
+        _verify_content_lengths(short)
+
+    # schema variants without the length column pass through
+    nolen = pa.RecordBatch.from_arrays(
+        [pa.array(["/s/c/a.plog"]), pa.array([b"xxxx"], pa.binary())],
+        names=["path", "content"])
+    _verify_content_lengths(nolen)
