@@ -636,7 +636,7 @@ def _mux_churn(spark) -> dict:
         pulls.append(_time.perf_counter() - t0)
         if pull % 4 == 3:
             compact_all(spark, cfg.logs_dir, min_files=4)
-            t.gc(keep_generations=2)
+            t.gc(keep_generations=2, grace_s=0)
         per_part: dict[str, int] = {}
         for f in t.manifest()["files"]:
             k = f.rsplit("/", 1)[0]

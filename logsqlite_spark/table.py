@@ -650,13 +650,23 @@ class ManifestTable:
 
     # -- maintenance ----------------------------------------------------------
 
-    def gc(self, keep_generations: int = 2, grace_s: float = 0.0) -> dict:
+    def gc(self, keep_generations: int = 2, grace_s: float = 60.0) -> dict:
         """Physically delete files no recent snapshot references.
 
         Keeps every file referenced by the newest ``keep_generations``
         manifests, so readers holding those snapshots stay valid;
-        ``grace_s`` additionally spares anything recently modified
-        (in-flight adoptions). Run on the cleaner cadence.
+        ``grace_s`` additionally spares anything recently modified.
+        The grace is a CORRECTNESS defense, not a nicety: a concurrent
+        commit's files are adopted (moved into the live tree) before
+        the manifest publishes, so for a few milliseconds — longer
+        under lock contention — they are unreferenced-by-any-manifest
+        with a fresh mtime, and a zero-grace gc running beside a live
+        ingest stream (the engine's default topology: cleaner loop +
+        mux stream) would delete them, leaving the published manifest
+        pointing at vanished files (round-14 audit).  The safe default
+        spares anything newer than 60 s; pass ``grace_s=0`` only when
+        no commit can be in flight (tests, offline maintenance).
+        Run on the cleaner cadence.
         """
         if not self.current_ptr.exists():
             return {"deleted_files": 0, "deleted_manifests": 0}

@@ -36,7 +36,7 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert [r["seq"] for r in post] == [r["seq"] for r in pre]
     assert [r["line"] for r in post] == [r["line"] for r in pre]
     # physical small files disappear once gc retires the old snapshot
-    table.gc(keep_generations=1)
+    table.gc(keep_generations=1, grace_s=0)
     after = len(list(part.glob("*.parquet")))
     assert after < before
     assert spark.read.parquet(logs_dir).count() == len(pre)

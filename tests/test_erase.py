@@ -127,7 +127,7 @@ def test_time_travel_and_gc_complete_erasure(spark, tmp_path):
     assert now.filter("line LIKE 'user=3 %'").count() == 0
 
     # gc with keep_generations=1 retires the pre-erasure snapshot
-    res = t.gc(keep_generations=1)
+    res = t.gc(keep_generations=1, grace_s=0)
     assert res["deleted_manifests"] >= 1 and res["deleted_files"] > 0
     assert g0 not in t.generations()
     import pytest as _pytest
@@ -204,7 +204,7 @@ def test_engine_erase_then_gc_makes_old_generations_unreadable(
     assert eng.logs_df_at(g0).filter(
         "line LIKE 'user=3 %'").count() == 40  # travel works pre-gc
 
-    res = eng.table.gc(keep_generations=1)
+    res = eng.table.gc(keep_generations=1, grace_s=0)
     assert res["deleted_files"] > 0
     # by generation number: gone
     with _pytest.raises(FileNotFoundError):

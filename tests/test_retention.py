@@ -83,7 +83,7 @@ def test_apply_retention_keep_last(spark, tmp_path):
     assert stats["deleted_rows"] == 90
     # retired files linger for in-flight readers, then gc reclaims them:
     # after gc with keep=1 the physical tree equals the live snapshot
-    table.gc(keep_generations=1)
+    table.gc(keep_generations=1, grace_s=0)
     assert spark.read.parquet(logs_dir).filter("container_id = 'c1'") \
         .count() == 10
 
@@ -136,7 +136,7 @@ def test_reader_loop_during_maintenance_never_fails(spark, tmp_path):
                             LogConfig(cleanup_age_s=None,
                                       cleanup_max_lines=keep))
             compact_container(spark, logs_dir, "c1", min_files=1)
-            table.gc(keep_generations=2)
+            table.gc(keep_generations=2, grace_s=0)
     finally:
         stop.set()
         for t in threads:
@@ -163,7 +163,7 @@ def test_reader_snapshot_survives_retention_and_gc(spark, tmp_path):
     # old snapshot still fully readable after the commit...
     assert before.count() == 100
     # ...and after a gc that keeps 2 generations
-    table.gc(keep_generations=2)
+    table.gc(keep_generations=2, grace_s=0)
     assert before.count() == 100
     # new snapshot sees the retained view
     assert table.read_df(spark).filter("container_id = 'c1'").count() == 10

@@ -42,7 +42,7 @@ def test_commit_append_is_idempotent_per_batch(tmp_path):
     assert m["files"] == [f1]
     assert m["high_water"] == {"c1": 5}
     # the orphaned duplicate file is unreferenced → gc removes it
-    t.gc(keep_generations=1)
+    t.gc(keep_generations=1, grace_s=0)
     assert not (t.dir / f_dup).exists()
     assert (t.dir / f1).exists()
 
@@ -119,10 +119,10 @@ def test_gc_respects_keep_generations(tmp_path):
     f2 = _touch(t, "container_id=c/date=d/gen2.parquet")
     t.commit_replace([f1], [f2])
     # keep 2 generations: f1 still referenced by gen 1 → spared
-    t.gc(keep_generations=2)
+    t.gc(keep_generations=2, grace_s=0)
     assert (t.dir / f1).exists()
     # keep 1: f1 unreferenced → deleted; f2 live → kept
-    t.gc(keep_generations=1)
+    t.gc(keep_generations=1, grace_s=0)
     assert not (t.dir / f1).exists()
     assert (t.dir / f2).exists()
 
@@ -270,7 +270,7 @@ def test_gc_deletes_unreferenced_chunks(tmp_path):
     t.commit_replace([a], [])   # a's chunk now referenced only by old gens
     for i in range(3):          # age the old generations out
         t.update_state(last_file={"c": f"w{i}"})
-    res = t.gc(keep_generations=2)
+    res = t.gc(keep_generations=2, grace_s=0)
     assert res["deleted_files"] == 1  # a.parquet physically gone
     live = _chunk_files(t)
     head = json.loads(
@@ -551,7 +551,7 @@ def test_commit_replace_conflicts_when_input_concurrently_rewritten(tmp_path):
         t.commit_replace(snapshot, [merged])   # stale rewrite aborts
     assert sorted(t.manifest()["files"]) == sorted([b, kept])
     # the aborted commit's staged file is unreferenced -> gc reclaims
-    t.gc(keep_generations=1)
+    t.gc(keep_generations=1, grace_s=0)
     assert not (t.dir / merged).exists()
 
 
@@ -646,7 +646,7 @@ def test_compaction_bounds_live_files_under_mux_churn(spark, tmp_path):
         t = ManifestTable(logs)
         if pull % 4 == 3:  # cleaner cadence (compressed time)
             res = compact_all(spark, logs, min_files=MIN_FILES)
-            t.gc(keep_generations=2)
+            t.gc(keep_generations=2, grace_s=0)
             assert res.get("conflicts", 0) == 0
         # mid-churn read: every container contiguous, content intact
         df = t.read_df(spark, t.manifest())
@@ -671,3 +671,39 @@ def test_compaction_bounds_live_files_under_mux_churn(spark, tmp_path):
     on_disk = len(_glob.glob(f"{logs}/container_id=*/date=*/*.parquet"))
     live = len(t.manifest()["files"])
     assert on_disk <= live + 2 * len(CIDS), (on_disk, live)
+
+
+def test_gc_grace_spares_inflight_adoptions(tmp_path):
+    """Round-14 audit: a concurrent commit's files are adopted (moved
+    into the live tree) BEFORE the manifest publishes — briefly
+    unreferenced with a fresh mtime. The cleaner's gc must spare them
+    (default grace) or it deletes files the about-to-publish manifest
+    references; grace_s=0 remains the explicit offline-maintenance
+    contract."""
+    t = ManifestTable(str(tmp_path / "t"))
+    base = _touch(t, "container_id=c/date=d/base.parquet")
+    t.commit_append([base], "s", None, {}, {})
+
+    # an in-flight commit: adopted, manifest not yet published
+    staging = t.new_staging_dir()
+    p = staging / "container_id=c" / "date=d" / "inflight.parquet"
+    p.parent.mkdir(parents=True)
+    p.write_bytes(b"x")
+    adopted = t.adopt_staged(staging)
+
+    t.gc(keep_generations=2)             # cleaner-cadence call: safe default
+    assert (t.dir / adopted[0]).exists(), \
+        "gc deleted an in-flight adoption out from under a commit"
+    # ...the commit then publishes and the file is referenced
+    t.commit_append(adopted, "s2", None, {"c": 1}, {})
+    assert (t.dir / adopted[0]).exists()
+
+    # explicit zero grace is the offline immediate-reclaim contract
+    orphan_staging = t.new_staging_dir()
+    q = orphan_staging / "container_id=c" / "date=d" / "orphan.parquet"
+    q.parent.mkdir(parents=True)
+    q.write_bytes(b"x")
+    orphan = t.adopt_staged(orphan_staging)
+    t.gc(keep_generations=1, grace_s=0)
+    assert not (t.dir / orphan[0]).exists()
+    assert (t.dir / adopted[0]).exists()  # referenced: kept either way

@@ -249,6 +249,16 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
             except Exception as e:  # noqa: BLE001
                 log_err("compact", e)
 
+    def gc_loop() -> None:
+        """The cleaner's gc racing live commits — the default grace
+        must spare in-flight adoptions (round-14 audit)."""
+        while True:
+            time.sleep(rnd.uniform(1.0, 2.0))
+            try:
+                eng.table.gc(keep_generations=2)
+            except Exception as e:  # noqa: BLE001
+                log_err("gc", e)
+
     def follow_loop(kind: str, cid: str) -> None:
         out = open(Path(root) / f"follow_{kind}_{cid}_{cycle}.jsonl", "a")
         try:
@@ -290,6 +300,7 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
         + [threading.Thread(target=ingest_loop, daemon=True),
            threading.Thread(target=retention_loop, daemon=True),
            threading.Thread(target=compact_loop, daemon=True),
+           threading.Thread(target=gc_loop, daemon=True),
            threading.Thread(target=follow_loop, args=("tail", "c1"),
                             daemon=True),
            threading.Thread(target=follow_loop, args=("live", "c2"),
@@ -504,7 +515,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
 
     # exercise gc on the restart path too (and bound soak disk): live
     # snapshots must stay readable across it
-    table.gc(keep_generations=2)
+    table.gc(keep_generations=2, grace_s=0)
     _check(len(table.read_df(
         spark, table.manifest()).limit(1).take(1)) in (0, 1),
         "table unreadable after gc")
