@@ -67,9 +67,12 @@ CONTAINERS = {
     "c1": ("plog", 0.5, 0.12),   # follow_tail consumer, gz + corrupt mix
     "c2": ("plog", 0.0, 0.0),    # follow_live consumer
     "c3": ("jsonl", 0.5, 0.12),  # jsonl + gz + corrupt mix
+    "c4": ("plog", 0.0, 0.0),    # targeted-erase target (lines marked -X)
 }
 RETENTION_CID = "c0"
 RETENTION_KEEP = 40
+ERASE_CID = "c4"
+ERASE_MARK = "-X"  # ~20% of c4 lines carry it; the erase predicate
 
 
 def _append_jsonl(fh, obj) -> None:
@@ -134,6 +137,8 @@ class LedgeredWriter:
         compress = corrupt or (self.rnd.random() < gz_mix)
         lines = [] if corrupt else [
             f"{self.cid}-{self.total_lines + i}-{self.rnd.randrange(10**9)}"
+            + (ERASE_MARK if self.cid == ERASE_CID
+               and self.rnd.random() < 0.2 else "")
             for i in range(n)]
         stem = f"{time.time_ns():020d}-{self.counter:06d}"
         ext = self.fmt + (".gz" if compress else "")
@@ -259,6 +264,19 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
             except Exception as e:  # noqa: BLE001
                 log_err("gc", e)
 
+    def erase_loop() -> None:
+        """Targeted right-to-be-forgotten erasure under kills."""
+        from logsqlite_spark.table import CommitConflict
+
+        while True:
+            time.sleep(rnd.uniform(0.9, 1.8))
+            try:
+                eng.erase(f"contains(line, '{ERASE_MARK}')", ERASE_CID)
+            except CommitConflict:
+                pass  # sustained maintenance contention: retry next tick
+            except Exception as e:  # noqa: BLE001
+                log_err("erase", e)
+
     def follow_loop(kind: str, cid: str) -> None:
         out = open(Path(root) / f"follow_{kind}_{cid}_{cycle}.jsonl", "a")
         try:
@@ -301,6 +319,7 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
            threading.Thread(target=retention_loop, daemon=True),
            threading.Thread(target=compact_loop, daemon=True),
            threading.Thread(target=gc_loop, daemon=True),
+           threading.Thread(target=erase_loop, daemon=True),
            threading.Thread(target=follow_loop, args=("tail", "c1"),
                             daemon=True),
            threading.Thread(target=follow_loop, args=("live", "c2"),
@@ -393,6 +412,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
     snap_names = {os.path.basename(p) for p in snap}
 
     expected_by_cid: dict[str, list[str]] = {}
+    erase_holes = 0
     for cid in CONTAINERS:
         led_path = Path(root, f"ledger_{cid}.jsonl")
         raw = _read_jsonl_tolerant(str(led_path))
@@ -422,6 +442,29 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
         seqs = sorted(by_cid.get(cid, {}))
         hi = seqs[-1] if seqs else 0
         lo = seqs[0] if seqs else 1
+        if cid == ERASE_CID:
+            # targeted erasure punches holes by design: the invariants
+            # are (a) every present row content-correct at its seq
+            # (below), (b) every MISSING seq up to the manifest
+            # high-water was an erasable (marked) line — a missing
+            # unmarked line is real loss, an extra marked line is fine
+            # (erase not yet run over it)
+            hw = int(manifest.get("high_water", {}).get(cid, 0))
+            _check(hw == len(expected),
+                   f"{cid}: manifest high-water {hw} vs materialized "
+                   f"ledger {len(expected)}")
+            _check(hi <= hw, f"{cid}: phantom seq {hi} beyond hw {hw}")
+            present = set(seqs)
+            for s in range(1, hw + 1):
+                if s not in present:
+                    _check(ERASE_MARK in expected[s - 1],
+                           f"{cid}: seq {s} missing but NOT erasable: "
+                           f"{expected[s - 1]!r}")
+                    erase_holes += 1
+            for s in seqs:
+                _check(by_cid[cid][s] == expected[s - 1] + "\n",
+                       f"{cid}: seq {s} content mismatch")
+            continue
         # I1 contiguity
         _check(seqs == list(range(lo, hi + 1)),
                f"{cid}: seqs not contiguous: lo={lo} hi={hi} n={len(seqs)}")
@@ -521,7 +564,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
         "table unreadable after gc")
 
     c0 = sorted(by_cid.get(RETENTION_CID, {}))
-    return {"sink_p": p, "generation": gen,
+    return {"sink_p": p, "generation": gen, "erase_holes": erase_holes,
             "rows": len(rows),
             "ledgered": sum(len(v) for v in expected_by_cid.values()),
             "follow_rows": follow_rows,
@@ -550,7 +593,8 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
              .getOrCreate())
 
     prev: dict = {}
-    cover = {"follow_rows": 0, "sink_commits": 0, "retention_cycles": 0}
+    cover = {"follow_rows": 0, "sink_commits": 0, "retention_cycles": 0,
+             "erase_holes": 0}
     t0 = time.time()
     for cycle in range(cycles):
         ready = Path(root, f"ready_{cycle}")
@@ -589,6 +633,8 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
         cover["follow_rows"] += prev["follow_rows"]
         cover["sink_commits"] += int(prev["sink_p"] is not None)
         cover["retention_cycles"] += int(prev["retention_bit"])
+        cover["erase_holes"] = max(cover.get("erase_holes", 0),
+                                   prev["erase_holes"])
         print(f"ok cycle {cycle}: rows={prev['rows']} "
               f"ledgered={prev['ledgered']} sink_p={prev['sink_p']} "
               f"gen={prev['generation']} follow={prev['follow_rows']} "
