@@ -46,6 +46,17 @@ class Engine:
         # follow_live subscriptions: container_id -> [Queue] (round 13)
         self._live_subs: dict[str, list] = {}
         self._live_lock = threading.Lock()
+        # one maintenance rewrite at a time (round 14): retention,
+        # compaction, and erase each derive their output from a
+        # snapshot, so running them concurrently makes them abort each
+        # other via CommitConflict — and under adversarial cadence
+        # (compaction period ~ retention runtime) retention can lose
+        # EVERY race and starve (observed: 0 retention passes in 30
+        # soak cycles). Serializing them in-process removes the
+        # starvation by construction — the reference's cleaner is one
+        # sequential loop too (cleaner.rs:134-158) — while the commit
+        # conflict check stays as the cross-process safety net.
+        self._maintenance_lock = threading.Lock()
 
     # -- data access ---------------------------------------------------------
 
@@ -597,18 +608,21 @@ class Engine:
         if now_nanos is None:
             now_nanos = int(datetime.now(timezone.utc).timestamp() * 1e9)
         results = {}
-        for doc in self.state.list_all():
-            conf = LogConfig.from_dict(doc["log_conf"])
-            if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
-                continue
-            results[doc["container_id"]] = RET.apply_retention(
-                self.spark, self.config.logs_dir, doc["container_id"],
-                conf, now_nanos=now_nanos,
-            )
-        # reclaim files no recent snapshot references; keeping the last
-        # 2 generations gives in-flight readers a full cleaner interval
-        # of grace before their snapshot's files can disappear
-        results["__gc__"] = self.table.gc(keep_generations=2)
+        with self._maintenance_lock:
+            for doc in self.state.list_all():
+                conf = LogConfig.from_dict(doc["log_conf"])
+                if conf.cleanup_age_s is None \
+                        and conf.cleanup_max_lines is None:
+                    continue
+                results[doc["container_id"]] = RET.apply_retention(
+                    self.spark, self.config.logs_dir, doc["container_id"],
+                    conf, now_nanos=now_nanos,
+                )
+            # reclaim files no recent snapshot references; keeping the
+            # last 2 generations gives in-flight readers a full cleaner
+            # interval of grace before their snapshot's files can
+            # disappear
+            results["__gc__"] = self.table.gc(keep_generations=2)
         return results
 
     def register_views(self) -> None:
@@ -637,10 +651,11 @@ class Engine:
         the cleaner cadence for streaming-ingested warehouses."""
         from logsqlite_spark.operators import compact as CP
 
-        if container_id is not None:
-            return CP.compact_container(self.spark, self.config.logs_dir,
-                                        container_id, **kw)
-        return CP.compact_all(self.spark, self.config.logs_dir, **kw)
+        with self._maintenance_lock:
+            if container_id is not None:
+                return CP.compact_container(
+                    self.spark, self.config.logs_dir, container_id, **kw)
+            return CP.compact_all(self.spark, self.config.logs_dir, **kw)
 
     def start_quality_monitor(self, **kw):
         """Streaming per-window health metrics over the logs table
@@ -664,8 +679,9 @@ class Engine:
         operators/retention.py::erase_matching)."""
         from logsqlite_spark.operators.retention import erase_matching
 
-        return erase_matching(self.spark, self.config.logs_dir,
-                              predicate_sql, container_id)
+        with self._maintenance_lock:
+            return erase_matching(self.spark, self.config.logs_dir,
+                                  predicate_sql, container_id)
 
     def start_cleaner(self, interval_s: float | None = None):
         """The cleaner loop (cleaner.rs:134-158): a background thread

@@ -193,7 +193,6 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
 
     from logsqlite_spark.api import Engine
     from logsqlite_spark.config import EngineConfig, LogConfig
-    from logsqlite_spark.operators.retention import apply_retention
     from logsqlite_spark.streaming.incremental import (
         append_artifact_sink,
         last_appended_batch,
@@ -207,7 +206,9 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
     cfg = EngineConfig(warehouse_dir=f"{root}/wh")
     eng = Engine(spark, cfg)
     for cid in CONTAINERS:
-        eng.state.upsert(cid, None, LogConfig())
+        eng.state.upsert(cid, None, LogConfig(
+            cleanup_max_lines=RETENTION_KEEP)
+            if cid == RETENTION_CID else LogConfig())
 
     writers = {
         cid: LedgeredWriter(root, cfg.spool_dir, cid, fmt, rnd)
@@ -238,11 +239,13 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
             time.sleep(rnd.uniform(0.02, 0.15))
 
     def retention_loop() -> None:
-        conf = LogConfig(cleanup_max_lines=RETENTION_KEEP)
+        """The cleaner pass (retention for registered confs + gc),
+        serialized with compact/erase by the engine's maintenance
+        lock — the starvation fix's coverage path."""
         while True:
             time.sleep(rnd.uniform(0.5, 1.2))
             try:
-                apply_retention(spark, cfg.logs_dir, RETENTION_CID, conf)
+                eng.cleanup_all()
             except Exception as e:  # noqa: BLE001
                 log_err("retention", e)
 
