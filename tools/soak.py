@@ -250,7 +250,12 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
         from logsqlite_spark.table import CommitConflict
 
         while True:
-            for op in ("cleanup", "compact", "erase"):
+            # shuffled rotation: with a fixed order and short kill
+            # windows the tail op can never complete before the kill
+            # across a whole run (seed 123 starved erase that way)
+            ops = ["cleanup", "compact", "erase"]
+            rnd.shuffle(ops)
+            for op in ops:
                 time.sleep(rnd.uniform(0.1, 0.4))
                 try:
                     if op == "cleanup":
