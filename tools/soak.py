@@ -7,23 +7,29 @@ data loss, follow_tail TOCTOU) were all found by review.  This harness
 hunts that class by machine:
 
 Each cycle spawns a VICTIM process that runs the full lifecycle
-concurrently — multiplexed pull ingest over 4 containers (plog plain,
-plog+gzip with injected corrupt files, jsonl+gzip with injected corrupt
-files), keep-last-N retention, small-file compaction, follow_tail and
-follow_live consumers, and a generic append_artifact_sink — then
-SIGKILLs its whole process group at a random point (sometimes during
-Spark startup, usually mid-work).  The parent then asserts the full
-invariant set against an INDEPENDENT ledger (written by the victim with
-intent-before-publish discipline, so the ledger never lies about what
-was handed to the engine):
+concurrently — multiplexed pull ingest over 5 containers (plog plain,
+plog+gzip and jsonl+gzip with injected corrupt files, a retention
+target, a targeted-erase target), one rotating maintenance actor
+(retention+gc, compaction, right-to-be-forgotten erase — the
+production cleaner shape), an EXTRA gc racing live commits,
+follow_tail and follow_live consumers, and a generic
+append_artifact_sink — then SIGKILLs its whole process group at a
+random point (sometimes during Spark startup, usually mid-work).  The
+parent snapshots the spool (size+sha1, forensics), drains, and asserts
+the invariant set against an INDEPENDENT ledger (written by the victim
+with intent-before-publish discipline, so the ledger never lies about
+what was handed to the engine):
 
   I1  per-container seqs are contiguous with no duplicates
-  I2  no loss / no dup vs the ledger: after a drain, every container's
-      high-water equals the total ledgered lines (minus at most the
-      final intent, which a kill may have left unpublished), and every
-      surviving row's line matches the ledger's line for that seq
+  I2  exact no loss / no dup: every container's high-water equals the
+      MATERIALIZED ledger — unpublished final intents (kill between
+      the fsync'd intent and the rename) are void-resolved each cycle
+      via a decidable oracle (in the pre-drain snapshot | consumed by
+      the engine | unmaterialized) — and every surviving row's line
+      matches the ledger's line for that seq
   I3  retention only ever removes a prefix (rows form a suffix), and
-      only on the retention container
+      only on the retention container; erase holes only at MARKED
+      lines on the erase container, with no phantom seqs
   I4  follow consumers saw a contiguous, content-correct seq run
       (no dup, no gap, no uncommitted row) up to the kill
   I5  artifact sink: committed-only reads (artifact ids == union of
@@ -32,13 +38,20 @@ was handed to the engine):
   I6  manifest generation monotone across cycles; no out-of-order
       quarantine (names are monotonic by construction)
   I7  the victim logged no exceptions while alive
+  I8  every decode-error row maps to a ledgered corrupt file (the
+      error line carries the byte count the read saw)
+
+A final COVERAGE gate fails runs (>=10 cycles) that never drove
+followers, the sink, corrupt files, retention, or erase — a green run
+that exercised nothing proves nothing (and it caught a real
+maintenance-starvation bug an invariant never would have).
 
 Usage:
     python tools/soak.py --cycles 20 [--seed 7] [--root DIR] [--keep]
     python tools/soak.py --victim ROOT SEED CYCLE     (internal)
 
 Exit 0 = all cycles green.  On violation: exits 1 and leaves the
-warehouse + ledger in --root for forensics.
+warehouse + ledger + forensics in --root.
 """
 
 from __future__ import annotations
