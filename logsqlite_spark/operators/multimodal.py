@@ -574,6 +574,10 @@ def _av_video_stats(payload: bytes) -> list[float]:
     import io
 
     with av.open(io.BytesIO(payload)) as container:
+        if not container.streams.video:
+            # audio-only mp4: keep the integration point's documented
+            # NotImplementedError contract instead of an IndexError
+            raise NotImplementedError("mp4 contains no video stream")
         for frame in container.decode(container.streams.video[0]):
             return [3.0] + _image_stats(
                 frame.to_ndarray(format="rgb24"))[1:]

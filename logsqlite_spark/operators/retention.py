@@ -98,7 +98,13 @@ def apply_retention(
     """
     empty = {"dropped_partitions": 0, "rewritten_partitions": 0,
              "deleted_rows": 0}
-    conflict = {**empty, "conflict": True}
+
+    def conflict(dropped: int) -> dict:
+        # carry the work ATTEMPTED in the conflicted pass (the commit
+        # itself published nothing) so run_cleanup's per-container
+        # report doesn't read as a no-op — reporting only, no data
+        # impact (round-15 ADVICE)
+        return {**empty, "dropped_partitions": dropped, "conflict": True}
     if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
         return empty
 
@@ -141,7 +147,7 @@ def apply_retention(
             try:
                 table.commit_replace(removed, [])
             except CommitConflict:
-                return conflict
+                return conflict(dropped)
         return {**empty, "dropped_partitions": dropped}
 
     remaining = [str(Path(logs_dir) / f) for fs in by_date.values() for f in fs]
@@ -188,7 +194,7 @@ def apply_retention(
             try:
                 table.commit_replace(removed, [])
             except CommitConflict:
-                return conflict
+                return conflict(dropped)
         return {**empty, "dropped_partitions": dropped}
 
     deleted_rows = int(sum(d for d, _ in affected.values()))
@@ -216,7 +222,7 @@ def apply_retention(
         # would resurrect deleted rows / duplicate surviving ones
         # (round-14 soak finding).  The staged rewrite is unreferenced
         # (gc reclaims it); the next cadence pass recomputes.
-        return conflict
+        return conflict(dropped)
 
     return {
         "dropped_partitions": dropped,

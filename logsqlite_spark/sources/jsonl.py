@@ -29,6 +29,27 @@ from typing import Iterable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+
+def _decoded_input_file_name() -> F.Column:
+    """``input_file_name()``, percent-DECODED to the raw posix form.
+
+    Unlike ``binaryFile``'s path column (plain: a warehouse dir with a
+    space comes back with a literal space), ``input_file_name()``
+    yields the URI-encoded spelling (space -> %20, %% -> %25).  The
+    last_file watermark, the stale-file compare, and the batch-pull
+    read-coverage guard all compare this column against raw
+    driver-side listings, so without decoding a single escapable
+    character in the spool path makes every file look uncovered and
+    permanently blocks the pull (round-15 ADVICE, reproduced with a
+    space in the warehouse dir).
+
+    ``url_decode`` is form-decoding ('+' -> space), but
+    ``input_file_name()`` leaves a literal '+' unescaped — protect it
+    as %2B first and the two decodings agree.  Every '%' in the input
+    is a valid escape because the URI form is Spark-generated."""
+    return F.url_decode(
+        F.regexp_replace(F.input_file_name(), r"\+", "%2B"))
+
 JSONL_SCHEMA = (
     "n long, source string, time_nano long, line string, partial boolean, "
     "partial_meta struct<last:boolean,id:string,ordinal:int>, "
@@ -162,7 +183,7 @@ def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
             .option("mode", "PERMISSIVE")
             .option("columnNameOfCorruptRecord", "_corrupt")
             .json(plain)
-            .withColumn("path", F.input_file_name())
+            .withColumn("path", _decoded_input_file_name())
         )
     if gz:
         parts.append(_jsonl_gz_raw(
@@ -206,7 +227,7 @@ def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
         reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
         gz_reader = gz_reader.option("maxBytesPerTrigger",
                                      str(max_bytes_per_trigger))
-    raw = reader.json(src).withColumn("path", F.input_file_name())
+    raw = reader.json(src).withColumn("path", _decoded_input_file_name())
     gz_raw = _jsonl_gz_raw(
         gz_reader.load(src).select("path", "length", "content"))
     return _to_entry_shape(raw.unionByName(gz_raw))
@@ -219,7 +240,9 @@ def _to_entry_shape(raw: DataFrame) -> DataFrame:
     corrupt = F.col("_corrupt").isNotNull()
     return raw.select(
         # plain-filesystem path form, matching sources/spool
-        # (_finish_decoded) — see the watermark-portability note there
+        # (_finish_decoded) — the scheme strip covers the binaryFile
+        # (.gz) side; the input_file_name side arrives pre-decoded via
+        # _decoded_input_file_name (see its escaping note)
         F.regexp_replace("path", r"^file:/+", "/").alias("path"),
         F.element_at(F.split(F.col("path"), "/"), -2).alias("container_id"),
         F.when(corrupt, F.lit("__decode_error__"))

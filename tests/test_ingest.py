@@ -655,3 +655,44 @@ def test_short_content_read_fails_loudly():
         [pa.array(["/s/c/a.plog"]), pa.array([b"xxxx"], pa.binary())],
         names=["path", "content"])
     _verify_content_lengths(nolen)
+
+
+def test_backlog_over_10k_files_drains_in_bounded_chunks(spark, tmp_path):
+    """VERDICT r14 #5: a >10k-file spool backlog drains as a SEQUENCE
+    of bounded exactly-once commits (max_files_per_pull per commit),
+    so every driver-side per-file structure — the listing handed to a
+    commit, the read-coverage guard's collect_set(path) observation,
+    the staged-footer walk, the consume loop — is hard-bounded no
+    matter how long the shipper outran the engine."""
+    import glob
+    import json as _json
+    import os as _os
+    import time as _time
+
+    spool, logs, state = (str(tmp_path / "spool"), str(tmp_path / "logs"),
+                          str(tmp_path / "state"))
+    n_files, containers = 10_500, 3
+    for ci in range(containers):
+        d = tmp_path / "spool" / f"c{ci}"
+        d.mkdir(parents=True)
+        base = _time.time_ns()
+        for i in range(n_files // containers):
+            rec = _json.dumps({"n": 0, "source": "stdout",
+                               "time_nano": BASE_TS + i * 10**9,
+                               "line": f"c{ci}-f{i}"})
+            (d / f"{base + i:020d}-{i:06d}.jsonl").write_text(rec + "\n")
+
+    res = ingest_spool_once(spark, spool, logs, state, fmt="jsonl")
+    assert res["chunks"] == 3          # ceil(10500 / 4096)
+    assert res["rows"] == n_files and res["decode_errors"] == 0
+    # every chunk committed and consumed its own files
+    assert glob.glob(f"{spool}/*/*.jsonl") == []
+    logs_df = spark.read.parquet(logs)
+    per = (logs_df.groupBy("container_id")
+           .agg(F.count("*").alias("n"), F.max("seq").alias("mx"),
+                F.min("seq").alias("mn")).collect())
+    assert len(per) == containers
+    for r in per:
+        # contiguous seq across chunk boundaries, no loss, no dup
+        assert r["n"] == n_files // containers
+        assert (r["mn"], r["mx"]) == (1, n_files // containers)
