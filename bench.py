@@ -529,7 +529,44 @@ def main() -> None:
         "churn_max_files_per_part": churn["max_files_per_part"],
         "churn_pull_p50_s": churn["pull_p50_s"],
     })
-    print(json.dumps({
+
+    # --- SELF-ADJUDICATION (VERDICT r14 #2) --------------------------
+    # The r14 record showed 1.29x geomean vs r13 from co-located load
+    # on UNTOUCHED code, and the record alone could not prove it.  Now
+    # any query whose median reads > AB_THRESHOLD x its value in the
+    # previous DRIVER record gets an automatic interleaved pinned-ref
+    # A/B (ref = the commit that landed that record), whose paired
+    # ratio rides this run's record: paired ~1.0 -> environment noise,
+    # paired elevated -> a real regression, adjudicated in ONE run.
+    prev_label, prev_med, prev_ref = _load_prev_record()
+    ab_threshold = float(os.environ.get("SPARK_GRAFT_AB_THRESHOLD",
+                                        "1.5"))
+    movers = {
+        q: round(med[q] / prev_med[q], 3)
+        for q in med
+        if q in prev_med and prev_med[q] >= 0.02
+        and med[q] / prev_med[q] > ab_threshold
+    }
+    movers = dict(sorted(movers.items(), key=lambda kv: -kv[1])[:8])
+    adj: dict = {"prev": prev_label, "thr": ab_threshold,
+                 "movers": movers}
+    ab_summary = None
+    if movers and prev_ref:
+        adj["ref"] = prev_ref[:12]
+        print(f"# auto-AB: {len(movers)} movers >{ab_threshold}x vs "
+              f"{prev_label} -> interleaved A/B against {prev_ref[:12]}",
+              file=sys.stderr, flush=True)
+        try:
+            ab_summary = _run_ab(prev_ref, 3, sorted(movers))
+            adj["ab"] = {q: v["paired_ratio_med"]
+                         for q, v in ab_summary["queries"].items()}
+            adj["ab_geomean"] = ab_summary["geomean_paired_ratio"]
+        except Exception as e:  # record still prints on AB failure
+            adj["ab_error"] = str(e)[:200]
+    elif movers:
+        adj["ab_error"] = "no pinning commit found for " + prev_label
+
+    headline = {
         "metric": "suite_wall_seconds",
         "value": total,
         "unit": "sec",
@@ -539,9 +576,57 @@ def main() -> None:
         "trials": len(runs),
         "stat": "median",
         "median_rel_spread": round(statistics.median(spread.values()), 3),
+        "max_rel_spread": round(max(spread.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "scale": final_scale,
-    }))
+        "adj": adj,
+        "self": "BENCH_SELF.json",
+    }
+    # the COMPLETE record (per-query medians + rel-spreads + steady +
+    # raw trials + full scale evidence + the A/B paired table) goes to
+    # a tracked sidecar the judge can read whole — the driver's stdout
+    # tail keeps only the last 2000 chars
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_SELF.json"), "w") as fh:
+        json.dump({
+            "kind": "self_adjudicating_bench_record",
+            "sf": headline["sf"], "trials": len(runs), "stat": "median",
+            "suite_wall_seconds": total,
+            "steady_total": headline["steady_total"],
+            "queries_median": timings,
+            "queries_rel_spread": spread,
+            "queries_steady": steady,
+            "runs": [{k: round(v, 3) for k, v in r.items()}
+                     for r in runs],
+            "follow_visibility": fv,
+            "scale": final_scale,
+            "mux": mux, "commit_contention": contention,
+            "mux_churn": churn,
+            "adjudication": {**adj, "ab_detail": ab_summary},
+        }, fh, indent=1)
+    # SIZE GUARD: the driver records the final line only if it fits
+    # its 2000-char stdout tail (r14's line overflowed -> parsed:
+    # null, and the round's only red flag became unfalsifiable from
+    # the record).  Degrade gracefully, never the queries dict (the
+    # driver contract): movers detail -> count, then 2-decimal
+    # medians, then scale -> sidecar pointer.
+    def _dump(h: dict) -> str:
+        return json.dumps(h, separators=(",", ":"))
+
+    line = _dump(headline)
+    if len(line) > 1950:
+        adj_c = dict(adj)
+        adj_c["movers"] = len(movers)
+        headline["adj"] = adj_c
+        line = _dump(headline)
+    if len(line) > 1950:
+        headline["queries"] = {k: round(v, 2)
+                               for k, v in timings.items()}
+        line = _dump(headline)
+    if len(line) > 1950:
+        headline["scale"] = "see BENCH_SELF.json"
+        line = _dump(headline)
+    print(line)
 
 def _commit_contention() -> dict:
     """VERDICT r13 #4: manifest commit latency vs concurrent committer
@@ -723,17 +808,15 @@ def block_once(query_filter: list[str] | None = None) -> None:
     print("ABBLOCK " + json.dumps(out), flush=True)
 
 
-def ab_main(ref: str, n_pairs: int = 3,
-            query_filter: list[str] | None = None) -> None:
-    """Interleaved A/B against a pinned git ref (VERDICT r12 #7):
+def _run_ab(ref: str, n_pairs: int = 3,
+            query_filter: list[str] | None = None) -> dict:
+    """Interleaved A/B core against a pinned git ref (VERDICT r12 #7):
     whole-suite trial passes minutes apart let machine-state block
     drift masquerade as per-query regressions (it cost round 12 three
-    fake ones).  This mode alternates HEAD and <ref> blocks —
-    A B B A A B … — in fresh subprocesses, then reports PAIRED deltas
-    per query, which cancel any drift slower than a block.
-
-    Usage: ``python bench.py --ab <ref> [n_pairs] [q1,q2,...]``.
-    Writes BENCH_AB.json and prints one summary JSON line."""
+    fake ones).  Alternates HEAD and <ref> blocks — A B B A A B … —
+    in fresh subprocesses, then reports PAIRED deltas per query,
+    which cancel any drift slower than a block.  Returns the summary
+    dict and writes BENCH_AB.json."""
     import statistics
     import subprocess
     import tempfile
@@ -755,7 +838,8 @@ def ab_main(ref: str, n_pairs: int = 3,
             if query_filter:
                 args.append(",".join(query_filter))
             p = subprocess.run(args, cwd=cwd, capture_output=True,
-                               text=True, env=os.environ.copy())
+                               text=True, env=os.environ.copy(),
+                               timeout=1800)
             for line in p.stdout.splitlines():
                 if line.startswith("ABBLOCK "):
                     return json.loads(line[8:])
@@ -798,12 +882,87 @@ def ab_main(ref: str, n_pairs: int = 3,
         }
         with open(os.path.join(here, "BENCH_AB.json"), "w") as fh:
             json.dump(summary, fh, indent=1)
-        print(json.dumps({k: v for k, v in summary.items()
-                          if k != "queries"}))
-        print("# full paired table in BENCH_AB.json")
+        return summary
     finally:
         subprocess.run(["git", "worktree", "remove", "--force", wt],
                        cwd=here, capture_output=True)
+
+
+def ab_main(ref: str, n_pairs: int = 3,
+            query_filter: list[str] | None = None) -> None:
+    """CLI wrapper for :func:`_run_ab`.
+
+    Usage: ``python bench.py --ab <ref> [n_pairs] [q1,q2,...]``.
+    Writes BENCH_AB.json and prints one summary JSON line."""
+    summary = _run_ab(ref, n_pairs, query_filter)
+    print(json.dumps({k: v for k, v in summary.items()
+                      if k != "queries"}))
+    print("# full paired table in BENCH_AB.json")
+
+
+def _load_prev_record() -> tuple[str, dict, str | None]:
+    """(label, per-query medians, pinning commit) of the most recent
+    driver bench record — the baseline the self-adjudication compares
+    against (VERDICT r14 #2).
+
+    The driver stores only the LAST 2000 chars of bench stdout and
+    json-parses the final line ("parsed"); when that line overflowed
+    the window (r14), parsed is null and the queries must be regexed
+    out of the raw tail (keys are validated against BENCH_QUERIES so
+    scale/meta entries can't leak in).  Keys missing from a truncated
+    tail are supplemented from the next-older parseable round — a
+    stale supplement can only cause a spurious A/B run, which then
+    adjudicates ~1.0 by construction."""
+    import glob
+    import re
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    recs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+    if not recs:
+        return "none", {}, None
+    valid = set(BENCH_QUERIES) | {"follow_visibility_p95",
+                                  "ingest_100k_lines",
+                                  "ingest_100k_jsonl"}
+
+    def extract(path: str) -> dict:
+        try:
+            with open(path) as fh:
+                d = json.load(fh)
+        except (OSError, ValueError):
+            return {}
+        parsed = d.get("parsed")
+        if isinstance(parsed, dict) and isinstance(
+                parsed.get("queries"), dict):
+            return {k: float(v) for k, v in parsed["queries"].items()
+                    if k in valid}
+        out = {}
+        for k, v in re.findall(r'"([a-z0-9_]+)": ([0-9.]+)',
+                               d.get("tail", "")):
+            if k in valid:
+                out[k] = float(v)
+        return out
+
+    latest = recs[-1]
+    prev = extract(latest)
+    for older in reversed(recs[:-1]):
+        missing = valid - set(prev)
+        if not missing:
+            break
+        sup = extract(older)
+        for k in missing:
+            if k in sup:
+                prev[k] = sup[k]
+    ref = None
+    try:
+        ref = subprocess.run(
+            ["git", "log", "-n1", "--format=%H", "--",
+             os.path.basename(latest)],
+            cwd=here, capture_output=True, text=True,
+            check=True).stdout.strip() or None
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return os.path.basename(latest), prev, ref
 
 
 def math_exp_mean(xs: list[float]) -> float:
