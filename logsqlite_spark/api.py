@@ -196,20 +196,34 @@ class Engine:
                              name=f"t4-restart-{container_id}")
         t.start()
 
-    def start_multiplexed_ingest(self, conf: LogConfig | None = None):
-        """The scale path: one stream, all containers (SURVEY §7.5)."""
-        if self._queries:
+    def start_multiplexed_ingest(self, conf: LogConfig | None = None,
+                                 fmt: str = "plog"):
+        """The scale path: one stream, all containers (SURVEY §7.5).
+
+        ``fmt`` selects the wire format; a ``plog`` and a ``jsonl``
+        mux stream may run side by side (their source globs are
+        disjoint — ``*.plog*`` vs ``*.jsonl*`` — so they never share a
+        spool file, and each commits under its own query-name scope
+        through the manifest lock).  Mixing a mux stream with
+        per-container streams stays refused: those DO overlap the
+        same files and would double-ingest."""
+        key = "__mux__" if fmt == "plog" else f"__mux_{fmt}__"
+        if any(not k.startswith("__mux") for k in self._queries):
             raise RuntimeError(
                 "per-container ingest streams are active; stop them before "
                 "starting the multiplexed stream (overlapping spool reads "
                 "would double-ingest)")
+        if key in self._queries:
+            raise RuntimeError(f"multiplexed {fmt} stream already active")
         q = ING.start_ingest_stream(
             self.spark, self.config.spool_dir, self.config.logs_dir,
-            self.config.state_dir, f"{self.config.checkpoints_dir}/__mux__",
-            conf or LogConfig(), query_name="ingest-mux",
+            self.config.state_dir, f"{self.config.checkpoints_dir}/{key}",
+            conf or LogConfig(),
+            query_name="ingest-mux" if fmt == "plog" else f"ingest-mux-{fmt}",
+            fmt=fmt,
             on_batch_result=self._publish_live,
         )
-        self._queries["__mux__"] = q
+        self._queries[key] = q
         return q
 
     def ingest_once(self, container_id: str | None = None) -> dict:

@@ -190,7 +190,8 @@ class LedgeredWriter:
 # victim
 # --------------------------------------------------------------------------
 
-def run_victim(root: str, seed: int, cycle: int) -> None:
+def run_victim(root: str, seed: int, cycle: int,
+               profile: str = "pull") -> None:
     rnd = random.Random(seed * 10_007 + cycle)
     errlog = open(Path(root) / "victim_errors.log", "a")
     errlock = threading.Lock()
@@ -250,6 +251,35 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
                 except Exception as e:  # noqa: BLE001
                     log_err(f"ingest[{fmt}]", e)
             time.sleep(rnd.uniform(0.02, 0.15))
+
+    def stream_ingest_start() -> None:
+        """VERDICT r14 #1 (stream profile): the S4/S5 PRIMARY mode —
+        start_multiplexed_ingest + Spark checkpoints + foreachBatch —
+        under kill injection.  Each cycle RESUMES the same checkpoint
+        (restart-at-arbitrary-point coverage; resume semantics ≡
+        statehandler.rs:193-219 replay); a replayed micro-batch must
+        dedup through the manifest batch-id cursor.  The two mux
+        streams (plog + jsonl) read disjoint globs and race each
+        other, maintenance, and the sink through the manifest lock."""
+        from logsqlite_spark.config import LogConfig as LC
+
+        seen_dead: set[str] = set()
+        try:
+            eng.start_multiplexed_ingest(LC(), fmt="plog")
+            eng.start_multiplexed_ingest(LC(), fmt="jsonl")
+        except Exception as e:  # noqa: BLE001
+            log_err("stream-start", e)
+            return
+        while True:  # a dead stream is an engine bug, not a stall
+            for key, q in list(eng._queries.items()):
+                try:
+                    exc = q.exception()
+                except Exception:  # noqa: BLE001 — py4j teardown race
+                    continue
+                if exc is not None and key not in seen_dead:
+                    seen_dead.add(key)
+                    log_err(f"stream[{key}]", exc)
+            time.sleep(0.5)
 
     def maintenance_loop() -> None:
         """ONE sequential maintenance actor — the production cleaner
@@ -328,10 +358,12 @@ def run_victim(root: str, seed: int, cycle: int) -> None:
                 log_err("sink", e)
             time.sleep(rnd.uniform(0.2, 0.5))
 
+    ingest_target = (stream_ingest_start if profile == "stream"
+                     else ingest_loop)
     threads = (
         [threading.Thread(target=writer_loop, args=(cid,), daemon=True)
          for cid in CONTAINERS]
-        + [threading.Thread(target=ingest_loop, daemon=True),
+        + [threading.Thread(target=ingest_target, daemon=True),
            threading.Thread(target=maintenance_loop, daemon=True),
            threading.Thread(target=gc_loop, daemon=True),
            threading.Thread(target=follow_loop, args=("tail", "c1"),
@@ -359,7 +391,8 @@ def _check(cond: bool, msg: str) -> None:
         raise SoakViolation(msg)
 
 
-def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
+def check_cycle(spark, root: str, cycle: int, prev: dict,
+                profile: str = "pull") -> dict:
     from logsqlite_spark.config import EngineConfig
     from logsqlite_spark.streaming.incremental import (
         artifact_rows,
@@ -396,14 +429,58 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
            f"victim logged errors:\n{errs.read_text() if errs.exists() else ''}")
 
     # drain what the kill left in the spool
-    for _ in range(50):
-        ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
-                          cfg.state_dir, fmt="plog")
-        ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
-                          cfg.state_dir, fmt="jsonl")
-        if not glob.glob(f"{cfg.spool_dir}/*/*.*"):
-            break
-    _check(not glob.glob(f"{cfg.spool_dir}/*/*.*"), "spool failed to drain")
+    if profile == "stream":
+        # drain by RESUMING the victim's own streams from their
+        # checkpoints — the honest statehandler.rs-replay equivalent:
+        # a batch the kill left uncommitted in the WAL replays with
+        # its pinned file list and must dedup via the manifest
+        # batch-id cursor.  (A pull drain here would corrupt the
+        # checkpoint contract: it deletes files a pinned replay still
+        # needs, and quarantines stream-consumed leftovers as stale.)
+        from logsqlite_spark.config import LogConfig
+        from logsqlite_spark.streaming.ingest import start_ingest_stream
+
+        for fmt, key, qname in (
+                ("plog", "__mux__", "ingest-mux"),
+                ("jsonl", "__mux_jsonl__", "ingest-mux-jsonl")):
+            q = start_ingest_stream(
+                spark, cfg.spool_dir, cfg.logs_dir, cfg.state_dir,
+                f"{cfg.checkpoints_dir}/{key}", LogConfig(),
+                query_name=qname, fmt=fmt)
+            try:
+                try:
+                    q.processAllAvailable()
+                except SoakViolation:
+                    raise
+                except Exception as e:  # noqa: BLE001
+                    _check(False, f"drain stream {qname} failed: {e}")
+                ex = q.exception()
+                _check(ex is None, f"drain stream {qname} failed: {ex}")
+            finally:
+                q.stop()
+                q.awaitTermination(60)
+        # cleanSource lags a committed batch, so consumed files may
+        # remain on disk; every leftover must be provably committed
+        # (name <= the manifest's last_file for its container) — an
+        # unconsumed leftover after processAllAvailable is real loss
+        mt = ManifestTable(cfg.logs_dir)
+        lf_now = (mt.manifest().get("last_file", {})
+                  if mt.exists() else {})
+        for p in glob.glob(f"{cfg.spool_dir}/*/*.*"):
+            cid = os.path.basename(os.path.dirname(p))
+            _check(os.path.basename(p)
+                   <= os.path.basename(lf_now.get(cid, "")),
+                   f"stream drain left an unconsumed spool file: {p}")
+    else:
+        for _ in range(50):
+            ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
+                              cfg.state_dir, fmt="plog")
+            ingest_spool_once(spark, cfg.spool_dir, cfg.logs_dir,
+                              cfg.state_dir, fmt="jsonl")
+            if not glob.glob(f"{cfg.spool_dir}/*/*.*"):
+                break
+        _check(not glob.glob(f"{cfg.spool_dir}/*/*.*"),
+               "spool failed to drain")
 
     # read through the MANIFEST (live files only) — the raw directory
     # still holds files retired by compaction/retention until gc, and
@@ -594,7 +671,8 @@ def check_cycle(spark, root: str, cycle: int, prev: dict) -> dict:
 # parent driver
 # --------------------------------------------------------------------------
 
-def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
+def run_soak(cycles: int, seed: int, root: str, keep: bool,
+             profile: str = "pull") -> int:
     os.makedirs(root, exist_ok=True)
     rnd = random.Random(seed)
 
@@ -614,7 +692,8 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
         ready = Path(root, f"ready_{cycle}")
         proc = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__),
-             "--victim", root, str(seed), str(cycle)],
+             "--victim", root, str(seed), str(cycle),
+             "--profile", profile],
             start_new_session=True,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
         try:
@@ -639,7 +718,7 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool) -> int:
             proc.wait()
 
         try:
-            prev = check_cycle(spark, root, cycle, prev)
+            prev = check_cycle(spark, root, cycle, prev, profile)
         except SoakViolation as e:
             print(f"FAIL cycle {cycle} (seed={seed}): {e}")
             print(f"state left in {root} for forensics")
@@ -680,12 +759,21 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=14)
     ap.add_argument("--root", default="/tmp/logsqlite_soak")
     ap.add_argument("--keep", action="store_true")
+    ap.add_argument("--profile", choices=["pull", "stream"],
+                    default="pull",
+                    help="pull: batch ingest_spool_once victims "
+                         "(r14 profile); stream: the S4/S5 primary "
+                         "mode — start_multiplexed_ingest + Spark "
+                         "checkpoints + foreachBatch — with "
+                         "checkpoint-resume drains (VERDICT r14 #1)")
     ap.add_argument("--victim", nargs=3, metavar=("ROOT", "SEED", "CYCLE"))
     args = ap.parse_args()
     if args.victim:
-        run_victim(args.victim[0], int(args.victim[1]), int(args.victim[2]))
+        run_victim(args.victim[0], int(args.victim[1]),
+                   int(args.victim[2]), args.profile)
         return 0
-    return run_soak(args.cycles, args.seed, args.root, args.keep)
+    return run_soak(args.cycles, args.seed, args.root, args.keep,
+                    args.profile)
 
 
 if __name__ == "__main__":
