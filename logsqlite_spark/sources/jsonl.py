@@ -200,37 +200,42 @@ def read_jsonl_spool_batch(spark: SparkSession, spool_dir: str,
 def read_jsonl_spool_stream(spark: SparkSession, spool_dir: str,
                             max_bytes_per_trigger: int | None = None,
                             container_id: str | None = None) -> DataFrame:
-    """Streaming decode: two file sources unioned — the native JVM
-    json reader for plain ``.jsonl`` (glob ``*.jsonl`` does NOT match
-    ``.gz``) and the Arrow gunzip-quarantine path for ``.jsonl.gz``
-    (a corrupt gz through the native codec would fail the micro-batch
-    and stall the stream forever; through the quarantine it is one
-    decode-error row, same as ``.plog.gz``)."""
+    """Streaming decode: ONE ``binaryFile`` source for plain ``.jsonl``
+    AND ``.jsonl.gz``, split+gunzipped Arrow-side with the JSON field
+    decode JVM-side via ``from_json`` — mirroring the plog stream.
+
+    This MUST be a single file source (round-15 stream-soak finding,
+    caught in 7 kill cycles): the previous design unioned the native
+    json reader for plain files with a binaryFile source for gz, and
+    the two sources checkpoint their file offsets INDEPENDENTLY — one
+    source could deliver a newer-named file in an earlier micro-batch
+    than the other source's older file, violating per-container
+    arrival order.  The monotonicity guard then stale-quarantined the
+    late file and its rows never reached the table (8 rows lost per
+    incident, shifting every later seq).  One source = one
+    globally-ordered file sequence per container, the invariant the
+    watermark is built on.
+
+    Corrupt gz files still quarantine as ONE decode-error row instead
+    of failing micro-batches forever (``_gunzip_buf`` sentinel), and a
+    corrupt plain line flows into the same ``_corrupt`` path as the
+    batch reader's PERMISSIVE mode."""
     src = f"{spool_dir}/{container_id or '*'}/"
     reader = (
-        spark.readStream.schema(JSONL_SCHEMA)
-        .option("pathGlobFilter", "*.jsonl")
-        .option("maxFileAge", "3650d")
-        .option("cleanSource", "delete")
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt")
-    )
-    gz_reader = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, "
                 "length long, content binary")
-        .option("pathGlobFilter", "*.jsonl.gz")
+        .option("pathGlobFilter", "*.jsonl*")
+        .option("latestFirst", "false")
         .option("maxFileAge", "3650d")
         .option("cleanSource", "delete")
     )
     if max_bytes_per_trigger is not None:
-        reader = reader.option("maxBytesPerTrigger", str(max_bytes_per_trigger))
-        gz_reader = gz_reader.option("maxBytesPerTrigger",
-                                     str(max_bytes_per_trigger))
-    raw = reader.json(src).withColumn("path", _decoded_input_file_name())
-    gz_raw = _jsonl_gz_raw(
-        gz_reader.load(src).select("path", "length", "content"))
-    return _to_entry_shape(raw.unionByName(gz_raw))
+        reader = reader.option("maxBytesPerTrigger",
+                               str(max_bytes_per_trigger))
+    raw = _jsonl_gz_raw(reader.load(src)
+                        .select("path", "length", "content"))
+    return _to_entry_shape(raw)
 
 def _to_entry_shape(raw: DataFrame) -> DataFrame:
     """Canonicalize (S2) + derive container_id from the path, matching

@@ -551,14 +551,26 @@ def test_corrupt_gzip_jsonl_spool_file_quarantined(spark, warehouse):
 
 
 def test_streaming_jsonl_ingest_mixed_plain_and_gz(spark, warehouse):
-    """The jsonl stream is a union of two file sources (native json
-    for .jsonl, Arrow gunzip for .jsonl.gz); both must flow into one
-    contiguous per-container seq stream, and a corrupt gz file must
-    quarantine (one error row) instead of failing micro-batches
-    forever."""
+    """Plain .jsonl and .jsonl.gz must flow through ONE file source
+    into one contiguous per-container seq stream, and a corrupt gz
+    file must quarantine (one error row) instead of failing
+    micro-batches forever.
+
+    The single-source shape is load-bearing (round-15 stream-soak
+    finding): two independently-checkpointed sources (native json for
+    plain + binaryFile for gz) could deliver a container's files out
+    of name order across micro-batches — the monotonicity guard then
+    stale-quarantined the late file and its rows never reached the
+    table."""
     from pathlib import Path
 
     from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+    from logsqlite_spark.sources.jsonl import read_jsonl_spool_stream
+
+    # structural pin: exactly ONE streaming file source
+    sdf = read_jsonl_spool_stream(spark, warehouse.spool_dir)
+    plan = sdf._jdf.queryExecution().logical().toString()
+    assert plan.count("StreamingRelation") == 1, plan
 
     w = JsonlSpoolWriter(warehouse.spool_dir, "cjs")
     w.write_burst([{"source": "stdout", "time_nano": BASE_TS + i,
