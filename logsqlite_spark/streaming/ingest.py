@@ -247,26 +247,35 @@ def _write_batch_grouped(batch_df: DataFrame, table: ManifestTable,
                      if r["f"] is not None}
         n_errors = sum(r["e"] for r in stats)
         n_stale = sum(r["st"] for r in stats)
+        # Quarantine writes go through the staged-rename helper, NOT a
+        # direct .mode("append") into the shared dir (round-15 stream-
+        # soak finding, caught at cycle 37): two concurrent streams
+        # (the plog and jsonl mux queries) appending into the same
+        # path share Hadoop's job-staging dir `<dir>/_temporary/0` —
+        # whichever job commits first recursively deletes it and the
+        # other dies on FileNotFoundException mid-write.  The helper
+        # stages under a per-call `_inflight-<uuid>` dir (isolated
+        # `_temporary`) and renames files in with unique names; its
+        # count guard is exact here because the grouped batch is
+        # persisted (the quarantine re-read serves from cache).
         if n_stale and on_stale == "quarantine":
-            (
+            _quarantine_write(
                 batch_df.filter(F.col("__stale"))
                 .select("path", "container_id", "frame_no", "source",
-                        "time_nano", "line")
-                .write.mode("append")
-                .parquet(str(Path(state_dir) / "out_of_order"))
-            )
+                        "time_nano", "line"),
+                str(Path(state_dir) / "out_of_order"), int(n_stale),
+                "out-of-order")
         if n_errors:
             # T4 policy: corrupt frames never poison the stream — the
             # good prefix of the file was kept (decode stops at the bad
             # frame, like the reference restarting on DecodeError), and
             # the error row is quarantined for ops visibility.
-            (
+            _quarantine_write(
                 batch_df.filter((F.col("source") == DECODE_ERROR_SOURCE)
                                 & not_stale)
-                .select("path", "container_id", "line")
-                .write.mode("append")
-                .parquet(str(Path(state_dir) / "decode_errors"))
-            )
+                .select("path", "container_id", "line"),
+                str(Path(state_dir) / "decode_errors"), int(n_errors),
+                "decode-error")
         increments = {r["container_id"]: int(r["n"]) for r in stats if r["n"]}
         n_rows = sum(increments.values())
         new_files: list[str] = []
