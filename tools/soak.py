@@ -87,6 +87,42 @@ RETENTION_KEEP = 40
 ERASE_CID = "c4"
 ERASE_MARK = "-X"  # ~20% of c4 lines carry it; the erase predicate
 
+# --- two-daemon profile (VERDICT r14 #3) ----------------------------
+# Two engines in separate PROCESSES share one warehouse on disjoint
+# containers: the cross-process story (flock commit lock + validate-
+# referenced-files CommitConflict) under kill injection.  Each engine
+# runs ALL THREE maintenance op classes on its own containers, so
+# starvation shows up as a missing (engine, op) success in coverage.
+CONTAINERS_DUO = {
+    "c0": ("plog", 0.0, 0.0),         # A: retention target
+    "c1": ("plog", 0.5, 0.12),        # A: follow_tail, gz+corrupt
+    "c5": ("plog", 0.0, 0.0),         # A: targeted-erase target
+    "c2": ("plog", 0.0, 0.0),         # B: follow_live consumer
+    "c3": ("jsonl", 0.5, 0.12),       # B: jsonl gz+corrupt
+    "c4": ("plog", 0.0, 0.0),         # B: targeted-erase target
+    "c6": ("plog", 0.0, 0.0),         # B: retention target
+}
+DUO_OWNER = {"a": ("c0", "c1", "c5"), "b": ("c2", "c3", "c4", "c6")}
+RETENTION_CIDS = {"c0", "c6"}
+ERASE_CIDS = {"c4", "c5"}
+
+
+def containers_for(profile: str) -> dict:
+    return CONTAINERS_DUO if profile == "duo" else CONTAINERS
+
+# --- IVF index lifecycle profile (VERDICT r14 #4) -------------------
+IVF_BASE = 200      # ids [0, IVF_BASE) in the initial build
+IVF_DIM = 8
+IVF_CLUSTERS = 4
+
+
+def _ivf_vec(i: int) -> list[float]:
+    """Deterministic per-id vector — victim and checker reproduce the
+    same embedding from the id alone, so the ledger never stores
+    vectors."""
+    r = random.Random(i * 1_000_003 + 7)
+    return [round(r.uniform(-1.0, 1.0), 6) for _ in range(IVF_DIM)]
+
 
 def _append_jsonl(fh, obj) -> None:
     fh.write(json.dumps(obj) + "\n")
@@ -150,7 +186,7 @@ class LedgeredWriter:
         compress = corrupt or (self.rnd.random() < gz_mix)
         lines = [] if corrupt else [
             f"{self.cid}-{self.total_lines + i}-{self.rnd.randrange(10**9)}"
-            + (ERASE_MARK if self.cid == ERASE_CID
+            + (ERASE_MARK if self.cid in ERASE_CIDS
                and self.rnd.random() < 0.2 else "")
             for i in range(n)]
         stem = f"{time.time_ns():020d}-{self.counter:06d}"
@@ -191,8 +227,9 @@ class LedgeredWriter:
 # --------------------------------------------------------------------------
 
 def run_victim(root: str, seed: int, cycle: int,
-               profile: str = "pull") -> None:
-    rnd = random.Random(seed * 10_007 + cycle)
+               profile: str = "pull", engine_id: str = "") -> None:
+    rnd = random.Random(seed * 10_007 + cycle
+                        + (7_919 if engine_id == "b" else 0))
     errlog = open(Path(root) / "victim_errors.log", "a")
     errlock = threading.Lock()
 
@@ -219,17 +256,23 @@ def run_victim(root: str, seed: int, cycle: int,
              .getOrCreate())
     cfg = EngineConfig(warehouse_dir=f"{root}/wh")
     eng = Engine(spark, cfg)
-    for cid in CONTAINERS:
+    cmap = containers_for(profile)
+    # duo: each engine PROCESS owns a disjoint container set and only
+    # ever writes/ingests/maintains its own; every manifest commit
+    # still contends with the peer through the cross-process flock
+    mine = (DUO_OWNER[engine_id] if profile == "duo"
+            else tuple(cmap))
+    for cid in mine:
         eng.state.upsert(cid, None, LogConfig(
             cleanup_max_lines=RETENTION_KEEP)
-            if cid == RETENTION_CID else LogConfig())
+            if cid in RETENTION_CIDS else LogConfig())
 
     writers = {
-        cid: LedgeredWriter(root, cfg.spool_dir, cid, fmt, rnd)
-        for cid, (fmt, _, _) in CONTAINERS.items()}
+        cid: LedgeredWriter(root, cfg.spool_dir, cid, cmap[cid][0], rnd)
+        for cid in mine}
 
     def writer_loop(cid: str) -> None:
-        fmt, gz_mix, corrupt_rate = CONTAINERS[cid]
+        fmt, gz_mix, corrupt_rate = cmap[cid]
         w = writers[cid]
         while True:
             try:
@@ -239,17 +282,32 @@ def run_victim(root: str, seed: int, cycle: int,
             time.sleep(rnd.uniform(0.03, 0.25))
 
     def ingest_loop() -> None:
+        from logsqlite_spark.streaming.ingest import ingest_spool_once
         while True:
             for fmt in ("plog", "jsonl"):
                 try:
-                    from logsqlite_spark.streaming.ingest import (
-                        ingest_spool_once)
                     res = ingest_spool_once(
                         spark, cfg.spool_dir, cfg.logs_dir,
                         cfg.state_dir, fmt=fmt)
                     eng._publish_live(res)  # follow_live fan-out
                 except Exception as e:  # noqa: BLE001
                     log_err(f"ingest[{fmt}]", e)
+            time.sleep(rnd.uniform(0.02, 0.15))
+
+    def ingest_loop_duo() -> None:
+        """Per-container SCOPED pulls (the single-container observed
+        path) — a duo engine must never pull the peer's spool dirs."""
+        from logsqlite_spark.streaming.ingest import ingest_spool_once
+        while True:
+            for cid in mine:
+                try:
+                    res = ingest_spool_once(
+                        spark, cfg.spool_dir, cfg.logs_dir,
+                        cfg.state_dir, container_id=cid,
+                        fmt=cmap[cid][0])
+                    eng._publish_live(res)  # follow_live fan-out
+                except Exception as e:  # noqa: BLE001
+                    log_err(f"ingest[{engine_id}/{cid}]", e)
             time.sleep(rnd.uniform(0.02, 0.15))
 
     def stream_ingest_start() -> None:
@@ -292,6 +350,18 @@ def run_victim(root: str, seed: int, cycle: int,
         them concurrently."""
         from logsqlite_spark.table import CommitConflict
 
+        my_ret = next(c for c in mine if c in RETENTION_CIDS) \
+            if any(c in RETENTION_CIDS for c in mine) else None
+        my_erase = next(c for c in mine if c in ERASE_CIDS) \
+            if any(c in ERASE_CIDS for c in mine) else None
+        maint_led = (open(Path(root) / "ledger_maint.jsonl", "a")
+                     if profile == "duo" else None)
+
+        def record(op: str, ok: bool) -> None:
+            if maint_led is not None:
+                _append_jsonl(maint_led, {"engine": engine_id, "op": op,
+                                          "ok": ok, "cycle": cycle})
+
         while True:
             # shuffled rotation: with a fixed order and short kill
             # windows the tail op can never complete before the kill
@@ -301,15 +371,44 @@ def run_victim(root: str, seed: int, cycle: int,
             for op in ops:
                 time.sleep(rnd.uniform(0.1, 0.4))
                 try:
+                    if profile != "duo":
+                        if op == "cleanup":
+                            eng.cleanup_all()  # retention (c0 conf) + gc
+                        elif op == "compact":
+                            eng.compact()
+                        else:
+                            eng.erase(f"contains(line, '{ERASE_MARK}')",
+                                      ERASE_CID)
+                        continue
+                    # duo: each engine runs ALL THREE op classes on
+                    # its OWN containers; per-(engine, op) pass rates
+                    # are ledgered so cross-process starvation (no
+                    # shared maintenance lock between processes — only
+                    # the flock + CommitConflict safety) is measurable
                     if op == "cleanup":
-                        eng.cleanup_all()  # retention (c0 conf) + gc
+                        from logsqlite_spark.config import LogConfig as LC
+                        from logsqlite_spark.operators.retention import (
+                            apply_retention)
+                        res = apply_retention(
+                            spark, cfg.logs_dir, my_ret,
+                            LC(cleanup_max_lines=RETENTION_KEEP))
+                        eng.table.gc(keep_generations=2)
+                        record(op, not res.get("conflict"))
                     elif op == "compact":
-                        eng.compact()
+                        from logsqlite_spark.operators.compact import (
+                            compact_container)
+                        conflicts = 0
+                        for cid in mine:
+                            r = compact_container(spark, cfg.logs_dir,
+                                                  cid, min_files=4)
+                            conflicts += r.get("conflicts", 0)
+                        record(op, conflicts == 0)
                     else:
                         eng.erase(f"contains(line, '{ERASE_MARK}')",
-                                  ERASE_CID)
+                                  my_erase)
+                        record(op, True)
                 except CommitConflict:
-                    pass  # cross-actor race: next rotation retries
+                    record(op, False)  # cross-actor race: retried later
                 except Exception as e:  # noqa: BLE001
                     log_err(op, e)
 
@@ -359,21 +458,183 @@ def run_victim(root: str, seed: int, cycle: int,
             time.sleep(rnd.uniform(0.2, 0.5))
 
     ingest_target = (stream_ingest_start if profile == "stream"
+                     else ingest_loop_duo if profile == "duo"
                      else ingest_loop)
     threads = (
         [threading.Thread(target=writer_loop, args=(cid,), daemon=True)
-         for cid in CONTAINERS]
+         for cid in mine]
         + [threading.Thread(target=ingest_target, daemon=True),
            threading.Thread(target=maintenance_loop, daemon=True),
-           threading.Thread(target=gc_loop, daemon=True),
-           threading.Thread(target=follow_loop, args=("tail", "c1"),
-                            daemon=True),
-           threading.Thread(target=follow_loop, args=("live", "c2"),
-                            daemon=True),
-           threading.Thread(target=sink_loop, daemon=True)])
+           threading.Thread(target=gc_loop, daemon=True)])
+    if profile == "duo":
+        # followers and the sink split across the two engines: A tails
+        # its own c1; B live-follows its own c2 (follow_live fans out
+        # from the INGESTING engine); the sink runs in A only
+        if engine_id == "a":
+            threads += [
+                threading.Thread(target=follow_loop, args=("tail", "c1"),
+                                 daemon=True),
+                threading.Thread(target=sink_loop, daemon=True)]
+        else:
+            threads += [
+                threading.Thread(target=follow_loop, args=("live", "c2"),
+                                 daemon=True)]
+    else:
+        threads += [
+            threading.Thread(target=follow_loop, args=("tail", "c1"),
+                             daemon=True),
+            threading.Thread(target=follow_loop, args=("live", "c2"),
+                             daemon=True),
+            threading.Thread(target=sink_loop, daemon=True)]
     for t in threads:
         t.start()
-    Path(root, f"ready_{cycle}").touch()  # parent may start the kill clock
+    suffix = f"_{engine_id}" if profile == "duo" else ""
+    # parent may start the kill clock
+    Path(root, f"ready_{cycle}{suffix}").touch()
+    while True:
+        time.sleep(1)
+
+
+def run_victim_ivf(root: str, seed: int, cycle: int) -> None:
+    """IVF-index lifecycle victim (VERDICT r14 #4): append / erase /
+    compact actors maintaining ONE persisted index under kill
+    injection, with intent-before-publish ledgering so the checker
+    can decide exactly which vectors are committed."""
+    rnd = random.Random(seed * 20_011 + cycle)
+    errlog = open(Path(root) / "victim_errors.log", "a")
+    errlock = threading.Lock()
+
+    def log_err(where: str, e: BaseException) -> None:
+        with errlock:
+            errlog.write(f"cycle={cycle} {where}: "
+                         f"{type(e).__name__}: {e}\n")
+            errlog.flush()
+            os.fsync(errlog.fileno())
+
+    from pyspark.sql import SparkSession
+
+    from logsqlite_spark.operators.similarity import (
+        _index_marker_exists,
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_lists,
+        erase_from_ivf_index,
+    )
+
+    spark = (SparkSession.builder.master("local[4]")
+             .appName(f"soak-ivf-victim-{cycle}")
+             .config("spark.ui.enabled", "false")
+             .config("spark.sql.shuffle.partitions", "8")
+             .getOrCreate())
+    path = f"{root}/wh/ivf_index"
+    os.makedirs(f"{root}/wh", exist_ok=True)
+    led_path = Path(root) / "ledger_ivf.jsonl"
+    recs = _read_jsonl_tolerant(str(led_path))
+    led = open(led_path, "a")
+    led_lock = threading.Lock()
+
+    def ledger(obj: dict) -> None:
+        with led_lock:
+            _append_jsonl(led, obj)
+
+    # committed view from the ledger: ids usable for erase picks,
+    # and the next fresh id (intents count — an unfinished append's
+    # ids must never be reused)
+    done_appends = {r["done_append"] for r in recs if "done_append" in r}
+    appended: dict[int, list[int]] = {
+        r["append"][0]: r["append"] for r in recs if "append" in r}
+    erase_intent_ids = {i for r in recs if "erase" in r for i in r["erase"]}
+    live: set[int] = set()
+    if any("done_build" in r for r in recs):
+        live |= set(range(IVF_BASE))
+    for key in done_appends:
+        live |= set(appended.get(key, []))
+    live -= erase_intent_ids
+    next_id = IVF_BASE  # the build always owns [0, IVF_BASE)
+    for ids in appended.values():
+        next_id = max(next_id, max(ids) + 1)
+
+    def vec_df(ids: list[int]):
+        return spark.createDataFrame(
+            [(i, _ivf_vec(i)) for i in ids],
+            "vec_id long, embedding array<float>")
+
+    if not _index_marker_exists(spark, path):
+        # initial build (or retry of one a cold kill interrupted):
+        # idempotent overwrite; the marker is written LAST
+        try:
+            ledger({"build": IVF_BASE})
+            build_ivf_index(vec_df(list(range(IVF_BASE))), path,
+                            n_clusters=IVF_CLUSTERS, sq_dim=IVF_DIM)
+            ledger({"done_build": IVF_BASE})
+        except Exception as e:  # noqa: BLE001
+            log_err("ivf-build", e)
+    else:
+        # a kill mid-erase leaves a staged erase; FINISH it first (the
+        # engine's crash-resume contract) so later erases aren't
+        # refused — its intent is already ledgered from that cycle
+        stage = Path(path) / ".erase_stage.json"
+        if stage.exists():
+            try:
+                staged_ids = [int(x) for x in
+                              json.loads(stage.read_text())["ids"]]
+                erase_from_ivf_index(spark, path, staged_ids)
+                ledger({"done_erase": staged_ids[0]})
+            except Exception as e:  # noqa: BLE001
+                log_err("ivf-erase-resume", e)
+
+    state_lock = threading.Lock()
+
+    def append_loop() -> None:
+        nonlocal next_id
+        while True:
+            with state_lock:
+                n = rnd.randint(3, 12)
+                ids = list(range(next_id, next_id + n))
+                next_id += n
+            try:
+                ledger({"append": ids})
+                # stationary generator: drift never triggers a refit
+                # (refit atomicity is its own future soak profile)
+                append_to_ivf_index(vec_df(ids), path,
+                                    drift_threshold=10.0)
+                ledger({"done_append": ids[0]})
+                with state_lock:
+                    live.update(ids)
+            except Exception as e:  # noqa: BLE001
+                log_err("ivf-append", e)
+            time.sleep(rnd.uniform(0.05, 0.3))
+
+    def erase_loop() -> None:
+        while True:
+            time.sleep(rnd.uniform(0.3, 0.9))
+            with state_lock:
+                if len(live) < 8:
+                    continue
+                ids = sorted(rnd.sample(sorted(live), rnd.randint(1, 4)))
+                live.difference_update(ids)
+            try:
+                ledger({"erase": ids})
+                erase_from_ivf_index(spark, path, ids)
+                ledger({"done_erase": ids[0]})
+            except Exception as e:  # noqa: BLE001
+                log_err("ivf-erase", e)
+
+    def compact_loop() -> None:
+        while True:
+            time.sleep(rnd.uniform(0.6, 1.4))
+            try:
+                res = compact_ivf_lists(spark, path, min_files=3)
+                if res["compacted_clusters"]:
+                    ledger({"done_compact": res["compacted_clusters"]})
+            except Exception as e:  # noqa: BLE001
+                log_err("ivf-compact", e)
+
+    for t in (threading.Thread(target=append_loop, daemon=True),
+              threading.Thread(target=erase_loop, daemon=True),
+              threading.Thread(target=compact_loop, daemon=True)):
+        t.start()
+    Path(root, f"ready_{cycle}").touch()
     while True:
         time.sleep(1)
 
@@ -389,6 +650,98 @@ class SoakViolation(AssertionError):
 def _check(cond: bool, msg: str) -> None:
     if not cond:
         raise SoakViolation(msg)
+
+
+def check_cycle_ivf(spark, root: str, cycle: int, prev: dict) -> dict:
+    """IVF-profile invariants: the persisted index serves EXACTLY the
+    committed vector set.
+
+    Kill-time classification from the intent-before-publish ledger:
+    - MUST HAVE: the build's base ids and every done-append's ids,
+      minus any id an erase ever INTENDED (an unfinished erase may
+      have removed some of its ids; a finished one removed all).
+    - MUST NOT HAVE: every done-erase's ids, and any id no intent
+      ever introduced.
+    - MAY HAVE (either way, but never twice): ids of unfinished
+      appends (a killed append job can be partially visible — each
+      file rename is atomic, the job commit is not) and unfinished
+      erases.
+    Every present id must appear EXACTLY once (a lost compaction swap
+    shows as absence; a double-adopted swap as duplication), and a
+    probed search (all lists) for a sample of must-have vectors must
+    return their own ids."""
+    errs = Path(root, "victim_errors.log")
+    _check(not errs.exists() or errs.read_text() == "",
+           "victim logged errors:\n"
+           + (errs.read_text() if errs.exists() else ""))
+
+    recs = _read_jsonl_tolerant(str(Path(root) / "ledger_ivf.jsonl"))
+    built = any("done_build" in r for r in recs)
+    appended = {r["append"][0]: r["append"] for r in recs if "append" in r}
+    done_app = {k for k in (r.get("done_append") for r in recs)
+                if k is not None}
+    erased = {r["erase"][0]: r["erase"] for r in recs if "erase" in r}
+    done_er = {k for k in (r.get("done_erase") for r in recs)
+               if k is not None}
+    erase_intent_ids = {i for ids in erased.values() for i in ids}
+    must_have: set[int] = set(range(IVF_BASE)) if built else set()
+    for k in done_app:
+        must_have |= set(appended.get(k, []))
+    must_have -= erase_intent_ids
+    must_not = {i for k in done_er for i in erased.get(k, [])}
+    known = set(range(IVF_BASE)) | {
+        i for ids in appended.values() for i in ids}
+
+    path = f"{root}/wh/ivf_index"
+    from logsqlite_spark.operators.similarity import (
+        _index_marker_exists,
+        ivf_topk_indexed,
+    )
+    if not _index_marker_exists(spark, path):
+        _check(not built, "index marker vanished after a done build")
+        return {"ivf_live": 0, "done_appends": len(done_app),
+                "done_erases": len(done_er),
+                "compactions": sum(1 for r in recs if "done_compact" in r)}
+
+    ids_rows = (spark.read.option("basePath", f"{path}/lists")
+                .parquet(f"{path}/lists").select("nid").collect())
+    got = [int(r["nid"]) for r in ids_rows]
+    got_set = set(got)
+    _check(len(got) == len(got_set),
+           f"duplicate vector ids in the lists: n={len(got)} "
+           f"distinct={len(got_set)}")
+    missing = must_have - got_set
+    _check(not missing, f"committed vectors LOST from the index: "
+                        f"{sorted(missing)[:10]} (+{len(missing) - 10 if len(missing) > 10 else 0})")
+    resur = must_not & got_set
+    _check(not resur, f"erased vectors RESURRECTED: {sorted(resur)[:10]}")
+    foreign = got_set - known
+    _check(not foreign, f"ids never intended: {sorted(foreign)[:10]}")
+
+    # serving-path probe: the index must SERVE what it stores — query
+    # AT a sample of committed vectors over ALL lists; each must come
+    # back for its own query (probe ids live outside the id space
+    # because the scorer excludes qid == nid self-pairs)
+    sample = sorted(must_have)[-8:]
+    if sample:
+        from pyspark.sql import functions as F
+        qdf = spark.createDataFrame(
+            [(10**9 + i, _ivf_vec(i)) for i in sample],
+            "vec_id long, embedding array<float>")
+        hits = (ivf_topk_indexed(spark, qdf, path, k=3,
+                                 n_probe=IVF_CLUSTERS)
+                .groupBy("qid")
+                .agg(F.collect_list("nid").alias("nids")).collect())
+        by_q = {int(r["qid"]) - 10**9: [int(x) for x in r["nids"]]
+                for r in hits}
+        for i in sample:
+            _check(i in by_q.get(i, []),
+                   f"probed search failed to serve committed id {i}: "
+                   f"top-3 = {by_q.get(i)}")
+
+    return {"ivf_live": len(got_set), "done_appends": len(done_app),
+            "done_erases": len(done_er),
+            "compactions": sum(1 for r in recs if "done_compact" in r)}
 
 
 def check_cycle(spark, root: str, cycle: int, prev: dict,
@@ -502,9 +855,10 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
                  for c, v in manifest.get("last_file", {}).items()}
     snap_names = {os.path.basename(p) for p in snap}
 
+    cmap = containers_for(profile)
     expected_by_cid: dict[str, list[str]] = {}
     erase_holes = 0
-    for cid in CONTAINERS:
+    for cid in cmap:
         led_path = Path(root, f"ledger_{cid}.jsonl")
         raw = _read_jsonl_tolerant(str(led_path))
         recs = [r for r in raw if "name" in r]
@@ -533,7 +887,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
         seqs = sorted(by_cid.get(cid, {}))
         hi = seqs[-1] if seqs else 0
         lo = seqs[0] if seqs else 1
-        if cid == ERASE_CID:
+        if cid in ERASE_CIDS:
             # targeted erasure punches holes by design: the invariants
             # are (a) every present row content-correct at its seq
             # (below), (b) every MISSING seq up to the manifest
@@ -576,7 +930,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
                f"{expected[hi - 1] if 0 < hi <= len(expected) else None!r}; "
                f"see forensics_{cycle}.json")
         # I3 deletion is retention-only
-        if cid != RETENTION_CID:
+        if cid not in RETENTION_CIDS:
             _check(lo == 1 or not seqs, f"{cid}: rows deleted (lo={lo})")
 
     # I4 follow consumers: contiguous content-correct run
@@ -624,7 +978,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
     # saw, so fail loudly with it.
     corrupt_names = {
         rec["name"]
-        for cid in CONTAINERS
+        for cid in cmap
         for rec in _read_jsonl_tolerant(
             str(Path(root, f"ledger_{cid}.jsonl")))
         if rec.get("corrupt")}
@@ -654,14 +1008,16 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
         spark, table.manifest()).limit(1).take(1)) in (0, 1),
         "table unreadable after gc")
 
-    c0 = sorted(by_cid.get(RETENTION_CID, {}))
+    ret_bit = any(
+        (lambda sq: bool(sq and sq[0] > 1))(sorted(by_cid.get(rc, {})))
+        for rc in RETENTION_CIDS if rc in cmap)
     return {"sink_p": p, "generation": gen, "erase_holes": erase_holes,
             "rows": len(rows),
             "ledgered": sum(len(v) for v in expected_by_cid.values()),
             "follow_rows": follow_rows,
-            "retention_bit": bool(c0 and c0[0] > 1),
+            "retention_bit": ret_bit,
             "corrupt_files": sum(
-                1 for cid in CONTAINERS
+                1 for cid in cmap
                 for r in _read_jsonl_tolerant(
                     str(Path(root, f"ledger_{cid}.jsonl")))
                 if r.get("corrupt"))}
@@ -689,40 +1045,69 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool,
              "erase_holes": 0}
     t0 = time.time()
     for cycle in range(cycles):
-        ready = Path(root, f"ready_{cycle}")
-        proc = subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__),
-             "--victim", root, str(seed), str(cycle),
-             "--profile", profile],
-            start_new_session=True,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+        engines = ("a", "b") if profile == "duo" else ("",)
+        readies = [Path(root, f"ready_{cycle}" + (f"_{e}" if e else ""))
+                   for e in engines]
+        procs = []
+        for e in engines:
+            argv = [sys.executable, os.path.abspath(__file__),
+                    "--victim", root, str(seed), str(cycle),
+                    "--profile", profile]
+            if e:
+                argv += ["--engine", e]
+            procs.append(subprocess.Popen(
+                argv, start_new_session=True,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))
         try:
             cold_kill = rnd.random() < 0.15
             if cold_kill:
                 time.sleep(rnd.uniform(1.0, 9.0))
             else:
-                deadline = time.time() + 90
-                while not ready.exists():
-                    if proc.poll() is not None:
-                        raise SoakViolation(
-                            f"victim exited on its own (rc={proc.returncode})")
+                deadline = time.time() + 120
+                while not all(r.exists() for r in readies):
+                    for proc in procs:
+                        if proc.poll() is not None:
+                            raise SoakViolation(
+                                "victim exited on its own "
+                                f"(rc={proc.returncode})")
                     if time.time() > deadline:
                         raise SoakViolation("victim never became ready")
                     time.sleep(0.1)
                 time.sleep(rnd.uniform(2.5, 9.0))
         finally:
-            try:
-                os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
-            except ProcessLookupError:
-                pass
-            proc.wait()
+            # duo: kill in random order with a SURVIVOR WINDOW between
+            # — the living engine must keep committing while its peer
+            # died possibly mid-commit (kernel-released flock, stale
+            # manifest snapshots -> CommitConflict, never corruption)
+            order = list(procs)
+            rnd.shuffle(order)
+            for i, proc in enumerate(order):
+                try:
+                    os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+                except ProcessLookupError:
+                    pass
+                if i + 1 < len(order):
+                    time.sleep(rnd.uniform(0.0, 2.0))
+            for proc in procs:
+                proc.wait()
 
         try:
-            prev = check_cycle(spark, root, cycle, prev, profile)
+            if profile == "ivf":
+                prev = check_cycle_ivf(spark, root, cycle, prev)
+            else:
+                prev = check_cycle(spark, root, cycle, prev, profile)
         except SoakViolation as e:
             print(f"FAIL cycle {cycle} (seed={seed}): {e}")
             print(f"state left in {root} for forensics")
             return 1
+        if profile == "ivf":
+            print(f"ok cycle {cycle}: live={prev['ivf_live']} "
+                  f"appends={prev['done_appends']} "
+                  f"erases={prev['done_erases']} "
+                  f"compactions={prev['compactions']} "
+                  f"({'cold-kill' if cold_kill else 'work-kill'})",
+                  flush=True)
+            continue
         cover["follow_rows"] += prev["follow_rows"]
         cover["sink_commits"] += int(prev["sink_p"] is not None)
         cover["retention_cycles"] += int(prev["retention_bit"])
@@ -735,9 +1120,25 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool,
 
     # coverage gate: a green run that never drove followers, the sink,
     # corrupt files, or retention proved much less than it claims
+    if profile == "ivf":
+        cover = {k: prev.get(k, 0) for k in
+                 ("done_appends", "done_erases", "compactions")}
+    if profile == "duo":
+        # per-(engine, op) pass rates: cross-process maintenance has
+        # NO shared lock (flock + CommitConflict only), so an op that
+        # never completes in one engine is starvation — the bug class
+        # the in-process lock fixed in r14, now proven cross-process
+        maint = _read_jsonl_tolerant(str(Path(root, "ledger_maint.jsonl")))
+        for e in ("a", "b"):
+            for op in ("cleanup", "compact", "erase"):
+                n_ok = sum(1 for r in maint
+                           if r.get("engine") == e and r.get("op") == op
+                           and r.get("ok"))
+                cover[f"maint_{e}_{op}"] = n_ok
     if cycles >= 10:
-        for k, v in {**cover,
-                     "corrupt_files": prev.get("corrupt_files", 0)}.items():
+        checks = (cover if profile == "ivf" else
+                  {**cover, "corrupt_files": prev.get("corrupt_files", 0)})
+        for k, v in checks.items():
             if v == 0:
                 print(f"FAIL coverage: {k} == 0 over {cycles} cycles")
                 return 1
@@ -759,18 +1160,30 @@ def main() -> int:
     ap.add_argument("--seed", type=int, default=14)
     ap.add_argument("--root", default="/tmp/logsqlite_soak")
     ap.add_argument("--keep", action="store_true")
-    ap.add_argument("--profile", choices=["pull", "stream"],
+    ap.add_argument("--profile",
+                    choices=["pull", "stream", "ivf", "duo"],
                     default="pull",
                     help="pull: batch ingest_spool_once victims "
                          "(r14 profile); stream: the S4/S5 primary "
                          "mode — start_multiplexed_ingest + Spark "
                          "checkpoints + foreachBatch — with "
-                         "checkpoint-resume drains (VERDICT r14 #1)")
+                         "checkpoint-resume drains (VERDICT r14 #1); "
+                         "ivf: the persisted ANN index lifecycle — "
+                         "append/erase/compact under kills "
+                         "(VERDICT r14 #4); duo: TWO engine processes "
+                         "sharing one warehouse on disjoint "
+                         "containers, staggered kills (VERDICT r14 #3)")
+    ap.add_argument("--engine", default="",
+                    help="duo victim identity (internal): a | b")
     ap.add_argument("--victim", nargs=3, metavar=("ROOT", "SEED", "CYCLE"))
     args = ap.parse_args()
     if args.victim:
-        run_victim(args.victim[0], int(args.victim[1]),
-                   int(args.victim[2]), args.profile)
+        if args.profile == "ivf":
+            run_victim_ivf(args.victim[0], int(args.victim[1]),
+                           int(args.victim[2]))
+        else:
+            run_victim(args.victim[0], int(args.victim[1]),
+                       int(args.victim[2]), args.profile, args.engine)
         return 0
     return run_soak(args.cycles, args.seed, args.root, args.keep,
                     args.profile)
