@@ -486,6 +486,37 @@ def main() -> None:
                 else best
         return best
 
+    # Incremental per-batch decade (VERDICT r14 #6): fixed-batch wall
+    # time of the deployment incremental family vs a DECADE of
+    # at-rest history (5k -> 50k docs), measured IN the driver record
+    # with the r14/r15 pull/coverage guards active.  An O(batch) path
+    # measures ~0; an O(corpus)-per-batch path measures ~1.  Reuses
+    # tools/scale_evidence.measure_inc (min-of-3 reps per point).
+    inc_exps: dict = {}
+    try:
+        import math as _math
+        import shutil as _shutil
+        from pathlib import Path as _Path
+
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "tools"))
+        import scale_evidence as SE
+
+        inc_root = _Path(tempfile.mkdtemp(prefix="bench-inc-"))
+        try:
+            inc = SE.measure_inc(spark, inc_root, 5000, 50000)
+            h_ratio = inc["hi"]["hist_docs"] / inc["lo"]["hist_docs"]
+            for key in SE.INC_PATHS + SE.INC_AUDIT_PATHS:
+                t_lo = inc["lo"][key + "_s"]
+                t_hi = inc["hi"][key + "_s"]
+                inc_exps[key + "_time_exp"] = round(
+                    _math.log(t_hi / t_lo) / _math.log(h_ratio), 3)
+        finally:
+            _shutil.rmtree(inc_root, ignore_errors=True)
+        print("# inc_scale " + json.dumps(inc_exps))
+    except Exception as e:  # noqa: BLE001 — evidence, not the gate
+        print(f"# inc_scale skipped: {e}")
+
     m16, m128 = _mux_cost(16), _mux_cost(128)
     mux = {"c16": m16, "c128": m128,
            "wall_ratio": round(m128["wall_s"] / max(m16["wall_s"], 1e-9), 3),
@@ -519,6 +550,7 @@ def main() -> None:
     # round-over-round scale claims ride compactly in "scale" here
     final_scale = {k: v for k, v in scale.items()
                    if k.endswith("_growth_exp")}
+    final_scale.update(inc_exps)
     final_scale.update({
         "mux_wall_ratio": mux["wall_ratio"],
         "mux_commit_ratio": mux["commit_ratio"],
@@ -608,22 +640,31 @@ def main() -> None:
     # its 2000-char stdout tail (r14's line overflowed -> parsed:
     # null, and the round's only red flag became unfalsifiable from
     # the record).  Degrade gracefully, never the queries dict (the
-    # driver contract): movers detail -> count, then 2-decimal
-    # medians, then scale -> sidecar pointer.
+    # driver contract): 2-decimal medians, then scale -> the core
+    # exponents/ratios (everything stays whole in BENCH_SELF.json),
+    # then movers detail -> count, then scale -> sidecar pointer.
     def _dump(h: dict) -> str:
         return json.dumps(h, separators=(",", ":"))
 
+    scale_core = {k: v for k, v in final_scale.items()
+                  if k.endswith("_growth_exp")
+                  or k in ("banded_inc_time_exp", "mux_commit_ratio",
+                           "commit_fair_ratio",
+                           "churn_max_files_per_part")}
     line = _dump(headline)
-    if len(line) > 1950:
+    if len(line) > 1985:
+        headline["queries"] = {k: round(v, 2)
+                               for k, v in timings.items()}
+        line = _dump(headline)
+    if len(line) > 1985:
+        headline["scale"] = scale_core
+        line = _dump(headline)
+    if len(line) > 1985:
         adj_c = dict(adj)
         adj_c["movers"] = len(movers)
         headline["adj"] = adj_c
         line = _dump(headline)
-    if len(line) > 1950:
-        headline["queries"] = {k: round(v, 2)
-                               for k, v in timings.items()}
-        line = _dump(headline)
-    if len(line) > 1950:
+    if len(line) > 1985:
         headline["scale"] = "see BENCH_SELF.json"
         line = _dump(headline)
     print(line)
