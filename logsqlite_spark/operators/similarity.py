@@ -1040,6 +1040,50 @@ def _rm_index_dir(spark: SparkSession, path: str) -> None:
     fs.delete(p, True)
 
 
+def _adopt_staged_cluster_swaps(spark: SparkSession, path: str,
+                                prefix: str) -> int:
+    """Finish or discard crashed per-cluster staged swaps (round-15
+    IVF-soak hardening).  The swap protocol is: write the full staged
+    copy -> delete the cluster dir -> rename staged into place.  A
+    kill between delete and rename leaves the cluster's ONLY copy in
+    the staging dir, and the pre-r15 code used ONE shared staging
+    name that the next maintenance call deleted as "stale" — silent
+    loss of a whole cluster.  Staging names now embed the cluster
+    (``<prefix><__cluster=K>``), so recovery is decidable per dir:
+
+    - the cluster dir is MISSING -> the staged copy is complete (the
+      delete only ever runs after the staged write finished) and is
+      the only copy: ADOPT it (finish the rename);
+    - the cluster dir EXISTS -> the crash hit during/before the
+      staged write: the staged dir is an incomplete duplicate,
+      discard it.
+
+    Called under the build lock at every compact/erase entry, so a
+    crashed swap heals before any new swap starts.  Returns adopted
+    count."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    base = hpath(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    adopted = 0
+    if not fs.exists(base):
+        return 0
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not name.startswith(prefix):
+            continue
+        cname = name[len(prefix):]
+        cdir = hpath(f"{path}/lists/{cname}")
+        if fs.exists(cdir):
+            fs.delete(st.getPath(), True)  # incomplete duplicate
+        else:
+            if not fs.rename(st.getPath(), cdir):
+                raise OSError(
+                    f"failed to adopt staged swap for {cname}")
+            adopted += 1
+    return adopted
+
+
 def compact_ivf_lists(spark: SparkSession, path: str,
                       min_files: int = 4,
                       target_records: int = 4_000_000) -> dict:
@@ -1056,14 +1100,17 @@ def compact_ivf_lists(spark: SparkSession, path: str,
     scheme works).  Single-writer engines (this repo) are safe; a
     concurrently-serving deployment compacts into a versioned dir and
     swaps, as with refit.  The completion marker is untouched — a
-    crash mid-swap leaves at most one cluster directory staged, and
-    the staging dir is re-adopted or removed on the next compact.
+    crash mid-swap leaves at most one cluster directory staged under
+    a CLUSTER-SPECIFIC name, adopted or discarded by
+    :func:`_adopt_staged_cluster_swaps` at the next compact/erase.
     """
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     with _IVF_BUILD_LOCK:
         if not _index_marker_exists(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
+        _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+        _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
         lists = hpath(f"{path}/lists")
         fs = lists.getFileSystem(spark._jsc.hadoopConfiguration())
         compacted = files_before = files_after = 0
@@ -1082,8 +1129,8 @@ def compact_ivf_lists(spark: SparkSession, path: str,
             df = spark.read.parquet(cdir)
             n = df.count()
             n_out = max(1, -(-n // target_records))  # ceil
-            staged = f"{path}/.compact_tmp"
-            fs.delete(hpath(staged), True)  # stale staging from a crash
+            staged = f"{path}/.compact_tmp_{name}"
+            fs.delete(hpath(staged), True)  # aborted write leftovers
             df.coalesce(n_out).write.mode("overwrite") \
                 .option("maxRecordsPerFile", target_records) \
                 .parquet(staged)
@@ -1132,6 +1179,10 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
     with _IVF_BUILD_LOCK:
         if not _index_marker_exists(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
+        # heal any crashed staged swap FIRST — the lists read below
+        # must see the adopted cluster (round-15 IVF-soak hardening)
+        _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+        _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
         local = _local_fs_path(path)
         meta_path = (_os.path.join(local, ".erase_stage.json")
                      if local is not None else None)
@@ -1171,8 +1222,8 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
             cdir = f"{path}/lists/__cluster={r['__cluster']}"
             kept = filter_ids(spark.read.parquet(cdir), "nid", ids,
                               keep=False)
-            staged = f"{path}/.erase_tmp"
-            fs.delete(hpath(staged), True)
+            staged = f"{path}/.erase_tmp___cluster={r['__cluster']}"
+            fs.delete(hpath(staged), True)  # aborted write leftovers
             kept.write.mode("overwrite").parquet(staged)
             fs.delete(hpath(staged + "/_SUCCESS"), False)
             fs.delete(hpath(cdir), True)

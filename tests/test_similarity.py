@@ -438,3 +438,64 @@ def test_ivf_append_drift_triggers_refit(spark, tmp_path):
     assert not os.path.exists(os.path.join(path, ".refit_src"))
     st = spark.read.parquet(f"{path}/stats").collect()[0]
     assert st["n"] == 50
+
+
+def test_ivf_crashed_swap_adoption(spark, tmp_path):
+    """Round-15 IVF-soak hardening: the compact/erase staged-swap
+    protocol (write staged copy -> delete cluster dir -> rename) can
+    be killed between delete and rename, leaving a cluster's ONLY
+    copy in the staging dir.  The pre-r15 code used one SHARED staging
+    name that the next maintenance call deleted as stale — silent loss
+    of the whole cluster.  Staging is now per-cluster and every
+    compact/erase entry adopts (cluster dir missing -> finish the
+    rename) or discards (cluster dir present -> incomplete duplicate)
+    before doing new work."""
+    import shutil
+
+    from logsqlite_spark.operators.similarity import (
+        build_ivf_index,
+        compact_ivf_lists,
+        erase_from_ivf_index,
+        ivf_topk_indexed,
+    )
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "idx")
+    build_ivf_index(emb, path, n_clusters=4)
+    lists = sorted(p.name for p in (tmp_path / "idx" / "lists").iterdir()
+                   if p.name.startswith("__cluster="))
+    victim = lists[0]
+    all_ids = {r["nid"] for r in
+               spark.read.option("basePath", f"{path}/lists")
+               .parquet(f"{path}/lists").select("nid").collect()}
+
+    # simulate the kill window: the staged copy exists, the cluster
+    # dir is gone (rename never ran)
+    cdir = tmp_path / "idx" / "lists" / victim
+    staged = tmp_path / "idx" / f".compact_tmp_{victim}"
+    shutil.move(str(cdir), str(staged))
+    assert not cdir.exists()
+
+    # any maintenance entry must ADOPT the staged copy, not delete it
+    compact_ivf_lists(spark, path, min_files=10**6)  # adoption only
+    assert cdir.exists()
+    got = {r["nid"] for r in
+           spark.read.option("basePath", f"{path}/lists")
+           .parquet(f"{path}/lists").select("nid").collect()}
+    assert got == all_ids  # nothing lost
+
+    # the duplicate direction: staged copy AND cluster dir both exist
+    # (crash during the staged write) -> staged must be discarded
+    shutil.copytree(str(cdir), str(staged))
+    erase_from_ivf_index(spark, path, [])  # entry adoption runs
+    assert not staged.exists() and cdir.exists()
+    got = {r["nid"] for r in
+           spark.read.option("basePath", f"{path}/lists")
+           .parquet(f"{path}/lists").select("nid").collect()}
+    assert got == all_ids  # no duplication either
+
+    # and the index still serves (sanity via the probed path)
+    q = emb.limit(2).select("vec_id", "embedding") \
+        .withColumn("vec_id", F.col("vec_id") + 10**9)
+    assert ivf_topk_indexed(spark, q, path, k=3, n_probe=4).count() > 0

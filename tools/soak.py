@@ -570,6 +570,16 @@ def run_victim_ivf(root: str, seed: int, cycle: int) -> None:
         except Exception as e:  # noqa: BLE001
             log_err("ivf-build", e)
     else:
+        # restart-equivalent recovery FIRST (the engine runs the same
+        # adoption at every compact/erase entry): a kill inside a
+        # staged cluster swap must heal before anything serves
+        from logsqlite_spark.operators.similarity import (
+            _adopt_staged_cluster_swaps)
+        try:
+            _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+            _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
+        except Exception as e:  # noqa: BLE001
+            log_err("ivf-adopt", e)
         # a kill mid-erase leaves a staged erase; FINISH it first (the
         # engine's crash-resume contract) so later erases aren't
         # refused — its intent is already ledgered from that cycle
@@ -702,6 +712,16 @@ def check_cycle_ivf(spark, root: str, cycle: int, prev: dict) -> dict:
         return {"ivf_live": 0, "done_appends": len(done_app),
                 "done_erases": len(done_er),
                 "compactions": sum(1 for r in recs if "done_compact" in r)}
+
+    # restart-equivalent recovery, exactly what the victim (and the
+    # engine's own compact/erase entries) run after a crash: adopt or
+    # discard any staged cluster swap the kill left behind, THEN
+    # assert the committed set — a swap killed between delete and
+    # rename is a healable window, not loss
+    from logsqlite_spark.operators.similarity import (
+        _adopt_staged_cluster_swaps)
+    _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+    _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
 
     ids_rows = (spark.read.option("basePath", f"{path}/lists")
                 .parquet(f"{path}/lists").select("nid").collect())
