@@ -675,15 +675,44 @@ class ManifestTable:
         referenced: set[str] = set()
         live_chunks: set[str] = set()
         deleted_manifests = 0
+        # CONCURRENT gc tolerance (round-15 duo-soak finding, 6 kill
+        # cycles): two engine PROCESSES run gc on the same warehouse
+        # with no shared lock, so anything this pass globbed can
+        # vanish before it is read or unlinked.  A vanished OLD
+        # manifest/chunk was by definition collectible under the
+        # peer's (same-or-newer) keep window — skipping it keeps this
+        # pass conservative (a smaller referenced set only for
+        # generations the peer already expired; the current head is
+        # always inside every keep window, so its references are never
+        # lost).  Data files and empty dirs race the same way.
+        newest_read = 0
         for mf in sorted(self.manifests.glob("*.json")):
             g = int(mf.stem)
             if g >= keep_from:
-                head = json.loads(mf.read_text())
-                live_chunks.update(head.get("file_chunks", []))
-                referenced.update(self._materialize(head)["files"])
+                try:
+                    head = json.loads(mf.read_text())
+                    live_chunks.update(head.get("file_chunks", []))
+                    referenced.update(self._materialize(head)["files"])
+                    newest_read = max(newest_read, g)
+                except FileNotFoundError:
+                    continue  # peer collected an expired generation
             else:
-                mf.unlink()
-                deleted_manifests += 1
+                try:
+                    mf.unlink()
+                    deleted_manifests += 1
+                except FileNotFoundError:
+                    pass  # peer got there first
+        if newest_read < gen:
+            # the head this pass pinned was never read (vanished
+            # before/within the pass): either >= keep_generations
+            # commits landed AND a peer gc expired it inside this
+            # pass's window, or real corruption (which readers hit
+            # loudly regardless).  The referenced set may miss
+            # carried-forward files, so deleting ANYTHING is unsafe —
+            # abort; the next cadence pass re-pins a fresh head.
+            return {"deleted_files": 0,
+                    "deleted_manifests": deleted_manifests,
+                    "aborted_stale_head": True}
         # chunk files no kept head references (immutable, so any
         # referenced one is still byte-identical); grace_s spares
         # chunks an in-flight commit wrote but hasn't published yet —
@@ -693,20 +722,26 @@ class ManifestTable:
             for cf in self._chunks_dir().glob("*.json"):
                 if cf.name in live_chunks:
                     continue
-                if now0 - cf.stat().st_mtime < grace_s:
-                    continue
-                _CHUNK_CACHE.pop(str(cf), None)
-                cf.unlink()
+                try:
+                    if now0 - cf.stat().st_mtime < grace_s:
+                        continue
+                    _CHUNK_CACHE.pop(str(cf), None)
+                    cf.unlink()
+                except FileNotFoundError:
+                    continue  # peer collected it mid-pass
         now = time.time()
         deleted = 0
         for f in self.dir.rglob("*.parquet"):
             rel = str(f.relative_to(self.dir))
             if rel.startswith("_staging/") or rel in referenced:
                 continue
-            if now - f.stat().st_mtime < grace_s:
-                continue
-            f.unlink()
-            deleted += 1
+            try:
+                if now - f.stat().st_mtime < grace_s:
+                    continue
+                f.unlink()
+                deleted += 1
+            except FileNotFoundError:
+                continue  # peer collected it mid-pass
         # empty partition dirs + stale staging
         for d in sorted((p for p in self.dir.rglob("*") if p.is_dir()),
                         reverse=True):
@@ -719,7 +754,11 @@ class ManifestTable:
                 pass
         if self.staging_root.exists():
             for d in self.staging_root.iterdir():
-                if now - d.stat().st_mtime > max(grace_s, 3600.0):
+                try:
+                    expired = now - d.stat().st_mtime > max(grace_s, 3600.0)
+                except FileNotFoundError:
+                    continue  # peer collected it mid-pass
+                if expired:
                     import shutil
 
                     shutil.rmtree(d, ignore_errors=True)

@@ -25,3 +25,32 @@ def test_soak_two_cycles_green(tmp_path):
     out = proc.stdout + proc.stderr
     assert proc.returncode == 0, out[-3000:]
     assert "soak_cycles_green" in out
+
+
+def test_soak_stream_profile_two_cycles_green(tmp_path):
+    """The r15 Structured-Streaming profile (checkpoint-resume under
+    kills) — 2-cycle smoke so the stream victim + stream drain can't
+    rot; the 100-cycle evidence run is the round-cadence tool."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--cycles", "2", "--seed", "3", "--profile", "stream",
+         "--root", str(tmp_path / "soak")],
+        capture_output=True, text=True, timeout=420,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-3000:]
+    assert "soak_cycles_green" in out
+
+
+def test_soak_ivf_profile_two_cycles_green(tmp_path):
+    """The r15 IVF index lifecycle profile (append/erase/compact +
+    staged-swap adoption under kills) — 2-cycle smoke."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "soak.py"),
+         "--cycles", "2", "--seed", "4", "--profile", "ivf",
+         "--root", str(tmp_path / "soak")],
+        capture_output=True, text=True, timeout=420,
+    )
+    out = proc.stdout + proc.stderr
+    assert proc.returncode == 0, out[-3000:]
+    assert "soak_cycles_green" in out

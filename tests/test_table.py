@@ -707,3 +707,47 @@ def test_gc_grace_spares_inflight_adoptions(tmp_path):
     t.gc(keep_generations=1, grace_s=0)
     assert not (t.dir / orphan[0]).exists()
     assert (t.dir / adopted[0]).exists()  # referenced: kept either way
+
+
+def test_gc_tolerates_concurrent_peer_gc(tmp_path):
+    """Round-15 duo-soak finding (6 kill cycles): two engine PROCESSES
+    run gc on one warehouse with no shared lock, so manifests/chunks/
+    data files this pass globbed can vanish before they are read or
+    unlinked (the peer collected them first).  A vanished EXPIRED
+    generation is skipped (it was collectible under the peer's
+    same-or-newer keep window); a vanished generation at or above the
+    pass's pinned head aborts conservatively (referenced set can no
+    longer be trusted, nothing is deleted)."""
+    import os
+    import time as _time
+
+    t = ManifestTable(str(tmp_path / "t"))
+    for i in range(5):
+        f = _touch(t, f"container_id=c/date=d/f{i}.parquet")
+        t.commit_append([f], "s", None, {}, {})
+    # age everything past the grace window
+    old = _time.time() - 3600
+    for p in t.dir.rglob("*"):
+        os.utime(p, (old, old))
+
+    # peer deleted a kept-window (but non-head) generation mid-pass
+    (t.manifests / "00000004.json").unlink()
+    res = t.gc(keep_generations=2, grace_s=60)
+    assert "aborted_stale_head" not in res
+    # the head's references survive (f0..f4 all live in gen 5)
+    live = set(t.manifest()["files"])
+    for i in range(5):
+        assert f"container_id=c/date=d/f{i}.parquet" in live
+        assert (t.dir / f"container_id=c/date=d/f{i}.parquet").exists()
+
+    # peer (plus racing commits) expired the PINNED head itself ->
+    # conservative abort, nothing deleted
+    gen = int(t.current_ptr.read_text().strip())
+    head_mf = t.manifests / f"{gen:08d}.json"
+    blob = head_mf.read_bytes()
+    head_mf.unlink()
+    res = t.gc(keep_generations=2, grace_s=60)
+    assert res.get("aborted_stale_head") is True
+    assert res["deleted_files"] == 0
+    head_mf.write_bytes(blob)  # restore; table reads fine again
+    assert set(t.manifest()["files"]) == live
