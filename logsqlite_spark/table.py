@@ -731,23 +731,35 @@ class ManifestTable:
                     continue  # peer collected it mid-pass
         now = time.time()
         deleted = 0
-        for f in self.dir.rglob("*.parquet"):
-            rel = str(f.relative_to(self.dir))
-            if rel.startswith("_staging/") or rel in referenced:
-                continue
-            try:
-                if now - f.stat().st_mtime < grace_s:
+        # os.walk, not Path.rglob: rglob RAISES when a directory it
+        # listed vanishes before it descends (a peer's commit adoption
+        # removes _staging/<uuid> dirs constantly — the duo soak died
+        # there in 27 cycles); os.walk ignores scandir errors by
+        # design.  _staging/_manifests are pruned from the walk
+        # entirely instead of per-file filtering.
+        data_dirs: list[Path] = []
+        for dirpath, dirnames, filenames in os.walk(self.dir):
+            if Path(dirpath) == self.dir:
+                dirnames[:] = [d for d in dirnames
+                               if d not in ("_staging", "_manifests")]
+            else:
+                data_dirs.append(Path(dirpath))
+            for fn in filenames:
+                if not fn.endswith(".parquet"):
                     continue
-                f.unlink()
-                deleted += 1
-            except FileNotFoundError:
-                continue  # peer collected it mid-pass
-        # empty partition dirs + stale staging
-        for d in sorted((p for p in self.dir.rglob("*") if p.is_dir()),
-                        reverse=True):
-            rel = d.relative_to(self.dir)
-            if rel.parts and rel.parts[0] in ("_manifests", "_staging"):
-                continue
+                f = Path(dirpath) / fn
+                rel = str(f.relative_to(self.dir))
+                if rel in referenced:
+                    continue
+                try:
+                    if now - f.stat().st_mtime < grace_s:
+                        continue
+                    f.unlink()
+                    deleted += 1
+                except FileNotFoundError:
+                    continue  # peer collected it mid-pass
+        # empty partition dirs
+        for d in sorted(data_dirs, reverse=True):
             try:
                 d.rmdir()  # only succeeds when empty
             except OSError:
