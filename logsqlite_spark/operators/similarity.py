@@ -682,6 +682,63 @@ def _write_index_marker(spark: SparkSession, path: str,
     fs.create(p, True).close()
 
 
+def _delete_index_marker(spark: SparkSession, path: str,
+                         name: str = "_INDEX_OK") -> None:
+    p = _index_marker_path(spark, path, name)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(p, False)
+
+
+def _heal_refit(spark: SparkSession, path: str) -> bool:
+    """Crash-safe REFIT recovery (round-15 hardening; carry-forward
+    of the IVF-soak work).  The refit protocol is: stage the full
+    lists ∪ batch union (with Spark's _SUCCESS) and a tiny params
+    meta -> DELETE the completion marker (the index is officially
+    mid-refit; a crashed rebuild can no longer hide behind a stale
+    marker over partial lists) -> rebuild in place (build_ivf_index
+    re-creates the marker LAST) -> clean the staging.  This entry
+    hook makes every window decidable:
+
+    - marker PRESENT: any refit staging is pre-delete garbage (the
+      crash hit before the marker came off) — discard it; the index
+      is whole.
+    - marker ABSENT + complete staged union + meta: the crash hit
+      mid-rebuild — rebuild from the staged union (contains every
+      committed vector plus the refit batch) and the marker returns.
+    - marker ABSENT otherwise: no completed index (initial build
+      never finished) — the caller's no-index error stands.
+
+    Returns True iff a completed index exists after healing."""
+    import json as _json
+    import os as _os
+
+    local = _local_fs_path(path)
+    staged = f"{path}/.refit_src"
+    if _index_marker_exists(spark, path):
+        if local is not None:
+            if _os.path.exists(_os.path.join(local, ".refit_src")):
+                _rm_index_dir(spark, staged)
+            meta_p = _os.path.join(local, ".refit_meta.json")
+            if _os.path.exists(meta_p):
+                _os.remove(meta_p)
+        return True
+    if local is None:
+        return False
+    meta_p = _os.path.join(local, ".refit_meta.json")
+    succ = _os.path.join(local, ".refit_src", "_SUCCESS")
+    if not (_os.path.exists(meta_p) and _os.path.exists(succ)):
+        return False
+    with open(meta_p) as fh:
+        meta = _json.load(fh)
+    build_ivf_index(spark.read.parquet(staged), path,
+                    n_clusters=int(meta["n_clusters"]),
+                    id_col="nid", vec_col="nv",
+                    sq_dim=int(meta["sq_dim"]))
+    _rm_index_dir(spark, staged)
+    _os.remove(meta_p)
+    return True
+
+
 def _ensure_ivf_index(corpus_df: DataFrame, n_clusters: int,
                       id_col: str, vec_col: str,
                       index_path: str | None,
@@ -974,7 +1031,7 @@ def append_to_ivf_index(batch_df: DataFrame, path: str,
     """
     spark = batch_df.sparkSession
     with _IVF_BUILD_LOCK:
-        if not _index_marker_exists(spark, path):
+        if not _heal_refit(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
         centers_rows = spark.read.parquet(f"{path}/centroids") \
             .orderBy("cid").collect()
@@ -1012,11 +1069,33 @@ def append_to_ivf_index(batch_df: DataFrame, path: str,
                 staged = f"{path}/.refit_src"
                 union.write.mode("overwrite").parquet(staged)
                 n_clusters = len(centers)
+                # CRASH-SAFE ordering (round 15): the staged union +
+                # params meta land FIRST, then the completion marker
+                # comes OFF, then the in-place rebuild runs (marker
+                # re-created last).  A kill mid-rebuild used to leave
+                # a VALID marker over partially-overwritten lists —
+                # silent corruption; now the absent marker + complete
+                # staging make _heal_refit's recovery decidable at
+                # every lifecycle entry.
+                import json as _json
+                import os as _os
+
+                local = _local_fs_path(path)
+                if local is not None:
+                    meta_p = _os.path.join(local, ".refit_meta.json")
+                    tmp = meta_p + ".tmp"
+                    with open(tmp, "w") as fh:
+                        _json.dump({"n_clusters": n_clusters,
+                                    "sq_dim": len(scales)}, fh)
+                    _os.replace(tmp, meta_p)
+                _delete_index_marker(spark, path)
                 build_ivf_index(
                     spark.read.parquet(staged), path,
                     n_clusters=n_clusters, id_col="nid", vec_col="nv",
                     sq_dim=len(scales))
                 _rm_index_dir(spark, staged)
+                if local is not None and _os.path.exists(meta_p):
+                    _os.remove(meta_p)
                 return {"mode": "refit", "rows": batch_n,
                         "batch_mean_d2": batch_mean,
                         "base_mean_d2": base_mean}
@@ -1107,7 +1186,7 @@ def compact_ivf_lists(spark: SparkSession, path: str,
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     with _IVF_BUILD_LOCK:
-        if not _index_marker_exists(spark, path):
+        if not _heal_refit(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
         _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
         _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
@@ -1177,7 +1256,7 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
     hpath = jvm.org.apache.hadoop.fs.Path
     ids = [int(x) for x in vec_ids]
     with _IVF_BUILD_LOCK:
-        if not _index_marker_exists(spark, path):
+        if not _heal_refit(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
         # heal any crashed staged swap FIRST — the lists read below
         # must see the adopted cluster (round-15 IVF-soak hardening)

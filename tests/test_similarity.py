@@ -499,3 +499,78 @@ def test_ivf_crashed_swap_adoption(spark, tmp_path):
     q = emb.limit(2).select("vec_id", "embedding") \
         .withColumn("vec_id", F.col("vec_id") + 10**9)
     assert ivf_topk_indexed(spark, q, path, k=3, n_probe=4).count() > 0
+
+
+def test_ivf_refit_is_crash_safe(spark, tmp_path):
+    """Round-15 hardening: a drift-triggered refit rebuilds the lists
+    in place, and a kill mid-rebuild used to leave a VALID completion
+    marker over partially-overwritten lists (silent corruption).  The
+    refit now stages the full union + params meta, takes the marker
+    OFF before rebuilding (marker-last restores it), and every
+    lifecycle entry heals: marker absent + complete staging ->
+    rebuild from the staged union; marker present -> any staging is
+    pre-delete garbage, discarded."""
+    import json
+    import shutil
+
+    from logsqlite_spark.operators.similarity import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_lists,
+    )
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_clusters=4)
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+
+    # a real end-to-end refit first: forced via a tiny drift threshold
+    out = append_to_ivf_index(batch, path, drift_threshold=1e-9)
+    assert out["mode"] == "refit"
+    got = {r["nid"] for r in
+           spark.read.option("basePath", f"{path}/lists")
+           .parquet(f"{path}/lists").select("nid").collect()}
+    assert got == base_ids | batch_ids
+    assert not (tmp_path / "idx" / ".refit_src").exists()
+    assert not (tmp_path / "idx" / ".refit_meta.json").exists()
+
+    # crash mid-rebuild: staged union + meta present, marker off,
+    # lists mangled (one cluster dir gone)
+    lists_dir = tmp_path / "idx" / "lists"
+    union = spark.read.option("basePath", str(lists_dir)) \
+        .parquet(str(lists_dir)).select("nid", "nv")
+    union.write.mode("overwrite").parquet(str(tmp_path / "idx" / ".refit_src"))
+    (tmp_path / "idx" / ".refit_meta.json").write_text(
+        json.dumps({"n_clusters": 4, "sq_dim": 64}))
+    (tmp_path / "idx" / "_INDEX_OK").unlink()
+    victim_cluster = sorted(p for p in lists_dir.iterdir()
+                            if p.name.startswith("__cluster="))[0]
+    shutil.rmtree(victim_cluster)
+
+    # any lifecycle entry heals the refit before doing its own work
+    compact_ivf_lists(spark, path, min_files=10**6)
+    assert (tmp_path / "idx" / "_INDEX_OK").exists()
+    got = {r["nid"] for r in
+           spark.read.option("basePath", f"{path}/lists")
+           .parquet(f"{path}/lists").select("nid").collect()}
+    assert got == base_ids | batch_ids  # nothing lost, nothing duplicated
+    assert not (tmp_path / "idx" / ".refit_src").exists()
+
+    # stale-staging direction: marker PRESENT -> staging is garbage
+    union2 = spark.read.option("basePath", str(lists_dir)) \
+        .parquet(str(lists_dir)).select("nid", "nv").limit(5)
+    union2.write.mode("overwrite").parquet(
+        str(tmp_path / "idx" / ".refit_src"))
+    (tmp_path / "idx" / ".refit_meta.json").write_text(
+        json.dumps({"n_clusters": 4, "sq_dim": 64}))
+    compact_ivf_lists(spark, path, min_files=10**6)
+    assert not (tmp_path / "idx" / ".refit_src").exists()
+    assert not (tmp_path / "idx" / ".refit_meta.json").exists()
+    got = {r["nid"] for r in
+           spark.read.option("basePath", f"{path}/lists")
+           .parquet(f"{path}/lists").select("nid").collect()}
+    assert got == base_ids | batch_ids
