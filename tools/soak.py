@@ -559,7 +559,14 @@ def run_victim_ivf(root: str, seed: int, cycle: int) -> None:
             [(i, _ivf_vec(i)) for i in ids],
             "vec_id long, embedding array<float>")
 
-    if not _index_marker_exists(spark, path):
+    from logsqlite_spark.operators.similarity import _heal_refit
+
+    # _heal_refit FIRST: a kill mid-refit legitimately leaves the
+    # marker off with the full union staged — rebuilding the BASE
+    # index here would wipe every appended vector; healing restores
+    # the complete committed set (or reports no-index for a true
+    # never-completed initial build)
+    if not _heal_refit(spark, path):
         # initial build (or retry of one a cold kill interrupted):
         # idempotent overwrite; the marker is written LAST
         try:
@@ -604,10 +611,16 @@ def run_victim_ivf(root: str, seed: int, cycle: int) -> None:
                 next_id += n
             try:
                 ledger({"append": ids})
-                # stationary generator: drift never triggers a refit
-                # (refit atomicity is its own future soak profile)
+                # ~1-in-12 appends force a REFIT through the real
+                # drift path (tiny threshold): the crash-safe refit
+                # protocol (stage union + meta -> marker off ->
+                # rebuild -> marker last) and its _heal_refit recovery
+                # get kill coverage, not just the pytest pin.  A refit
+                # preserves the committed set (rebuild from lists ∪
+                # batch), so the checker's invariants are unchanged.
+                thr = 1e-9 if rnd.random() < 0.08 else 10.0
                 append_to_ivf_index(vec_df(ids), path,
-                                    drift_threshold=10.0)
+                                    drift_threshold=thr)
                 ledger({"done_append": ids[0]})
                 with state_lock:
                     live.update(ids)
@@ -703,25 +716,25 @@ def check_cycle_ivf(spark, root: str, cycle: int, prev: dict) -> dict:
         i for ids in appended.values() for i in ids}
 
     path = f"{root}/wh/ivf_index"
+    # restart-equivalent recovery FIRST, exactly what the victim (and
+    # the engine's own lifecycle entries) run after a crash: adopt or
+    # discard any staged cluster swap, and finish or discard a staged
+    # REFIT (a kill mid-refit leaves the marker off with the full
+    # union staged) — both are healable windows, not loss
     from logsqlite_spark.operators.similarity import (
-        _index_marker_exists,
+        _adopt_staged_cluster_swaps,
+        _heal_refit,
         ivf_topk_indexed,
     )
-    if not _index_marker_exists(spark, path):
-        _check(not built, "index marker vanished after a done build")
+    if os.path.isdir(path):
+        _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+        _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
+    if not (os.path.isdir(path) and _heal_refit(spark, path)):
+        _check(not built, "index unrecoverable after a done build: "
+                          "marker off with no staged refit to finish")
         return {"ivf_live": 0, "done_appends": len(done_app),
                 "done_erases": len(done_er),
                 "compactions": sum(1 for r in recs if "done_compact" in r)}
-
-    # restart-equivalent recovery, exactly what the victim (and the
-    # engine's own compact/erase entries) run after a crash: adopt or
-    # discard any staged cluster swap the kill left behind, THEN
-    # assert the committed set — a swap killed between delete and
-    # rename is a healable window, not loss
-    from logsqlite_spark.operators.similarity import (
-        _adopt_staged_cluster_swaps)
-    _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
-    _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
 
     ids_rows = (spark.read.option("basePath", f"{path}/lists")
                 .parquet(f"{path}/lists").select("nid").collect())
