@@ -504,7 +504,8 @@ def main() -> None:
 
         inc_root = _Path(tempfile.mkdtemp(prefix="bench-inc-"))
         try:
-            inc = SE.measure_inc(spark, inc_root, 5000, 50000)
+            inc = SE.measure_inc(spark, inc_root, 5000, 50000,
+                                 reps=5)
             h_ratio = inc["hi"]["hist_docs"] / inc["lo"]["hist_docs"]
             for key in SE.INC_PATHS + SE.INC_AUDIT_PATHS:
                 t_lo = inc["lo"][key + "_s"]
@@ -582,6 +583,38 @@ def main() -> None:
     movers = dict(sorted(movers.items(), key=lambda kv: -kv[1])[:8])
     adj: dict = {"prev": prev_label, "thr": ab_threshold,
                  "movers": movers}
+    # a mover whose DEFINING SOURCE changed since the pinned ref is an
+    # intentional implementation change, not a regression of untouched
+    # code — label it so the record adjudicates itself (e.g. r15's
+    # events_value_quantiles KLL->KMV-weekly swap reads 2.5x paired by
+    # design)
+    if movers and prev_ref:
+        import subprocess as _sp
+
+        try:
+            diff_files = set(_sp.run(
+                ["git", "diff", "--name-only", prev_ref, "HEAD"],
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, check=True)
+                .stdout.split())
+        except (OSError, _sp.CalledProcessError):
+            diff_files = set()
+
+        def _qfile(q: str) -> str | None:
+            fn = qs.get(q)
+            mod = sys.modules.get(getattr(fn, "__module__", ""), None)
+            f = getattr(mod, "__file__", None)
+            if q.startswith("ingest_100k"):
+                return "logsqlite_spark/streaming/ingest.py"
+            if f is None:
+                return None
+            return os.path.relpath(
+                f, os.path.dirname(os.path.abspath(__file__)))
+
+        changed = sorted(q for q in movers
+                         if (_qfile(q) or "") in diff_files)
+        if changed:
+            adj["changed_since_ref"] = changed
     ab_summary = None
     if movers and prev_ref:
         adj["ref"] = prev_ref[:12]
