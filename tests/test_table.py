@@ -490,13 +490,19 @@ def test_concurrent_committers_no_lost_updates(tmp_path):
                         new = [_touch(
                             t, "container_id=zmerged/date=2024-01-01/"
                                f"m{rnd.randrange(10**9)}.parquet")]
-                    # record intent under the same lock that selected
-                    # the victims so two maintainers can't both claim
+                    # record the VICTIM claim under the same lock that
+                    # selected them so two maintainers can't both claim
                     # one file (the TABLE allows it — idempotent drop —
                     # but the test's expected-set bookkeeping can't)
                     replaced_away.update(victims)
-                    replace_added.update(new)
                 t.commit_replace(victims, new)
+                # the merged file becomes selectable only AFTER its
+                # publishing commit returns — exposing it at claim
+                # time let the peer maintainer pick a not-yet-live
+                # file and hit a legitimate CommitConflict (a ms-wide
+                # window; flaked twice in one day of full-suite runs)
+                with applied_lock:
+                    replace_added.update(new)
         except BaseException as e:  # noqa: BLE001
             errors.append(e)
 
