@@ -572,6 +572,7 @@ def main() -> None:
     # ratio rides this run's record: paired ~1.0 -> environment noise,
     # paired elevated -> a real regression, adjudicated in ONE run.
     prev_label, prev_med, prev_ref = _load_prev_record()
+    prev_short = prev_label.replace("BENCH_", "").replace(".json", "")
     ab_threshold = float(os.environ.get("SPARK_GRAFT_AB_THRESHOLD",
                                         "1.5"))
     movers = {
@@ -581,7 +582,7 @@ def main() -> None:
         and med[q] / prev_med[q] > ab_threshold
     }
     movers = dict(sorted(movers.items(), key=lambda kv: -kv[1])[:8])
-    adj: dict = {"prev": prev_label, "thr": ab_threshold,
+    adj: dict = {"prev": prev_short, "thr": ab_threshold,
                  "movers": movers}
     # a mover whose DEFINING SOURCE changed since the pinned ref is an
     # intentional implementation change, not a regression of untouched
@@ -614,7 +615,10 @@ def main() -> None:
         changed = sorted(q for q in movers
                          if (_qfile(q) or "") in diff_files)
         if changed:
-            adj["changed_since_ref"] = changed
+            # "changed" = the mover's defining module differs between
+            # the pinned ref and HEAD: an intentional implementation
+            # change, not a regression of untouched code
+            adj["changed"] = changed
     ab_summary = None
     if movers and prev_ref:
         adj["ref"] = prev_ref[:12]
@@ -690,12 +694,14 @@ def main() -> None:
                                for k, v in timings.items()}
         line = _dump(headline)
     if len(line) > 1985:
-        headline["scale"] = scale_core
-        line = _dump(headline)
-    if len(line) > 1985:
+        # movers detail first: the A/B paired ratios under adj["ab"]
+        # already carry the adjudication for every flagged query
         adj_c = dict(adj)
         adj_c["movers"] = len(movers)
         headline["adj"] = adj_c
+        line = _dump(headline)
+    if len(line) > 1985:
+        headline["scale"] = scale_core
         line = _dump(headline)
     if len(line) > 1985:
         headline["scale"] = "see BENCH_SELF.json"
