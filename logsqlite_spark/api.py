@@ -92,7 +92,11 @@ class Engine:
         conf = LogConfig.from_options(options)
         self.state.upsert(container_id, fifo, conf)
         if streaming:
-            if "__mux__" in self._queries:
+            if any(k.startswith("__mux") for k in self._queries):
+                # mirror of the mux-side guard at start_multiplexed_ingest:
+                # ANY mux stream (plog "__mux__" or jsonl "__mux_jsonl__")
+                # consumes every container's spool, whatever format a
+                # future per-container stream might read (ADVICE r15)
                 raise RuntimeError(
                     "multiplexed ingest already consumes every container's "
                     "spool — a per-container stream would double-ingest")

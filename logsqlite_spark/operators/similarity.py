@@ -689,6 +689,36 @@ def _delete_index_marker(spark: SparkSession, path: str,
     fs.delete(p, False)
 
 
+def _fs_write_text(spark: SparkSession, path: str, text: str) -> None:
+    """Scheme-aware small-file text write, staged-then-renamed so a
+    reader never sees a torn file (r16: the refit meta must work on
+    non-local stores too — ADVICE r15 found the os.path version
+    stranded a crashed refit forever when the path wasn't local)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    out = fs.create(tmp, True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+    if fs.exists(p):
+        fs.delete(p, False)
+    if not fs.rename(tmp, p):
+        raise OSError(f"failed to publish {path}")
+
+
+def _fs_read_text(spark: SparkSession, path: str) -> str:
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    stream = fs.open(p)
+    try:
+        return jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8")
+    finally:
+        stream.close()
+
+
 def _heal_refit(spark: SparkSession, path: str) -> bool:
     """Crash-safe REFIT recovery (round-15 hardening; carry-forward
     of the IVF-soak work).  The refit protocol is: stage the full
@@ -708,34 +738,45 @@ def _heal_refit(spark: SparkSession, path: str) -> bool:
     - marker ABSENT otherwise: no completed index (initial build
       never finished) — the caller's no-index error stands.
 
+    r16 (ADVICE r15): this hook ALSO adopts crashed compact/erase
+    per-cluster staged swaps, so EVERY lifecycle entry — including
+    :func:`append_to_ivf_index`, which previously never healed —
+    restores a deleted-but-staged cluster before any list read,
+    append, or drift-refit union can observe the hole.  And the whole
+    protocol now runs through the Hadoop FS API (marker, meta,
+    staging), so a crashed refit on a non-local store heals instead
+    of stranding the index behind a permanently-absent marker.
+
     Returns True iff a completed index exists after healing."""
     import json as _json
-    import os as _os
 
-    local = _local_fs_path(path)
+    # heal crashed cluster swaps FIRST: a drift refit unions the
+    # lists, and appends recreate lists/__cluster=K dirs — either
+    # would otherwise turn a staged-but-unrenamed cluster into
+    # discarded "stale staging" (silent whole-cluster loss)
+    _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
+    _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
+
     staged = f"{path}/.refit_src"
+    meta_p = f"{path}/.refit_meta.json"
     if _index_marker_exists(spark, path):
-        if local is not None:
-            if _os.path.exists(_os.path.join(local, ".refit_src")):
-                _rm_index_dir(spark, staged)
-            meta_p = _os.path.join(local, ".refit_meta.json")
-            if _os.path.exists(meta_p):
-                _os.remove(meta_p)
+        if _index_marker_exists(spark, path, ".refit_src"):
+            _rm_index_dir(spark, staged)
+        if _index_marker_exists(spark, path, ".refit_meta.json"):
+            _rm_index_dir(spark, meta_p)
         return True
-    if local is None:
+    have_meta = _index_marker_exists(spark, path, ".refit_meta.json")
+    have_union = _index_marker_exists(spark, path,
+                                      ".refit_src/_SUCCESS")
+    if not (have_meta and have_union):
         return False
-    meta_p = _os.path.join(local, ".refit_meta.json")
-    succ = _os.path.join(local, ".refit_src", "_SUCCESS")
-    if not (_os.path.exists(meta_p) and _os.path.exists(succ)):
-        return False
-    with open(meta_p) as fh:
-        meta = _json.load(fh)
+    meta = _json.loads(_fs_read_text(spark, meta_p))
     build_ivf_index(spark.read.parquet(staged), path,
                     n_clusters=int(meta["n_clusters"]),
                     id_col="nid", vec_col="nv",
                     sq_dim=int(meta["sq_dim"]))
     _rm_index_dir(spark, staged)
-    _os.remove(meta_p)
+    _rm_index_dir(spark, meta_p)
     return True
 
 
@@ -1078,24 +1119,20 @@ def append_to_ivf_index(batch_df: DataFrame, path: str,
                 # staging make _heal_refit's recovery decidable at
                 # every lifecycle entry.
                 import json as _json
-                import os as _os
 
-                local = _local_fs_path(path)
-                if local is not None:
-                    meta_p = _os.path.join(local, ".refit_meta.json")
-                    tmp = meta_p + ".tmp"
-                    with open(tmp, "w") as fh:
-                        _json.dump({"n_clusters": n_clusters,
-                                    "sq_dim": len(scales)}, fh)
-                    _os.replace(tmp, meta_p)
+                # meta rides the Hadoop FS like the marker, so the
+                # crash recovery works on any scheme (ADVICE r15)
+                meta_p = f"{path}/.refit_meta.json"
+                _fs_write_text(spark, meta_p, _json.dumps(
+                    {"n_clusters": n_clusters,
+                     "sq_dim": len(scales)}))
                 _delete_index_marker(spark, path)
                 build_ivf_index(
                     spark.read.parquet(staged), path,
                     n_clusters=n_clusters, id_col="nid", vec_col="nv",
                     sq_dim=len(scales))
                 _rm_index_dir(spark, staged)
-                if local is not None and _os.path.exists(meta_p):
-                    _os.remove(meta_p)
+                _rm_index_dir(spark, meta_p)
                 return {"mode": "refit", "rows": batch_n,
                         "batch_mean_d2": batch_mean,
                         "base_mean_d2": base_mean}
@@ -1187,9 +1224,8 @@ def compact_ivf_lists(spark: SparkSession, path: str,
     hpath = jvm.org.apache.hadoop.fs.Path
     with _IVF_BUILD_LOCK:
         if not _heal_refit(spark, path):
+            # _heal_refit adopts crashed staged swaps at entry (r16)
             raise ValueError(f"no completed IVF index at {path}")
-        _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
-        _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
         lists = hpath(f"{path}/lists")
         fs = lists.getFileSystem(spark._jsc.hadoopConfiguration())
         compacted = files_before = files_after = 0
@@ -1257,11 +1293,9 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
     ids = [int(x) for x in vec_ids]
     with _IVF_BUILD_LOCK:
         if not _heal_refit(spark, path):
+            # _heal_refit adopts crashed staged swaps at entry (r16),
+            # so the lists read below sees any adopted cluster
             raise ValueError(f"no completed IVF index at {path}")
-        # heal any crashed staged swap FIRST — the lists read below
-        # must see the adopted cluster (round-15 IVF-soak hardening)
-        _adopt_staged_cluster_swaps(spark, path, ".compact_tmp_")
-        _adopt_staged_cluster_swaps(spark, path, ".erase_tmp_")
         local = _local_fs_path(path)
         meta_path = (_os.path.join(local, ".erase_stage.json")
                      if local is not None else None)

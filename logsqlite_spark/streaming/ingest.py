@@ -726,17 +726,33 @@ def ingest_spool_once(spark: SparkSession, spool_dir: str, logs_dir: str,
 
     if len(files) <= max_files_per_pull:
         return one_chunk(files)
+    # Chunked merge is a SUPERSET of the single-chunk dict (ADVICE
+    # r15): counters sum, dict/list payloads merge/extend, booleans
+    # OR (e.g. a replay-skipped chunk still surfaces as
+    # skipped_replay=True), and batch_id carries the LAST chunk's
+    # value instead of a hardcoded None — so callers see the same
+    # shape whether the backlog fit in one commit or thirty.
     total: dict = {"rows": 0, "decode_errors": 0, "out_of_order_rows": 0,
                    "batch_id": None, "high_water": {}, "new_files": [],
                    "chunks": 0}
     for i in range(0, len(files), max_files_per_pull):
         res = one_chunk(files[i:i + max_files_per_pull])
         total["chunks"] += 1
-        total["rows"] += res.get("rows", 0)
-        total["decode_errors"] += res.get("decode_errors", 0)
-        total["out_of_order_rows"] += res.get("out_of_order_rows", 0)
-        total["new_files"] += res.get("new_files", [])
-        total["high_water"].update(res.get("high_water", {}))
+        for k, v in res.items():
+            if k == "batch_id":
+                total[k] = v
+            elif isinstance(v, dict):
+                merged = dict(total.get(k) or {})
+                merged.update(v)
+                total[k] = merged
+            elif isinstance(v, list):
+                total[k] = list(total.get(k) or []) + v
+            elif isinstance(v, bool):
+                total[k] = bool(total.get(k, False)) or v
+            elif isinstance(v, (int, float)):
+                total[k] = total.get(k, 0) + v
+            else:
+                total[k] = v
     return total
 
 def start_ingest_stream(
