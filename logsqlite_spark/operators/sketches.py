@@ -496,6 +496,66 @@ def _events_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kmv_inline_rollup(samp_d: DataFrame, e: DataFrame, grain,
+                       out_col: str, k: int = _KMV_K,
+                       qs: tuple[float, ...] = _QS) -> DataFrame:
+    """Grain rollup + IN-ROW nearest-rank percentiles over maintained
+    per-day bottom-k samples (VERDICT r15 #3, redesigned).
+
+    The r15 serving path (kmv_report) built a heavyweight plan — four
+    Windows, two unions, two joins — whose per-call analysis alone
+    cost ~1 s at sf0.1, dwarfing execution.  This plan has exactly
+    two aggregations and one tiny join:
+
+    - ``grain`` + ALL rows come from ONE Expand over the day sample
+      (2× of a days×k-row input, never of events);
+    - the per-grain bottom-k re-rank is a sorted-array slice INSIDE
+      the aggregate (group input ≤ days×k rows — state-sized at any
+      corpus scale), exact by the bottom-k merge law;
+    - percentiles are extracted in-row: re-sort the ≤k sample by
+      (value_c, event_id), ``element_at`` the nearest-rank positions
+      (rank = floor(q·(ns-1)) + 1) — no Window, no union, no
+      per-quantile join;
+    - exact counts are ONE column-pruned pass over events with the
+      same Expand, so the grain + ALL totals partial-aggregate
+      map-side into ≤ grains+1 rows.
+
+    The raw-event bottom-k itself stays :func:`kmv_bottom_k`
+    (WindowGroupLimit: partial top-k BEFORE the shuffle — fusing the
+    count into that window would force the full table through
+    WindowExec, and fusing via collect_list partials would shuffle
+    whole partitions as single rows; both are 100 TB anti-plans).
+    The count rows ride the SAME aggregate via a tagged union (null
+    sample struct — collect_list skips nulls, sum counts the tag), so
+    there is no counts⋈quantiles join at all; the count branch still
+    partial-aggregates map-side into ≤ grains+1 rows per task."""
+    sample_rows = samp_d.select(
+        F.explode(F.array(grain, F.lit("ALL"))).alias(out_col),
+        F.struct("hk", "event_id", "value_c").alias("s"),
+        F.lit(0).cast("long").alias("one"))
+    count_rows = e.select(
+        F.explode(F.array(grain, F.lit("ALL"))).alias(out_col),
+        F.lit(None).cast(sample_rows.schema["s"].dataType).alias("s"),
+        F.lit(1).cast("long").alias("one"))
+    quant = (sample_rows.unionByName(count_rows)
+             .groupBy(out_col)
+             .agg(F.sum("one").alias("n"),
+                  F.slice(F.array_sort(F.collect_list("s")), 1, k)
+                  .alias("sv"))
+             .withColumn("sv2", F.expr(
+                 "array_sort(transform(sv, x -> "
+                 "struct(x.value_c AS value_c, x.event_id AS event_id)))"))
+             .withColumn("ns", F.size("sv2")))
+    picks = [
+        F.expr(f"element_at(sv2, CAST(floor({q} * (ns - 1)) AS INT) "
+               "+ 1).value_c")
+        .cast("long").alias(f"p{int(q * 100)}_c")
+        for q in qs
+    ]
+    return quant.select(out_col, F.col("n").cast("long").alias("n"),
+                        *picks)
+
+
 def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
                         qs: tuple[float, ...] = _QS) -> DataFrame:
     """Per-day + overall value percentiles from bottom-k samples.
@@ -503,14 +563,12 @@ def kmv_value_quantiles(events: DataFrame, k: int = _KMV_K,
     Lower-nearest-rank over the sample (rank = floor(q·(ns-1)) + 1,
     ties broken by event_id) — every output an exact BIGINT. The ALL
     sample is the bottom-k of the unioned daily samples (mergeability
-    of bottom-k), so the overall row never re-reads events; exact row
-    counts ride the same scan as the daily sample.
+    of bottom-k), so the overall row never re-reads events.
     """
     e = events.select(F.col("day").cast("string").alias("day"),
                       "value_c", "event_id")
     samp_d = kmv_bottom_k(e, k)
-    n_d = e.groupBy("day").agg(F.count("*").alias("n"))
-    return kmv_report(samp_d, n_d, k, qs)
+    return _kmv_inline_rollup(samp_d, e, F.col("day"), "day", k, qs)
 
 
 def kmv_report(samp_d: DataFrame, n_d: DataFrame, k: int = _KMV_K,
@@ -584,18 +642,19 @@ def kmv_weekly_value_quantiles(events: DataFrame, k: int = _KMV_K,
     bottom-k(union of its days' bottom-k) at the same k, so the
     DuckDB oracle recomputes the weekly sample DIRECTLY from raw
     events and the hash-match certifies the merge end-to-end.
-    ``date_trunc('week')`` is ISO-Monday in both engines."""
+    ``date_trunc('week')`` is ISO-Monday in both engines.
+
+    VERDICT r15 #3: served through :func:`_kmv_inline_rollup` — the
+    week + ALL grains come from one Expand over the per-day sample,
+    the re-rank and percentile extraction are in-row array ops, and
+    the exact counts are one column-pruned pass; the r15 kmv_report
+    plan's per-call analysis cost alone exceeded this plan's total."""
     e = events.select(F.col("day").cast("string").alias("day"),
                       "value_c", "event_id")
     samp_d = kmv_bottom_k(e, k)          # the maintained per-day state
     wk = (F.date_trunc("week", F.to_date(F.col("day")))
-          .cast("date").cast("string").alias("day"))
-    samp_w = kmv_bottom_k(
-        samp_d.select(wk, "value_c", "event_id", "hk"), k)
-    n_w = (e.select(wk, "value_c")
-           .groupBy("day").agg(F.count("*").alias("n")))
-    return (kmv_report(samp_w, n_w, k, qs)
-            .withColumnRenamed("day", "week"))
+          .cast("date").cast("string"))
+    return _kmv_inline_rollup(samp_d, e, wk, "week", k, qs)
 
 
 def _kmv_weekly_quantiles_sql(k: int = _KMV_K,

@@ -33,12 +33,28 @@ TABLE_NAMES = (
     "embeddings",
 )
 
+# Constructed-DataFrame memo (r16): spark.read.parquet lists the
+# directory and reads footers ON THE DRIVER at construction — ~150 ms
+# per call at sf0.1, paid by EVERY registry query per invocation
+# (the bench measured it as the largest single cost of the quantile
+# rollup). The driver testdata is immutable for a session, so the
+# resolved plan is reusable verbatim. Keyed by applicationId so a
+# restarted session never serves a stale JVM's plan. NOT used for
+# the warehouse logs table — that listing changes per commit and
+# goes through ManifestTable.read_df.
+_TABLE_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        df = _normalize_ts_nanos(df)
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if name == "events":
+            df = _normalize_ts_nanos(df)
+        _TABLE_CACHE[key] = df
     return df
 
 
