@@ -708,58 +708,101 @@ def main() -> None:
         line = _dump(headline)
     print(line)
 
+def _commit_contention_worker(args):
+    """One committer PROCESS for _commit_contention (module-level so
+    multiprocessing can pickle it)."""
+    import random
+    import time as _t
+
+    root, i, k_commits, pace_s = args
+    import logsqlite_spark.table as _T
+
+    _T.RECORD_LOCK_WAITS = True
+    random.seed(i)
+    t = _T.open_table(root)
+    lat = []
+    for k in range(k_commits):
+        if pace_s:
+            _t.sleep(pace_s * (0.5 + random.random()))  # desynced duty
+        rel = f"container_id=b{i}/date=2024-01-01/f{k}.parquet"
+        t0 = _t.perf_counter()
+        t.commit_append([rel], f"s{i}", k, {f"b{i}": 1}, {})
+        lat.append(_t.perf_counter() - t0)
+    return lat, list(_T.LOCK_WAIT_LOG)
+
+
 def _commit_contention() -> dict:
-    """VERDICT r13 #4: manifest commit latency vs concurrent committer
-    count against ONE table.  Committers serialize on the flock, so
-    per-commit p50 should grow roughly with the queue ahead of it
-    (fair_ratio ~ committer count at worst) while staying in the
-    low-millisecond class — and no increment or batch id may be lost
-    under the interleaving (asserted here, not just in pytest, so a
-    fairness regression and a lost-update regression both surface in
-    the round artifact)."""
+    """VERDICT r13 #4 / r15 #1: manifest commit latency vs concurrent
+    committer count against one warehouse, single-flock vs sharded.
+
+    r16 methodology change: committers are PROCESSES, not threads —
+    the r15 threaded harness measured flock queueing faithfully
+    (waiters sleep and release the GIL) but could never show sharded
+    scaling, because N threads doing real commit work serialize on
+    the GIL regardless of lock layout; real multi-writer topology is
+    multi-process anyway (the duo soak, one engine per daemon).
+
+    Rows: stress (back-to-back commits — saturates the fs journal on
+    purpose) and paced (50 ms jittered duty cycle per writer, the
+    realistic cadence).  Each row also reports the p95 time spent
+    WAITING ON THE FLOCK (table.LOCK_WAIT_LOG): for the sharded rows
+    it is ~0, proving the residual latency is fs-metadata/CPU
+    saturation of this machine, not lock contention.  Invariants
+    (no lost increment, no lost file, batch watermarks complete) are
+    asserted per row."""
+    import multiprocessing as mp
     import shutil
     import tempfile
-    import threading
 
-    from logsqlite_spark.table import ManifestTable
+    import logsqlite_spark.table as T
 
-    K = 25  # commits per committer
+    K = 15
     out: dict = {}
-    for n in (1, 4, 16):
+
+    def run(n: int, shards: int, pace_s: float, key: str) -> None:
         root = tempfile.mkdtemp(prefix="bench-commit-")
-        t = ManifestTable(root)
+        if shards > 1:
+            T.init_sharded_table(root, shards)
+        t = T.open_table(root)
         t.commit_append([], "boot", None, {}, {})
-        lat: list[float] = []
-        lock = threading.Lock()
-
-        def worker(i: int, t=t, lat=lat, lock=lock) -> None:
-            mine = []
-            for k in range(K):
-                rel = f"container_id=b{i}/date=2024-01-01/f{k}.parquet"
-                t0 = time.perf_counter()
-                t.commit_append([rel], f"s{i}", k, {f"b{i}": 1}, {})
-                mine.append(time.perf_counter() - t0)
-            with lock:
-                lat.extend(mine)
-
-        ths = [threading.Thread(target=worker, args=(i,)) for i in range(n)]
-        for th in ths:
-            th.start()
-        for th in ths:
-            th.join()
+        with mp.get_context("fork").Pool(n) as pool:
+            res = pool.map(_commit_contention_worker,
+                           [(root, i, K, pace_s) for i in range(n)])
+        lat = sorted(x for r in res for x in r[0])
+        waits = sorted(x for r in res for x in r[1])
         m = t.manifest()
         assert all(m["high_water"][f"b{i}"] == K for i in range(n)), \
             "lost seq increments under commit contention"
-        assert len(m["files"]) == n * K, "lost files under commit contention"
-        lat.sort()
-        out[f"c{n}"] = {
+        assert len(m["files"]) == n * K, \
+            "lost files under commit contention"
+        assert all(m["batch_ids"][f"s{i}"] == K - 1
+                   for i in range(n)), \
+            "lost batch watermarks under commit contention"
+        out[key] = {
             "p50_ms": round(lat[len(lat) // 2] * 1000, 3),
             "p95_ms": round(lat[int(len(lat) * 0.95)] * 1000, 3),
             "max_ms": round(lat[-1] * 1000, 3),
+            "lock_wait_p95_ms": round(
+                waits[int(len(waits) * 0.95)] * 1000, 3) if waits else 0.0,
         }
         shutil.rmtree(root, ignore_errors=True)
+
+    # stress rows: back-to-back commits
+    run(1, 1, 0.0, "c1")
+    run(16, 1, 0.0, "c16")
+    run(16, 64, 0.0, "c16_sharded64")
+    run(64, 1, 0.0, "c64")
+    run(64, 256, 0.0, "c64_sharded256")
+    # paced rows: 50 ms jittered duty cycle (realistic writer cadence)
+    run(1, 1, 0.05, "c1_paced")
+    run(64, 1, 0.05, "c64_paced")
+    run(64, 256, 0.05, "c64_sharded256_paced")
     out["fair_ratio"] = round(
         out["c16"]["p50_ms"] / max(out["c1"]["p50_ms"], 1e-9), 2)
+    out["fair_ratio_sharded_c64"] = round(
+        out["c64_sharded256_paced"]["p50_ms"]
+        / max(out["c1_paced"]["p50_ms"], 1e-9), 2)
+    out["model"] = "process"
     return out
 
 

@@ -142,17 +142,17 @@ def main(argv: list[str] | None = None) -> int:
     if a.cmd == "erase":
         res = eng.erase(a.predicate, container_id=a.container)
         if a.gc:
-            from logsqlite_spark.table import ManifestTable
+            from logsqlite_spark.table import open_table
 
-            res["gc"] = ManifestTable(eng.config.logs_dir).gc(
+            res["gc"] = open_table(eng.config.logs_dir).gc(
                 keep_generations=1)
         print(res)
         return 0
 
     if a.cmd == "gc":
-        from logsqlite_spark.table import ManifestTable
+        from logsqlite_spark.table import open_table
 
-        print(ManifestTable(eng.config.logs_dir).gc(
+        print(open_table(eng.config.logs_dir).gc(
             keep_generations=a.keep))
         return 0
 

@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from logsqlite_spark.config import LogConfig
-from logsqlite_spark.table import (CommitConflict, ManifestTable,
+from logsqlite_spark.table import (CommitConflict, ManifestTable, open_table,
                                    escape_partition_value,
                                    unescape_partition_value)
 
@@ -108,7 +108,7 @@ def apply_retention(
     if conf.cleanup_age_s is None and conf.cleanup_max_lines is None:
         return empty
 
-    table = ManifestTable(logs_dir)
+    table = open_table(logs_dir)
     manifest = table.import_existing()
     prefix = f"container_id={escape_partition_value(container_id)}/"
     by_date: dict[str, list[str]] = {}
@@ -236,7 +236,7 @@ def drop_container(logs_dir: str, container_id: str) -> bool:
     the container (O(1) metadata) and reclaim the bytes immediately —
     readers of a *dropped* container losing their snapshot matches the
     reference removing the DB file out from under a reader."""
-    table = ManifestTable(logs_dir)
+    table = open_table(logs_dir)
     dropped = 0
     if table.exists() or Path(logs_dir).exists():
         table.import_existing()
@@ -277,7 +277,7 @@ def erase_matching(
     the partitions that actually contain the subject's rows.
     """
 
-    table = ManifestTable(logs_dir)
+    table = open_table(logs_dir)
     manifest = table.import_existing()
     by_part: dict[tuple[str, str], list[str]] = {}
     for f in manifest["files"]:

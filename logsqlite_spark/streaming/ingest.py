@@ -40,7 +40,7 @@ from pyspark.sql.window import Window
 
 from logsqlite_spark.config import LogConfig
 from logsqlite_spark.sources.spool import read_spool_batch, read_spool_stream
-from logsqlite_spark.table import ManifestTable
+from logsqlite_spark.table import ManifestTable, open_table
 
 DECODE_ERROR_SOURCE = "__decode_error__"
 
@@ -157,7 +157,7 @@ def _write_batch(batch_df: DataFrame, logs_dir: str, state_dir: str,
     cache it required) disappears.  The multiplexed STREAM keeps the
     grouped-stats path — its micro-batch has no driver listing.
     """
-    table = ManifestTable(logs_dir)
+    table = open_table(logs_dir)
     st = table.import_existing()  # no-op once the manifest exists
     if batch_id is not None and batch_id <= st["batch_ids"].get(scope, -1):
         return {"skipped_replay": True, "batch_id": batch_id}

@@ -254,7 +254,9 @@ def run_victim(root: str, seed: int, cycle: int,
              .config("spark.ui.enabled", "false")
              .config("spark.sql.shuffle.partitions", "8")
              .getOrCreate())
-    cfg = EngineConfig(warehouse_dir=f"{root}/wh")
+    cfg = EngineConfig(warehouse_dir=f"{root}/wh",
+                       manifest_shards=int(
+                           os.environ.get("SOAK_SHARDS", "0") or 0) or 1)
     eng = Engine(spark, cfg)
     cmap = containers_for(profile)
     # duo: each engine PROCESS owns a disjoint container set and only
@@ -785,7 +787,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
         last_appended_batch,
     )
     from logsqlite_spark.streaming.ingest import ingest_spool_once
-    from logsqlite_spark.table import ManifestTable
+    from logsqlite_spark.table import open_table
 
     cfg = EngineConfig(warehouse_dir=f"{root}/wh")
     # forensics snapshot BEFORE any cleanup/drain: if a later invariant
@@ -849,7 +851,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
         # remain on disk; every leftover must be provably committed
         # (name <= the manifest's last_file for its container) — an
         # unconsumed leftover after processAllAvailable is real loss
-        mt = ManifestTable(cfg.logs_dir)
+        mt = open_table(cfg.logs_dir)
         lf_now = (mt.manifest().get("last_file", {})
                   if mt.exists() else {})
         for p in glob.glob(f"{cfg.spool_dir}/*/*.*"):
@@ -871,7 +873,7 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
     # read through the MANIFEST (live files only) — the raw directory
     # still holds files retired by compaction/retention until gc, and
     # a raw read would double-count their rows
-    table = ManifestTable(cfg.logs_dir)
+    table = open_table(cfg.logs_dir)
     rows = (table.read_df(spark, table.import_existing())
             .select("container_id", "seq", "line").collect()
             if glob.glob(f"{cfg.logs_dir}/container_id=*") else [])
@@ -882,8 +884,8 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
                f"{r['container_id']}: duplicate seq {r['seq']}")
         d[r["seq"]] = r["line"]
 
-    manifest = (ManifestTable(cfg.logs_dir).manifest()
-                if ManifestTable(cfg.logs_dir).exists() else {})
+    manifest = (open_table(cfg.logs_dir).manifest()
+                if open_table(cfg.logs_dir).exists() else {})
     last_file = {c: os.path.basename(v)
                  for c, v in manifest.get("last_file", {}).items()}
     snap_names = {os.path.basename(p) for p in snap}
@@ -1024,8 +1026,8 @@ def check_cycle(spark, root: str, cycle: int, prev: dict,
                    f"{r['line']!r}")
 
     # I6 manifest generation monotone; no out-of-order quarantine
-    gen = ManifestTable(cfg.logs_dir).manifest().get("generation", 0) \
-        if ManifestTable(cfg.logs_dir).exists() else 0
+    gen = open_table(cfg.logs_dir).manifest().get("generation", 0) \
+        if open_table(cfg.logs_dir).exists() else 0
     _check(gen >= prev.get("generation", 0),
            f"manifest generation regressed: {gen} < "
            f"{prev.get('generation', 0)}")
@@ -1086,6 +1088,8 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool,
             argv = [sys.executable, os.path.abspath(__file__),
                     "--victim", root, str(seed), str(cycle),
                     "--profile", profile]
+            if os.environ.get("SOAK_SHARDS"):
+                argv += ["--shards", os.environ["SOAK_SHARDS"]]
             if e:
                 argv += ["--engine", e]
             procs.append(subprocess.Popen(
@@ -1206,10 +1210,16 @@ def main() -> int:
                          "(VERDICT r14 #4); duo: TWO engine processes "
                          "sharing one warehouse on disjoint "
                          "containers, staggered kills (VERDICT r14 #3)")
+    ap.add_argument("--shards", type=int, default=0,
+                    help="manifest_shards for the warehouse (r16: "
+                         "sharded commit-lock soak; 0 = classic "
+                         "single manifest)")
     ap.add_argument("--engine", default="",
                     help="duo victim identity (internal): a | b")
     ap.add_argument("--victim", nargs=3, metavar=("ROOT", "SEED", "CYCLE"))
     args = ap.parse_args()
+    if args.shards:
+        os.environ["SOAK_SHARDS"] = str(args.shards)
     if args.victim:
         if args.profile == "ivf":
             run_victim_ivf(args.victim[0], int(args.victim[1]),
