@@ -60,12 +60,17 @@ class JsonlSpoolWriter:
     """Burst writer for the JSONL format (shipper stand-in)."""
 
     def __init__(self, spool_dir: str, container_id: str):
+        from logsqlite_spark.sources.spool import seed_last_mtime_ms
+
         self.dir = Path(spool_dir) / container_id
         self.dir.mkdir(parents=True, exist_ok=True)
         self._counter = 0
+        self._last_mtime_ms = seed_last_mtime_ms(self.dir)
 
     def write_burst(self, records: Iterable[dict],
                     compress: bool = False) -> str:
+        from logsqlite_spark.sources.spool import space_mtime_ms
+
         lines = []
         for i, rec in enumerate(records):
             rec = dict(rec)
@@ -81,6 +86,9 @@ class JsonlSpoolWriter:
         name = self.dir / f"{stem}.{ext}"
         tmp = self.dir / f".{stem}.{ext}.tmp"
         tmp.write_bytes(blob)
+        # mtime spacing: see spool.space_mtime_ms (stream delivery
+        # order is ms-mtime order; ties reorder arbitrarily)
+        self._last_mtime_ms = space_mtime_ms(tmp, self._last_mtime_ms)
         os.rename(tmp, name)
         self._counter += 1
         return str(name)

@@ -61,6 +61,44 @@ DECODED_SCHEMA = "path string, " + ", ".join(
 _MAX_DECODE_CHUNK_BYTES = 512 << 20
 
 
+def seed_last_mtime_ms(spool_container_dir: Path) -> int:
+    """Newest existing spool file's ms-mtime — seeds a (re)started
+    writer's mtime spacing so its first file never ties the previous
+    writer's last one."""
+    last = 0
+    try:
+        for p in spool_container_dir.iterdir():
+            if p.name.startswith("."):
+                continue
+            try:
+                last = max(last, p.stat().st_mtime_ns // 1_000_000)
+            except OSError:
+                continue
+    except OSError:
+        pass
+    return int(last)
+
+
+def space_mtime_ms(tmp: Path, last_ms: int) -> int:
+    """Strictly-increasing per-container MILLISECOND mtimes (r16,
+    VERDICT r15 #2 — the stream-drain carry-forward, confirmed real
+    by probe): Spark's FileStreamSource orders micro-batches by file
+    modification time at MS granularity and breaks ties arbitrarily,
+    so two files written within one ms can be delivered newest-name
+    first — the engine's monotonic-name guard then quarantines the
+    older file's rows (silent loss-to-quarantine in NORMAL operation).
+    Bumping a tying mtime to last+1ms makes per-container mtime order
+    == name order == write order, so arbitrary tie-breaking has
+    nothing to reorder.  Applied to the TMP file, so the atomic
+    rename publishes the spaced mtime."""
+    ms = tmp.stat().st_mtime_ns // 1_000_000
+    if ms <= last_ms:
+        ms = last_ms + 1
+        ns = ms * 1_000_000
+        os.utime(tmp, ns=(ns, ns))
+    return int(ms)
+
+
 class SpoolWriter:
     """Test/edge-side helper: write bursts of entries as spool files.
 
@@ -73,6 +111,7 @@ class SpoolWriter:
         self.dir = Path(spool_dir) / container_id
         self.dir.mkdir(parents=True, exist_ok=True)
         self._counter = 0
+        self._last_mtime_ms = seed_last_mtime_ms(self.dir)
 
     def write_burst(self, entries: Iterable[fr.LogEntry],
                     compress: bool = False) -> str:
@@ -95,6 +134,7 @@ class SpoolWriter:
         name = self.dir / f"{stem}.{ext}"
         tmp = self.dir / f".{stem}.{ext}.tmp"
         tmp.write_bytes(blob)
+        self._last_mtime_ms = space_mtime_ms(tmp, self._last_mtime_ms)
         os.rename(tmp, name)  # atomic publish: readers never see partials
         self._counter += 1
         return str(name)

@@ -553,8 +553,21 @@ class ManifestTable:
             for cid, inc in seq_increments.items():
                 hw[cid] = hw.get(cid, 0) + inc
             new_head["high_water"] = hw
-            new_head["last_file"] = {**head.get("last_file", {}),
-                                     **last_files}
+            # MONOTONIC per-container watermark (r16, VERDICT r15 #2):
+            # FileStreamSource orders micro-batches by file MTIME, so
+            # a sub-ms writer burst can deliver an older-NAMED spool
+            # file in a later batch.  A plain dict overwrite would
+            # then REGRESS last_file — under-protecting the stale
+            # guard (an older replay slips past `path <= last_file`)
+            # and breaking the drain invariant that every consumed
+            # leftover's name is <= the watermark.  max() makes the
+            # watermark order-independent: it is "the largest name
+            # ever consumed", whatever order batches landed in.
+            lf = dict(head.get("last_file", {}))
+            for cid, name in last_files.items():
+                old = lf.get(cid)
+                lf[cid] = name if old is None or name > old else old
+            new_head["last_file"] = lf
             return self._publish(new_head)
         finally:
             self._release_lock()

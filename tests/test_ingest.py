@@ -708,3 +708,76 @@ def test_backlog_over_10k_files_drains_in_bounded_chunks(spark, tmp_path):
         # contiguous seq across chunk boundaries, no loss, no dup
         assert r["n"] == n_files // containers
         assert (r["mn"], r["mx"]) == (1, n_files // containers)
+
+
+# --- r16 VERDICT #2: same-ms writer bursts vs stream delivery order ---
+
+def test_writer_mtimes_strictly_increasing_same_ms_burst(warehouse):
+    """FileStreamSource orders micro-batches by MS-granular file
+    mtime with arbitrary tie-breaking (probed: 8 same-mtime files
+    delivered 5,6,0,1,3,2,4,7) — a tie could deliver a newer-named
+    file first and the monotonic-name guard would quarantine the
+    older one's rows.  The writers therefore space mtimes: every
+    spool file's ms-mtime is strictly greater than its container's
+    previous one, including across writer restarts."""
+    import os
+
+    from logsqlite_spark.sources.jsonl import JsonlSpoolWriter
+
+    w = SpoolWriter(warehouse.spool_dir, "cb")
+    paths = [w.write_burst(_entries(BASE_TS + i, 1)) for i in range(6)]
+    ms = [os.stat(p).st_mtime_ns // 1_000_000 for p in paths]
+    assert all(b > a for a, b in zip(ms, ms[1:])), ms
+
+    # writer restart: the fresh writer seeds from the newest file
+    w2 = SpoolWriter(warehouse.spool_dir, "cb")
+    p = w2.write_burst(_entries(BASE_TS + 99, 1))
+    assert os.stat(p).st_mtime_ns // 1_000_000 > ms[-1]
+
+    # jsonl writer too
+    jw = JsonlSpoolWriter(warehouse.spool_dir, "cj")
+    jp = [jw.write_burst([{"source": "stdout",
+                           "time_nano": BASE_TS + i, "line": "x"}])
+          for i in range(4)]
+    jms = [os.stat(p).st_mtime_ns // 1_000_000 for p in jp]
+    assert all(b > a for a, b in zip(jms, jms[1:])), jms
+
+
+def test_stream_ingests_tight_burst_without_quarantine(spark, warehouse):
+    """End-to-end: many sub-ms write_burst calls, one mux stream —
+    every row lands in the table in name order, nothing quarantined
+    (pre-fix, a same-mtime tie delivered out of order would park a
+    benign file's rows in out_of_order)."""
+    import os
+
+    w = SpoolWriter(warehouse.spool_dir, "ct")
+    total = 0
+    for i in range(12):  # tight loop: multiple files per wall-clock ms
+        w.write_burst(_entries(BASE_TS + i * 10**9, 2))
+        total += 2
+    q = start_ingest_stream(
+        spark, warehouse.spool_dir, warehouse.logs_dir,
+        warehouse.state_dir, warehouse.checkpoints_dir + "/mux",
+        LogConfig(message_read_timeout_ms=100),
+    )
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(warehouse.logs_dir).count() >= total:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+        q.awaitTermination(30)
+    logs = spark.read.parquet(warehouse.logs_dir).filter(
+        "container_id='ct'")
+    got = sorted((r["seq"], r["line"]) for r in logs.collect())
+    assert [s for s, _ in got] == list(range(1, total + 1))
+    # name order == seq order (arrival order preserved)
+    assert [ln for _, ln in got] == [
+        f"line-{BASE_TS + i * 10**9 + j}\n"
+        for i in range(12) for j in range(2)]
+    assert not os.path.exists(f"{warehouse.state_dir}/out_of_order")
