@@ -249,13 +249,26 @@ class Engine:
 
     # -- follow_live fan-out (round 13) ----------------------------------------
 
+    # follow_live fan-out bound (r16, VERDICT r15 #7): _publish_live
+    # runs IN THE COMMITTING THREAD, so an unbounded pyarrow read of a
+    # fat commit would stall the ingest hot path for every follower.
+    # A commit whose subscribed-container slice exceeds either bound
+    # sheds to a RESYNC sentinel: the follower re-reads `seq > cursor`
+    # from the committed table in ITS OWN thread (one bounded Spark
+    # job — the same recovery follow_tail uses when a spool file
+    # vanishes), and the commit loop pays only a few stat() calls.
+    LIVE_MAX_BYTES_PER_COMMIT = 32 << 20
+    LIVE_MAX_FILES_PER_COMMIT = 64
+    _LIVE_RESYNC = "__resync__"
+
     def _publish_live(self, res: dict) -> None:
         """Post-commit fan-out to in-process followers: pyarrow-reads
         ONLY the just-committed batch's files for SUBSCRIBED containers
         (footer-listed rel paths ride the commit result) — no Spark
-        job, driver cost O(batch ∩ followed).  Runs in the committing
-        thread AFTER the manifest commit, so a follower never sees an
-        uncommitted row."""
+        job, driver cost O(batch ∩ followed) and HARD-BOUNDED per
+        commit (see LIVE_MAX_*; oversized slices shed to resync).
+        Runs in the committing thread AFTER the manifest commit, so a
+        follower never sees an uncommitted row."""
         files = (res or {}).get("new_files") or []
         if not files:
             return
@@ -272,10 +285,24 @@ class Engine:
 
         for cid, queues in subs.items():
             prefix = f"container_id={escape_partition_value(cid)}/"
+            sel = [f for f in files if f.startswith(prefix)]
+            if not sel:
+                continue
+            if len(sel) > self.LIVE_MAX_FILES_PER_COMMIT:
+                for q in queues:
+                    q.put(self._LIVE_RESYNC)
+                continue
+            try:
+                total = sum((self.table.dir / f).stat().st_size
+                            for f in sel)
+            except OSError:
+                total = None  # a file vanished mid-stat: resync
+            if total is None or total > self.LIVE_MAX_BYTES_PER_COMMIT:
+                for q in queues:
+                    q.put(self._LIVE_RESYNC)
+                continue
             rows = []
-            for f in files:
-                if not f.startswith(prefix):
-                    continue
+            for f in sel:
                 date = _dt.date.fromisoformat(
                     f.split("/")[1].split("=", 1)[1])
                 for rec in pq.read_table(
@@ -335,6 +362,31 @@ class Engine:
                         batch = qq.get(timeout=poll_interval_s)
                     except _queue.Empty:
                         idle += 1
+                        continue
+                    if batch == self._LIVE_RESYNC:
+                        # shed path (r16): the commit was too fat for
+                        # the in-thread fan-out — catch up from the
+                        # committed table in THIS thread instead
+                        from pyspark.sql import functions as _F
+
+                        snap2 = self.table.import_existing()
+                        hw2 = int(snap2.get("high_water", {})
+                                  .get(container_id, 0))
+                        if hw2 > cursor:
+                            catchup = (R.read_logs(
+                                self.table.read_df(self.spark, snap2),
+                                container_id=container_id)
+                                .filter(_F.col("seq") > cursor))
+                            chunk = []
+                            for row in catchup.toLocalIterator():
+                                chunk.append(row)
+                                if len(chunk) >= FW.FOLLOW_EMIT_BATCH:
+                                    yield chunk
+                                    chunk = []
+                            if chunk:
+                                yield chunk
+                            cursor = hw2
+                            idle = 0
                         continue
                     fresh = [r for r in batch if r["seq"] > cursor]
                     if fresh:

@@ -127,6 +127,24 @@ def unescape_partition_value(v: str) -> str:
     return "".join(out)
 
 
+# Test-only gc race-injection hook (r16, VERDICT r15 #6): the two
+# cross-process gc races round 15 found by soak luck (cycles 6 and 27)
+# are now DETERMINISTICALLY reproducible — tests install a hook that
+# deletes the peer's files at EXACTLY the stage a concurrent gc/commit
+# would, instead of hoping a kill lands in the µs-wide window.  Stages:
+#   "manifest_read"  — after the glob, before reading one manifest
+#   "chunk_unlink"   — before unlinking an unreferenced chunk
+#   "walk_dir"       — on entering a directory of the data walk
+#   "data_unlink"    — before unlinking an unreferenced data file
+# Production: None (zero cost beyond one attribute check).
+GC_TEST_HOOK = None
+
+
+def _gc_hook(stage: str, path) -> None:
+    if GC_TEST_HOOK is not None:
+        GC_TEST_HOOK(stage, path)
+
+
 # Opt-in lock-wait telemetry (bench only): when RECORD_LOCK_WAITS is
 # true, every _acquire_lock appends its wait time here — the evidence
 # separating "the flock queued" from "the filesystem/CPU was busy" in
@@ -749,6 +767,7 @@ class ManifestTable:
             g = int(mf.stem)
             if g >= keep_from:
                 try:
+                    _gc_hook("manifest_read", mf)
                     head = json.loads(mf.read_text())
                     live_chunks.update(head.get("file_chunks", []))
                     referenced.update(self._materialize(head)["files"])
@@ -784,6 +803,7 @@ class ManifestTable:
                 try:
                     if now0 - cf.stat().st_mtime < grace_s:
                         continue
+                    _gc_hook("chunk_unlink", cf)
                     _CHUNK_CACHE.pop(str(cf), None)
                     cf.unlink()
                 except FileNotFoundError:
@@ -843,6 +863,7 @@ def _gc_data_walk(root: Path, referenced: set[str], grace_s: float,
     # entirely instead of per-file filtering.
     data_dirs: list[Path] = []
     for dirpath, dirnames, filenames in os.walk(root):
+        _gc_hook("walk_dir", dirpath)
         if Path(dirpath) == root:
             dirnames[:] = [d for d in dirnames
                            if d not in ("_staging", "_manifests",
@@ -861,6 +882,7 @@ def _gc_data_walk(root: Path, referenced: set[str], grace_s: float,
             try:
                 if now - f.stat().st_mtime < grace_s:
                     continue
+                _gc_hook("data_unlink", f)
                 f.unlink()
                 deleted += 1
             except FileNotFoundError:

@@ -511,3 +511,50 @@ def test_follow_tail_resync_over_large_backlog_emits_chunked(
     assert max(chunks) <= 4, chunks        # bounded chunks
     assert len(chunks) >= 3, chunks
     assert list(it) == []                  # idle timeout, no stragglers
+
+
+def test_follow_live_sheds_fat_commits_to_resync(engine, monkeypatch):
+    """r16 (VERDICT r15 #7): _publish_live runs in the committing
+    thread, so its per-commit work is hard-bounded (LIVE_MAX_FILES/
+    LIVE_MAX_BYTES).  A commit over the bound pushes a resync
+    sentinel instead of pyarrow rows; the follower catches up from
+    the committed table in ITS OWN thread — exactly once, no gap, no
+    dup, and the commit loop never read a data byte."""
+    import pyarrow.parquet as pq
+
+    engine.start_logging("cf", None, {"delete_when_stopped": "false"})
+    _burst(engine.config.spool_dir, "cf", 3)          # seqs 1..3
+    engine.ingest_once()
+
+    # every subsequent commit is "fat": shed everything
+    monkeypatch.setattr(type(engine), "LIVE_MAX_FILES_PER_COMMIT", 0)
+    # prove the commit thread reads no data bytes while shedding
+    real_read = pq.read_table
+
+    def _no_read(*a, **k):
+        raise AssertionError("fan-out read a parquet despite the bound")
+
+    it = engine.follow_live("cf", tail=2, poll_interval_s=0.05,
+                            max_idle_polls=6)
+    first = [r["seq"] for r in next(it)]
+    assert first == [2, 3]
+
+    monkeypatch.setattr(pq, "read_table", _no_read)
+    _burst(engine.config.spool_dir, "cf", 2, ts=BASE_TS + 10**11)  # 4,5
+    engine.ingest_once()
+    monkeypatch.setattr(pq, "read_table", real_read)  # follower may read
+    second = [r["seq"] for r in next(it)]
+    assert second == [4, 5]
+
+    # a second shed batch: the resync cursor advanced, no dup
+    monkeypatch.setattr(pq, "read_table", _no_read)
+    _burst(engine.config.spool_dir, "cf", 2, ts=BASE_TS + 2 * 10**11)
+    engine.ingest_once()
+    monkeypatch.setattr(pq, "read_table", real_read)
+    third = [r["seq"] for r in next(it)]
+    assert third == [6, 7]
+
+    emitted = first + second + third
+    assert len(emitted) == len(set(emitted))
+    assert emitted == list(range(min(emitted), max(emitted) + 1))
+    assert list(it) == []
