@@ -24,7 +24,8 @@ functions over ``mapInPandas``. Three tiers, by codec dependency:
    without decoding.
 3. Formats that genuinely need an external codec: LOSSY WEBP (VP8 —
    lossless VP8L decodes natively via operators/webp.py since round
-   11), progressive/12-bit JPEG, 16-bit/Adam7 PNG, MP4/MP3.
+   11), 12-bit/arithmetic JPEG, Adam7-interlaced PNG, MP4/MP3
+   (progressive JPEG and 16-bit PNG decode natively since r16).
    Payloads are
    dispatched on magic bytes; when Pillow is importable the image
    formats decode/resize through it, otherwise they raise
@@ -268,12 +269,15 @@ def _png_unfilter(raw: bytes, h: int, stride: int, bpp: int) -> bytes:
 
 
 def _decode_png(payload: bytes):
-    """8-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array, pure
+    """8/16-bit non-interlaced PNG -> (H, W, 3) uint8 RGB array, pure
     stdlib zlib + numpy (the PNG spec is public; inflate is the only
     compression involved). Supports color types 0 (gray), 2 (RGB),
     3 (palette), 4 (gray+alpha), 6 (RGBA) — alpha dropped, palette
-    resolved. 16-bit and Adam7-interlaced files stay behind the
-    Pillow integration point."""
+    resolved. 16-bit channels (r16, VERDICT r15 #4) decode natively:
+    the byte-level PNG filters apply unchanged with bpp in BYTES, and
+    the big-endian high byte is the 8-bit value (identical to
+    Pillow's I;16→L conversion, which divides by 256). Adam7-
+    interlaced files stay behind the Pillow integration point."""
     import zlib
 
     import numpy as np
@@ -300,20 +304,26 @@ def _decode_png(payload: bytes):
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, ctype, comp, filt, interlace = ihdr[8:13]
-    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+    if depth not in (8, 16) or comp != 0 or filt != 0 or interlace != 0:
         raise NotImplementedError(
-            f"only 8-bit non-interlaced PNG decodes natively "
-            f"(depth={depth}, interlace={interlace}) — 16-bit/Adam7 "
-            f"stay behind the Pillow integration point")
+            f"only 8/16-bit non-interlaced PNG decodes natively "
+            f"(depth={depth}, interlace={interlace}) — Adam7 "
+            f"stays behind the Pillow integration point")
+    if depth == 16 and ctype == 3:
+        raise ValueError("16-bit palette PNG is not spec-legal")
     nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
     if nch is None or (ctype == 3 and plte is None):
         raise NotImplementedError(f"unsupported PNG color type {ctype}")
-    stride = w * nch
+    nbytes = depth // 8
+    stride = w * nch * nbytes
     raw = zlib.decompress(b"".join(idat))
     if len(raw) < (stride + 1) * h:
         raise ValueError("PNG raster truncated")
     data = np.frombuffer(
-        _png_unfilter(raw, h, stride, nch), np.uint8).reshape(h, w, nch)
+        _png_unfilter(raw, h, stride, nch * nbytes),
+        np.uint8).reshape(h, w, nch, nbytes)[:, :, :, 0]
+    # 16-bit: samples are big-endian, so byte 0 is the high byte —
+    # exactly Pillow's I;16→L (value // 256) result
     if ctype == 2:
         return data.copy()
     if ctype == 6:
@@ -619,7 +629,7 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
     elif kind == "png":
         try:
             f = _image_stats(_decode_png(payload))
-        except NotImplementedError:  # 16-bit / Adam7 → Pillow point
+        except NotImplementedError:  # Adam7 interlace → Pillow point
             f = _image_stats(np.asarray(_pil_image(payload, kind),
                                         dtype=np.uint8))
     elif kind == "gif":
@@ -629,7 +639,7 @@ def _native_features(payload: bytes) -> tuple[str, list[float]]:
 
         try:
             f = _image_stats(decode_jpeg(payload))
-        except NotImplementedError:  # progressive/12-bit → Pillow
+        except NotImplementedError:  # 12-bit/arithmetic → Pillow
             f = _image_stats(np.asarray(_pil_image(payload, kind),
                                         dtype=np.uint8))
     elif kind == "webp":

@@ -241,10 +241,10 @@ def test_magic_dispatch_names_detected_format():
 
 
 def test_resize_compressed_dispatches_not_bmp_error(spark):
-    """A 16-BIT PNG payload under real resize must hit the Pillow
-    integration point (8-bit PNG now decodes natively; 16-bit stays
-    behind the conditional import), never the BMP codec's 'not a BMP'
-    error; an mp4 payload must raise naming the detected format."""
+    """A 16-BIT PNG payload under real resize decodes NATIVELY since
+    r16 (re-encoded 8-bit truecolor like every other PNG resize) —
+    never the BMP codec's 'not a BMP' error; an mp4 payload must
+    raise naming the detected format."""
     import zlib
 
     def chunk(typ, body):
@@ -269,10 +269,12 @@ def test_resize_compressed_dispatches_not_bmp_error(spark):
     except ImportError:
         has_pil = False
 
-    if not has_pil:
-        with pytest.raises(Exception, match="integration point|Pillow"):
-            resize_images(media.filter("media_id = 1"), 4, 4,
-                          fake=False).collect()
+    out = resize_images(media.filter("media_id = 1"), 4, 4,
+                        fake=False).collect()[0]
+    from logsqlite_spark.operators.multimodal import _decode_png
+
+    resized = _decode_png(bytes(out["payload"]))
+    assert resized.shape == (4, 4, 3)
     with pytest.raises(Exception, match="mp4"):
         resize_images(media.filter("media_id = 2"), 4, 4,
                       fake=False).collect()
@@ -916,10 +918,12 @@ def test_pure_decoders_match_pillow_on_overlap_formats():
 
 
 def test_pillow_fallback_covers_lossy_formats(spark):
-    """media_decode_features must cover progressive JPEG, 16-bit PNG
-    and lossy-VP8 WebP through the Pillow integration point — and the
-    pure decoders must genuinely refuse them (proving the fallback is
-    what served the row)."""
+    """media_decode_features must cover lossy-VP8 WebP through the
+    Pillow integration point (the pure decoder genuinely refuses it) —
+    and, since r16, progressive JPEG and 16-bit PNG decode NATIVELY:
+    where Pillow exists this pins the native decodes against Pillow's
+    on Pillow-GENERATED files (real-world bitstreams, not just our own
+    encoder's)."""
     pytest.importorskip("PIL")
     import io
 
@@ -927,7 +931,7 @@ def test_pillow_fallback_covers_lossy_formats(spark):
     from PIL import Image
 
     from logsqlite_spark.operators.jpeg import decode_jpeg
-    from logsqlite_spark.operators.multimodal import decode_media
+    from logsqlite_spark.operators.multimodal import _decode_png, decode_media
     from logsqlite_spark.operators.webp import decode_webp
 
     img = _rand_rgb(16, 16)
@@ -935,13 +939,22 @@ def test_pillow_fallback_covers_lossy_formats(spark):
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="JPEG", progressive=True)
     prog_jpeg = buf.getvalue()
-    with pytest.raises(NotImplementedError):
-        decode_jpeg(prog_jpeg)
+    # native progressive decode ≡ Pillow within IDCT tolerance (r16)
+    ours = decode_jpeg(prog_jpeg).astype(np.int32)
+    theirs = np.asarray(Image.open(io.BytesIO(prog_jpeg))
+                        .convert("RGB"), np.uint8).astype(np.int32)
+    diff = np.abs(ours - theirs)
+    assert diff.mean() <= 1.5 and diff.max() <= 24, \
+        (diff.mean(), diff.max())
 
     buf = io.BytesIO()
     Image.fromarray((img[:, :, 0].astype(np.uint16) * 257)).save(
         buf, format="PNG")  # 16-bit grayscale PNG
     png16 = buf.getvalue()
+    # native 16-bit PNG decode ≡ Pillow's I;16→RGB exactly (r16)
+    exp = np.asarray(Image.open(io.BytesIO(png16)).convert("RGB"),
+                     np.uint8)
+    assert np.array_equal(_decode_png(png16), exp)
 
     buf = io.BytesIO()
     Image.fromarray(img).save(buf, format="WEBP", lossless=False,
@@ -1018,14 +1031,16 @@ def _png16_gray(w: int = 16, h: int = 16) -> bytes:
             + chunk(b"IDAT", zlib.compress(rows)) + chunk(b"IEND", b""))
 
 
-def _progressive_jpeg_header() -> bytes:
-    """SOI + SOF2 (progressive) header — enough for the pure decoder
-    to IDENTIFY progressive coding and route to the Pillow point
-    (the refusal fires at SOF2, before any entropy data is read)."""
-    sof2_body = bytes([8]) + (16).to_bytes(2, "big") \
+def _arith_jpeg_header() -> bytes:
+    """SOI + SOF9 (extended sequential, ARITHMETIC coding) header —
+    enough for the pure decoder to identify a coding mode it does not
+    implement and route to the Pillow point (progressive SOF2 decodes
+    natively since r16, so the arithmetic mode is the remaining
+    refusal fixture)."""
+    sof9_body = bytes([8]) + (16).to_bytes(2, "big") \
         + (16).to_bytes(2, "big") + bytes([1, 1, 0x11, 0])
-    return (b"\xff\xd8\xff\xc2"
-            + (len(sof2_body) + 2).to_bytes(2, "big") + sof2_body)
+    return (b"\xff\xd8\xff\xc9"
+            + (len(sof9_body) + 2).to_bytes(2, "big") + sof9_body)
 
 
 def _lossy_webp_stub() -> bytes:
@@ -1063,24 +1078,32 @@ def test_decode_media_integration_points_without_native_libs():
     except ImportError:
         have_pil = False
 
-    png16, prog, vp8 = _png16_gray(), _progressive_jpeg_header(), \
+    png16, arith, vp8 = _png16_gray(), _arith_jpeg_header(), \
         _lossy_webp_stub()
 
-    # (a) pure decoders refuse for the documented reasons
-    with _pytest.raises(NotImplementedError, match="16-bit"):
-        _decode_png(png16)
-    with _pytest.raises(NotImplementedError, match="progressive"):
-        decode_jpeg(prog)
+    # (a) the pure decoders that still route to Pillow refuse for the
+    # documented reasons (progressive JPEG / 16-bit PNG decode
+    # natively since r16 — covered by the fixture tests below)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
     with _pytest.raises(NotImplementedError, match="VP8"):
         decode_webp(vp8)
 
-    # (b) decode_media's dispatch reaches the conditional-import point
-    for payload in (png16, prog, vp8):
-        if have_pil:
-            if payload is png16:  # the fully-valid fixture decodes
-                kind, f = _native_features(payload)
-                assert kind == "image" and f[1] == 16.0 and f[2] == 16.0
-        else:
+    # 16-bit PNG: NATIVE decode, no Pillow in the path (r16)
+    import numpy as _np
+
+    got = _decode_png(png16)
+    exp = _np.array([[(((r * 16 + c) * 97) % 65536) >> 8
+                      for c in range(16)] for r in range(16)],
+                    _np.uint8)
+    assert _np.array_equal(got, _np.repeat(exp[:, :, None], 3, axis=2))
+    kind, f = _native_features(png16)
+    assert kind == "image" and f[1] == 16.0 and f[2] == 16.0
+
+    # (b) the remaining fallback formats reach the conditional-import
+    # point
+    for payload in (arith, vp8):
+        if not have_pil:
             with _pytest.raises(NotImplementedError, match="Pillow"):
                 _native_features(payload)
 
@@ -1095,3 +1118,94 @@ def test_decode_media_integration_points_without_native_libs():
     if not have_av:
         with _pytest.raises(NotImplementedError, match="PyAV"):
             _native_features(mp4)
+
+
+# --- r16 VERDICT #4: native progressive JPEG + 16-bit PNG, byte-pinned
+
+
+def test_progressive_jpeg_decodes_natively_roundtrip():
+    """Progressive (SOF2) JPEG decodes natively (T.81 Annex G:
+    spectral selection + successive approximation + EOB runs).  The
+    progressive encoder emits the SAME quantized coefficients as the
+    baseline encoder, so the two decodes must be BIT-IDENTICAL — an
+    end-to-end pin of every scan type (DC first/refine, AC
+    first/refine) without Pillow."""
+    import numpy as np
+
+    from logsqlite_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(14)
+    for shape in ((16, 16), (17, 23), (24, 9)):
+        img = rng.integers(0, 256, size=(*shape, 3), dtype=np.uint8)
+        prog = encode_jpeg_progressive(img)
+        assert b"\xff\xc2" in prog                 # really SOF2
+        assert np.array_equal(decode_jpeg(prog),
+                              decode_jpeg(encode_jpeg(img)))
+    # near-flat content: sparse significance + long EOB runs in the
+    # refinement scans (the fiddly correction-bit paths)
+    nearly = (np.full((48, 32, 3), 128)
+              + rng.integers(-2, 3, size=(48, 32, 3))).astype(np.uint8)
+    assert np.array_equal(decode_jpeg(encode_jpeg_progressive(nearly)),
+                          decode_jpeg(encode_jpeg(nearly)))
+
+
+def test_committed_fixture_decodes_are_byte_pinned():
+    """The COMMITTED binary fixtures (tests/fixtures/) decode to
+    byte-pinned outputs — drift in either the fixture bytes or the
+    decoders fails loudly, independent of the encoders."""
+    import hashlib
+    import pathlib
+
+    from logsqlite_spark.operators.jpeg import decode_jpeg
+    from logsqlite_spark.operators.multimodal import (
+        _decode_png,
+        _native_features,
+    )
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+
+    prog = (fx / "progressive_17x23.jpg").read_bytes()
+    assert hashlib.sha256(prog).hexdigest() == \
+        "f40db20bb98c7b9ee1897a9f4967bbc69aec9b82f959d37cd159547e380eb5b2"
+    dec = decode_jpeg(prog)
+    assert dec.shape == (17, 23, 3)
+    assert hashlib.sha256(dec.tobytes()).hexdigest() == \
+        "23bd88e3a55aedc3fa9a0bc546fc6e692b77af089e5208e51864ef1d953f641e"
+    kind, f = _native_features(prog)
+    assert kind == "image" and (f[1], f[2]) == (17.0, 23.0)
+
+    png16 = (fx / "gray16_16x16.png").read_bytes()
+    assert hashlib.sha256(png16).hexdigest() == \
+        "e324526c7b7b60f3cbd78c77a128700cdd8c89949e0332907a008272c21f005c"
+    dec2 = _decode_png(png16)
+    assert dec2.shape == (16, 16, 3)
+    assert hashlib.sha256(dec2.tobytes()).hexdigest() == \
+        "26349fe9e6a4e11f522781c692c85eaffabcfd9ecebfc70a451da12f11f73251"
+    kind2, f2 = _native_features(png16)
+    assert kind2 == "image" and (f2[1], f2[2]) == (16.0, 16.0)
+
+
+def test_decode_media_serves_progressive_and_png16_natively(spark):
+    """decode_media(codec='native') serves progressive JPEG and
+    16-bit PNG rows with NO media library in the container — the
+    r15 'fallback branch' fixtures are now first-class decodes."""
+    import pathlib
+
+    from logsqlite_spark.operators.multimodal import decode_media
+
+    fx = pathlib.Path(__file__).parent / "fixtures"
+    rows = [(1, 10, (fx / "progressive_17x23.jpg").read_bytes(), None),
+            (2, 20, (fx / "gray16_16x16.png").read_bytes(), None)]
+    media = spark.createDataFrame(
+        rows, "media_id long, doc_id long, payload binary, "
+              "meta map<string,string>")
+    out = {r["media_id"]: r for r in
+           decode_media(media, codec="native").collect()}
+    assert out[1]["media_type"] == "image"
+    assert (out[1]["feature"][1], out[1]["feature"][2]) == (17.0, 23.0)
+    assert out[2]["media_type"] == "image"
+    assert (out[2]["feature"][1], out[2]["feature"][2]) == (16.0, 16.0)
