@@ -517,6 +517,27 @@ def main() -> None:
         print("# inc_scale " + json.dumps(inc_exps))
     except Exception as e:  # noqa: BLE001 — evidence, not the gate
         print(f"# inc_scale skipped: {e}")
+    # Third decade for banded_inc (VERDICT r15 #5): 500k -> 5M history
+    # is an OFFLINE run (corpus gen alone ~10 min — the r12 cand2-at-5M
+    # precedent), via `tools/scale_evidence.py --inc3`, which writes
+    # the tracked SCALE_INC3.json.  Merge it with provenance (the git
+    # head it was measured at) so the record carries the decade
+    # without putting a half-hour build in every bench run.
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "SCALE_INC3.json")) as fh:
+            inc3 = json.load(fh)
+        inc_exps["banded_inc3_time_exp"] = inc3["banded_inc3_time_exp"]
+        inc_exps["banded_inc3_lo_s"] = inc3["lo"]["banded_inc_s"]
+        inc_exps["banded_inc3_hi_s"] = inc3["hi"]["banded_inc_s"]
+        inc_exps["banded_inc3_measured_at"] = inc3.get("git_head", "?")
+        print("# inc3 (offline evidence) " + json.dumps(
+            {k: v for k, v in inc_exps.items() if "inc3" in k}))
+    except FileNotFoundError:
+        print("# inc3 evidence not present (run tools/scale_evidence"
+              ".py --inc3)")
+    except Exception as e:  # noqa: BLE001
+        print(f"# inc3 merge skipped: {e}")
 
     m16, m128 = _mux_cost(16), _mux_cost(128)
     mux = {"c16": m16, "c128": m128,

@@ -27,6 +27,7 @@ from __future__ import annotations
 import argparse
 import json
 import math
+import os
 import shutil
 import sys
 import tempfile
@@ -329,6 +330,74 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
     return out
 
 
+def measure_inc3(spark, root: Path, lo: int = 500_000,
+                 hi: int = 5_000_000, batch_n: int = 500,
+                 reps: int = 2) -> dict:
+    """Third decade for the DEPLOYMENT incremental-dedup gate
+    (VERDICT r15 #5): banded_inc per-batch wall time at 500k -> 5M
+    at-rest history — the same fixed-batch protocol as measure_inc,
+    restricted to the one deployment path so the 5M-doc artifact
+    builds stay tractable (the full inc family builds five artifact
+    sets; banded needs only bands + digests).  Run OFFLINE (like the
+    r12 cand2 5M leg — the corpus gen alone is ~10 min); bench.py
+    merges the committed result into the scale dict with provenance.
+    """
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.operators.dedup import (
+        doc_digests_artifact,
+        incremental_dedup_banded,
+        minhash_bands,
+    )
+
+    d = root / "inc3"
+    d.mkdir()
+    t0 = time.perf_counter()
+    gen_documents(hi + batch_n, d)
+    print(f"# inc3 corpus gen: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
+    full = spark.read.parquet(str(d / "documents.parquet"))
+    full.filter(F.col("doc_id") >= hi).write.parquet(str(d / "batch"))
+    batch = spark.read.parquet(str(d / "batch"))
+
+    out: dict = {"batch_docs": batch.count(), "reps": reps}
+    for tag, n in (("lo", lo), ("hi", hi)):
+        hd = d / f"hist_{tag}"
+        full.filter(F.col("doc_id") < n).write.parquet(str(hd))
+        hist = spark.read.parquet(str(hd))
+        t0 = time.perf_counter()
+        minhash_bands(hist, band_size=8).write.parquet(
+            str(d / f"bands_{tag}"))
+        bands = spark.read.parquet(str(d / f"bands_{tag}"))
+        digests = doc_digests_artifact(hist)
+        digests.count()
+        print(f"# inc3/{tag} artifacts: "
+              f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+        def run():
+            return incremental_dedup_banded(
+                batch, hist, band_size=8, history_bands=bands,
+                history_digests=digests).count()
+
+        run()  # untimed warmup
+        best, rows = math.inf, 0
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            rows = run()
+            best = min(best, time.perf_counter() - t0)
+        out[tag] = {"hist_docs": n, "banded_inc_s": round(best, 3),
+                    "banded_inc_rows": rows}
+        print(f"# inc3/{tag}: {out[tag]}", file=sys.stderr)
+    ratio = out["hi"]["hist_docs"] / out["lo"]["hist_docs"]
+    out["banded_inc3_time_exp"] = round(
+        math.log(out["hi"]["banded_inc_s"]
+                 / out["lo"]["banded_inc_s"]) / math.log(ratio), 3)
+    shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
 def measure_cand2(spark, root: Path, lo: int, hi: int) -> dict:
     """Second-decade candidate-OUTPUT counts for the two deployment
     near-dup paths (minhash band pairs at the deployment band_size,
@@ -489,6 +558,10 @@ def main() -> int:
                          "PSI/entropy/gini over events)")
     ap.add_argument("--lex-only", action="store_true",
                     help="run ONLY the --lex legs")
+    ap.add_argument("--inc3", action="store_true",
+                    help="run ONLY the banded_inc third decade "
+                         "(500k -> 5M history; offline like --cand2 "
+                         "at this size) and write SCALE_INC3.json")
     ap.add_argument("--cand2", action="store_true",
                     help="run ONLY the second-decade candidate-output "
                          "leg for the two deployment near-dup paths "
@@ -503,7 +576,8 @@ def main() -> int:
 
     root = Path(tempfile.mkdtemp(prefix="scale_evidence_"))
     res: dict = {"lo_docs": args.lo, "hi_docs": args.hi}
-    skip_decade = args.inc_only or args.lex_only or args.cand2
+    skip_decade = (args.inc_only or args.lex_only or args.cand2
+                   or args.inc3)
     if args.inc_only:
         args.inc = True
     if args.lex_only:
@@ -522,6 +596,23 @@ def main() -> int:
                   file=sys.stderr)
         if args.cand2:
             res["cand2"] = measure_cand2(spark, root, args.lo, args.hi)
+        if args.inc3:
+            import subprocess as _sp
+            res["inc3"] = measure_inc3(spark, root)
+            try:
+                res["inc3"]["git_head"] = _sp.run(
+                    ["git", "rev-parse", "--short", "HEAD"],
+                    cwd=os.path.dirname(os.path.dirname(
+                        os.path.abspath(__file__))),
+                    capture_output=True, text=True,
+                    check=True).stdout.strip()
+            except Exception:  # noqa: BLE001
+                pass
+            out_p = os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), "SCALE_INC3.json")
+            with open(out_p, "w") as fh:
+                json.dump(res["inc3"], fh, indent=1)
+            print(f"# wrote {out_p}", file=sys.stderr)
         if args.inc and not args.lex_only:
             res["inc"] = measure_inc(spark, root, args.lo, args.hi)
         if args.lex:
