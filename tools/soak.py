@@ -364,12 +364,21 @@ def run_victim(root: str, seed: int, cycle: int,
                 _append_jsonl(maint_led, {"engine": engine_id, "op": op,
                                           "ok": ok, "cycle": cycle})
 
+        first_pass = True
         while True:
             # shuffled rotation: with a fixed order and short kill
             # windows the tail op can never complete before the kill
-            # across a whole run (seed 123 starved erase that way)
+            # across a whole run (seed 123 starved erase that way).
+            # r16: the FIRST pass of each cycle leads with cleanup —
+            # retention is the slowest op (several Spark jobs under
+            # full victim load) and a shuffled first slot gave it a
+            # completed pass only by seed luck; later passes shuffle,
+            # so compact/erase still can't starve across a run.
             ops = ["cleanup", "compact", "erase"]
-            rnd.shuffle(ops)
+            if first_pass:
+                first_pass = False
+            else:
+                rnd.shuffle(ops)
             for op in ops:
                 time.sleep(rnd.uniform(0.1, 0.4))
                 try:
@@ -1110,7 +1119,17 @@ def run_soak(cycles: int, seed: int, root: str, keep: bool,
                     if time.time() > deadline:
                         raise SoakViolation("victim never became ready")
                     time.sleep(0.1)
-                time.sleep(rnd.uniform(2.5, 9.0))
+                # every 4th cycle: a LONG window — the slowest
+                # maintenance op (retention: snapshot + count + top-k
+                # + rewrite + commit under two live streams on 4
+                # cores) takes ~10-14 s end to end; a fixed 2.5-9 s
+                # window made the retention-coverage gate a seed
+                # lottery (r15 seed 61 first fired at cycle ~63).
+                # Kill aggression stays on the other 3 of 4 cycles.
+                if cycle % 4 == 3:
+                    time.sleep(rnd.uniform(10.0, 20.0))
+                else:
+                    time.sleep(rnd.uniform(2.5, 9.0))
         finally:
             # duo: kill in random order with a SURVIVOR WINDOW between
             # — the living engine must keep committing while its peer
