@@ -637,10 +637,26 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
         spark,
         (frames_fingerprint(docs), text_col, id_col, str(band_size),
          "minhash-bands"),
-        lambda p: inline.write.mode("overwrite").parquet(f"{p}/bands"))
+        # RANGE-SORTED by key (r16): the incremental probe pushes the
+        # batch's band-key set into this scan as an In predicate;
+        # contiguous key ranges per file/row-group turn that into
+        # row-group pruning once the corpus has many more row groups
+        # than a batch has keys — the 100 TB regime (at small history
+        # the thin scan is read either way; see SCALE_INC3.json).
+        lambda p: (inline.repartitionByRange(
+            max(inline.sparkSession.sparkContext.defaultParallelism,
+                8), "key")
+            .sortWithinPartitions("key")
+            .write.mode("overwrite").parquet(f"{p}/bands")))
     if built:
         _MINHASH_ARTIFACT_BUILDS += 1
     return spark.read.parquet(f"{path}/bands")
+
+
+# batch band-key sets beyond this don't travel as a literal In
+# predicate (driver memory + predicate size); the semi-join alone
+# then serves correctness at an unpruned thin scan's cost
+_BANDED_KEY_PROBE_CAP = 8192
 
 
 def minhash_band_pairs_incremental(new_docs: DataFrame,
@@ -690,6 +706,19 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
         F.col("band").cast("int").alias("band"),
         F.col("key").cast("string").alias("key"),
     ).withColumn("nw", F.lit(0))
+    # collected-key pushdown (r16, the filter_ids idiom applied to the
+    # bands scan): the batch's band-key set is control-plane-sized
+    # (n_batch x n_bands strings), so it travels as a STATIC In
+    # predicate the parquet scan can evaluate against row-group stats
+    # — on the range-sorted artifact this prunes the history read to
+    # the row groups actually containing batch keys.  A superset
+    # filter only (key alone, not (band, key)); the broadcast
+    # semi-join below keeps the exact semantics.  Oversized batches
+    # fall back to the plain semi-join.
+    probe = [r["key"] for r in batch_bands.select("key").distinct()
+             .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
+    if 0 < len(probe) <= _BANDED_KEY_PROBE_CAP:
+        hist = hist.filter(F.col("key").isin(probe))
     # no .distinct() on the build side: left-semi semantics ignore
     # build duplicates, and the distinct would cost its own shuffle
     pruned = hist.join(F.broadcast(batch_bands.select("band", "key")),

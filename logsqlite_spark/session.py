@@ -32,6 +32,11 @@ def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> S
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # batch band-key probes travel as ~1k-entry In predicates;
+        # the parquet pushdown default gives up past 10 values and
+        # degrades to a min/max range check, which a uniform hash key
+        # never prunes (r16 — the sorted bands artifact)
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -61,4 +66,9 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set(
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
+    try:
+        spark.conf.set(
+            "spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+    except Exception:  # noqa: BLE001 — static on some builds
+        pass
     return spark

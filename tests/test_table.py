@@ -464,7 +464,7 @@ def test_concurrent_committers_no_lost_updates(tmp_path):
                 rel = _touch(t, f"container_id=a{i}/date=2024-01-01/"
                                 f"f{i}_{k}.parquet")
                 res = t.commit_append([rel], f"s{i}", k, {f"a{i}": 3},
-                                      {f"a{i}": f"spool/{i}/{k}"})
+                                      {f"a{i}": f"spool/{i}/{k:06d}"})
                 assert res is not None, f"append {i}/{k} treated as replay"
                 with applied_lock:
                     appended.add(rel)
@@ -530,7 +530,9 @@ def test_concurrent_committers_no_lost_updates(tmp_path):
     # no lost seq increments: 15 commits x +3 each, per container
     for i in range(N_APPENDERS):
         assert m["high_water"][f"a{i}"] == N_COMMITS * 3
-        assert m["last_file"][f"a{i}"] == f"spool/{i}/{N_COMMITS - 1}"
+        # zero-padded names: the engine contract (lexicographic ==
+        # numeric) the r16 monotonic-max watermark merge relies on
+        assert m["last_file"][f"a{i}"] == f"spool/{i}/{N_COMMITS - 1:06d}"
 
 
 def test_commit_replace_conflicts_when_input_concurrently_rewritten(tmp_path):

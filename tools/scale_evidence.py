@@ -332,7 +332,7 @@ def measure_inc(spark, root: Path, lo: int, hi: int,
 
 def measure_inc3(spark, root: Path, lo: int = 500_000,
                  hi: int = 5_000_000, batch_n: int = 500,
-                 reps: int = 2) -> dict:
+                 reps: int = 3) -> dict:
     """Third decade for the DEPLOYMENT incremental-dedup gate
     (VERDICT r15 #5): banded_inc per-batch wall time at 500k -> 5M
     at-rest history — the same fixed-batch protocol as measure_inc,
@@ -368,8 +368,13 @@ def measure_inc3(spark, root: Path, lo: int = 500_000,
         full.filter(F.col("doc_id") < n).write.parquet(str(hd))
         hist = spark.read.parquet(str(hd))
         t0 = time.perf_counter()
-        minhash_bands(hist, band_size=8).write.parquet(
-            str(d / f"bands_{tag}"))
+        b = minhash_bands(hist, band_size=8)
+        # the deployment artifact layout (r16): range-sorted by key so
+        # the batch's collected-key In probe row-group-prunes the scan
+        (b.repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "key")
+         .sortWithinPartitions("key")
+         .write.parquet(str(d / f"bands_{tag}")))
         bands = spark.read.parquet(str(d / f"bands_{tag}"))
         digests = doc_digests_artifact(hist)
         digests.count()
