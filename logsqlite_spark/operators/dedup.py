@@ -655,8 +655,13 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
 
 # batch band-key sets beyond this don't travel as a literal In
 # predicate (driver memory + predicate size); the semi-join alone
-# then serves correctness at an unpruned thin scan's cost
-_BANDED_KEY_PROBE_CAP = 8192
+# then serves correctness at an unpruned thin scan's cost.  Must stay
+# at or below the session's parquet.pushdown.inFilterThreshold: a
+# pushed In compiles to a LEFT-DEEP parquet OR tree whose evaluation
+# recurses once per value — ~2000 values StackOverflowErrors the scan
+# task (measured at sf0.1; the r16 first cut shipped 8192/5000 and
+# only ran clean below ~1k keys).
+_BANDED_KEY_PROBE_CAP = 1000
 
 
 def minhash_band_pairs_incremental(new_docs: DataFrame,

@@ -35,8 +35,11 @@ def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> S
         # batch band-key probes travel as ~1k-entry In predicates;
         # the parquet pushdown default gives up past 10 values and
         # degrades to a min/max range check, which a uniform hash key
-        # never prunes (r16 — the sorted bands artifact)
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+        # never prunes (r16 — the sorted bands artifact).  1024, not
+        # more: a pushed In becomes a left-deep parquet OR tree whose
+        # evaluation recurses once per value, and ~2000 values
+        # StackOverflowErrors the scan task (measured at sf0.1).
+        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -68,7 +71,7 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     try:
         spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "5000")
+            "spark.sql.parquet.pushdown.inFilterThreshold", "1024")
     except Exception:  # noqa: BLE001 — static on some builds
         pass
     return spark
