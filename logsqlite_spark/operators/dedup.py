@@ -22,7 +22,8 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logsqlite_spark.tables import rebalance_for_compute, table
+from logsqlite_spark.tables import (rebalance_for_compute,
+                                    spread_for_checkpoint, table)
 
 JACCARD_THRESHOLD = 0.5
 
@@ -663,13 +664,13 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
 # only ran clean below ~1k keys).
 _BANDED_KEY_PROBE_CAP = 1000
 
-
 def minhash_band_pairs_incremental(new_docs: DataFrame,
                                    history_bands: DataFrame,
                                    band_size: int = 4,
                                    text_col: str = "text",
                                    id_col: str = "doc_id",
                                    max_band_freq: int | None = None,
+                                   emit_flags: bool = False,
                                    ) -> DataFrame:
     """MinHash-LSH candidate pairs INVOLVING a new batch, without
     re-hashing the at-rest corpus — the incremental twin of
@@ -704,8 +705,17 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
     # semi-join's build side and the union's probe side, and lazy
     # re-evaluation would re-hash the batch per consumer (the
     # winnow_matches_incremental measurement).  Bounded by the BATCH —
-    # O(micro-batch), never O(corpus).
+    # O(micro-batch), never O(corpus).  The minhash compute itself is
+    # already parallel: minhash_signatures rebalances bare file-scan
+    # inputs, and checkpointed batch inputs carry their own spread
+    # layout (incremental_dedup_banded) — an r16 experiment that
+    # round-robined the RESULT here paid an extra exchange for
+    # nothing (paired A/B 1.27x slower on dedup_minhash_inc), as did
+    # one that fused checkpoint+probe into a driver LocalRelation
+    # (1.06-1.10x): the distributed two-job shape stays.
     batch_bands = batch_bands.localCheckpoint(eager=True)
+    probe = [r["key"] for r in batch_bands.select("key").distinct()
+             .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
     hist = history_bands.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("band").cast("int").alias("band"),
@@ -720,8 +730,6 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
     # filter only (key alone, not (band, key)); the broadcast
     # semi-join below keeps the exact semantics.  Oversized batches
     # fall back to the plain semi-join.
-    probe = [r["key"] for r in batch_bands.select("key").distinct()
-             .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
     if 0 < len(probe) <= _BANDED_KEY_PROBE_CAP:
         hist = hist.filter(F.col("key").isin(probe))
     # no .distinct() on the build side: left-semi semantics ignore
@@ -737,17 +745,25 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
             F.col("doc_id").alias("d"), F.col("nw")))).alias("ds"))
         .filter(F.size("ds") >= 2)
     )
-    return (
+    pairs = (
         groups.select(F.explode(F.expr(
             "flatten(transform(ds, (x, i) -> "
             "transform(slice(ds, i + 2, size(ds)), "
             "y -> struct(x.d AS a_id, y.d AS b_id, "
-            "greatest(x.nw, y.nw) AS has_new))))"
+            "x.nw AS a_nw, y.nw AS b_nw))))"
         )).alias("p"))
-        .filter(F.col("p.has_new") == 1)
-        .select("p.a_id", "p.b_id")
-        .distinct()
+        .filter(F.greatest("p.a_nw", "p.b_nw") == 1)
     )
+    if emit_flags:
+        # a doc's nw is constant across its band rows (batch/history
+        # doc sets are disjoint), so distinct over the flagged tuple
+        # equals distinct over (a_id, b_id) — callers get the
+        # membership flags for free instead of re-joining for them.
+        return pairs.select(
+            "p.a_id", "p.b_id",
+            (F.col("p.a_nw") == 1).alias("a_new"),
+            (F.col("p.b_nw") == 1).alias("b_new")).distinct()
+    return pairs.select("p.a_id", "p.b_id").distinct()
 
 def _minhash_sig_sql(src: str = "documents") -> str:
     sh = _DUCK_SHINGLES.format(c="text")
@@ -1346,9 +1362,11 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first_new = (nd.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1).drop("__rn"))
-    after_exact = first_new.join(
+    # spread_for_checkpoint: see incremental_dedup_banded — without it
+    # the batch's shingle explode below runs single-task.
+    after_exact = spread_for_checkpoint(first_new.join(
         index.digests, F.md5(first_new["text"]) == index.digests["h"],
-        "left_anti").localCheckpoint(eager=True)
+        "left_anti")).localCheckpoint(eager=True)
 
     sh = F.explode(F.expr(
         "transform(sequence(1, greatest(length(text) - {m}, 1)), "
@@ -1547,31 +1565,31 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
     hd = history.select(F.col(id_col).cast("long").alias("doc_id"),
                         F.col(text_col).alias("text"))
 
-    # stage 1: first arrival within the batch, then anti vs history
+    # stage 1: first arrival within the batch, then anti vs history.
+    # spread_for_checkpoint: the anti-join output AQE-coalesces to one
+    # partition, and the checkpoint would freeze that — the batch
+    # minhash (stage 2) and the shingle confirm would then hash
+    # single-task (measured ~1s of the query at sf0.1).
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first_new = (nd.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1).drop("__rn"))
-    after_exact = first_new.join(
+    after_exact = spread_for_checkpoint(first_new.join(
         history_digests.select(F.col("h").alias("__h")),
         F.md5(first_new["text"]) == F.col("__h"),
-        "left_anti").localCheckpoint(eager=True)
+        "left_anti")).localCheckpoint(eager=True)
 
     # stage 2: banded candidates touching the batch (a_id < b_id by
-    # the generator's sorted-group construction)
+    # the generator's sorted-group construction), with batch-membership
+    # flags emitted in-row by the generator (r16 — the two broadcast
+    # flag joins this replaced each built their own broadcast inside
+    # the confirm plan)
     cand = minhash_band_pairs_incremental(
         after_exact, history_bands, band_size, "text", "doc_id",
-        max_band_freq).localCheckpoint(eager=True)  # feeds the
-    # id-side split below and the confirm join
-
-    flags = after_exact.select("doc_id", F.lit(True).alias("__new"))
-    cand = (cand
-            .join(F.broadcast(flags.select(
-                F.col("doc_id").alias("a_id"),
-                F.col("__new").alias("a_new"))), "a_id", "left")
-            .join(F.broadcast(flags.select(
-                F.col("doc_id").alias("b_id"),
-                F.col("__new").alias("b_new"))), "b_id", "left")
-            .fillna(False, ["a_new", "b_new"]))
+        max_band_freq, emit_flags=True).localCheckpoint(eager=True)
+    # feeds the id-side pushdown below and the confirm join.  (An r16
+    # experiment replaced this checkpoint with one capped collect
+    # serving a driver-built LocalRelation — paired A/B measured the
+    # fusion 1.10x SLOWER; see minhash_band_pairs_incremental.)
 
     # candidate history texts: collected-id pushdown when control-
     # plane-sized, plain semi-join fallback (never isin above the cap)
@@ -1594,8 +1612,12 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
         hist_cand = hd.join(hist_ids, "doc_id", "leftsemi")
 
     sh_expr = F.expr(_SHINGLES.format(c="text")).alias("s")
+    # rebalance the pruned history-text side too: the In-pruned scan
+    # comes back as one split, which would shingle the candidate
+    # texts single-task (only pruned rows move — candidate-bounded)
     sh = (after_exact.select("doc_id", sh_expr)
-          .unionByName(hist_cand.select("doc_id", sh_expr)))
+          .unionByName(rebalance_for_compute(hist_cand)
+                       .select("doc_id", sh_expr)))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")
@@ -1606,9 +1628,17 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
     victim = (F.when(F.col("a_new") & F.col("b_new"), F.col("b_id"))
               .when(F.col("a_new"), F.col("a_id"))
               .otherwise(F.col("b_id")))
-    flagged = conf.select(victim.alias("__bad")).distinct()
+    # no .distinct() on the victim list: left-anti semantics ignore
+    # build-side duplicates, so the dedup exchange bought nothing.
+    # F.broadcast: the victim list is candidate-bounded (O(batch) ids
+    # of 8 B), but its lineage crosses checkpointed RDDs so Catalyst
+    # has no size estimate and statically plans a SortMergeJoin —
+    # two exchanges + sorts of batch-sized sides for an anti-join
+    # whose build side is control-plane-sized.
+    flagged = conf.select(victim.alias("__bad"))
     return after_exact.join(
-        flagged, after_exact["doc_id"] == flagged["__bad"], "left_anti"
+        F.broadcast(flagged),
+        after_exact["doc_id"] == flagged["__bad"], "left_anti"
     ).select("doc_id", "text")
 
 
@@ -2086,8 +2116,12 @@ def edit_confirmed_pairs(docs: DataFrame, threshold: float = 0.8,
     """
     cand = minhash_band_pairs(docs, band_size, text_col, id_col,
                               max_band_freq)
-    texts = docs.select(F.col(id_col).alias("doc_id"),
-                        F.col(text_col).alias("__t"))
+    # rebalance: the per-pair levenshtein runs where the TEXT side's
+    # partitions are (the candidate side broadcasts), so a one-split
+    # corpus scan serializes the whole confirm stage
+    texts = rebalance_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("__t"))
     a = texts.select(F.col("doc_id").alias("a_id"),
                      F.col("__t").alias("__ta"))
     b = texts.select(F.col("doc_id").alias("b_id"),
@@ -2129,7 +2163,10 @@ def lsh_precision(docs: DataFrame,
     """
     cand = minhash_band_pairs(docs, band_size, text_col, id_col,
                               max_band_freq)
-    sh = docs.select(
+    # rebalance: the confirm-side shingle projection is the query's
+    # single heaviest compute, and a one-split corpus scan would run
+    # it single-task (measured 1.7s of the 2.3s query at sf0.1)
+    sh = rebalance_for_compute(docs).select(
         F.col(id_col).alias("doc_id"),
         F.expr(_SHINGLES.format(c=text_col)).alias("s"))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))

@@ -36,7 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from logsqlite_spark.tables import table
+from logsqlite_spark.tables import rebalance_for_compute, table
 
 ZIPF_TOP_V = 10_000
 PMI_TOP_V = 1_000
@@ -67,38 +67,44 @@ def token_pmi_pairs(docs: DataFrame, top_v: int = PMI_TOP_V,
     low-count instability).  Fully deterministic: df ties break on
     token, the final top-k orders on (rounded pmi desc, a, b).
 
-    Plan shape (first cut audited bad): ``topv`` feeds FOUR consumers
-    (the postings semi-join and both df lookups), and lazily it
-    re-scanned + re-exploded + re-distincted the corpus per consumer
-    — so the ≤ ``top_v``-row table is eagerly checkpointed once (the
-    control-plane materialization rule).  Pairing is groups-to-pairs
-    (sorted per-doc token set → in-row combination explode), never a
-    postings self-join: one shuffle to the doc grouping, per-doc cost
-    bounded by (tokens ∩ top_v)², and the collect_set buffer bounded
-    by min(doc length, top_v) tokens."""
-    raw = (docs.select(F.col(id_col).alias("doc_id"),
-                       F.explode(F.split(F.col(text_col), " "))
-                       .alias("tok"))
-           .filter(F.col("tok") != ""))
-    dfreq = raw.distinct().groupBy("tok").agg(
-        F.count(F.lit(1)).cast("long").alias("df"))
-    topv = (dfreq.orderBy(F.desc("df"), F.col("tok")).limit(top_v)
-            .select("tok", "df")
-            .localCheckpoint(eager=True))
-    # the pairing arm feeds collect_set, which dedups per doc anyway —
-    # a (doc_id, tok) distinct here would add a full-data exchange for
-    # nothing (result pinned identical either way)
-    p = raw.join(F.broadcast(topv.select("tok")), "tok", "leftsemi")
-    sets = p.groupBy("doc_id").agg(
-        F.sort_array(F.collect_set("tok")).alias("ts"))
-    pairs = (sets.select(F.explode(F.expr(
-        "flatten(transform(ts, (x, i) -> "
-        "transform(slice(ts, i + 2, size(ts)), "
-        "y -> struct(x AS a, y AS b))))")).alias("pr"))
-        .select("pr.a", "pr.b")
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
-        .filter(F.col("n_ab") >= min_pair))
+    Plan shape (r16, third cut — measured over two audited ones): the
+    per-doc DISTINCT token set is an IN-ROW array
+    (``array_distinct(split(...))``), so document-frequency needs no
+    (doc_id, tok) distinct exchange and the pairing arm needs no
+    ``collect_set`` re-grouping — the two full-data shuffles the
+    exploded-postings shape paid.  ``topv`` comes back to the driver
+    (≤ ``top_v`` control-plane rows) in the same job that aggregates
+    df, then serves the pairing arm as an InSet FILTER inside the
+    per-doc array (no semi-join, no checkpoint) and the df lookups as
+    a broadcast LocalRelation.  Pairing is groups-to-pairs (sorted
+    per-doc token set → in-row combination explode), never a postings
+    self-join: per-doc cost bounded by (tokens ∩ top_v)², and the
+    only remaining full-data exchange is the (a, b) pair count."""
+    # rebalance: the split + in-row distinct + pair explode is the
+    # query's whole per-row compute, and a small corpus arrives as
+    # one input split — without the spread both arms run single-task
+    sets = rebalance_for_compute(docs).select(
+        F.col(id_col).alias("doc_id"),
+        F.sort_array(F.array_distinct(F.array_remove(
+            F.split(F.col(text_col), " "), ""))).alias("ts"))
+    dfreq = (sets.select(F.explode("ts").alias("tok"))
+             .groupBy("tok")
+             .agg(F.count(F.lit(1)).cast("long").alias("df")))
+    top_rows = dfreq.orderBy(F.desc("df"), F.col("tok")) \
+        .limit(top_v).collect()
+    keep = [r["tok"] for r in top_rows]
+    topv = docs.sparkSession.createDataFrame(
+        top_rows, "tok string, df long")
+    pairs = (sets
+             .select(F.filter("ts", lambda t: t.isin(keep)).alias("ts"))
+             .select(F.explode(F.expr(
+                 "flatten(transform(ts, (x, i) -> "
+                 "transform(slice(ts, i + 2, size(ts)), "
+                 "y -> struct(x AS a, y AS b))))")).alias("pr"))
+             .select("pr.a", "pr.b")
+             .groupBy("a", "b")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+             .filter(F.col("n_ab") >= min_pair))
     n_docs = docs.select(
         F.count(F.lit(1)).cast("double").alias("__n"))
     da = topv.select(F.col("tok").alias("a"), F.col("df").alias("df_a"))

@@ -125,6 +125,25 @@ def _is_simple_file_scan(df: DataFrame) -> bool:
         return False
 
 
+def spread_for_checkpoint(df: DataFrame) -> DataFrame:
+    """Round-robin a batch-sized frame to session parallelism BEFORE
+    ``localCheckpoint`` materializes it.
+
+    A small join/window output gets AQE-coalesced to ONE partition, and
+    an eager checkpoint freezes that layout — every downstream per-row
+    compute over the checkpointed batch (minhash md5 of each shingle,
+    k-gram hashing) then runs single-task no matter how many cores the
+    session has (measured: the banded incremental batch's minhash took
+    1.0s single-task vs ~0.1s spread at sf0.1). The repartition
+    shuffles only the batch (O(micro-batch) bytes, the same bytes the
+    checkpoint itself writes), and an explicit repartition is exempt
+    from AQE coalescing, so the materialized layout keeps all cores
+    busy. Row order changes; every caller is order-insensitive
+    (hash/join/aggregate consumers)."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def rebalance_for_compute(df: DataFrame) -> DataFrame:
     """Spread a CPU-bound projection across every core.
 
