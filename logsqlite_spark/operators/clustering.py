@@ -281,24 +281,53 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
                     % F.ceil(F.col("_sz") / F.lit(max_cluster_size))
                     .cast("long"))
     )
-    scored = (
-        assigned.select("cluster_id", "_sub",
-                        F.col("vec_id").alias("a_id"),
-                        F.col("qv").alias("ai"), F.col("nq").alias("an"))
-        .join(assigned.select("cluster_id", "_sub",
-                              F.col("vec_id").alias("b_id"),
-                              F.col("qv").alias("bi"),
-                              F.col("nq").alias("bn")),
-              ["cluster_id", "_sub"])
-        .filter(F.col("a_id") < F.col("b_id"))
-        .withColumn("dot", F.expr(
-            "aggregate(zip_with(ai, bi, (x, y) -> x * y), 0L, "
-            "(acc, x) -> acc + x)"))
-        .withColumn("sim", F.col("dot").cast("double")
-                    / F.sqrt(F.col("an").cast("double")
-                             * F.col("bn").cast("double")))
-        .filter(F.col("sim") >= tau)
-    )
+    # scoring (r16): one pandas group per (cluster_id, _sub) bucket —
+    # each vector crosses the wire ONCE (the former self-join shipped
+    # every vector ~bucket_size times into the pair rows), and the
+    # |bucket| x |bucket| integer Gram matrix is ONE numpy matmul per
+    # group instead of per-pair interpreted zip_with/aggregate lambdas
+    # (guide §2.3 / §4.2; measured 1.64 s -> see OPTIMIZATION_r16).
+    # Bit-exactness: int64 matmul is exact (|qv| <= 1e4, dim 64 →
+    # |dot| <= 6.4e9 << 2^63) and cast→multiply→sqrt→divide runs the
+    # same correctly-rounded IEEE double ops Spark's expressions ran;
+    # the display rounding stays IN SPARK (F.round is HALF_UP, numpy
+    # rounds half-even) so the emitted sim is bitwise the old value.
+    # Group state is hard-bounded by max_cluster_size rows of dim
+    # int64s — the same cap that bounds the pair count.
+    def _score_bucket(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({"cluster_id": pd.Series(dtype="int32"),
+                              "a_id": pd.Series(dtype="int64"),
+                              "b_id": pd.Series(dtype="int64"),
+                              "sim": pd.Series(dtype="float64")})
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        V = np.array(pdf["qv"].tolist(), dtype=np.int64)
+        nq = pdf["nq"].to_numpy(dtype=np.int64)
+        dots = (V @ V.T).astype(np.float64)
+        den = np.sqrt(nq.astype(np.float64)[:, None]
+                      * nq.astype(np.float64)[None, :])
+        sim = dots / den
+        iu, ju = np.triu_indices(n, k=1)  # ids sorted → a_id < b_id
+        m = sim[iu, ju] >= tau
+        if not m.any():
+            return empty
+        return pd.DataFrame({
+            "cluster_id": np.full(int(m.sum()), key[0], dtype="int32"),
+            "a_id": ids[iu[m]], "b_id": ids[ju[m]],
+            "sim": sim[iu, ju][m]})
+
+    scored = (assigned
+              .select("cluster_id", "_sub", "vec_id", "qv", "nq")
+              .groupBy("cluster_id", "_sub")
+              .applyInPandas(_score_bucket,
+                             "cluster_id int, a_id long, b_id long, "
+                             "sim double"))
     return scored.select("cluster_id", "a_id", "b_id",
                          F.round("sim", 6).alias("sim"))
 
