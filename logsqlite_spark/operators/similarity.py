@@ -174,6 +174,12 @@ def sq_scales(corpus_df: DataFrame, dim: int = SQ_DIM,
     path = _sq_auto_path(corpus_df, vec_col, dim)
     if path is None:
         return _compute_sq_scales(corpus_df, dim, vec_col)
+    # fingerprint-keyed auto path -> immutable artifact: once loaded,
+    # the 64-double vector is served from the in-process memo (r16 —
+    # the reload was a per-call driver parquet read + collect job)
+    hit = _SQ_SCALES_CACHE.get((spark.sparkContext.applicationId, path))
+    if hit is not None:
+        return hit
     with _IVF_BUILD_LOCK:
         if not _index_marker_exists(spark, path):
             def _build() -> None:
@@ -195,7 +201,9 @@ def sq_scales(corpus_df: DataFrame, dim: int = SQ_DIM,
         else:
             _touch_index_marker(path)
     row = spark.read.parquet(f"{path}/scales").collect()[0]
-    return [float(x) for x in row["scales"]]
+    scales = [float(x) for x in row["scales"]]
+    _SQ_SCALES_CACHE[(spark.sparkContext.applicationId, path)] = scales
+    return scales
 
 
 def sq_topk(
@@ -447,19 +455,37 @@ def ann_lsh_portable_topk(
     width = len(planes) // n_bands
 
     def hashed(df: DataFrame, name: str) -> DataFrame:
-        q = _quantized(df.select(F.col(id_col).alias(name),
-                                 F.col(vec_col).alias("__v")), "__v", "__qi")
-        q = q.select(name, "__qi",
-                     F.expr(_SQNORM.format(v="__qi")).alias("__n"),
-                     *_lsh_band_chunks("__qi", planes, n_bands))
-        return q.select(
-            name, "__qi", "__n",
-            F.explode(F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.col(f"chunk{b}").alias("chunk"))
-                for b in range(n_bands)
-            ])).alias("bc"),
-        ).select(name, "__qi", "__n", "bc.band", "bc.chunk")
+        # ONE selectExpr per projection stage (r16 construct cost):
+        # the Column-API form made ~100 py4j round trips per side (16
+        # plane-dot F.exprs + 32 Column arithmetic ops + the
+        # struct/explode builders) at ~0.15 s per call on the bench
+        # driver; composed SQL strings parse JVM-side in one call
+        # each. Same integer expression tree, bit-identical output
+        # (oracle hash-match re-verified).
+        bits = [
+            "case when aggregate(zip_with(__qi, array({c}), "
+            "(x, y) -> x * y), 0L, (a, x) -> a + x) >= 0 "
+            "then 1 else 0 end".format(
+                c=", ".join(f"{v}L" for v in row))
+            for row in planes
+        ]
+        chunks = [
+            "0 + " + " + ".join(
+                f"({bits[b * width + j]}) * {1 << j}"
+                for j in range(width))
+            for b in range(n_bands)
+        ]
+        pairs = ", ".join(
+            f"named_struct('band', {b}, 'chunk', chunk{b})"
+            for b in range(n_bands))
+        q = df.selectExpr(
+            f"{id_col} as {name}",
+            _QUANTIZE.format(c=vec_col, q=QUANT) + " as __qi")
+        q = q.selectExpr(
+            name, "__qi", _SQNORM.format(v="__qi") + " as __n",
+            *[f"{chunks[b]} as chunk{b}" for b in range(n_bands)])
+        return q.selectExpr(name, "__qi", "__n",
+                            f"inline(array({pairs}))")
 
     qs = hashed(queries_df, "qid").withColumnsRenamed(
         {"__qi": "qi", "__n": "qn"})
@@ -851,7 +877,8 @@ def ivf_topk(
     if path is not None:
         return ivf_topk_indexed(spark, queries_df, path, k=k,
                                 n_probe=n_probe, id_col=id_col,
-                                vec_col=vec_col)
+                                vec_col=vec_col,
+                                _memo=index_path is None)
 
     # literal/streaming corpus (unit tests): fit + assign inline, the
     # same deterministic integral geometry as the persisted build.
@@ -991,6 +1018,7 @@ def build_ivf_index(corpus_df: DataFrame, path: str,
     correctness (an appended index must equal this rebuild exactly).
     """
     spark = corpus_df.sparkSession
+    _drop_serve_memo(path)
     if centers is None:
         centers = _fit_centers(corpus_df, n_clusters, id_col, vec_col)
     if scales is None:
@@ -1071,6 +1099,7 @@ def append_to_ivf_index(batch_df: DataFrame, path: str,
     batch/baseline mean d2.
     """
     spark = batch_df.sparkSession
+    _drop_serve_memo(path)
     with _IVF_BUILD_LOCK:
         if not _heal_refit(spark, path):
             raise ValueError(f"no completed IVF index at {path}")
@@ -1220,6 +1249,7 @@ def compact_ivf_lists(spark: SparkSession, path: str,
     a CLUSTER-SPECIFIC name, adopted or discarded by
     :func:`_adopt_staged_cluster_swaps` at the next compact/erase.
     """
+    _drop_serve_memo(path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     with _IVF_BUILD_LOCK:
@@ -1288,6 +1318,7 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
 
     from logsqlite_spark.artifacts import filter_ids
 
+    _drop_serve_memo(path)
     jvm = spark._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     ids = [int(x) for x in vec_ids]
@@ -1353,10 +1384,67 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
         return {"erased": n_erased, "clusters_rewritten": len(hits)}
 
 
+# Artifact serve-plan memo (r16, guide §1.2 / §5 — driver-side work):
+# serving a persisted index re-lists the artifact dirs and re-reads
+# parquet footers ON THE DRIVER (~0.2 s per call at sf0.1), and the
+# scale-vector load is a whole collect() job — paid by EVERY serve
+# call. Auto-path artifacts are immutable by construction (the path is
+# keyed by the corpus fingerprint + geometry version, so any corpus or
+# format change lands at a NEW path; lifecycle mutation requires an
+# explicit index_path), which makes the constructed serve frames (a
+# plan, never data) and the loaded 64-double scale vector reusable
+# verbatim for the life of the application — exactly the tables.table
+# memo idiom. Explicit-path (mutable) indexes never enter the cache,
+# and every lifecycle mutation drops its path defensively. Keyed by
+# applicationId so a restarted session never serves a stale JVM plan.
+_IVF_SERVE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_SQ_SCALES_CACHE: dict[tuple[str, str], list[float]] = {}
+
+
+def _drop_serve_memo(path: str) -> None:
+    """Invalidate memoized serve state for a (possibly mutated) index."""
+    for cache in (_IVF_SERVE_CACHE, _SQ_SCALES_CACHE):
+        for key in [k for k in cache if k[1] == path]:
+            cache.pop(key, None)
+
+
+def _ivf_serve_frames(spark: SparkSession, path: str,
+                      memo: bool) -> tuple[DataFrame, DataFrame]:
+    """(centroids_df, lists_df) for a persisted index; memoized only
+    for immutable fingerprint-keyed auto paths (``memo=True``)."""
+    key = (spark.sparkContext.applicationId, path)
+    if memo:
+        hit = _IVF_SERVE_CACHE.get(key)
+        if hit is not None:
+            return hit
+    centers_df = spark.read.parquet(f"{path}/centroids")
+    lists = spark.read.option("basePath", f"{path}/lists") \
+        .parquet(f"{path}/lists")
+    if memo:
+        _IVF_SERVE_CACHE[key] = (centers_df, lists)
+    return centers_df, lists
+
+
+def _load_sq_scales(spark: SparkSession, path: str,
+                    memo: bool) -> list[float]:
+    """The persisted per-dim scale vector; memoized like the frames."""
+    key = (spark.sparkContext.applicationId, path)
+    if memo:
+        hit = _SQ_SCALES_CACHE.get(key)
+        if hit is not None:
+            return hit
+    scales = [float(x) for x in spark.read.parquet(
+        f"{path}/scales").collect()[0]["scales"]]
+    if memo:
+        _SQ_SCALES_CACHE[key] = scales
+    return scales
+
+
 def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
                      k: int = TOP_K, n_probe: int = 4,
                      id_col: str = "vec_id",
-                     vec_col: str = "embedding") -> DataFrame:
+                     vec_col: str = "embedding",
+                     _memo: bool = False) -> DataFrame:
     """ANN top-k against a persisted IVF index — no refit.
 
     Loads the broadcast-sized centroid table, picks each query's
@@ -1364,11 +1452,10 @@ def ivf_topk_indexed(spark: SparkSession, queries_df: DataFrame, path: str,
     against the partition column of the persisted lists, so the scan
     only lists/reads the probed clusters' directories. Results are
     identical to ``ivf_topk`` with the same parameters (same seed,
-    same quantized scoring).
+    same quantized scoring). ``_memo`` is set by :func:`ivf_topk` for
+    fingerprint-keyed (immutable) auto indexes only.
     """
-    centers_df = spark.read.parquet(f"{path}/centroids")
-    assigned = spark.read.option("basePath", f"{path}/lists") \
-        .parquet(f"{path}/lists")
+    centers_df, assigned = _ivf_serve_frames(spark, path, _memo)
     return _ivf_probe(assigned, centers_df, queries_df, k, n_probe,
                       id_col, vec_col)
 
@@ -1461,9 +1548,9 @@ def ivf_sq_topk(
     path = _ensure_ivf_index(corpus_df, n_clusters, id_col, vec_col,
                              index_path, sq_dim=dim)
     if path is not None:
-        centers_df = spark.read.parquet(f"{path}/centroids")
-        scales = [float(x) for x in spark.read.parquet(
-            f"{path}/scales").collect()[0]["scales"]]
+        memo = index_path is None
+        centers_df, lists = _ivf_serve_frames(spark, path, memo)
+        scales = _load_sq_scales(spark, path, memo)
         if len(scales) != dim:
             # only reachable with an explicit index_path built at a
             # different sq_dim — zip_with+coalesce in _SQ_ENCODE would
@@ -1471,8 +1558,6 @@ def ivf_sq_topk(
             raise ValueError(
                 f"IVF index at {path} was built with sq_dim="
                 f"{len(scales)}, but dim={dim} was requested")
-        lists = spark.read.option("basePath", f"{path}/lists") \
-            .parquet(f"{path}/lists")
         # two projections of the SAME persisted lists: stage 1 scans
         # only the int8 codes (ReadSchema excludes nv — pinned in
         # test_plans), the fp vectors are fetched post-top-c

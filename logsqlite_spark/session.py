@@ -54,6 +54,15 @@ def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> S
         .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
                 "10000")
         .config("spark.ui.enabled", "false")
+        # PySpark's per-API-call origin capture (a stack walk on EVERY
+        # DataFrame/Column call, purely driver-side) exists for error
+        # messages; plan-heavy operators make thousands of such calls
+        # per query construction (~25 ms/query measured at r16). The
+        # upstream docs flag this conf as the way to trade the nicer
+        # error frames for construction speed; it is scale-independent
+        # (driver plan-build cost, identical on a 1000-executor
+        # cluster).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
     )
     return builder.getOrCreate()

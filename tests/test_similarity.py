@@ -574,3 +574,55 @@ def test_ivf_refit_is_crash_safe(spark, tmp_path):
            spark.read.option("basePath", f"{path}/lists")
            .parquet(f"{path}/lists").select("nid").collect()}
     assert got == base_ids | batch_ids
+
+
+def test_serve_memo_auto_hit_and_lifecycle_invalidation(spark, tmp_path):
+    """r16 serve-plan memo: fingerprint-keyed auto indexes reuse the
+    constructed serve frames within an application; explicit-path
+    (mutable) indexes never memoize, and a lifecycle append both
+    drops any memoized state for its path and is visible to the next
+    serve call."""
+    import logsqlite_spark.operators.similarity as sim
+    from logsqlite_spark.operators.similarity import (
+        append_to_ivf_index, build_ivf_index, ivf_sq_topk, ivf_topk)
+    from logsqlite_spark.tables import table as t
+
+    emb = t(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+
+    # auto path: second call hits the memo (same DataFrame objects)
+    ivf_topk(q, emb).collect()
+    n_before = len(sim._IVF_SERVE_CACHE)
+    assert n_before >= 1
+    frames1 = dict(sim._IVF_SERVE_CACHE)
+    ivf_topk(q, emb).collect()
+    assert dict(sim._IVF_SERVE_CACHE) == frames1  # reused, not rebuilt
+    ivf_sq_topk(q, emb).collect()
+    assert len(sim._SQ_SCALES_CACHE) >= 1
+
+    # explicit (mutable) path: never enters the cache, and an append
+    # is visible on the very next serve
+    base = emb.filter(F.col("vec_id") % 10 != 7)
+    batch = emb.filter(F.col("vec_id") % 10 == 7)
+    path = str(tmp_path / "idx")
+    build_ivf_index(base, path, n_clusters=8)
+    keys_for_path = [k for k in sim._IVF_SERVE_CACHE if k[1] == path]
+    assert not keys_for_path
+    got1 = ivf_sq_topk(q, emb, n_clusters=8, index_path=path)
+    got1.collect()
+    assert not [k for k in sim._IVF_SERVE_CACHE if k[1] == path]
+    out = append_to_ivf_index(batch, path)
+    assert out["mode"] == "append"
+    served = {r["nid"] for r in
+              spark.read.option("basePath", f"{path}/lists")
+              .parquet(f"{path}/lists").select("nid").collect()}
+    batch_ids = {r["vec_id"] for r in batch.select("vec_id").collect()}
+    assert batch_ids <= served
+
+    # _drop_serve_memo clears both caches for a path
+    app = spark.sparkContext.applicationId
+    sim._IVF_SERVE_CACHE[(app, path)] = frames1[next(iter(frames1))]
+    sim._SQ_SCALES_CACHE[(app, path)] = [1.0]
+    sim._drop_serve_memo(path)
+    assert (app, path) not in sim._IVF_SERVE_CACHE
+    assert (app, path) not in sim._SQ_SCALES_CACHE
