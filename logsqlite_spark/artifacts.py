@@ -58,6 +58,28 @@ def filter_ids(df, col: str, ids: Sequence[int], keep: bool):
     return df.join(F.broadcast(ids_df), col, how)
 
 
+# Constructed-DataFrame memo for served artifacts (r16, guide §5
+# driver work): a build_or_serve dir is written AT MOST ONCE per key
+# ever (completion-marker protocol; the streaming twins grow their own
+# state dirs, never these), so the post-build `spark.read.parquet`
+# re-listing + footer read (~50-150 ms driver-side per sub-table per
+# call) can be memoized exactly like tables.table / the IVF serve
+# frames. Keyed by applicationId so a restarted session never serves a
+# stale JVM's plan.
+_SERVE_DF_CACHE: dict = {}
+
+
+def serve_parquet(spark: SparkSession, path: str, sub: str):
+    """Memoized `spark.read.parquet(f"{path}/{sub}")` for an immutable
+    (marker-completed, fingerprint-keyed) artifact dir."""
+    key = (spark.sparkContext.applicationId, path, sub)
+    df = _SERVE_DF_CACHE.get(key)
+    if df is None:
+        df = spark.read.parquet(f"{path}/{sub}")
+        _SERVE_DF_CACHE[key] = df
+    return df
+
+
 def build_or_serve(spark: SparkSession, key_parts: Sequence[str],
                    write: Callable[[str], None]) -> tuple[str, bool]:
     """Serve the artifact dir for ``key_parts``, building it with

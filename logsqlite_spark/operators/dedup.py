@@ -276,21 +276,26 @@ def simhash_fps_artifact(docs: DataFrame, text_col: str = "text",
 
     global _SIMHASH_ARTIFACT_BUILDS
     spark = docs.sparkSession
-    inline = simhash_dedup(docs, text_col, id_col, n_bits)
+
+    # inline plan built lazily (r16): thrown away whenever the
+    # artifact is served; see winnow_fps_artifact
+    def inline() -> DataFrame:
+        return simhash_dedup(docs, text_col, id_col, n_bits)
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         files = []
     if not files:
-        return inline
+        return inline()
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(docs), text_col, id_col, str(n_bits),
          "simhash-fps"),
-        lambda p: inline.write.mode("overwrite").parquet(f"{p}/fps"))
+        lambda p: inline().write.mode("overwrite").parquet(f"{p}/fps"))
     if built:
         _SIMHASH_ARTIFACT_BUILDS += 1
-    return spark.read.parquet(f"{path}/fps")
+    from logsqlite_spark.artifacts import serve_parquet
+    return serve_parquet(spark, path, "fps")
 
 
 def simhash_groups_incremental(new_docs: DataFrame,
@@ -627,13 +632,19 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
 
     global _MINHASH_ARTIFACT_BUILDS
     spark = docs.sparkSession
-    inline = minhash_bands(docs, band_size, text_col, id_col)
+    # inline plan built LAZILY (r16): constructing the corpus-side
+    # hash projection costs ~0.1-0.3 s of driver expression building
+    # per call and is thrown away whenever the artifact is served —
+    # build it only for the no-files fallback or inside the
+    # at-most-once write lambda.
+    def inline() -> DataFrame:
+        return minhash_bands(docs, band_size, text_col, id_col)
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         files = []
     if not files:
-        return inline
+        return inline()
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(docs), text_col, id_col, str(band_size),
@@ -644,14 +655,14 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
         # row-group pruning once the corpus has many more row groups
         # than a batch has keys — the 100 TB regime (at small history
         # the thin scan is read either way; see SCALE_INC3.json).
-        lambda p: (inline.repartitionByRange(
-            max(inline.sparkSession.sparkContext.defaultParallelism,
-                8), "key")
+        lambda p: (inline().repartitionByRange(
+            max(spark.sparkContext.defaultParallelism, 8), "key")
             .sortWithinPartitions("key")
             .write.mode("overwrite").parquet(f"{p}/bands")))
     if built:
         _MINHASH_ARTIFACT_BUILDS += 1
-    return spark.read.parquet(f"{path}/bands")
+    from logsqlite_spark.artifacts import serve_parquet
+    return serve_parquet(spark, path, "bands")
 
 
 # batch band-key sets beyond this don't travel as a literal In
@@ -712,8 +723,12 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
     # round-robined the RESULT here paid an extra exchange for
     # nothing (paired A/B 1.27x slower on dedup_minhash_inc), as did
     # one that fused checkpoint+probe into a driver LocalRelation
-    # (1.06-1.10x): the distributed two-job shape stays.
-    batch_bands = batch_bands.localCheckpoint(eager=True)
+    # (1.06-1.10x): the data stays distributed.  The checkpoint is
+    # LAZY (r16): the probe collect right below computes every
+    # partition (distinct's map stage), so it materializes the
+    # checkpoint as a side effect — one control-plane job instead of
+    # two, no re-ship.
+    batch_bands = batch_bands.localCheckpoint(eager=False)
     probe = [r["key"] for r in batch_bands.select("key").distinct()
              .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
     hist = history_bands.select(
@@ -1256,16 +1271,21 @@ def dedup_index_artifact(history: DataFrame, n: int = 5,
 
     global _DEDUP_INDEX_BUILDS
     spark = history.sparkSession
-    inline = dedup_index_tables(history, n, text_col, id_col)
+    # inline plan built lazily (r16): the six-table plan construction
+    # is thrown away whenever the artifact is served; see
+    # winnow_fps_artifact
+    def inline() -> DedupIndex:
+        return dedup_index_tables(history, n, text_col, id_col)
     try:
         files = history.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         files = []
     if not files:
-        return inline
+        return inline()
 
     def _write(p: str) -> None:
-        (inline.inverted.repartitionByRange("tok")
+        tables = inline()
+        (tables.inverted.repartitionByRange("tok")
          .sortWithinPartitions("tok")
          .write.mode("overwrite").parquet(f"{p}/inverted"))
         inv = spark.read.parquet(f"{p}/inverted")
@@ -1278,8 +1298,8 @@ def dedup_index_artifact(history: DataFrame, n: int = 5,
          .repartitionByRange(F.col("df").desc())
          .sortWithinPartitions(F.col("df").desc())
          .write.mode("overwrite").parquet(f"{p}/dfreq"))
-        inline.digests.write.mode("overwrite").parquet(f"{p}/digests")
-        inline.stats.write.mode("overwrite").parquet(f"{p}/stats")
+        tables.digests.write.mode("overwrite").parquet(f"{p}/digests")
+        tables.stats.write.mode("overwrite").parquet(f"{p}/stats")
 
     path, built = build_or_serve(
         spark,
@@ -1288,11 +1308,14 @@ def dedup_index_artifact(history: DataFrame, n: int = 5,
         _write)
     if built:
         _DEDUP_INDEX_BUILDS += 1
-    rd = spark.read.parquet
+    from logsqlite_spark.artifacts import serve_parquet
+
+    def rd(sub):
+        return serve_parquet(spark, path, sub)
     return DedupIndex(
-        digests=rd(f"{path}/digests"), inverted=rd(f"{path}/inverted"),
-        forward=rd(f"{path}/forward"), sizes=rd(f"{path}/sizes"),
-        dfreq=rd(f"{path}/dfreq"), stats=rd(f"{path}/stats"))
+        digests=rd("digests"), inverted=rd("inverted"),
+        forward=rd("forward"), sizes=rd("sizes"),
+        dfreq=rd("dfreq"), stats=rd("stats"))
 
 
 def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
@@ -1479,21 +1502,25 @@ def doc_digests_artifact(docs: DataFrame, text_col: str = "text",
 
     global _DOC_DIGESTS_BUILDS
     spark = docs.sparkSession
-    inline = docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                         F.md5(F.col(text_col)).alias("h"))
+
+    # inline plan built lazily (r16): see winnow_fps_artifact
+    def inline() -> DataFrame:
+        return docs.select(F.col(id_col).cast("long").alias("doc_id"),
+                           F.md5(F.col(text_col)).alias("h"))
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         files = []
     if not files:
-        return inline
+        return inline()
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(docs), text_col, id_col, "doc-digests"),
-        lambda p: inline.write.mode("overwrite").parquet(f"{p}/digests"))
+        lambda p: inline().write.mode("overwrite").parquet(f"{p}/digests"))
     if built:
         _DOC_DIGESTS_BUILDS += 1
-    return spark.read.parquet(f"{path}/digests")
+    from logsqlite_spark.artifacts import serve_parquet
+    return serve_parquet(spark, path, "digests")
 
 
 # candidate-id sets above this are fetched via a plain semi-join
@@ -1573,10 +1600,14 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
     first_new = (nd.withColumn("__rn", F.row_number().over(w))
                  .filter(F.col("__rn") == 1).drop("__rn"))
+    # LAZY checkpoint (r16): stage 2's key-probe collect is the first
+    # action over this lineage and computes every partition, so it
+    # materializes this checkpoint and the batch-bands one in a single
+    # control-plane job (was three sequential jobs).
     after_exact = spread_for_checkpoint(first_new.join(
         history_digests.select(F.col("h").alias("__h")),
         F.md5(first_new["text"]) == F.col("__h"),
-        "left_anti")).localCheckpoint(eager=True)
+        "left_anti")).localCheckpoint(eager=False)
 
     # stage 2: banded candidates touching the batch (a_id < b_id by
     # the generator's sorted-group construction), with batch-membership
@@ -1585,7 +1616,8 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
     # the confirm plan)
     cand = minhash_band_pairs_incremental(
         after_exact, history_bands, band_size, "text", "doc_id",
-        max_band_freq, emit_flags=True).localCheckpoint(eager=True)
+        max_band_freq, emit_flags=True).localCheckpoint(eager=False)
+    # lazy: the hist_ids probe below materializes it in its own job
     # feeds the id-side pushdown below and the confirm join.  (An r16
     # experiment replaced this checkpoint with one capped collect
     # serving a driver-built LocalRelation — paired A/B measured the

@@ -240,21 +240,28 @@ def winnow_fps_artifact(docs: DataFrame, k: int = WINNOW_K,
 
     global _WINNOW_ARTIFACT_BUILDS
     spark = docs.sparkSession
-    inline = winnow_fingerprints(docs, k, w, text_col, id_col)
+    # inline plan built LAZILY (r16): constructing the corpus-side
+    # hash projection costs ~0.1-0.3 s of driver expression building
+    # per call and is thrown away whenever the artifact is served —
+    # build it only for the no-files fallback or inside the
+    # at-most-once write lambda.
+    def inline() -> DataFrame:
+        return winnow_fingerprints(docs, k, w, text_col, id_col)
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001 — e.g. streaming frames
         files = []
     if not files:
-        return inline
+        return inline()
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(docs), text_col, id_col, str(k), str(w),
          "winnow-fps"),
-        lambda p: inline.write.mode("overwrite").parquet(f"{p}/fps"))
+        lambda p: inline().write.mode("overwrite").parquet(f"{p}/fps"))
     if built:
         _WINNOW_ARTIFACT_BUILDS += 1
-    return spark.read.parquet(f"{path}/fps")
+    from logsqlite_spark.artifacts import serve_parquet
+    return serve_parquet(spark, path, "fps")
 
 
 def winnow_matches_incremental(new_docs: DataFrame,
@@ -1099,27 +1106,33 @@ def bigram_lm_artifact(docs: DataFrame, text_col: str = "text"):
 
     global _BIGRAM_ARTIFACT_BUILDS
     spark = docs.sparkSession
-    pairs = F.explode(F.expr(
-        "transform(sequence(1, size(__t) - 1), "
-        "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
-    )).alias("p")
-    base = docs.select(F.expr(_tok(text_col)).alias("__t"))
-    dp = (base.filter(F.size("__t") >= 2).select(pairs)
-          .select("p.first", "p.second"))
-    bigrams = dp.groupBy("first", "second").agg(
-        F.count(F.lit(1)).alias("b"))
-    unigrams = dp.groupBy("first").agg(F.count(F.lit(1)).alias("u"))
-    vocab = (base.select(F.explode("__t").alias("tok"))
-             .groupBy("tok").agg(F.count(F.lit(1)).cast("long")
-                                 .alias("c")))
+
+    # inline plans built lazily (r16): thrown away whenever the
+    # artifact is served; see winnow_fps_artifact
+    def inline():
+        pairs = F.explode(F.expr(
+            "transform(sequence(1, size(__t) - 1), "
+            "i -> struct(__t[i - 1] AS first, __t[i] AS second))"
+        )).alias("p")
+        base = docs.select(F.expr(_tok(text_col)).alias("__t"))
+        dp = (base.filter(F.size("__t") >= 2).select(pairs)
+              .select("p.first", "p.second"))
+        bigrams = dp.groupBy("first", "second").agg(
+            F.count(F.lit(1)).alias("b"))
+        unigrams = dp.groupBy("first").agg(F.count(F.lit(1)).alias("u"))
+        vocab = (base.select(F.explode("__t").alias("tok"))
+                 .groupBy("tok").agg(F.count(F.lit(1)).cast("long")
+                                     .alias("c")))
+        return bigrams, unigrams, vocab
     try:
         files = docs.inputFiles()
     except Exception:  # noqa: BLE001
         files = []
     if not files:
-        return bigrams, unigrams, vocab
+        return inline()
 
     def _write(p: str) -> None:
+        bigrams, unigrams, vocab = inline()
         bigrams.write.mode("overwrite").parquet(f"{p}/bigrams")
         unigrams.write.mode("overwrite").parquet(f"{p}/unigrams")
         vocab.write.mode("overwrite").parquet(f"{p}/vocab")
@@ -1128,8 +1141,10 @@ def bigram_lm_artifact(docs: DataFrame, text_col: str = "text"):
         spark, (frames_fingerprint(docs), text_col, "bigram-lm"), _write)
     if built:
         _BIGRAM_ARTIFACT_BUILDS += 1
-    rd = spark.read.parquet
-    return rd(f"{path}/bigrams"), rd(f"{path}/unigrams"), rd(f"{path}/vocab")
+    from logsqlite_spark.artifacts import serve_parquet
+    return (serve_parquet(spark, path, "bigrams"),
+            serve_parquet(spark, path, "unigrams"),
+            serve_parquet(spark, path, "vocab"))
 
 
 def bigram_logprob_incremental(new_docs: DataFrame,
