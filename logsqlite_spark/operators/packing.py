@@ -66,6 +66,10 @@ def pack_sequences(docs: DataFrame, budget: int = 2048,
     ).cast("int")
     toks = F.expr(
         f"size(filter(split({text_col}, ' '), t -> t != ''))").cast("int")
+    # NOT rebalanced (r16, measured): the tokenize+md5 projection is
+    # cheap and the groupBy(bucket) exchange right below already
+    # spreads the pandas walk — adding a round-robin exchange ahead of
+    # it was 1.3x slower at sf0.1 (noop A/B 0.66 -> 0.86 s).
     prepped = docs.select(
         F.col(id_col).alias("doc_id"),
         bucket.alias("bucket"),

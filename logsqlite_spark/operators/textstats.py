@@ -709,9 +709,12 @@ def clean_text(docs: DataFrame, text_col: str = "text",
     cleaned = F.trim(F.regexp_replace(cleaned, F.lit(r"\s+"), F.lit(" ")))
     toks = "filter(split(__c, ' '), t -> t != '')"
     kept = f"filter({toks}, t -> t not in ({_sql_list(STOPWORDS)}))"
+    # spread a one-file scan before the regex-chain projection;
+    # no-op at scale (r16 — the redaction pass ran single-task)
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    cleaned.alias("__c"))
+        rebalance_for_compute(docs)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                cleaned.alias("__c"))
         .select(
             "doc_id",
             F.expr(f"array_join({kept}, ' ')").alias("clean"),
@@ -760,9 +763,12 @@ def repetition_signals(docs: DataFrame, text_col: str = "text",
         "a -> named_struct('maxr', greatest(a.maxr, a.run), "
         "  'dupm', a.dupm + IF(a.run > 1, a.run, 0), 'nd', a.nd))"
     )
+    # spread a one-file scan over every core before the CPU-heavy
+    # sort+fold; no-op at scale (r16 — the fold ran single-task)
     return (
-        docs.select(F.col(id_col).cast("long").alias("doc_id"),
-                    F.expr(_tok(text_col)).alias("__t"))
+        rebalance_for_compute(docs)
+        .select(F.col(id_col).cast("long").alias("doc_id"),
+                F.expr(_tok(text_col)).alias("__t"))
         .select("doc_id", F.expr(grams).alias("__g"))
         .filter(F.size("__g") >= 1)
         .select("doc_id", F.size("__g").cast("int").alias("n_grams"),
@@ -1341,8 +1347,9 @@ def quality_gate(docs: DataFrame) -> DataFrame:
     )
     stop = _sql_list(STOPWORDS)
     base = (
-        docs.select(F.col("doc_id").cast("long").alias("doc_id"),
-                    F.expr(_tok("text")).alias("__t"))
+        rebalance_for_compute(docs)
+        .select(F.col("doc_id").cast("long").alias("doc_id"),
+                F.expr(_tok("text")).alias("__t"))
         .select("doc_id",
                 F.size("__t").cast("int").alias("n_tokens"),
                 F.expr(f"size(filter(__t, t -> t IN ({stop})))")
