@@ -848,15 +848,26 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         .distinct()
         .persist()
     )
-    labels = (sym.select(F.col("src").alias("node")).distinct()
-              .withColumn("label", F.col("node")))
+    # seed with round 1's output directly (r16): min(node, neighbors)
+    # IS what the first propagation round computes from the identity
+    # labeling, and the aggregation costs exactly the distinct it
+    # replaces — every CC call saves one full join+checkpoint round,
+    # and a clique graph (the near-dup common case) now converges in
+    # a single loop pass.
+    labels = (sym.select(F.col("src").alias("node"),
+                         F.least("src", "dst").alias("label"))
+              .groupBy("node").agg(F.min("label").alias("label")))
     for _ in range(max_iter):
         nbr = (sym.join(labels, sym["dst"] == labels["node"])
                .select(F.col("src").alias("node"), "label"))
+        # LAZY checkpoint (r16): the changed-count right below is the
+        # materializing action (Spark's local-checkpoint fill-in job
+        # covers any partitions its limit short-circuits), so each
+        # round is one job instead of two.
         new_labels = (
             labels.union(nbr).groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -1024,10 +1035,21 @@ def _endpoint_pruned_history(history_components: DataFrame,
     time.  Exact by the bucket invariant ``bkt = doc_id %
     CC_N_BUCKETS``: an endpoint's row, if present, is in its bucket.
     """
-    cond = F.col("doc_id").isin(endpoints)
+    # ONE parsed SQL In (r16): Column.isin builds a Java literal per
+    # value over py4j — 1.3 s of driver time at 2k endpoints; the SQL
+    # string parses JVM-side in one call and yields the identical In
+    # expression.
+    if not endpoints:  # SQL "IN ()" does not parse; match isin([])
+        return (history_components.filter(F.lit(False))
+                .select(F.col("doc_id").cast("long").alias("doc_id"),
+                        F.col("cluster_id").cast("long")
+                        .alias("cluster_id")))
+    cond = F.expr("doc_id IN ({})".format(
+        ", ".join(str(int(e)) for e in endpoints)))
     if "bkt" in history_components.columns:
         touched = sorted({e % CC_N_BUCKETS for e in endpoints})
-        cond = F.col("bkt").isin(touched) & cond
+        cond = F.expr("bkt IN ({})".format(
+            ", ".join(str(b) for b in touched))) & cond
     return (history_components.filter(cond)
             .select(F.col("doc_id").cast("long").alias("doc_id"),
                     F.col("cluster_id").cast("long").alias("cluster_id")))
@@ -1068,6 +1090,12 @@ def cc_merge_delta(new_pairs: DataFrame, history_components: DataFrame,
              # dropped them implicitly; drop them explicitly so the
              # driver-side fast path never sees None
              .filter(F.col("a").isNotNull() & F.col("b").isNotNull()))
+    # materialize the batch edges ONCE (r16): the endpoint take, the
+    # edge count, and the collect/label paths each re-ran the whole
+    # candidate generator otherwise. O(batch edges), lazily
+    # checkpointed — the take below materializes it (fill-in job
+    # covers short-circuited partitions).
+    pairs = pairs.localCheckpoint(eager=False)
     ep_rows = (pairs.select(F.col("a").alias("node"))
                .unionByName(pairs.select(F.col("b").alias("node")))
                .distinct().take(CC_ENDPOINT_PRUNE_CAP + 1))
