@@ -1415,6 +1415,14 @@ def incremental_dedup_indexed(new_docs: DataFrame, index: DedupIndex,
                  .filter(F.col("__rn") == 1).drop("__rn"))
     # spread_for_checkpoint: see incremental_dedup_banded — without it
     # the batch's shingle explode below runs single-task.
+    # Checkpoints in this function stay EAGER (r16, measured): under
+    # AQE, localCheckpoint(eager=False) still executes the upstream
+    # query stages at call time (the .rdd finalization), so on these
+    # exchange-heavy plans laziness saved nothing and moved a
+    # recompute into the final action (11.3+0.9 -> 10.7+1.6 s at
+    # sf0.1). The lazy fusion only pays where the checkpoint sits
+    # over a narrow plan with a collect right after (the banded
+    # paths).
     after_exact = spread_for_checkpoint(first_new.join(
         index.digests, F.md5(first_new["text"]) == index.digests["h"],
         "left_anti")).localCheckpoint(eager=True)
