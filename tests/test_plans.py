@@ -271,8 +271,11 @@ def test_repetition_signals_is_zero_shuffle_projection(spark):
     df = repetition_signals(table(spark, SF, "documents"))
     plan = explain_str(df)
     # sort + run-length fold inside the row: a pure projection that
-    # runs at scan speed — no shuffle, no join, no window
-    assert "Exchange (" not in plan
+    # runs at scan speed — no join, no window, and no shuffle except
+    # the r16 single-split spread (RoundRobin rebalance_for_compute,
+    # structurally absent at scale where the scan has many splits)
+    assert plan.count("Exchange (") == plan.count("RoundRobinPartitioning")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
 
 def test_quality_gate_is_zero_shuffle_projection(spark):
@@ -280,7 +283,10 @@ def test_quality_gate_is_zero_shuffle_projection(spark):
 
     df = quality_gate(table(spark, SF, "documents"))
     plan = explain_str(df)
-    assert "Exchange (" not in plan
+    # same contract as repetition_signals: the only permitted exchange
+    # is the single-split RoundRobin spread
+    assert plan.count("Exchange (") == plan.count("RoundRobinPartitioning")
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
 
 
