@@ -38,6 +38,59 @@ def artifact_path(key_parts: Sequence[str]) -> str:
 
 _ISIN_MAX = 1000
 
+# Artifact writes size their output files from the SOURCE corpus bytes
+# (guide §6: aim for large parquet files; derived tables are smaller
+# than their source, so ~256 MB of source text per output file lands
+# artifact files comfortably inside the 10-100 MB+ range).  The r16
+# layout hardcoded the write parallelism to the session core count,
+# which at bench scale produced 32 files of ~2 KB each — and every
+# serve of the artifact then paid 32 task launches + 32 footer reads
+# PER QUERY REP (the dedup_incremental_banded regression's largest
+# inherited term).  Scale-adaptive by construction: a 100 TB corpus
+# divides into ~400k write partitions (parallel build, prunable
+# files), a 100 MB corpus into ONE.
+ARTIFACT_SRC_BYTES_PER_FILE = int(os.environ.get(
+    "SPARK_GRAFT_ARTIFACT_SRC_BYTES_PER_FILE", str(256 * 1024 * 1024)))
+
+
+def input_bytes(files: Sequence[str]) -> int | None:
+    """Total size of a DataFrame's backing files (``df.inputFiles()``
+    URIs), or None when any size is unknowable (non-local scheme)."""
+    total = 0
+    for f in files:
+        p = f
+        if p.startswith("file://"):
+            p = p[7:]
+        elif "://" in p:
+            return None
+        try:
+            total += os.path.getsize(p)
+        except OSError:
+            return None
+    return total
+
+
+def write_parts(df_or_files, spark=None,
+                src_bytes_per_file: int = ARTIFACT_SRC_BYTES_PER_FILE,
+                ) -> int:
+    """Partition count for an artifact write, derived from the source
+    input size.  Falls back to the session default parallelism when
+    the size cannot be determined (streaming/remote sources) — the
+    pre-r17 behavior, which is only ever wrong in the direction of
+    too-many-small-files."""
+    if isinstance(df_or_files, (list, tuple)):
+        files = df_or_files
+    else:
+        spark = spark or df_or_files.sparkSession
+        try:
+            files = df_or_files.inputFiles()
+        except Exception:  # noqa: BLE001 — streaming frames
+            files = None
+    total = input_bytes(files) if files else None
+    if total is None:
+        return spark.sparkContext.defaultParallelism if spark else 8
+    return max(1, -(-total // src_bytes_per_file))
+
 
 def filter_ids(df, col: str, ids: Sequence[int], keep: bool):
     """Filter ``df`` by membership of ``col`` in ``ids`` — as an

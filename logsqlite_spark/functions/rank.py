@@ -22,19 +22,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-# Persisted range exchanges, oldest first. Persisting is belt-and-
-# suspenders on top of the pinned partition count (the REPARTITION_BY_
-# NUM exchange is AQE-exempt and plan-reused), but an unbounded cache
-# would leak one copy of the caller's frame per call for the session's
-# lifetime — so older entries are unpersisted once a few newer calls
-# exist. A long-retained result frame re-evaluated after eviction
-# recomputes through the SAME pinned exchange (reused within the
-# action), so correctness does not depend on the cache.
+# Persisted range exchanges, least-recently-used first. Persisting is
+# belt-and-suspenders on top of the pinned partition count (the
+# REPARTITION_BY_NUM exchange is AQE-exempt and plan-reused), but an
+# unbounded cache would leak one copy of the caller's frame per call
+# for the session's lifetime — so older entries are unpersisted once a
+# few newer calls exist. A long-retained result frame re-evaluated
+# after eviction recomputes through the SAME pinned exchange (reused
+# within the action), so correctness does not depend on the cache.
+#
+# LRU by PLAN IDENTITY, not by call (r17, VERDICT r16 #7): Spark's
+# CacheManager keys cached data by canonicalized plan, so N calls with
+# the same input frame share ONE cache entry — but a naive append
+# counted them as N list slots and evicted the SHARED entry mid-run
+# the moment a 5th call landed (measured as events_conversion_time's
+# 1.18 s rep spike: the bench's identical reps thrashed their own
+# cache).  A repeat call now just refreshes its entry's recency; only
+# genuinely distinct plans compete for the _PERSIST_KEEP slots, so
+# repeated serving of the same query never unpersists itself and the
+# session-lifetime persist count stays bounded by distinct callers.
 _PERSISTED: list[DataFrame] = []
 _PERSIST_KEEP = 4
 
 
 def _bound_persisted(df: DataFrame) -> None:
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        for i, old in enumerate(_PERSISTED):
+            if old._jdf.queryExecution().analyzed().sameResult(plan):
+                _PERSISTED.append(_PERSISTED.pop(i))
+                return
+    except Exception:  # noqa: BLE001 — plan probe is best-effort;
+        pass           # fall back to plain bounded-append semantics
     _PERSISTED.append(df)
     while len(_PERSISTED) > _PERSIST_KEEP:
         _PERSISTED.pop(0).unpersist(blocking=False)

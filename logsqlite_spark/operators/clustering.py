@@ -241,11 +241,14 @@ def semantic_dedup_pairs(emb: DataFrame, centroids: DataFrame,
                          max_cluster_size: int = MAX_CLUSTER_SIZE
                          ) -> DataFrame:
     """SemDeDup: embedding pairs with cosine ≥ tau, searched ONLY
-    within a cluster. Candidates are an equi-join on cluster_id (both
-    sides the same zero-shuffle assignment — AQE reuses the exchange,
-    pinned in test_clustering.py); scoring is the exact quantized-
-    integer cosine of the X3 paths, so exact/LSH/IVF/semantic dedup
-    differ only in candidate generation, never in scoring.
+    within a cluster. Candidates are one ``groupBy(cluster_id, _sub)``
+    pandas group per (sub-bucketed) cluster whose |bucket|×|bucket|
+    integer Gram matrix scores every intra-bucket pair in a single
+    numpy matmul (the r16 rewrite — detailed inline below; the former
+    cluster_id self-join shipped each vector ~bucket_size times).
+    Scoring stays the exact quantized-integer cosine of the X3 paths,
+    so exact/LSH/IVF/semantic dedup differ only in candidate
+    generation, never in scoring.
 
     ``max_cluster_size`` is the worst-case pair bound. auto_k keeps
     the AVERAGE cluster population constant, but on mode-concentrated
@@ -545,10 +548,16 @@ def assignment_artifact(emb: DataFrame, centroids: DataFrame,
         files = []
     if not files:
         return inline
+    from logsqlite_spark.artifacts import write_parts
+
+    # -v2 (r17): size-derived output file count — the raw write
+    # inherited the assignment's partitioning and served 32 tiny files
+    # per query rep at bench scale (guide §6)
     key = hashlib.sha256("|".join(
         (frames_fingerprint(emb), id_col, vec_col, str(k),
-         "sem-assign-v1")).encode()).hexdigest()[:16]
+         "sem-assign-v2")).encode()).hexdigest()[:16]
     path = os.path.join(_SIM._ivf_index_root(), key)
+    sized = lambda: inline.repartition(write_parts(files, spark))  # noqa: E731
     with _SIM._IVF_BUILD_LOCK:
         if not _SIM._index_marker_exists(spark, path):
             local = _SIM._local_fs_path(path)
@@ -556,17 +565,18 @@ def assignment_artifact(emb: DataFrame, centroids: DataFrame,
                 with _SIM._DirBuildLock(local):
                     if not _SIM._index_marker_exists(spark, path):
                         _ASSIGN_ARTIFACT_BUILDS += 1
-                        inline.write.mode("overwrite") \
+                        sized().write.mode("overwrite") \
                             .parquet(f"{path}/assign")
                         _SIM._write_index_marker(spark, path)
             else:
                 _ASSIGN_ARTIFACT_BUILDS += 1
-                inline.write.mode("overwrite").parquet(f"{path}/assign")
+                sized().write.mode("overwrite").parquet(f"{path}/assign")
                 _SIM._write_index_marker(spark, path)
             _SIM._gc_auto_index_root()
         else:
             _SIM._touch_index_marker(path)
-    return spark.read.parquet(f"{path}/assign")
+    from logsqlite_spark.artifacts import serve_parquet
+    return serve_parquet(spark, path, "assign")
 
 
 def _q_sem_inc(spark: SparkSession, sf_dir: str) -> DataFrame:

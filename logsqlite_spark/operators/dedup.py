@@ -17,11 +17,14 @@ Scale design:
 
 from __future__ import annotations
 
+import os
+
 from typing import NamedTuple
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from logsqlite_spark import session as _SESSION
 from logsqlite_spark.tables import (rebalance_for_compute,
                                     spread_for_checkpoint, table)
 
@@ -287,11 +290,17 @@ def simhash_fps_artifact(docs: DataFrame, text_col: str = "text",
         files = []
     if not files:
         return inline()
+    from logsqlite_spark.artifacts import write_parts
+
     path, built = build_or_serve(
         spark,
+        # -v2 (r17): size-derived output file count — the raw write
+        # inherited the rebalanced compute's 32 partitions and served
+        # 32 tiny files per query rep at bench scale (guide §6)
         (frames_fingerprint(docs), text_col, id_col, str(n_bits),
-         "simhash-fps"),
-        lambda p: inline().write.mode("overwrite").parquet(f"{p}/fps"))
+         "simhash-fps-v2"),
+        lambda p: (inline().repartition(write_parts(files, spark))
+                   .write.mode("overwrite").parquet(f"{p}/fps")))
     if built:
         _SIMHASH_ARTIFACT_BUILDS += 1
     from logsqlite_spark.artifacts import serve_parquet
@@ -645,18 +654,27 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
         files = []
     if not files:
         return inline()
+    from logsqlite_spark.artifacts import write_parts
+
     path, built = build_or_serve(
         spark,
         (frames_fingerprint(docs), text_col, id_col, str(band_size),
-         "minhash-bands"),
+         # -v2: r17 re-keys the artifact so the size-derived file
+         # layout below supersedes r16's core-count layout everywhere
+         # (32 x ~2 KB files at bench scale — 32 task launches + 32
+         # footer reads per serve, measured as the largest inherited
+         # term of the dedup_incremental_banded regression)
+         "minhash-bands-v2"),
         # RANGE-SORTED by key (r16): the incremental probe pushes the
         # batch's band-key set into this scan as an In predicate;
         # contiguous key ranges per file/row-group turn that into
         # row-group pruning once the corpus has many more row groups
         # than a batch has keys — the 100 TB regime (at small history
         # the thin scan is read either way; see SCALE_INC3.json).
+        # Partition count derives from the SOURCE size (guide §6) —
+        # one file at bench scale, hundreds of thousands at 100 TB.
         lambda p: (inline().repartitionByRange(
-            max(spark.sparkContext.defaultParallelism, 8), "key")
+            write_parts(files, spark), "key")
             .sortWithinPartitions("key")
             .write.mode("overwrite").parquet(f"{p}/bands")))
     if built:
@@ -668,12 +686,43 @@ def minhash_bands_artifact(docs: DataFrame, band_size: int = 4,
 # batch band-key sets beyond this don't travel as a literal In
 # predicate (driver memory + predicate size); the semi-join alone
 # then serves correctness at an unpruned thin scan's cost.  Must stay
-# at or below the session's parquet.pushdown.inFilterThreshold: a
-# pushed In compiles to a LEFT-DEEP parquet OR tree whose evaluation
-# recurses once per value — ~2000 values StackOverflowErrors the scan
-# task (measured at sf0.1; the r16 first cut shipped 8192/5000 and
-# only ran clean below ~1k keys).
+# at or below the session's parquet.pushdown.inFilterThreshold (the
+# shared PARQUET_IN_FILTER_THRESHOLD constant — a pushed In compiles
+# to a LEFT-DEEP parquet OR tree whose evaluation recurses once per
+# value; ~2000 values StackOverflowErrors the scan task, measured at
+# sf0.1; the r16 first cut shipped 8192/5000 and only ran clean below
+# ~1k keys).  The assert keeps the two values from drifting apart
+# (ADVICE r16 #1).
 _BANDED_KEY_PROBE_CAP = 1000
+assert _BANDED_KEY_PROBE_CAP <= _SESSION.PARQUET_IN_FILTER_THRESHOLD, (
+    "collected band-key probe cap must not exceed the parquet In "
+    "pushdown threshold (pushed left-deep OR tree stack depth)")
+
+# history-bands scans below this size skip the collected-key pushdown
+# (and its probe collect job) entirely: pruning row groups can only
+# pay once the table HAS many row groups.  64 MiB ≈ several parquet
+# row groups of band rows; parameterized for deployments whose row
+# groups are sized differently.
+_BANDS_PUSHDOWN_MIN_BYTES = int(os.environ.get(
+    "SPARK_GRAFT_BANDS_PUSHDOWN_MIN_BYTES", str(64 * 1024 * 1024)))
+
+
+def _history_bands_worth_pushdown(history_bands: DataFrame) -> bool:
+    from logsqlite_spark.artifacts import input_bytes
+
+    try:
+        files = history_bands.inputFiles()
+    except Exception:  # noqa: BLE001 — streaming/in-memory history
+        return False
+    if not files:
+        # in-memory history: nothing to push a scan filter into
+        return False
+    size = input_bytes(files)
+    if size is None:
+        # unknowable (remote scheme): keep the pushdown — the 100 TB
+        # deployment default, where pruning is the whole point
+        return True
+    return size >= _BANDS_PUSHDOWN_MIN_BYTES
 
 def minhash_band_pairs_incremental(new_docs: DataFrame,
                                    history_bands: DataFrame,
@@ -729,8 +778,6 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
     # checkpoint as a side effect — one control-plane job instead of
     # two, no re-ship.
     batch_bands = batch_bands.localCheckpoint(eager=False)
-    probe = [r["key"] for r in batch_bands.select("key").distinct()
-             .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
     hist = history_bands.select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("band").cast("int").alias("band"),
@@ -745,8 +792,22 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
     # filter only (key alone, not (band, key)); the broadcast
     # semi-join below keeps the exact semantics.  Oversized batches
     # fall back to the plain semi-join.
-    if 0 < len(probe) <= _BANDED_KEY_PROBE_CAP:
-        hist = hist.filter(F.col("key").isin(probe))
+    #
+    # SIZE-GATED (r17, VERDICT r16 #1): the probe costs one
+    # control-plane collect job per call plus a ~1k-string predicate
+    # in every scan task, while its payoff — row-group pruning — only
+    # exists when the history table spans MANY row groups.  Below the
+    # threshold the whole history fits in one or two row groups that
+    # the scan reads either way, so the probe was pure overhead
+    # (measured: the r16 pushdown arrived with a net +0.5 s on
+    # dedup_incremental_banded at sf0.1 where the bands artifact is
+    # ~0.5 MB).  Unknown sizes (non-local schemes) keep the pushdown —
+    # the at-scale default.
+    if _history_bands_worth_pushdown(history_bands):
+        probe = [r["key"] for r in batch_bands.select("key").distinct()
+                 .limit(_BANDED_KEY_PROBE_CAP + 1).collect()]
+        if 0 < len(probe) <= _BANDED_KEY_PROBE_CAP:
+            hist = hist.filter(F.col("key").isin(probe))
     # no .distinct() on the build side: left-semi semantics ignore
     # build duplicates, and the distinct would cost its own shuffle
     pruned = hist.join(F.broadcast(batch_bands.select("band", "key")),
@@ -774,6 +835,12 @@ def minhash_band_pairs_incremental(new_docs: DataFrame,
         # doc sets are disjoint), so distinct over the flagged tuple
         # equals distinct over (a_id, b_id) — callers get the
         # membership flags for free instead of re-joining for them.
+        # ADVICE r16 #5: flag constancy RELIES on the ingest
+        # disjointness contract (a doc_id never appears in both the
+        # batch and history); if that were ever violated, a pair could
+        # be emitted twice with different flags.  Impact is contained —
+        # the downstream left-anti victim join is idempotent over
+        # duplicate build rows — but the contract is the invariant.
         return pairs.select(
             "p.a_id", "p.b_id",
             (F.col("p.a_nw") == 1).alias("a_new"),
@@ -819,6 +886,11 @@ def _minhash_pairs_sql(band_size: int = 4,
 # ---------------------------------------------------------------------------
 # registry wiring
 
+# loop rounds of the most recent connected_components call — the
+# observable the O(log diameter) convergence test pins (r17)
+_CC_LAST_ROUNDS = 0
+
+
 def connected_components(pairs: DataFrame, a_col: str = "a_id",
                          b_col: str = "b_id",
                          max_iter: int = 30) -> DataFrame:
@@ -827,20 +899,32 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     generation, so "keep one doc per near-dup group" is a filter on
     ``doc_id = cluster_id``.
 
-    Iterative min-label propagation: each round joins the current
-    labels across the symmetrized edge list and keeps the per-node
-    min (``labels ∪ neighbor-labels → groupBy min``) — two shuffles a
-    round, converging in O(component diameter) rounds. Near-dup
-    graphs are shallow (a dup cluster is nearly a clique), so this
-    terminates in 2-4 rounds; for adversarially long path graphs the
-    alternating large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce", SOCC'14) drops it to
-    O(log n) rounds with the same join shape. ``localCheckpoint``
-    truncates the lineage each round so plan size stays constant.
+    Iterative min-label propagation WITH POINTER JUMPING (r17,
+    VERDICT r16 #4): each round joins the current labels across the
+    symmetrized edge list, keeps the per-node min (``labels ∪
+    neighbor-labels → groupBy min``), then composes the labeling with
+    itself — ``label ← min(label, label(label))`` — the shortcutting
+    step of Shiloach-Vishkin / the star-contraction family (Kiveris et
+    al., "Connected Components in MapReduce", SOCC'14).  Propagation
+    alone converges in O(component diameter) rounds; composition makes
+    the reached distance grow geometrically, so adversarial path
+    graphs converge in O(log diameter) rounds (pytest-pinned on a
+    41-node path: ≤9 rounds where plain propagation needs ~39).
+    Near-dup graphs are shallow (a dup cluster is nearly a clique), so
+    the r16 seeding still converges those in ONE round.
+    ``localCheckpoint`` truncates the lineage each round so plan size
+    stays constant.
 
-    Deterministic (min over a fixed node set), hence fully
-    oracle-checkable via a reachability recursive CTE.
+    Exactness is unchanged: a label is always the id of some node
+    reachable from its owner (composition preserves reachability by
+    transitivity, the neighbor-min by the edge), labels never
+    increase, and the min-id node of each component keeps label=self
+    — so the no-change fixpoint is exactly the min-reachable-id
+    labeling the plain loop computed.  Deterministic (min over a fixed
+    node set), hence fully oracle-checkable via a reachability
+    recursive CTE.
     """
+    global _CC_LAST_ROUNDS
     sym = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"),
@@ -857,16 +941,27 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
     labels = (sym.select(F.col("src").alias("node"),
                          F.least("src", "dst").alias("label"))
               .groupBy("node").agg(F.min("label").alias("label")))
-    for _ in range(max_iter):
+    for rounds in range(1, max_iter + 1):
         nbr = (sym.join(labels, sym["dst"] == labels["node"])
                .select(F.col("src").alias("node"), "label"))
+        prop = (labels.union(nbr).groupBy("node")
+                .agg(F.min("label").alias("label")))
+        # pointer jump: label ← min(label, label(label)).  Every label
+        # value is itself a node (labels are reachable member ids and
+        # every sym node has a labels row), so the self-join always
+        # matches; coalesce is belt-and-suspenders for the root rows.
+        lut = prop.select(F.col("node").alias("__l"),
+                          F.col("label").alias("__ll"))
         # LAZY checkpoint (r16): the changed-count right below is the
         # materializing action (Spark's local-checkpoint fill-in job
         # covers any partitions its limit short-circuits), so each
         # round is one job instead of two.
         new_labels = (
-            labels.union(nbr).groupBy("node")
-            .agg(F.min("label").alias("label"))
+            prop.join(lut, prop["label"] == lut["__l"], "left")
+            .select(prop["node"],
+                    F.least(prop["label"],
+                            F.coalesce("__ll", prop["label"]))
+                    .alias("label"))
             .localCheckpoint(eager=False)
         )
         changed = (
@@ -877,6 +972,7 @@ def connected_components(pairs: DataFrame, a_col: str = "a_id",
         )
         labels = new_labels
         if changed == 0:
+            _CC_LAST_ROUNDS = rounds
             break
     else:
         raise RuntimeError(f"components did not converge in {max_iter} rounds")
@@ -1680,12 +1776,28 @@ def incremental_dedup_banded(new_docs: DataFrame, history: DataFrame,
         hist_cand = hd.join(hist_ids, "doc_id", "leftsemi")
 
     sh_expr = F.expr(_SHINGLES.format(c="text")).alias("s")
+    # shingle ONLY candidate-involved docs (r17, guide §1.2 "don't
+    # compute things you throw away"): the confirm joins on cand's ids,
+    # so a batch doc in no candidate pair never needs its shingle set —
+    # yet the r16 shape shingled the WHOLE surviving batch, and twice
+    # over, because the a/b join aliases duplicated the union subtree
+    # (two parquet scans + two md5 5-gram passes in the executed plan).
+    # The candidate id set is O(candidates) and cand is checkpointed,
+    # so a broadcast semi-join prunes the batch side exactly the way
+    # filter_ids already prunes the history side.  The pruned shingle
+    # table is then LAZILY checkpointed: the md5 hashing runs ONCE and
+    # both join sides read the materialized blocks.
+    cand_ids = (cand.select(F.col("a_id").alias("doc_id"))
+                .unionByName(cand.select(F.col("b_id").alias("doc_id"))))
+    batch_cand = after_exact.join(F.broadcast(cand_ids), "doc_id",
+                                  "leftsemi")
     # rebalance the pruned history-text side too: the In-pruned scan
     # comes back as one split, which would shingle the candidate
     # texts single-task (only pruned rows move — candidate-bounded)
-    sh = (after_exact.select("doc_id", sh_expr)
+    sh = (batch_cand.select("doc_id", sh_expr)
           .unionByName(rebalance_for_compute(hist_cand)
-                       .select("doc_id", sh_expr)))
+                       .select("doc_id", sh_expr))
+          .localCheckpoint(eager=False))
     a = sh.select(F.col("doc_id").alias("a_id"), F.col("s").alias("sa"))
     b = sh.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
     inter = F.size(F.array_intersect("sa", "sb")).cast("double")

@@ -478,9 +478,12 @@ def ann_lsh_portable_topk(
         pairs = ", ".join(
             f"named_struct('band', {b}, 'chunk', chunk{b})"
             for b in range(n_bands))
+        # interpolated identifiers are backtick-quoted (ADVICE r16 #4):
+        # a reserved-word or special-char column name parsed fine under
+        # F.col() and must keep doing so through the composed SQL
         q = df.selectExpr(
-            f"{id_col} as {name}",
-            _QUANTIZE.format(c=vec_col, q=QUANT) + " as __qi")
+            f"`{id_col}` as {name}",
+            _QUANTIZE.format(c=f"`{vec_col}`", q=QUANT) + " as __qi")
         q = q.selectExpr(
             name, "__qi", _SQNORM.format(v="__qi") + " as __n",
             *[f"{chunks[b]} as chunk{b}" for b in range(n_bands)])
@@ -1397,6 +1400,13 @@ def erase_from_ivf_index(spark: SparkSession, path: str,
 # memo idiom. Explicit-path (mutable) indexes never enter the cache,
 # and every lifecycle mutation drops its path defensively. Keyed by
 # applicationId so a restarted session never serves a stale JVM plan.
+# SINGLE-PROCESS assumption (ADVICE r16 #3): invalidation is in-process
+# only, so a SIBLING process mutating an index at the same path outside
+# the documented explicit-path lifecycle would be served a stale
+# memoized listing — acceptable under the immutability invariant above
+# (auto paths are never mutated, only superseded at a new fingerprint
+# key).  Growth is bounded by the number of distinct immutable
+# artifacts an application touches (plans of a few KB each), not data.
 _IVF_SERVE_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 _SQ_SCALES_CACHE: dict[tuple[str, str], list[float]] = {}
 

@@ -253,11 +253,17 @@ def winnow_fps_artifact(docs: DataFrame, k: int = WINNOW_K,
         files = []
     if not files:
         return inline()
+    from logsqlite_spark.artifacts import write_parts
+
     path, built = build_or_serve(
         spark,
+        # -v2 (r17): size-derived output file count — the raw write
+        # inherited the rebalanced compute's 32 partitions and served
+        # 32 tiny files per query rep at bench scale (guide §6)
         (frames_fingerprint(docs), text_col, id_col, str(k), str(w),
-         "winnow-fps"),
-        lambda p: inline().write.mode("overwrite").parquet(f"{p}/fps"))
+         "winnow-fps-v2"),
+        lambda p: (inline().repartition(write_parts(files, spark))
+                   .write.mode("overwrite").parquet(f"{p}/fps")))
     if built:
         _WINNOW_ARTIFACT_BUILDS += 1
     from logsqlite_spark.artifacts import serve_parquet

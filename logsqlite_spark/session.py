@@ -21,6 +21,15 @@ import os
 
 from pyspark.sql import SparkSession
 
+#: Parquet pushdown In-predicate ceiling, defined ONCE (ADVICE r16):
+#: a pushed In compiles to a left-deep parquet OR tree whose evaluation
+#: recurses once per value — ~2000 values StackOverflowErrors the scan
+#: task (measured at sf0.1).  Collected-key probes that want their In
+#: to reach row-group stats must stay at or below this; dedup's
+#: ``_BANDED_KEY_PROBE_CAP`` imports it so the invariant can't drift
+#: apart silently.
+PARQUET_IN_FILTER_THRESHOLD = 1024
+
 def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) a SparkSession tuned for this engine."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -35,11 +44,10 @@ def get_spark(app_name: str = "logsqlite-spark", master: str | None = None) -> S
         # batch band-key probes travel as ~1k-entry In predicates;
         # the parquet pushdown default gives up past 10 values and
         # degrades to a min/max range check, which a uniform hash key
-        # never prunes (r16 — the sorted bands artifact).  1024, not
-        # more: a pushed In becomes a left-deep parquet OR tree whose
-        # evaluation recurses once per value, and ~2000 values
-        # StackOverflowErrors the scan task (measured at sf0.1).
-        .config("spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+        # never prunes (r16 — the sorted bands artifact).  Ceiling
+        # rationale on PARQUET_IN_FILTER_THRESHOLD above.
+        .config("spark.sql.parquet.pushdown.inFilterThreshold",
+                str(PARQUET_IN_FILTER_THRESHOLD))
         .config("spark.sql.shuffle.partitions", shuffle_parts)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -80,7 +88,8 @@ def ensure_engine_confs(spark: SparkSession) -> SparkSession:
         "spark.sql.sources.parallelPartitionDiscovery.threshold", "10000")
     try:
         spark.conf.set(
-            "spark.sql.parquet.pushdown.inFilterThreshold", "1024")
+            "spark.sql.parquet.pushdown.inFilterThreshold",
+            str(PARQUET_IN_FILTER_THRESHOLD))
     except Exception:  # noqa: BLE001 — static on some builds
         pass
     return spark

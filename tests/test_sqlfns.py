@@ -82,3 +82,31 @@ def test_with_global_rank_single_materialization(spark):
     rows = out.collect()
     assert sorted(r["rn"] for r in rows) == list(range(1, 1001))
     assert all(r["n"] == 1000 for r in rows)
+
+
+def test_with_global_rank_repeat_calls_keep_shared_cache_entry(spark):
+    """r17 (VERDICT r16 #7): Spark's CacheManager keys cached data by
+    canonicalized plan, so N identical with_global_rank calls share
+    ONE cache entry — the persist bound must LRU by plan identity, not
+    by call, or the (_PERSIST_KEEP+1)-th identical call unpersists the
+    shared entry mid-run (the events_conversion_time rep spike)."""
+    from pyspark.sql import functions as F
+
+    from logsqlite_spark.functions import rank as R
+
+    spark.catalog.clearCache()
+    del R._PERSISTED[:]
+    df = spark.range(500).select((F.col("id") % 13).alias("v"),
+                                 F.col("id"))
+    for _ in range(R._PERSIST_KEEP + 3):
+        out = R.with_global_rank(df, ["v", "id"])
+        assert out.count() == 500
+        # the shared entry must still be cached after every call —
+        # eviction of the live entry is exactly the thrash under test
+        # (DataFrame.storageLevel consults the CacheManager: an
+        # unpersisted plan reads back useMemory=False)
+        assert R._PERSISTED[-1].storageLevel.useMemory
+    # identical plans deduped: one slot used, no evictions happened
+    assert len(R._PERSISTED) == 1
+    del R._PERSISTED[:]
+    spark.catalog.clearCache()

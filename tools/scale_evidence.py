@@ -539,6 +539,102 @@ XL_PATHS = ("semdedup_cand", "ivf_cand", "ivf_sq_cand")
 GATE = 1.15
 
 
+#: The cores-probe query set (VERDICT r16 #5): the top bench queries
+#: by measured cost — the ones whose 100 TB story rests on parallel
+#: scaling.  ingest_100k_lines rides along via bench._ingest_bench_once.
+CORES_PROBE_QUERIES = [
+    "dedup_incremental_banded",
+    "dedup_lsh_precision",
+    "semantic_dedup_pairs",
+    "text_winnow_matches",
+    "text_winnow_matches_inc",
+    "token_pmi_pairs",
+    "dedup_minhash_pairs",
+    "dedup_minhash_inc",
+]
+
+_CORES_BLOCK = r"""
+import json, os, statistics, sys, time
+sys.path.insert(0, %(repo)r)
+from logsqlite_spark.session import get_spark
+from logsqlite_spark import registry
+spark = get_spark("cores-probe")
+sf_dir = os.environ["SPARK_GRAFT_SF_DIR"]
+qs = registry.queries()
+out = {}
+for name in %(names)r:
+    fn = qs[name]
+    for _ in range(2):
+        fn(spark, sf_dir).collect()  # warmups (artifact builds land here)
+    reps = []
+    for _ in range(3):
+        t0 = time.perf_counter(); len(fn(spark, sf_dir).collect())
+        reps.append(time.perf_counter() - t0)
+    out[name] = round(statistics.median(reps), 3)
+    print("#", name, out[name], file=sys.stderr, flush=True)
+import bench as B
+B._ingest_bench_once(spark, "plog")  # untimed warmup
+reps = []
+for _ in range(3):
+    dt, _d = B._ingest_bench_once(spark, "plog")
+    reps.append(dt)
+out["ingest_100k_lines"] = round(statistics.median(reps), 3)
+print("CORESBLOCK " + json.dumps(out))
+"""
+
+
+def measure_cores_probe(root: Path, n_docs: int, cores_hi: int,
+                        cores_lo: int) -> dict:
+    """8-vs-32-core scaling at a SF where queries are compute-bound
+    (VERDICT r16 #5): sf0.1 is overhead-dominated (every 8v32 ratio
+    reads ~1 because each query is sub-3s of mostly fixed driver/JVM
+    cost and single-split scans), so the bench's scaling block cannot
+    demonstrate parallelism at all.  This probe generates a 10x corpus
+    (the sf1-equivalent document/embedding tables) and times the
+    heavy queries in FRESH subprocesses per core count (master
+    local[N] from SPARK_GRAFT_CPUS — the same env contract the driver
+    uses), 1+3 reps, median.  ratio = sec@lo_cores / sec@hi_cores;
+    parallel-scaling paths must read well above 1 (perfect scaling
+    would read cores_hi/cores_lo)."""
+    import subprocess
+
+    d = root / "cores"
+    d.mkdir()
+    gen_documents(n_docs, d)
+    gen_embeddings(max(2000, (n_docs * 2) // 5), d)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    block = _CORES_BLOCK % {"repo": repo, "names": CORES_PROBE_QUERIES}
+    out: dict = {"probe_docs": n_docs, "cores_hi": cores_hi,
+                 "cores_lo": cores_lo}
+    for tag, cores in (("hi", cores_hi), ("lo", cores_lo)):
+        env = dict(os.environ)
+        env["SPARK_GRAFT_CPUS"] = str(cores)
+        env.pop("SPARK_MASTER", None)
+        env["SPARK_GRAFT_SF_DIR"] = str(d)
+        t0 = time.perf_counter()
+        p = subprocess.run([sys.executable, "-c", block], env=env,
+                           capture_output=True, text=True,
+                           timeout=7200, cwd=repo)
+        rec = None
+        for line in p.stdout.splitlines():
+            if line.startswith("CORESBLOCK "):
+                rec = json.loads(line[11:])
+        if rec is None:
+            raise RuntimeError(
+                f"cores-probe block ({cores} cores) produced no "
+                f"record:\n{p.stderr[-3000:]}")
+        out[tag] = rec
+        print(f"# cores/{tag} ({cores} cores) measured in "
+              f"{time.perf_counter() - t0:.0f}s: {rec}",
+              file=sys.stderr, flush=True)
+    out["per_query"] = {
+        q: {"hi_s": out["hi"][q], "lo_s": out["lo"][q],
+            "ratio": round(out["lo"][q] / max(out["hi"][q], 1e-9), 3)}
+        for q in out["hi"]
+    }
+    return out
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--lo", type=int, default=5000)
@@ -567,6 +663,14 @@ def main() -> int:
                     help="run ONLY the banded_inc third decade "
                          "(500k -> 5M history; offline like --cand2 "
                          "at this size) and write SCALE_INC3.json")
+    ap.add_argument("--cores-probe", action="store_true",
+                    help="run ONLY the 8-vs-32-core scaling probe of "
+                         "the heavy queries at a 10x corpus (the sf1 "
+                         "equivalent; offline — corpus gen + two "
+                         "fresh-JVM suites) and write SCALE_CORES.json")
+    ap.add_argument("--probe-docs", type=int, default=50_000)
+    ap.add_argument("--cores-hi", type=int, default=32)
+    ap.add_argument("--cores-lo", type=int, default=8)
     ap.add_argument("--cand2", action="store_true",
                     help="run ONLY the second-decade candidate-output "
                          "leg for the two deployment near-dup paths "
@@ -575,6 +679,34 @@ def main() -> int:
                          "are intentionally super-linear and "
                          "prohibitively large past ~100k docs")
     args = ap.parse_args()
+
+    if args.cores_probe:
+        # no parent Spark session: each core count runs in its own
+        # fresh subprocess JVM (the probe IS the process boundary)
+        root = Path(tempfile.mkdtemp(prefix="scale_cores_"))
+        try:
+            rec = measure_cores_probe(root, args.probe_docs,
+                                      args.cores_hi, args.cores_lo)
+        finally:
+            if not args.keep:
+                shutil.rmtree(root, ignore_errors=True)
+        import subprocess as _sp
+        try:
+            rec["git_head"] = _sp.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__))),
+                capture_output=True, text=True,
+                check=True).stdout.strip()
+        except Exception:  # noqa: BLE001
+            pass
+        out_p = os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "SCALE_CORES.json")
+        with open(out_p, "w") as fh:
+            json.dump(rec, fh, indent=1)
+        print(f"# wrote {out_p}", file=sys.stderr)
+        print(json.dumps({"per_query": rec["per_query"]}))
+        return 0
 
     from logsqlite_spark.session import get_spark
     spark = get_spark()
