@@ -539,6 +539,28 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         print(f"# inc3 merge skipped: {e}")
 
+    # Cores-scaling probe (VERDICT r16 #5): sf0.1 is overhead-dominated
+    # (every 8v32 ratio ≈1; the 8-core suite is FASTER), so parallel
+    # scaling is measured OFFLINE at a 10x corpus via
+    # `tools/scale_evidence.py --cores-probe`, which writes the tracked
+    # SCALE_CORES.json.  Merge it with provenance like inc3 so the
+    # record carries the evidence without a ~1 h probe in every bench.
+    try:
+        with open(os.path.join(os.path.dirname(
+                os.path.abspath(__file__)), "SCALE_CORES.json")) as fh:
+            cores_rec = json.load(fh)
+        inc_exps["cores_probe_docs"] = cores_rec.get("probe_docs")
+        inc_exps["cores_probe_measured_at"] = cores_rec.get("git_head", "?")
+        for q, row in cores_rec.get("per_query", {}).items():
+            inc_exps[f"cores8v32_{q}"] = row["ratio"]
+        print("# cores probe (offline evidence) " + json.dumps(
+            cores_rec.get("per_query", {})))
+    except FileNotFoundError:
+        print("# cores-probe evidence not present (run "
+              "tools/scale_evidence.py --cores-probe)")
+    except Exception as e:  # noqa: BLE001
+        print(f"# cores-probe merge skipped: {e}")
+
     m16, m128 = _mux_cost(16), _mux_cost(128)
     mux = {"c16": m16, "c128": m128,
            "wall_ratio": round(m128["wall_s"] / max(m16["wall_s"], 1e-9), 3),

@@ -44,6 +44,34 @@ from logsqlite_spark.table import ManifestTable, open_table
 
 DECODE_ERROR_SOURCE = "__decode_error__"
 
+# Staging writes use FileOutputCommitter ALGORITHM 2 (r17, VERDICT r16
+# #6, guide §6): v1 renames every task's output TWICE (task dir → job
+# _temporary, then a sequential driver-side pass into the staging
+# root) — measured as part of the 0.58 s partitioned-write term of
+# ingest_100k_lines. v2 moves each file once, at task commit. The
+# usual v2 caveat (a failed/speculative task can leave committed files
+# behind) is NEUTRALIZED by this pipeline's own design: publication is
+# the MANIFEST commit, not the filesystem — `adopt_staged` runs only
+# after a fully-successful write job into a per-batch unique staging
+# dir, and a failed job's staging dir is discarded wholesale, never
+# adopted (the crash-safety soaks exercise exactly this seam).
+# Env-tunable for deployments whose object store needs a different
+# committer entirely.
+_COMMITTER_ALGO = os.environ.get("SPARK_GRAFT_COMMITTER_ALGO", "2")
+
+
+def _staged_parquet_write(df: DataFrame, staging,
+                          max_records_per_file: int) -> None:
+    """The shared staging write: partitioned parquet under the
+    committer algorithm above (the option is merged into the write
+    job's Hadoop conf via newHadoopConfWithOptions)."""
+    (df.write.mode("overwrite")
+     .option("maxRecordsPerFile", max_records_per_file)
+     .option("mapreduce.fileoutputcommitter.algorithm.version",
+             _COMMITTER_ALGO)
+     .partitionBy("container_id", "date")
+     .parquet(str(staging)))
+
 def assign_seq(decoded: DataFrame, high_water: dict[str, int]) -> DataFrame:
     """Turn decoded entries into the logs-table shape with seq assigned.
 
@@ -282,13 +310,8 @@ def _write_batch_grouped(batch_df: DataFrame, table: ManifestTable,
         if n_rows:
             staging = table.new_staging_dir()
             live_df = batch_df.filter(not_stale) if track_stale else batch_df
-            (
-                assign_seq(live_df, st["high_water"])
-                .write.mode("overwrite")
-                .option("maxRecordsPerFile", max_records_per_file)
-                .partitionBy("container_id", "date")
-                .parquet(str(staging))
-            )
+            _staged_parquet_write(assign_seq(live_df, st["high_water"]),
+                                  staging, max_records_per_file)
             new_files = table.adopt_staged(staging)
             staged_n = sum(_parquet_num_rows(str(table.dir / f))
                            for f in new_files)
@@ -363,13 +386,8 @@ def _write_batch_observed(batch_df: DataFrame, table: ManifestTable,
     observed = batch_df.observe(obs, *aggs)
     live_df = observed.filter(not_stale) if track_stale else observed
     staging = table.new_staging_dir()
-    (
-        assign_seq(live_df, st["high_water"])
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("container_id", "date")
-        .parquet(str(staging))
-    )
+    _staged_parquet_write(assign_seq(live_df, st["high_water"]),
+                          staging, max_records_per_file)
     row = _obs_or_agg(obs, batch_df, aggs)
     if int(row["x"] or 0):
         # foreign-container rows: the single-container contract is
@@ -518,13 +536,8 @@ def _write_batch_listed(batch_df: DataFrame, table: ManifestTable,
     observed = batch_df.observe(obs, *aggs)
     live_df = observed.filter(not_stale) if track_stale else observed
     staging = table.new_staging_dir()
-    (
-        assign_seq(live_df, st["high_water"])
-        .write.mode("overwrite")
-        .option("maxRecordsPerFile", max_records_per_file)
-        .partitionBy("container_id", "date")
-        .parquet(str(staging))
-    )
+    _staged_parquet_write(assign_seq(live_df, st["high_water"]),
+                          staging, max_records_per_file)
     row = _obs_or_agg(obs, batch_df, aggs)
     n_errors = int(row["e"] or 0)
     n_stale = int(row["st"] or 0)

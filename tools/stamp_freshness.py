@@ -323,35 +323,35 @@ def audit(window: int = 50) -> dict:
             }
         )
 
-    order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 2}
-    # stale and fresh share a bucket ranked by EFFECTIVE stamp age: a
-    # stale stamp reads STALE_AGE_PENALTY rounds older than its label,
-    # because the code under it changed since it was taken.  This
-    # blends the two failure modes seen across rounds: all-stale-first
-    # let a large churn set starve the oldest stamps out of the window
-    # indefinitely (r9's twelve r4-stamped queries ranked 61-72 behind
-    # r8-stamped stale), while pure stamp-age let freshly-converted
-    # oracles wait multiple rounds for their first hash-match stamp
-    # (r13's IVF trio, VERDICT r13 #1: r12-stamped-stale ranked behind
-    # 44 r10-stamped-fresh).  Within an effective round, stale before
-    # fresh.  Remaining tie-breaks: queries whose callable lives in
-    # registry.py last — registry.py churns every round for reasons
-    # unrelated to those lambdas (module wiring), so their "stale" is
-    # the weakest signal — then higher post-stamp churn first.
-    STALE_AGE_PENALTY = 3
+    # r17 (VERDICT r16 #2): "code-touched since last stamp" ranks ABOVE
+    # stamp age, full stop — stale is its own bucket ahead of every
+    # fresh stamp.  The r16 blended-penalty ordering (stale reads
+    # STALE_AGE_PENALTY rounds older, then one shared bucket) let the
+    # round's riskiest rewrite (semantic_dedup_pairs' numpy Gram,
+    # r16-touched) rank at position 54 — four slots outside the
+    # driver's 50-query stamp window — behind old-but-unchanged
+    # stamps.  A stamp on code that NO LONGER EXISTS is weaker
+    # evidence than ANY stamp on live code, whatever their ages; the
+    # starvation concern the blend addressed (a large churn set
+    # pushing very old fresh stamps out indefinitely) is bounded by
+    # the AST-closure relevance filter above, which already keeps
+    # comment-only / other-query churn from reading as stale.
+    # Within stale: oldest stamp first.  Within fresh: oldest stamp
+    # first.  Tie-breaks: registry.py-defined lambdas last (that file
+    # churns every round for wiring reasons, the weakest stale
+    # signal), then higher post-stamp churn first.
+    order = {"never-stamped": 0, "stamped-error": 1, "stale": 2, "fresh": 3}
 
     def _eff_round(r: dict) -> int:
         if r["stamp_round"] is None:
             return -(10**9)
-        pen = STALE_AGE_PENALTY if r["status"] == "stale" else 0
-        return r["stamp_round"] - pen
+        return r["stamp_round"]
 
     suggested = sorted(
         rows,
         key=lambda r: (
             order[r["status"]],
             _eff_round(r),
-            r["status"] == "fresh",
             r["file"] == REGISTRY_FILE,
             -len(r["changes_since_stamp"]),
             r["query"],
@@ -372,11 +372,12 @@ Regenerate with:  python tools/stamp_freshness.py --write
 The round driver oracle-stamps only the FIRST 50 entries of
 ``__spark_entry__.queries()``; stamps persist across rounds.  This
 ordering front-loads queries that most need a fresh stamp:
-never-stamped first, then failed-at-latest-stamp, then everything else
-by stamp age (oldest stamp first — an r4 stamp on unchanged code is
-older evidence than an r8 stamp on churned code), stale before fresh
-within a round, registry.py-defined lambdas last within a bucket since
-that file churns for unrelated wiring.
+never-stamped first, then failed-at-latest-stamp, then STALE (the
+query-visible code changed after its latest stamp — a stamp on code
+that no longer exists is weaker evidence than any stamp on live code;
+oldest stamp first within the bucket), then fresh by stamp age;
+registry.py-defined lambdas last within a bucket since that file
+churns for unrelated wiring.
 
 Living in its own module keeps window rotation from dirtying
 registry.py and poisoning the very freshness signal used to rotate.
