@@ -1084,7 +1084,17 @@ def _load_prev_record() -> tuple[str, dict, str | None]:
     import subprocess
 
     here = os.path.dirname(os.path.abspath(__file__))
-    recs = sorted(glob.glob(os.path.join(here, "BENCH_r[0-9]*.json")))
+    # main-record files only (BENCH_r<N>.json): the driver also lands
+    # low-core scaling records named BENCH_r<N>_c8.json, which sort
+    # AFTER the main record and — being 8-core runs of an overhead-
+    # dominated SF that reads FASTER than 32-core — made every
+    # subsequent 32-core run flag spurious movers (r17: 8 movers fired
+    # against the c8 record).  Adjudication baseline = the latest
+    # MAIN record; declared as a measurement-selection fix in
+    # OPTIMIZATION_r17.md (timing loop untouched).
+    recs = sorted(
+        p for p in glob.glob(os.path.join(here, "BENCH_r[0-9]*.json"))
+        if re.fullmatch(r"BENCH_r\d+\.json", os.path.basename(p)))
     if not recs:
         return "none", {}, None
     valid = set(BENCH_QUERIES) | {"follow_visibility_p95",
